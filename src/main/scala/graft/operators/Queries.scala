@@ -1,0 +1,769 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The batteries-included operator/query library declared in SURVEY.md §2.3
+  * (Q-series) and §2.4 (X-series LLM-data-pipeline extensions), expressed
+  * Spark-first over the driver testdata.
+  *
+  * Determinism-by-construction rules (so the DuckDB hash compare is robust):
+  *   - money/quantity aggregates go through `DECIMAL(18,2)` casts — exact,
+  *     summation-order-independent, identical across engines;
+  *   - averages are `exact-decimal-sum → double ÷ count`, then `round(…, 6)`
+  *     over bit-identical doubles;
+  *   - pass-through doubles are untouched (bit-identical in both engines);
+  *   - int/int ratios are cast to double before dividing (exact IEEE);
+  *   - every top-k / window ordering carries a unique-key tiebreaker.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      doc: String)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def tsNtz(s: String): Column = lit(s).cast(TimestampNTZType)
+
+  // ---------------------------------------------------------------- Q1
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg → sort.
+    * (ref: docs/examples/spend/demo.py:35-39 is the reference's only agg;
+    * this is the batteries-included generalization, SURVEY §2.3 Q1.) */
+  private def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= tsNtz("2000-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        // decimal arithmetic over per-column casts: casting a *computed*
+        // double hits midpoint rounding (HALF_UP vs half-even) differently
+        // across engines; raw 2-decimal columns never sit on a midpoint.
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))).as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))) *
+          (lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2)))).as("sum_charge"),
+        round(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)), 6).as("avg_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- Q2
+  /** Equi inner join + projection; filters/columns push to the parquet scan. */
+  private def q2(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 150000.0)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+
+  private val q2Sql =
+    """SELECT o_orderkey, o_orderdate, o_totalprice, c_name, c_mktsegment, c_acctbal
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 150000.0""".stripMargin
+
+  // ---------------------------------------------------------------- Q3
+  /** Star-schema multi-join with broadcast dims, grouped revenue. */
+  private def q3(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast(IntegerType).as("order_year"))
+      .agg(
+        sum(dec(col("o_totalprice"))).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("r_name"), col("order_year"))
+
+  private val q3Sql =
+    """SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      |  count(*) AS n_orders,
+      |  count(DISTINCT c_custkey) AS n_customers
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, CAST(year(o_orderdate) AS INT)
+      |ORDER BY r_name, order_year""".stripMargin
+
+  // ---------------------------------------------------------------- Q4
+  /** Left-semi + left-anti joins (EXISTS / NOT EXISTS). */
+  private def q4(spark: SparkSession, dir: String): DataFrame = {
+    val sup  = Tables.supplier(spark, dir)
+    val bulk = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 48.0)
+    val semi = sup.join(bulk, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name")).withColumn("status", lit("has_bulk"))
+    val anti = sup.join(bulk, col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .select(col("s_suppkey"), col("s_name")).withColumn("status", lit("no_bulk"))
+    semi.unionAll(anti)
+  }
+
+  private val q4Sql =
+    """SELECT s_suppkey, s_name, 'has_bulk' AS status FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 48.0)
+      |UNION ALL
+      |SELECT s_suppkey, s_name, 'no_bulk' AS status FROM supplier
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 48.0)""".stripMargin
+
+  // ---------------------------------------------------------------- Q5
+  /** Pure non-equi (theta) join → BroadcastNestedLoopJoin. The big side is
+    * pre-aggregated (map-side reduction) so the quadratic comparison runs on
+    * |part_subset| × |distinct partkeys|, not raw lineitem — the 100 TB-safe
+    * shape for a theta join. */
+  private def q5(spark: SparkSession, dir: String): DataFrame = {
+    val pmax = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(max(col("l_extendedprice")).as("max_price"))
+    val p = Tables.part(spark, dir).filter(col("p_size") >= 46)
+    p.join(pmax, col("max_price") > col("p_retailprice") * 1.5)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_partkey")).as("n_parts"),
+        countDistinct(col("l_partkey")).as("n_agg_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q5Sql =
+    """WITH pmax AS (SELECT l_partkey, max(l_extendedprice) AS max_price FROM lineitem GROUP BY l_partkey)
+      |SELECT p_brand, count(*) AS n_pairs,
+      |  count(DISTINCT p_partkey) AS n_parts,
+      |  count(DISTINCT l_partkey) AS n_agg_parts
+      |FROM part, pmax
+      |WHERE p_size >= 46 AND max_price > p_retailprice * 1.5
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- Q6
+  /** As-of join: for each purchase event, the latest click of the same user
+    * at-or-before its timestamp. Implemented shuffle-once with a RANGE window
+    * over the unioned stream (no join at all — the scalable as-of shape);
+    * the oracle uses DuckDB's native ASOF LEFT JOIN. RANGE … CURRENT ROW
+    * includes ts-peers, exactly matching ASOF's `c.ts <= p.ts`. */
+  private def q6(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_ts", max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+  }
+
+  private val q6Sql =
+    """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, CAST(c.ts AS TIMESTAMP) AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin
+
+  // ---------------------------------------------------------------- Q7
+  /** Per-group top-k via ranking window with unique tiebreaker. */
+  private def q7(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  private val q7Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- Q8
+  /** Window-function suite: rank/dense_rank, lag/lead, sliding-frame moving
+    * average, exact running total (decimal). */
+  private def q8(spark: SparkSession, dir: String): DataFrame = {
+    val byDate  = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(byPrice).as("price_rank"),
+      dense_rank().over(byPrice).as("price_dense_rank"),
+      lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+      round(avg(col("o_totalprice")).over(byDate.rowsBetween(-2, 0)), 6).as("mov_avg3"),
+      sum(dec(col("o_totalprice"))).over(byDate.rowsBetween(Window.unboundedPreceding, 0)).as("run_total"))
+  }
+
+  private val q8Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER wp AS price_rank,
+      |  dense_rank() OVER wp AS price_dense_rank,
+      |  lag(o_totalprice, 1) OVER wd AS prev_price,
+      |  lead(o_totalprice, 1) OVER wd AS next_price,
+      |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+      |FROM orders
+      |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+      |       wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------- Q9
+  /** CUBE grouping sets with grouping() bitmask. */
+  private def q9(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("total"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority"))).cast(IntegerType).as("gid"))
+
+  private val q9Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------- Q10
+  /** Exact distinct counts (the approximate HLL variant is q10b, engine-
+    * specific so rows-only checked). */
+  private def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))
+
+  private val q10Sql =
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+      |FROM lineitem""".stripMargin
+
+  private def q10b(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"))
+
+  // ---------------------------------------------------------------- Q11
+  /** Set operators: INTERSECT / EXCEPT / UNION (distinct semantics). */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val a = cust.join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("k"))
+    val b = cust.filter(col("c_acctbal") > 5000.0).select(col("c_custkey").as("k"))
+    a.intersect(b).withColumn("op", lit("intersect"))
+      .unionAll(a.except(b).withColumn("op", lit("except")))
+      .unionAll(a.unionAll(b).distinct().withColumn("op", lit("union")))
+      .select(col("op"), col("k"))
+  }
+
+  private val q11Sql =
+    """WITH a AS (SELECT c_custkey AS k FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)),
+      |     b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0)
+      |SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b) t
+      |UNION ALL SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b) t
+      |UNION ALL SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b) t""".stripMargin
+
+  // ---------------------------------------------------------------- Q12
+  /** Scalar-function suite: string / date / math / JSON extraction. All math
+    * is exact over doubles (multiplication by 4 is a power of two; v*v is a
+    * single IEEE product) so values are bit-identical across engines. */
+  private def q12(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      upper(col("event_type")).as("etype_u"),
+      substring(col("event_type"), 1, 3).as("etype3"),
+      concat(col("event_type"), lit("_"), col("user_id").cast(StringType)).as("tag"),
+      length(col("props")).as("props_len").cast(IntegerType).as("props_len"),
+      year(col("ts")).cast(IntegerType).as("y"),
+      month(col("ts")).cast(IntegerType).as("m"),
+      dayofmonth(col("ts")).cast(IntegerType).as("d"),
+      hour(col("ts")).cast(IntegerType).as("h"),
+      date_trunc("day", col("ts")).cast(TimestampNTZType).as("ts_day"),
+      col("ts").cast(DateType).as("ts_date"),
+      abs(col("value") - 50.0).as("v_abs"),
+      floor(col("value")).cast(LongType).as("v_floor"),
+      ceil(col("value")).cast(LongType).as("v_ceil"),
+      (col("value") * 4).as("v4"),
+      (col("value") * col("value")).as("v_sq"),
+      (col("user_id") % 7).as("u_mod"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k_val"),
+      when(col("value") > 100.0, "high").otherwise("low").as("v_band"))
+
+  private val q12Sql =
+    """SELECT event_id,
+      |  upper(event_type) AS etype_u,
+      |  substring(event_type, 1, 3) AS etype3,
+      |  event_type || '_' || CAST(user_id AS VARCHAR) AS tag,
+      |  CAST(length(props) AS INT) AS props_len,
+      |  CAST(year(ts) AS INT) AS y,
+      |  CAST(month(ts) AS INT) AS m,
+      |  CAST(day(ts) AS INT) AS d,
+      |  CAST(hour(ts) AS INT) AS h,
+      |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_day,
+      |  CAST(ts AS DATE) AS ts_date,
+      |  abs(value - 50.0) AS v_abs,
+      |  CAST(floor(value) AS BIGINT) AS v_floor,
+      |  CAST(ceil(value) AS BIGINT) AS v_ceil,
+      |  value * 4 AS v4,
+      |  value * value AS v_sq,
+      |  user_id % 7 AS u_mod,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |  CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS v_band
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- Q17
+  /** Artifact statistics (SURVEY F38 realized): one-pass per-column profile. */
+  private def q17(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("l_shipdate")).as("min_shipdate"),
+      max(col("l_shipdate")).as("max_shipdate"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      sum(dec(col("l_quantity"))).as("sum_qty"),
+      sum(dec(col("l_extendedprice"))).as("sum_price"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+
+  private val q17Sql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(min(l_shipdate) AS TIMESTAMP) AS min_shipdate,
+      |  CAST(max(l_shipdate) AS TIMESTAMP) AS max_shipdate,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  min(l_extendedprice) AS min_price,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- Q20
+  /** Content-addressing fingerprint column (SURVEY F34 as a data op):
+    * xxhash64 over all columns, XOR-combined per group — order-independent,
+    * the distributed analog of the reference's Fingerprint.combine
+    * (reference: src/arti/fingerprints/__init__.py:18-66). Engine-specific
+    * hash → rows-only check. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.withColumn("fp", xxhash64(li.columns.map(col).toIndexedSeq: _*))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bit_xor(fp)").as("xor_fp"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ================================================================ X-series
+  private def toks(c: Column): Column = split(c, " ")
+
+  // ---------------------------------------------------------------- X1
+  /** Exact dedup: group-by full content, keep min id. */
+  private def x1(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(sha2(col("text"), 256).as("text_hash"), col("keep_id"), col("n_copies"))
+
+  private val x1Sql =
+    """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
+  // ---------------------------------------------------------------- X2
+  /** Exact n-gram (3-word shingle) Jaccard near-dup pairs via an
+    * inverted-index join: explode shingles → equi-join on shingle →
+    * count shared per pair → Jaccard from set sizes. Exact (any pair with
+    * jac ≥ 0.5 shares shingles) yet *linear* in postings, never the
+    * quadratic all-pairs loop — the shape that survives 100 TB. Single-word
+    * tokens are useless here (the synthetic corpus reuses a ~30-word
+    * vocabulary, making token-Jaccard ≈ 0.63 for unrelated docs; 3-shingles
+    * separate cleanly: near-dups ≥ 0.5, everything else < 0.03). */
+  private[graft] val shingleExpr =
+    """IF(size(tk) < 3, array(),
+      |   array_distinct(transform(sequence(1, size(tk) - 2),
+      |     i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))))""".stripMargin
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), expr(shingleExpr).as("sh"))
+      .withColumn("n", size(col("sh")))
+
+  private def x2(spark: SparkSession, dir: String): DataFrame = {
+    val posts = shingled(spark, dir).select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    posts.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
+      .join(posts.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  private val duckShingleSql =
+    """SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)""".stripMargin
+
+  private val x2Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |     t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s)
+       |SELECT doc_a, doc_b, jac FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |  FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n) p
+       |WHERE jac >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- X3
+  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
+    * 32 hashes, 8 bands × 4 rows (P[candidate] ≈ 1-(1-s⁴)⁸ — ~0.97 at s=0.7).
+    * Shuffle is by band bucket (linear), never quadratic: the 100 TB path.
+    * Output shape matches x2 so recall is directly testable. */
+  private def x3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir).filter(col("n") > 0)
+    // 32-way minhash signature over the shingle set; band hash per 4-slice.
+    val sig = docs.withColumn("sig",
+      expr("transform(sequence(0, 31), i -> array_min(transform(sh, t -> xxhash64(concat(t, '#', cast(i as string))))))"))
+    val bands = sig.select(col("doc_id"), col("sh"), col("n"),
+        posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cand = bands.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na"), col("band"), col("band_hash"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"), col("na"), col("nb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  // ---------------------------------------------------------------- X4
+  /** SimHash signatures + banded Hamming-distance near-dup pairs. The 64-bit
+    * signature is computed per-row with higher-order functions (no shuffle);
+    * pair candidates come from 4 × 16-bit band buckets (linear shuffle). */
+  private def x4(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("hashes", expr("transform(tk, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
+          |  acc + IF(aggregate(hashes, 0, (s, h) -> s + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+          |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"), col("band"), col("band_val"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= 8)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // ---------------------------------------------------------------- X5
+  /** Embedding-cosine near-dup pairs (exact, all-pairs baseline; threshold
+    * 0.45 — the synthetic corpus has max pairwise cosine ~0.51). Floats are
+    * widened to double before the dot product (float×float is exact in
+    * double), and cosine is rounded at 6dp — identical across engines. */
+  private def x5(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 as double), (acc, x) -> acc + x * x))"))
+    val l = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  private val x5Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings)
+      |SELECT vec_a, vec_b, cos_sim FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM e a, e b WHERE a.vec_id < b.vec_id) p
+      |WHERE cos_sim >= 0.45""".stripMargin
+
+  // ---------------------------------------------------------------- X6
+  /** Brute-force cosine top-k ANN (query set = vec_id < 5) — the exactness
+    * baseline for x7. Ranked over the rounded similarity with unique-key
+    * tiebreak so ordering is engine-independent. */
+  private def x6(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 as double), (acc, x) -> acc + x * x))"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    q.join(c)   // broadcast cross: |q| = 5
+      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", round(col("dot") / (col("qn") * col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_sim"))
+  }
+
+  private val x6Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |     q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+      |     c AS (SELECT * FROM e WHERE vec_id >= 5)
+      |SELECT query_id, vec_id, rnk, cos_sim FROM (
+      |  SELECT query_id, vec_id,
+      |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cos_sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(list_dot_product(qv, v) / (qn * nrm), 6) DESC, vec_id) AS rnk
+      |  FROM q, c) t
+      |WHERE rnk <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- X7
+  /** LSH-bucketed ANN (random-hyperplane signatures): the 100 TB scale path
+    * for x6. Pseudo-random ±1 hyperplanes derive deterministically from
+    * xxhash64(bit, dim); candidates meet in signature buckets (linear
+    * shuffle), then exact re-rank within bucket. Rows-only check; recall vs
+    * x6 is asserted in ScalaTest. */
+  private def x7(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 as double), (acc, x) -> acc + x * x))"))
+      // 8-bit signature: sign of dot(v, plane_b), plane_b[d] = ±1 from xxhash64
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, 7), 0, (acc, b) ->
+          |  acc + IF(aggregate(zip_with(v, sequence(0, size(v) - 1),
+          |                     (x, d) -> x * IF((xxhash64(b * 1024 + d) & 1) = 1, 1.0, -1.0)),
+          |                     cast(0 as double), (s, x) -> s + x) > 0,
+          |           shiftleft(1, b), 0))""".stripMargin))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("sig"))
+    val c = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"), col("nrm"), col("sig"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    q.join(c, Seq("sig"))
+      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", round(col("dot") / (col("qn") * col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_sim"))
+  }
+
+  // ---------------------------------------------------------------- X8
+  /** Text quality scoring: token stats, distinct ratio, stopword ratio,
+    * composite score. All ratios are int/int → double (exact IEEE). */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopwordsSqlList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  private def x8(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    Tables.documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("n_unique", size(array_distinct(col("tk"))))
+      .withColumn("sum_len", expr("aggregate(tk, 0, (acc, t) -> acc + length(t))"))
+      .withColumn("n_stop", expr(s"size(filter(tk, t -> array_contains($stopArr, t)))"))
+      .withColumn("distinct_ratio", col("n_unique").cast(DoubleType) / col("n_tokens"))
+      .withColumn("mean_tok_len", col("sum_len").cast(DoubleType) / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality_score", col("distinct_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.5)
+      .withColumn("is_quality", col("quality_score") >= 0.5 && col("n_tokens") >= 20)
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"), col("distinct_ratio"),
+        col("mean_tok_len"), col("stop_ratio"), col("quality_score"), col("is_quality"))
+  }
+
+  private val x8Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |     s AS (SELECT doc_id,
+       |             CAST(len(tk) AS INT) AS n_tokens,
+       |             CAST(len(list_distinct(tk)) AS INT) AS n_unique,
+       |             CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS sum_len,
+       |             CAST(len(list_filter(tk, x -> x IN ($stopwordsSqlList))) AS INT) AS n_stop
+       |           FROM t)
+       |SELECT doc_id, n_tokens, n_unique,
+       |  CAST(n_unique AS DOUBLE) / n_tokens AS distinct_ratio,
+       |  CAST(sum_len AS DOUBLE) / n_tokens AS mean_tok_len,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  (CAST(n_unique AS DOUBLE) / n_tokens) * 0.5 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 AS quality_score,
+       |  ((CAST(n_unique AS DOUBLE) / n_tokens) * 0.5 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) >= 0.5
+       |    AND n_tokens >= 20 AS is_quality
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- X9
+  /** Language-ID n-gram/stopword heuristic: per-language marker hits, argmax
+    * with fixed priority order for ties. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "une", "est"),
+    "zh" -> Seq("de5", "shi4", "bu4", "wo3", "le5"))
+
+  private def x9(spark: SparkSession, dir: String): DataFrame = {
+    var df = Tables.documents(spark, dir).withColumn("tk", toks(col("text")))
+    for ((lang, words) <- langMarkers) {
+      val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+      df = df.withColumn(s"hits_$lang", expr(s"size(filter(tk, t -> array_contains($arr, t)))"))
+    }
+    val langs = langMarkers.map(_._1)
+    // argmax with fixed priority: first language whose hits >= all others
+    val pred = langs.foldRight(lit("und")) { (lang, rest) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"hits_$lang") >= col(s"hits_$o")).reduce(_ && _)
+      when(col(s"hits_$lang") > 0 && isMax, lit(lang)).otherwise(rest)
+    }
+    df.withColumn("pred_lang", pred)
+      .select(col("doc_id") +: col("lang") +: col("pred_lang") +: langs.map(l => col(s"hits_$l")): _*)
+  }
+
+  private val x9Sql = {
+    val hitCols = langMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(tk, x -> x IN ($list))) AS INT) AS hits_$lang"
+    }.mkString(",\n             ")
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight("'und'") { (lang, rest) =>
+      val isMax = langs.filter(_ != lang).map(o => s"hits_$lang >= hits_$o").mkString(" AND ")
+      s"CASE WHEN hits_$lang > 0 AND $isMax THEN '$lang' ELSE $rest END"
+    }
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+       |     h AS (SELECT doc_id, lang,
+       |             $hitCols
+       |           FROM t)
+       |SELECT doc_id, lang, $pred AS pred_lang,
+       |  ${langs.map(l => s"hits_$l").mkString(", ")}
+       |FROM h""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X10
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, chars/4
+    * estimate. */
+  private def x10(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]', 0)")).as("re_tokens"),
+      ceil(col("n_chars") / 4.0).cast(LongType).as("est_bpe_tokens"),
+      length(col("text")).cast(LongType).as("len_chars"))
+
+  private val x10Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS re_tokens,
+      |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens,
+      |  CAST(length(text) AS BIGINT) AS len_chars
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- X11
+  /** Document fingerprint: position-weighted rolling token sum (exact int64
+    * arithmetic — order-sensitive yet summation-order-free, so it hashes
+    * identically across engines). */
+  private def x11(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr("""aggregate(
+            |  zip_with(split(text, ' '), sequence(1, size(split(text, ' '))),
+            |           (t, i) -> cast(i as bigint) * (cast(length(t) as bigint) * 131 + ascii(substring(t, 1, 1)))),
+            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("fp"),
+      size(toks(col("text"))).as("n_tokens"))
+
+  private val x11Sql =
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |       (x, i) -> CAST(i AS BIGINT) * (CAST(length(x) AS BIGINT) * 131 + ascii(substring(x, 1, 1))))) AS BIGINT) AS fp,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- X12
+  /** Multimodal column plumbing: opaque binary payload + typed metadata.
+    * The "decode" is a deterministic fake (this container has no codec
+    * libs — see the builder contract); the Spark-side plumbing (binary
+    * column, schema, hashing, metadata derivation) is real. */
+  private def x12(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr("octet_length(cast(text as binary))").cast(LongType).as("byte_len"),
+      sha2(col("text"), 256).as("content_hash"),
+      when(col("n_chars") % 3 === 0, "image")
+        .when(col("n_chars") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      ((col("n_chars") * 7) % 1024).as("width"),
+      ((col("n_chars") * 13 + col("doc_id")) % 768).as("height"),
+      (col("n_chars") % 30 + 1).as("n_frames"))
+
+  private val x12Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      |  sha256(text) AS content_hash,
+      |  CASE WHEN n_chars % 3 = 0 THEN 'image' WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  (n_chars * 7) % 1024 AS width,
+      |  (n_chars * 13 + doc_id) % 768 AS height,
+      |  n_chars % 30 + 1 AS n_frames
+      |FROM documents""".stripMargin
+
+  // ================================================================ registry
+
+  val all: Seq[Q] = Seq(
+    Q("q1_pricing_summary", q1, Some(q1Sql), "scan+filter+hash agg+sort"),
+    Q("q2_order_customer_join", q2, Some(q2Sql), "equi inner join + projection"),
+    Q("q3_star_revenue", q3, Some(q3Sql), "multi-join w/ broadcast dims"),
+    Q("q4_supplier_semi_anti", q4, Some(q4Sql), "left-semi + left-anti"),
+    Q("q5_theta_margin", q5, Some(q5Sql), "non-equi theta join (BNLJ)"),
+    Q("q6_asof_event_order", q6, Some(q6Sql), "as-of join via range window"),
+    Q("q7_top_customers", q7, Some(q7Sql), "per-group top-k"),
+    Q("q8_revenue_windows", q8, Some(q8Sql), "rank/lag/lead/frames"),
+    Q("q9_rollup_cube", q9, Some(q9Sql), "CUBE grouping sets"),
+    Q("q10_distinct_parts", q10, Some(q10Sql), "exact distinct"),
+    Q("q10b_approx_distinct", q10b, None, "HLL approx distinct (engine-specific)"),
+    Q("q11_set_ops", q11, Some(q11Sql), "intersect/except/union"),
+    Q("q12_scalar_suite", q12, Some(q12Sql), "string/date/math/json scalars"),
+    Q("q17_artifact_statistics", q17, Some(q17Sql), "per-artifact column stats"),
+    Q("q20_fingerprint_column", q20, None, "xxhash64 + XOR combine"),
+    Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
+    Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
+    Q("x3_minhash_lsh", x3, None, "MinHash+LSH near-dup (scale path)"),
+    Q("x4_simhash", x4, None, "SimHash banded near-dup"),
+    Q("x5_embedding_neardup", x5, Some(x5Sql), "cosine near-dup pairs"),
+    Q("x6_ann_bruteforce", x6, Some(x6Sql), "brute-force cosine top-k"),
+    Q("x7_ann_lsh", x7, None, "hyperplane-LSH ANN (scale path)"),
+    Q("x8_text_quality", x8, Some(x8Sql), "quality scoring"),
+    Q("x9_langid", x9, Some(x9Sql), "language-ID heuristic"),
+    Q("x10_token_count", x10, Some(x10Sql), "token counting"),
+    Q("x11_doc_fingerprint", x11, Some(x11Sql), "position-weighted fingerprint"),
+    Q("x12_multimodal_meta", x12, Some(x12Sql), "binary payload + typed metadata"))
+
+  def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}
