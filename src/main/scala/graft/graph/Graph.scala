@@ -1,0 +1,192 @@
+package graft.graph
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.fingerprints.{Canonical, Fingerprint, Version}
+import graft.io.{Format, IO}
+import graft.partitions.PartitionKey.{NotPartitioned, PartitionKey}
+import graft.storage.{FileStorage, Storage, StoragePartition}
+import graft.types.ArtiType
+
+/** A typed, formatted, stored dataset template
+  * (reference: src/arti/artifacts/__init__.py:24-78). */
+final case class Artifact(
+    atype: ArtiType,
+    format: Format,
+    storage: Storage,
+    annotations: Map[String, String] = Map.empty) {
+
+  /** Partition-field kinds for the storage template parser, derived from the
+    * declared Collection schema (reference derives them from the Type via the
+    * PartitionField registry, partitions/__init__.py:21-53). */
+  def partitionFieldKinds: Map[String, String] = atype match {
+    case c: ArtiType.ACollection =>
+      c.partitionBy.map { f =>
+        val ft = c.element.fields.find(_._1 == f).get._2
+        val kind = ft match {
+          case _: ArtiType.ADate => "date"
+          case _: ArtiType.AInt8 | _: ArtiType.AInt16 | _: ArtiType.AInt32 | _: ArtiType.AInt64 => "int"
+          case _: ArtiType.ANull => "null"
+          case other => throw new IllegalArgumentException(s"field '$f' of type $other is not partitionable (only Date/Int*/Null are)")
+        }
+        f -> kind
+      }.toMap
+    case _ => Map.empty
+  }
+
+  def isPartitioned: Boolean = atype match {
+    case c: ArtiType.ACollection => c.isPartitioned
+    case _                       => false
+  }
+
+  /** Fingerprint excludes annotations/descriptions so doc edits never cascade
+    * into rebuilds (reference: artifacts/__init__.py:44-56, types/__init__.py:31-32). */
+  lazy val fingerprint: Fingerprint = Canonical.fingerprint((atype, format.name, storage))
+}
+
+/** A versioned build step over artifacts
+  * (reference: src/arti/producers/__init__.py:56-94): `build` is the
+  * transformation, `map` routes input partitions to output partitions
+  * (enabling incremental builds), `validateOutputs` is the quality gate.
+  */
+final case class Producer(
+    name: String,
+    version: Version = Version.SemVer(0, 0, 1),
+    build: (SparkSession, Seq[DataFrame]) => Seq[DataFrame],
+    map: Seq[Seq[StoragePartition]] => Producer.PartitionDeps = Producer.mapAll,
+    validateOutputs: Seq[DataFrame] => Either[String, Unit] = _ => Right(())) {
+
+  /** name ⊕ version (reference F11, producers/__init__.py:326-334). */
+  lazy val fingerprint: Fingerprint =
+    Fingerprint.fromString(name).combine(version.fingerprint)
+}
+
+object Producer {
+  /** For each output partition key: per input, the partitions it reads. */
+  type PartitionDeps = Seq[(PartitionKey, Seq[Seq[StoragePartition]])]
+
+  /** Default map: ALL input partitions → the single NotPartitioned output
+    * (reference: producers/__init__.py:280-293). */
+  val mapAll: Seq[Seq[StoragePartition]] => PartitionDeps =
+    inputs => Seq(NotPartitioned -> inputs)
+
+  /** 1:1 key-aligned routing: each distinct partition key of the inputs
+    * becomes one output partition depending only on the matching input
+    * partitions — the shape that makes incremental per-partition rebuilds
+    * possible (reference F10, executors/__init__.py:34-60). */
+  val mapByKey: Seq[Seq[StoragePartition]] => PartitionDeps = inputs => {
+    val keys = inputs.flatMap(_.map(_.key)).distinct
+    keys.map(k => k -> inputs.map(_.filter(_.key == k)))
+  }
+}
+
+final case class ProducerBinding(producer: Producer, inputKeys: Seq[String], outputKeys: Seq[String])
+
+/** A DAG of artifacts connected by producers
+  * (reference: src/arti/graphs/__init__.py:90-141). Keys are dotted names
+  * (`"ns.key"`), the Scala stand-in for the reference's nested TypedBox DSL.
+  */
+final class Graph(val name: String) {
+  private val _artifacts = mutable.LinkedHashMap.empty[String, Artifact]
+  private val _bindings = mutable.ListBuffer.empty[ProducerBinding]
+  private var sealed_ = false
+
+  def artifacts: Map[String, Artifact] = _artifacts.toMap
+  def bindings: Seq[ProducerBinding] = _bindings.toSeq
+
+  def add(key: String, artifact: Artifact): this.type = {
+    require(!sealed_, s"graph '$name' is sealed")
+    require(!_artifacts.contains(key), s"artifact '$key' already defined")
+    _artifacts(key) = artifact
+    this
+  }
+
+  /** Wire a producer: inputs must exist; outputs must exist and not already
+    * be produced by another producer (reference: producers/__init__.py:384-415). */
+  def produce(producer: Producer, inputs: Seq[String], outputs: Seq[String]): this.type = {
+    require(!sealed_, s"graph '$name' is sealed")
+    inputs.foreach(k => require(_artifacts.contains(k), s"unknown input artifact '$k'"))
+    outputs.foreach(k => require(_artifacts.contains(k), s"unknown output artifact '$k'"))
+    val produced = _bindings.flatMap(_.outputKeys).toSet
+    outputs.foreach(k => require(!produced(k), s"artifact '$k' is already produced by another producer"))
+    _bindings += ProducerBinding(producer, inputs, outputs)
+    this
+  }
+
+  def producerOf(key: String): Option[ProducerBinding] = _bindings.find(_.outputKeys.contains(key))
+  def isRaw(key: String): Boolean = producerOf(key).isEmpty
+
+  /** Seal + cycle check (reference: graphs/__init__.py:124-133). */
+  def close(): this.type = {
+    topoOrder() // throws on cycles
+    sealed_ = true
+    this
+  }
+
+  /** Kahn toposort over producer bindings (reference F4/F18). */
+  def topoOrder(): Seq[ProducerBinding] = {
+    val deps: Map[ProducerBinding, Set[ProducerBinding]] =
+      _bindings.map { b =>
+        b -> b.inputKeys.flatMap(producerOf).toSet
+      }.toMap
+    val order = mutable.ListBuffer.empty[ProducerBinding]
+    val remaining = mutable.Set.empty[ProducerBinding] ++ _bindings
+    var progress = true
+    while (remaining.nonEmpty && progress) {
+      val ready = remaining.filter(b => deps(b).forall(d => !remaining(d)))
+      progress = ready.nonEmpty
+      order ++= _bindings.filter(ready) // keep declaration order within a wave
+      remaining --= ready
+    }
+    if (remaining.nonEmpty)
+      throw new IllegalStateException(s"graph '$name' has a producer cycle involving ${remaining.map(_.producer.name).mkString(", ")}")
+    order.toSeq
+  }
+
+  /** Snapshot: content-address the graph + all raw inputs
+    * (reference F14, graphs/__init__.py:294-360). */
+  def snapshot(spark: SparkSession, backend: Backend): GraphSnapshot = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val raws = _artifacts.toSeq.filter { case (k, _) => isRaw(k) }
+    val rawPartitions: Map[String, Seq[StoragePartition]] = raws.map { case (k, a) =>
+      val parts = a.storage.discoverPartitions(conf)
+      if (parts.isEmpty)
+        throw new IllegalStateException(s"raw artifact '$k' has no data — cannot snapshot (reference graphs/__init__.py:345-347)")
+      val withFps = parts.map(p => p.copy(contentFingerprint = Some(a.storage.contentFingerprint(p, conf))))
+      k -> withFps
+    }.toMap
+    val nodeFps = _artifacts.toSeq.map { case (k, a) => Fingerprint.fromString(k).combine(a.fingerprint) } ++
+      _bindings.map(b => b.producer.fingerprint.combine(Canonical.fingerprint((b.inputKeys, b.outputKeys))))
+    val contentFps = rawPartitions.values.flatten.flatMap(_.contentFingerprint)
+    val id = Fingerprint.fromString(name)
+      .combine(Fingerprint.combineAll(nodeFps))
+      .combine(Fingerprint.combineAll(contentFps))
+    backend.writeGraph(name, Canonical.fingerprint(name))
+    backend.writeSnapshot(name, id)
+    rawPartitions.foreach { case (k, parts) =>
+      backend.writeArtifactPartitions(s"$name/$k", parts)
+      backend.linkSnapshotPartitions(id, s"$name/$k", parts)
+    }
+    GraphSnapshot(this, id, rawPartitions)
+  }
+}
+
+/** A content-addressed, buildable snapshot of a graph
+  * (reference: graphs/__init__.py:294-385). */
+final case class GraphSnapshot(graph: Graph, id: Fingerprint, rawPartitions: Map[String, Seq[StoragePartition]]) {
+
+  def tag(backend: Backend, tagName: String, overwrite: Boolean = false): Unit =
+    backend.tag(graph.name, id, tagName, overwrite)
+
+  /** Read an artifact through the snapshot: raw → discovered partitions of
+    * this snapshot; produced → backend-linked partitions (reference F15). */
+  def read(spark: SparkSession, backend: Backend, key: String): DataFrame = {
+    val artifact = graph.artifacts(key)
+    val parts =
+      if (graph.isRaw(key)) rawPartitions(key)
+      else backend.readSnapshotPartitions(id, s"${graph.name}/$key")
+    IO.read(spark, artifact.format, artifact.storage, parts)
+  }
+}

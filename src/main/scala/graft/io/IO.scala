@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.storage.{LiteralStorage, StoragePartition, Storage, FileStorage}
+
+/** Serialization formats (reference: src/arti/formats/json.py,
+  * formats/pickle.py — pickle is Python-only; Parquet is the engine-native
+  * columnar default since the testdata and any 100 TB deployment are
+  * parquet). */
+sealed abstract class Format(val name: String, val extension: String)
+object Format {
+  case object Json    extends Format("json", ".json")
+  case object Parquet extends Format("parquet", ".parquet")
+  case object Csv     extends Format("csv", ".csv")
+  case object Text    extends Format("text", ".txt")
+  case object Binary  extends Format("binaryFile", ".bin")
+}
+
+/** Multiple-dispatch IO registry (reference: src/arti/io/__init__.py:30-82 +
+  * internal/dispatch.py): pick the reader/writer by (Format, Storage) at
+  * runtime. In Spark the "view" leg collapses to DataFrame (a `Dataset[T]`
+  * is `df.as[T]` at the call site), so the registry is keyed on the
+  * remaining two. Registration-time checks = the partial functions below
+  * refusing unknown combinations loudly.
+  */
+object IO {
+
+  /** Read a set of partitions as one DataFrame — the partition fan-in concat
+    * of the reference's readers (io/json_localfile_python.py:24-38) is a
+    * native multi-path scan here, and Catalyst prunes/pushes down into it. */
+  def read(
+      spark: SparkSession,
+      format: Format,
+      storage: Storage,
+      partitions: Seq[StoragePartition],
+      schema: Option[StructType] = None): DataFrame = (format, storage) match {
+    case (_, LiteralStorage(json)) =>
+      val ds = spark.createDataset(json :: Nil)(org.apache.spark.sql.Encoders.STRING)
+      schema.map(s => spark.read.schema(s).json(ds)).getOrElse(spark.read.json(ds))
+    case (f, _: FileStorage) =>
+      require(partitions.nonEmpty, "no data: cannot read an artifact with no partitions")
+      val paths = partitions.map(_.path)
+      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      f match {
+        case Format.Json    => reader.json(paths: _*)
+        case Format.Parquet => reader.parquet(paths: _*)
+        case Format.Csv     => reader.option("header", "true").csv(paths: _*)
+        case Format.Text    => reader.text(paths: _*)
+        case Format.Binary  => reader.format("binaryFile").load(paths: _*)
+      }
+    case other => throw new IllegalArgumentException(s"no reader registered for $other")
+  }
+
+  /** Write one partition (reference F25). Mode is errorifexists by default —
+    * the reference forbids silent overwrite (io/json_stringliteral_python.py:88-100);
+    * the executor overwrites only when rebuilding a changed partition. */
+  def write(
+      df: DataFrame,
+      format: Format,
+      storage: Storage,
+      partition: StoragePartition,
+      overwrite: Boolean = false): Unit = (format, storage) match {
+    case (f, _: FileStorage) =>
+      val mode = if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
+      val w = df.write.mode(mode)
+      f match {
+        case Format.Json    => w.json(partition.path)
+        case Format.Parquet => w.parquet(partition.path)
+        case Format.Csv     => w.option("header", "true").csv(partition.path)
+        case Format.Text    => w.text(partition.path)
+        case Format.Binary  => throw new IllegalArgumentException("binaryFile is read-only")
+      }
+    case (_, _: LiteralStorage) =>
+      throw new IllegalArgumentException("literal storage is read-only (reference forbids overwrite)")
+    case other => throw new IllegalArgumentException(s"no writer registered for $other")
+  }
+}

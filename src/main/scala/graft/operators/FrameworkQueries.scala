@@ -1,0 +1,206 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.exec.LocalExecutor
+import graft.graph.{Artifact, Graph, MemoryBackend, Producer}
+import graft.io.{Format, IO}
+import graft.storage.{FileStorage, PathTemplate}
+import graft.types.ArtiType._
+
+/** SURVEY §2.3 Q13-Q16: the framework-semantics queries — each one runs a
+  * real producer graph through the engine (snapshot → incremental executor →
+  * backend) over the driver testdata, then returns the engine's output as
+  * the query result. Q13/Q15/Q16 are SQL-expressible and oracle-checked;
+  * Q14's build/skip accounting is engine-internal (rows-only).
+  */
+object FrameworkQueries {
+  import Queries.Q
+
+  private def tmp(): String = Files.createTempDirectory("graft-fw").toString
+
+  /** q13_partitioned_spend: the reference's spend demo shape
+    * (docs/examples/spend/demo.py) at testdata scale: orders → per-day
+    * spend Collection → scalar total, built through the engine. */
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp()
+    val ordersType = ACollection("orders", AStruct("o", Seq(
+      "o_orderkey" -> AInt64(), "o_custkey" -> AInt64(), "o_orderstatus" -> AString(),
+      "o_totalprice" -> AFloat64(), "o_orderdate" -> ADateTime(), "o_orderpriority" -> AString())))
+    val raw = Artifact(ordersType, Format.Parquet,
+      FileStorage(PathTemplate(s"$dir/orders.parquet", Map.empty)))
+    val daily = Artifact(
+      ACollection("daily", AStruct("d", Seq("day" -> ADate(), "spend" -> AFloat64()))),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/daily/{input_fingerprint}", Map.empty)))
+    val total = Artifact(AFloat64(), Format.Parquet,
+      FileStorage(PathTemplate(s"$base/total/{input_fingerprint}", Map.empty)))
+
+    val dailyAgg = Producer("daily_spend", build = (_, ins) => Seq(
+      ins.head.groupBy(col("o_orderdate").cast(DateType).as("day"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend")).coalesce(1)))
+    val totalAgg = Producer("total_spend", build = (_, ins) => Seq(
+      ins.head.agg(sum(col("spend")).as("total"), count(lit(1)).as("n_days")).coalesce(1)))
+
+    val g = new Graph("spend")
+      .add("orders", raw).add("daily", daily).add("total", total)
+      .produce(dailyAgg, Seq("orders"), Seq("daily"))
+      .produce(totalAgg, Seq("daily"), Seq("total"))
+      .close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    snap.read(spark, backend, "total")
+  }
+
+  private val q13Sql =
+    """SELECT sum(spend) AS total, count(*) AS n_days FROM (
+      |  SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY CAST(o_orderdate AS DATE)) d""".stripMargin
+
+  /** q14_incremental_daily_agg: F10/F19 — per-partition builds with
+    * memoization. The raw side is laid out as one partition per order-year;
+    * build #1 builds everything, build #2 skips everything, and after a new
+    * partition arrives only it (plus the downstream total) rebuilds. */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp()
+    val orders = Tables.orders(spark, dir)
+      .withColumn("y", year(col("o_orderdate")).cast(IntegerType))
+    val years = orders.select("y").distinct().collect().map(_.getInt(0)).sorted
+    for (y <- years)
+      orders.filter(col("y") === y).coalesce(1).write.parquet(s"$base/raw/y=$y")
+
+    val rawType = ACollection("orders_by_year", AStruct("o", Seq(
+      "o_orderkey" -> AInt64(), "o_custkey" -> AInt64(), "o_orderstatus" -> AString(),
+      "o_totalprice" -> AFloat64(), "o_orderdate" -> ADateTime(), "o_orderpriority" -> AString(),
+      "y" -> AInt32())), partitionBy = Seq("y"))
+    val raw = Artifact(rawType, Format.Parquet,
+      FileStorage(PathTemplate(s"$base/raw/y={y}", Map("y" -> "int"))))
+    val yearly = Artifact(
+      ACollection("yearly", AStruct("ysum", Seq("y" -> AInt32(), "total" -> AFloat64())), partitionBy = Seq("y")),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/yearly/y={y}/{input_fingerprint}", Map("y" -> "int"))))
+    val total = Artifact(AFloat64(), Format.Parquet,
+      FileStorage(PathTemplate(s"$base/total/{input_fingerprint}", Map.empty)))
+
+    val yearlyAgg = Producer("yearly_agg",
+      build = (_, ins) => Seq(
+        ins.head.groupBy(col("y")).agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total")).coalesce(1)),
+      map = Producer.mapByKey)
+    val totalAgg = Producer("total_agg", build = (_, ins) => Seq(
+      ins.head.agg(sum(col("total")).as("grand_total")).coalesce(1)))
+
+    val g = new Graph("incr")
+      .add("raw", raw).add("yearly", yearly).add("total", total)
+      .produce(yearlyAgg, Seq("raw"), Seq("yearly"))
+      .produce(totalAgg, Seq("yearly"), Seq("total"))
+      .close()
+    val backend = new MemoryBackend
+    val exec = new LocalExecutor(backend)
+
+    def phaseRow(phase: String, r: graft.exec.BuildReport): (String, Int, Int) =
+      (phase, r.totalBuilt, r.totalSkipped)
+
+    val r1 = phaseRow("first", exec.build(spark, g.snapshot(spark, backend)))
+    val r2 = phaseRow("second", exec.build(spark, g.snapshot(spark, backend)))
+    // a new year of data arrives (fixed synthetic content)
+    spark.range(1).select(
+      lit(999999L).as("o_orderkey"), lit(1L).as("o_custkey"), lit("F").as("o_orderstatus"),
+      lit(123.45).as("o_totalprice"), lit("2099-01-01 00:00:00").cast(TimestampNTZType).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"), lit(2099).as("y"))
+      .coalesce(1).write.parquet(s"$base/raw/y=2099")
+    val r3 = phaseRow("third_new_partition", exec.build(spark, g.snapshot(spark, backend)))
+
+    import spark.implicits._
+    Seq(r1, r2, r3).toDF("phase", "built", "skipped")
+  }
+
+  /** q15_validated_build: F13 — the quality gate runs before any write. */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp()
+    val raw = Artifact(
+      ACollection("orders", AStruct("o", Seq("o_orderstatus" -> AString(), "o_totalprice" -> AFloat64()))),
+      Format.Parquet, FileStorage(PathTemplate(s"$dir/orders.parquet", Map.empty)))
+    val out = Artifact(
+      ACollection("by_status", AStruct("s", Seq("o_orderstatus" -> AString(), "total" -> AFloat64()))),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/by_status/{input_fingerprint}", Map.empty)))
+    val gated = Producer("gated_agg",
+      build = (_, ins) => Seq(
+        ins.head.filter(col("o_totalprice") >= 0.0)
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"),
+            count(lit(1)).as("n")).coalesce(1)),
+      validateOutputs = outs =>
+        if (outs.head.filter(col("total") < 0).isEmpty) Right(())
+        else Left("negative totals must not be written"))
+    val g = new Graph("validated").add("orders", raw).add("out", out)
+      .produce(gated, Seq("orders"), Seq("out")).close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    val report = new LocalExecutor(backend).build(spark, snap)
+    require(report.validationFailures.isEmpty)
+    snap.read(spark, backend, "out")
+  }
+
+  private val q15Sql =
+    """SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total, count(*) AS n
+      |FROM orders WHERE o_totalprice >= 0.0 GROUP BY o_orderstatus""".stripMargin
+
+  /** q16_snapshot_replay: F14/F17 — tag a snapshot, change the raw data,
+    * rebuild, then read both tags back: the old tag still serves the old
+    * result. */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp()
+    // raw partition 0 = the testdata orders; partition 1 arrives later
+    spark.read.parquet(s"$dir/orders.parquet").coalesce(1)
+      .write.parquet(s"$base/raw/part-0.parquet")
+
+    val rawType = ACollection("orders", AStruct("o", Seq(
+      "o_orderkey" -> AInt64(), "o_custkey" -> AInt64(), "o_orderstatus" -> AString(),
+      "o_totalprice" -> AFloat64(), "o_orderdate" -> ADateTime(), "o_orderpriority" -> AString(),
+      "i" -> AInt64())), partitionBy = Seq("i"))
+    val raw = Artifact(rawType, Format.Parquet,
+      FileStorage(PathTemplate(s"$base/raw/part-{i}.parquet", Map("i" -> "int"))))
+    val total = Artifact(AFloat64(), Format.Parquet,
+      FileStorage(PathTemplate(s"$base/total/{input_fingerprint}", Map.empty)))
+    val agg = Producer("total", build = (_, ins) => Seq(
+      ins.head.agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total")).coalesce(1)))
+    val g = new Graph("replay").add("raw", raw).add("total", total)
+      .produce(agg, Seq("raw"), Seq("total")).close()
+    val backend = new MemoryBackend
+    val exec = new LocalExecutor(backend)
+
+    val snap1 = g.snapshot(spark, backend)
+    exec.build(spark, snap1)
+    snap1.tag(backend, "v1")
+
+    spark.range(1).select(
+      lit(999999L).as("o_orderkey"), lit(1L).as("o_custkey"), lit("F").as("o_orderstatus"),
+      lit(42.42).as("o_totalprice"), lit("2099-01-01 00:00:00").cast(TimestampNTZType).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+      .coalesce(1).write.parquet(s"$base/raw/part-1.parquet")
+    val snap2 = g.snapshot(spark, backend)
+    exec.build(spark, snap2)
+    snap2.tag(backend, "v2")
+
+    def readTag(tag: String): DataFrame = {
+      val id = backend.snapshotForTag("replay", tag).get
+      val parts = backend.readSnapshotPartitions(id, "replay/total")
+      IO.read(spark, total.format, total.storage, parts).withColumn("tag", lit(tag))
+    }
+    readTag("v1").unionAll(readTag("v2")).select(col("tag"), col("total"))
+  }
+
+  private val q16Sql =
+    """SELECT 'v1' AS tag, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total FROM orders
+      |UNION ALL
+      |SELECT 'v2' AS tag, sum(CAST(o_totalprice AS DECIMAL(18,2))) + CAST(42.42 AS DECIMAL(18,2)) AS total FROM orders""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q13_partitioned_spend", q13, Some(q13Sql), "spend demo through the engine (graph+producer+executor)"),
+    Q("q14_incremental_daily_agg", q14, None, "per-partition incremental build with fingerprint skip"),
+    Q("q15_validated_build", q15, Some(q15Sql), "validate_outputs gate before write"),
+    Q("q16_snapshot_replay", q16, Some(q16Sql), "snapshot tag + replay old tag"))
+}

@@ -763,7 +763,8 @@ object Queries {
     Q("x9_langid", x9, Some(x9Sql), "language-ID heuristic"),
     Q("x10_token_count", x10, Some(x10Sql), "token counting"),
     Q("x11_doc_fingerprint", x11, Some(x11Sql), "position-weighted fingerprint"),
-    Q("x12_multimodal_meta", x12, Some(x12Sql), "binary payload + typed metadata"))
+    Q("x12_multimodal_meta", x12, Some(x12Sql), "binary payload + typed metadata")) ++
+    FrameworkQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,150 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** The engine's type ADT, mirroring the reference's type inventory
+  * (reference: src/arti/types/__init__.py — scalars :83-276, containers
+  * :163-248) re-expressed for Spark. Nullability is a wrapper attribute as in
+  * the reference (`Type.nullable`, types/__init__.py:26-41); on the Spark
+  * side it lands on `StructField.nullable` / `ArrayType.containsNull`.
+  */
+sealed trait ArtiType {
+  def nullable: Boolean
+  def description: Option[String]
+}
+
+object ArtiType {
+  final case class ABinary(byteSize: Option[Long] = None, nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class ABoolean(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class ADate(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  /** tz-naive wall-clock time (ref DateTime "independent of timezone"). */
+  final case class ADateTime(precision: TimePrecision = TimePrecision.Microsecond, nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  /** UTC instant (ref Timestamp, types/__init__.py:255-260). */
+  final case class ATimestamp(precision: TimePrecision = TimePrecision.Microsecond, nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  /** time-of-day; Spark has no TIME type → LongType nanos-of-day + metadata. */
+  final case class ATime(precision: TimePrecision = TimePrecision.Microsecond, nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AEnum(name: String, underlying: ArtiType, items: Seq[Any], nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AFloat16(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AFloat32(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AFloat64(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AInt8(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AInt16(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AInt32(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AInt64(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AUInt8(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AUInt16(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AUInt32(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AUInt64(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AGeography(format: String = "WKT", srid: Option[String] = None, nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class ANull(description: Option[String] = None) extends ArtiType { def nullable = true }
+  final case class AString(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AList(element: ArtiType, nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  /** Set = List + engine-enforced distinctness (ref types/__init__.py:233-236). */
+  final case class ASet(element: ArtiType, nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AMap(key: ArtiType, value: ArtiType, nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  final case class AStruct(name: String, fields: Seq[(String, ArtiType)], nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  /** Table-shaped data: Struct element + partition/cluster metadata
+    * (ref Collection, types/__init__.py:169-217). */
+  final case class ACollection(
+      name: String,
+      element: AStruct,
+      partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil,
+      nullable: Boolean = false,
+      description: Option[String] = None) extends ArtiType {
+    private val fieldNames = element.fields.map(_._1).toSet
+    require(partitionBy.forall(fieldNames), s"partition_by references unknown fields: ${partitionBy.filterNot(fieldNames)}")
+    require(clusterBy.forall(fieldNames), s"cluster_by references unknown fields: ${clusterBy.filterNot(fieldNames)}")
+    require(partitionBy.toSet.intersect(clusterBy.toSet).isEmpty,
+      s"cluster_by overlaps partition_by: ${partitionBy.toSet.intersect(clusterBy.toSet)}")
+    def isPartitioned: Boolean = partitionBy.nonEmpty
+  }
+
+  sealed abstract class TimePrecision(val name: String)
+  object TimePrecision {
+    case object Second extends TimePrecision("second")
+    case object Millisecond extends TimePrecision("millisecond")
+    case object Microsecond extends TimePrecision("microsecond")
+    case object Nanosecond extends TimePrecision("nanosecond")
+    val all: Seq[TimePrecision] = Seq(Second, Millisecond, Microsecond, Nanosecond)
+    def of(name: String): TimePrecision = all.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown precision $name"))
+  }
+}
+
+/** The one adapter this engine needs (the analog of the reference's pyarrow
+  * adapter, types/pyarrow.py): ArtiType ⇄ Spark `DataType`. Collection
+  * partition/cluster metadata rides in `Metadata` the way the arrow adapter
+  * uses schema metadata (types/pyarrow.py:260-270).
+  */
+object SparkTypeSystem {
+  import ArtiType._
+
+  val CollectionMetaKey = "graft.collection"
+
+  def toSpark(t: ArtiType): DataType = t match {
+    case _: ABinary     => BinaryType
+    case _: ABoolean    => BooleanType
+    case _: ADate       => DateType
+    case _: ADateTime   => TimestampNTZType
+    case _: ATimestamp  => TimestampType
+    case _: ATime       => LongType // nanos-of-day
+    case e: AEnum       => toSpark(e.underlying)
+    case _: AFloat16    => FloatType // promoted; Spark has no half floats
+    case _: AFloat32    => FloatType
+    case _: AFloat64    => DoubleType
+    case _: AInt8       => ByteType
+    case _: AInt16      => ShortType
+    case _: AInt32      => IntegerType
+    case _: AInt64      => LongType
+    case _: AUInt8      => ShortType   // next-wider signed
+    case _: AUInt16     => IntegerType
+    case _: AUInt32     => LongType
+    case _: AUInt64     => DecimalType(20, 0) // only lossless container
+    case g: AGeography  => if (g.format == "WKB") BinaryType else StringType
+    case _: ANull       => NullType
+    case _: AString     => StringType
+    case l: AList       => ArrayType(toSpark(l.element), containsNull = l.element.nullable)
+    case s: ASet        => ArrayType(toSpark(s.element), containsNull = s.element.nullable)
+    case m: AMap        => MapType(toSpark(m.key), toSpark(m.value), valueContainsNull = m.value.nullable)
+    case s: AStruct     => structType(s)
+    case c: ACollection => structType(c.element)
+  }
+
+  private def structType(s: AStruct): StructType =
+    StructType(s.fields.map { case (n, ft) => StructField(n, toSpark(ft), nullable = ft.nullable) })
+
+  /** Schema for a Collection, with partition/cluster metadata attached. */
+  def toSchema(c: ACollection): StructType = {
+    val meta = new MetadataBuilder()
+      .putString("name", c.name)
+      .putStringArray("partition_by", c.partitionBy.toArray)
+      .putStringArray("cluster_by", c.clusterBy.toArray)
+      .build()
+    StructType(c.element.fields.map { case (n, ft) =>
+      StructField(n, toSpark(ft), nullable = ft.nullable,
+        metadata = new MetadataBuilder().putMetadata(CollectionMetaKey, meta).build())
+    })
+  }
+
+  def toArti(dt: DataType, nullable: Boolean = false): ArtiType = dt match {
+    case BinaryType       => ABinary(nullable = nullable)
+    case BooleanType      => ABoolean(nullable)
+    case DateType         => ADate(nullable)
+    case TimestampNTZType => ADateTime(nullable = nullable)
+    case TimestampType    => ATimestamp(nullable = nullable)
+    case ByteType         => AInt8(nullable)
+    case ShortType        => AInt16(nullable)
+    case IntegerType      => AInt32(nullable)
+    case LongType         => AInt64(nullable)
+    case FloatType        => AFloat32(nullable)
+    case DoubleType       => AFloat64(nullable)
+    case d: DecimalType if d.precision == 20 && d.scale == 0 => AUInt64(nullable)
+    case NullType         => ANull()
+    case StringType       => AString(nullable)
+    case a: ArrayType     => AList(toArti(a.elementType, a.containsNull), nullable)
+    case m: MapType       => AMap(toArti(m.keyType), toArti(m.valueType, m.valueContainsNull), nullable)
+    case s: StructType    => AStruct("struct", s.fields.toSeq.map(f => f.name -> toArti(f.dataType, f.nullable)), nullable)
+    case other            => throw new IllegalArgumentException(s"unsupported Spark type: $other")
+  }
+}

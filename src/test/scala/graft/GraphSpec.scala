@@ -1,0 +1,203 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.LocalExecutor
+import graft.fingerprints.Version
+import graft.graph.{Artifact, Graph, MemoryBackend, Producer}
+import graft.io.Format
+import graft.storage.{FileStorage, PathTemplate}
+import graft.types.ArtiType._
+
+/** End-to-end graph builds with incremental assertions — the engine-side
+  * replay of the reference's spend demo and rebuild-count tests
+  * (reference: docs/examples/spend/demo.py, README.md:82-91 [total = 42.0],
+  * tests/arti/graphs/test_graph.py:101-169,232-300). */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: Path = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graph-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("graft-spec")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** the reference's fixture: 5 rows over 2 date partitions, total 42.0 */
+  private def writeSpendFixture(base: Path): Unit = {
+    Files.createDirectories(base)
+    Files.writeString(base.resolve("1970-01-01.json"),
+      """{"id": 1, "date": "1970-01-01", "amount": 9.0}
+        |{"id": 2, "date": "1970-01-01", "amount": 1.0}
+        |{"id": 3, "date": "1970-01-01", "amount": 25.0}""".stripMargin)
+    Files.writeString(base.resolve("1970-01-02.json"),
+      """{"id": 4, "date": "1970-01-02", "amount": 4.0}
+        |{"id": 5, "date": "1970-01-02", "amount": 3.0}""".stripMargin)
+  }
+
+  private def spendGraph(base: Path): (Graph, MemoryBackend) = {
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    val daily = Artifact(
+      ACollection("daily", AStruct("d", Seq("date" -> ADate(), "total" -> AFloat64())), partitionBy = Seq("date")),
+      Format.Json,
+      FileStorage(PathTemplate(s"$base/daily/{date.iso}/{input_fingerprint}", Map("date" -> "date"))))
+    val total = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/total/{input_fingerprint}", Map.empty)))
+
+    val dailyAgg = Producer(
+      name = "daily_agg",
+      version = Version.SemVer(0, 0, 1),
+      build = (_, ins) => Seq(
+        ins.head.groupBy(col("date")).agg(sum(col("amount")).as("total")).coalesce(1)),
+      map = Producer.mapByKey)
+    val totalSum = Producer(
+      name = "total_sum",
+      version = Version.SemVer(0, 0, 1),
+      build = (_, ins) => Seq(ins.head.agg(sum(col("total")).as("value")).coalesce(1)))
+
+    val g = new Graph("spend")
+      .add("transactions", transactions)
+      .add("daily", daily)
+      .add("total", total)
+      .produce(dailyAgg, Seq("transactions"), Seq("daily"))
+      .produce(totalSum, Seq("daily"), Seq("total"))
+      .close()
+    (g, new MemoryBackend)
+  }
+
+  private def readTotal(g: Graph, backend: MemoryBackend, snapId: graft.fingerprints.Fingerprint): Double = {
+    val parts = backend.readSnapshotPartitions(snapId, "spend/total")
+    val a = g.artifacts("total")
+    graft.io.IO.read(spark, a.format, a.storage, parts).collect()(0).getDouble(0)
+  }
+
+  test("spend demo end-to-end: total = 42.0, second build skips everything") {
+    val base = dir.resolve("spend1")
+    writeSpendFixture(base.resolve("tx").getParent.resolve("tx"))
+    val (g, backend) = spendGraph(base)
+    val exec = new LocalExecutor(backend)
+
+    val snap1 = g.snapshot(spark, backend)
+    val r1 = exec.build(spark, snap1)
+    assert(r1.built === Map("daily_agg" -> 2, "total_sum" -> 1))
+    assert(r1.totalSkipped === 0)
+    assert(readTotal(g, backend, snap1.id) === 42.0)
+
+    // identical data → identical snapshot id → everything memoized
+    val snap2 = g.snapshot(spark, backend)
+    assert(snap2.id === snap1.id)
+    val r2 = exec.build(spark, snap2)
+    assert(r2.totalBuilt === 0)
+    assert(r2.skipped === Map("daily_agg" -> 2, "total_sum" -> 1))
+  }
+
+  test("incremental: a new partition rebuilds only itself (+ downstream)") {
+    val base = dir.resolve("spend2")
+    writeSpendFixture(base.resolve("tx"))
+    val (g, backend) = spendGraph(base)
+    val exec = new LocalExecutor(backend)
+
+    val snap1 = g.snapshot(spark, backend)
+    exec.build(spark, snap1)
+
+    // day 3 arrives
+    Files.writeString(base.resolve("tx").resolve("1970-01-03.json"),
+      """{"id": 6, "date": "1970-01-03", "amount": 8.0}""")
+    val snap2 = g.snapshot(spark, backend)
+    assert(snap2.id !== snap1.id)
+    val r2 = exec.build(spark, snap2)
+    // only the new daily partition builds; the 2 existing ones are skipped;
+    // the total re-aggregates because its input fingerprint changed
+    assert(r2.built === Map("daily_agg" -> 1, "total_sum" -> 1))
+    assert(r2.skipped === Map("daily_agg" -> 2))
+    assert(readTotal(g, backend, snap2.id) === 50.0)
+    // the old snapshot still reads its original value (replay)
+    assert(readTotal(g, backend, snap1.id) === 42.0)
+  }
+
+  test("validate_outputs gate blocks writes") {
+    val base = dir.resolve("spend3")
+    writeSpendFixture(base.resolve("tx"))
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    val out = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/out/{input_fingerprint}", Map.empty)))
+    val gate = Producer(
+      name = "gated",
+      build = (_, ins) => Seq(ins.head.agg(sum(col("amount")).as("value")).coalesce(1)),
+      validateOutputs = outs =>
+        if (outs.head.filter(col("value") < 100.0).isEmpty) Right(())
+        else Left("total must be >= 100"))
+    val g = new Graph("gated").add("tx", transactions).add("out", out)
+      .produce(gate, Seq("tx"), Seq("out")).close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    val ex = intercept[IllegalStateException] { new LocalExecutor(backend).build(spark, snap) }
+    assert(ex.getMessage.contains("validate_outputs failed"))
+    assert(backend.readSnapshotPartitions(snap.id, "gated/out").isEmpty, "no partition written past a failing gate")
+  }
+
+  test("snapshot tagging and replay by tag") {
+    val base = dir.resolve("spend4")
+    writeSpendFixture(base.resolve("tx"))
+    val (g, backend) = spendGraph(base)
+    val exec = new LocalExecutor(backend)
+    val snap1 = g.snapshot(spark, backend)
+    exec.build(spark, snap1)
+    snap1.tag(backend, "v1")
+
+    Files.writeString(base.resolve("tx").resolve("1970-01-03.json"),
+      """{"id": 6, "date": "1970-01-03", "amount": 8.0}""")
+    val snap2 = g.snapshot(spark, backend)
+    exec.build(spark, snap2)
+    snap2.tag(backend, "v2")
+
+    // overwrite guard (reference: backends/memory.py:101-116)
+    assertThrows[IllegalStateException] { snap2.tag(backend, "v1") }
+    snap2.tag(backend, "v1", overwrite = true)
+
+    val v2 = backend.snapshotForTag("spend", "v2").get
+    assert(readTotal(g, backend, v2) === 50.0)
+  }
+
+  test("graph validation: cycles, double-production, unknown keys") {
+    val a = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$dir/x/{input_fingerprint}", Map.empty)))
+    val p = Producer(name = "p", build = (_, ins) => ins)
+    assertThrows[IllegalArgumentException] {
+      new Graph("bad").add("a", a).produce(p, Seq("nope"), Seq("a"))
+    }
+    assertThrows[IllegalArgumentException] {
+      new Graph("bad2").add("a", a).add("b", a)
+        .produce(p, Seq("b"), Seq("a"))
+        .produce(p, Seq("b"), Seq("a")) // doubly-produced
+    }
+    assertThrows[IllegalStateException] {
+      new Graph("cyc").add("a", a).add("b", a)
+        .produce(Producer(name = "p1", build = (_, i) => i), Seq("a"), Seq("b"))
+        .produce(Producer(name = "p2", build = (_, i) => i), Seq("b"), Seq("a"))
+        .close()
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fingerprints.Fingerprint
+import graft.partitions.PartitionField.{DateField, IntField}
+import graft.storage.PathTemplate
+
+/** Template render/parse tables, mirroring the reference's parametrized
+  * cases (reference: tests/arti/storage/test_storage_internal.py:61-232). */
+class PathTemplateSpec extends AnyFunSuite {
+
+  val d = DateField(LocalDate.of(1970, 1, 2))
+
+  test("render {date.iso}.json") {
+    val t = PathTemplate("/data/{date.iso}.json", Map("date" -> "date"))
+    assert(t.render(Map("date" -> d)) === "/data/1970-01-02.json")
+  }
+
+  test("render composite {date.Y}/{date.m}/{date.d}") {
+    val t = PathTemplate("/data/{date.Y}/{date.m}/{date.d}/part", Map("date" -> "date"))
+    assert(t.render(Map("date" -> d)) === "/data/1970/01/02/part")
+  }
+
+  test("render int hex and default component") {
+    val t = PathTemplate("/p/{i.hex}/{i}", Map("i" -> "int"))
+    assert(t.render(Map("i" -> IntField(255))) === "/p/ff/255")
+  }
+
+  test("parse inverts render (iso)") {
+    val t = PathTemplate("/data/{date.iso}.json", Map("date" -> "date"))
+    val Some((key, fp)) = t.parse("/data/1970-01-02.json")
+    assert(key === Map("date" -> d))
+    assert(fp === None)
+  }
+
+  test("parse inverts render (composite Y/m/d reassembles one DateField)") {
+    val t = PathTemplate("/data/{date.Y}/{date.m}/{date.d}/part", Map("date" -> "date"))
+    val Some((key, _)) = t.parse("/data/1970/01/02/part")
+    assert(key === Map("date" -> d))
+  }
+
+  test("parse extracts input_fingerprint") {
+    val t = PathTemplate("/out/{date.iso}/{input_fingerprint}/f.parquet", Map("date" -> "date"))
+    val rendered = t.render(Map("date" -> d), Map("input_fingerprint" -> "-12345"))
+    assert(rendered === "/out/1970-01-02/-12345/f.parquet")
+    val Some((key, fp)) = t.parse(rendered)
+    assert(key === Map("date" -> d))
+    assert(fp === Some(Fingerprint(-12345L)))
+  }
+
+  test("non-matching path returns None") {
+    val t = PathTemplate("/data/{date.iso}.json", Map("date" -> "date"))
+    assert(t.parse("/data/not-a-date.json") === None)
+    assert(t.parse("/other/1970-01-02.json") === None)
+  }
+
+  test("wildcard form for globbing") {
+    val t = PathTemplate("/data/{date.iso}.json", Map("date" -> "date"))
+    assert(t.wildcard === "/data/*.json")
+  }
+
+  test("unbound field in render throws") {
+    val t = PathTemplate("/data/{date.iso}.json", Map("date" -> "date"))
+    assertThrows[IllegalArgumentException] { t.render(Map.empty) }
+  }
+}
