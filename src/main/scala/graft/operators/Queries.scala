@@ -764,7 +764,7 @@ object Queries {
     Q("x10_token_count", x10, Some(x10Sql), "token counting"),
     Q("x11_doc_fingerprint", x11, Some(x11Sql), "position-weighted fingerprint"),
     Q("x12_multimodal_meta", x12, Some(x12Sql), "binary payload + typed metadata")) ++
-    FrameworkQueries.all
+    FrameworkQueries.all ++ graft.streaming.StreamQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

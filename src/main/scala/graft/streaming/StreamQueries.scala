@@ -1,0 +1,189 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Queries.Q
+
+/** SURVEY §2.3 QS1/QS2 (+ extensions): Structured Streaming over the events
+  * table. The reference has no streaming at all (absent from src/arti/ —
+  * SURVEY §1.1); these are the engine's extension surface. Each query copies
+  * the events parquet into a temp source dir, runs a real streaming query
+  * (availableNow trigger → memory sink), and returns the sink table — so the
+  * whole watermark/window/state machinery actually executes.
+  *
+  * Determinism: complete-mode windowed aggregations and min-by-timestamp
+  * state folds are arrival-order-free, so results equal their batch oracle.
+  */
+object StreamQueries {
+
+  /** events schema as the streaming source sees it: ns timestamps surface as
+    * LongType under nanosAsLong (same trick as Tables.events). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Copy the events file into a fresh dir (file-source streams read dirs)
+    * and open it as a stream with µs TimestampType `ts` (LTZ; session is
+    * pinned UTC so values match the NTZ batch reads). */
+  private def eventsStream(spark: SparkSession, dir: String, nFiles: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Files.createTempDirectory("graft-stream")
+    if (nFiles <= 1) {
+      Files.copy(Paths.get(s"$dir/events.parquet"), src.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // split by time range so multi-batch runs advance the watermark
+      val ev = spark.read.parquet(s"$dir/events.parquet").orderBy("ts")
+      val bounds = ev.stat.approxQuantile("ts", (1 to (nFiles - 1)).map(_.toDouble / nFiles).toArray, 0.01)
+      val all = Seq(Long.MinValue) ++ bounds.map(_.toLong) ++ Seq(Long.MaxValue)
+      for (i <- 0 until nFiles) {
+        ev.filter(col("ts") > all(i) && col("ts") <= all(i + 1))
+          .coalesce(1).write.parquet(src.resolve(s"chunk-$i").toString)
+        // order batches by file mtime: later chunks must arrive later
+        Thread.sleep(5)
+      }
+    }
+    val reader = spark.readStream.schema(eventsRawSchema)
+      .option("recursiveFileLookup", "true")
+    (if (nFiles > 1) reader.option("maxFilesPerTrigger", "1") else reader)
+      .parquet(src.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = "sink_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ---------------------------------------------------------------- QS1
+  /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
+    * decimal sums per (window, event_type). */
+  private def qs1(spark: SparkSession, dir: String): DataFrame = {
+    val windowed = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("total"))
+    runToTable(spark, windowed, OutputMode.Complete())
+      .select(
+        col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("window.end").cast(TimestampNTZType).as("window_end"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  private val qs1Sql =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+      |       event_type, count(*) AS n,
+      |       sum(CAST(value AS DECIMAL(18,2))) AS total
+      |FROM events
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- QS2
+  /** Session windows (5-minute gap) per user, complete mode. Spark's session
+    * end = last event + gap, so `session_last = end - gap` aligns with the
+    * oracle's max(ts); the oracle rebuilds sessions with the gaps-and-islands
+    * idiom (new session when the gap is >= 5 minutes, matching Spark's
+    * half-open [start, last+gap) windows). */
+  private def qs2(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(spark, sessions, OutputMode.Complete())
+      .select(
+        col("session_window.start").cast(TimestampNTZType).as("session_start"),
+        (col("session_window.end") - expr("INTERVAL 5 MINUTES")).cast(TimestampNTZType).as("session_last"),
+        col("user_id"), col("n_events"))
+  }
+
+  private val qs2Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |               OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |      FROM m)
+      |SELECT min(ts) AS session_start, max(ts) AS session_last, user_id, count(*) AS n_events
+      |FROM s GROUP BY user_id, sess_id""".stripMargin
+
+  // ---------------------------------------------------------------- QS3
+  // public: Spark codegen instantiates these from generated classes
+  case class EvRow(event_id: Long, user_id: Long, event_type: String, tsMicros: Long)
+  case class FirstSeen(first_ts: Long, first_event_id: Long, n: Long)
+  case class FirstOut(user_id: Long, event_type: String, first_ts_micros: Long, first_event_id: Long, n_events: Long)
+
+  /** Stateful processing via mapGroupsWithState: per (user, event_type) keep
+    * the earliest event + a running count — a deterministic (arrival-order-
+    * free) fold, unlike naive first-arrival dedup. */
+  private def qs3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev: Dataset[EvRow] = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[EvRow]
+    val folded = ev
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[FirstSeen, FirstOut](GroupStateTimeout.NoTimeout()) {
+        case ((uid, etype), rows, state: GroupState[FirstSeen]) =>
+          val prev = state.getOption.getOrElse(FirstSeen(Long.MaxValue, Long.MaxValue, 0L))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            val better =
+              if (e.tsMicros < acc.first_ts ||
+                (e.tsMicros == acc.first_ts && e.event_id < acc.first_event_id))
+                (e.tsMicros, e.event_id)
+              else (acc.first_ts, acc.first_event_id)
+            FirstSeen(better._1, better._2, acc.n + 1)
+          }
+          state.update(next)
+          FirstOut(uid, etype, next.first_ts, next.first_event_id, next.n)
+      }
+    runToTable(spark, folded.toDF(), OutputMode.Update())
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("first_ts_micros")).cast(TimestampNTZType).as("first_ts"),
+        col("first_event_id"), col("n_events"))
+  }
+
+  private val qs3Sql =
+    """SELECT user_id, event_type,
+      |  CAST(min(ts) AS TIMESTAMP) AS first_ts,
+      |  arg_min(event_id, ts) AS first_event_id,
+      |  count(*) AS n_events
+      |FROM events GROUP BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- QS4
+  /** Watermark + append mode + dropDuplicatesWithinWatermark: the late-data
+    * path. The source is split into 4 time-ordered files consumed one per
+    * micro-batch, so the watermark genuinely advances and finalized windows
+    * are emitted incrementally. Append output depends on batch boundaries →
+    * rows-only check (windows emitted are always a subset of qs1's). */
+  private def qs4(spark: SparkSession, dir: String): DataFrame = {
+    val windowed = eventsStream(spark, dir, nFiles = 4)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(spark, windowed, OutputMode.Append())
+      .select(
+        col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("event_type"), col("n"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("qs1_stream_tumbling", qs1, Some(qs1Sql), "tumbling windows + watermark (complete mode)"),
+    Q("qs2_stream_session", qs2, Some(qs2Sql), "session windows per user"),
+    Q("qs3_stream_state", qs3, Some(qs3Sql), "mapGroupsWithState earliest-event fold"),
+    Q("qs4_stream_late_append", qs4, None, "append mode + watermark + stream dedup"))
+}
