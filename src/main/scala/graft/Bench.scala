@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-footer caches, so the first
+    // measured query isn't charged ~5s of session bring-up
+    try {
+      SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("x6_ann_bruteforce").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,247 @@
+package graft.functions
+
+import com.google.common.hash.Hashing
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels for the custom expressions. Scala object methods get
+  * static forwarders, so generated Java can call
+  * `graft.functions.FastOps.dot(a, b)` directly — the expressions below stay
+  * inside WholeStageCodegen instead of falling back to interpreted
+  * higher-order functions (which cost 20-50× on the ANN/dedup paths).
+  */
+object FastOps {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    // no toDoubleArray copy: in a nested-loop join this runs millions of
+    // times and the per-call allocation dominates
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def farmhash64(s: UTF8String): Long =
+    Hashing.farmHashFingerprint64().hashBytes(s.getBytes).asLong()
+
+  /** farmhash64 of every string element (one pass, no lambda dispatch). */
+  def hashStrings(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = farmhash64(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** farmhash64 of every distinct n-token shingle ("t1 t2 t3"), one pass.
+    * Returns the *set* of shingle hashes — the input unit for minhash /
+    * Jaccard without ever materializing shingle strings in the plan. */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](cnt * 2)
+    val out = new Array[Long](cnt - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    var m = 0
+    while (i <= cnt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val h = Hashing.farmHashFingerprint64()
+        .hashString(sb, java.nio.charset.StandardCharsets.UTF_8).asLong()
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** splitmix64 finalizer — the permutation family for minhash. */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** k-way minhash signature over a set of element hashes: sig[j] =
+    * min_i mix(h_i ^ seed_j). One O(n·k) loop instead of k string re-hashes. */
+  def minhash(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val hs = hashes.toLongArray()
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val seed = mix(j.toLong)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) { val v = mix(hs(i) ^ seed); if (v < m) m = v; i += 1 }
+      out(j) = m
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit simhash from element hashes: per bit, sum ±1 over elements. */
+  def simhash(hashes: ArrayData): Long = {
+    val hs = hashes.toLongArray()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Random-hyperplane LSH signature: bit b = sign(v · plane_b), plane
+    * components ±1 derived from mix(b*8192 + d) — deterministic, never
+    * materialized. */
+  def hyperplaneSig(v: ArrayData, bits: Int): Int = {
+    val x = v.toDoubleArray()
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var d = 0
+      while (d < x.length) {
+        s += (if ((mix(b * 8192L + d) & 1L) == 1L) x(d) else -x(d))
+        d += 1
+      }
+      if (s > 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** v1 · v2 over array<double> — codegen'd, stays in WholeStageCodegen. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FastOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FastOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** farmhash fingerprint64 of a string — the distributed twin of the
+  * framework's `Fingerprint.fromString` (exact hash parity), SURVEY §4's
+  * optional custom expression. */
+case class FarmHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.farmhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.farmhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** farmhash64 of each element of array<string> → array<long>. */
+case class HashStrings(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.hashStrings(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.hashStrings($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** distinct n-shingle hash set of array<string> tokens. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.shingleHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** k-way minhash signature of array<long> element hashes. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.minhash(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.minhash($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** 64-bit simhash of array<long> element hashes. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** random-hyperplane LSH bucket id of array<double>. */
+case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.hyperplaneSig(v.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.hyperplaneSig($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** SQL registration so queries can use the expressions as `graft_dot(...)`
+  * etc. Idempotent per session. */
+object GraftFunctions {
+  private def intArg(e: Expression, default: Int): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case _ => default
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "farmhash64" -> (es => FarmHash64(es.head)),
+    "graft_hash_strings" -> (es => HashStrings(es.head)),
+    "graft_shingle_hashes" -> (es => ShingleHashes(es.head, if (es.size > 1) intArg(es(1), 3) else 3)),
+    "graft_minhash" -> (es => MinHashSig(es.head, if (es.size > 1) intArg(es(1), 32) else 32)),
+    "graft_simhash" -> (es => SimHash64(es.head)),
+    "graft_hyperplane" -> (es => HyperplaneSig(es.head, if (es.size > 1) intArg(es(1), 8) else 8)))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `SparkSessionExtensions` hook: add
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")` and
+  * every session gets the functions without explicit registration. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name),
+        builder))
+    }
+}

