@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fingerprints.Fingerprint
+import graft.functions.GraftFunctions
+import graft.operators.Queries
+
+/** Custom-expression kernels: correctness against independent computations,
+  * and the LSH paths' recall against their exact baselines. */
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("functions-spec")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("farmhash64 column has exact parity with the framework Fingerprint") {
+    import spark.implicits._
+    val words = Seq("graft", "spark", "", "héllo wörld", "a\tb\nc")
+    val fromSpark = words.toDF("w").selectExpr("farmhash64(w)").as[Long].collect()
+    val fromDriver = words.map(Fingerprint.fromString(_).key)
+    assert(fromSpark.toSeq === fromDriver)
+  }
+
+  test("graft_dot matches an independent dot product") {
+    import spark.implicits._
+    val a = Array(1.0, 2.0, 3.0)
+    val b = Array(-0.5, 4.0, 2.0)
+    val expected = a.zip(b).map { case (x, y) => x * y }.sum
+    val got = Seq((a, b)).toDF("a", "b").selectExpr("graft_dot(a, b)").as[Double].head()
+    assert(got === expected)
+  }
+
+  test("graft_shingle_hashes = distinct farmhash of 3-token windows") {
+    import spark.implicits._
+    val toks = Seq("a", "b", "c", "d", "a", "b", "c", "d")
+    val expected = toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      .map(Fingerprint.fromString(_).key).toSet
+    val got = Seq(toks).toDF("tk").selectExpr("graft_shingle_hashes(tk, 3)")
+      .as[Seq[Long]].head().toSet
+    assert(got === expected)
+    // below n tokens → empty set
+    assert(Seq(Seq("a", "b")).toDF("tk").selectExpr("size(graft_shingle_hashes(tk, 3))")
+      .as[Int].head() === 0)
+  }
+
+  test("graft_minhash: signature length k, dominated by set containment") {
+    import spark.implicits._
+    // sig of a superset is elementwise <= sig of the subset (min over more)
+    val sub = Seq(1L, 2L, 3L)
+    val sup = Seq(1L, 2L, 3L, 4L, 5L)
+    val Seq(s1, s2) = Seq(Tuple1(sub), Tuple1(sup)).toDF("h")
+      .selectExpr("graft_minhash(h, 32)").as[Seq[Long]].collect().toSeq
+    assert(s1.size === 32 && s2.size === 32)
+    assert(s1.zip(s2).forall { case (a, b) => b <= a })
+    // identical sets → identical signatures
+    val s3 = Seq(Tuple1(sub.reverse)).toDF("h").selectExpr("graft_minhash(h, 32)").as[Seq[Long]].head()
+    assert(s3 === s1)
+  }
+
+  test("graft_simhash: equal inputs collide, different inputs differ") {
+    import spark.implicits._
+    val h1 = Seq(Tuple1(Seq(1L, 2L, 3L))).toDF("h").selectExpr("graft_simhash(h)").as[Long].head()
+    val h2 = Seq(Tuple1(Seq(3L, 2L, 1L))).toDF("h").selectExpr("graft_simhash(h)").as[Long].head()
+    assert(h1 === h2) // order-free
+    val h3 = Seq(Tuple1(Seq(100L, 200L, 300L))).toDF("h").selectExpr("graft_simhash(h)").as[Long].head()
+    assert(h1 !== h3)
+  }
+
+  test("MinHash-LSH (x3) finds every exact near-dup pair (x2) at sf0.001") {
+    val exact = Queries.byName("x2_ngram_jaccard").run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Queries.byName("x3_minhash_lsh").run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dups")
+    assert(lsh === exact, s"LSH recall loss: missing ${exact -- lsh}, spurious ${lsh -- exact}")
+  }
+
+  test("hyperplane-LSH ANN (x7) results are a subset of brute force rankings' pool (x6)") {
+    val bf = Queries.byName("x6_ann_bruteforce").run(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Queries.byName("x7_ann_lsh").run(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit shares the query's bucket and is exactly scored; spot
+    // check: its cosine equals the brute-force cosine for the same pair
+    val bfScores = Queries.byName("x6_ann_bruteforce").run(spark, sf)
+      .select("query_id", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bfScores.get(key).foreach(c => assert(c === r.getDouble(3)))
+    }
+    assert(bf.nonEmpty)
+  }
+}
