@@ -28,16 +28,55 @@ final case class BuildReport(built: Map[String, Int], skipped: Map[String, Int],
   * every `build` body is a lazy Spark plan whose actions fan out to the
   * cluster — the executor never materializes data on the driver.
   */
-final class LocalExecutor(backend: Backend) {
+final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
 
+  /** Build independent producers concurrently (the reference's own TODO,
+    * executors/local.py:14-16): topo order grouped into dependency waves;
+    * within a wave, bindings run on a fixed thread pool — SparkSession is
+    * thread-safe, and each thread only issues lazy plans + actions. */
   def build(spark: SparkSession, snapshot: GraphSnapshot): BuildReport = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+
+    val g = snapshot.graph
+    val built = mutable.Map.empty[String, Int].withDefaultValue(0)
+    val skipped = mutable.Map.empty[String, Int].withDefaultValue(0)
+    val failures = mutable.ListBuffer.empty[String]
+
+    // wave = bindings whose producing inputs are all in earlier waves
+    val order = g.topoOrder()
+    val waveOf = mutable.Map.empty[ProducerBinding, Int]
+    for (b <- order) {
+      val depWaves = b.inputKeys.flatMap(g.producerOf).map(waveOf)
+      waveOf(b) = if (depWaves.isEmpty) 0 else depWaves.max + 1
+    }
+    val waves = order.groupBy(waveOf).toSeq.sortBy(_._1).map(_._2)
+
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      for (wave <- waves) {
+        val futures = wave.map(b => Future(buildBinding(spark, snapshot, b)))
+        val results = futures.map(f => Await.result(f, Duration.Inf))
+        results.foreach { r =>
+          r.built.foreach { case (k, v) => built(k) += v }
+          r.skipped.foreach { case (k, v) => skipped(k) += v }
+          failures ++= r.validationFailures
+        }
+      }
+    } finally pool.shutdown()
+    BuildReport(built.toMap, skipped.toMap, failures.toSeq)
+  }
+
+  private def buildBinding(spark: SparkSession, snapshot: GraphSnapshot, binding: ProducerBinding): BuildReport = {
     val g = snapshot.graph
     val conf = spark.sparkContext.hadoopConfiguration
     val built = mutable.Map.empty[String, Int].withDefaultValue(0)
     val skipped = mutable.Map.empty[String, Int].withDefaultValue(0)
     val failures = mutable.ListBuffer.empty[String]
 
-    for (binding <- g.topoOrder()) {
+    for (binding <- Seq(binding)) {
       val ProducerBinding(producer, inputKeys, outputKeys) = binding
 
       // snapshot-linked partitions per input (raw: discovered at snapshot

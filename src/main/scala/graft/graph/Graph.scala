@@ -46,6 +46,16 @@ final case class Artifact(
   lazy val fingerprint: Fingerprint = Canonical.fingerprint((atype, format.name, storage))
 }
 
+object Artifact {
+  import graft.storage.LiteralStorage
+
+  /** Artifact.cast for inline values (reference F2/F21: literal storage,
+    * artifacts/__init__.py:80-116 + storage/literal.py): carry a JSON-line
+    * payload in the model itself; reads become a one-row in-memory scan. */
+  def literal(atype: ArtiType, jsonLine: String): Artifact =
+    Artifact(atype, Format.Json, LiteralStorage(jsonLine))
+}
+
 /** A versioned build step over artifacts
   * (reference: src/arti/producers/__init__.py:56-94): `build` is the
   * transformation, `map` routes input partitions to output partitions
@@ -189,4 +199,10 @@ final case class GraphSnapshot(graph: Graph, id: Fingerprint, rawPartitions: Map
       else backend.readSnapshotPartitions(id, s"${graph.name}/$key")
     IO.read(spark, artifact.format, artifact.storage, parts)
   }
+
+  /** Typed view of an artifact (reference F33 — View resolution: a
+    * `Dataset[T]` is the engine's analog of the reference's typed python
+    * views, views/python.py:215-250). */
+  def readAs[T: org.apache.spark.sql.Encoder](spark: SparkSession, backend: Backend, key: String): org.apache.spark.sql.Dataset[T] =
+    read(spark, backend, key).as[T]
 }

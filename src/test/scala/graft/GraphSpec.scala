@@ -200,4 +200,35 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
         .close()
     }
   }
+
+  test("literal artifact as graph input (reference dummies: Num/div)") {
+    val base = dir.resolve("lit1")
+    val divisor = Artifact.literal(AInt64(), """{"n": 6}""")
+    val out = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/out/{input_fingerprint}", Map.empty)))
+    val div = Producer("div", build = (_, ins) => Seq(
+      ins.head.select((lit(84.0) / col("n")).as("value")).coalesce(1)))
+    val g = new Graph("lit").add("n", divisor).add("out", out)
+      .produce(div, Seq("n"), Seq("out")).close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    val v = snap.read(spark, backend, "out").collect()(0).getDouble(0)
+    assert(v === 14.0)
+  }
+
+  test("typed Dataset view of an artifact (F33)") {
+    val base = dir.resolve("typed1")
+    writeSpendFixture(base.resolve("tx"))
+    val (g, backend) = spendGraph(base)
+    val exec = new LocalExecutor(backend)
+    val snap = g.snapshot(spark, backend)
+    exec.build(spark, snap)
+    val s = spark
+    import s.implicits._
+    // daily is JSON-backed: dates round-trip as ISO strings without a schema
+    val daily = snap.readAs[(String, Double)](spark, backend, "daily")
+      .collect().map(_._2).sorted
+    assert(daily.toSeq === Seq(7.0, 35.0))
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Queries
+
+/** Physical-plan quality gates: the properties that keep these operators
+  * viable at 100 TB — filters/columns reaching the parquet scan, dims
+  * broadcast, whole-stage codegen on the hot paths — asserted so a plan
+  * regression fails the build, not a production run. */
+class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("plans-spec")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String =
+    Queries.byName(name).run(spark, sf).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1: scan reads only the needed columns (pruning)") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q2: totalprice filter pushed; join keys pruned") {
+    val p = plan("q2_order_customer_join")
+    assert(p.contains("GreaterThan(o_totalprice,150000.0)"), p)
+  }
+
+  test("q3: dimension tables join via BroadcastHashJoin") {
+    val p = plan("q3_star_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q4: semi/anti joins stay semi/anti (no materialize+distinct)") {
+    val p = plan("q4_supplier_semi_anti")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q5: theta join is a nested-loop over PRE-AGGREGATED inputs") {
+    val p = plan("q5_theta_margin")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the aggregate must sit below the join: partial aggregation of
+    // lineitem happens before the quadratic comparison
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(aggIdx >= 0 && joinIdx >= 0)
+  }
+
+  test("q6: as-of join is one window over one shuffle (no join operator)") {
+    val p = plan("q6_asof_event_order")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"as-of should not produce a join:\n$p")
+  }
+
+  test("hot aggregations run inside WholeStageCodegen") {
+    // AQE finalizes the plan only on execution; codegen'd operators then
+    // carry the '*(n)' marker
+    val df = Queries.byName("q1_pricing_summary").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p)
+  }
+
+  test("x5: custom dot-product expression appears in the plan (not a UDF, not a lambda)") {
+    val p = plan("x5_embedding_neardup")
+    assert(p.toLowerCase.contains("dotproduct") || p.contains("graft_dot"), p)
+    assert(!p.contains("LambdaFunction"), s"interpreted HOF leaked into x5:\n$p")
+  }
+
+  test("x2: postings join on 8-byte hashes, shuffle carries no token arrays") {
+    val df = Queries.byName("x2_ngram_jaccard").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the postings join keys on the 8-byte shingle hash (broadcast at toy
+    // scale via AQE, shuffle on s# at scale) and no shingle-array column
+    // crosses an exchange
+    assert(p.contains("hashpartitioning(s#") || p.contains("BroadcastHashJoin [s#"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchanges.contains("sh#"), s"shingle arrays crossed a shuffle:\n$exchanges")
+  }
+
+  test("entry smoke plan has no cartesian product") {
+    val p = SparkEntry.entry(spark).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
