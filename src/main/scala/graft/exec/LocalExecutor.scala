@@ -126,6 +126,8 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
                 val withFp = part.copy(contentFingerprint = Some(a.storage.contentFingerprint(part, conf)))
                 backend.writeArtifactPartitions(s"${g.name}/$k", Seq(withFp))
                 backend.linkSnapshotPartitions(snapshot.id, s"${g.name}/$k", Seq(withFp))
+                if (producer.computeStatistics)
+                  backend.writeStatistics(s"${g.name}/$k", part.path, graft.graph.Statistics.profile(df))
               }
               built(producer.name) += 1
           }

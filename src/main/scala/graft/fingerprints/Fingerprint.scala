@@ -61,7 +61,11 @@ object Canonical {
         .map { case (k, x) => s"${quote(k)}:$x" }.mkString("{", ",", "}")
     case it: Iterable[_]     => it.map(encode).mkString("[", ",", "]")
     case p: Product =>
+      // skip human-metadata fields so doc edits never cascade into rebuilds
+      // (reference SkipFingerprint: description on types :31-32, annotations
+      // on artifacts :44-56)
       val fields = p.productElementNames.zip(p.productIterator).toSeq
+        .filterNot { case (k, _) => k == "description" || k == "annotations" }
       if (fields.isEmpty) quote(p.productPrefix)
       else fields.sortBy(_._1)
         .map { case (k, x) => s"${quote(k)}:${encode(x)}" }

@@ -210,6 +210,19 @@ case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Order-independent fingerprint combination as a typed Aggregator
+  * (SURVEY §4(b)): XOR over int64 fingerprints, the distributed analog of
+  * `Fingerprint.combine` — commutative/associative, so partial aggregation
+  * and any merge order give the same result. Registered as `graft_xor`. */
+object XorAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Long, Long] {
+  override def zero: Long = 0L
+  override def reduce(b: Long, a: Long): Long = b ^ a
+  override def merge(b1: Long, b2: Long): Long = b1 ^ b2
+  override def finish(r: Long): Long = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+  override def outputEncoder: org.apache.spark.sql.Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+}
+
 /** SQL registration so queries can use the expressions as `graft_dot(...)`
   * etc. Idempotent per session. */
 object GraftFunctions {
@@ -227,10 +240,12 @@ object GraftFunctions {
     "graft_simhash" -> (es => SimHash64(es.head)),
     "graft_hyperplane" -> (es => HyperplaneSig(es.head, if (es.size > 1) intArg(es(1), 8) else 8)))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    spark.udf.register("graft_xor", org.apache.spark.sql.functions.udaf(XorAgg))
+  }
 }
 
 /** `SparkSessionExtensions` hook: add

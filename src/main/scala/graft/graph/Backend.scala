@@ -25,6 +25,10 @@ trait Backend {
 
   def linkSnapshotPartitions(snapshotId: Fingerprint, artifactKey: String, parts: Seq[StoragePartition]): Unit
   def readSnapshotPartitions(snapshotId: Fingerprint, artifactKey: String): Seq[StoragePartition]
+
+  /** Artifact statistics per written partition (reference F38 hook). */
+  def writeStatistics(artifactKey: String, partitionPath: String, stats: Map[String, String]): Unit
+  def readStatistics(artifactKey: String): Map[String, Map[String, String]]
 }
 
 final class MemoryBackend extends Backend {
@@ -69,4 +73,12 @@ final class MemoryBackend extends Backend {
 
   def readSnapshotPartitions(snapshotId: Fingerprint, artifactKey: String): Seq[StoragePartition] =
     snapshotParts.getOrElse((snapshotId, artifactKey), Vector.empty)
+
+  private val stats = TrieMap.empty[(String, String), Map[String, String]]
+
+  def writeStatistics(artifactKey: String, partitionPath: String, s: Map[String, String]): Unit =
+    stats((artifactKey, partitionPath)) = s
+
+  def readStatistics(artifactKey: String): Map[String, Map[String, String]] =
+    stats.toMap.collect { case ((k, p), v) if k == artifactKey => p -> v }
 }

@@ -66,7 +66,8 @@ final case class Producer(
     version: Version = Version.SemVer(0, 0, 1),
     build: (SparkSession, Seq[DataFrame]) => Seq[DataFrame],
     map: Seq[Seq[StoragePartition]] => Producer.PartitionDeps = Producer.mapAll,
-    validateOutputs: Seq[DataFrame] => Either[String, Unit] = _ => Right(())) {
+    validateOutputs: Seq[DataFrame] => Either[String, Unit] = _ => Right(()),
+    computeStatistics: Boolean = false) {
 
   /** name ⊕ version (reference F11, producers/__init__.py:326-334). */
   lazy val fingerprint: Fingerprint =

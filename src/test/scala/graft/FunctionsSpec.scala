@@ -108,4 +108,14 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(bf.nonEmpty)
   }
+
+  test("graft_xor aggregator: order-independent, parity with driver combineAll") {
+    import spark.implicits._
+    val vals = Seq(3L, 9L, 123456789L, -42L, Long.MinValue)
+    val expected = graft.fingerprints.Fingerprint.combineAll(
+      vals.map(graft.fingerprints.Fingerprint(_))).key
+    val a = vals.toDF("v").repartition(4).selectExpr("graft_xor(v)").as[Long].head()
+    val b = vals.reverse.toDF("v").repartition(2).selectExpr("graft_xor(v)").as[Long].head()
+    assert(a === expected && b === expected)
+  }
 }

@@ -231,4 +231,76 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_._2).sorted
     assert(daily.toSeq === Seq(7.0, 35.0))
   }
+
+  test("statistics are recorded on write when the producer opts in (F38)") {
+    val base = dir.resolve("stats1")
+    writeSpendFixture(base.resolve("tx"))
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    val out = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/out/{input_fingerprint}", Map.empty)))
+    val p = Producer("stat_total",
+      build = (_, ins) => Seq(ins.head.agg(sum(col("amount")).as("value")).coalesce(1)),
+      computeStatistics = true)
+    val g = new Graph("stats").add("tx", transactions).add("out", out)
+      .produce(p, Seq("tx"), Seq("out")).close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    val stats = backend.readStatistics("stats/out")
+    assert(stats.size === 1)
+    val s = stats.values.head
+    assert(s("__rows") === "1")
+    assert(s("value__min") === "42.0" && s("value__max") === "42.0")
+  }
+
+  test("independent producers build concurrently in one wave") {
+    val base = dir.resolve("par1")
+    writeSpendFixture(base.resolve("tx"))
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    def outArtifact(n: String) = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/$n/{input_fingerprint}", Map.empty)))
+    val concurrency = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    def tracked(n: String) = Producer(n, build = (_, ins) => {
+      val c = concurrency.incrementAndGet()
+      maxSeen.updateAndGet(m => math.max(m, c))
+      Thread.sleep(300)
+      val r = Seq(ins.head.agg(sum(col("amount")).as("value")).coalesce(1))
+      concurrency.decrementAndGet()
+      r
+    })
+    val g = new Graph("par").add("tx", transactions)
+      .add("a", outArtifact("a")).add("b", outArtifact("b"))
+      .produce(tracked("pa"), Seq("tx"), Seq("a"))
+      .produce(tracked("pb"), Seq("tx"), Seq("b"))
+      .close()
+    val backend = new MemoryBackend
+    val r = new LocalExecutor(backend, parallelism = 2).build(spark, g.snapshot(spark, backend))
+    assert(r.totalBuilt === 2)
+    assert(maxSeen.get() >= 2, s"independent producers should overlap, max concurrency = ${maxSeen.get()}")
+  }
+
+  test("csv and text formats round-trip through the IO registry") {
+    import graft.io.{Format => F, IO}
+    val base = dir.resolve("io1")
+    val csvStore = FileStorage(PathTemplate(s"$base/c/{input_fingerprint}", Map.empty))
+    val part = csvStore.generatePartition(Map.empty, graft.fingerprints.Fingerprint(7L))
+    val df = spark.range(3).selectExpr("id", "cast(id * 2 as string) as s")
+    IO.write(df, F.Csv, csvStore, part)
+    val back = IO.read(spark, F.Csv, csvStore, Seq(part))
+    assert(back.count() === 3)
+    assert(back.columns.toSeq === Seq("id", "s"))
+    // literal storage read
+    val lit = Artifact.literal(AInt64(), """{"n": 5}""")
+    val one = IO.read(spark, lit.format, lit.storage, lit.storage.discoverPartitions(spark.sparkContext.hadoopConfiguration))
+    assert(one.collect()(0).getLong(0) === 5L)
+  }
 }
