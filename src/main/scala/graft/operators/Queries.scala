@@ -774,7 +774,9 @@ object Queries {
     Q("x9_langid", x9, Some(x9Sql), "language-ID heuristic"),
     Q("x10_token_count", x10, Some(x10Sql), "token counting"),
     Q("x11_doc_fingerprint", x11, Some(x11Sql), "position-weighted fingerprint"),
-    Q("x12_multimodal_meta", x12, Some(x12Sql), "binary payload + typed metadata")) ++
+    Q("x12_multimodal_meta", x12, Some(x12Sql), "binary payload + typed metadata"),
+    Q("x13_multimodal_decode", (s, d) => Multimodal.features(s, d), None,
+      "batched typed decode pipeline (stubbed codec, real plumbing)")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 
