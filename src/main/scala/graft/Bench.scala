@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // local-mode knob: sf0.1 parquet files are 2-20 MB, far below the
+      // 128 MB default split size — without this every scan is one task
+      // and 31 of 32 cores idle on the map side. A real cluster with
+      // full-size files keeps the default.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer caches, so the first

@@ -118,4 +118,16 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = vals.reverse.toDF("v").repartition(2).selectExpr("graft_xor(v)").as[Long].head()
     assert(a === expected && b === expected)
   }
+
+  test("GraftExtensions injects functions without explicit registration") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .appName("ext-spec").getOrCreate()
+    try {
+      val v = s2.sql("SELECT farmhash64('graft') AS h").collect()(0).getLong(0)
+      assert(v === Fingerprint.fromString("graft").key)
+    } finally () // shared JVM session: don't stop, other suites may hold it
+  }
 }
