@@ -593,6 +593,45 @@ object Queries {
       .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_sim"))
   }
 
+  // ---------------------------------------------------------------- X14
+  /** IVF-style ANN (the other scale path besides LSH x7): coarse-quantize
+    * vectors to K=16 deterministic centroids (every (n/K)-th vector by id —
+    * seedless and rerun-stable), assign each vector to its nearest centroid
+    * (broadcast of K rows), and have queries probe their 2 nearest inverted
+    * lists before exact re-ranking. Shuffle is by centroid id (linear);
+    * the candidate set is ~2/K of the corpus. Rows-only (recall vs x6 is
+    * asserted in ScalaTest). */
+  private def x14(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val n = e.count()
+    val k = 16
+    val step = math.max(1L, n / k)
+    val cents = e.filter(col("vec_id") % step === 0 && col("vec_id") < step * k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // nearest centroid per vector (and 2 nearest per query) by cosine
+    def nearest(df: DataFrame, idCol: String, vCol: String, nrmCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cent_sim").desc, col("cent_id").asc)
+      df.join(broadcast(cents))
+        .withColumn("cent_sim", expr(s"graft_dot($vCol, cv)") / (col(nrmCol) * col("cn")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= keep)
+        .drop("cv", "cn", "cent_sim", "cent_rank")
+    }
+    val lists = nearest(e.filter(col("vec_id") >= 5), "vec_id", "v", "nrm", keep = 1)
+    val probes = nearest(
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
+      "query_id", "qv", "qn", keep = 2)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    probes.join(lists, Seq("cent_id"))
+      .withColumn("cos_sim", round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_sim"))
+  }
+
   // ---------------------------------------------------------------- X8
   /** Text quality scoring: token stats, distinct ratio, stopword ratio,
     * composite score. All ratios are int/int → double (exact IEEE). */
@@ -770,6 +809,7 @@ object Queries {
     Q("x5_embedding_neardup", x5, Some(x5Sql), "cosine near-dup pairs"),
     Q("x6_ann_bruteforce", x6, Some(x6Sql), "brute-force cosine top-k"),
     Q("x7_ann_lsh", x7, None, "hyperplane-LSH ANN (scale path)"),
+    Q("x14_ann_ivf", x14, None, "IVF-bucketed ANN (scale path)"),
     Q("x8_text_quality", x8, Some(x8Sql), "quality scoring"),
     Q("x9_langid", x9, Some(x9Sql), "language-ID heuristic"),
     Q("x10_token_count", x10, Some(x10Sql), "token counting"),

@@ -130,4 +130,19 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(v === Fingerprint.fromString("graft").key)
     } finally () // shared JVM session: don't stop, other suites may hold it
   }
+
+  test("IVF ANN (x14) recall against brute force (x6) is reasonable and exactly scored") {
+    val bf = Queries.byName("x6_ann_bruteforce").run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivf = Queries.byName("x14_ann_ivf").run(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // scores of overlapping pairs must be identical (exact re-rank)
+    ivf.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach(c => assert(c === r.getDouble(3)))
+    }
+    // probing 2/16 lists should still recover a nontrivial share of the
+    // true top-10 (embeddings are near-uniform, so this is a loose bound)
+    val overlap = ivf.count(r => bf.contains((r.getLong(0), r.getLong(1))))
+    assert(overlap >= 5, s"IVF found only $overlap of the true top-10 pairs")
+  }
 }
