@@ -206,4 +206,26 @@ final case class GraphSnapshot(graph: Graph, id: Fingerprint, rawPartitions: Map
     * views, views/python.py:215-250). */
   def readAs[T: org.apache.spark.sql.Encoder](spark: SparkSession, backend: Backend, key: String): org.apache.spark.sql.Dataset[T] =
     read(spark, backend, key).as[T]
+
+  /** Write data into a RAW artifact partition through the snapshot
+    * (reference F16, graphs/__init__.py:249-291): render the partition path
+    * from the key, dispatch the writer, hash the content, register in the
+    * backend and link to this snapshot. Produced artifacts are written only
+    * by their producer (via the executor). */
+  def write(
+      spark: SparkSession,
+      backend: Backend,
+      key: String,
+      df: DataFrame,
+      partitionKey: PartitionKey = NotPartitioned): StoragePartition = {
+    require(graph.isRaw(key), s"'$key' is produced — write it by building its producer, not directly")
+    val a = graph.artifacts(key)
+    val part = a.storage.generatePartition(partitionKey, Fingerprint.identity)
+    IO.write(df, a.format, a.storage, part)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val withFp = part.copy(contentFingerprint = Some(a.storage.contentFingerprint(part, conf)))
+    backend.writeArtifactPartitions(s"${graph.name}/$key", Seq(withFp))
+    backend.linkSnapshotPartitions(id, s"${graph.name}/$key", Seq(withFp))
+    withFp
+  }
 }

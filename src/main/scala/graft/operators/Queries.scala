@@ -312,6 +312,8 @@ object Queries {
       (col("value") * col("value")).as("v_sq"),
       (col("user_id") % 7).as("u_mod"),
       get_json_object(col("props"), "$.k").cast(LongType).as("k_val"),
+      from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k").as("k_val2"),
       when(col("value") > 100.0, "high").otherwise("low").as("v_band"))
 
   private val q12Sql =
@@ -333,6 +335,7 @@ object Queries {
       |  value * value AS v_sq,
       |  user_id % 7 AS u_mod,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val2,
       |  CASE WHEN value > 100.0 THEN 'high' ELSE 'low' END AS v_band
       |FROM events""".stripMargin
 
@@ -404,11 +407,6 @@ object Queries {
     * tokens are useless here (the synthetic corpus reuses a ~30-word
     * vocabulary, making token-Jaccard ≈ 0.63 for unrelated docs; 3-shingles
     * separate cleanly: near-dups ≥ 0.5, everything else < 0.03). */
-  private[graft] val shingleExpr =
-    """IF(size(tk) < 3, array(),
-      |   array_distinct(transform(sequence(1, size(tk) - 2),
-      |     i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))))""".stripMargin
-
   /** doc_id, sh: distinct 3-shingle farmhash set (array<long>, one codegen
     * kernel pass — no interpreted HOF string work), n = |sh|. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =

@@ -303,4 +303,34 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val one = IO.read(spark, lit.format, lit.storage, lit.storage.discoverPartitions(spark.sparkContext.hadoopConfiguration))
     assert(one.collect()(0).getLong(0) === 5L)
   }
+
+  test("snapshot.write registers a raw partition and guards produced artifacts (F16)") {
+    val base = dir.resolve("write1")
+    writeSpendFixture(base.resolve("tx"))
+    val (g, backend) = spendGraph(base)
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    // writing a produced artifact directly is rejected
+    val one = spark.range(1).selectExpr("cast(1.0 as double) as value")
+    assertThrows[IllegalArgumentException] {
+      snap.write(spark, backend, "total", one)
+    }
+    // raw write through the snapshot: seed partition i=1 on disk, snapshot,
+    // then write partition i=2 via the API
+    val rawOut = Artifact(
+      ACollection("notes", AStruct("n", Seq("i" -> AInt64(), "value" -> AFloat64())), partitionBy = Seq("i")),
+      Format.Json, FileStorage(PathTemplate(s"$base/notes/i={i}", Map("i" -> "int"))))
+    graft.io.IO.write(one.coalesce(1), Format.Json, rawOut.storage,
+      rawOut.storage.generatePartition(Map("i" -> graft.partitions.PartitionField.IntField(1)),
+        graft.fingerprints.Fingerprint.identity))
+    val g2 = new Graph("writes").add("notes", rawOut).close()
+    val snap2 = g2.snapshot(spark, backend)
+    val two = spark.range(1).selectExpr("cast(2.0 as double) as value")
+    val part = snap2.write(spark, backend, "notes", two.coalesce(1),
+      Map("i" -> graft.partitions.PartitionField.IntField(2)))
+    assert(part.contentFingerprint.nonEmpty)
+    assert(part.path.endsWith("i=2"))
+    val all = backend.readArtifactPartitions("writes/notes")
+    assert(all.size === 2)
+  }
 }
