@@ -53,6 +53,33 @@ object IO {
     case other => throw new IllegalArgumentException(s"no reader registered for $other")
   }
 
+  /** Bulk write of a whole partitioned Collection in the engine-native Hive
+    * layout (`k=v` directories): one distributed write for every partition
+    * at once — the fast path when a producer emits all partitions together.
+    * Catalyst prunes these directories natively on read, and the engine's
+    * `PathTemplate("…/k={k}")` parses them right back into typed partition
+    * keys, so template-addressed and native-layout artifacts interoperate.
+    * `clusterBy` maps to sortWithinPartitions (the Collection.cluster_by
+    * analog, SURVEY §1.4). */
+  def writePartitioned(
+      df: org.apache.spark.sql.DataFrame,
+      format: Format,
+      basePath: String,
+      partitionBy: Seq[String],
+      clusterBy: Seq[String] = Nil,
+      overwrite: Boolean = false): Unit = {
+    val sorted = if (clusterBy.nonEmpty) df.sortWithinPartitions(clusterBy.map(df.col): _*) else df
+    val w = sorted.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .partitionBy(partitionBy: _*)
+    format match {
+      case Format.Json    => w.json(basePath)
+      case Format.Parquet => w.parquet(basePath)
+      case Format.Csv     => w.option("header", "true").csv(basePath)
+      case other          => throw new IllegalArgumentException(s"$other does not support partitioned writes")
+    }
+  }
+
   /** Write one partition (reference F25). Mode is errorifexists by default —
     * the reference forbids silent overwrite (io/json_stringliteral_python.py:88-100);
     * the executor overwrites only when rebuilding a changed partition. */

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Format, IO}
+import graft.partitions.PartitionField.IntField
+import graft.storage.{FileStorage, PathTemplate}
+
+/** Storage-layout interop and co-location: the native Hive `k=v` fast path
+  * round-trips through the engine's template parser with partition pruning,
+  * and bucketed tables join without a shuffle — the two layout tools that
+  * matter at 100 TB. */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val wh = Files.createTempDirectory("graft-wh").toString
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", wh)
+      .appName("layout-spec")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("native k=v bulk write round-trips through the template parser, scans prune") {
+    val base = Files.createTempDirectory("graft-hive").toString
+    val df = spark.range(100).selectExpr("id", "cast(id % 4 as int) as y")
+    IO.writePartitioned(df, Format.Parquet, s"$base/t", partitionBy = Seq("y"))
+
+    // the engine's template parser reads the native layout back as typed keys
+    val store = FileStorage(PathTemplate(s"$base/t/y={y}", Map("y" -> "int")))
+    val parts = store.discoverPartitions(spark.sparkContext.hadoopConfiguration)
+    assert(parts.map(_.key).toSet === (0 to 3).map(i => Map("y" -> IntField(i))).toSet)
+
+    // a filter on the partition column prunes at the source
+    val read = spark.read.parquet(s"$base/t").filter(col("y") === 2)
+    assert(read.count() === 25)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(y"), scan)
+  }
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val n = 10000
+    spark.range(n).selectExpr("id as k", "id * 2 as a")
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bl")
+    spark.range(n).selectExpr("id as k", "id * 3 as b")
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("br")
+    val joined = spark.table("bl").join(spark.table("br"), "k")
+      .filter(col("a") + col("b") >= 0)
+    // disable auto-broadcast so the co-location (not a broadcast) removes
+    // the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(joined.count() === n)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
