@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.LocalExecutor
+import graft.fingerprints.Fingerprint
+import graft.graph.{Artifact, FileBackend, Graph, Producer}
+import graft.io.Format
+import graft.partitions.PartitionField.{DateField, IntField}
+import graft.storage.{FileStorage, PathTemplate, StoragePartition}
+import graft.types.ArtiType._
+
+/** Durable backend: the metadata contract round-trips through the JSONL
+  * event log, and — the property that matters — skip-if-built memoization
+  * survives a process restart (a fresh FileBackend over the same directory
+  * skips everything a previous "process" built). */
+class FileBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("filebackend-spec")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("metadata round-trips through the event log (incl. typed keys and escapes)") {
+    val dir = Files.createTempDirectory("graft-fb").toString
+    val b1 = new FileBackend(dir)
+    val part = StoragePartition(
+      path = "/data/y=7/weird \"name\"\nwith newline",
+      key = Map("y" -> IntField(7), "d" -> DateField(java.time.LocalDate.of(2024, 2, 29))),
+      inputFingerprint = Fingerprint(-987654321L),
+      contentFingerprint = Some(Fingerprint(42L)))
+    b1.writeGraph("g", Fingerprint(1L))
+    b1.writeSnapshot("g", Fingerprint(2L))
+    b1.tag("g", Fingerprint(2L), "v1", overwrite = false)
+    b1.writeArtifactPartitions("g/a", Seq(part))
+    b1.linkSnapshotPartitions(Fingerprint(2L), "g/a", Seq(part))
+    b1.writeStatistics("g/a", part.path, Map("rows" -> "5", "weird\"key" -> "x\ny"))
+
+    val b2 = new FileBackend(dir) // "restart"
+    assert(b2.snapshotForTag("g", "v1") === Some(Fingerprint(2L)))
+    assert(b2.readArtifactPartitions("g/a") === Seq(part))
+    assert(b2.readSnapshotPartitions(Fingerprint(2L), "g/a") === Seq(part))
+    assert(b2.readStatistics("g/a")(part.path) === Map("rows" -> "5", "weird\"key" -> "x\ny"))
+    // memoization filter works on the replayed state
+    assert(b2.readArtifactPartitions("g/a", Some(Set(Fingerprint(-987654321L)))).size === 1)
+    assert(b2.readArtifactPartitions("g/a", Some(Set(Fingerprint(0L)))).isEmpty)
+  }
+
+  test("tag overwrite guard still throws after replay") {
+    val dir = Files.createTempDirectory("graft-fb2").toString
+    val b1 = new FileBackend(dir)
+    b1.tag("g", Fingerprint(1L), "v", overwrite = false)
+    val b2 = new FileBackend(dir)
+    assertThrows[IllegalStateException] { b2.tag("g", Fingerprint(9L), "v", overwrite = false) }
+    b2.tag("g", Fingerprint(9L), "v", overwrite = true)
+    assert(new FileBackend(dir).snapshotForTag("g", "v") === Some(Fingerprint(9L)))
+  }
+
+  test("skip-if-built memoization survives a process restart") {
+    val base = Files.createTempDirectory("graft-fb3")
+    Files.createDirectories(base.resolve("tx"))
+    Files.writeString(base.resolve("tx").resolve("1970-01-01.json"),
+      """{"id": 1, "date": "1970-01-01", "amount": 42.0}""")
+    def mkGraph(): Graph = {
+      val txType = ACollection("transactions",
+        AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+        partitionBy = Seq("date"))
+      val tx = Artifact(txType, Format.Json,
+        FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+      val total = Artifact(AFloat64(), Format.Json,
+        FileStorage(PathTemplate(s"$base/total/{input_fingerprint}", Map.empty)))
+      new Graph("fb").add("tx", tx).add("total", total)
+        .produce(Producer("t", build = (_, ins) =>
+          Seq(ins.head.agg(sum(col("amount")).as("value")).coalesce(1))), Seq("tx"), Seq("total"))
+        .close()
+    }
+    val metaDir = base.resolve("meta").toString
+    val r1 = new LocalExecutor(new FileBackend(metaDir))
+      .build(spark, mkGraph().snapshot(spark, new FileBackend(metaDir)))
+    // ^ snapshot + build each construct their own backend instance — i.e.
+    // two separate "processes" already
+    assert(r1.totalBuilt === 1)
+    val b = new FileBackend(metaDir) // third process
+    val r2 = new LocalExecutor(b).build(spark, mkGraph().snapshot(spark, b))
+    assert(r2.totalBuilt === 0, "memoization must survive restart")
+    assert(r2.totalSkipped === 1)
+  }
+}
