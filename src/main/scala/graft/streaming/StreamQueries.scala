@@ -188,9 +188,32 @@ object StreamQueries {
         col("event_type"), col("n"))
   }
 
+  // ---------------------------------------------------------------- QS5
+  /** Stream-static join: the event stream joins the static customer
+    * dimension (broadcast by Catalyst — the static side is planned per
+    * micro-batch), then aggregates per market segment in complete mode.
+    * Arrival-order-free → exact batch oracle. */
+  private def qs5(spark: SparkSession, dir: String): DataFrame = {
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventsStream(spark, dir)
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("total"))
+    runToTable(spark, joined, OutputMode.Complete())
+      .select(col("c_mktsegment"), col("event_type"), col("n"), col("total"))
+  }
+
+  private val qs5Sql =
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+      |  sum(CAST(value AS DECIMAL(18,2))) AS total
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("qs1_stream_tumbling", qs1, Some(qs1Sql), "tumbling windows + watermark (complete mode)"),
     Q("qs2_stream_session", qs2, Some(qs2Sql), "session windows per user"),
     Q("qs3_stream_state", qs3, Some(qs3Sql), "mapGroupsWithState earliest-event fold"),
-    Q("qs4_stream_late_append", qs4, None, "append mode + watermark + stream dedup"))
+    Q("qs4_stream_late_append", qs4, None, "append mode + watermark + stream dedup"),
+    Q("qs5_stream_static_join", qs5, Some(qs5Sql), "stream-static dimension join"))
 }
