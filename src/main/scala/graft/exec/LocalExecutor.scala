@@ -56,8 +56,10 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      for (wave <- waves) {
+      for (wave <- waves if failures.isEmpty) {
         val futures = wave.map(b => Future(buildBinding(spark, snapshot, b)))
+        // await the whole wave before acting on failures: siblings finish
+        // their in-flight writes cleanly instead of being abandoned mid-way
         val results = futures.map(f => Await.result(f, Duration.Inf))
         results.foreach { r =>
           r.built.foreach { case (k, v) => built(k) += v }
@@ -66,6 +68,8 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
         }
       }
     } finally pool.shutdown()
+    if (failures.nonEmpty)
+      throw new IllegalStateException(s"validate_outputs failed for: ${failures.mkString("; ")}")
     BuildReport(built.toMap, skipped.toMap, failures.toSeq)
   }
 
@@ -76,7 +80,7 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
     val skipped = mutable.Map.empty[String, Int].withDefaultValue(0)
     val failures = mutable.ListBuffer.empty[String]
 
-    for (binding <- Seq(binding)) {
+    locally {
       val ProducerBinding(producer, inputKeys, outputKeys) = binding
 
       // snapshot-linked partitions per input (raw: discovered at snapshot
@@ -116,8 +120,9 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
             s"producer '${producer.name}' returned ${outputs.size} outputs for ${outputKeys.size} declared")
           producer.validateOutputs(outputs) match {
             case Left(msg) =>
+              // no write happens past a failing gate; the wave driver
+              // aborts the build once this wave has drained
               failures += s"${producer.name}: $msg"
-              throw new IllegalStateException(s"validate_outputs failed for '${producer.name}': $msg")
             case Right(()) =>
               outputKeys.zip(outputs).foreach { case (k, df) =>
                 val a = g.artifacts(k)

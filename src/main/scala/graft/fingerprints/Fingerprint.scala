@@ -56,6 +56,7 @@ object Canonical {
     case d: Double           => d.toString
     case bd: BigDecimal      => bd.toString
     case f: Fingerprint      => f.key.toString
+    case a: Array[_]         => a.iterator.map(encode).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, x) => (String.valueOf(k), encode(x)) }.toSeq.sortBy(_._1)
         .map { case (k, x) => s"${quote(k)}:$x" }.mkString("{", ",", "}")

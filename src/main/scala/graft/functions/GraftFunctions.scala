@@ -228,7 +228,10 @@ object XorAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Long, Lo
 object GraftFunctions {
   private def intArg(e: Expression, default: Int): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-    case _ => default
+    // a non-literal parameter would silently fall back to the default and
+    // return plausible-but-wrong results — fail at plan time instead
+    case other => throw new IllegalArgumentException(
+      s"parameter must be an integer literal, got: ${other.sql}")
   }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(

@@ -21,7 +21,7 @@ import graft.types.ArtiType._
 object FrameworkQueries {
   import Queries.Q
 
-  private def tmp(): String = Files.createTempDirectory("graft-fw").toString
+  private def tmp(): String = graft.util.TempDirs.create("graft-fw").toString
 
   /** q13_partitioned_spend: the reference's spend demo shape
     * (docs/examples/spend/demo.py) at testdata scale: orders → per-day

@@ -42,11 +42,15 @@ final case class FileStorage(template: PathTemplate) extends Storage {
     val glob = new Path(template.wildcard)
     val fs = glob.getFileSystem(conf)
     val statuses = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+    // templates may carry a scheme (s3a://bucket/...); match the full URI
+    // string first, then the scheme-less path (local templates like /data/…)
     statuses.toSeq.flatMap { st =>
-      val p = st.getPath.toUri.getPath
-      template.parse(p).map { case (key, fp) =>
-        StoragePartition(p, key, fp.getOrElse(Fingerprint.identity))
-      }
+      val candidates = Seq(st.getPath.toString, st.getPath.toUri.getPath).distinct
+      candidates.iterator.flatMap { p =>
+        template.parse(p).map { case (key, fp) =>
+          StoragePartition(p, key, fp.getOrElse(Fingerprint.identity))
+        }
+      }.nextOption()
     }
   }
 

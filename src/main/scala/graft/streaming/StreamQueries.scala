@@ -34,7 +34,7 @@ object StreamQueries {
     * pinned UTC so values match the NTZ batch reads). */
   private def eventsStream(spark: SparkSession, dir: String, nFiles: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = Files.createTempDirectory("graft-stream")
+    val src = graft.util.TempDirs.create("graft-stream")
     if (nFiles <= 1) {
       Files.copy(Paths.get(s"$dir/events.parquet"), src.resolve("events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
@@ -194,7 +194,7 @@ object StreamQueries {
     * micro-batch), then aggregates per market segment in complete mode.
     * Arrival-order-free → exact batch oracle. */
   private def qs5(spark: SparkSession, dir: String): DataFrame = {
-    val customers = spark.read.parquet(s"$dir/customer.parquet")
+    val customers = graft.operators.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = eventsStream(spark, dir)
       .join(customers, col("user_id") === col("c_custkey"))

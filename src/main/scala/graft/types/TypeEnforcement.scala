@@ -27,22 +27,31 @@ object TypeEnforcement {
       case (acc, _) => acc
     }
 
-  /** Predicate that is true where a column VIOLATES its declared type. */
-  def violationPredicate(name: String, t: ArtiType): Option[Column] = t match {
-    case e: AEnum =>
-      val items = e.items.map {
-        case s: String => lit(s)
-        case i: Int    => lit(i)
-        case l: Long   => lit(l)
-        case d: Double => lit(d)
-        case other     => lit(String.valueOf(other))
-      }
-      Some(!col(name).isin(items: _*) && col(name).isNotNull)
-    case s: ASet =>
-      Some(size(col(name)) =!= size(array_distinct(col(name))))
-    case t if !t.nullable =>
-      Some(col(name).isNull)
-    case _ => None
+  /** Predicate that is true where a column VIOLATES its declared type.
+    * Nullability composes with the kind-specific check (an enum/set match
+    * arm must not shadow a non-nullable declaration — null in a
+    * non-nullable enum column is a violation too). */
+  def violationPredicate(name: String, t: ArtiType): Option[Column] = {
+    val kindViolation: Option[Column] = t match {
+      case e: AEnum =>
+        val items = e.items.map {
+          case s: String => lit(s)
+          case i: Int    => lit(i)
+          case l: Long   => lit(l)
+          case d: Double => lit(d)
+          case other     => lit(String.valueOf(other))
+        }
+        Some(!col(name).isin(items: _*) && col(name).isNotNull)
+      case _: ASet =>
+        // coalesce: size(null) comparisons are null, which filter() drops
+        Some(coalesce(size(col(name)) =!= size(array_distinct(col(name))), lit(false)))
+      case _ => None
+    }
+    val nullViolation: Option[Column] = if (!t.nullable) Some(col(name).isNull) else None
+    (kindViolation, nullViolation) match {
+      case (Some(k), Some(n)) => Some(k || n)
+      case (k, n)             => k.orElse(n)
+    }
   }
 
   /** Rows violating any declared constraint of the struct. */

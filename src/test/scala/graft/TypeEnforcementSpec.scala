@@ -60,4 +60,14 @@ class TypeEnforcementSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TypeEnforcement.gate(struct)(Seq(good)).isRight)
     assert(TypeEnforcement.gate(struct)(Seq(bad)).isLeft)
   }
+
+  test("null in a NON-nullable enum/set column is a violation (no shadowing)") {
+    import spark.implicits._
+    val strict = AStruct("doc", Seq(
+      "status" -> AEnum("status", AString(), Seq("ok", "bad"), nullable = false),
+      "tags"   -> ASet(AString(), nullable = false)))
+    val df = Seq((Option.empty[String], Option.empty[Seq[String]]), (Some("ok"), Some(Seq("a"))))
+      .toDF("status", "tags")
+    assert(TypeEnforcement.violations(df, strict).count() === 1)
+  }
 }
