@@ -369,6 +369,78 @@ object Queries {
       |  max(l_extendedprice) AS max_price
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- Q18
+  /** Statistical moments with determinism-by-construction: mean, sample
+    * variance/stddev, and Pearson correlation are all derived from EXACT
+    * decimal moment sums (x, x², y, y², x·y of 2-decimal columns are exact
+    * in scale-4 decimals), cast to double once, then combined with the same
+    * IEEE expression shape as the oracle — so the doubles are bit-identical
+    * across engines, unlike native stddev/corr whose partial-aggregation
+    * order differs. */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(12, 2))
+    val y = col("l_extendedprice").cast(DecimalType(12, 2))
+    val agged = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    val n = col("n").cast(DoubleType)
+    val (sx, sxx, sy, syy, sxy) =
+      (col("sx").cast(DoubleType), col("sxx").cast(DoubleType),
+        col("sy").cast(DoubleType), col("syy").cast(DoubleType), col("sxy").cast(DoubleType))
+    agged.select(
+      col("l_returnflag"), col("n"),
+      round(sx / n, 6).as("mean_qty"),
+      round((sxx - sx * sx / n) / (n - 1), 6).as("var_qty"),
+      round(sqrt((sxx - sx * sx / n) / (n - 1)), 6).as("std_qty"),
+      round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6).as("corr_qty_price"))
+  }
+
+  private val q18Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty,
+      |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6) AS var_qty,
+      |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6) AS std_qty,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- Q19
+  /** Exact percentiles (ordered-set aggregate): Spark's `percentile` and
+    * DuckDB's `quantile_cont` both linearly interpolate at rank (n-1)*p over
+    * the sorted values, so exact-percentile results agree (the *approximate*
+    * sketch variant is engine-specific and lives in q10b). */
+  private def q19(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
+  private val q19Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   /** Content-addressing fingerprint column (SURVEY F34 as a data op):
     * xxhash64 over all columns, XOR-combined per group — order-independent,
@@ -799,6 +871,8 @@ object Queries {
     Q("q11_set_ops", q11, Some(q11Sql), "intersect/except/union"),
     Q("q12_scalar_suite", q12, Some(q12Sql), "string/date/math/json scalars"),
     Q("q17_artifact_statistics", q17, Some(q17Sql), "per-artifact column stats"),
+    Q("q18_stats_moments", q18, Some(q18Sql), "mean/var/stddev/corr from exact moments"),
+    Q("q19_percentiles", q19, Some(q19Sql), "exact interpolated percentiles"),
     Q("q20_fingerprint_column", q20, None, "xxhash64 + XOR combine"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
