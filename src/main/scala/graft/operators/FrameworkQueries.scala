@@ -198,9 +198,119 @@ object FrameworkQueries {
       |UNION ALL
       |SELECT 'v2' AS tag, sum(CAST(o_totalprice AS DECIMAL(18,2))) + CAST(42.42 AS DECIMAL(18,2)) AS total FROM orders""".stripMargin
 
+  /** x15_clean_corpus: the LLM-training-data pipeline as a PRODUCER GRAPH —
+    * documents → exact dedup (keep min id per text) → near-dedup (drop the
+    * higher id of every shingle-Jaccard ≥ 0.5 pair, via the inverted-index
+    * join) → quality gate (stopword ratio ≤ 0.5, ≥ 10 tokens, enforced by
+    * validateOutputs before the write) → per-language corpus stats. Every
+    * stage is an incremental, fingerprint-addressed artifact; the oracle
+    * replays the identical rules in SQL. */
+  private def x15(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp()
+    val docType = ACollection("documents", AStruct("doc", Seq(
+      "doc_id" -> AInt64(), "text" -> AString(), "lang" -> AString(),
+      "source" -> AString(), "n_chars" -> AInt64())))
+    def art(name: String, t: AStruct) = Artifact(
+      ACollection(name, t), Format.Parquet,
+      FileStorage(PathTemplate(s"$base/$name/{input_fingerprint}", Map.empty)))
+    val raw = Artifact(docType, Format.Parquet,
+      FileStorage(PathTemplate(s"$dir/documents.parquet", Map.empty)))
+    val docStruct = docType.element
+    val deduped = art("dedup_exact", docStruct)
+    val nearDeduped = art("dedup_near", docStruct)
+    val clean = art("clean", docStruct)
+    val stats = art("stats", AStruct("s", Seq("lang" -> AString(), "n_docs" -> AInt64(), "total_chars" -> AInt64())))
+
+    val exactDedup = Producer("dedup_exact", build = (_, ins) => {
+      val d = ins.head
+      val keep = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      Seq(d.join(keep, Seq("doc_id", "text"), "left_semi").coalesce(4))
+    })
+    val nearDedup = Producer("dedup_near", build = (_, ins) => {
+      val d = ins.head
+      val posts = d
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), expr("graft_shingle_hashes(tk, 3)").as("sh"))
+        .withColumn("n", size(col("sh")))
+        .select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      val pairs = posts.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
+        .join(posts.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")) >= 0.5)
+      val drop = pairs.select(col("doc_b").as("doc_id")).distinct()
+      Seq(d.join(drop, Seq("doc_id"), "left_anti").coalesce(4))
+    })
+    val qualityGate = Producer("quality_filter",
+      build = (_, ins) => {
+        val d = ins.head.withColumn("tk", toks(col("text")))
+        val stopArr = "array('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+        Seq(d
+          .withColumn("n_tokens", size(col("tk")))
+          .withColumn("stop_ratio",
+            expr(s"size(filter(tk, t -> array_contains($stopArr, t)))").cast(DoubleType) / col("n_tokens"))
+          .filter(col("stop_ratio") <= 0.5 && col("n_tokens") >= 10)
+          .drop("tk", "n_tokens", "stop_ratio")
+          .coalesce(4))
+      },
+      validateOutputs = outs =>
+        if (outs.head.isEmpty) Left("clean corpus must not be empty")
+        else if (outs.head.groupBy(col("text")).count().filter(col("count") > 1).isEmpty) Right(())
+        else Left("duplicate texts survived the dedup stages"))
+    val corpusStats = Producer("corpus_stats", build = (_, ins) => Seq(
+      ins.head.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")).coalesce(1)))
+
+    val g = new Graph("clean_corpus")
+      .add("documents", raw).add("dedup_exact", deduped)
+      .add("dedup_near", nearDeduped).add("clean", clean).add("stats", stats)
+      .produce(exactDedup, Seq("documents"), Seq("dedup_exact"))
+      .produce(nearDedup, Seq("dedup_exact"), Seq("dedup_near"))
+      .produce(qualityGate, Seq("dedup_near"), Seq("clean"))
+      .produce(corpusStats, Seq("clean"), Seq("stats"))
+      .close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    snap.read(spark, backend, "stats")
+  }
+
+  private def toks(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  private val x15Sql =
+    """WITH d1 AS (
+      |  SELECT * FROM documents
+      |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM d1)),
+      |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+      |  FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+      |d2 AS (
+      |  SELECT * FROM d1
+      |  WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs WHERE jac >= 0.5)),
+      |clean AS (
+      |  SELECT * FROM (
+      |    SELECT *,
+      |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) AS stop_ratio
+      |    FROM d2) q
+      |  WHERE stop_ratio <= 0.5 AND n_tokens >= 10)
+      |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      |FROM clean GROUP BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q13_partitioned_spend", q13, Some(q13Sql), "spend demo through the engine (graph+producer+executor)"),
     Q("q14_incremental_daily_agg", q14, None, "per-partition incremental build with fingerprint skip"),
     Q("q15_validated_build", q15, Some(q15Sql), "validate_outputs gate before write"),
-    Q("q16_snapshot_replay", q16, Some(q16Sql), "snapshot tag + replay old tag"))
+    Q("q16_snapshot_replay", q16, Some(q16Sql), "snapshot tag + replay old tag"),
+    Q("x15_clean_corpus", x15, Some(x15Sql), "full dedup+quality pipeline as a producer graph"))
 }
