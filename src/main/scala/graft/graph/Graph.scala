@@ -156,6 +156,18 @@ final class Graph(val name: String) {
     order.toSeq
   }
 
+  /** Live read without a snapshot (reference: graphs/__init__.py:229-241):
+    * raw artifacts discover their partitions on the fly; produced artifacts
+    * require a snapshot (their partitions are snapshot-linked metadata). */
+  def read(spark: SparkSession, key: String): DataFrame = {
+    val a = _artifacts.getOrElse(key, throw new NoSuchElementException(s"unknown artifact '$key'"))
+    if (!isRaw(key))
+      throw new IllegalStateException(
+        s"'$key' is produced — read it through a snapshot (reference requires a snapshot for produced artifacts)")
+    val parts = a.storage.discoverPartitions(spark.sparkContext.hadoopConfiguration)
+    IO.read(spark, a.format, a.storage, parts)
+  }
+
   /** Snapshot: content-address the graph + all raw inputs
     * (reference F14, graphs/__init__.py:294-360). */
   def snapshot(spark: SparkSession, backend: Backend): GraphSnapshot = {
