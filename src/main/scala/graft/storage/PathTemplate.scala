@@ -11,13 +11,16 @@ import graft.partitions.PartitionKey.PartitionKey
   * template→wildcard→regex machinery; src/arti/storage/__init__.py:124-246).
   *
   * Grammar: `{field.component}` (e.g. `{date.iso}`, `{i.hex}`),
-  * `{field}` (default component), `{input_fingerprint}`, `{graph_name}`,
-  * `{names}`. Field kinds are declared by the caller (schema-driven), so the
-  * parser knows which regex/constructor to use per placeholder.
+  * `{field}` (default component), `{field.component[value]}` (hard-coded
+  * index — renders/matches exactly `value`, mirroring the reference's
+  * `{date.Y[1970]}` cases), and `{input_fingerprint}`. Field kinds are
+  * declared by the caller (schema-driven), so the parser knows which
+  * regex/constructor to use per placeholder.
   */
 final case class PathTemplate(template: String, fieldKinds: Map[String, String]) {
 
-  private val Placeholder: Regex = """\{([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\}""".r
+  private val Placeholder: Regex =
+    """\{([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?(?:\[([^\]]*)\])?\}""".r
 
   /** placeholders in template order: (field, component) */
   val placeholders: Seq[(String, String)] = Placeholder.findAllMatchIn(template).map { m =>
@@ -32,15 +35,26 @@ final case class PathTemplate(template: String, fieldKinds: Map[String, String])
     (field, comp)
   }.toSeq
 
-  /** Render with all placeholders bound; throws on unbound fields. */
+  /** Render with all placeholders bound; throws on unbound fields. A
+    * hard-coded index `{f.c[v]}` renders `v` and requires the key (when
+    * present) to agree — the reference's key/template consistency check
+    * (storage/__init__.py:179-222). */
   def render(key: PartitionKey, extras: Map[String, String] = Map.empty): String =
     Placeholder.replaceAllIn(template, m => {
       val field = m.group(1)
       val comp = Option(m.group(2))
+      val fixed = Option(m.group(3))
       Regex.quoteReplacement(
-        extras.get(field) match {
-          case Some(v) => v
-          case None =>
+        (extras.get(field), fixed) match {
+          case (Some(v), _) => v
+          case (None, Some(v)) =>
+            key.get(field).foreach { f =>
+              val rendered = f.render(comp.getOrElse(f.defaultComponent))
+              require(rendered == v,
+                s"key value '$rendered' conflicts with template's hard-coded '$field[$v]'")
+            }
+            v
+          case (None, None) =>
             val f = key.getOrElse(field,
               throw new IllegalArgumentException(s"template references '$field' not present in key ${key.keys.mkString(",")}"))
             f.render(comp.getOrElse(f.defaultComponent))
@@ -59,7 +73,10 @@ final case class PathTemplate(template: String, fieldKinds: Map[String, String])
       sb.append(Regex.quote(template.substring(idx, m.start)))
       val field = m.group(1)
       val comp = Option(m.group(2))
-      if (field == "input_fingerprint") {
+      if (Option(m.group(3)).isDefined) {
+        // hard-coded index: match exactly the fixed value
+        sb.append("(").append(Regex.quote(m.group(3))).append(")")
+      } else if (field == "input_fingerprint") {
         sb.append("""(-?\d+)""")
       } else {
         val kind = fieldKinds.getOrElse(field,

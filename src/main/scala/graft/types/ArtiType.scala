@@ -111,8 +111,32 @@ object SparkTypeSystem {
     case c: ACollection => structType(c.element)
   }
 
+  /** Marker key for arti types that Spark's physical types can't represent
+    * losslessly (Enum, Set, Time, Geography, unsigned ints): the semantic
+    * identity rides in field metadata so `toArti` round-trips it — the same
+    * trick the reference's arrow adapter uses for Collection metadata
+    * (types/pyarrow.py:260-270). */
+  val SemanticKey = "graft.semantic"
+
+  private def semanticOf(t: ArtiType): Option[String] = t match {
+    case e: AEnum      => Some(s"enum:${e.name}:${e.items.mkString(",")}")
+    case _: ASet       => Some("set")
+    case t: ATime      => Some(s"time:${t.precision.name}")
+    case g: AGeography => Some(s"geography:${g.format}")
+    case _: AUInt8     => Some("uint8")
+    case _: AUInt16    => Some("uint16")
+    case _: AUInt32    => Some("uint32")
+    case _: AUInt64    => Some("uint64")
+    case _             => None
+  }
+
   private def structType(s: AStruct): StructType =
-    StructType(s.fields.map { case (n, ft) => StructField(n, toSpark(ft), nullable = ft.nullable) })
+    StructType(s.fields.map { case (n, ft) =>
+      val meta = semanticOf(ft)
+        .map(v => new MetadataBuilder().putString(SemanticKey, v).build())
+        .getOrElse(Metadata.empty)
+      StructField(n, toSpark(ft), nullable = ft.nullable, metadata = meta)
+    })
 
   /** Schema for a Collection, with partition/cluster metadata attached. */
   def toSchema(c: ACollection): StructType = {
@@ -122,8 +146,9 @@ object SparkTypeSystem {
       .putStringArray("cluster_by", c.clusterBy.toArray)
       .build()
     StructType(c.element.fields.map { case (n, ft) =>
-      StructField(n, toSpark(ft), nullable = ft.nullable,
-        metadata = new MetadataBuilder().putMetadata(CollectionMetaKey, meta).build())
+      val mb = new MetadataBuilder().putMetadata(CollectionMetaKey, meta)
+      semanticOf(ft).foreach(v => mb.putString(SemanticKey, v))
+      StructField(n, toSpark(ft), nullable = ft.nullable, metadata = mb.build())
     })
   }
 
@@ -144,7 +169,28 @@ object SparkTypeSystem {
     case StringType       => AString(nullable)
     case a: ArrayType     => AList(toArti(a.elementType, a.containsNull), nullable)
     case m: MapType       => AMap(toArti(m.keyType), toArti(m.valueType, m.valueContainsNull), nullable)
-    case s: StructType    => AStruct("struct", s.fields.toSeq.map(f => f.name -> toArti(f.dataType, f.nullable)), nullable)
+    case s: StructType    => AStruct("struct", s.fields.toSeq.map(f => f.name -> fieldToArti(f)), nullable)
     case other            => throw new IllegalArgumentException(s"unsupported Spark type: $other")
+  }
+
+  /** Field-level inversion honoring the semantic metadata marker. */
+  def fieldToArti(f: StructField): ArtiType = {
+    val base = toArti(f.dataType, f.nullable)
+    if (!f.metadata.contains(SemanticKey)) base
+    else f.metadata.getString(SemanticKey).split(":", 3) match {
+      case Array("set") | Array("set", _*) => base match {
+        case l: AList => ASet(l.element, l.nullable)
+        case other    => other
+      }
+      case Array("enum", name, items) =>
+        AEnum(name, base, items.split(",").toSeq, f.nullable)
+      case Array("time", precision) => ATime(TimePrecision.of(precision), f.nullable)
+      case Array("geography", fmt)  => AGeography(fmt, nullable = f.nullable)
+      case Array("uint8")  => AUInt8(f.nullable)
+      case Array("uint16") => AUInt16(f.nullable)
+      case Array("uint32") => AUInt32(f.nullable)
+      case Array("uint64") => AUInt64(f.nullable)
+      case _ => base
+    }
   }
 }

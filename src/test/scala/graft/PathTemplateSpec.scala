@@ -66,4 +66,32 @@ class PathTemplateSpec extends AnyFunSuite {
     val t = PathTemplate("/data/{date.iso}.json", Map("date" -> "date"))
     assertThrows[IllegalArgumentException] { t.render(Map.empty) }
   }
+
+  test("semantic metadata round-trips Enum/Set/Time/unsigned through Spark schemas") {
+    import graft.types.{SparkTypeSystem => S}
+    import graft.types.ArtiType._
+    val s = AStruct("m", Seq(
+      "e" -> AEnum("color", AString(), Seq("red", "blue"), nullable = true),
+      "t" -> ASet(AInt64()),
+      "u" -> AUInt32(),
+      "clock" -> ATime(TimePrecision.Nanosecond)))
+    val spark = S.toSpark(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+    val back = spark.fields.toSeq.map(S.fieldToArti)
+    assert(back(0) === AEnum("color", AString(nullable = true), Seq("red", "blue"), nullable = true))
+    assert(back(1) === ASet(AInt64()))
+    assert(back(2) === AUInt32())
+    assert(back(3) === ATime(TimePrecision.Nanosecond))
+  }
+
+  test("hard-coded index {date.Y[1970]} renders fixed value and checks consistency") {
+    val t = PathTemplate("/data/{date.Y[1970]}/{date.m}/{date.d}", Map("date" -> "date"))
+    assert(t.render(Map("date" -> d)) === "/data/1970/01/02")
+    // a conflicting key fails the consistency check
+    val conflicting = DateField(java.time.LocalDate.of(1999, 1, 2))
+    assertThrows[IllegalArgumentException] { t.render(Map("date" -> conflicting)) }
+    // parse only matches the fixed value
+    val Some((key, _)) = t.parse("/data/1970/03/04")
+    assert(key === Map("date" -> DateField(java.time.LocalDate.of(1970, 3, 4))))
+    assert(t.parse("/data/1999/03/04") === None)
+  }
 }
