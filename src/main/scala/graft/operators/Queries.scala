@@ -827,6 +827,26 @@ object Queries {
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- X16
+  /** Token/document frequency + IDF (SURVEY X4 "token/doc frequency"): the
+    * corpus-statistics primitive behind TF-IDF filtering. df/tf are exact
+    * ints; idf = ln(N/df) computed from identical ints → identical doubles,
+    * rounded at 6dp. */
+  private def x16(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .withColumn("idf", round(log(lit(n.toDouble) / col("df")), 6))
+  }
+
+  private val x16Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf,
+      |  round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
+      |FROM t GROUP BY token""".stripMargin
+
   // ---------------------------------------------------------------- X12
   /** Multimodal column plumbing: opaque binary payload + typed metadata.
     * The "decode" is a deterministic fake (this container has no codec
@@ -886,6 +906,7 @@ object Queries {
     Q("x9_langid", x9, Some(x9Sql), "language-ID heuristic"),
     Q("x10_token_count", x10, Some(x10Sql), "token counting"),
     Q("x11_doc_fingerprint", x11, Some(x11Sql), "position-weighted fingerprint"),
+    Q("x16_token_df", x16, Some(x16Sql), "token/document frequency + IDF"),
     Q("x12_multimodal_meta", x12, Some(x12Sql), "binary payload + typed metadata"),
     Q("x13_multimodal_decode", (s, d) => Multimodal.features(s, d), None,
       "batched typed decode pipeline (stubbed codec, real plumbing)")) ++

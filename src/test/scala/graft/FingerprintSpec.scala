@@ -60,4 +60,18 @@ class FingerprintSpec extends AnyFunSuite {
     assert(Canonical.fingerprint(M(1, "a")) === Canonical.fingerprint(M(1, "a")))
     assert(Canonical.fingerprint(M(1, "a")) !== Canonical.fingerprint(M(2, "a")))
   }
+
+  test("model fingerprints are pinned across engine versions (memoization stability)") {
+    // if these change, every previously-built partition would rebuild on the
+    // next engine release — change them only with a deliberate migration
+    import graft.graph.Artifact
+    import graft.io.Format
+    import graft.storage.{FileStorage, PathTemplate}
+    import graft.types.ArtiType._
+    val a = Artifact(
+      ACollection("pin", AStruct("r", Seq("id" -> AInt64(), "d" -> ADate())), partitionBy = Seq("d")),
+      Format.Parquet, FileStorage(PathTemplate("/data/{d.iso}", Map("d" -> "date"))))
+    assert(a.fingerprint.key === 551214474025170896L)
+    assert(Canonical.fingerprint(("v", 1, Seq(1L, 2L))).key === 4958105272591892815L)
+  }
 }
