@@ -157,6 +157,48 @@ object Queries {
       |  GROUP BY p_brand, p_partkey) t
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- Q5b
+  /** The same theta-join semantics as q5, WITHOUT the nested loop: a
+    * bucketed order-statistics rewrite. matches(t) = |{max_price > t}| =
+    * N - |{max_price <= t}|, where the <=-count splits into "full buckets
+    * strictly below t's bucket" (a metadata-scale prefix table, ~100 rows)
+    * plus an equi-join count within t's own bucket. Every stage is an
+    * equi-join or a bounded aggregation — linear shuffles, fully parallel,
+    * no O(|part|x|pmax|) comparison anywhere. Same oracle as q5: the two
+    * physical strategies must agree bit-for-bit. */
+  private def q5b(spark: SparkSession, dir: String): DataFrame = {
+    val bucketW = 1000.0
+    val pmax = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(max(col("l_extendedprice")).as("v"))
+      .withColumn("b", floor(col("v") / bucketW).cast(LongType))
+    val thr = Tables.part(spark, dir).filter(col("p_size") >= 46)
+      .select(col("p_brand"), col("p_partkey"), (col("p_retailprice") * 1.5).as("t"))
+      .withColumn("b", floor(col("t") / bucketW).cast(LongType))
+
+    // bucket histogram → prefix counts (metadata-scale: ~price_range/W rows)
+    val hist = pmax.groupBy(col("b")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = hist.values.sum
+    val thrBuckets = thr.select(col("b")).distinct().collect().map(_.getLong(0))
+    val prefixRows = (hist.keySet ++ thrBuckets).toSeq.sorted.map { b =>
+      (b, hist.view.filterKeys(_ < b).values.sum) // count of vals strictly below bucket b
+    }
+    import spark.implicits._
+    val prefix = prefixRows.toDF("b", "below")
+
+    // within-bucket residual: equi-join on bucket, count vals with v <= t
+    val sameBucket = thr.join(pmax.select(col("b"), col("v")), Seq("b"), "left")
+      .groupBy(col("p_brand"), col("p_partkey"), col("t"), col("b"))
+      .agg(sum(when(col("v") <= col("t"), 1L).otherwise(0L)).as("le_in_bucket"))
+
+    sameBucket.join(broadcast(prefix), Seq("b"))
+      .withColumn("n_matches", lit(n) - (col("below") + col("le_in_bucket")))
+      .filter(col("n_matches") > 0)
+      .groupBy(col("p_brand"))
+      .agg(sum(col("n_matches")).as("n_pairs"), count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
   // ---------------------------------------------------------------- Q6
   /** As-of join: for each purchase event, the latest click of the same user
     * at-or-before its timestamp. Implemented shuffle-once with a RANGE window
@@ -882,6 +924,7 @@ object Queries {
     Q("q3_star_revenue", q3, Some(q3Sql), "multi-join w/ broadcast dims"),
     Q("q4_supplier_semi_anti", q4, Some(q4Sql), "left-semi + left-anti"),
     Q("q5_theta_margin", q5, Some(q5Sql), "non-equi theta join (BNLJ)"),
+    Q("q5b_theta_rank", q5b, Some(q5Sql), "same theta semantics via bucketed order statistics (no nested loop)"),
     Q("q6_asof_event_order", q6, Some(q6Sql), "as-of join via range window"),
     Q("q7_top_customers", q7, Some(q7Sql), "per-group top-k"),
     Q("q8_revenue_windows", q8, Some(q8Sql), "rank/lag/lead/frames"),
