@@ -75,6 +75,17 @@ final case class Producer(
 }
 
 object Producer {
+  import org.apache.spark.sql.{Dataset, Encoder}
+
+  /** Typed single-input producer (reference F6: build signatures carry typed
+    * views inferred from annotations, producers/__init__.py:170-221 — here
+    * the types are `Dataset[I] => Dataset[O]` with compile-time encoders;
+    * schema conformance is enforced by `.as[I]` at read time). */
+  def typed[I: Encoder, O: Encoder](
+      name: String,
+      version: Version = Version.SemVer(0, 0, 1))(f: Dataset[I] => Dataset[O]): Producer =
+    Producer(name, version, build = (_, ins) => Seq(f(ins.head.as[I]).toDF()))
+
   /** For each output partition key: per input, the partitions it reads. */
   type PartitionDeps = Seq[(PartitionKey, Seq[Seq[StoragePartition]])]
 

@@ -333,4 +333,37 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = backend.readArtifactPartitions("writes/notes")
     assert(all.size === 2)
   }
+
+  test("typed producers: Dataset[I] => Dataset[O] with schema enforcement (F6)") {
+    val base = dir.resolve("typed2")
+    writeSpendFixture(base.resolve("tx"))
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    val out = Artifact(
+      ACollection("big", AStruct("b", Seq("id" -> AInt64(), "amount" -> AFloat64()))),
+      Format.Json, FileStorage(PathTemplate(s"$base/big/{input_fingerprint}", Map.empty)))
+
+    import GraphSpec.{Big, Tx}
+    val s = spark
+    import s.implicits._
+    val bigOnly = graft.graph.Producer.typed[Tx, Big]("big_only") { txs =>
+      txs.filter(_.amount >= 4.0).map(t => Big(t.id, t.amount)).coalesce(1)
+    }
+    val g = new Graph("typed").add("tx", transactions).add("big", out)
+      .produce(bigOnly, Seq("tx"), Seq("big")).close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    val ids = snap.readAs[Big](spark, backend, "big").collect().map(_.id).sorted
+    assert(ids.toSeq === Seq(1L, 3L, 4L))
+  }
+}
+
+object GraphSpec {
+  // top-level case classes: product encoders need stable TypeTags
+  case class Tx(id: Long, date: String, amount: Double)
+  case class Big(id: Long, amount: Double)
 }
