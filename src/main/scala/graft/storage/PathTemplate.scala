@@ -107,9 +107,11 @@ final case class PathTemplate(template: String, fieldKinds: Map[String, String])
       val key = Map.newBuilder[String, PartitionField]
       for ((field, triples) <- valuesByField) {
         if (field == "input_fingerprint") fp = Some(Fingerprint(triples.head._3.toLong))
-        else {
-          val comps = triples.map(t => t._2 -> t._3).toMap
-          key += field -> PartitionField.fromComponents(fieldKinds(field), comps)
+        else fieldKinds.get(field) match {
+          case Some(kind) =>
+            val comps = triples.map(t => t._2 -> t._3).toMap
+            key += field -> PartitionField.fromComponents(kind, comps)
+          case None => // hard-coded decoration (e.g. {region.name[emea]}): not a key field
         }
       }
       (key.result(), fp)

@@ -118,8 +118,13 @@ object SparkTypeSystem {
     * (types/pyarrow.py:260-270). */
   val SemanticKey = "graft.semantic"
 
+  private def escItem(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
   private def semanticOf(t: ArtiType): Option[String] = t match {
-    case e: AEnum      => Some(s"enum:${e.name}:${e.items.mkString(",")}")
+    // items URL-encode so commas in values can't corrupt the list; numeric
+    // enum items round-trip as their string forms (documented limitation)
+    case e: AEnum      => Some(s"enum:${e.name}:${e.items.map(i => escItem(String.valueOf(i))).mkString(",")}")
     case _: ASet       => Some("set")
     case t: ATime      => Some(s"time:${t.precision.name}")
     case g: AGeography => Some(s"geography:${g.format}")
@@ -183,7 +188,9 @@ object SparkTypeSystem {
         case other    => other
       }
       case Array("enum", name, items) =>
-        AEnum(name, base, items.split(",").toSeq, f.nullable)
+        AEnum(name, base,
+          items.split(",").toSeq.filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")),
+          f.nullable)
       case Array("time", precision) => ATime(TimePrecision.of(precision), f.nullable)
       case Array("geography", fmt)  => AGeography(fmt, nullable = f.nullable)
       case Array("uint8")  => AUInt8(f.nullable)

@@ -115,6 +115,6 @@ class ErrorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ex = intercept[Exception] {
       df.selectExpr("graft_minhash(h, k)").collect()
     }
-    assert(ex.getMessage.contains("integer literal"))
+    assert(ex.getMessage.contains("constant integer"))
   }
 }
