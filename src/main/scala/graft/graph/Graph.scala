@@ -118,10 +118,20 @@ final class Graph(val name: String) {
   def artifacts: Map[String, Artifact] = _artifacts.toMap
   def bindings: Seq[ProducerBinding] = _bindings.toSeq
 
+  /** Assigning an artifact late-binds `{graph_name}`/`{names}` in its
+    * storage template (reference: graphs/__init__.py:60-64 — the template's
+    * graph-level placeholders resolve at assignment; partition-key fields
+    * stay templated until partitions render). */
   def add(key: String, artifact: Artifact): this.type = {
     require(!sealed_, s"graph '$name' is sealed")
     require(!_artifacts.contains(key), s"artifact '$key' already defined")
-    _artifacts(key) = artifact
+    val bound = artifact.storage match {
+      case fs: FileStorage =>
+        artifact.copy(storage = fs.copy(template =
+          fs.template.bind(Map("graph_name" -> name, "names" -> key.replace('.', '/')))))
+      case _ => artifact
+    }
+    _artifacts(key) = bound
     this
   }
 

@@ -61,6 +61,17 @@ final case class PathTemplate(template: String, fieldKinds: Map[String, String])
         })
     })
 
+  /** Partial binding (the reference's late-binding storage templates,
+    * storage/__init__.py:124-157: `{graph_name}`/`{names}` resolve when the
+    * artifact is assigned into a graph, key fields stay templated): replace
+    * only the given placeholders, keep the rest for render/parse time. */
+  def bind(extras: Map[String, String]): PathTemplate =
+    copy(template = Placeholder.replaceAllIn(template, m =>
+      extras.get(m.group(1)) match {
+        case Some(v) => Regex.quoteReplacement(v)
+        case None    => Regex.quoteReplacement(m.matched)
+      }))
+
   /** Wildcard form for filesystem globbing (every placeholder → `*`). */
   def wildcard: String = Placeholder.replaceAllIn(template, "*")
 

@@ -360,6 +360,17 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ids = snap.readAs[Big](spark, backend, "big").collect().map(_.id).sorted
     assert(ids.toSeq === Seq(1L, 3L, 4L))
   }
+
+  test("graph assignment late-binds {graph_name}/{names} in storage templates (F26)") {
+    val base = dir.resolve("latebind")
+    val a = Artifact(
+      ACollection("c", AStruct("r", Seq("id" -> AInt64(), "date" -> ADate())), partitionBy = Seq("date")),
+      Format.Json,
+      FileStorage(PathTemplate(s"$base/{graph_name}/{names}/{date.iso}.json", Map("date" -> "date"))))
+    val g = new Graph("wh").add("ns.tx", a)
+    val bound = g.artifacts("ns.tx").storage.asInstanceOf[FileStorage].template.template
+    assert(bound === s"$base/wh/ns/tx/{date.iso}.json")
+  }
 }
 
 object GraphSpec {

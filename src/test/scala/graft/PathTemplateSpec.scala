@@ -94,4 +94,13 @@ class PathTemplateSpec extends AnyFunSuite {
     assert(key === Map("date" -> DateField(java.time.LocalDate.of(1970, 3, 4))))
     assert(t.parse("/data/1999/03/04") === None)
   }
+
+  test("partial bind resolves graph-level placeholders, keeps key fields templated") {
+    val t = PathTemplate("/wh/{graph_name}/{names}/{date.iso}.json", Map("date" -> "date"))
+    val bound = t.bind(Map("graph_name" -> "spend", "names" -> "tx/daily"))
+    assert(bound.template === "/wh/spend/tx/daily/{date.iso}.json")
+    assert(bound.render(Map("date" -> d)) === "/wh/spend/tx/daily/1970-01-02.json")
+    val Some((key, _)) = bound.parse("/wh/spend/tx/daily/1970-01-02.json")
+    assert(key === Map("date" -> d))
+  }
 }
