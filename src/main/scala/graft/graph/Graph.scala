@@ -189,6 +189,13 @@ final class Graph(val name: String) {
     IO.read(spark, a.format, a.storage, parts)
   }
 
+  /** Convenience mirroring the reference's `Graph.build()`
+    * (graphs/__init__.py:147-162): snapshot, then execute incrementally. */
+  def build(spark: SparkSession, backend: Backend, parallelism: Int = 4): (GraphSnapshot, graft.exec.BuildReport) = {
+    val snap = snapshot(spark, backend)
+    (snap, new graft.exec.LocalExecutor(backend, parallelism).build(spark, snap))
+  }
+
   /** Snapshot: content-address the graph + all raw inputs
     * (reference F14, graphs/__init__.py:294-360). */
   def snapshot(spark: SparkSession, backend: Backend): GraphSnapshot = {

@@ -95,8 +95,7 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (g, backend) = spendGraph(base)
     val exec = new LocalExecutor(backend)
 
-    val snap1 = g.snapshot(spark, backend)
-    val r1 = exec.build(spark, snap1)
+    val (snap1, r1) = g.build(spark, backend) // reference-style one-call build
     assert(r1.built === Map("daily_agg" -> 2, "total_sum" -> 1))
     assert(r1.totalSkipped === 0)
     assert(readTotal(g, backend, snap1.id) === 42.0)

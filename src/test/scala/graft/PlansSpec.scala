@@ -108,4 +108,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       .explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q5b: the order-statistics rewrite contains no nested-loop join") {
+    val p = plan("q5b_theta_rank")
+    assert(!p.contains("NestedLoop"), s"q5b must not nest-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x3: minhash kernel expression drives the signature (no interpreted lambda over shingles)") {
+    val p = plan("x3_minhash_lsh")
+    assert(p.toLowerCase.contains("minhashsig") || p.contains("graft_minhash"), p)
+  }
 }
