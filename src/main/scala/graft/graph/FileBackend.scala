@@ -135,20 +135,24 @@ final class FileBackend(dir: String) extends Backend {
     if (Files.exists(p)) Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq else Nil
   }
 
-  // replay the event logs into the in-memory projection
+  // replay the event logs into the in-memory projection; a torn trailing
+  // line (crash mid-append) is skipped rather than poisoning the replay
+  private def readLinesSafe(file: String): Seq[(String, Map[String, String])] =
+    readLines(file).flatMap(l => scala.util.Try(l -> parseLine(l)).toOption)
+
   locally {
-    for (l <- readLines("graphs.jsonl"); m = parseLine(l))
+    for ((_, m) <- readLinesSafe("graphs.jsonl"))
       mem.writeGraph(m("name"), Fingerprint(m("fp").toLong))
-    for (l <- readLines("snapshots.jsonl"); m = parseLine(l))
+    for ((_, m) <- readLinesSafe("snapshots.jsonl"))
       mem.writeSnapshot(m("graph"), Fingerprint(m("id").toLong))
-    for (l <- readLines("tags.jsonl"); m = parseLine(l))
+    for ((_, m) <- readLinesSafe("tags.jsonl"))
       mem.tag(m("graph"), Fingerprint(m("id").toLong), m("tag"), overwrite = true)
-    for (l <- readLines("artifact_parts.jsonl"); m = parseLine(l))
+    for ((_, m) <- readLinesSafe("artifact_parts.jsonl"))
       mem.writeArtifactPartitions(m("artifact"), Seq(decodePartition(parseLine(m("part")))))
-    for (l <- readLines("snapshot_parts.jsonl"); m = parseLine(l))
+    for ((_, m) <- readLinesSafe("snapshot_parts.jsonl"))
       mem.linkSnapshotPartitions(Fingerprint(m("snapshot").toLong), m("artifact"),
         Seq(decodePartition(parseLine(m("part")))))
-    for (l <- readLines("stats.jsonl"); m = parseLine(l))
+    for ((_, m) <- readLinesSafe("stats.jsonl"))
       mem.writeStatistics(m("artifact"), m("path"), parseLine(m("stats")))
   }
 

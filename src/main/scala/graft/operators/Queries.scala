@@ -497,6 +497,37 @@ object Queries {
       .orderBy(col("l_returnflag"))
   }
 
+  // ---------------------------------------------------------------- Q22
+  /** Pivot (wide aggregation): order counts and exact decimal totals per
+    * status × priority, with an explicit pivot-value list so the output
+    * schema is static (the scalable form — pivoting on discovered values
+    * needs a driver-side distinct first). Oracle via conditional
+    * aggregation, which is what Catalyst lowers pivot to. */
+  private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val renamed = priorities.zipWithIndex.flatMap { case (p, i) =>
+      // counts: pivot leaves absent combinations null, SQL's count FILTER
+      // yields 0 — coalesce so the two agree
+      Seq(coalesce(col("`" + p + "_n`"), lit(0L)).as(s"p${i + 1}_n"),
+        col("`" + p + "_total`").as(s"p${i + 1}_total"))
+    }
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+      .select(col("o_orderstatus") +: renamed: _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q22Sql = {
+    val cols = priorities.zipWithIndex.map { case (p, i) =>
+      s"  count(*) FILTER (o_orderpriority = '$p') AS p${i + 1}_n," +
+        s" sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '$p') AS p${i + 1}_total"
+    }.mkString(",\n")
+    s"SELECT o_orderstatus,\n$cols\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+  }
+
   // ================================================================ X-series
   private def toks(c: Column): Column = split(c, " ")
 
@@ -936,6 +967,7 @@ object Queries {
     Q("q17_artifact_statistics", q17, Some(q17Sql), "per-artifact column stats"),
     Q("q18_stats_moments", q18, Some(q18Sql), "mean/var/stddev/corr from exact moments"),
     Q("q19_percentiles", q19, Some(q19Sql), "exact interpolated percentiles"),
+    Q("q22_pivot", q22, Some(q22Sql), "pivot with static value list"),
     Q("q20_fingerprint_column", q20, None, "xxhash64 + XOR combine"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
