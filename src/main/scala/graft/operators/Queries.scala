@@ -528,6 +528,35 @@ object Queries {
     s"SELECT o_orderstatus,\n$cols\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
   }
 
+  // ---------------------------------------------------------------- Q23
+  /** Unpivot/melt: the inverse reshaping of q22 — per-status metric columns
+    * back into (status, metric, value) long form via Spark's native unpivot
+    * (a Generate, no shuffle); oracle via UNION ALL. */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    wide.unpivot(
+      ids = Array(col("o_orderstatus")),
+      values = Array(col("n_orders"), col("min_price"), col("max_price")),
+      variableColumnName = "metric",
+      valueColumnName = "value")
+  }
+
+  private val q23Sql =
+    """WITH wide AS (
+      |  SELECT o_orderstatus,
+      |    CAST(count(*) AS DOUBLE) AS n_orders,
+      |    min(o_totalprice) AS min_price,
+      |    max(o_totalprice) AS max_price
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+      |UNION ALL SELECT o_orderstatus, 'min_price', min_price FROM wide
+      |UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM wide""".stripMargin
+
   // ================================================================ X-series
   private def toks(c: Column): Column = split(c, " ")
 
@@ -968,6 +997,7 @@ object Queries {
     Q("q18_stats_moments", q18, Some(q18Sql), "mean/var/stddev/corr from exact moments"),
     Q("q19_percentiles", q19, Some(q19Sql), "exact interpolated percentiles"),
     Q("q22_pivot", q22, Some(q22Sql), "pivot with static value list"),
+    Q("q23_unpivot", q23, Some(q23Sql), "unpivot/melt back to long form"),
     Q("q20_fingerprint_column", q20, None, "xxhash64 + XOR combine"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
