@@ -135,25 +135,28 @@ final class FileBackend(dir: String) extends Backend {
     if (Files.exists(p)) Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq else Nil
   }
 
-  // replay the event logs into the in-memory projection; a torn trailing
-  // line (crash mid-append) is skipped rather than poisoning the replay
-  private def readLinesSafe(file: String): Seq[(String, Map[String, String])] =
-    readLines(file).flatMap(l => scala.util.Try(l -> parseLine(l)).toOption)
+  // replay the event logs into the in-memory projection. Torn trailing
+  // lines (crash mid-append) must not poison the replay OR be silently
+  // misread: only complete records (ending in '}') are considered, and the
+  // whole per-record apply is guarded — a torn prefix that still "parses"
+  // would otherwise replay a wrong fingerprint and silently break
+  // memoization.
+  private def replay(file: String)(apply: Map[String, String] => Unit): Unit =
+    for (l <- readLines(file) if l.endsWith("}"))
+      scala.util.Try(apply(parseLine(l))).failed.foreach { e =>
+        throw new IllegalStateException(s"corrupt backend log $file: ${e.getMessage} in: $l", e)
+      }
 
   locally {
-    for ((_, m) <- readLinesSafe("graphs.jsonl"))
-      mem.writeGraph(m("name"), Fingerprint(m("fp").toLong))
-    for ((_, m) <- readLinesSafe("snapshots.jsonl"))
-      mem.writeSnapshot(m("graph"), Fingerprint(m("id").toLong))
-    for ((_, m) <- readLinesSafe("tags.jsonl"))
-      mem.tag(m("graph"), Fingerprint(m("id").toLong), m("tag"), overwrite = true)
-    for ((_, m) <- readLinesSafe("artifact_parts.jsonl"))
-      mem.writeArtifactPartitions(m("artifact"), Seq(decodePartition(parseLine(m("part")))))
-    for ((_, m) <- readLinesSafe("snapshot_parts.jsonl"))
+    replay("graphs.jsonl")(m => mem.writeGraph(m("name"), Fingerprint(m("fp").toLong)))
+    replay("snapshots.jsonl")(m => mem.writeSnapshot(m("graph"), Fingerprint(m("id").toLong)))
+    replay("tags.jsonl")(m => mem.tag(m("graph"), Fingerprint(m("id").toLong), m("tag"), overwrite = true))
+    replay("artifact_parts.jsonl")(m =>
+      mem.writeArtifactPartitions(m("artifact"), Seq(decodePartition(parseLine(m("part"))))))
+    replay("snapshot_parts.jsonl")(m =>
       mem.linkSnapshotPartitions(Fingerprint(m("snapshot").toLong), m("artifact"),
-        Seq(decodePartition(parseLine(m("part")))))
-    for ((_, m) <- readLinesSafe("stats.jsonl"))
-      mem.writeStatistics(m("artifact"), m("path"), parseLine(m("stats")))
+        Seq(decodePartition(parseLine(m("part"))))))
+    replay("stats.jsonl")(m => mem.writeStatistics(m("artifact"), m("path"), parseLine(m("stats"))))
   }
 
   // ---- Backend contract: write-through to log + memory projection ----

@@ -99,4 +99,20 @@ class FileBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.totalBuilt === 0, "memoization must survive restart")
     assert(r2.totalSkipped === 1)
   }
+
+  test("torn trailing line is ignored; corrupt complete record fails loudly") {
+    val dir = Files.createTempDirectory("graft-fb4")
+    val b1 = new FileBackend(dir.toString)
+    b1.writeGraph("g", Fingerprint(7L))
+    // crash mid-append: a torn (incomplete) line must be skipped on replay
+    java.nio.file.Files.writeString(dir.resolve("graphs.jsonl"),
+      """{"name":"g2","fp":123""", java.nio.file.StandardOpenOption.APPEND)
+    val b2 = new FileBackend(dir.toString)
+    // the complete record replayed; the torn one ignored (no wrong fingerprint)
+    assert(b2.readArtifactPartitions("none").isEmpty) // construction survived
+    // a COMPLETE but corrupt record is a real integrity problem -> loud
+    java.nio.file.Files.writeString(dir.resolve("graphs.jsonl"),
+      "\n" + """{"nome":"broken"}""" + "\n", java.nio.file.StandardOpenOption.APPEND)
+    assertThrows[IllegalStateException] { new FileBackend(dir.toString) }
+  }
 }
