@@ -145,7 +145,7 @@ object FrameworkQueries {
   }
 
   private val q15Sql =
-    """SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total, count(*) AS n
+    """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total, count(*) AS n
       |FROM orders WHERE o_totalprice >= 0.0 GROUP BY o_orderstatus""".stripMargin
 
   /** q16_snapshot_replay: F14/F17 — tag a snapshot, change the raw data,
@@ -194,9 +194,9 @@ object FrameworkQueries {
   }
 
   private val q16Sql =
-    """SELECT 'v1' AS tag, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total FROM orders
+    """SELECT 'v1' AS tag, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total FROM orders
       |UNION ALL
-      |SELECT 'v2' AS tag, sum(CAST(o_totalprice AS DECIMAL(18,2))) + CAST(42.42 AS DECIMAL(18,2)) AS total FROM orders""".stripMargin
+      |SELECT 'v2' AS tag, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) + CAST(42.42 AS DECIMAL(18,2)) AS DECIMAL(28,2)) AS total FROM orders""".stripMargin
 
   /** x15_clean_corpus: the LLM-training-data pipeline as a PRODUCER GRAPH —
     * documents → exact dedup (keep min id per text) → near-dedup (drop the
@@ -304,7 +304,7 @@ object FrameworkQueries {
       |        / len(string_split(text, ' ')) AS stop_ratio
       |    FROM d2) q
       |  WHERE stop_ratio <= 0.5 AND n_tokens >= 10)
-      |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM clean GROUP BY lang""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -55,10 +55,10 @@ object Queries {
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(34,6)) AS sum_charge,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
       |  count(*) AS count_order
@@ -97,7 +97,7 @@ object Queries {
 
   private val q3Sql =
     """SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue,
       |  count(*) AS n_orders,
       |  count(DISTINCT c_custkey) AS n_customers
       |FROM orders
@@ -150,7 +150,7 @@ object Queries {
 
   private val q5Sql =
     """WITH pmax AS (SELECT l_partkey, max(l_extendedprice) AS max_price FROM lineitem GROUP BY l_partkey)
-      |SELECT p_brand, sum(n_matches) AS n_pairs, count(*) AS n_parts FROM (
+      |SELECT p_brand, CAST(sum(n_matches) AS BIGINT) AS n_pairs, count(*) AS n_parts FROM (
       |  SELECT p_brand, p_partkey, count(*) AS n_matches
       |  FROM part, pmax
       |  WHERE p_size >= 46 AND max_price > p_retailprice * 1.5
@@ -236,7 +236,7 @@ object Queries {
   private val q7Sql =
     """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
-      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
       |  FROM orders) t
       |WHERE rn <= 3""".stripMargin
 
@@ -258,12 +258,12 @@ object Queries {
 
   private val q8Sql =
     """SELECT o_custkey, o_orderkey,
-      |  rank() OVER wp AS price_rank,
-      |  dense_rank() OVER wp AS price_dense_rank,
+      |  CAST(rank() OVER wp AS INT) AS price_rank,
+      |  CAST(dense_rank() OVER wp AS INT) AS price_dense_rank,
       |  lag(o_totalprice, 1) OVER wd AS prev_price,
       |  lead(o_totalprice, 1) OVER wd AS next_price,
       |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS run_total
       |FROM orders
       |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
       |       wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
@@ -280,7 +280,7 @@ object Queries {
 
   private val q9Sql =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
       |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
@@ -403,8 +403,8 @@ object Queries {
       |  CAST(max(l_shipdate) AS TIMESTAMP) AS max_shipdate,
       |  min(l_quantity) AS min_qty,
       |  max(l_quantity) AS max_qty,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
       |  count(DISTINCT l_orderkey) AS n_orders,
       |  count(DISTINCT l_partkey) AS n_parts,
       |  min(l_extendedprice) AS min_price,
@@ -523,7 +523,7 @@ object Queries {
   private val q22Sql = {
     val cols = priorities.zipWithIndex.map { case (p, i) =>
       s"  count(*) FILTER (o_orderpriority = '$p') AS p${i + 1}_n," +
-        s" sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '$p') AS p${i + 1}_total"
+        s" CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '$p') AS DECIMAL(28,2)) AS p${i + 1}_total"
     }.mkString(",\n")
     s"SELECT o_orderstatus,\n$cols\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
   }
@@ -735,8 +735,8 @@ object Queries {
       |SELECT query_id, vec_id, rnk, cos_sim FROM (
       |  SELECT query_id, vec_id,
       |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cos_sim,
-      |    row_number() OVER (PARTITION BY query_id
-      |      ORDER BY round(list_dot_product(qv, v) / (qn * nrm), 6) DESC, vec_id) AS rnk
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(list_dot_product(qv, v) / (qn * nrm), 6) DESC, vec_id) AS INT) AS rnk
       |  FROM q, c) t
       |WHERE rnk <= 10""".stripMargin
 

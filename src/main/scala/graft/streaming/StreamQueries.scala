@@ -91,7 +91,7 @@ object StreamQueries {
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
       |       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
       |       event_type, count(*) AS n,
-      |       sum(CAST(value AS DECIMAL(18,2))) AS total
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
       |FROM events
       |GROUP BY 1, 2, 3""".stripMargin
 
@@ -206,7 +206,7 @@ object StreamQueries {
 
   private val qs5Sql =
     """SELECT c_mktsegment, event_type, count(*) AS n,
-      |  sum(CAST(value AS DECIMAL(18,2))) AS total
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment, event_type""".stripMargin
 
