@@ -241,6 +241,19 @@ final case class GraphSnapshot(graph: Graph, id: Fingerprint, rawPartitions: Map
     IO.read(spark, artifact.format, artifact.storage, parts)
   }
 
+  /** Partition-pruned read: only partitions whose typed key passes the
+    * predicate are scanned — the file-list is filtered BEFORE Spark ever
+    * sees it, so at 100 TB this touches exactly the matching partitions
+    * (reference F15's partition selection, graphs/__init__.py:229-241). */
+  def readWhere(spark: SparkSession, backend: Backend, key: String)(pred: PartitionKey => Boolean): DataFrame = {
+    val artifact = graph.artifacts(key)
+    val parts =
+      (if (graph.isRaw(key)) rawPartitions(key)
+       else backend.readSnapshotPartitions(id, s"${graph.name}/$key"))
+        .filter(p => pred(p.key))
+    IO.read(spark, artifact.format, artifact.storage, parts)
+  }
+
   /** Typed view of an artifact (reference F33 — View resolution: a
     * `Dataset[T]` is the engine's analog of the reference's typed python
     * views, views/python.py:215-250). */

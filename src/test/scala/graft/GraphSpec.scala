@@ -370,6 +370,22 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bound = g.artifacts("ns.tx").storage.asInstanceOf[FileStorage].template.template
     assert(bound === s"$base/wh/ns/tx/{date.iso}.json")
   }
+
+  test("readWhere prunes partitions before the scan (F15 partition selection)") {
+    val base = dir.resolve("prune1")
+    writeSpendFixture(base.resolve("tx"))
+    val (g, backend) = spendGraph(base)
+    val snap = g.snapshot(spark, backend)
+    import graft.partitions.PartitionField.DateField
+    val jan1 = DateField(java.time.LocalDate.of(1970, 1, 1))
+    val df = snap.readWhere(spark, backend, "transactions") {
+      key => key.get("date").contains(jan1)
+    }
+    // only the 1970-01-01 file is in the scan: 3 rows, sum 35
+    assert(df.count() === 3)
+    assert(df.agg(sum(col("amount"))).collect()(0).getDouble(0) === 35.0)
+    assert(df.inputFiles.length === 1 && df.inputFiles(0).contains("1970-01-01"))
+  }
 }
 
 object GraphSpec {
