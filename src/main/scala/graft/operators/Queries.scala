@@ -528,6 +528,29 @@ object Queries {
     s"SELECT o_orderstatus,\n$cols\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
   }
 
+  // ---------------------------------------------------------------- Q24
+  /** Outer-join family: per-nation customer/supplier aggregates FULL OUTER
+    * joined on the nation key — either side can be absent, so both null
+    * directions and the key coalesce are exercised. */
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("cust_n"))
+    val suppN = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("supp_n"))
+    custN.join(suppN, col("nk") === col("nk2"), "full_outer")
+      .select(
+        coalesce(col("nk"), col("nk2")).as("nationkey"),
+        col("cust_n"), col("supp_n"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q24Sql =
+    """WITH c AS (SELECT c_nationkey AS nk, count(*) AS cust_n FROM customer GROUP BY 1),
+      |     s AS (SELECT s_nationkey AS nk, count(*) AS supp_n FROM supplier GROUP BY 1)
+      |SELECT coalesce(c.nk, s.nk) AS nationkey, cust_n, supp_n
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      |ORDER BY nationkey""".stripMargin
+
   // ---------------------------------------------------------------- Q23
   /** Unpivot/melt: the inverse reshaping of q22 — per-status metric columns
     * back into (status, metric, value) long form via Spark's native unpivot
@@ -998,6 +1021,7 @@ object Queries {
     Q("q19_percentiles", q19, Some(q19Sql), "exact interpolated percentiles"),
     Q("q22_pivot", q22, Some(q22Sql), "pivot with static value list"),
     Q("q23_unpivot", q23, Some(q23Sql), "unpivot/melt back to long form"),
+    Q("q24_outer_join", q24, Some(q24Sql), "full outer join with null-bearing sides"),
     Q("q20_fingerprint_column", q20, None, "xxhash64 + XOR combine"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
