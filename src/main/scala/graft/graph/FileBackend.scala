@@ -143,8 +143,13 @@ final class FileBackend(dir: String) extends Backend {
   // memoization.
   private def replay(file: String)(apply: Map[String, String] => Unit): Unit =
     for (l <- readLines(file) if l.endsWith("}"))
-      scala.util.Try(apply(parseLine(l))).failed.foreach { e =>
-        throw new IllegalStateException(s"corrupt backend log $file: ${e.getMessage} in: $l", e)
+      // structural parse failure = torn append (e.g. truncated after a
+      // nested '}') -> skip; a record that PARSES but can't apply (missing
+      // keys, bad numbers) is real corruption -> loud
+      scala.util.Try(parseLine(l)).toOption.foreach { m =>
+        scala.util.Try(apply(m)).failed.foreach { e =>
+          throw new IllegalStateException(s"corrupt backend log $file: ${e.getMessage} in: $l", e)
+        }
       }
 
   locally {

@@ -233,25 +233,31 @@ final case class GraphSnapshot(graph: Graph, id: Fingerprint, rawPartitions: Map
 
   /** Read an artifact through the snapshot: raw → discovered partitions of
     * this snapshot; produced → backend-linked partitions (reference F15). */
-  def read(spark: SparkSession, backend: Backend, key: String): DataFrame = {
-    val artifact = graph.artifacts(key)
-    val parts =
-      if (graph.isRaw(key)) rawPartitions(key)
-      else backend.readSnapshotPartitions(id, s"${graph.name}/$key")
-    IO.read(spark, artifact.format, artifact.storage, parts)
-  }
+  def read(spark: SparkSession, backend: Backend, key: String): DataFrame =
+    readWhere(spark, backend, key)(_ => true)
 
   /** Partition-pruned read: only partitions whose typed key passes the
     * predicate are scanned — the file-list is filtered BEFORE Spark ever
     * sees it, so at 100 TB this touches exactly the matching partitions
-    * (reference F15's partition selection, graphs/__init__.py:229-241). */
+    * (reference F15's partition selection, graphs/__init__.py:229-241).
+    * A predicate matching nothing returns an EMPTY frame with the declared
+    * schema (an empty pruned read is a legitimate outcome, e.g. "today's
+    * partition isn't there yet"), not an error. */
   def readWhere(spark: SparkSession, backend: Backend, key: String)(pred: PartitionKey => Boolean): DataFrame = {
     val artifact = graph.artifacts(key)
-    val parts =
-      (if (graph.isRaw(key)) rawPartitions(key)
-       else backend.readSnapshotPartitions(id, s"${graph.name}/$key"))
-        .filter(p => pred(p.key))
-    IO.read(spark, artifact.format, artifact.storage, parts)
+    val all =
+      if (graph.isRaw(key)) rawPartitions(key)
+      else backend.readSnapshotPartitions(id, s"${graph.name}/$key")
+    val parts = all.filter(p => pred(p.key))
+    if (parts.isEmpty && all.nonEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.types.SparkTypeSystem.toSpark(artifact.atype) match {
+          case st: org.apache.spark.sql.types.StructType => st
+          case dt => org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value", dt)))
+        })
+    else IO.read(spark, artifact.format, artifact.storage, parts)
   }
 
   /** Typed view of an artifact (reference F33 — View resolution: a

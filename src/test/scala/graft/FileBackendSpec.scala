@@ -110,6 +110,12 @@ class FileBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b2 = new FileBackend(dir.toString)
     // the complete record replayed; the torn one ignored (no wrong fingerprint)
     assert(b2.readArtifactPartitions("none").isEmpty) // construction survived
+    // a torn line that happens to END in '}' (truncated after a nested
+    // object) is still structural damage -> skipped, not fatal
+    java.nio.file.Files.writeString(dir.resolve("artifact_parts.jsonl"),
+      """{"artifact":"a","part":{"path":"p","key":{}""", java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    val b3 = new FileBackend(dir.toString)
+    assert(b3.readArtifactPartitions("a").isEmpty)
     // a COMPLETE but corrupt record is a real integrity problem -> loud
     java.nio.file.Files.writeString(dir.resolve("graphs.jsonl"),
       "\n" + """{"nome":"broken"}""" + "\n", java.nio.file.StandardOpenOption.APPEND)

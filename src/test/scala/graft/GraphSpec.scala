@@ -385,6 +385,9 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 3)
     assert(df.agg(sum(col("amount"))).collect()(0).getDouble(0) === 35.0)
     assert(df.inputFiles.length === 1 && df.inputFiles(0).contains("1970-01-01"))
+    // a predicate matching nothing yields an empty frame, not an error
+    val none = snap.readWhere(spark, backend, "transactions")(_ => false)
+    assert(none.count() === 0)
   }
 }
 
