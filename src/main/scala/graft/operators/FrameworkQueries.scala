@@ -42,8 +42,11 @@ object FrameworkQueries {
     val dailyAgg = Producer("daily_spend", build = (_, ins) => Seq(
       ins.head.groupBy(col("o_orderdate").cast(DateType).as("day"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend")).coalesce(1)))
+    // the intermediate `spend` stays DECIMAL (exact, order-independent);
+    // only the final driver-compared value becomes double + round
     val totalAgg = Producer("total_spend", build = (_, ins) => Seq(
-      ins.head.agg(sum(col("spend")).as("total"), count(lit(1)).as("n_days")).coalesce(1)))
+      ins.head.agg(round(sum(col("spend")).cast(DoubleType), 2).as("total"),
+        count(lit(1)).as("n_days")).coalesce(1)))
 
     val g = new Graph("spend")
       .add("orders", raw).add("daily", daily).add("total", total)
@@ -57,7 +60,7 @@ object FrameworkQueries {
   }
 
   private val q13Sql =
-    """SELECT sum(spend) AS total, count(*) AS n_days FROM (
+    """SELECT round(CAST(sum(spend) AS DOUBLE), 2) AS total, count(*) AS n_days FROM (
       |  SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
       |  FROM orders GROUP BY CAST(o_orderdate AS DATE)) d""".stripMargin
 
@@ -130,7 +133,10 @@ object FrameworkQueries {
       build = (_, ins) => Seq(
         ins.head.filter(col("o_totalprice") >= 0.0)
           .groupBy(col("o_orderstatus"))
-          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"),
+          // exact decimal sum internally, one cast to double + round as the
+          // written value — matches the artifact's declared AFloat64 and
+          // keeps DECIMAL out of driver-compared output
+          .agg(round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType), 2).as("total"),
             count(lit(1)).as("n")).coalesce(1)),
       validateOutputs = outs =>
         if (outs.head.filter(col("total") < 0).isEmpty) Right(())
@@ -145,7 +151,7 @@ object FrameworkQueries {
   }
 
   private val q15Sql =
-    """SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total, count(*) AS n
+    """SELECT o_orderstatus, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total, count(*) AS n
       |FROM orders WHERE o_totalprice >= 0.0 GROUP BY o_orderstatus""".stripMargin
 
   /** q16_snapshot_replay: F14/F17 — tag a snapshot, change the raw data,
@@ -166,7 +172,8 @@ object FrameworkQueries {
     val total = Artifact(AFloat64(), Format.Parquet,
       FileStorage(PathTemplate(s"$base/total/{input_fingerprint}", Map.empty)))
     val agg = Producer("total", build = (_, ins) => Seq(
-      ins.head.agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total")).coalesce(1)))
+      ins.head.agg(round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType), 2)
+        .as("total")).coalesce(1)))
     val g = new Graph("replay").add("raw", raw).add("total", total)
       .produce(agg, Seq("raw"), Seq("total")).close()
     val backend = new MemoryBackend
@@ -194,9 +201,9 @@ object FrameworkQueries {
   }
 
   private val q16Sql =
-    """SELECT 'v1' AS tag, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total FROM orders
+    """SELECT 'v1' AS tag, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total FROM orders
       |UNION ALL
-      |SELECT 'v2' AS tag, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) + CAST(42.42 AS DECIMAL(18,2)) AS DECIMAL(28,2)) AS total FROM orders""".stripMargin
+      |SELECT 'v2' AS tag, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) + CAST(42.42 AS DECIMAL(18,2)) AS DOUBLE), 2) AS total FROM orders""".stripMargin
 
   /** x15_clean_corpus: the LLM-training-data pipeline as a PRODUCER GRAPH —
     * documents → exact dedup (keep min id per text) → near-dedup (drop the

@@ -38,16 +38,21 @@ object Queries {
       .filter(col("l_shipdate") <= tsNtz("2000-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        // exact decimal sums internally; final output is ONE cast to double
+        // + round at the decimal's own scale (nothing to round → both
+        // engines emit the identical nearest-double). DECIMAL-typed output
+        // columns are avoided: the driver's canonicalization of decimals
+        // differs across widths, while 6dp-rounded doubles are stable.
+        round(sum(dec(col("l_quantity"))).cast(DoubleType), 2).as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast(DoubleType), 2).as("sum_base_price"),
         // decimal arithmetic over per-column casts: casting a *computed*
         // double hits midpoint rounding (HALF_UP vs half-even) differently
         // across engines; raw 2-decimal columns never sit on a midpoint.
-        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
-          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))).as("sum_disc_price"),
-        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        round(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
           (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))) *
-          (lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2)))).as("sum_charge"),
+          (lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2)))).cast(DoubleType), 6).as("sum_charge"),
         round(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)), 6).as("avg_qty"),
         round(sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)), 6).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -55,10 +60,10 @@ object Queries {
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(34,6)) AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 6) AS sum_charge,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
       |  count(*) AS count_order
@@ -90,14 +95,14 @@ object Queries {
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), year(col("o_orderdate")).cast(IntegerType).as("order_year"))
       .agg(
-        sum(dec(col("o_totalprice"))).as("revenue"),
+        round(sum(dec(col("o_totalprice"))).cast(DoubleType), 2).as("revenue"),
         count(lit(1)).as("n_orders"),
         countDistinct(col("c_custkey")).as("n_customers"))
       .orderBy(col("r_name"), col("order_year"))
 
   private val q3Sql =
     """SELECT r_name, CAST(year(o_orderdate) AS INT) AS order_year,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
       |  count(*) AS n_orders,
       |  count(DISTINCT c_custkey) AS n_customers
       |FROM orders
@@ -253,7 +258,7 @@ object Queries {
       lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
       lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
       round(avg(col("o_totalprice")).over(byDate.rowsBetween(-2, 0)), 6).as("mov_avg3"),
-      sum(dec(col("o_totalprice"))).over(byDate.rowsBetween(Window.unboundedPreceding, 0)).as("run_total"))
+      round(sum(dec(col("o_totalprice"))).over(byDate.rowsBetween(Window.unboundedPreceding, 0)).cast(DoubleType), 2).as("run_total"))
   }
 
   private val q8Sql =
@@ -263,7 +268,7 @@ object Queries {
       |  lag(o_totalprice, 1) OVER wd AS prev_price,
       |  lead(o_totalprice, 1) OVER wd AS next_price,
       |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS run_total
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_total
       |FROM orders
       |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
       |       wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
@@ -275,12 +280,12 @@ object Queries {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).as("total"),
+        round(sum(dec(col("o_totalprice"))).cast(DoubleType), 2).as("total"),
         (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority"))).cast(IntegerType).as("gid"))
 
   private val q9Sql =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
       |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
@@ -390,8 +395,8 @@ object Queries {
       max(col("l_shipdate")).as("max_shipdate"),
       min(col("l_quantity")).as("min_qty"),
       max(col("l_quantity")).as("max_qty"),
-      sum(dec(col("l_quantity"))).as("sum_qty"),
-      sum(dec(col("l_extendedprice"))).as("sum_price"),
+      round(sum(dec(col("l_quantity"))).cast(DoubleType), 2).as("sum_qty"),
+      round(sum(dec(col("l_extendedprice"))).cast(DoubleType), 2).as("sum_price"),
       countDistinct(col("l_orderkey")).as("n_orders"),
       countDistinct(col("l_partkey")).as("n_parts"),
       min(col("l_extendedprice")).as("min_price"),
@@ -403,8 +408,8 @@ object Queries {
       |  CAST(max(l_shipdate) AS TIMESTAMP) AS max_shipdate,
       |  min(l_quantity) AS min_qty,
       |  max(l_quantity) AS max_qty,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
       |  count(DISTINCT l_orderkey) AS n_orders,
       |  count(DISTINCT l_partkey) AS n_parts,
       |  min(l_extendedprice) AS min_price,
@@ -508,9 +513,10 @@ object Queries {
   private def q22(spark: SparkSession, dir: String): DataFrame = {
     val renamed = priorities.zipWithIndex.flatMap { case (p, i) =>
       // counts: pivot leaves absent combinations null, SQL's count FILTER
-      // yields 0 — coalesce so the two agree
+      // yields 0 — coalesce so the two agree; totals leave the exact
+      // decimal sum as a single cast to double + round (null stays null)
       Seq(coalesce(col("`" + p + "_n`"), lit(0L)).as(s"p${i + 1}_n"),
-        col("`" + p + "_total`").as(s"p${i + 1}_total"))
+        round(col("`" + p + "_total`").cast(DoubleType), 2).as(s"p${i + 1}_total"))
     }
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
@@ -523,7 +529,7 @@ object Queries {
   private val q22Sql = {
     val cols = priorities.zipWithIndex.map { case (p, i) =>
       s"  count(*) FILTER (o_orderpriority = '$p') AS p${i + 1}_n," +
-        s" CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '$p') AS DECIMAL(28,2)) AS p${i + 1}_total"
+        s" round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '$p') AS DOUBLE), 2) AS p${i + 1}_total"
     }.mkString(",\n")
     s"SELECT o_orderstatus,\n$cols\nFROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
   }

@@ -84,14 +84,16 @@ object StreamQueries {
       .select(
         col("window.start").cast(TimestampNTZType).as("window_start"),
         col("window.end").cast(TimestampNTZType).as("window_end"),
-        col("event_type"), col("n"), col("total"))
+        col("event_type"), col("n"),
+        // exact decimal state; driver-compared output is double + round
+        round(col("total").cast(DoubleType), 2).as("total"))
   }
 
   private val qs1Sql =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
       |       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
       |       event_type, count(*) AS n,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
       |FROM events
       |GROUP BY 1, 2, 3""".stripMargin
 
@@ -201,12 +203,13 @@ object StreamQueries {
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("total"))
     runToTable(spark, joined, OutputMode.Complete())
-      .select(col("c_mktsegment"), col("event_type"), col("n"), col("total"))
+      .select(col("c_mktsegment"), col("event_type"), col("n"),
+        round(col("total").cast(DoubleType), 2).as("total"))
   }
 
   private val qs5Sql =
     """SELECT c_mktsegment, event_type, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment, event_type""".stripMargin
 
