@@ -78,7 +78,6 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
 
   private def buildBinding(spark: SparkSession, snapshot: GraphSnapshot, binding: ProducerBinding): BuildReport = {
     val g = snapshot.graph
-    val conf = spark.sparkContext.hadoopConfiguration
     val built = mutable.Map.empty[String, Int].withDefaultValue(0)
     val skipped = mutable.Map.empty[String, Int].withDefaultValue(0)
     val failures = mutable.ListBuffer.empty[String]
@@ -131,7 +130,8 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
                 val a = g.artifacts(k)
                 val part = a.storage.generatePartition(outKey, inputFp)
                 IO.write(df, a.format, a.storage, part, overwrite = true)
-                val withFp = part.copy(contentFingerprint = Some(a.storage.contentFingerprint(part, conf)))
+                val withFp = part.copy(contentFingerprint =
+                  Some(a.storage.contentFingerprints(spark, Seq(part)).head))
                 backend.writeArtifactPartitions(s"${g.name}/$k", Seq(withFp))
                 backend.linkSnapshotPartitions(snapshot.id, s"${g.name}/$k", Seq(withFp))
                 if (producer.computeStatistics)

@@ -205,7 +205,10 @@ final class Graph(val name: String) {
       val parts = a.storage.discoverPartitions(conf)
       if (parts.isEmpty)
         throw new IllegalStateException(s"raw artifact '$k' has no data — cannot snapshot (reference graphs/__init__.py:345-347)")
-      val withFps = parts.map(p => p.copy(contentFingerprint = Some(a.storage.contentFingerprint(p, conf))))
+      // batched, cluster-capable hashing: at 100 TB this is Spark jobs
+      // (one task per data file), never a driver byte-stream
+      val fps = a.storage.contentFingerprints(spark, parts)
+      val withFps = parts.zip(fps).map { case (p, fp) => p.copy(contentFingerprint = Some(fp)) }
       k -> withFps
     }.toMap
     val nodeFps = _artifacts.toSeq.map { case (k, a) => Fingerprint.fromString(k).combine(a.fingerprint) } ++
@@ -281,8 +284,7 @@ final case class GraphSnapshot(graph: Graph, id: Fingerprint, rawPartitions: Map
     val a = graph.artifacts(key)
     val part = a.storage.generatePartition(partitionKey, Fingerprint.identity)
     IO.write(df, a.format, a.storage, part)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val withFp = part.copy(contentFingerprint = Some(a.storage.contentFingerprint(part, conf)))
+    val withFp = part.copy(contentFingerprint = Some(a.storage.contentFingerprints(spark, Seq(part)).head))
     backend.writeArtifactPartitions(s"${graph.name}/$key", Seq(withFp))
     backend.linkSnapshotPartitions(id, s"${graph.name}/$key", Seq(withFp))
     withFp
