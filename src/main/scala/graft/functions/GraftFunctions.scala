@@ -70,6 +70,35 @@ object FastOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  /** First 8 bytes of sha256(s) as a big-endian signed long. Unlike
+    * farmhash, BOTH engines can compute sha256 of a string (Spark `sha2`,
+    * DuckDB `sha256`), which is what lets simhash-based queries carry a
+    * full-algorithm DuckDB oracle: bit i of this long == bit (i%4) of hex
+    * digit (15 - i/4) of the digest's hex form. */
+  def sha64(s: UTF8String): Long = {
+    val md = sha256Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** sha64 of every string element (one pass, cross-engine-reproducible). */
+  def shaHash64(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = sha64(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** splitmix64 finalizer — the permutation family for minhash. */
   @inline def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -170,6 +199,17 @@ case class HashStrings(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** sha256-based 64-bit hash of each element of array<string> → array<long>;
+  * the cross-engine (DuckDB-replicable) twin of HashStrings. */
+case class ShaHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.shaHash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.shaHash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** distinct n-shingle hash set of array<string> tokens. */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -239,6 +279,7 @@ object GraftFunctions {
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "farmhash64" -> (es => FarmHash64(es.head)),
     "graft_hash_strings" -> (es => HashStrings(es.head)),
+    "graft_sha64" -> (es => ShaHash64(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, if (es.size > 1) intArg(es(1)) else 3)),
     "graft_minhash" -> (es => MinHashSig(es.head, if (es.size > 1) intArg(es(1)) else 32)),
     "graft_simhash" -> (es => SimHash64(es.head)),

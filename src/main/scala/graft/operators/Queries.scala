@@ -48,11 +48,16 @@ object Queries {
         // decimal arithmetic over per-column casts: casting a *computed*
         // double hits midpoint rounding (HALF_UP vs half-even) differently
         // across engines; raw 2-decimal columns never sit on a midpoint.
+        // SUM columns round at 2dp: their magnitude grows with SF, and a
+        // finer rounding scale eventually sits below the double's ULP
+        // (at sf0.1 sum_charge ≈ 4.35e9, ULP ≈ 4.8e-7 — a 6dp round there
+        // is engine-dependent by one ulp). The 6dp rounds stay on the
+        // small-magnitude avg columns only.
         round(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
-          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType), 4).as("sum_disc_price"),
+          (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType), 2).as("sum_disc_price"),
         round(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
           (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))) *
-          (lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2)))).cast(DoubleType), 6).as("sum_charge"),
+          (lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2)))).cast(DoubleType), 2).as("sum_charge"),
         round(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)), 6).as("avg_qty"),
         round(sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)), 6).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -62,8 +67,8 @@ object Queries {
     """SELECT l_returnflag, l_linestatus,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS sum_disc_price,
-      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 6) AS sum_charge,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2) AS sum_charge,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
       |  count(*) AS count_order
@@ -180,16 +185,24 @@ object Queries {
       .select(col("p_brand"), col("p_partkey"), (col("p_retailprice") * 1.5).as("t"))
       .withColumn("b", floor(col("t") / bucketW).cast(LongType))
 
-    // bucket histogram → prefix counts (metadata-scale: ~price_range/W rows)
-    val hist = pmax.groupBy(col("b")).agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val n = hist.values.sum
-    val thrBuckets = thr.select(col("b")).distinct().collect().map(_.getLong(0))
-    val prefixRows = (hist.keySet ++ thrBuckets).toSeq.sorted.map { b =>
-      (b, hist.view.filterKeys(_ < b).values.sum) // count of vals strictly below bucket b
-    }
-    import spark.implicits._
-    val prefix = prefixRows.toDF("b", "below")
+    // bucket histogram → prefix counts, built as DataFrames end-to-end (no
+    // driver collect — the old version materialized the histogram on the
+    // driver, whose size is price_range/W: data-dependent and unbounded).
+    // Every frame here is METADATA-scale (one row per occupied bucket), so
+    // the single-partition running-sum window and the broadcasts below are
+    // bounded by the bucket count, never by the data.
+    val histB = pmax.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val thrB = thr.select(col("b")).distinct().withColumn("c", lit(0L))
+    val allB = histB.unionByName(thrB).groupBy(col("b")).agg(sum(col("c")).as("c"))
+    val wb = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // n_total rides the same single-partition window sort (sum of ALL bucket
+    // counts = |pmax|), so no 1-row cross join is needed downstream
+    val prefix = allB
+      .withColumn("below", coalesce(sum(col("c")).over(wb), lit(0L)))
+      .withColumn("n_total", sum(col("c")).over(wAll))
+      .select(col("b"), col("below"), col("n_total"))
 
     // within-bucket residual: equi-join on bucket, count vals with v <= t
     val sameBucket = thr.join(pmax.select(col("b"), col("v")), Seq("b"), "left")
@@ -197,7 +210,7 @@ object Queries {
       .agg(sum(when(col("v") <= col("t"), 1L).otherwise(0L)).as("le_in_bucket"))
 
     sameBucket.join(broadcast(prefix), Seq("b"))
-      .withColumn("n_matches", lit(n) - (col("below") + col("le_in_bucket")))
+      .withColumn("n_matches", col("n_total") - (col("below") + col("le_in_bucket")))
       .filter(col("n_matches") > 0)
       .groupBy(col("p_brand"))
       .agg(sum(col("n_matches")).as("n_pairs"), count(lit(1)).as("n_parts"))
@@ -490,13 +503,14 @@ object Queries {
 
   // ---------------------------------------------------------------- Q20
   /** Content-addressing fingerprint column (SURVEY F34 as a data op):
-    * xxhash64 over all columns, XOR-combined per group — order-independent,
-    * the distributed analog of the reference's Fingerprint.combine
-    * (reference: src/arti/fingerprints/__init__.py:18-66). Engine-specific
-    * hash → rows-only check. */
+    * xxhash64 over the row STRUCT (typed, null-discriminating — unlike a
+    * string concat, NULL and '' hash differently), XOR-combined per group:
+    * order-independent, the distributed analog of the reference's
+    * Fingerprint.combine (reference: src/arti/fingerprints/__init__.py:18-66).
+    * Engine-specific hash → rows-only check. */
   private def q20(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.withColumn("fp", expr(s"farmhash64(concat_ws('|', ${li.columns.mkString(", ")}))"))
+    li.withColumn("fp", xxhash64(struct(li.columns.map(col): _*)))
       .groupBy(col("l_returnflag"))
       .agg(expr("bit_xor(fp)").as("xor_fp"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
@@ -618,19 +632,40 @@ object Queries {
       .select(col("doc_id"), expr("graft_shingle_hashes(tk, 3)").as("sh"))
       .withColumn("n", size(col("sh")))
 
+  /** Shingles with document frequency above this cap are dropped from the
+    * candidate-generating POSTINGS: pairs-per-shingle grows quadratically in
+    * df, so one corpus-scale stop-shingle would otherwise dominate the whole
+    * self-join. Candidates are re-verified EXACTLY on the full shingle sets,
+    * so the cap can only change the result for a pair whose EVERY shared
+    * shingle is hotter than the cap — at jac ≥ 0.5 that means two documents
+    * composed entirely of corpus-stop-shingles. The cap sits far above any
+    * df in the test corpora (output provably identical there); at 100 TB it
+    * is the knob that bounds the join. */
+  private[graft] val shingleDfCap = 1000
+
   private def x2(spark: SparkSession, dir: String): DataFrame = {
     // postings carry the 8-byte farmhash of each shingle, not the string:
     // the shuffle is ~4x narrower and the equi-join build side is primitive.
     // (collision odds over ~10^5 distinct shingles are ~1e-11 — the string
-    // oracle still matches.) persist: the self-join reads postings twice.
-    val posts = shingled(spark, dir)
-      .select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-      .persist()
-    posts.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
-      .join(posts.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")), "s")
+    // oracle still matches.) persist docs: the verify step re-reads the full
+    // shingle sets; persist posts: the self-join reads postings twice.
+    val docs = shingled(spark, dir).persist()
+    val posts = docs.select(col("doc_id"), explode(col("sh")).as("s")).persist()
+    // df-cap (see shingleDfCap): the hot-shingle list is tiny by construction
+    val hot = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > shingleDfCap).select(col("s"))
+    val capped = posts.join(broadcast(hot), Seq("s"), "left_anti")
+    val cand = capped.select(col("doc_id").as("doc_a"), col("s"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("s")), "s")
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verify on the full sets — candidates only gate WHICH pairs are
+    // scored, never the score itself
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jac"))
@@ -684,15 +719,21 @@ object Queries {
 
   // ---------------------------------------------------------------- X4
   /** SimHash signatures + banded Hamming-distance near-dup pairs. The 64-bit
-    * signature is computed per-row with higher-order functions (no shuffle);
-    * pair candidates come from 4 × 16-bit band buckets (linear shuffle). */
+    * signature is computed per-row in one codegen kernel pass (no shuffle);
+    * pair candidates come from 8 × 8-bit band buckets (linear shuffle).
+    * Banding is EXACT here by pigeonhole: ≤7 differing bits can touch at
+    * most 7 of the 8 bands, so every pair at hamming ≤ 7 shares an intact
+    * band — the output is exactly {pairs: hamming(simhash) ≤ 7}, no recall
+    * loss. Token hashes are sha256-based (graft_sha64), which DuckDB can
+    * replicate bit-for-bit — so this scale-path query carries a FULL
+    * algorithm oracle instead of a rows-only check. */
   private def x4(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
-      .withColumn("simhash", expr("graft_simhash(graft_hash_strings(tk))"))
+      .withColumn("simhash", expr("graft_simhash(graft_sha64(tk))"))
       .select(col("doc_id"), col("simhash"))
     val bands = sigs.select(col("doc_id"), col("simhash"),
-        posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+        posexplode(expr("transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
     bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"), col("band"), col("band_val"))
       .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"), col("band"), col("band_val")),
@@ -700,9 +741,32 @@ object Queries {
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= 7)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** The full simhash algorithm in DuckDB: per-token sha256 → first 16 hex
+    * chars = the same 64 bits as graft_sha64's big-endian long (bit i = bit
+    * (i%4) of hex digit (15 - i/4)); per-bit ±1 majority vote; brute-force
+    * hamming over bit lists (the oracle may be quadratic — the engine may
+    * not). */
+  private val x4Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |th AS (SELECT doc_id, substr(sha256(t), 1, 16) AS hx FROM tok),
+      |tb AS (
+      |  SELECT doc_id, i,
+      |    ((strpos('0123456789abcdef', substr(hx, CAST(15 - i // 4 AS INT) + 1, 1)) - 1)
+      |      // (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 AS bit
+      |  FROM th, (SELECT unnest(range(64)) AS i)),
+      |bits AS (SELECT doc_id, i, (sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) > 0) AS s
+      |         FROM tb GROUP BY doc_id, i),
+      |sh AS (SELECT doc_id, list(CASE WHEN s THEN 1 ELSE 0 END ORDER BY i) AS bv
+      |       FROM bits GROUP BY doc_id)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_filter(range(64), j -> a.bv[j + 1] != b.bv[j + 1])) AS INT) AS hamming
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id) p
+      |WHERE hamming <= 7""".stripMargin
 
   // ---------------------------------------------------------------- X5
   /** Embedding-cosine near-dup pairs (exact, all-pairs baseline; threshold
@@ -771,17 +835,40 @@ object Queries {
 
   // ---------------------------------------------------------------- X7
   /** LSH-bucketed ANN (random-hyperplane signatures): the 100 TB scale path
-    * for x6. Pseudo-random ±1 hyperplanes derive deterministically from
-    * xxhash64(bit, dim); candidates meet in signature buckets (linear
-    * shuffle), then exact re-rank within bucket. Rows-only check; recall vs
-    * x6 is asserted in ScalaTest. */
+    * for x6. ±1 hyperplanes derive deterministically from md5(bit_dim) — a
+    * hash BOTH engines compute identically, so the whole bucketing +
+    * re-rank pipeline has a full-algorithm DuckDB oracle (the signature,
+    * candidate set, and top-k are all replicated in SQL, not rows-only).
+    * The per-row signature is 4 codegen'd graft_dot calls against literal
+    * plane vectors; candidates meet in signature buckets (linear shuffle),
+    * then exact re-rank within bucket. */
+  private val x7Bits = 4
+  private val x7Dims = 64
+
+  /** plane(b)(d) = +1 iff the first hex char of md5("b_d") is '0'..'7'. */
+  private lazy val x7Planes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until x7Bits).map { b =>
+      (0 until x7Dims).map { d =>
+        md.reset()
+        val hex = md.digest(s"${b}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (hex.charAt(0) <= '7') 1.0 else -1.0
+      }
+    }
+  }
+
   private def x7(spark: SparkSession, dir: String): DataFrame = {
+    // sig = Σ_b [dot(v, plane_b) > 0] << b, each dot a codegen'd kernel call
+    // over a literal array (sequential summation — the same order DuckDB's
+    // list_dot_product uses, so both engines see identical IEEE doubles)
+    val sigCol = (0 until x7Bits).map { b =>
+      val arr = x7Planes(b).map(p => if (p > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
+      when(expr(s"graft_dot(v, $arr)") > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      // 4-bit signature (16 buckets): sign of dot(v, plane_b), ±1 planes
-      // derived from splitmix64(b*8192+d) inside the codegen'd kernel
-      .withColumn("sig", expr("graft_hyperplane(v, 4)"))
+      .withColumn("sig", sigCol)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("sig"))
     val c = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"), col("nrm"), col("sig"))
@@ -794,37 +881,73 @@ object Queries {
       .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_sim"))
   }
 
+  /** The full hyperplane-LSH pipeline in DuckDB: same md5-derived planes,
+    * same signatures, same bucket join, same re-rank. */
+  private val x7Sql =
+    """WITH planes AS (
+      |  SELECT b, list(CASE WHEN substr(md5(b || '_' || d), 1, 1) <= '7'
+      |                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+      |  FROM (SELECT unnest(range(4)) AS b), (SELECT unnest(range(64)) AS d)
+      |  GROUP BY b),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |      FROM embeddings),
+      |sigbit AS (
+      |  SELECT e.vec_id, p.b, (list_dot_product(e.v, p.pl) > 0) AS s
+      |  FROM e, planes p),
+      |sig AS (SELECT vec_id, CAST(sum(CASE WHEN s THEN 1 << b ELSE 0 END) AS INT) AS sig
+      |        FROM sigbit GROUP BY vec_id),
+      |q AS (SELECT e.vec_id AS query_id, v AS qv, nrm AS qn, sig
+      |      FROM e JOIN sig USING (vec_id) WHERE e.vec_id < 5),
+      |c AS (SELECT e.vec_id, v, nrm, sig FROM e JOIN sig USING (vec_id) WHERE e.vec_id >= 5)
+      |SELECT query_id, vec_id, rnk, cos_sim FROM (
+      |  SELECT query_id, vec_id,
+      |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY round(list_dot_product(qv, v) / (qn * nrm), 6) DESC, vec_id) AS INT) AS rnk
+      |  FROM q JOIN c USING (sig)) t
+      |WHERE rnk <= 10""".stripMargin
+
   // ---------------------------------------------------------------- X14
   /** IVF-style ANN (the other scale path besides LSH x7): coarse-quantize
-    * vectors to K=16 deterministic centroids (every (n/K)-th vector by id —
-    * seedless and rerun-stable), assign each vector to its nearest centroid
-    * (broadcast of K rows), and have queries probe their 2 nearest inverted
-    * lists before exact re-ranking. Shuffle is by centroid id (linear);
-    * the candidate set is ~2/K of the corpus. Rows-only (recall vs x6 is
-    * asserted in ScalaTest). */
-  private def x14(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-    val n = e.count()
+    * vectors to K=16 centroids chosen content-independently of id density —
+    * the K corpus vectors with the smallest md5(vec_id) (deterministic,
+    * rerun-stable, immune to sparse or non-sequential ids, and replicable
+    * by DuckDB so the WHOLE pipeline carries a full-algorithm oracle; the
+    * selection is a TakeOrdered: per-partition top-K + a K-row driver merge).
+    * Corpus→list assignment is ONE max_by aggregation: the K-way broadcast
+    * expansion partial-aggregates map-side back to one row per vector, so
+    * the shuffle never carries the 16×-wide expansion and there is no
+    * row_number window on the corpus path. Queries probe their 2 nearest
+    * lists (a 5-row window), then exact re-rank. */
+  private def x14(spark: SparkSession, dir: String): DataFrame =
+    x14On(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  /** id-layout-independent core, exposed for the non-sequential-id spec */
+  private[graft] def x14On(emb: DataFrame): DataFrame = {
+    val e = emb.withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val k = 16
-    val step = math.max(1L, n / k)
-    val cents = e.filter(col("vec_id") % step === 0 && col("vec_id") < step * k)
+    val cents = e.filter(col("vec_id") >= 5)
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    // nearest centroid per vector (and 2 nearest per query) by cosine
-    def nearest(df: DataFrame, idCol: String, vCol: String, nrmCol: String, keep: Int) = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cent_sim").desc, col("cent_id").asc)
-      df.join(broadcast(cents))
-        .withColumn("cent_sim", expr(s"graft_dot($vCol, cv)") / (col(nrmCol) * col("cn")))
-        .withColumn("cent_rank", row_number().over(w))
-        .filter(col("cent_rank") <= keep)
-        .drop("cv", "cn", "cent_sim", "cent_rank")
-    }
-    val lists = nearest(e.filter(col("vec_id") >= 5), "vec_id", "v", "nrm", keep = 1)
-    val probes = nearest(
-      e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
-      "query_id", "qv", "qn", keep = 2)
+    val lists = e.filter(col("vec_id") >= 5)
+      .join(broadcast(cents))
+      .withColumn("cent_sim", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(
+        // ties break to the lowest centroid id (max of (sim, -cent_id))
+        max_by(col("cent_id"), struct(col("cent_sim"), (lit(0L) - col("cent_id")).as("nid"))).as("cent_id"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cents))
+      .withColumn("cent_sim", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("cent_rank", row_number().over(wq))
+      .filter(col("cent_rank") <= 2)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
     probes.join(lists, Seq("cent_id"))
       .withColumn("cos_sim", round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6))
@@ -832,6 +955,34 @@ object Queries {
       .filter(col("rnk") <= 10)
       .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_sim"))
   }
+
+  /** The full IVF pipeline in DuckDB: same md5-ordered centroid choice, same
+    * nearest-centroid assignment (ties to the lowest centroid id), same
+    * 2-probe, same exact re-rank. */
+  private val x14Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+      |          WHERE vec_id >= 5 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (SELECT vec_id, cent_id FROM (
+      |  SELECT e.vec_id, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
+      |  FROM e, cents c WHERE e.vec_id >= 5) a WHERE rn = 1),
+      |lists AS (SELECT e.vec_id, e.v, e.nrm, a.cent_id FROM e JOIN assign a USING (vec_id)),
+      |probes AS (SELECT query_id, qv, qn, cent_id FROM (
+      |  SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qn, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
+      |  FROM e, cents c WHERE e.vec_id < 5) p WHERE rn <= 2)
+      |SELECT query_id, vec_id, rnk, cos_sim FROM (
+      |  SELECT p.query_id, l.vec_id,
+      |    round(list_dot_product(p.qv, l.v) / (p.qn * l.nrm), 6) AS cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY round(list_dot_product(p.qv, l.v) / (p.qn * l.nrm), 6) DESC, l.vec_id) AS INT) AS rnk
+      |  FROM probes p JOIN lists l USING (cent_id)) t
+      |WHERE rnk <= 10""".stripMargin
 
   // ---------------------------------------------------------------- X8
   /** Text quality scoring: token stats, distinct ratio, stopword ratio,
@@ -1031,12 +1182,15 @@ object Queries {
     Q("q20_fingerprint_column", q20, None, "xxhash64 + XOR combine"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
-    Q("x3_minhash_lsh", x3, None, "MinHash+LSH near-dup (scale path)"),
-    Q("x4_simhash", x4, None, "SimHash banded near-dup"),
+    // x3's oracle IS x2's: candidates are re-verified exactly, so the output
+    // contract is "the exact near-dup set" — LSH recall is 1.0 at every SF
+    // (graft.tools.EqCheck proves it), and any recall loss fails the gate.
+    Q("x3_minhash_lsh", x3, Some(x2Sql), "MinHash+LSH near-dup (scale path; oracle = exact set)"),
+    Q("x4_simhash", x4, Some(x4Sql), "SimHash banded near-dup (full-algorithm oracle)"),
     Q("x5_embedding_neardup", x5, Some(x5Sql), "cosine near-dup pairs"),
     Q("x6_ann_bruteforce", x6, Some(x6Sql), "brute-force cosine top-k"),
-    Q("x7_ann_lsh", x7, None, "hyperplane-LSH ANN (scale path)"),
-    Q("x14_ann_ivf", x14, None, "IVF-bucketed ANN (scale path)"),
+    Q("x7_ann_lsh", x7, Some(x7Sql), "hyperplane-LSH ANN (full-algorithm oracle)"),
+    Q("x14_ann_ivf", x14, Some(x14Sql), "IVF-bucketed ANN (full-algorithm oracle)"),
     Q("x8_text_quality", x8, Some(x8Sql), "quality scoring"),
     Q("x9_langid", x9, Some(x9Sql), "language-ID heuristic"),
     Q("x10_token_count", x10, Some(x10Sql), "token counting"),

@@ -145,4 +145,18 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val overlap = ivf.count(r => bf.contains((r.getLong(0), r.getLong(1))))
     assert(overlap >= 5, s"IVF found only $overlap of the true top-10 pairs")
   }
+
+  test("IVF ANN (x14) is immune to sparse, non-sequential ids") {
+    // the old centroid rule (vec_id % step == 0 over dense ids) collapses on
+    // remapped ids; the md5-ordered rule must not. Corpus ids are scattered
+    // (×7919 + 10007), query ids (< 5) stay put.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val remapped = base.withColumn("vec_id",
+      when(col("vec_id") < 5, col("vec_id")).otherwise(col("vec_id") * 7919L + 10007L))
+    val out = Queries.x14On(remapped).collect()
+    assert(out.length === 50, s"expected 5 queries x 10 ranks, got ${out.length}")
+    val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ == 10), s"uneven top-k: $perQuery")
+  }
 }
