@@ -135,22 +135,30 @@ final class FileBackend(dir: String) extends Backend {
     if (Files.exists(p)) Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq else Nil
   }
 
-  // replay the event logs into the in-memory projection. Torn trailing
-  // lines (crash mid-append) must not poison the replay OR be silently
-  // misread: only complete records (ending in '}') are considered, and the
-  // whole per-record apply is guarded — a torn prefix that still "parses"
-  // would otherwise replay a wrong fingerprint and silently break
-  // memoization.
-  private def replay(file: String)(apply: Map[String, String] => Unit): Unit =
-    for (l <- readLines(file) if l.endsWith("}"))
-      // structural parse failure = torn append (e.g. truncated after a
-      // nested '}') -> skip; a record that PARSES but can't apply (missing
-      // keys, bad numbers) is real corruption -> loud
-      scala.util.Try(parseLine(l)).toOption.foreach { m =>
-        scala.util.Try(apply(m)).failed.foreach { e =>
-          throw new IllegalStateException(s"corrupt backend log $file: ${e.getMessage} in: $l", e)
-        }
+  // replay the event logs into the in-memory projection. Only the FINAL
+  // line of an append-only log can be torn by a crash mid-append, so that
+  // is the only position where a structural failure (no closing '}' or an
+  // unparseable prefix) is tolerated. Anywhere else — an interior line that
+  // doesn't parse, or any record that parses but can't apply (missing keys,
+  // bad numbers) — is real corruption and must be loud: silently dropping
+  // it would lose partition/tag metadata and break memoization.
+  private def replay(file: String)(apply: Map[String, String] => Unit): Unit = {
+    val lines = readLines(file)
+    for ((l, idx) <- lines.zipWithIndex) {
+      val structural: Option[Map[String, String]] =
+        if (!l.endsWith("}")) None else scala.util.Try(parseLine(l)).toOption
+      structural match {
+        case Some(m) =>
+          scala.util.Try(apply(m)).failed.foreach { e =>
+            throw new IllegalStateException(s"corrupt backend log $file: ${e.getMessage} in: $l", e)
+          }
+        case None if idx == lines.size - 1 => () // torn trailing append: skip
+        case None =>
+          throw new IllegalStateException(
+            s"corrupt backend log $file: unparseable interior line ${idx + 1}: $l")
       }
+    }
+  }
 
   locally {
     replay("graphs.jsonl")(m => mem.writeGraph(m("name"), Fingerprint(m("fp").toLong)))

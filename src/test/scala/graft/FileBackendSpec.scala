@@ -104,14 +104,14 @@ class FileBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("graft-fb4")
     val b1 = new FileBackend(dir.toString)
     b1.writeGraph("g", Fingerprint(7L))
-    // crash mid-append: a torn (incomplete) line must be skipped on replay
+    // crash mid-append: a torn (incomplete) TRAILING line must be skipped
     java.nio.file.Files.writeString(dir.resolve("graphs.jsonl"),
       """{"name":"g2","fp":123""", java.nio.file.StandardOpenOption.APPEND)
     val b2 = new FileBackend(dir.toString)
     // the complete record replayed; the torn one ignored (no wrong fingerprint)
     assert(b2.readArtifactPartitions("none").isEmpty) // construction survived
-    // a torn line that happens to END in '}' (truncated after a nested
-    // object) is still structural damage -> skipped, not fatal
+    // a torn TRAILING line that happens to END in '}' (truncated after a
+    // nested object) is still structural damage -> skipped, not fatal
     java.nio.file.Files.writeString(dir.resolve("artifact_parts.jsonl"),
       """{"artifact":"a","part":{"path":"p","key":{}""", java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     val b3 = new FileBackend(dir.toString)
@@ -120,5 +120,26 @@ class FileBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.writeString(dir.resolve("graphs.jsonl"),
       "\n" + """{"nome":"broken"}""" + "\n", java.nio.file.StandardOpenOption.APPEND)
     assertThrows[IllegalStateException] { new FileBackend(dir.toString) }
+  }
+
+  test("unparseable INTERIOR line is corruption, not a torn append -> loud") {
+    // only the final line of an append-only log can be torn by a crash; an
+    // interior line that fails structural parse means lost metadata and
+    // must not be silently dropped
+    val dir = Files.createTempDirectory("graft-fb5")
+    val b1 = new FileBackend(dir.toString)
+    b1.writeGraph("g", Fingerprint(7L))
+    java.nio.file.Files.writeString(dir.resolve("graphs.jsonl"),
+      "garbage-not-json\n" + """{"name":"g2","fp":123}""" + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val e = intercept[IllegalStateException] { new FileBackend(dir.toString) }
+    assert(e.getMessage.contains("interior"))
+    // same garbage as the FINAL line is a tolerated torn append
+    val dir2 = Files.createTempDirectory("graft-fb6")
+    val c1 = new FileBackend(dir2.toString)
+    c1.writeGraph("g", Fingerprint(7L))
+    java.nio.file.Files.writeString(dir2.resolve("graphs.jsonl"),
+      "garbage-not-json", java.nio.file.StandardOpenOption.APPEND)
+    new FileBackend(dir2.toString) // must construct
   }
 }
