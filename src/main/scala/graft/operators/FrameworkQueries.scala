@@ -20,21 +20,34 @@ import graft.types.ArtiType._
   */
 object FrameworkQueries {
   import Queries.Q
+  import graft.types.SparkTypeSystem.{collectionOf, fromEncoder}
 
   private def tmp(): String = graft.util.TempDirs.create("graft-fw").toString
+
+  // Row models: the case class IS the artifact schema, derived through the
+  // product Encoder (F32 — the reference's python/pydantic adapter analog).
+  final case class OrderRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+      o_totalprice: Double, o_orderdate: java.time.LocalDateTime, o_orderpriority: String)
+  final case class OrderYearRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+      o_totalprice: Double, o_orderdate: java.time.LocalDateTime, o_orderpriority: String, y: Int)
+  final case class OrderPartRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+      o_totalprice: Double, o_orderdate: java.time.LocalDateTime, o_orderpriority: String, i: Long)
+  final case class DailyRow(day: java.time.LocalDate, spend: Double)
+  final case class YearlyRow(y: Int, total: Double)
+  final case class StatusPriceRow(o_orderstatus: String, o_totalprice: Double)
+  final case class ByStatusRow(o_orderstatus: String, total: Double)
+  final case class DocRow(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+  final case class LangStatsRow(lang: String, n_docs: Long, total_chars: Long)
 
   /** q13_partitioned_spend: the reference's spend demo shape
     * (docs/examples/spend/demo.py) at testdata scale: orders → per-day
     * spend Collection → scalar total, built through the engine. */
   private def q13(spark: SparkSession, dir: String): DataFrame = {
     val base = tmp()
-    val ordersType = ACollection("orders", AStruct("o", Seq(
-      "o_orderkey" -> AInt64(), "o_custkey" -> AInt64(), "o_orderstatus" -> AString(),
-      "o_totalprice" -> AFloat64(), "o_orderdate" -> ADateTime(), "o_orderpriority" -> AString())))
+    val ordersType = collectionOf[OrderRow]("orders")
     val raw = Artifact(ordersType, Format.Parquet,
       FileStorage(PathTemplate(s"$dir/orders.parquet", Map.empty)))
-    val daily = Artifact(
-      ACollection("daily", AStruct("d", Seq("day" -> ADate(), "spend" -> AFloat64()))),
+    val daily = Artifact(collectionOf[DailyRow]("daily"),
       Format.Parquet, FileStorage(PathTemplate(s"$base/daily/{input_fingerprint}", Map.empty)))
     val total = Artifact(AFloat64(), Format.Parquet,
       FileStorage(PathTemplate(s"$base/total/{input_fingerprint}", Map.empty)))
@@ -76,14 +89,11 @@ object FrameworkQueries {
     for (y <- years)
       orders.filter(col("y") === y).coalesce(1).write.parquet(s"$base/raw/y=$y")
 
-    val rawType = ACollection("orders_by_year", AStruct("o", Seq(
-      "o_orderkey" -> AInt64(), "o_custkey" -> AInt64(), "o_orderstatus" -> AString(),
-      "o_totalprice" -> AFloat64(), "o_orderdate" -> ADateTime(), "o_orderpriority" -> AString(),
-      "y" -> AInt32())), partitionBy = Seq("y"))
+    val rawType = collectionOf[OrderYearRow]("orders_by_year", partitionBy = Seq("y"))
     val raw = Artifact(rawType, Format.Parquet,
       FileStorage(PathTemplate(s"$base/raw/y={y}", Map("y" -> "int"))))
     val yearly = Artifact(
-      ACollection("yearly", AStruct("ysum", Seq("y" -> AInt32(), "total" -> AFloat64())), partitionBy = Seq("y")),
+      collectionOf[YearlyRow]("yearly", partitionBy = Seq("y")),
       Format.Parquet, FileStorage(PathTemplate(s"$base/yearly/y={y}/{input_fingerprint}", Map("y" -> "int"))))
     val total = Artifact(AFloat64(), Format.Parquet,
       FileStorage(PathTemplate(s"$base/total/{input_fingerprint}", Map.empty)))
@@ -123,11 +133,9 @@ object FrameworkQueries {
   /** q15_validated_build: F13 — the quality gate runs before any write. */
   private def q15(spark: SparkSession, dir: String): DataFrame = {
     val base = tmp()
-    val raw = Artifact(
-      ACollection("orders", AStruct("o", Seq("o_orderstatus" -> AString(), "o_totalprice" -> AFloat64()))),
+    val raw = Artifact(collectionOf[StatusPriceRow]("orders"),
       Format.Parquet, FileStorage(PathTemplate(s"$dir/orders.parquet", Map.empty)))
-    val out = Artifact(
-      ACollection("by_status", AStruct("s", Seq("o_orderstatus" -> AString(), "total" -> AFloat64()))),
+    val out = Artifact(collectionOf[ByStatusRow]("by_status"),
       Format.Parquet, FileStorage(PathTemplate(s"$base/by_status/{input_fingerprint}", Map.empty)))
     val gated = Producer("gated_agg",
       build = (_, ins) => Seq(
@@ -163,10 +171,7 @@ object FrameworkQueries {
     spark.read.parquet(s"$dir/orders.parquet").coalesce(1)
       .write.parquet(s"$base/raw/part-0.parquet")
 
-    val rawType = ACollection("orders", AStruct("o", Seq(
-      "o_orderkey" -> AInt64(), "o_custkey" -> AInt64(), "o_orderstatus" -> AString(),
-      "o_totalprice" -> AFloat64(), "o_orderdate" -> ADateTime(), "o_orderpriority" -> AString(),
-      "i" -> AInt64())), partitionBy = Seq("i"))
+    val rawType = collectionOf[OrderPartRow]("orders", partitionBy = Seq("i"))
     val raw = Artifact(rawType, Format.Parquet,
       FileStorage(PathTemplate(s"$base/raw/part-{i}.parquet", Map("i" -> "int"))))
     val total = Artifact(AFloat64(), Format.Parquet,
@@ -214,9 +219,7 @@ object FrameworkQueries {
     * replays the identical rules in SQL. */
   private def x15(spark: SparkSession, dir: String): DataFrame = {
     val base = tmp()
-    val docType = ACollection("documents", AStruct("doc", Seq(
-      "doc_id" -> AInt64(), "text" -> AString(), "lang" -> AString(),
-      "source" -> AString(), "n_chars" -> AInt64())))
+    val docType = collectionOf[DocRow]("documents")
     def art(name: String, t: AStruct) = Artifact(
       ACollection(name, t), Format.Parquet,
       FileStorage(PathTemplate(s"$base/$name/{input_fingerprint}", Map.empty)))
@@ -226,7 +229,7 @@ object FrameworkQueries {
     val deduped = art("dedup_exact", docStruct)
     val nearDeduped = art("dedup_near", docStruct)
     val clean = art("clean", docStruct)
-    val stats = art("stats", AStruct("s", Seq("lang" -> AString(), "n_docs" -> AInt64(), "total_chars" -> AInt64())))
+    val stats = art("stats", fromEncoder[LangStatsRow]("stats"))
 
     val exactDedup = Producer("dedup_exact", build = (_, ins) => {
       val d = ins.head

@@ -157,6 +157,26 @@ object SparkTypeSystem {
     })
   }
 
+  /** Schema derivation from a case class (F32 — the analog of the
+    * reference's python/pydantic adapters deriving Struct types from class
+    * annotations, reference: src/arti/types/python.py:19-262 and
+    * types/pydantic.py:12-51): Spark's product Encoder already maps a case
+    * class to a StructType (Option[X] → nullable, nested Products →
+    * structs, Seq/Map → containers), so inverting that through
+    * [[fieldToArti]] yields the ArtiType declaration for free — no
+    * hand-built AStruct per artifact. */
+  def fromEncoder[T <: Product: scala.reflect.runtime.universe.TypeTag](name: String): AStruct = {
+    val schema = org.apache.spark.sql.Encoders.product[T].schema
+    AStruct(name, schema.fields.toSeq.map(f => f.name -> fieldToArti(f)))
+  }
+
+  /** Table-shaped derivation: Collection of the case class's Struct. */
+  def collectionOf[T <: Product: scala.reflect.runtime.universe.TypeTag](
+      name: String,
+      partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): ACollection =
+    ACollection(name, fromEncoder[T](name), partitionBy, clusterBy)
+
   def toArti(dt: DataType, nullable: Boolean = false): ArtiType = dt match {
     case BinaryType       => ABinary(nullable = nullable)
     case BooleanType      => ABoolean(nullable)

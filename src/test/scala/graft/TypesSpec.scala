@@ -68,4 +68,37 @@ class TypesSpec extends AnyFunSuite {
     val meta = schema("id").metadata.getMetadata(S.CollectionMetaKey)
     assert(meta.getStringArray("partition_by").toSeq === Seq("date"))
   }
+
+  test("schema derivation from a case class (F32: fromEncoder/collectionOf)") {
+    val derived = S.fromEncoder[TypesSpec.EventRow]("event")
+    assert(derived === AStruct("event", Seq(
+      "id" -> AInt64(),
+      // object-typed fields are nullable under the product encoder —
+      // exactly the reference's Optional/annotation semantics
+      "name" -> AString(nullable = true),
+      "score" -> AFloat64(),
+      "when" -> ADateTime(nullable = true),
+      "day" -> ADate(nullable = true),
+      "note" -> AString(nullable = true), // Option[String]
+      "tags" -> AList(AString(nullable = true), nullable = true),
+      "attrs" -> AMap(AString(), AInt64(), nullable = true), // map keys are never null
+      "inner" -> AStruct("struct", Seq("a" -> AInt32(), "b" -> AString(nullable = true)), nullable = true))))
+    // derived Struct → Spark schema must round-trip to the encoder's schema
+    // (modulo field metadata, which carries no type information here)
+    val enc = org.apache.spark.sql.Encoders.product[TypesSpec.EventRow].schema
+    assert(S.toSpark(derived) === StructType(enc.fields.map(_.copy(metadata = Metadata.empty))))
+    // and Collection derivation keeps the validators
+    val c = S.collectionOf[TypesSpec.EventRow]("events", partitionBy = Seq("day"))
+    assert(c.isPartitioned && c.element === derived.copy(name = "events"))
+    assertThrows[IllegalArgumentException] {
+      S.collectionOf[TypesSpec.EventRow]("events", partitionBy = Seq("nope"))
+    }
+  }
+}
+
+object TypesSpec {
+  final case class InnerRow(a: Int, b: String)
+  final case class EventRow(id: Long, name: String, score: Double,
+      when: java.time.LocalDateTime, day: java.time.LocalDate, note: Option[String],
+      tags: Seq[String], attrs: Map[String, Long], inner: InnerRow)
 }
