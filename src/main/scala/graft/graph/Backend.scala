@@ -29,6 +29,14 @@ trait Backend {
   /** Artifact statistics per written partition (reference F38 hook). */
   def writeStatistics(artifactKey: String, partitionPath: String, stats: Map[String, String]): Unit
   def readStatistics(artifactKey: String): Map[String, Map[String, String]]
+
+  /** F37 model read-back (reference `read_graph`/`read_snapshot`,
+    * backends/__init__.py:59-81): persist the graph's artifact models +
+    * producer wiring so a tagged snapshot can be rehydrated — and its
+    * artifacts read — without the live Graph object (see
+    * [[RehydratedSnapshot.fromTag]]). Last write wins per graph name. */
+  def writeGraphModel(model: GraphModel): Unit
+  def readGraphModel(graphName: String): Option[GraphModel]
 }
 
 final class MemoryBackend extends Backend {
@@ -81,4 +89,10 @@ final class MemoryBackend extends Backend {
 
   def readStatistics(artifactKey: String): Map[String, Map[String, String]] =
     stats.toMap.collect { case ((k, p), v) if k == artifactKey => p -> v }
+
+  private val models = TrieMap.empty[String, GraphModel]
+
+  def writeGraphModel(model: GraphModel): Unit = models(model.name) = model
+
+  def readGraphModel(graphName: String): Option[GraphModel] = models.get(graphName)
 }

@@ -170,6 +170,10 @@ final class FileBackend(dir: String) extends Backend {
       mem.linkSnapshotPartitions(Fingerprint(m("snapshot").toLong), m("artifact"),
         Seq(decodePartition(parseLine(m("part"))))))
     replay("stats.jsonl")(m => mem.writeStatistics(m("artifact"), m("path"), parseLine(m("stats"))))
+    // model payloads are full JSON (arrays etc.) beyond the tiny flat
+    // parser, so they ride as ONE escaped string value per record and
+    // decode with the real ModelCodec parser; last write per graph wins
+    replay("models.jsonl")(m => mem.writeGraphModel(ModelCodec.decode(m("model"))))
   }
 
   // ---- Backend contract: write-through to log + memory projection ----
@@ -218,4 +222,11 @@ final class FileBackend(dir: String) extends Backend {
 
   def readStatistics(artifactKey: String): Map[String, Map[String, String]] =
     mem.readStatistics(artifactKey)
+
+  def writeGraphModel(model: GraphModel): Unit = {
+    append("models.jsonl", s"""{"graph":${jstr(model.name)},"model":${jstr(ModelCodec.encode(model))}}""")
+    mem.writeGraphModel(model)
+  }
+
+  def readGraphModel(graphName: String): Option[GraphModel] = mem.readGraphModel(graphName)
 }

@@ -218,6 +218,7 @@ final class Graph(val name: String) {
       .combine(Fingerprint.combineAll(nodeFps))
       .combine(Fingerprint.combineAll(contentFps))
     backend.writeGraph(name, Canonical.fingerprint(name))
+    backend.writeGraphModel(GraphModel.of(this)) // F37: tagged reads survive without this object
     backend.writeSnapshot(name, id)
     rawPartitions.foreach { case (k, parts) =>
       backend.writeArtifactPartitions(s"$name/$k", parts)
@@ -288,5 +289,50 @@ final case class GraphSnapshot(graph: Graph, id: Fingerprint, rawPartitions: Map
     backend.writeArtifactPartitions(s"${graph.name}/$key", Seq(withFp))
     backend.linkSnapshotPartitions(id, s"${graph.name}/$key", Seq(withFp))
     withFp
+  }
+}
+
+/** A snapshot rehydrated from backend METADATA ALONE (F37 read-back —
+  * reference `read_graph`/`read_snapshot`, backends/__init__.py:59-81): the
+  * stored [[GraphModel]] supplies types/formats/storages, the snapshot's
+  * partition links supply the data paths, so a tag resolves and serves
+  * reads in a process that never constructed the Graph (producers are code
+  * and are NOT rehydrated — a rehydrated snapshot reads, it does not
+  * build). */
+final case class RehydratedSnapshot(model: GraphModel, id: Fingerprint) {
+
+  def read(spark: SparkSession, backend: Backend, key: String): DataFrame =
+    readWhere(spark, backend, key)(_ => true)
+
+  /** Same partition-pruned contract as [[GraphSnapshot.readWhere]]: the
+    * file-list is filtered before Spark sees it; a predicate matching
+    * nothing yields an empty frame with the declared schema. Raw and
+    * produced artifacts alike resolve through the snapshot's links
+    * (snapshot() links raw partitions too). */
+  def readWhere(spark: SparkSession, backend: Backend, key: String)(pred: PartitionKey => Boolean): DataFrame = {
+    val artifact = model.artifact(key)
+    val all = backend.readSnapshotPartitions(id, s"${model.name}/$key")
+    val parts = all.filter(p => pred(p.key))
+    if (parts.isEmpty && all.nonEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.types.SparkTypeSystem.toSpark(artifact.atype) match {
+          case st: org.apache.spark.sql.types.StructType => st
+          case dt => org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value", dt)))
+        })
+    else IO.read(spark, artifact.format, artifact.storage, parts)
+  }
+}
+
+object RehydratedSnapshot {
+  /** from_tag with no live Graph (F17 ∘ F37). */
+  def fromTag(backend: Backend, graphName: String, tag: String): RehydratedSnapshot = {
+    val id = backend.snapshotForTag(graphName, tag)
+      .getOrElse(throw new NoSuchElementException(s"no tag '$tag' for graph '$graphName'"))
+    val model = backend.readGraphModel(graphName)
+      .getOrElse(throw new IllegalStateException(
+        s"backend has tag '$tag' but no stored model for graph '$graphName' — written by a pre-model engine?"))
+    RehydratedSnapshot(model, id)
   }
 }

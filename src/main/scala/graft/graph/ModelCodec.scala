@@ -1,0 +1,92 @@
+package graft.graph
+
+import graft.io.Format
+import graft.storage.{FileStorage, LiteralStorage, PathTemplate, Storage}
+import graft.types.SparkTypeSystem
+import graft.util.MiniJson
+import graft.util.MiniJson._
+
+/** The persistable shape of a graph (F37 model read-back — reference:
+  * src/arti/backends/__init__.py:59-81 `read_graph`/`read_snapshot` return
+  * the stored model). Artifacts are pure data (type, format, storage,
+  * annotations) and round-trip completely; producers are CODE — their
+  * closures cannot live in a metadata store, so the model records their
+  * wiring (name, inputs, outputs) only, which is exactly what read-back
+  * needs: resolving a tag and serving reads requires artifacts, not builds.
+  */
+final case class GraphModel(
+    name: String,
+    artifacts: Seq[(String, Artifact)],
+    wiring: Seq[ProducerWiring]) {
+  def artifact(key: String): Artifact =
+    artifacts.collectFirst { case (k, a) if k == key => a }
+      .getOrElse(throw new NoSuchElementException(s"unknown artifact '$key' in stored model of graph '$name'"))
+  /** An artifact is raw iff no producer outputs it — derivable from wiring
+    * alone, same rule the live Graph uses. */
+  def isRaw(key: String): Boolean = !wiring.exists(_.outputKeys.contains(key))
+}
+
+final case class ProducerWiring(producerName: String, inputKeys: Seq[String], outputKeys: Seq[String])
+
+object GraphModel {
+  def of(g: Graph): GraphModel = GraphModel(
+    g.name,
+    g.artifacts.toSeq.sortBy(_._1),
+    g.bindings.map(b => ProducerWiring(b.producer.name, b.inputKeys, b.outputKeys)))
+}
+
+/** JSON codec for [[GraphModel]]. Types ride as Spark DataType JSON
+  * (SparkTypeSystem.typeToJson); storages encode by kind. */
+object ModelCodec {
+
+  def encode(m: GraphModel): String = MiniJson.render(JObj.of(
+    "name" -> JStr(m.name),
+    "artifacts" -> JArr(m.artifacts.map { case (k, a) => JObj.of(
+      "key" -> JStr(k),
+      "atype" -> JStr(SparkTypeSystem.typeToJson(a.atype)),
+      "format" -> JStr(a.format.name),
+      "storage" -> encodeStorage(a.storage),
+      "annotations" -> JObj(a.annotations.toSeq.sortBy(_._1).map { case (ak, av) => ak -> JStr(av) }))
+    }),
+    "wiring" -> JArr(m.wiring.map(w => JObj.of(
+      "producer" -> JStr(w.producerName),
+      "inputs" -> JArr(w.inputKeys.map(JStr)),
+      "outputs" -> JArr(w.outputKeys.map(JStr)))))))
+
+  def decode(json: String): GraphModel = {
+    val j = MiniJson.parse(json)
+    GraphModel(
+      name = j("name").str,
+      artifacts = j("artifacts").arr.map { a =>
+        a("key").str -> Artifact(
+          atype = SparkTypeSystem.typeFromJson(a("atype").str),
+          format = formatOf(a("format").str),
+          storage = decodeStorage(a("storage")),
+          annotations = a("annotations").obj.map { case (k, v) => k -> v.str })
+      },
+      wiring = j("wiring").arr.map(w => ProducerWiring(
+        w("producer").str,
+        w("inputs").arr.map(_.str),
+        w("outputs").arr.map(_.str))))
+  }
+
+  private def encodeStorage(s: Storage): J = s match {
+    case FileStorage(t) => JObj.of(
+      "kind" -> JStr("file"),
+      "template" -> JStr(t.template),
+      "field_kinds" -> JObj(t.fieldKinds.toSeq.sortBy(_._1).map { case (k, v) => k -> JStr(v) }))
+    case LiteralStorage(json) => JObj.of("kind" -> JStr("literal"), "json" -> JStr(json))
+  }
+
+  private def decodeStorage(j: J): Storage = j("kind").str match {
+    case "file" =>
+      FileStorage(PathTemplate(j("template").str, j("field_kinds").obj.map { case (k, v) => k -> v.str }))
+    case "literal" => LiteralStorage(j("json").str)
+    case other     => throw new IllegalArgumentException(s"unknown storage kind '$other'")
+  }
+
+  private def formatOf(name: String): Format =
+    Seq(Format.Json, Format.Parquet, Format.Csv, Format.Text, Format.Binary)
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown format '$name'"))
+}

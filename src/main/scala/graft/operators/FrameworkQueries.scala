@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.exec.LocalExecutor
-import graft.graph.{Artifact, Graph, MemoryBackend, Producer}
+import graft.graph.{Artifact, Graph, MemoryBackend, Producer, RehydratedSnapshot}
 import graft.io.{Format, IO}
 import graft.storage.{FileStorage, PathTemplate}
 import graft.types.ArtiType._
@@ -197,11 +197,12 @@ object FrameworkQueries {
     exec.build(spark, snap2)
     snap2.tag(backend, "v2")
 
-    def readTag(tag: String): DataFrame = {
-      val id = backend.snapshotForTag("replay", tag).get
-      val parts = backend.readSnapshotPartitions(id, "replay/total")
-      IO.read(spark, total.format, total.storage, parts).withColumn("tag", lit(tag))
-    }
+    // F37 read-back: each tag resolves from backend metadata alone — the
+    // live graph/artifact objects are NOT consulted (a fresh process with
+    // only the backend could serve the same reads)
+    def readTag(tag: String): DataFrame =
+      RehydratedSnapshot.fromTag(backend, "replay", tag)
+        .read(spark, backend, "total").withColumn("tag", lit(tag))
     readTag("v1").unionAll(readTag("v2")).select(col("tag"), col("total"))
   }
 

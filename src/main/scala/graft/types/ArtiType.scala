@@ -122,10 +122,19 @@ object SparkTypeSystem {
     java.net.URLEncoder.encode(s, "UTF-8")
 
   private def semanticOf(t: ArtiType): Option[String] = t match {
-    // items URL-encode so commas in values can't corrupt the list; numeric
-    // enum items round-trip as their string forms (documented limitation)
+    // items URL-encode so commas/brackets in values can't corrupt the
+    // marker grammar; numeric enum items round-trip as their string forms
+    // (documented limitation)
     case e: AEnum      => Some(s"enum:${e.name}:${e.items.map(i => escItem(String.valueOf(i))).mkString(",")}")
-    case _: ASet       => Some("set")
+    // container markers recurse (set<...>/list<...>/map<k|v>) so semantics
+    // survive nesting, e.g. a Set inside a List; URL-escaping of leaf
+    // payloads keeps '<' '>' '|' unambiguous for the bracket grammar
+    case s: ASet       => Some(semanticOf(s.element).fold("set")(inner => s"set<$inner>"))
+    case l: AList      => semanticOf(l.element).map(inner => s"list<$inner>")
+    case m: AMap       => (semanticOf(m.key), semanticOf(m.value)) match {
+      case (None, None) => None
+      case (k, v)       => Some(s"map<${k.getOrElse("")}|${v.getOrElse("")}>")
+    }
     case t: ATime      => Some(s"time:${t.precision.name}")
     case g: AGeography => Some(s"geography:${g.format}")
     case _: AUInt8     => Some("uint8")
@@ -155,6 +164,57 @@ object SparkTypeSystem {
       semanticOf(ft).foreach(v => mb.putString(SemanticKey, v))
       StructField(n, toSpark(ft), nullable = ft.nullable, metadata = mb.build())
     })
+  }
+
+  /** Persistable JSON form of an ArtiType (F37 model read-back —
+    * reference: src/arti/backends/__init__.py:59-81 stores pydantic-encoded
+    * models; here Spark's own DataType JSON is the carrier, with the
+    * semantic/collection markers this adapter already defines, so decode is
+    * just [[fieldToArti]]). Known-lossy corners are exactly the ones
+    * toSpark/toArti already has (Float16 promotion, Binary byteSize, enum
+    * item primitive types, sub-microsecond datetime precision);
+    * descriptions are dropped (fingerprint-excluded documentation). */
+  def typeToJson(t: ArtiType): String = {
+    val field = t match {
+      case c: ACollection =>
+        val mb = new MetadataBuilder()
+          .putString("kind", "collection").putString("name", c.name)
+          .putString("struct_name", c.element.name)
+        // empty arrays are omitted: Spark's Metadata JSON round-trips []
+        // as long[], which would class-cast in getStringArray
+        if (c.partitionBy.nonEmpty) mb.putStringArray("partition_by", c.partitionBy.toArray)
+        if (c.clusterBy.nonEmpty) mb.putStringArray("cluster_by", c.clusterBy.toArray)
+        StructField("t", structType(c.element), c.nullable, mb.build())
+      case s: AStruct =>
+        val meta = new MetadataBuilder()
+          .putString("kind", "struct").putString("name", s.name).build()
+        StructField("t", structType(s), s.nullable, meta)
+      case other =>
+        val mb = new MetadataBuilder().putString("kind", "scalar")
+        semanticOf(other).foreach(v => mb.putString(SemanticKey, v))
+        StructField("t", toSpark(other), other.nullable, mb.build())
+    }
+    StructType(Seq(field)).json
+  }
+
+  def typeFromJson(json: String): ArtiType = {
+    val f = DataType.fromJson(json).asInstanceOf[StructType].fields.head
+    def fieldsOf(st: StructType): Seq[(String, ArtiType)] =
+      st.fields.toSeq.map(x => x.name -> fieldToArti(x))
+    f.metadata.getString("kind") match {
+      case "collection" =>
+        def strArr(key: String): Seq[String] =
+          if (f.metadata.contains(key)) f.metadata.getStringArray(key).toSeq else Nil
+        ACollection(
+          f.metadata.getString("name"),
+          AStruct(f.metadata.getString("struct_name"), fieldsOf(f.dataType.asInstanceOf[StructType])),
+          partitionBy = strArr("partition_by"),
+          clusterBy = strArr("cluster_by"),
+          nullable = f.nullable)
+      case "struct" =>
+        AStruct(f.metadata.getString("name"), fieldsOf(f.dataType.asInstanceOf[StructType]), f.nullable)
+      case "scalar" => fieldToArti(f)
+    }
   }
 
   /** Schema derivation from a case class (F32 — the analog of the
@@ -202,21 +262,54 @@ object SparkTypeSystem {
   def fieldToArti(f: StructField): ArtiType = {
     val base = toArti(f.dataType, f.nullable)
     if (!f.metadata.contains(SemanticKey)) base
-    else f.metadata.getString(SemanticKey).split(":", 3) match {
-      case Array("set") | Array("set", _*) => base match {
+    else applyMarker(base, f.metadata.getString(SemanticKey))
+  }
+
+  /** Split `inner` of a `map<k|v>` marker at the top-level '|' (leaf
+    * payloads are URL-escaped, so brackets/pipes only occur structurally). */
+  private def splitMapMarker(inner: String): (String, String) = {
+    var depth = 0
+    var i = 0
+    while (i < inner.length && (inner.charAt(i) != '|' || depth != 0)) {
+      if (inner.charAt(i) == '<') depth += 1
+      if (inner.charAt(i) == '>') depth -= 1
+      i += 1
+    }
+    (inner.substring(0, i), if (i < inner.length) inner.substring(i + 1) else "")
+  }
+
+  private def applyMarker(base: ArtiType, marker: String): ArtiType = {
+    def inner(prefix: String): String = marker.substring(prefix.length, marker.length - 1)
+    if (marker.isEmpty) base
+    else if (marker.startsWith("list<") && marker.endsWith(">")) base match {
+      case l: AList => l.copy(element = applyMarker(l.element, inner("list<")))
+      case other    => other
+    }
+    else if (marker.startsWith("set<") && marker.endsWith(">")) base match {
+      case l: AList => ASet(applyMarker(l.element, inner("set<")), l.nullable)
+      case other    => other
+    }
+    else if (marker.startsWith("map<") && marker.endsWith(">")) base match {
+      case m: AMap =>
+        val (km, vm) = splitMapMarker(inner("map<"))
+        AMap(applyMarker(m.key, km), applyMarker(m.value, vm), m.nullable)
+      case other => other
+    }
+    else marker.split(":", 3) match {
+      case Array("set") => base match {
         case l: AList => ASet(l.element, l.nullable)
         case other    => other
       }
       case Array("enum", name, items) =>
         AEnum(name, base,
           items.split(",").toSeq.filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")),
-          f.nullable)
-      case Array("time", precision) => ATime(TimePrecision.of(precision), f.nullable)
-      case Array("geography", fmt)  => AGeography(fmt, nullable = f.nullable)
-      case Array("uint8")  => AUInt8(f.nullable)
-      case Array("uint16") => AUInt16(f.nullable)
-      case Array("uint32") => AUInt32(f.nullable)
-      case Array("uint64") => AUInt64(f.nullable)
+          base.nullable)
+      case Array("time", precision) => ATime(TimePrecision.of(precision), base.nullable)
+      case Array("geography", fmt)  => AGeography(fmt, nullable = base.nullable)
+      case Array("uint8")  => AUInt8(base.nullable)
+      case Array("uint16") => AUInt16(base.nullable)
+      case Array("uint32") => AUInt32(base.nullable)
+      case Array("uint64") => AUInt64(base.nullable)
       case _ => base
     }
   }

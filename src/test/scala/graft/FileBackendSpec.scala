@@ -100,6 +100,48 @@ class FileBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.totalSkipped === 1)
   }
 
+  test("model read-back: a fresh process serves tagged reads with no Graph (F37)") {
+    val base = Files.createTempDirectory("graft-fb7")
+    Files.createDirectories(base.resolve("tx"))
+    Files.writeString(base.resolve("tx").resolve("1970-01-01.json"),
+      """{"id": 1, "date": "1970-01-01", "amount": 42.0}""")
+    val metaDir = base.resolve("meta").toString
+    locally { // "process 1": define, build, tag — then let the Graph go
+      val txType = ACollection("transactions",
+        AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+        partitionBy = Seq("date"))
+      val tx = Artifact(txType, Format.Json,
+        FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))),
+        annotations = Map("owner" -> "spec"))
+      val total = Artifact(AFloat64(), Format.Json,
+        FileStorage(PathTemplate(s"$base/total/{input_fingerprint}", Map.empty)))
+      val g = new Graph("fb7").add("tx", tx).add("total", total)
+        .produce(Producer("t", build = (_, ins) =>
+          Seq(ins.head.agg(sum(col("amount")).as("value")).coalesce(1))), Seq("tx"), Seq("total"))
+        .close()
+      val b = new FileBackend(metaDir)
+      val snap = g.snapshot(spark, b)
+      new LocalExecutor(b).build(spark, snap)
+      snap.tag(b, "release")
+    }
+    // "process 2": only the backend directory exists; no Graph is built
+    val b2 = new FileBackend(metaDir)
+    val model = b2.readGraphModel("fb7").getOrElse(fail("stored model missing"))
+    assert(model.artifacts.map(_._1) === Seq("total", "tx"))
+    assert(model.isRaw("tx") && !model.isRaw("total"))
+    assert(model.artifact("tx").annotations === Map("owner" -> "spec"))
+    assert(model.wiring === Seq(graft.graph.ProducerWiring("t", Seq("tx"), Seq("total"))))
+    val rehydrated = graft.graph.RehydratedSnapshot.fromTag(b2, "fb7", "release")
+    val total = rehydrated.read(spark, b2, "total").collect()
+    assert(total.length === 1 && total.head.getDouble(0) === 42.0)
+    val raw = rehydrated.read(spark, b2, "tx").collect()
+    assert(raw.length === 1)
+    // partition-pruned read through the rehydrated model's typed keys
+    val pruned = rehydrated.readWhere(spark, b2, "tx")(
+      _.get("date").contains(graft.partitions.PartitionField.DateField(java.time.LocalDate.of(1999, 1, 1))))
+    assert(pruned.isEmpty && pruned.schema.fieldNames.toSeq === Seq("id", "date", "amount"))
+  }
+
   test("torn trailing line is ignored; corrupt complete record fails loudly") {
     val dir = Files.createTempDirectory("graft-fb4")
     val b1 = new FileBackend(dir.toString)

@@ -69,6 +69,24 @@ class TypesSpec extends AnyFunSuite {
     assert(meta.getStringArray("partition_by").toSeq === Seq("date"))
   }
 
+  test("type JSON codec round-trips (F37 model persistence)") {
+    val candidates: Seq[ArtiType] = Seq(
+      AFloat64(),
+      AString(nullable = true),
+      AUInt32(),
+      ATime(TimePrecision.Millisecond),
+      AGeography("WKB"),
+      AEnum("color", AString(), Seq("red", "green,blue")),
+      AList(ASet(AInt64())),
+      AMap(AString(), ASet(AUInt16()), nullable = true),
+      AMap(ATime(TimePrecision.Second), AList(AEnum("e", AString(), Seq("a|b", "c<d>")))),
+      AStruct("row", Seq("id" -> AInt64(), "tags" -> ASet(AString(), nullable = true))),
+      ACollection("t", AStruct("row", Seq("id" -> AInt64(), "d" -> ADate())), partitionBy = Seq("d"), clusterBy = Seq("id")),
+      ACollection("plain", AStruct("row", Seq("id" -> AInt64())))) // no partitioning
+    for (t <- candidates)
+      assert(S.typeFromJson(S.typeToJson(t)) === t, s"round-trip failed for $t")
+  }
+
   test("schema derivation from a case class (F32: fromEncoder/collectionOf)") {
     val derived = S.fromEncoder[TypesSpec.EventRow]("event")
     assert(derived === AStruct("event", Seq(
