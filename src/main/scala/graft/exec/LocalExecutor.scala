@@ -129,7 +129,20 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
               outputKeys.zip(outputs).foreach { case (k, df) =>
                 val a = g.artifacts(k)
                 val part = a.storage.generatePartition(outKey, inputFp)
-                IO.write(df, a.format, a.storage, part, overwrite = true)
+                // cluster_by → bucketBy (SURVEY §1.4): un-partitioned
+                // clustered parquet Collections persist as bucketed tables
+                // so downstream joins on the cluster key skip the Exchange
+                val clusterBy = a.atype match {
+                  case c: graft.types.ArtiType.ACollection
+                    if c.clusterBy.nonEmpty && !c.isPartitioned && a.format == graft.io.Format.Parquet =>
+                    c.clusterBy
+                  case _ => Nil
+                }
+                if (clusterBy.nonEmpty)
+                  IO.writeBucketed(df, a.format, part.path, clusterBy,
+                    IO.bucketTableName(g.name, k), overwrite = true)
+                else
+                  IO.write(df, a.format, a.storage, part, overwrite = true)
                 val withFp = part.copy(contentFingerprint =
                   Some(a.storage.contentFingerprints(spark, Seq(part)).head))
                 backend.writeArtifactPartitions(s"${g.name}/$k", Seq(withFp))

@@ -261,7 +261,17 @@ final case class GraphSnapshot(graph: Graph, id: Fingerprint, rawPartitions: Map
           case dt => org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("value", dt)))
         })
-    else IO.read(spark, artifact.format, artifact.storage, parts)
+    else {
+      // clustered artifacts prefer their bucketed catalog table (same
+      // files, plus bucket metadata → no Exchange in cluster-key joins);
+      // fall back to the plain path scan when the catalog doesn't have it
+      val bucketed = artifact.atype match {
+        case c: ArtiType.ACollection if c.clusterBy.nonEmpty && !c.isPartitioned && parts.size == 1 =>
+          IO.readBucketTable(spark, IO.bucketTableName(graph.name, key), parts.head.path)
+        case _ => None
+      }
+      bucketed.getOrElse(IO.read(spark, artifact.format, artifact.storage, parts))
+    }
   }
 
   /** Typed view of an artifact (reference F33 — View resolution: a

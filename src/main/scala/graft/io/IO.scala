@@ -80,6 +80,55 @@ object IO {
     }
   }
 
+  /** cluster_by → bucketBy (SURVEY §1.4): Spark only persists bucket
+    * metadata through the catalog, so clustered artifacts write as EXTERNAL
+    * bucketed tables at the partition's own path. Within the session (or
+    * any deployment with a durable metastore) reads resolve the table and
+    * bucketed joins on the cluster key need no Exchange; a fresh session
+    * without the catalog reads the same files as plain parquet — correct,
+    * just unbucketed. */
+  def bucketTableName(graphName: String, artifactKey: String): String =
+    s"graft_${graphName}_${artifactKey}".replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase
+
+  /** Buckets per clustered artifact; sized for "one bucket ≈ one executor
+    * core's worth of work" at deployment scale via session conf. */
+  def numBuckets(spark: SparkSession): Int =
+    spark.conf.getOption("graft.write.buckets").map(_.toInt).getOrElse(8)
+
+  def writeBucketed(
+      df: DataFrame,
+      format: Format,
+      path: String,
+      clusterBy: Seq[String],
+      table: String,
+      overwrite: Boolean = false): Unit = {
+    require(format == Format.Parquet, s"bucketed writes are parquet-only, got $format")
+    require(clusterBy.nonEmpty, "bucketed write requires cluster columns")
+    val spark = df.sparkSession
+    // saveAsTable(Overwrite) on a changed location can leave a stale
+    // definition; drop explicitly for a clean replace of the EXTERNAL def
+    if (overwrite) spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .option("path", path)
+      .bucketBy(numBuckets(spark), clusterBy.head, clusterBy.tail: _*)
+      .sortBy(clusterBy.head, clusterBy.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** The catalog-table read leg of [[writeBucketed]]: Some(df) iff the
+    * table exists AND still points at this partition's path (a stale table
+    * from a previous fingerprint must not shadow the rebuilt data). */
+  def readBucketTable(spark: SparkSession, table: String, path: String): Option[DataFrame] =
+    if (!spark.catalog.tableExists(table)) None
+    else {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.getPath
+      val want = new java.net.URI(path).getPath match { case null => path; case p => p }
+      if (loc == want || loc == want.stripSuffix("/")) Some(spark.table(table)) else None
+    }
+
   /** Write one partition (reference F25). Mode is errorifexists by default —
     * the reference forbids silent overwrite (io/json_stringliteral_python.py:88-100);
     * the executor overwrites only when rebuilding a changed partition. */

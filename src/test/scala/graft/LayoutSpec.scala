@@ -69,4 +69,44 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("cluster_by Collections write through the executor as bucketed tables; snapshot reads join with zero exchanges") {
+    import graft.exec.LocalExecutor
+    import graft.graph.{Artifact, Graph, MemoryBackend, Producer}
+    import graft.types.ArtiType._
+
+    val base = Files.createTempDirectory("graft-cluster").toString
+    spark.range(5000).selectExpr("id as k", "id * 2 as v").write.parquet(s"$base/raw")
+
+    val rawT = ACollection("raw", AStruct("r", Seq("k" -> AInt64(), "v" -> AInt64())))
+    def clustered(name: String) = Artifact(
+      ACollection(name, AStruct(name, Seq("k" -> AInt64(), "agg" -> AInt64())), clusterBy = Seq("k")),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/$name/{input_fingerprint}", Map.empty)))
+    val raw = Artifact(rawT, Format.Parquet, FileStorage(PathTemplate(s"$base/raw", Map.empty)))
+    val left = clustered("cleft")
+    val right = clustered("cright")
+
+    val g = new Graph("cb")
+      .add("raw", raw).add("cleft", left).add("cright", right)
+      .produce(Producer("pl", build = (_, ins) => Seq(ins.head.groupBy(col("k")).agg(sum(col("v")).as("agg")))),
+        Seq("raw"), Seq("cleft"))
+      .produce(Producer("pr", build = (_, ins) => Seq(ins.head.groupBy(col("k")).agg(max(col("v")).as("agg")))),
+        Seq("raw"), Seq("cright"))
+      .close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+
+    val l = snap.read(spark, backend, "cleft")
+    val r = snap.read(spark, backend, "cright")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = l.join(r.withColumnRenamed("agg", "agg2"), "k")
+      assert(joined.count() === 5000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"clustered artifacts should co-locate the join:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.toLowerCase.contains("bucket"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
