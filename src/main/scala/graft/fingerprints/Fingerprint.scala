@@ -101,4 +101,43 @@ object Version {
   final case class Str(value: String) extends Version {
     def fingerprint: Fingerprint = Fingerprint.fromString(s"String:$value")
   }
+
+  /** Wall-clock version (reference Timestamp, versions/__init__.py:75-88 —
+    * there it requires a tz-aware datetime; `Instant` is unambiguously UTC
+    * by construction). `floorTo` implements the reference's own TODO
+    * (versions/__init__.py:90-95): flooring to a frequency means "rebuild
+    * at most once per period" — e.g. `floorTo = Some(Duration.ofDays(1))`
+    * re-fingerprints daily, not per run. */
+  final case class Timestamp(
+      instant: java.time.Instant = java.time.Instant.now(),
+      floorTo: Option[java.time.Duration] = None) extends Version {
+    require(floorTo.forall(d => !d.isZero && !d.isNegative), "floorTo must be a positive duration")
+    def fingerprint: Fingerprint = {
+      val ms = floorTo.fold(instant.toEpochMilli)(d => instant.toEpochMilli / d.toMillis * d.toMillis)
+      Fingerprint.fromString(s"Timestamp:$ms")
+    }
+  }
+
+  /** Version-from-code (the reference's experimental `_Source`,
+    * versions/__init__.py:65-72: `inspect.getsource` of the class). The JVM
+    * analog hashes the DEFINING CLASS'S BYTECODE of the given object (e.g.
+    * a producer's build function), which changes exactly when the compiled
+    * logic changes — a recompile-triggered rebuild without manual bumps. */
+  final case class Source(of: AnyRef) extends Version {
+    lazy val fingerprint: Fingerprint = {
+      val cls = of.getClass
+      // LambdaMetafactory classes ("Host$$Lambda$N/0x…") have no .class
+      // resource; hash the HOST class that defines the lambda body instead
+      // (its bytecode contains the lambda's compiled method)
+      val name = cls.getName.indexOf("$$Lambda") match {
+        case -1 => cls.getName
+        case i  => cls.getName.substring(0, i)
+      }
+      val res = name.replace('.', '/') + ".class"
+      val in = cls.getClassLoader.getResourceAsStream(res)
+      require(in != null, s"no bytecode resource for $name (dynamically generated class?)")
+      try Fingerprint.fromBytes(in.readAllBytes())
+      finally in.close()
+    }
+  }
 }

@@ -86,6 +86,29 @@ object Producer {
       version: Version = Version.SemVer(0, 0, 1))(f: Dataset[I] => Dataset[O]): Producer =
     Producer(name, version, build = (_, ins) => Seq(f(ins.head.as[I]).toDF()))
 
+  /** Two typed inputs (reference F6: multi-parameter build signatures,
+    * producers/__init__.py:170-221). */
+  def typed2[I1: Encoder, I2: Encoder, O: Encoder](
+      name: String,
+      version: Version = Version.SemVer(0, 0, 1))(f: (Dataset[I1], Dataset[I2]) => Dataset[O]): Producer =
+    Producer(name, version, build = (_, ins) => Seq(f(ins(0).as[I1], ins(1).as[I2]).toDF()))
+
+  def typed3[I1: Encoder, I2: Encoder, I3: Encoder, O: Encoder](
+      name: String,
+      version: Version = Version.SemVer(0, 0, 1))(f: (Dataset[I1], Dataset[I2], Dataset[I3]) => Dataset[O]): Producer =
+    Producer(name, version, build = (_, ins) => Seq(f(ins(0).as[I1], ins(1).as[I2], ins(2).as[I3]).toDF()))
+
+  /** Two typed OUTPUTS (the reference's multi-return builds,
+    * producers/__init__.py:206-221; output-partitioning consistency is
+    * checked at wiring time by [[Graph.produce]]). */
+  def typedOut2[I: Encoder, O1: Encoder, O2: Encoder](
+      name: String,
+      version: Version = Version.SemVer(0, 0, 1))(f: Dataset[I] => (Dataset[O1], Dataset[O2])): Producer =
+    Producer(name, version, build = (_, ins) => {
+      val (o1, o2) = f(ins.head.as[I])
+      Seq(o1.toDF(), o2.toDF())
+    })
+
   /** For each output partition key: per input, the partitions it reads. */
   type PartitionDeps = Seq[(PartitionKey, Seq[Seq[StoragePartition]])]
 
@@ -143,6 +166,26 @@ final class Graph(val name: String) {
     outputs.foreach(k => require(_artifacts.contains(k), s"unknown output artifact '$k'"))
     val produced = _bindings.flatMap(_.outputKeys).toSet
     outputs.foreach(k => require(!produced(k), s"artifact '$k' is already produced by another producer"))
+    // all outputs of one producer must share one partitioning: `map` routes
+    // partition keys uniformly across outputs, so divergent schemes would
+    // mis-key every build (reference producers/__init__.py:217-219)
+    val schemes = outputs.map { k =>
+      k -> (_artifacts(k).atype match {
+        case c: ArtiType.ACollection => c.partitionBy.toSet
+        case _                       => Set.empty[String]
+      })
+    }
+    require(schemes.map(_._2).distinct.size <= 1,
+      s"producer '${producer.name}' outputs must share one partitioning, got: " +
+        schemes.map { case (k, s) => s"$k=${s.toSeq.sorted.mkString("{", ",", "}")}" }.mkString(", "))
+    // io-capability check at WIRING time, not first build (reference
+    // views/__init__.py:89-145 resolves io at registration): every output
+    // must have a WRITER for its (format, storage)
+    outputs.foreach { k =>
+      val a = _artifacts(k)
+      require(IO.canWrite(a.format, a.storage),
+        s"producer '${producer.name}' output '$k' has no writer for (${a.format.name}, ${a.storage.getClass.getSimpleName}) — wire a writable format/storage")
+    }
     _bindings += ProducerBinding(producer, inputs, outputs)
     this
   }
@@ -279,6 +322,24 @@ final case class GraphSnapshot(graph: Graph, id: Fingerprint, rawPartitions: Map
     * views, views/python.py:215-250). */
   def readAs[T: org.apache.spark.sql.Encoder](spark: SparkSession, backend: Backend, key: String): org.apache.spark.sql.Dataset[T] =
     read(spark, backend, key).as[T]
+
+  /** Scalar view (reference F33's non-Collection views,
+    * views/__init__.py:89-145: an `int`-annotated artifact reads back as an
+    * int, not a table): an artifact declared with a SCALAR type returns the
+    * typed value. Declared-type and shape mismatches are loud. */
+  def readScalar[T](spark: SparkSession, backend: Backend, key: String): T = {
+    graph.artifacts(key).atype match {
+      case _: ArtiType.ACollection | _: ArtiType.AStruct |
+           _: ArtiType.AList | _: ArtiType.ASet | _: ArtiType.AMap =>
+        throw new IllegalArgumentException(
+          s"'$key' is not declared scalar — use read/readAs for table-shaped artifacts")
+      case _ => ()
+    }
+    val rows = read(spark, backend, key).collect()
+    require(rows.length == 1 && rows.head.size == 1,
+      s"scalar artifact '$key' must hold exactly one value, found ${rows.length} row(s)")
+    rows.head.getAs[T](0)
+  }
 
   /** Write data into a RAW artifact partition through the snapshot
     * (reference F16, graphs/__init__.py:249-291): render the partition path

@@ -27,6 +27,19 @@ object Format {
   */
 object IO {
 
+  /** Capability checks for wiring-time validation (reference
+    * io/__init__.py:30-82 refuses unregistered combinations at
+    * registration, not first run). Keep in sync with read/write below. */
+  def canRead(format: Format, storage: Storage): Boolean = storage match {
+    case _: LiteralStorage => true
+    case _: FileStorage    => true
+  }
+
+  def canWrite(format: Format, storage: Storage): Boolean = storage match {
+    case _: LiteralStorage => false // literals are read-only
+    case _: FileStorage    => format != Format.Binary // binaryFile is a read-only source
+  }
+
   /** Read a set of partitions as one DataFrame — the partition fan-in concat
     * of the reference's readers (io/json_localfile_python.py:24-38) is a
     * native multi-path scan here, and Catalyst prunes/pushes down into it. */

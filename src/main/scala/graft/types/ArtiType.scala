@@ -23,7 +23,28 @@ object ArtiType {
   final case class ATimestamp(precision: TimePrecision = TimePrecision.Microsecond, nullable: Boolean = false, description: Option[String] = None) extends ArtiType
   /** time-of-day; Spark has no TIME type → LongType nanos-of-day + metadata. */
   final case class ATime(precision: TimePrecision = TimePrecision.Microsecond, nullable: Boolean = false, description: Option[String] = None) extends ArtiType
-  final case class AEnum(name: String, underlying: ArtiType, items: Seq[Any], nullable: Boolean = false, description: Option[String] = None) extends ArtiType
+  /** Items validate against the underlying type at CONSTRUCTION (reference
+    * types/__init__.py:109-123: empty item sets and type-mismatched items
+    * are rejected when the Enum is declared, not when data flows). Integer
+    * items accept the whole signed family (the codec round-trips them as
+    * Long); float items must be Float/Double (ints are not floats, as in
+    * the reference's lenient_issubclass check). */
+  final case class AEnum(name: String, underlying: ArtiType, items: Seq[Any], nullable: Boolean = false, description: Option[String] = None) extends ArtiType {
+    require(items.nonEmpty, s"enum '$name': items cannot be empty")
+    private def compatible(i: Any): Boolean = underlying match {
+      case _: AString => i.isInstanceOf[String]
+      case _: AInt8 | _: AInt16 | _: AInt32 | _: AInt64 |
+           _: AUInt8 | _: AUInt16 | _: AUInt32 | _: AUInt64 =>
+        i.isInstanceOf[Byte] || i.isInstanceOf[Short] || i.isInstanceOf[Int] || i.isInstanceOf[Long]
+      case _: AFloat16 | _: AFloat32 | _: AFloat64 => i.isInstanceOf[Float] || i.isInstanceOf[Double]
+      case _: ABoolean => i.isInstanceOf[Boolean]
+      case _ => true
+    }
+    locally {
+      val bad = items.filterNot(compatible)
+      require(bad.isEmpty, s"enum '$name': incompatible $underlying item(s): ${bad.mkString(", ")}")
+    }
+  }
   final case class AFloat16(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
   final case class AFloat32(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
   final case class AFloat64(nullable: Boolean = false, description: Option[String] = None) extends ArtiType
@@ -301,8 +322,17 @@ object SparkTypeSystem {
         case other    => other
       }
       case Array("enum", name, items) =>
+        // items decode back to the underlying type's runtime class so the
+        // construction-time validation holds across a codec round-trip
+        val coerce: String => Any = base match {
+          case _: AInt8 | _: AInt16 | _: AInt32 | _: AInt64 |
+               _: AUInt8 | _: AUInt16 | _: AUInt32 | _: AUInt64 => _.toLong
+          case _: AFloat16 | _: AFloat32 | _: AFloat64 => _.toDouble
+          case _: ABoolean => _.toBoolean
+          case _ => identity[String]
+        }
         AEnum(name, base,
-          items.split(",").toSeq.filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8")),
+          items.split(",").toSeq.filter(_.nonEmpty).map(s => coerce(java.net.URLDecoder.decode(s, "UTF-8"))),
           base.nullable)
       case Array("time", precision) => ATime(TimePrecision.of(precision), base.nullable)
       case Array("geography", fmt)  => AGeography(fmt, nullable = base.nullable)
