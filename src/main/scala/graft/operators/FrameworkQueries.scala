@@ -85,13 +85,17 @@ object FrameworkQueries {
     val base = tmp()
     val orders = Tables.orders(spark, dir)
       .withColumn("y", year(col("o_orderdate")).cast(IntegerType))
-    val years = orders.select("y").distinct().collect().map(_.getInt(0)).sorted
-    for (y <- years)
-      orders.filter(col("y") === y).coalesce(1).write.parquet(s"$base/raw/y=$y")
+    // fixture layout in ONE distributed job (the old per-year driver loop
+    // was one write job per year — a scale anti-pattern even in a fixture):
+    // partition directories come from a duplicated column so the real `y`
+    // stays inside the files, as the artifact schema declares
+    IO.writePartitioned(
+      orders.withColumn("part_y", col("y")).repartition(col("part_y")),
+      Format.Parquet, s"$base/raw", partitionBy = Seq("part_y"))
 
     val rawType = collectionOf[OrderYearRow]("orders_by_year", partitionBy = Seq("y"))
     val raw = Artifact(rawType, Format.Parquet,
-      FileStorage(PathTemplate(s"$base/raw/y={y}", Map("y" -> "int"))))
+      FileStorage(PathTemplate(s"$base/raw/part_y={y}", Map("y" -> "int"))))
     val yearly = Artifact(
       collectionOf[YearlyRow]("yearly", partitionBy = Seq("y")),
       Format.Parquet, FileStorage(PathTemplate(s"$base/yearly/y={y}/{input_fingerprint}", Map("y" -> "int"))))
@@ -123,7 +127,7 @@ object FrameworkQueries {
       lit(999999L).as("o_orderkey"), lit(1L).as("o_custkey"), lit("F").as("o_orderstatus"),
       lit(123.45).as("o_totalprice"), lit("2099-01-01 00:00:00").cast(TimestampNTZType).as("o_orderdate"),
       lit("1-URGENT").as("o_orderpriority"), lit(2099).as("y"))
-      .coalesce(1).write.parquet(s"$base/raw/y=2099")
+      .coalesce(1).write.parquet(s"$base/raw/part_y=2099")
     val r3 = phaseRow("third_new_partition", exec.build(spark, g.snapshot(spark, backend)))
 
     import spark.implicits._
@@ -239,18 +243,10 @@ object FrameworkQueries {
     })
     val nearDedup = Producer("dedup_near", build = (_, ins) => {
       val d = ins.head
-      val posts = d
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-        .select(col("doc_id"), expr("graft_shingle_hashes(tk, 3)").as("sh"))
-        .withColumn("n", size(col("sh")))
-        .select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
-      val pairs = posts.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
-        .join(posts.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")), "s")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")) >= 0.5)
-      val drop = pairs.select(col("doc_b").as("doc_id")).distinct()
+      // same engine as x2 (shingle df-cap + bounded exact re-verify):
+      // drop the higher id of every jac ≥ 0.5 pair
+      val drop = Queries.nearDupPairs(Queries.shingleSets(d))
+        .select(col("doc_b").as("doc_id")).distinct()
       Seq(d.join(drop, Seq("doc_id"), "left_anti").coalesce(4))
     })
     val qualityGate = Producer("quality_filter",
@@ -265,10 +261,15 @@ object FrameworkQueries {
           .drop("tk", "n_tokens", "stop_ratio")
           .coalesce(4))
       },
-      validateOutputs = outs =>
-        if (outs.head.isEmpty) Left("clean corpus must not be empty")
-        else if (outs.head.groupBy(col("text")).count().filter(col("count") > 1).isEmpty) Right(())
-        else Left("duplicate texts survived the dedup stages"))
+      validateOutputs = outs => {
+        // ONE aggregation job for both checks (emptiness + duplicate
+        // texts), instead of an isEmpty action plus a groupBy-count action
+        val r = outs.head.agg(
+          count(lit(1)).as("n"), countDistinct(col("text")).as("n_distinct")).head()
+        if (r.getLong(0) == 0) Left("clean corpus must not be empty")
+        else if (r.getLong(0) == r.getLong(1)) Right(())
+        else Left("duplicate texts survived the dedup stages")
+      })
     val corpusStats = Producer("corpus_stats", build = (_, ins) => Seq(
       ins.head.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")).coalesce(1)))

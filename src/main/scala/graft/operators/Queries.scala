@@ -137,11 +137,14 @@ object Queries {
       |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 48.0)""".stripMargin
 
   // ---------------------------------------------------------------- Q5
-  /** Pure non-equi (theta) join → BroadcastNestedLoopJoin. The big side is
-    * pre-aggregated (map-side reduction) so the quadratic comparison runs on
-    * |part_subset| × |distinct partkeys|, not raw lineitem — the 100 TB-safe
-    * shape for a theta join. */
-  private def q5(spark: SparkSession, dir: String): DataFrame = {
+  /** Pure non-equi (theta) join → BroadcastNestedLoopJoin, kept ONLY as the
+    * documented exactness cross-check for the linear rewrite (q5 proper,
+    * below): both sides are pre-aggregated so the quadratic comparison runs
+    * on |part_subset| × |distinct partkeys|, but it is still O(n·m) work
+    * and the broadcast side grows with data — NOT the shape to run at
+    * 100 TB. The default q5_theta_margin uses the bucketed rewrite; this
+    * registers as q5b. */
+  private def q5Bnlj(spark: SparkSession, dir: String): DataFrame = {
     val pmax = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey")).agg(max(col("l_extendedprice")).as("max_price"))
     // repartition: the filtered part scan is 1 file partition, which would
@@ -167,16 +170,17 @@ object Queries {
       |  GROUP BY p_brand, p_partkey) t
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
-  // ---------------------------------------------------------------- Q5b
-  /** The same theta-join semantics as q5, WITHOUT the nested loop: a
-    * bucketed order-statistics rewrite. matches(t) = |{max_price > t}| =
-    * N - |{max_price <= t}|, where the <=-count splits into "full buckets
-    * strictly below t's bucket" (a metadata-scale prefix table, ~100 rows)
-    * plus an equi-join count within t's own bucket. Every stage is an
-    * equi-join or a bounded aggregation — linear shuffles, fully parallel,
-    * no O(|part|x|pmax|) comparison anywhere. Same oracle as q5: the two
-    * physical strategies must agree bit-for-bit. */
-  private def q5b(spark: SparkSession, dir: String): DataFrame = {
+  // ---------------------------------------------------------------- Q5 (default)
+  /** The theta-join semantics WITHOUT the nested loop — the default and the
+    * 100 TB path: a bucketed order-statistics rewrite. matches(t) =
+    * |{max_price > t}| = N - |{max_price <= t}|, where the <=-count splits
+    * into "full buckets strictly below t's bucket" (a metadata-scale prefix
+    * table, ~100 rows) plus an equi-join count within t's own bucket. Every
+    * stage is an equi-join or a bounded aggregation — linear shuffles,
+    * fully parallel, no O(|part|x|pmax|) comparison anywhere. Same oracle
+    * as the BNLJ cross-check: the two physical strategies must agree
+    * bit-for-bit. */
+  private def q5Linear(spark: SparkSession, dir: String): DataFrame = {
     val bucketW = 1000.0
     val pmax = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey")).agg(max(col("l_extendedprice")).as("v"))
@@ -626,11 +630,13 @@ object Queries {
     * separate cleanly: near-dups ≥ 0.5, everything else < 0.03). */
   /** doc_id, sh: distinct 3-shingle farmhash set (array<long>, one codegen
     * kernel pass — no interpreted HOF string work), n = |sh|. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
+  private[graft] def shingleSets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), expr("graft_shingle_hashes(tk, 3)").as("sh"))
       .withColumn("n", size(col("sh")))
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(Tables.documents(spark, dir))
 
   /** Shingles with document frequency above this cap are dropped from the
     * candidate-generating POSTINGS: pairs-per-shingle grows quadratically in
@@ -643,32 +649,74 @@ object Queries {
     * is the knob that bounds the join. */
   private[graft] val shingleDfCap = 1000
 
-  private def x2(spark: SparkSession, dir: String): DataFrame = {
+  private def x2(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(shingled(spark, dir))
+
+  /** Exact token-Jaccard near-dup pairs (jac ≥ 0.5) over a (doc_id, sh, n)
+    * frame — the shared engine for x2 and the x15 pipeline's near-dedup
+    * producer. See [[shingleDfCap]] for the only (documented) approximation
+    * at corpus scale. */
+  private[graft] def nearDupPairs(shingledDocs: DataFrame, cap: Long = shingleDfCap): DataFrame = {
     // postings carry the 8-byte farmhash of each shingle, not the string:
     // the shuffle is ~4x narrower and the equi-join build side is primitive.
     // (collision odds over ~10^5 distinct shingles are ~1e-11 — the string
-    // oracle still matches.) persist docs: the verify step re-reads the full
-    // shingle sets; persist posts: the self-join reads postings twice.
-    val docs = shingled(spark, dir).persist()
-    val posts = docs.select(col("doc_id"), explode(col("sh")).as("s")).persist()
-    // df-cap (see shingleDfCap): the hot-shingle list is tiny by construction
-    val hot = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > shingleDfCap).select(col("s"))
-    val capped = posts.join(broadcast(hot), Seq("s"), "left_anti")
-    val cand = capped.select(col("doc_id").as("doc_a"), col("s"))
-      .join(capped.select(col("doc_id").as("doc_b"), col("s")), "s")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    // exact verify on the full sets — candidates only gate WHICH pairs are
-    // scored, never the score itself
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-      .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
-      .filter(col("jac") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+    // oracle still matches.) persist: the self-join reads postings twice.
+    val docs = shingledDocs.persist()
+    val posts = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s")).persist()
+    // ADAPTIVE df-cap: one metadata-scale scalar (the hottest shingle's
+    // document frequency) decides whether stop-shingle handling is needed.
+    // Test corpora never trip it, so they run the plain inverted-index
+    // plan; a 100 TB corpus with stop-shingles pays the capped path and
+    // stays linear instead of quadratic in the hottest posting list.
+    val dfs = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val maxDf = Option(dfs.agg(max(col("df"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    def pairCounts(p: DataFrame): DataFrame =
+      p.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
+        .join(p.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+    if (maxDf <= cap) {
+      // no stop-shingles anywhere → every pair count is exact
+      pairCounts(posts)
+        .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    } else {
+      val hot = dfs.filter(col("df") > cap).select(col("s"))
+      val capped = posts.join(broadcast(hot), Seq("s"), "left_anti").persist()
+      // per-doc count of capped-away shingles = n - kept postings
+      val nKept = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      val ncapOf = docs.select(col("doc_id"), col("n"))
+        .join(nKept, Seq("doc_id"), "left").na.fill(0, Seq("n_kept"))
+        .withColumn("ncap", col("n") - col("n_kept"))
+        .select(col("doc_id"), col("ncap"))
+      val pairs = pairCounts(capped)
+        .join(ncapOf.select(col("doc_id").as("doc_a"), col("ncap").as("ncap_a")), "doc_a")
+        .join(ncapOf.select(col("doc_id").as("doc_b"), col("ncap").as("ncap_b")), "doc_b")
+        .withColumn("kmax", least(col("ncap_a"), col("ncap_b")))
+      // kmax = 0 → no capped shingle could be shared → `inter` is exact
+      val exact = pairs.filter(col("kmax") === 0)
+        .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+      // kmax > 0 → true inter ∈ [inter, inter+kmax]; re-verify exactly on
+      // the full shingle sets ONLY where the upper bound reaches the
+      // threshold — bounded by the documents containing stop-shingles.
+      // (A pair whose EVERY shared shingle is capped never surfaces as a
+      // candidate: the residual, documented approximation of the cap.)
+      val upper = (col("inter") + col("kmax")).cast(DoubleType) /
+        (col("na") + col("nb") - col("inter") - col("kmax"))
+      val reverify = pairs.filter(col("kmax") > 0 && upper >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
+        .withColumn("interTrue", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("jac", col("interTrue").cast(DoubleType) / (col("na") + col("nb") - col("interTrue")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+      exact.unionByName(reverify)
+    }
   }
 
   private val duckShingleSql =
@@ -720,20 +768,24 @@ object Queries {
   // ---------------------------------------------------------------- X4
   /** SimHash signatures + banded Hamming-distance near-dup pairs. The 64-bit
     * signature is computed per-row in one codegen kernel pass (no shuffle);
-    * pair candidates come from 8 × 8-bit band buckets (linear shuffle).
-    * Banding is EXACT here by pigeonhole: ≤7 differing bits can touch at
-    * most 7 of the 8 bands, so every pair at hamming ≤ 7 shares an intact
-    * band — the output is exactly {pairs: hamming(simhash) ≤ 7}, no recall
-    * loss. Token hashes are sha256-based (graft_sha64), which DuckDB can
-    * replicate bit-for-bit — so this scale-path query carries a FULL
-    * algorithm oracle instead of a rows-only check. */
+    * pair candidates come from 4 × 16-bit band buckets (linear shuffle).
+    * Threshold hamming ≤ 3 is the standard near-dup cutoff for 64-bit
+    * simhash (Manku, Jain, Sarma: "Detecting Near-Duplicates for Web
+    * Crawling", WWW'07), and makes banding EXACT by pigeonhole: ≤3
+    * differing bits touch at most 3 of the 4 bands, so every qualifying
+    * pair shares an intact band — no recall loss. 16-bit bands keep the
+    * buckets sparse (65 536 values per band vs 256 for 8-bit bands), which
+    * is what keeps the self-join linear-ish as the corpus grows. Token
+    * hashes are sha256-based (graft_sha64), which DuckDB can replicate
+    * bit-for-bit — so this scale-path query carries a FULL algorithm
+    * oracle instead of a rows-only check. */
   private def x4(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .withColumn("simhash", expr("graft_simhash(graft_sha64(tk))"))
       .select(col("doc_id"), col("simhash"))
     val bands = sigs.select(col("doc_id"), col("simhash"),
-        posexplode(expr("transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)")))
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
     bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"), col("band"), col("band_val"))
       .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"), col("band"), col("band_val")),
@@ -741,7 +793,7 @@ object Queries {
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
-      .filter(col("hamming") <= 7)
+      .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
@@ -766,7 +818,7 @@ object Queries {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(len(list_filter(range(64), j -> a.bv[j + 1] != b.bv[j + 1])) AS INT) AS hamming
       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id) p
-      |WHERE hamming <= 7""".stripMargin
+      |WHERE hamming <= 3""".stripMargin
 
   // ---------------------------------------------------------------- X5
   /** Embedding-cosine near-dup pairs (exact, all-pairs baseline; threshold
@@ -1163,8 +1215,8 @@ object Queries {
     Q("q2_order_customer_join", q2, Some(q2Sql), "equi inner join + projection"),
     Q("q3_star_revenue", q3, Some(q3Sql), "multi-join w/ broadcast dims"),
     Q("q4_supplier_semi_anti", q4, Some(q4Sql), "left-semi + left-anti"),
-    Q("q5_theta_margin", q5, Some(q5Sql), "non-equi theta join (BNLJ)"),
-    Q("q5b_theta_rank", q5b, Some(q5Sql), "same theta semantics via bucketed order statistics (no nested loop)"),
+    Q("q5_theta_margin", q5Linear, Some(q5Sql), "non-equi theta join via bucketed order statistics (linear, the scale path)"),
+    Q("q5b_theta_rank", q5Bnlj, Some(q5Sql), "same theta semantics via BNLJ (documented exactness cross-check)"),
     Q("q6_asof_event_order", q6, Some(q6Sql), "as-of join via range window"),
     Q("q7_top_customers", q7, Some(q7Sql), "per-group top-k"),
     Q("q8_revenue_windows", q8, Some(q8Sql), "rank/lag/lead/frames"),

@@ -146,6 +146,20 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap >= 5, s"IVF found only $overlap of the true top-10 pairs")
   }
 
+  test("near-dup df-cap path agrees with the exact path when forced on") {
+    // force the capped branch by setting the cap just under the hottest
+    // shingle's df: the capped plan (bound + selective exact re-verify)
+    // must emit the same pairs/scores as the plain inverted-index plan
+    val docs = Queries.shingleSets(
+      spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text")))
+    val exact = Queries.nearDupPairs(docs).collect().map(_.toSeq).toSet
+    val maxDf = docs.select(explode(col("sh")).as("s"))
+      .groupBy("s").count().agg(max("count")).head.getLong(0)
+    assert(maxDf > 2, "fixture sanity: corpus must have repeated shingles")
+    val capped = Queries.nearDupPairs(docs, cap = maxDf - 1).collect().map(_.toSeq).toSet
+    assert(capped === exact, s"capped path diverged: missing=${(exact -- capped).size} spurious=${(capped -- exact).size}")
+  }
+
   test("IVF ANN (x14) is immune to sparse, non-sequential ids") {
     // the old centroid rule (vec_id % step == 0 over dense ids) collapses on
     // remapped ids; the md5-ordered rule must not. Corpus ids are scattered

@@ -60,14 +60,10 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("q5: theta join is a nested-loop over PRE-AGGREGATED inputs") {
+  test("q5: the DEFAULT theta plan is the linear rewrite — no nested loop anywhere") {
     val p = plan("q5_theta_margin")
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    // the aggregate must sit below the join: partial aggregation of
-    // lineitem happens before the quadratic comparison
-    val aggIdx = p.indexOf("HashAggregate")
-    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
-    assert(aggIdx >= 0 && joinIdx >= 0)
+    assert(!p.contains("NestedLoop"), s"q5 default must not nest-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q6: as-of join is one window over one shuffle (no join operator)") {
@@ -109,10 +105,14 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q5b: the order-statistics rewrite contains no nested-loop join") {
+  test("q5b: the BNLJ cross-check pre-aggregates below the nested loop") {
     val p = plan("q5b_theta_rank")
-    assert(!p.contains("NestedLoop"), s"q5b must not nest-loop:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the aggregate must sit below the join: partial aggregation of
+    // lineitem happens before the quadratic comparison
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(aggIdx >= 0 && joinIdx >= 0)
   }
 
   test("x3: minhash kernel expression drives the signature (no interpreted lambda over shingles)") {
