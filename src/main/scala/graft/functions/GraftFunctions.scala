@@ -99,6 +99,48 @@ object FastOps {
     new GenericArrayData(out)
   }
 
+  /** count of elements ∈ `set` — one pass, no per-row lambda machinery. */
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Σ length(t) over array<string> (char count, matching `length()`). */
+  def sumCharLen(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var i = 0
+    var s = 0
+    while (i < n) {
+      s += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    s
+  }
+
+  /** Position-weighted rolling token fingerprint: Σ (i+1) * (len(t)*131 +
+    * codepoint(first char)) — exactly the aggregate/zip_with formula of
+    * x11, in one pass of long arithmetic. */
+  def rollingFp(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var i = 0
+    var acc = 0L
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val first =
+        if (t.numChars() == 0) 0L
+        else Character.codePointAt(t.substring(0, 1).toString, 0).toLong
+      acc += (i + 1).toLong * (t.numChars().toLong * 131L + first)
+      i += 1
+    }
+    acc
+  }
+
   /** splitmix64 finalizer — the permutation family for minhash. */
   @inline def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -250,6 +292,47 @@ case class HyperplaneSig(child: Expression, bits: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** count of array<string> elements in a CONSTANT string set — the codegen
+  * twin of `size(filter(tk, t -> array_contains(lit_array, t)))` without
+  * the interpreted lambda on the scan's hot path. */
+case class CountInSet(child: Expression, items: Seq[UTF8String]) extends UnaryExpression {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](items.size * 2)
+    items.foreach(s.add)
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.countIn(v.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCountSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.countIn($c, (java.util.HashSet) $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Σ length per array<string> — the codegen twin of
+  * `aggregate(tk, 0, (acc, t) -> acc + length(t))`. */
+case class SumCharLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.sumCharLen(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.sumCharLen($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Position-weighted rolling fingerprint of array<string> (x11's formula)
+  * in one codegen pass instead of aggregate∘zip_with∘sequence. */
+case class RollingFp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.rollingFp(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.rollingFp($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Order-independent fingerprint combination as a typed Aggregator
   * (SURVEY §4(b)): XOR over int64 fingerprints, the distributed analog of
   * `Fingerprint.combine` — commutative/associative, so partial aggregation
@@ -275,6 +358,14 @@ object GraftFunctions {
     // kernel — fail at plan time instead
     else throw new IllegalArgumentException(s"parameter must be a constant integer, got: ${e.sql}")
 
+  private def strArrayArg(e: Expression): Seq[UTF8String] =
+    if (e.foldable) e.eval() match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map(i => a.getUTF8String(i))
+      case _ => throw new IllegalArgumentException(s"parameter must be a constant array<string>, got: ${e.sql}")
+    }
+    else throw new IllegalArgumentException(s"parameter must be a constant array<string>, got: ${e.sql}")
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "farmhash64" -> (es => FarmHash64(es.head)),
@@ -283,7 +374,10 @@ object GraftFunctions {
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, if (es.size > 1) intArg(es(1)) else 3)),
     "graft_minhash" -> (es => MinHashSig(es.head, if (es.size > 1) intArg(es(1)) else 32)),
     "graft_simhash" -> (es => SimHash64(es.head)),
-    "graft_hyperplane" -> (es => HyperplaneSig(es.head, if (es.size > 1) intArg(es(1)) else 8)))
+    "graft_hyperplane" -> (es => HyperplaneSig(es.head, if (es.size > 1) intArg(es(1)) else 8)),
+    "graft_count_in" -> (es => CountInSet(es(0), strArrayArg(es(1)))),
+    "graft_sum_len" -> (es => SumCharLen(es.head)),
+    "graft_rolling_fp" -> (es => RollingFp(es.head)))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>

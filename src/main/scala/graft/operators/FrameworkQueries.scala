@@ -256,7 +256,7 @@ object FrameworkQueries {
         Seq(d
           .withColumn("n_tokens", size(col("tk")))
           .withColumn("stop_ratio",
-            expr(s"size(filter(tk, t -> array_contains($stopArr, t)))").cast(DoubleType) / col("n_tokens"))
+            expr(s"graft_count_in(tk, $stopArr)").cast(DoubleType) / col("n_tokens"))
           .filter(col("stop_ratio") <= 0.5 && col("n_tokens") >= 10)
           .drop("tk", "n_tokens", "stop_ratio")
           .coalesce(4))

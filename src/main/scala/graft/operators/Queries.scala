@@ -1048,8 +1048,10 @@ object Queries {
       .withColumn("tk", toks(col("text")))
       .withColumn("n_tokens", size(col("tk")))
       .withColumn("n_unique", size(array_distinct(col("tk"))))
-      .withColumn("sum_len", expr("aggregate(tk, 0, (acc, t) -> acc + length(t))"))
-      .withColumn("n_stop", expr(s"size(filter(tk, t -> array_contains($stopArr, t)))"))
+      // codegen kernels, not interpreted HOF lambdas: this is the scan's
+      // hot path and stays inside WholeStageCodegen
+      .withColumn("sum_len", expr("graft_sum_len(tk)"))
+      .withColumn("n_stop", expr(s"graft_count_in(tk, $stopArr)"))
       .withColumn("distinct_ratio", col("n_unique").cast(DoubleType) / col("n_tokens"))
       .withColumn("mean_tok_len", col("sum_len").cast(DoubleType) / col("n_tokens"))
       .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
@@ -1090,7 +1092,7 @@ object Queries {
     var df = Tables.documents(spark, dir).withColumn("tk", toks(col("text")))
     for ((lang, words) <- langMarkers) {
       val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
-      df = df.withColumn(s"hits_$lang", expr(s"size(filter(tk, t -> array_contains($arr, t)))"))
+      df = df.withColumn(s"hits_$lang", expr(s"graft_count_in(tk, $arr)"))
     }
     val langs = langMarkers.map(_._1)
     // argmax with fixed priority: first language whose hits >= all others
@@ -1148,10 +1150,9 @@ object Queries {
   private def x11(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      expr("""aggregate(
-            |  zip_with(split(text, ' '), sequence(1, size(split(text, ' '))),
-            |           (t, i) -> cast(i as bigint) * (cast(length(t) as bigint) * 131 + ascii(substring(t, 1, 1)))),
-            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("fp"),
+      // one codegen pass (RollingFp kernel) — identical formula to the
+      // aggregate∘zip_with∘sequence HOF pipeline it replaces
+      expr("graft_rolling_fp(split(text, ' '))").as("fp"),
       size(toks(col("text"))).as("n_tokens"))
 
   private val x11Sql =

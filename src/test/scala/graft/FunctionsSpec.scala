@@ -146,6 +146,31 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap >= 5, s"IVF found only $overlap of the true top-10 pairs")
   }
 
+  test("text kernels match their HOF equivalents (count_in / sum_len / rolling_fp)") {
+    import spark.implicits._
+    val rows = Seq(
+      "the cat sat on the mat",
+      "a  b", // double space -> empty token
+      "", "x",
+      "naïve café tokens") // non-ascii first chars
+    val df = rows.toDF("text").withColumn("tk", split(col("text"), " "))
+    val cmp = df.select(
+      expr("graft_count_in(tk, array('the', 'a', 'of'))").as("k_cnt"),
+      expr("size(filter(tk, t -> array_contains(array('the', 'a', 'of'), t)))").as("h_cnt"),
+      expr("graft_sum_len(tk)").as("k_sum"),
+      expr("aggregate(tk, 0, (acc, t) -> acc + length(t))").as("h_sum"),
+      expr("graft_rolling_fp(tk)").as("k_fp"),
+      expr("""aggregate(
+            |  zip_with(tk, sequence(1, size(tk)),
+            |           (t, i) -> cast(i as bigint) * (cast(length(t) as bigint) * 131 + ascii(substring(t, 1, 1)))),
+            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("h_fp")).collect()
+    for (r <- cmp) {
+      assert(r.getInt(0) === r.getInt(1), s"count_in mismatch: $r")
+      assert(r.getInt(2) === r.getInt(3), s"sum_len mismatch: $r")
+      assert(r.getLong(4) === r.getLong(5), s"rolling_fp mismatch: $r")
+    }
+  }
+
   test("near-dup df-cap path agrees with the exact path when forced on") {
     // force the capped branch by setting the cap just under the hottest
     // shingle's df: the capped plan (bound + selective exact re-verify)
