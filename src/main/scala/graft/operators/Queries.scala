@@ -886,78 +886,94 @@ object Queries {
       |WHERE rnk <= 10""".stripMargin
 
   // ---------------------------------------------------------------- X7
-  /** LSH-bucketed ANN (random-hyperplane signatures): the 100 TB scale path
-    * for x6. ±1 hyperplanes derive deterministically from md5(bit_dim) — a
-    * hash BOTH engines compute identically, so the whole bucketing +
-    * re-rank pipeline has a full-algorithm DuckDB oracle (the signature,
-    * candidate set, and top-k are all replicated in SQL, not rows-only).
-    * The per-row signature is 4 codegen'd graft_dot calls against literal
-    * plane vectors; candidates meet in signature buckets (linear shuffle),
-    * then exact re-rank within bucket. */
-  private val x7Bits = 4
+  /** MULTI-TABLE LSH-bucketed ANN (random-hyperplane signatures): the
+    * 100 TB scale path for x6. L=8 independent tables of b=6-bit
+    * signatures; a pair is a candidate if it collides in ANY table —
+    * multi-probe union recall 1-(1-p^b)^L vs the single-table p^b, at
+    * candidate budget ≈ L·n/2^b per query (the standard tunables; raise b
+    * and L together as the corpus grows). ±1 planes derive
+    * deterministically from md5(table_bit_dim) — a hash BOTH engines
+    * compute identically, so signatures, candidate union, and top-k all
+    * carry a full-algorithm DuckDB oracle. Per-row signatures are L·b
+    * codegen'd graft_dot kernel calls against literal plane vectors
+    * (sequential summation — the same order DuckDB's list_dot_product
+    * uses, so both engines see identical IEEE doubles); candidates meet in
+    * (table, signature) buckets — a linear shuffle. */
+  private val x7Tables = 8
+  private val x7Bits = 6
   private val x7Dims = 64
 
-  /** plane(b)(d) = +1 iff the first hex char of md5("b_d") is '0'..'7'. */
-  private lazy val x7Planes: Seq[Seq[Double]] = {
+  /** plane(t)(b)(d) = +1 iff the first hex char of md5("t_b_d") ≤ '7'. */
+  private lazy val x7Planes: Seq[Seq[Seq[Double]]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until x7Bits).map { b =>
-      (0 until x7Dims).map { d =>
-        md.reset()
-        val hex = md.digest(s"${b}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
-        if (hex.charAt(0) <= '7') 1.0 else -1.0
+    (0 until x7Tables).map { t =>
+      (0 until x7Bits).map { b =>
+        (0 until x7Dims).map { d =>
+          md.reset()
+          val hex = md.digest(s"${t}_${b}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          if (hex.charAt(0) <= '7') 1.0 else -1.0
+        }
       }
     }
   }
 
   private def x7(spark: SparkSession, dir: String): DataFrame = {
-    // sig = Σ_b [dot(v, plane_b) > 0] << b, each dot a codegen'd kernel call
-    // over a literal array (sequential summation — the same order DuckDB's
-    // list_dot_product uses, so both engines see identical IEEE doubles)
-    val sigCol = (0 until x7Bits).map { b =>
-      val arr = x7Planes(b).map(p => if (p > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
+    // sigs = array over tables of Σ_b [dot(v, plane_tb) > 0] << b
+    def sigCol(t: Int) = (0 until x7Bits).map { b =>
+      val arr = x7Planes(t)(b).map(p => if (p > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
       when(expr(s"graft_dot(v, $arr)") > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      .withColumn("sig", sigCol)
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("sig"))
-    val c = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"), col("nrm"), col("sig"))
+      .withColumn("sigs", array((0 until x7Tables).map(sigCol): _*))
+      .persist() // read for both bucket sides + the re-rank vector fetch
+    val bands = e.select(col("vec_id"), posexplode(col("sigs")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
+    // candidate pairs carry only ids through the shuffle; union over
+    // tables = distinct (query, candidate)
+    val cand = bands.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("tbl"), col("sig"))
+      .join(bands.filter(col("vec_id") >= 5).select(col("vec_id"), col("tbl"), col("sig")),
+        Seq("tbl", "sig"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    q.join(c, Seq("sig"))
-      .withColumn("dot", expr("graft_dot(qv, v)"))
-      .withColumn("cos_sim", round(col("dot") / (col("qn") * col("nrm")), 6))
+    cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .withColumn("cos_sim", round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_sim"))
   }
 
-  /** The full hyperplane-LSH pipeline in DuckDB: same md5-derived planes,
-    * same signatures, same bucket join, same re-rank. */
+  /** The full multi-table pipeline in DuckDB: same md5-derived planes, same
+    * signatures, same candidate union, same re-rank. */
   private val x7Sql =
     """WITH planes AS (
-      |  SELECT b, list(CASE WHEN substr(md5(b || '_' || d), 1, 1) <= '7'
-      |                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
-      |  FROM (SELECT unnest(range(4)) AS b), (SELECT unnest(range(64)) AS d)
-      |  GROUP BY b),
+      |  SELECT t, b, list(CASE WHEN substr(md5(t || '_' || b || '_' || d), 1, 1) <= '7'
+      |                         THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+      |  FROM (SELECT unnest(range(8)) AS t), (SELECT unnest(range(6)) AS b),
+      |       (SELECT unnest(range(64)) AS d)
+      |  GROUP BY t, b),
       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |      FROM embeddings),
       |sigbit AS (
-      |  SELECT e.vec_id, p.b, (list_dot_product(e.v, p.pl) > 0) AS s
+      |  SELECT e.vec_id, p.t, p.b, (list_dot_product(e.v, p.pl) > 0) AS s
       |  FROM e, planes p),
-      |sig AS (SELECT vec_id, CAST(sum(CASE WHEN s THEN 1 << b ELSE 0 END) AS INT) AS sig
-      |        FROM sigbit GROUP BY vec_id),
-      |q AS (SELECT e.vec_id AS query_id, v AS qv, nrm AS qn, sig
-      |      FROM e JOIN sig USING (vec_id) WHERE e.vec_id < 5),
-      |c AS (SELECT e.vec_id, v, nrm, sig FROM e JOIN sig USING (vec_id) WHERE e.vec_id >= 5)
+      |sig AS (SELECT vec_id, t, CAST(sum(CASE WHEN s THEN 1 << b ELSE 0 END) AS INT) AS sig
+      |        FROM sigbit GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      |         FROM sig q JOIN sig c ON q.t = c.t AND q.sig = c.sig
+      |         WHERE q.vec_id < 5 AND c.vec_id >= 5)
       |SELECT query_id, vec_id, rnk, cos_sim FROM (
-      |  SELECT query_id, vec_id,
-      |    round(list_dot_product(qv, v) / (qn * nrm), 6) AS cos_sim,
-      |    CAST(row_number() OVER (PARTITION BY query_id
-      |      ORDER BY round(list_dot_product(qv, v) / (qn * nrm), 6) DESC, vec_id) AS INT) AS rnk
-      |  FROM q JOIN c USING (sig)) t
+      |  SELECT cand.query_id, cand.vec_id,
+      |    round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) AS cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY cand.query_id
+      |      ORDER BY round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) DESC, cand.vec_id) AS INT) AS rnk
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+      |            JOIN e ce ON ce.vec_id = cand.vec_id) t
       |WHERE rnk <= 10""".stripMargin
 
   // ---------------------------------------------------------------- X14
