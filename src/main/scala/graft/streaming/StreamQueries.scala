@@ -57,6 +57,11 @@ object StreamQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** HARNESS-ONLY sink: `memory` materializes every batch on the driver,
+    * which is exactly right for a bounded correctness drive (the driver
+    * hashes the result anyway) and exactly wrong for production — a real
+    * deployment writes `parquet`/`kafka`/`foreachBatch` sinks with a
+    * durable checkpointLocation. Nothing outside this harness uses it. */
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "sink_" + UUID.randomUUID().toString.replace("-", "")
     // state-store count follows shuffle partitions; 8 is plenty for the
