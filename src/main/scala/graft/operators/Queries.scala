@@ -660,9 +660,12 @@ object Queries {
     // postings carry the 8-byte farmhash of each shingle, not the string:
     // the shuffle is ~4x narrower and the equi-join build side is primitive.
     // (collision odds over ~10^5 distinct shingles are ~1e-11 — the string
-    // oracle still matches.) persist: the self-join reads postings twice.
+    // oracle still matches.) Only docs persists: postings are one explode
+    // over the cached shingle sets — recomputing that per consumer is
+    // pipelined CPU, while caching it would materialize the widest frame
+    // in the query three times over.
     val docs = shingledDocs.persist()
-    val posts = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s")).persist()
+    val posts = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
     // ADAPTIVE df-cap: one metadata-scale scalar (the hottest shingle's
     // document frequency) decides whether stop-shingle handling is needed.
     // Test corpora never trip it, so they run the plain inverted-index
