@@ -108,10 +108,25 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
             .filter(_.key == outKey)
         }
         if (existing.forall(_._2.nonEmpty)) {
-          existing.foreach { case (k, parts) =>
-            backend.linkSnapshotPartitions(snapshot.id, s"${g.name}/$k", parts)
+          // F38: thresholds re-check on EVERY run, even memoized skips,
+          // against the stored statistics — they may have been tightened
+          // since the data was built, and that must re-gate without a
+          // rebuild (reference executors/local.py:26-29)
+          val thresholdFailures =
+            if (producer.thresholds.isEmpty) Nil
+            else existing.flatMap { case (k, parts) =>
+              val stored = backend.readStatistics(s"${g.name}/$k")
+              parts.flatMap(p => stored.get(p.path))
+                .flatMap(st => graft.graph.Statistics.checkThresholds(producer.thresholds, st).left.toOption)
+            }
+          if (thresholdFailures.nonEmpty)
+            failures += s"${producer.name}: ${thresholdFailures.mkString("; ")}"
+          else {
+            existing.foreach { case (k, parts) =>
+              backend.linkSnapshotPartitions(snapshot.id, s"${g.name}/$k", parts)
+            }
+            skipped(producer.name) += 1
           }
-          skipped(producer.name) += 1
         } else {
           val inputDfs = inputKeys.zip(partDeps).map { case (k, parts) =>
             val a = g.artifacts(k)
@@ -126,7 +141,18 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
               // aborts the build once this wave has drained
               failures += s"${producer.name}: $msg"
             case Right(()) =>
-              outputKeys.zip(outputs).foreach { case (k, df) =>
+              // F38: profile once per output when stats are wanted OR
+              // thresholds gate the write; threshold violations abort
+              // BEFORE any byte lands, like validateOutputs
+              val wantStats = producer.computeStatistics || producer.thresholds.nonEmpty
+              val profiles = outputs.map(df =>
+                if (wantStats) Some(graft.graph.Statistics.profile(df)) else None)
+              val thresholdFailures = profiles.flatten.flatMap(st =>
+                graft.graph.Statistics.checkThresholds(producer.thresholds, st).left.toOption)
+              if (thresholdFailures.nonEmpty) {
+                failures += s"${producer.name}: ${thresholdFailures.mkString("; ")}"
+              } else {
+              outputKeys.zip(outputs).zip(profiles).foreach { case ((k, df), prof) =>
                 val a = g.artifacts(k)
                 val part = a.storage.generatePartition(outKey, inputFp)
                 // cluster_by → bucketBy (SURVEY §1.4): un-partitioned
@@ -147,10 +173,10 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
                   Some(a.storage.contentFingerprints(spark, Seq(part)).head))
                 backend.writeArtifactPartitions(s"${g.name}/$k", Seq(withFp))
                 backend.linkSnapshotPartitions(snapshot.id, s"${g.name}/$k", Seq(withFp))
-                if (producer.computeStatistics)
-                  backend.writeStatistics(s"${g.name}/$k", part.path, graft.graph.Statistics.profile(df))
+                prof.foreach(st => backend.writeStatistics(s"${g.name}/$k", part.path, st))
               }
               built(producer.name) += 1
+              }
           }
         }
       }

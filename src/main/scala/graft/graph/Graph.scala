@@ -67,7 +67,13 @@ final case class Producer(
     build: (SparkSession, Seq[DataFrame]) => Seq[DataFrame],
     map: Seq[Seq[StoragePartition]] => Producer.PartitionDeps = Producer.mapAll,
     validateOutputs: Seq[DataFrame] => Either[String, Unit] = _ => Right(()),
-    computeStatistics: Boolean = false) {
+    computeStatistics: Boolean = false,
+    /** F38 Thresholds, checked by the executor on every build — including
+      * memoized skips, against stored statistics — and deliberately OUTSIDE
+      * the fingerprint: tightening a threshold must re-gate, not rebuild
+      * (reference executors/local.py:26-29). Non-empty thresholds imply
+      * statistics collection. */
+    thresholds: Seq[Statistics.Threshold] = Nil) {
 
   /** name ⊕ version (reference F11, producers/__init__.py:326-334). */
   lazy val fingerprint: Fingerprint =

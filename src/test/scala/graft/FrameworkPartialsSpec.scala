@@ -203,6 +203,50 @@ class FrameworkPartialsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("jdbc"))
   }
 
+  test("thresholds gate builds before any write, and re-gate memoized skips (F38)") {
+    import spark.implicits._
+    import graft.graph.Statistics.Threshold
+    val base = Files.createTempDirectory("graft-thr").toString
+    Seq(KN(1, 5.0), KN(2, -3.0)).toDF().write.parquet(s"$base/in")
+    val in = Artifact(
+      ACollection("in", AStruct("in", Seq("k" -> AInt32(), "x" -> AFloat64()))),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/in", Map.empty)))
+    def outArt = Artifact(
+      ACollection("out", AStruct("out", Seq("k" -> AInt32(), "x" -> AFloat64()))),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/out/{input_fingerprint}", Map.empty)))
+    def mkGraph(th: Seq[Threshold]) =
+      new Graph("thr").add("in", in).add("out", outArt)
+        .produce(Producer("p", build = (_, ins) => Seq(ins.head.coalesce(1)), thresholds = th),
+          Seq("in"), Seq("out")).close()
+
+    // violated threshold aborts BEFORE the write: nothing lands on disk
+    val backend = new MemoryBackend
+    val failing = mkGraph(Seq(Threshold.MinRows(5)))
+    val e = intercept[IllegalStateException] {
+      new LocalExecutor(backend).build(spark, failing.snapshot(spark, backend))
+    }
+    assert(e.getMessage.contains("rows") && e.getMessage.contains("required 5"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/out")))
+
+    // passing thresholds build + record statistics
+    val b2 = new MemoryBackend
+    val ok = mkGraph(Seq(Threshold.MinRows(2), Threshold.NoNulls("x"), Threshold.Bounds("x", hi = Some(10.0))))
+    val r1 = new LocalExecutor(b2).build(spark, ok.snapshot(spark, b2))
+    assert(r1.totalBuilt === 1)
+    assert(b2.readStatistics("thr/out").nonEmpty, "thresholds imply stats collection")
+
+    // a TIGHTENED threshold re-gates a memoized skip (no rebuild happened,
+    // the stored stats fail the new bound) — reference executors/local.py:26-29
+    val tightened = mkGraph(Seq(Threshold.Bounds("x", lo = Some(0.0))))
+    val e2 = intercept[IllegalStateException] {
+      new LocalExecutor(b2).build(spark, tightened.snapshot(spark, b2))
+    }
+    assert(e2.getMessage.contains("below"))
+    // unchanged thresholds still skip cleanly
+    val r3 = new LocalExecutor(b2).build(spark, ok.snapshot(spark, b2))
+    assert(r3.totalSkipped === 1 && r3.totalBuilt === 0)
+  }
+
   test("enum items validate against the underlying type at construction (F2)") {
     assertThrows[IllegalArgumentException] { AEnum("e", AString(), Nil) }
     assertThrows[IllegalArgumentException] { AEnum("e", AString(), Seq("ok", 3)) }
