@@ -76,6 +76,9 @@ object ModelCodec {
       "template" -> JStr(t.template),
       "field_kinds" -> JObj(t.fieldKinds.toSeq.sortBy(_._1).map { case (k, v) => k -> JStr(v) }))
     case LiteralStorage(json) => JObj.of("kind" -> JStr("literal"), "json" -> JStr(json))
+    case other => throw new IllegalArgumentException(
+      s"storage ${other.getClass.getName} has no model codec — extension storages are readable/" +
+        "writable via IO.register but not yet persistable in the backend model")
   }
 
   private def decodeStorage(j: J): Storage = j("kind").str match {
@@ -88,5 +91,6 @@ object ModelCodec {
   private def formatOf(name: String): Format =
     Seq(Format.Json, Format.Parquet, Format.Csv, Format.Text, Format.Binary)
       .find(_.name == name)
+      .orElse(graft.io.IO.registeredFormat(name)) // F23 extension formats
       .getOrElse(throw new IllegalArgumentException(s"unknown format '$name'"))
 }

@@ -8,8 +8,9 @@ import graft.storage.{LiteralStorage, StoragePartition, Storage, FileStorage}
 /** Serialization formats (reference: src/arti/formats/json.py,
   * formats/pickle.py — pickle is Python-only; Parquet is the engine-native
   * columnar default since the testdata and any 100 TB deployment are
-  * parquet). */
-sealed abstract class Format(val name: String, val extension: String)
+  * parquet). OPEN for extension: a new format is a `Format` subclass plus
+  * an [[IO.register]] entry (F23). */
+abstract class Format(val name: String, val extension: String)
 object Format {
   case object Json    extends Format("json", ".json")
   case object Parquet extends Format("parquet", ".parquet")
@@ -27,17 +28,53 @@ object Format {
   */
 object IO {
 
+  /** F23 extension seam: the multiple-dispatch registry of the reference
+    * (io/__init__.py:30-82 `register_reader`/`register_writer` keyed on
+    * (type, format, storage, view)) with Spark's (Format, Storage) pair as
+    * the dispatch key. Registered entries are consulted BEFORE the
+    * built-ins, so an extension can both add a new combination and
+    * override an existing one. */
+  final case class Registration(
+      matches: (Format, Storage) => Boolean,
+      reader: Option[(SparkSession, Format, Storage, Seq[StoragePartition], Option[StructType]) => DataFrame] = None,
+      writer: Option[(DataFrame, Format, Storage, StoragePartition, Boolean) => Unit] = None)
+
+  private val registrations = scala.collection.mutable.ListBuffer.empty[Registration]
+
+  def register(r: Registration): Unit = this.synchronized { registrations += r }
+
+  private def registered(format: Format, storage: Storage): Seq[Registration] =
+    this.synchronized(registrations.filter(_.matches(format, storage)).toList)
+
+  /** Formats known to registered entries — lets the model codec decode
+    * artifacts of extension formats. */
+  def registeredFormat(name: String): Option[Format] = this.synchronized {
+    extraFormats.find(_.name == name)
+  }
+  private val extraFormats = scala.collection.mutable.ListBuffer.empty[Format]
+  def registerFormat(f: Format): Format = this.synchronized { extraFormats += f; f }
+
   /** Capability checks for wiring-time validation (reference
     * io/__init__.py:30-82 refuses unregistered combinations at
     * registration, not first run). Keep in sync with read/write below. */
-  def canRead(format: Format, storage: Storage): Boolean = storage match {
-    case _: LiteralStorage => true
-    case _: FileStorage    => true
-  }
+  def canRead(format: Format, storage: Storage): Boolean =
+    registered(format, storage).exists(_.reader.isDefined) || (storage match {
+      case _: LiteralStorage => true
+      case _: FileStorage    => builtinFileFormat(format)
+      case _                 => false
+    })
 
-  def canWrite(format: Format, storage: Storage): Boolean = storage match {
-    case _: LiteralStorage => false // literals are read-only
-    case _: FileStorage    => format != Format.Binary // binaryFile is a read-only source
+  def canWrite(format: Format, storage: Storage): Boolean =
+    registered(format, storage).exists(_.writer.isDefined) || (storage match {
+      case _: LiteralStorage => false // literals are read-only
+      // binaryFile is a read-only source
+      case _: FileStorage    => builtinFileFormat(format) && format != Format.Binary
+      case _                 => false
+    })
+
+  private def builtinFileFormat(f: Format): Boolean = f match {
+    case Format.Json | Format.Parquet | Format.Csv | Format.Text | Format.Binary => true
+    case _ => false
   }
 
   /** Read a set of partitions as one DataFrame — the partition fan-in concat
@@ -48,23 +85,27 @@ object IO {
       format: Format,
       storage: Storage,
       partitions: Seq[StoragePartition],
-      schema: Option[StructType] = None): DataFrame = (format, storage) match {
-    case (_, LiteralStorage(json)) =>
-      val ds = spark.createDataset(json :: Nil)(org.apache.spark.sql.Encoders.STRING)
-      schema.map(s => spark.read.schema(s).json(ds)).getOrElse(spark.read.json(ds))
-    case (f, _: FileStorage) =>
-      require(partitions.nonEmpty, "no data: cannot read an artifact with no partitions")
-      val paths = partitions.map(_.path)
-      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-      f match {
-        case Format.Json    => reader.json(paths: _*)
-        case Format.Parquet => reader.parquet(paths: _*)
-        case Format.Csv     => reader.option("header", "true").csv(paths: _*)
-        case Format.Text    => reader.text(paths: _*)
-        case Format.Binary  => reader.format("binaryFile").load(paths: _*)
+      schema: Option[StructType] = None): DataFrame =
+    registered(format, storage).flatMap(_.reader).headOption match {
+      case Some(r) => r(spark, format, storage, partitions, schema)
+      case None => (format, storage) match {
+        case (_, LiteralStorage(json)) =>
+          val ds = spark.createDataset(json :: Nil)(org.apache.spark.sql.Encoders.STRING)
+          schema.map(s => spark.read.schema(s).json(ds)).getOrElse(spark.read.json(ds))
+        case (f, _: FileStorage) if builtinFileFormat(f) =>
+          require(partitions.nonEmpty, "no data: cannot read an artifact with no partitions")
+          val paths = partitions.map(_.path)
+          val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+          f match {
+            case Format.Json    => reader.json(paths: _*)
+            case Format.Parquet => reader.parquet(paths: _*)
+            case Format.Csv     => reader.option("header", "true").csv(paths: _*)
+            case Format.Text    => reader.text(paths: _*)
+            case Format.Binary  => reader.format("binaryFile").load(paths: _*)
+          }
+        case other => throw new IllegalArgumentException(s"no reader registered for $other")
       }
-    case other => throw new IllegalArgumentException(s"no reader registered for $other")
-  }
+    }
 
   /** Bulk write of a whole partitioned Collection in the engine-native Hive
     * layout (`k=v` directories): one distributed write for every partition
@@ -150,19 +191,23 @@ object IO {
       format: Format,
       storage: Storage,
       partition: StoragePartition,
-      overwrite: Boolean = false): Unit = (format, storage) match {
-    case (f, _: FileStorage) =>
-      val mode = if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
-      val w = df.write.mode(mode)
-      f match {
-        case Format.Json    => w.json(partition.path)
-        case Format.Parquet => w.parquet(partition.path)
-        case Format.Csv     => w.option("header", "true").csv(partition.path)
-        case Format.Text    => w.text(partition.path)
-        case Format.Binary  => throw new IllegalArgumentException("binaryFile is read-only")
+      overwrite: Boolean = false): Unit =
+    registered(format, storage).flatMap(_.writer).headOption match {
+      case Some(w) => w(df, format, storage, partition, overwrite)
+      case None => (format, storage) match {
+        case (f, _: FileStorage) if builtinFileFormat(f) =>
+          val mode = if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
+          val w = df.write.mode(mode)
+          f match {
+            case Format.Json    => w.json(partition.path)
+            case Format.Parquet => w.parquet(partition.path)
+            case Format.Csv     => w.option("header", "true").csv(partition.path)
+            case Format.Text    => w.text(partition.path)
+            case Format.Binary  => throw new IllegalArgumentException("binaryFile is read-only")
+          }
+        case (_, _: LiteralStorage) =>
+          throw new IllegalArgumentException("literal storage is read-only (reference forbids overwrite)")
+        case other => throw new IllegalArgumentException(s"no writer registered for $other")
       }
-    case (_, _: LiteralStorage) =>
-      throw new IllegalArgumentException("literal storage is read-only (reference forbids overwrite)")
-    case other => throw new IllegalArgumentException(s"no writer registered for $other")
-  }
+    }
 }

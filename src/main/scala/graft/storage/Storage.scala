@@ -23,7 +23,9 @@ final case class StoragePartition(
   * is how one implementation covers the reference's LocalFile + GCS pair
   * (reference: src/arti/storage/local.py:30-63,
   * src/arti/storage/google/cloud/storage.py:36-57). */
-sealed trait Storage {
+// open for extension: a new backend is a Storage subclass plus IO.register
+// entries for its formats (F23); the built-ins stay exhaustive below
+trait Storage {
   /** List existing partitions (raw-data discovery, reference F20/F21). */
   def discoverPartitions(conf: Configuration): Seq[StoragePartition]
   /** Render the concrete partition path for a key + input fingerprint

@@ -247,6 +247,48 @@ class FrameworkPartialsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3.totalSkipped === 1 && r3.totalBuilt === 0)
   }
 
+  test("IO registry: a user-defined format reads/writes through the engine (F23)") {
+    import graft.io.IO
+    import FrameworkPartialsSpec.TsvFormat
+    // register once: reader + writer for (tsv, FileStorage)
+    IO.registerFormat(TsvFormat)
+    IO.register(IO.Registration(
+      matches = (f, s) => f == TsvFormat && s.isInstanceOf[FileStorage],
+      reader = Some((spark, _, _, parts, schema) => {
+        val r = schema.map(spark.read.schema).getOrElse(spark.read)
+        r.option("sep", "\t").option("header", "true").csv(parts.map(_.path): _*)
+      }),
+      writer = Some((df, _, _, part, overwrite) =>
+        df.write.mode(if (overwrite) "overwrite" else "errorifexists")
+          .option("sep", "\t").option("header", "true").csv(part.path))))
+    assert(IO.canRead(TsvFormat, FileStorage(PathTemplate("/x", Map.empty))))
+    assert(IO.canWrite(TsvFormat, FileStorage(PathTemplate("/x", Map.empty))))
+
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-tsv").toString
+    Seq(KV(1, "a"), KV(2, "b")).toDF()
+      .write.option("sep", "\t").option("header", "true").csv(s"$base/in")
+    val in = Artifact(
+      ACollection("in", AStruct("in", Seq("k" -> AString(nullable = true), "s" -> AString(nullable = true)))),
+      TsvFormat, FileStorage(PathTemplate(s"$base/in", Map.empty)))
+    val out = Artifact(
+      ACollection("out", AStruct("out", Seq("k" -> AString(nullable = true), "s" -> AString(nullable = true)))),
+      TsvFormat, FileStorage(PathTemplate(s"$base/out/{input_fingerprint}", Map.empty)))
+    // wiring-time capability check passes via the registry (would have
+    // thrown for an unregistered format)
+    val g = new Graph("tsv").add("in", in).add("out", out)
+      .produce(Producer("copy", build = (_, ins) => Seq(ins.head.coalesce(1))), Seq("in"), Seq("out"))
+      .close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    assert(snap.read(spark, backend, "out").count() === 2)
+    // the stored model round-trips the extension format by name
+    val model = backend.readGraphModel("tsv").get
+    assert(graft.graph.ModelCodec.decode(graft.graph.ModelCodec.encode(model))
+      .artifact("out").format === TsvFormat)
+  }
+
   test("enum items validate against the underlying type at construction (F2)") {
     assertThrows[IllegalArgumentException] { AEnum("e", AString(), Nil) }
     assertThrows[IllegalArgumentException] { AEnum("e", AString(), Seq("ok", 3)) }
@@ -264,6 +306,7 @@ class FrameworkPartialsSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object FrameworkPartialsSpec {
+  case object TsvFormat extends graft.io.Format("tsv", ".tsv")
   final case class KV(k: Int, s: String)
   final case class KN(k: Int, x: Double)
   final case class KVN(k: Int, s: String, x: Double)
