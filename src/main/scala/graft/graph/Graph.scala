@@ -54,6 +54,39 @@ object Artifact {
     * payload in the model itself; reads become a one-row in-memory scan. */
   def literal(atype: ArtiType, jsonLine: String): Artifact =
     Artifact(atype, Format.Json, LiteralStorage(jsonLine))
+
+  /** `Artifact.cast` with TYPE INFERENCE from the value (the reference
+    * infers via the python TypeSystem, artifacts/__init__.py:80-116 —
+    * int → Int64 etc.): `of(6L)` declares an AInt64 literal readable as a
+    * one-row frame with column `value` (and via `readScalar`). */
+  def of(value: Any): Artifact =
+    literal(inferType(value), s"""{"value":${encodeJsonValue(value)}}""")
+
+  private[graft] def inferType(v: Any): ArtiType = v match {
+    case _: Boolean                 => ArtiType.ABoolean()
+    case _: Byte | _: Short | _: Int | _: Long => ArtiType.AInt64() // reference: python int → Int64
+    case _: Float | _: Double       => ArtiType.AFloat64()
+    case _: String                  => ArtiType.AString()
+    case _: java.time.LocalDate     => ArtiType.ADate()
+    case _: java.time.LocalDateTime => ArtiType.ADateTime()
+    case s: Seq[_] if s.nonEmpty    => ArtiType.AList(inferType(s.head))
+    case other => throw new IllegalArgumentException(
+      s"cannot infer an ArtiType from value '$other' (${other.getClass.getName}) — declare it with Artifact.literal")
+  }
+
+  private def encodeJsonValue(v: Any): String = v match {
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case d: java.time.LocalDate     => "\"" + d.toString + "\""
+    case t: java.time.LocalDateTime => "\"" + t.toString + "\""
+    case s: Seq[_]                  => s.map(encodeJsonValue).mkString("[", ",", "]")
+    case other                      => String.valueOf(other)
+  }
 }
 
 /** A versioned build step over artifacts

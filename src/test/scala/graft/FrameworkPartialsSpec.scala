@@ -289,6 +289,29 @@ class FrameworkPartialsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .artifact("out").format === TsvFormat)
   }
 
+  test("Artifact.of infers the type from the value (F2)") {
+    import graft.graph.Artifact
+    assert(Artifact.of(6L).atype === AInt64())
+    assert(Artifact.of(6).atype === AInt64()) // reference: python int -> Int64
+    assert(Artifact.of(1.5).atype === AFloat64())
+    assert(Artifact.of("x\"y").atype === AString())
+    assert(Artifact.of(java.time.LocalDate.of(2026, 8, 12)).atype === ADate())
+    assert(Artifact.of(Seq(1L, 2L)).atype === AList(AInt64()))
+    assertThrows[IllegalArgumentException] { Artifact.of(new Object) }
+    // and it actually reads back through a graph
+    val base = Files.createTempDirectory("graft-of").toString
+    val out = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/out/{input_fingerprint}", Map.empty)))
+    val g = new Graph("of").add("n", Artifact.of(6L)).add("out", out)
+      .produce(Producer("div", build = (_, ins) => Seq(
+        ins.head.select((lit(84.0) / col("value")).as("value")).coalesce(1))), Seq("n"), Seq("out"))
+      .close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    assert(snap.readScalar[Double](spark, backend, "out") === 14.0)
+  }
+
   test("enum items validate against the underlying type at construction (F2)") {
     assertThrows[IllegalArgumentException] { AEnum("e", AString(), Nil) }
     assertThrows[IllegalArgumentException] { AEnum("e", AString(), Seq("ok", 3)) }
