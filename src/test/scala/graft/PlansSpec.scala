@@ -119,4 +119,31 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("x3_minhash_lsh")
     assert(p.toLowerCase.contains("minhashsig") || p.contains("graft_minhash"), p)
   }
+
+  test("x2: near-dup is equi-joins only — no nested loop, no cartesian") {
+    val p = plan("x2_ngram_jaccard")
+    assert(!p.contains("NestedLoop"), s"inverted-index join must stay equi:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x4: simhash candidates come from the band equi-join, signature from the kernel") {
+    val p = plan("x4_simhash")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("simhash64") || p.contains("graft_simhash"), p)
+  }
+
+  test("x7: multi-table LSH buckets join equi on (table, signature)") {
+    val p = plan("x7_ann_lsh")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"ANN candidates must meet in buckets, not all-pairs:\n$p")
+  }
+
+  test("x8/x11: text kernels run inside WholeStageCodegen (no interpreted lambda eval)") {
+    for (q <- Seq("x8_text_quality", "x11_doc_fingerprint")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("lambdafunction"), s"$q fell back to interpreted HOFs:\n$p")
+      // formatted mode marks codegen'd operators with '*'
+      assert(p.contains("* Project"), s"$q projections left whole-stage codegen:\n$p")
+    }
+  }
 }
