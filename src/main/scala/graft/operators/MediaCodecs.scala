@@ -1,0 +1,138 @@
+package graft.operators
+
+/** Pure-JVM media codecs for the multimodal pipeline (SURVEY §2.4 X5).
+  * This container ships no image/audio libraries, so the formats here are
+  * chosen to be REALLY decodable with zero external codecs:
+  *
+  *   - PPM (P6) — the standard binary Portable Pixmap: ASCII header
+  *     `P6 <w> <h> <maxval>` + raw RGB bytes. A real image format (netpbm).
+  *   - WAV — RIFF/WAVE with PCM16 mono: real RIFF chunk walking (fmt/data
+  *     may appear in any order, other chunks are skipped).
+  *   - GFV0 — a deliberately tiny SYNTHETIC video container (magic +
+  *     frame-count + one embedded PPM keyframe), standing in for MP4 atom
+  *     parsing; the parsing is real, the format is ours.
+  *
+  * A JPEG/MP4 decoder would slot into the same dispatch seam; the decode
+  * WORK here (header parsing, pixel/sample statistics) is genuine, which
+  * is what the partition-batched pipeline shape is for.
+  */
+object MediaCodecs {
+
+  // ------------------------------------------------------------------ PPM
+  final case class ImageInfo(width: Int, height: Int, meanLuma: Double)
+
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} RGB bytes, got ${rgb.length}")
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+  }
+
+  /** Real P6 parse: header tokens (with comment/whitespace handling), then
+    * per-pixel BT.601 luma over the raster. */
+  def decodePpm(b: Array[Byte]): ImageInfo = {
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6', "not a P6 ppm")
+    var i = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#' comments
+      while (i < b.length && (b(i).toChar.isWhitespace || b(i) == '#'))
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else i += 1
+      var v = 0
+      require(i < b.length && b(i) >= '0' && b(i) <= '9', s"bad ppm header at byte $i")
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      v
+    }
+    val w = nextInt()
+    val h = nextInt()
+    val maxval = nextInt()
+    require(maxval == 255, s"only 8-bit ppm supported, maxval=$maxval")
+    i += 1 // single whitespace after maxval
+    require(b.length - i >= w * h * 3, s"truncated raster: ${b.length - i} < ${w * h * 3}")
+    var luma = 0.0
+    var p = i
+    val end = i + w * h * 3
+    while (p < end) {
+      val r = b(p) & 0xff
+      val g = b(p + 1) & 0xff
+      val bl = b(p + 2) & 0xff
+      luma += 0.299 * r + 0.587 * g + 0.114 * bl
+      p += 3
+    }
+    ImageInfo(w, h, luma / (w * h))
+  }
+
+  // ------------------------------------------------------------------ WAV
+  final case class AudioInfo(sampleRate: Int, nSamples: Int, durationMs: Long, rms: Double)
+
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)             // PCM
+      .putShort(1)             // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)  // byte rate
+      .putShort(2)             // block align
+      .putShort(16)            // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Real RIFF chunk walk: find fmt + data wherever they sit, skip the
+    * rest (odd-sized chunks pad to even per the spec). */
+  def decodeWav(b: Array[Byte]): AudioInfo = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(at: Int): String = new String(b, at, 4, "US-ASCII")
+    require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE file")
+    var pos = 12
+    var rate = -1
+    var bits = -1
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length) {
+      val id = tag(pos)
+      val size = bb.getInt(pos + 4)
+      id match {
+        case "fmt " =>
+          require(bb.getShort(pos + 8) == 1, "only PCM wav supported")
+          channels = bb.getShort(pos + 10)
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22)
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = math.min(size, b.length - dataOff)
+        case _ => () // skip unknown chunks (LIST, fact, ...)
+      }
+      pos += 8 + size + (size & 1)
+    }
+    require(rate > 0 && dataOff >= 0, "missing fmt or data chunk")
+    require(bits == 16 && channels == 1, s"only PCM16 mono supported (bits=$bits ch=$channels)")
+    val n = dataLen / 2
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val s = bb.getShort(dataOff + i * 2).toDouble
+      sumSq += s * s
+      i += 1
+    }
+    AudioInfo(rate, n, n * 1000L / rate, if (n == 0) 0.0 else math.sqrt(sumSq / n))
+  }
+
+  // ----------------------------------------------------------------- GFV0
+  final case class VideoInfo(nFrames: Int, keyframe: ImageInfo, durationMs: Long)
+
+  def encodeGfv(nFrames: Int, keyframePpm: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + keyframePpm.length).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("GFV0".getBytes("US-ASCII")).putInt(nFrames).put(keyframePpm)
+    bb.array()
+  }
+
+  /** 25 fps assumed for duration — the container stores only frame count. */
+  def decodeGfv(b: Array[Byte]): VideoInfo = {
+    require(b.length >= 8 && new String(b, 0, 4, "US-ASCII") == "GFV0", "not a GFV0 container")
+    val n = java.nio.ByteBuffer.wrap(b, 4, 4).order(java.nio.ByteOrder.BIG_ENDIAN).getInt
+    VideoInfo(n, decodePpm(java.util.Arrays.copyOfRange(b, 8, b.length)), n * 40L)
+  }
+}

@@ -7,47 +7,56 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns next to typed metadata, and
   * decode/feature-extract runs as a partition-batched typed transform —
   * the Scala analog of a `mapInPandas` batch UDF: one iterator per
-  * partition, so a real decoder could amortize model/codec setup across the
-  * batch instead of paying it per row.
+  * partition, so decoder setup amortizes across the batch instead of being
+  * paid per row.
   *
-  * This container ships no image/audio codecs, so `decode` is a STUB — a
-  * deterministic fake deriving dimensions/duration from the payload bytes
-  * (clearly marked below). Everything around it — the binary schema, the
-  * batch shape, the partition distribution, the output schema — is real and
-  * tested, which is the part that matters for the 100 TB pipeline.
+  * The decode itself is REAL: payloads are genuine PPM images and RIFF/WAV
+  * audio (plus a documented synthetic video container), parsed byte-level
+  * by [[MediaCodecs]] with zero external libraries — header parsing, RIFF
+  * chunk walking, per-pixel luma, per-sample RMS. A JPEG/MP4 codec would
+  * slot into the same magic-byte dispatch; what this container can't ship
+  * is the codec LIBRARY, not the pipeline.
   */
 object Multimodal {
 
   /** A multimodal record: opaque payload + routing metadata. */
   case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
 
-  /** Decoded features (what a real decoder would emit per item). */
+  /** Decoded features. `feature` is the modality's principal statistic:
+    * mean luma (image/video keyframe) or sample RMS (audio), rounded at
+    * 6dp for cross-run byte-stability of the parquet output. */
   case class MediaFeatures(
       doc_id: Long,
       modality: String,
       byte_len: Long,
-      width: Int,        // images/video: fake-decoded dims
+      width: Int,
       height: Int,
-      duration_ms: Long, // audio/video: fake-decoded duration
+      duration_ms: Long,
       n_frames: Int,
+      feature: Double,
       content_hash: Long)
 
-  /** STUB decoder: a real implementation would parse the container format
-    * (JPEG/PNG headers, WAV/MP3 frames, MP4 atoms). Deterministic fake:
-    * features derive from the payload bytes alone, so results are stable
-    * across partitionings and re-runs. */
-  private[operators] def decodeStub(r: MediaRecord): MediaFeatures = {
-    val h = graft.fingerprints.Fingerprint.fromBytes(r.payload).key
+  /** Magic-byte dispatch + real decode; unknown/corrupt payloads degrade
+    * to an `opaque` record (len + hash only) instead of failing the batch
+    * — at 100 TB a poison payload must not kill the job. */
+  private[operators] def decode(r: MediaRecord): MediaFeatures = {
+    val hash = graft.fingerprints.Fingerprint.fromBytes(r.payload).key
     val len = r.payload.length.toLong
-    MediaFeatures(
-      doc_id = r.doc_id,
-      modality = r.modality,
-      byte_len = len,
-      width = (math.abs(h % 1024) + 16).toInt,
-      height = (math.abs((h >> 10) % 768) + 16).toInt,
-      duration_ms = math.abs((h >> 20) % 600000),
-      n_frames = (math.abs(h >> 40) % 240 + 1).toInt,
-      content_hash = h)
+    def opaque = MediaFeatures(r.doc_id, "opaque", len, 0, 0, 0L, 0, 0.0, hash)
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    try {
+      if (len >= 2 && r.payload(0) == 'P' && r.payload(1) == '6') {
+        val img = MediaCodecs.decodePpm(r.payload)
+        MediaFeatures(r.doc_id, "image", len, img.width, img.height, 0L, 1, r6(img.meanLuma), hash)
+      } else if (len >= 4 && new String(r.payload, 0, 4, "US-ASCII") == "RIFF") {
+        val a = MediaCodecs.decodeWav(r.payload)
+        MediaFeatures(r.doc_id, "audio", len, 0, 0, a.durationMs, 0, r6(a.rms), hash)
+      } else if (len >= 4 && new String(r.payload, 0, 4, "US-ASCII") == "GFV0") {
+        val v = MediaCodecs.decodeGfv(r.payload)
+        MediaFeatures(r.doc_id, "video", len, v.keyframe.width, v.keyframe.height,
+          v.durationMs, v.nFrames, r6(v.keyframe.meanLuma), hash)
+      } else opaque
+    } catch { case _: IllegalArgumentException => opaque }
   }
 
   /** The batched decode pipeline: binary-typed Dataset in, feature-typed
@@ -57,23 +66,39 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      // a real decoder would initialize its codec/model ONCE here
-      batch.map(decodeStub)
+      // decoder/codec state would initialize ONCE here per batch
+      batch.map(decode)
     }
   }
 
-  /** Build a MediaRecord dataset from the documents table (text bytes stand
-    * in for media payloads — the schema/plumbing is what's exercised). */
+  /** Synthesize REAL payloads from the documents table, deterministically
+    * per row (re-runs and repartitions agree): text bytes become PPM
+    * rasters, PCM16 samples, or GFV0 keyframes depending on the modality
+    * the row routes to. */
   def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        when(col("n_chars") % 3 === 0, "image")
-          .when(col("n_chars") % 3 === 1, "audio")
-          .otherwise("video").as("modality"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRecord]
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val bytes = if (text.isEmpty) Array[Byte]('x') else text.getBytes("UTF-8")
+        def rgb(w: Int, h: Int): Array[Byte] =
+          Array.tabulate(w * h * 3)(i => bytes(i % bytes.length))
+        val n = nChars
+        (n % 3) match {
+          case 0 =>
+            val w = 4 + (n % 12).toInt
+            val h = 4 + ((n / 3) % 8).toInt
+            MediaRecord(id, "image", MediaCodecs.encodePpm(w, h, rgb(w, h)))
+          case 1 =>
+            val samples = Array.tabulate((200 + n % 800).toInt)(i =>
+              (((bytes(i % bytes.length) & 0xff) - 96) * 256).toShort)
+            MediaRecord(id, "audio", MediaCodecs.encodeWav(8000, samples))
+          case _ =>
+            val frame = MediaCodecs.encodePpm(8, 6, rgb(8, 6))
+            MediaRecord(id, "video", MediaCodecs.encodeGfv(1 + (n % 30).toInt, frame))
+        }
+      }
   }
 
   /** End-to-end: documents → media records → batched decode → features DF. */
