@@ -1228,6 +1228,63 @@ object Queries {
       |  n_chars % 30 + 1 AS n_frames
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- X17
+  /** Near-dup CLUSTER formation: connected components over the jac ≥ 0.5
+    * pair graph (x2's exact pairs), via iterative min-label propagation —
+    * each round is one equi-join + one aggregation (linear shuffles), and
+    * the loop converges in component-diameter rounds with ONE driver-side
+    * scalar (changed-count) per round. Near-dup components are tiny by
+    * nature (chains of mutated copies), so diameter is small; a corpus
+    * with pathological chains would switch to the large-star/small-star
+    * rewrite (O(log n) rounds, same per-round shuffle shape). The oracle
+    * replays the clustering as a recursive transitive-closure CTE.
+    * Training-data use: keep min(doc_id) per cluster, drop the rest — the
+    * cluster table IS the dedup decision, auditable. */
+  private def x17(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(shingled(spark, dir)).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src")).distinct()
+      .withColumn("lbl", col("src")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges.join(labels.select(col("src").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val merged = labels.join(nbrMin, Seq("src"), "left")
+        .select(col("src"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
+        .persist()
+      changed = merged.filter(col("lbl2") < col("lbl")).count()
+      labels = merged.select(col("src"), col("lbl2").as("lbl"))
+      rounds += 1
+    }
+    labels.select(col("src").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Clusters via recursive transitive closure (termination: UNION is
+    * set-semantics), cluster id = min reachable doc including self. */
+  private val x17Sql =
+    s"""WITH RECURSIVE s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -1270,7 +1327,9 @@ object Queries {
     Q("x16_token_df", x16, Some(x16Sql), "token/document frequency + IDF"),
     Q("x12_multimodal_meta", x12, Some(x12Sql), "binary payload + typed metadata"),
     Q("x13_multimodal_decode", (s, d) => Multimodal.features(s, d), None,
-      "batched typed decode pipeline (stubbed codec, real plumbing)")) ++
+      "batched typed decode pipeline (real PPM/WAV byte-level codecs)"),
+    Q("x17_dedup_clusters", x17, Some(x17Sql),
+      "near-dup connected components via min-label propagation")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 
