@@ -1245,18 +1245,23 @@ object Queries {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
-    var labels = edges.select(col("src")).distinct()
-      .withColumn("lbl", col("src")).persist()
-    var changed = 1L
+    // round 0 fused into initialization: label = min(self, direct neighbors)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl")).persist()
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed && rounds < 50) {
       val nbrMin = edges.join(labels.select(col("src").as("dst"), col("lbl")), "dst")
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
       val merged = labels.join(nbrMin, Seq("src"), "left")
         .select(col("src"), col("lbl"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
         .persist()
-      changed = merged.filter(col("lbl2") < col("lbl")).count()
+      // full count, deliberately: it materializes EVERY partition of the
+      // persisted frame, so the next round reads cache instead of
+      // re-deriving a growing lineage (the classic iterative pitfall)
+      changed = merged.filter(col("lbl2") < col("lbl")).count() > 0
+      labels.unpersist()
       labels = merged.select(col("src"), col("lbl2").as("lbl"))
       rounds += 1
     }

@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Queries
+
+/** Dev harness: time one named query N times on one session (args:
+  * <sfDir> <queryName> [reps]) — for isolating a regression from ambient
+  * machine noise without paying a full Bench sweep per sample. */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-timeone").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = Queries.byName(name)
+    for (i <- 1 to reps) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = q.run(spark, sfDir).count()
+      println(f"[timeone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
