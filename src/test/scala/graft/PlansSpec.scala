@@ -138,6 +138,11 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ANN candidates must meet in buckets, not all-pairs:\n$p")
   }
 
+  test("x17: each propagation round is equi-join + aggregation, never all-pairs") {
+    val p = plan("x17_dedup_clusters")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("x8/x11: text kernels run inside WholeStageCodegen (no interpreted lambda eval)") {
     for (q <- Seq("x8_text_quality", "x11_doc_fingerprint")) {
       val p = plan(q)
