@@ -511,14 +511,49 @@ object Queries {
     * string concat, NULL and '' hash differently), XOR-combined per group:
     * order-independent, the distributed analog of the reference's
     * Fingerprint.combine (reference: src/arti/fingerprints/__init__.py:18-66).
-    * Engine-specific hash → rows-only check. */
+    * Serialization is a deliberate canonical form — ints/strings verbatim,
+    * money as DECIMAL(18,2) strings, dates as ISO — so BOTH engines
+    * produce identical bytes, and the sha256-based 64-bit fingerprint
+    * (graft_sha64) is replicable in DuckDB: a FULL-ALGORITHM oracle for
+    * content addressing, not a rows-only check. XOR makes the combine
+    * order-independent (partition-parallel safe). */
   private def q20(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.withColumn("fp", xxhash64(struct(li.columns.map(col): _*)))
+    li.withColumn("ser", concat_ws("|",
+        col("l_orderkey").cast(StringType), col("l_linenumber").cast(StringType),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(DecimalType(18, 2)).cast(StringType),
+        col("l_extendedprice").cast(DecimalType(18, 2)).cast(StringType),
+        col("l_shipdate").cast(DateType).cast(StringType)))
+      .withColumn("fp", element_at(expr("graft_sha64(array(ser))"), 1))
       .groupBy(col("l_returnflag"))
       .agg(expr("bit_xor(fp)").as("xor_fp"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** sha64 in DuckDB: first 16 hex chars of sha256 → exact unsigned value
+    * via 4×16-bit integer chunks (no floating point), then two's-complement
+    * to the signed 64-bit space graft_sha64 emits. */
+  private val q20Sql =
+    """WITH r AS (SELECT l_returnflag,
+      |  concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR, l_returnflag, l_linestatus,
+      |    (l_quantity::DECIMAL(18,2))::VARCHAR, (l_extendedprice::DECIMAL(18,2))::VARCHAR,
+      |    (l_shipdate::DATE)::VARCHAR) AS s
+      |  FROM lineitem),
+      |hx AS (SELECT l_returnflag, substr(sha256(s), 1, 16) AS h FROM r),
+      |ch AS (SELECT l_returnflag,
+      |  list_transform(range(4), c -> CAST(
+      |    (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 1, 1)) - 1) * 4096
+      |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 2, 1)) - 1) * 256
+      |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 3, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 4, 1)) - 1) AS HUGEINT)) AS cs
+      |  FROM hx),
+      |fp AS (SELECT l_returnflag, CAST(
+      |    ((cs[1] * 65536 + cs[2]) * 65536 + cs[3]) * 65536 + cs[4]
+      |    - CASE WHEN cs[1] >= 32768 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp
+      |  FROM ch)
+      |SELECT l_returnflag, bit_xor(fp) AS xor_fp, count(*) AS n
+      |FROM fp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- Q22
   /** Pivot (wide aggregation): order counts and exact decimal totals per
@@ -1313,7 +1348,7 @@ object Queries {
     Q("q22_pivot", q22, Some(q22Sql), "pivot with static value list"),
     Q("q23_unpivot", q23, Some(q23Sql), "unpivot/melt back to long form"),
     Q("q24_outer_join", q24, Some(q24Sql), "full outer join with null-bearing sides"),
-    Q("q20_fingerprint_column", q20, None, "xxhash64 + XOR combine"),
+    Q("q20_fingerprint_column", q20, Some(q20Sql), "sha64 + XOR combine (full-algorithm oracle)"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output
