@@ -144,14 +144,19 @@ object SparkTypeSystem {
 
   private def semanticOf(t: ArtiType): Option[String] = t match {
     // items URL-encode so commas/brackets in values can't corrupt the
-    // marker grammar; numeric enum items round-trip as their string forms
-    // (documented limitation)
-    case e: AEnum      => Some(s"enum:${e.name}:${e.items.map(i => escItem(String.valueOf(i))).mkString(",")}")
+    // marker grammar, and each carries an 'i' prefix so the EMPTY string
+    // is a representable item; numeric enum items round-trip as their
+    // string forms coerced back by the underlying type
+    case e: AEnum      => Some(s"enum:${e.name}:${e.items.map(i => "i" + escItem(String.valueOf(i))).mkString(",")}")
     // container markers recurse (set<...>/list<...>/map<k|v>) so semantics
     // survive nesting, e.g. a Set inside a List; URL-escaping of leaf
     // payloads keeps '<' '>' '|' unambiguous for the bracket grammar
     case s: ASet       => Some(semanticOf(s.element).fold("set")(inner => s"set<$inner>"))
     case l: AList      => semanticOf(l.element).map(inner => s"list<$inner>")
+    // struct NAMES live only in the ArtiType (Spark's StructType is
+    // anonymous), so they ride the marker too — composing through
+    // containers, e.g. set<struct:point>
+    case s: AStruct    => Some(s"struct:${escItem(s.name)}")
     case m: AMap       => (semanticOf(m.key), semanticOf(m.value)) match {
       case (None, None) => None
       case (k, v)       => Some(s"map<${k.getOrElse("")}|${v.getOrElse("")}>")
@@ -316,6 +321,10 @@ object SparkTypeSystem {
         AMap(applyMarker(m.key, km), applyMarker(m.value, vm), m.nullable)
       case other => other
     }
+    else if (marker.startsWith("struct:")) base match {
+      case st: AStruct => st.copy(name = java.net.URLDecoder.decode(marker.substring(7), "UTF-8"))
+      case other       => other
+    }
     else marker.split(":", 3) match {
       case Array("set") => base match {
         case l: AList => ASet(l.element, l.nullable)
@@ -332,7 +341,8 @@ object SparkTypeSystem {
           case _ => identity[String]
         }
         AEnum(name, base,
-          items.split(",").toSeq.filter(_.nonEmpty).map(s => coerce(java.net.URLDecoder.decode(s, "UTF-8"))),
+          items.split(",").toSeq.filter(_.nonEmpty)
+            .map(s => coerce(java.net.URLDecoder.decode(s.stripPrefix("i"), "UTF-8"))),
           base.nullable)
       case Array("time", precision) => ATime(TimePrecision.of(precision), base.nullable)
       case Array("geography", fmt)  => AGeography(fmt, nullable = base.nullable)

@@ -102,9 +102,10 @@ class TypesSpec extends AnyFunSuite {
       "attrs" -> AMap(AString(), AInt64(), nullable = true), // map keys are never null
       "inner" -> AStruct("struct", Seq("a" -> AInt32(), "b" -> AString(nullable = true)), nullable = true))))
     // derived Struct → Spark schema must round-trip to the encoder's schema
-    // (modulo field metadata, which carries no type information here)
+    // (modulo field metadata: ours carries semantic markers, theirs none)
     val enc = org.apache.spark.sql.Encoders.product[TypesSpec.EventRow].schema
-    assert(S.toSpark(derived) === StructType(enc.fields.map(_.copy(metadata = Metadata.empty))))
+    def strip(st: StructType): StructType = StructType(st.fields.map(_.copy(metadata = Metadata.empty)))
+    assert(strip(S.toSpark(derived).asInstanceOf[StructType]) === strip(enc))
     // and Collection derivation keeps the validators
     val c = S.collectionOf[TypesSpec.EventRow]("events", partitionBy = Seq("day"))
     assert(c.isPartitioned && c.element === derived.copy(name = "events"))
