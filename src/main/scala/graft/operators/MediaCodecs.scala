@@ -47,17 +47,17 @@ object MediaCodecs {
     require(maxval == 255, s"only 8-bit ppm supported, maxval=$maxval")
     i += 1 // single whitespace after maxval
     require(b.length - i >= w * h * 3, s"truncated raster: ${b.length - i} < ${w * h * 3}")
-    var luma = 0.0
+    // BT.601 luma in INTEGER millis (299r + 587g + 114b): integer sums are
+    // exact and order-independent, so any engine computing the same bytes
+    // lands on the same double after the single final division
+    var lumaMillis = 0L
     var p = i
     val end = i + w * h * 3
     while (p < end) {
-      val r = b(p) & 0xff
-      val g = b(p + 1) & 0xff
-      val bl = b(p + 2) & 0xff
-      luma += 0.299 * r + 0.587 * g + 0.114 * bl
+      lumaMillis += 299L * (b(p) & 0xff) + 587L * (b(p + 1) & 0xff) + 114L * (b(p + 2) & 0xff)
       p += 3
     }
-    ImageInfo(w, h, luma / (w * h))
+    ImageInfo(w, h, lumaMillis / (1000.0 * w * h))
   }
 
   // ------------------------------------------------------------------ WAV
@@ -110,14 +110,15 @@ object MediaCodecs {
     require(rate > 0 && dataOff >= 0, "missing fmt or data chunk")
     require(bits == 16 && channels == 1, s"only PCM16 mono supported (bits=$bits ch=$channels)")
     val n = dataLen / 2
-    var sumSq = 0.0
+    // exact integer sum of squares (order-independent), one float division
+    var sumSq = 0L
     var i = 0
     while (i < n) {
-      val s = bb.getShort(dataOff + i * 2).toDouble
+      val s = bb.getShort(dataOff + i * 2).toLong
       sumSq += s * s
       i += 1
     }
-    AudioInfo(rate, n, n * 1000L / rate, if (n == 0) 0.0 else math.sqrt(sumSq / n))
+    AudioInfo(rate, n, n * 1000L / rate, if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
   }
 
   // ----------------------------------------------------------------- GFV0

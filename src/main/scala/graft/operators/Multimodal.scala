@@ -23,8 +23,9 @@ object Multimodal {
   case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
 
   /** Decoded features. `feature` is the modality's principal statistic:
-    * mean luma (image/video keyframe) or sample RMS (audio), rounded at
-    * 6dp for cross-run byte-stability of the parquet output. */
+    * mean luma (image/video keyframe) or sample RMS (audio) — emitted at
+    * full precision (deterministic IEEE accumulation order), so an oracle
+    * computing the same sums byte-for-byte can hash-match the raw doubles. */
   case class MediaFeatures(
       doc_id: Long,
       modality: String,
@@ -43,18 +44,17 @@ object Multimodal {
     val hash = graft.fingerprints.Fingerprint.fromBytes(r.payload).key
     val len = r.payload.length.toLong
     def opaque = MediaFeatures(r.doc_id, "opaque", len, 0, 0, 0L, 0, 0.0, hash)
-    def r6(d: Double) = math.rint(d * 1e6) / 1e6
     try {
       if (len >= 2 && r.payload(0) == 'P' && r.payload(1) == '6') {
         val img = MediaCodecs.decodePpm(r.payload)
-        MediaFeatures(r.doc_id, "image", len, img.width, img.height, 0L, 1, r6(img.meanLuma), hash)
+        MediaFeatures(r.doc_id, "image", len, img.width, img.height, 0L, 1, img.meanLuma, hash)
       } else if (len >= 4 && new String(r.payload, 0, 4, "US-ASCII") == "RIFF") {
         val a = MediaCodecs.decodeWav(r.payload)
-        MediaFeatures(r.doc_id, "audio", len, 0, 0, a.durationMs, 0, r6(a.rms), hash)
+        MediaFeatures(r.doc_id, "audio", len, 0, 0, a.durationMs, 0, a.rms, hash)
       } else if (len >= 4 && new String(r.payload, 0, 4, "US-ASCII") == "GFV0") {
         val v = MediaCodecs.decodeGfv(r.payload)
         MediaFeatures(r.doc_id, "video", len, v.keyframe.width, v.keyframe.height,
-          v.durationMs, v.nFrames, r6(v.keyframe.meanLuma), hash)
+          v.durationMs, v.nFrames, v.keyframe.meanLuma, hash)
       } else opaque
     } catch { case _: IllegalArgumentException => opaque }
   }

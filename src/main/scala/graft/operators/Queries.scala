@@ -1325,6 +1325,54 @@ object Queries {
        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- X13 oracle
+  /** x13 replayed in SQL: same modality routing, same synthesized payload
+    * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
+    * header arithmetic for byte lengths, same per-pixel BT.601 luma and
+    * per-sample RMS sums in the same order. PPM header is
+    * "P6\nW H\n255\n" = 9 + digits(W) + digits(H) bytes. */
+  private val x13Sql = {
+    // integer-milli luma: the sum is exact, so the single final division
+    // reproduces the engine's double bit-for-bit
+    val lumaExpr = (w: String, h: String) =>
+      s"""CAST(list_sum(list_transform(range($w * $h),
+         |      p -> 299 * ord(substr(text, CAST((3*p) % L AS INT) + 1, 1))
+         |         + 587 * ord(substr(text, CAST((3*p + 1) % L AS INT) + 1, 1))
+         |         + 114 * ord(substr(text, CAST((3*p + 2) % L AS INT) + 1, 1)))) AS DOUBLE)
+         |      / (1000.0 * $w * $h)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text, n_chars, length(text) AS L FROM documents),
+       |img AS (
+       |  SELECT doc_id, 'image' AS modality,
+       |    CAST(9 + length(CAST(4 + n_chars % 12 AS VARCHAR))
+       |           + length(CAST(4 + (n_chars // 3) % 8 AS VARCHAR))
+       |           + (4 + n_chars % 12) * (4 + (n_chars // 3) % 8) * 3 AS BIGINT) AS byte_len,
+       |    CAST(4 + n_chars % 12 AS INT) AS width,
+       |    CAST(4 + (n_chars // 3) % 8 AS INT) AS height,
+       |    CAST(0 AS BIGINT) AS duration_ms, CAST(1 AS INT) AS n_frames,
+       |    ${lumaExpr("(4 + n_chars % 12)", "(4 + (n_chars // 3) % 8)")} AS feature
+       |  FROM d WHERE n_chars % 3 = 0),
+       |aud AS (
+       |  SELECT doc_id, 'audio' AS modality,
+       |    CAST(44 + (200 + n_chars % 800) * 2 AS BIGINT) AS byte_len,
+       |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+       |    CAST((200 + n_chars % 800) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       |    CAST(0 AS INT) AS n_frames,
+       |    sqrt(CAST(list_sum(list_transform(range(200 + n_chars % 800),
+       |      i -> CAST((ord(substr(text, CAST(i % L AS INT) + 1, 1)) - 96) * 256 AS BIGINT)
+       |         * CAST((ord(substr(text, CAST(i % L AS INT) + 1, 1)) - 96) * 256 AS BIGINT))) AS DOUBLE)
+       |      / (200 + n_chars % 800)) AS feature
+       |  FROM d WHERE n_chars % 3 = 1),
+       |vid AS (
+       |  SELECT doc_id, 'video' AS modality,
+       |    CAST(8 + 9 + 1 + 1 + 8 * 6 * 3 AS BIGINT) AS byte_len,
+       |    CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       |    CAST((1 + n_chars % 30) * 40 AS BIGINT) AS duration_ms,
+       |    CAST(1 + n_chars % 30 AS INT) AS n_frames,
+       |    ${lumaExpr("8", "6")} AS feature
+       |  FROM d WHERE n_chars % 3 = 2)
+       |SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid""".stripMargin
+  }
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -1366,8 +1414,11 @@ object Queries {
     Q("x11_doc_fingerprint", x11, Some(x11Sql), "position-weighted fingerprint"),
     Q("x16_token_df", x16, Some(x16Sql), "token/document frequency + IDF"),
     Q("x12_multimodal_meta", x12, Some(x12Sql), "binary payload + typed metadata"),
-    Q("x13_multimodal_decode", (s, d) => Multimodal.features(s, d), None,
-      "batched typed decode pipeline (real PPM/WAV byte-level codecs)"),
+    // content_hash (engine farmhash) is dropped from the GATED projection;
+    // every other feature — real byte-level decode of real formats — is
+    // replicated in SQL over the same synthesized payload bytes
+    Q("x13_multimodal_decode", (s, d) => Multimodal.features(s, d).drop("content_hash"),
+      Some(x13Sql), "batched typed decode pipeline (real PPM/WAV codecs, full-algorithm oracle)"),
     Q("x17_dedup_clusters", x17, Some(x17Sql),
       "near-dup connected components via min-label propagation")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
