@@ -134,6 +134,19 @@ object FrameworkQueries {
     Seq(r1, r2, r3).toDF("phase", "built", "skipped")
   }
 
+  /** The incremental contract is exactly derivable from the data, so the
+    * engine's build/skip accounting is ORACLE-CHECKED, not rows-only:
+    * with Y distinct order-years, run 1 builds Y yearly partitions + 1
+    * total; run 2 skips all Y+1; after one new year arrives, run 3 builds
+    * exactly 2 (the new yearly partition + the total) and skips Y. */
+  private val q14Sql =
+    """WITH y AS (SELECT count(DISTINCT year(CAST(o_orderdate AS TIMESTAMP))) AS n FROM orders)
+      |SELECT 'first' AS phase, CAST(n + 1 AS INT) AS built, CAST(0 AS INT) AS skipped FROM y
+      |UNION ALL
+      |SELECT 'second', CAST(0 AS INT), CAST(n + 1 AS INT) FROM y
+      |UNION ALL
+      |SELECT 'third_new_partition', CAST(2 AS INT), CAST(n AS INT) FROM y""".stripMargin
+
   /** q15_validated_build: F13 — the quality gate runs before any write. */
   private def q15(spark: SparkSession, dir: String): DataFrame = {
     val base = tmp()
@@ -321,7 +334,8 @@ object FrameworkQueries {
 
   val all: Seq[Q] = Seq(
     Q("q13_partitioned_spend", q13, Some(q13Sql), "spend demo through the engine (graph+producer+executor)"),
-    Q("q14_incremental_daily_agg", q14, None, "per-partition incremental build with fingerprint skip"),
+    Q("q14_incremental_daily_agg", q14, Some(q14Sql),
+      "per-partition incremental build with fingerprint skip (oracle-checked build/skip contract)"),
     Q("q15_validated_build", q15, Some(q15Sql), "validate_outputs gate before write"),
     Q("q16_snapshot_replay", q16, Some(q16Sql), "snapshot tag + replay old tag"),
     Q("x15_clean_corpus", x15, Some(x15Sql), "full dedup+quality pipeline as a producer graph"))
