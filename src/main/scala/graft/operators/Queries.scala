@@ -643,12 +643,15 @@ object Queries {
   private def toks(c: Column): Column = split(c, " ")
 
   // ---------------------------------------------------------------- X1
-  /** Exact dedup: group-by full content, keep min id. */
+  /** Exact dedup, keep min id. The hash is computed BEFORE the groupBy so
+    * the shuffle carries 64 hex chars + an id per row, never the full
+    * document text (at 100 TB the shuffle IS the cost); grouping on
+    * sha256 is content-grouping — a collision needs 2^128 work. */
   private def x1(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(col("text"))
+      .select(sha2(col("text"), 256).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(sha2(col("text"), 256).as("text_hash"), col("keep_id"), col("n_copies"))
 
   private val x1Sql =
     """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies

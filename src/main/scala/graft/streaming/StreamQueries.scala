@@ -218,10 +218,49 @@ object StreamQueries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- QS6
+  /** STREAM-STREAM interval join (click→purchase attribution): two event
+    * streams join on user with the purchase inside [click, click+15 min].
+    * Watermarks on BOTH sides plus the time-range condition are what let
+    * Spark bound the join state (old clicks age out instead of
+    * accumulating forever — the property that matters when the streams
+    * never end). Inner join in append mode; arrival-order-free → exact
+    * batch oracle. */
+  private def qs6(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 15 MINUTES"))
+    runToTable(spark, joined, OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+  }
+
+  private val qs6Sql =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      |  CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  date_diff('microsecond', CAST(c.ts AS TIMESTAMP), CAST(p.ts AS TIMESTAMP)) AS lag_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 15 MINUTE""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("qs1_stream_tumbling", qs1, Some(qs1Sql), "tumbling windows + watermark (complete mode)"),
     Q("qs2_stream_session", qs2, Some(qs2Sql), "session windows per user"),
     Q("qs3_stream_state", qs3, Some(qs3Sql), "mapGroupsWithState earliest-event fold"),
     Q("qs4_stream_late_append", qs4, None, "append mode + watermark + stream dedup"),
-    Q("qs5_stream_static_join", qs5, Some(qs5Sql), "stream-static dimension join"))
+    Q("qs5_stream_static_join", qs5, Some(qs5Sql), "stream-static dimension join"),
+    Q("qs6_stream_stream_join", qs6, Some(qs6Sql), "stream-stream interval join (watermark-bounded state)"))
 }
