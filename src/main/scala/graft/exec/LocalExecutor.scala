@@ -33,10 +33,14 @@ final case class BuildReport(built: Map[String, Int], skipped: Map[String, Int],
   */
 final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
 
-  /** Build independent producers concurrently (the reference's own TODO,
+  /** Build independent WORK UNITS concurrently (the reference's own TODO,
     * executors/local.py:14-16): topo order grouped into dependency waves;
-    * within a wave, bindings run on a fixed thread pool — SparkSession is
-    * thread-safe, and each thread only issues lazy plans + actions. */
+    * within a wave, every (producer, output-partition) pair is its own
+    * task on a fixed thread pool — so sibling producers AND the partitions
+    * of one incremental producer build in parallel (a 7-year backfill
+    * occupies 7 slots, not 1). SparkSession is thread-safe; each task only
+    * issues lazy plans + actions, and output partitions write to disjoint
+    * paths by construction. */
   def build(spark: SparkSession, snapshot: GraphSnapshot): BuildReport = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -60,7 +64,18 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       for (wave <- waves if failures.isEmpty) {
-        val futures = wave.map(b => Future(buildBinding(spark, snapshot, b)))
+        // flatten to partition-level tasks: `map` routing is driver-side
+        // metadata, so computing it eagerly per wave is cheap
+        val tasks = wave.flatMap { b =>
+          val inputParts: Seq[Seq[StoragePartition]] = b.inputKeys.map { k =>
+            if (g.isRaw(k)) snapshot.rawPartitions(k)
+            else backend.readSnapshotPartitions(snapshot.id, s"${g.name}/$k")
+          }
+          b.producer.map(inputParts).map { case (outKey, partDeps) => (b, outKey, partDeps) }
+        }
+        val futures = tasks.map { case (b, outKey, partDeps) =>
+          Future(buildPartition(spark, snapshot, b, outKey, partDeps))
+        }
         // await the whole wave before acting on failures: siblings finish
         // their in-flight writes cleanly instead of being abandoned mid-way
         val results = futures.map(f => Await.result(f, Duration.Inf))
@@ -76,7 +91,13 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
     BuildReport(built.toMap, skipped.toMap, failures.toSeq)
   }
 
-  private def buildBinding(spark: SparkSession, snapshot: GraphSnapshot, binding: ProducerBinding): BuildReport = {
+  /** Build/skip ONE output partition of one producer binding. */
+  private def buildPartition(
+      spark: SparkSession,
+      snapshot: GraphSnapshot,
+      binding: ProducerBinding,
+      outKey: graft.partitions.PartitionKey.PartitionKey,
+      partDeps: Seq[Seq[StoragePartition]]): BuildReport = {
     val g = snapshot.graph
     val built = mutable.Map.empty[String, Int].withDefaultValue(0)
     val skipped = mutable.Map.empty[String, Int].withDefaultValue(0)
@@ -84,17 +105,7 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
 
     locally {
       val ProducerBinding(producer, inputKeys, outputKeys) = binding
-
-      // snapshot-linked partitions per input (raw: discovered at snapshot
-      // time; produced: linked by an earlier wave of this build)
-      val inputParts: Seq[Seq[StoragePartition]] = inputKeys.map { k =>
-        if (g.isRaw(k)) snapshot.rawPartitions(k)
-        else backend.readSnapshotPartitions(snapshot.id, s"${g.name}/$k")
-      }
-
-      val deps = producer.map(inputParts)
-
-      for ((outKey, partDeps) <- deps) {
+      locally {
         // input fingerprint: producer id ⊕ content of every dep partition
         // (reference F11, producers/__init__.py:326-346)
         val inputFp = producer.fingerprint.combine(

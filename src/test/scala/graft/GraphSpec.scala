@@ -287,6 +287,38 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxSeen.get() >= 2, s"independent producers should overlap, max concurrency = ${maxSeen.get()}")
   }
 
+  test("PARTITIONS of one incremental producer build concurrently too") {
+    val base = dir.resolve("par2")
+    writeSpendFixture(base.resolve("tx")) // 2 date partitions
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    val daily = Artifact(
+      ACollection("daily", AStruct("d", Seq("date" -> ADate(), "value" -> AFloat64())), partitionBy = Seq("date")),
+      Format.Json, FileStorage(PathTemplate(s"$base/daily/{date.iso}/{input_fingerprint}", Map("date" -> "date"))))
+    val concurrency = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val perDay = Producer("per_day",
+      build = (_, ins) => {
+        val c = concurrency.incrementAndGet()
+        maxSeen.updateAndGet(m => math.max(m, c))
+        Thread.sleep(300)
+        val r = Seq(ins.head.groupBy(col("date")).agg(sum(col("amount")).as("value")).coalesce(1))
+        concurrency.decrementAndGet()
+        r
+      },
+      map = Producer.mapByKey)
+    val g = new Graph("par2").add("tx", transactions).add("daily", daily)
+      .produce(perDay, Seq("tx"), Seq("daily")).close()
+    val backend = new MemoryBackend
+    val r = new LocalExecutor(backend, parallelism = 2).build(spark, g.snapshot(spark, backend))
+    assert(r.totalBuilt === 2, "one build per date partition")
+    assert(maxSeen.get() >= 2,
+      s"partitions of one producer should overlap, max concurrency = ${maxSeen.get()}")
+  }
+
   test("csv and text formats round-trip through the IO registry") {
     import graft.io.{Format => F, IO}
     val base = dir.resolve("io1")
