@@ -1328,6 +1328,52 @@ object Queries {
        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- X18
+  /** Deterministic stratified sampling — the corpus-construction primitive
+    * for mixing training data: keep a document iff its content-addressed
+    * bucket (sha64 of the id, mod 100) falls under its language's sampling
+    * rate. Content-addressing (not rand()) makes the sample REPRODUCIBLE
+    * across runs, partitionings, and engines — rerunning the pipeline or
+    * adding a new language stratum never reshuffles which documents of an
+    * existing stratum are kept. Pure map-side filter: no shuffle at all
+    * until the per-stratum accounting aggregation. */
+  private val x18Rates: Seq[(String, Int)] =
+    Seq("en" -> 25, "es" -> 50, "de" -> 75, "fr" -> 50, "zh" -> 100)
+
+  private def x18(spark: SparkSession, dir: String): DataFrame = {
+    val rate = x18Rates.foldRight(lit(10)) { case ((lang, r), rest) =>
+      when(col("lang") === lang, lit(r)).otherwise(rest)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("h", element_at(expr("graft_sha64(array(cast(doc_id as string)))"), 1))
+      .withColumn("bucket", ((col("h") % 100) + 100) % 100)
+      .withColumn("rate", rate)
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket").cast(IntegerType).as("bucket"))
+  }
+
+  /** Same sha64 bucket in DuckDB (16-bit-chunk hex reconstruction as in
+    * q20), same rate table, same keep rule. */
+  private val x18Sql = {
+    val rateCase = x18Rates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH hx AS (SELECT doc_id, lang, substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16) AS h
+       |            FROM documents),
+       |ch AS (SELECT doc_id, lang,
+       |  list_transform(range(4), c -> CAST(
+       |    (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 1, 1)) - 1) * 4096
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 2, 1)) - 1) * 256
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 3, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 4, 1)) - 1) AS HUGEINT)) AS cs
+       |  FROM hx),
+       |fp AS (SELECT doc_id, lang, CAST(
+       |    ((cs[1] * 65536 + cs[2]) * 65536 + cs[3]) * 65536 + cs[4]
+       |    - CASE WHEN cs[1] >= 32768 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS h
+       |  FROM ch)
+       |SELECT doc_id, lang, CAST(((h % 100) + 100) % 100 AS INT) AS bucket
+       |FROM fp
+       |WHERE ((h % 100) + 100) % 100 < (CASE lang $rateCase ELSE 10 END)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -1423,7 +1469,9 @@ object Queries {
     Q("x13_multimodal_decode", (s, d) => Multimodal.features(s, d).drop("content_hash"),
       Some(x13Sql), "batched typed decode pipeline (real PPM/WAV codecs, full-algorithm oracle)"),
     Q("x17_dedup_clusters", x17, Some(x17Sql),
-      "near-dup connected components via min-label propagation")) ++
+      "near-dup connected components via min-label propagation"),
+    Q("x18_stratified_sample", x18, Some(x18Sql),
+      "deterministic content-addressed stratified sampling")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 
