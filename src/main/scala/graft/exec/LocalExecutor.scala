@@ -127,7 +127,12 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
             if (producer.thresholds.isEmpty) Nil
             else existing.flatMap { case (k, parts) =>
               val stored = backend.readStatistics(s"${g.name}/$k")
-              parts.flatMap(p => stored.get(p.path))
+              // absent stored statistics must FAIL the gate, not pass it:
+              // checkThresholds against an empty map yields the
+              // "statistic … was not collected" failure, so thresholds
+              // added after a stats-less build force a rebuild/error
+              // instead of silently bypassing the quality gate
+              parts.map(p => stored.getOrElse(p.path, Map.empty[String, String]))
                 .flatMap(st => graft.graph.Statistics.checkThresholds(producer.thresholds, st).left.toOption)
             }
           if (thresholdFailures.nonEmpty)

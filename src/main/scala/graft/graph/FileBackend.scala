@@ -125,6 +125,24 @@ final class FileBackend(dir: String) extends Backend {
       contentFingerprint = Option(m("content_fp")).filter(_ != "null").map(s => Fingerprint(s.toLong)))
 
   // ---- persistence ----
+  /** Crash recovery at open: a torn final line (append died before the
+    * trailing '\n') is an uncommitted record. Left in place it would merge
+    * with the NEXT append into one unparseable interior line — bricking the
+    * strict replay forever. Truncating back to the last committed newline is
+    * the standard append-only-log repair: the torn record was never
+    * acknowledged, so dropping it loses nothing. */
+  private def repairTail(file: String): Unit = {
+    val p = root.resolve(file)
+    if (Files.exists(p) && Files.size(p) > 0) {
+      val bytes = Files.readAllBytes(p)
+      if (bytes.last != '\n') {
+        val lastNl = bytes.lastIndexOf('\n'.toByte)
+        val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.WRITE)
+        try ch.truncate(lastNl + 1L) finally ch.close()
+      }
+    }
+  }
+
   private def append(file: String, line: String): Unit = lock.synchronized {
     Files.write(root.resolve(file), (line + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -160,7 +178,11 @@ final class FileBackend(dir: String) extends Backend {
     }
   }
 
+  private val LogFiles = Seq("graphs.jsonl", "snapshots.jsonl", "tags.jsonl",
+    "artifact_parts.jsonl", "snapshot_parts.jsonl", "stats.jsonl", "models.jsonl")
+
   locally {
+    LogFiles.foreach(repairTail)
     replay("graphs.jsonl")(m => mem.writeGraph(m("name"), Fingerprint(m("fp").toLong)))
     replay("snapshots.jsonl")(m => mem.writeSnapshot(m("graph"), Fingerprint(m("id").toLong)))
     replay("tags.jsonl")(m => mem.tag(m("graph"), Fingerprint(m("id").toLong), m("tag"), overwrite = true))

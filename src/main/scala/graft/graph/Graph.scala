@@ -300,7 +300,15 @@ final class Graph(val name: String) {
       .combine(Fingerprint.combineAll(nodeFps))
       .combine(Fingerprint.combineAll(contentFps))
     backend.writeGraph(name, Canonical.fingerprint(name))
-    backend.writeGraphModel(GraphModel.of(this)) // F37: tagged reads survive without this object
+    // F37: tagged reads survive without this object — but model persistence
+    // must not break the core snapshot path for custom Storage subclasses
+    // (the F23 extension seam): no codec → skip the model write with a
+    // warning, everything else about the snapshot still works
+    val model = GraphModel.of(this)
+    if (ModelCodec.canEncode(model)) backend.writeGraphModel(model)
+    else System.err.println(s"[graft] graph '$name' uses a Storage with no model codec; " +
+      "snapshot metadata persisted without the graph model (register one via " +
+      "ModelCodec.registerStorage to enable tag rehydration)")
     backend.writeSnapshot(name, id)
     rawPartitions.foreach { case (k, parts) =>
       backend.writeArtifactPartitions(s"$name/$k", parts)

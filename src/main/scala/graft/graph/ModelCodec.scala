@@ -70,22 +70,53 @@ object ModelCodec {
         w("outputs").arr.map(_.str))))
   }
 
+  /** Raised when a graph carries a Storage with no registered codec —
+    * snapshot() catches exactly this to skip model persistence instead of
+    * failing the build (the storage extension seam must stay usable). */
+  final class UnsupportedStorage(msg: String) extends IllegalArgumentException(msg)
+
+  /** F23-style extension seam, mirroring IO.register: a custom Storage
+    * subclass becomes model-persistable by registering a codec under a
+    * unique kind. */
+  private val storageCodecs =
+    scala.collection.concurrent.TrieMap.empty[String, (PartialFunction[Storage, J], J => Storage)]
+
+  def registerStorage(kind: String, enc: PartialFunction[Storage, J], dec: J => Storage): Unit = {
+    require(kind != "file" && kind != "literal", s"storage kind '$kind' is built-in")
+    storageCodecs.put(kind, (enc, dec))
+  }
+
+  /** True iff every artifact's storage in the model has a codec. */
+  def canEncode(m: GraphModel): Boolean =
+    m.artifacts.forall { case (_, a) =>
+      a.storage match {
+        case _: FileStorage | _: LiteralStorage => true
+        case s => storageCodecs.exists(_._2._1.isDefinedAt(s))
+      }
+    }
+
   private def encodeStorage(s: Storage): J = s match {
     case FileStorage(t) => JObj.of(
       "kind" -> JStr("file"),
       "template" -> JStr(t.template),
       "field_kinds" -> JObj(t.fieldKinds.toSeq.sortBy(_._1).map { case (k, v) => k -> JStr(v) }))
     case LiteralStorage(json) => JObj.of("kind" -> JStr("literal"), "json" -> JStr(json))
-    case other => throw new IllegalArgumentException(
-      s"storage ${other.getClass.getName} has no model codec — extension storages are readable/" +
-        "writable via IO.register but not yet persistable in the backend model")
+    case other =>
+      storageCodecs.collectFirst {
+        case (kind, (enc, _)) if enc.isDefinedAt(other) =>
+          JObj.of("kind" -> JStr(kind), "payload" -> enc(other))
+      }.getOrElse(throw new UnsupportedStorage(
+        s"storage ${other.getClass.getName} has no model codec — register one via " +
+          "ModelCodec.registerStorage to make it backend-persistable"))
   }
 
   private def decodeStorage(j: J): Storage = j("kind").str match {
     case "file" =>
       FileStorage(PathTemplate(j("template").str, j("field_kinds").obj.map { case (k, v) => k -> v.str }))
     case "literal" => LiteralStorage(j("json").str)
-    case other     => throw new IllegalArgumentException(s"unknown storage kind '$other'")
+    case other =>
+      storageCodecs.get(other).map(_._2(j("payload")))
+        .getOrElse(throw new IllegalArgumentException(s"unknown storage kind '$other'"))
   }
 
   private def formatOf(name: String): Format =

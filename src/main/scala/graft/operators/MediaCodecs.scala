@@ -94,6 +94,10 @@ object MediaCodecs {
     while (pos + 8 <= b.length) {
       val id = tag(pos)
       val size = bb.getInt(pos + 4)
+      // a hostile/corrupt size (negative, or -8 making the advance 0) must
+      // not stall the walk: chunk sizes are unsigned in RIFF, so any
+      // negative i32 read is malformed — reject rather than spin forever
+      require(size >= 0, s"malformed RIFF chunk size $size at byte $pos")
       id match {
         case "fmt " =>
           require(bb.getShort(pos + 8) == 1, "only PCM wav supported")

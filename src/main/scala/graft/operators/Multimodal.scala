@@ -56,7 +56,11 @@ object Multimodal {
         MediaFeatures(r.doc_id, "video", len, v.keyframe.width, v.keyframe.height,
           v.durationMs, v.nFrames, v.keyframe.meanLuma, hash)
       } else opaque
-    } catch { case _: IllegalArgumentException => opaque }
+    } catch {
+      // ANY malformed payload degrades to opaque — a truncated fmt/data
+      // chunk throws IndexOutOfBounds/BufferUnderflow, not just require()
+      case scala.util.control.NonFatal(_) => opaque
+    }
   }
 
   /** The batched decode pipeline: binary-typed Dataset in, feature-typed

@@ -1286,6 +1286,10 @@ object Queries {
     // round 0 fused into initialization: label = min(self, direct neighbors)
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("lbl")).persist()
+    // `labels` becomes a DERIVED view of the persisted `merged` after round
+    // 1, so unpersisting must target the BACKING frame — otherwise every
+    // round's cache leaks for the life of the query
+    var backing = labels
     var changed = true
     var rounds = 0
     while (changed && rounds < 50) {
@@ -1299,10 +1303,15 @@ object Queries {
       // persisted frame, so the next round reads cache instead of
       // re-deriving a growing lineage (the classic iterative pitfall)
       changed = merged.filter(col("lbl2") < col("lbl")).count() > 0
-      labels.unpersist()
+      backing.unpersist()
+      backing = merged
       labels = merged.select(col("src"), col("lbl2").as("lbl"))
       rounds += 1
     }
+    // the final backing frame stays cached (one row per node — bounded, and
+    // the caller's action reads it); edges are no longer needed once the
+    // labels are materialized
+    edges.unpersist()
     labels.select(col("src").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -164,6 +164,25 @@ class FileBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalStateException] { new FileBackend(dir.toString) }
   }
 
+  test("torn tail is repaired at open: appends after a crash never merge into it") {
+    val dir = Files.createTempDirectory("graft-fb8")
+    val b1 = new FileBackend(dir.toString)
+    b1.writeGraph("g", Fingerprint(7L))
+    // crash mid-append: torn trailing line WITHOUT a newline
+    java.nio.file.Files.writeString(dir.resolve("graphs.jsonl"),
+      """{"name":"g2","fp":123""", java.nio.file.StandardOpenOption.APPEND)
+    // reopen repairs the tail (truncates the uncommitted record) …
+    val b2 = new FileBackend(dir.toString)
+    // … so a NEW append lands on its own line, not concatenated onto the
+    // torn one (which would silently swallow it now and brick replay later)
+    b2.writeGraph("g3", Fingerprint(9L))
+    val b3 = new FileBackend(dir.toString) // must construct: no interior garbage
+    b3.writeGraph("g4", Fingerprint(11L))
+    new FileBackend(dir.toString) // and stays constructible after more appends
+    val lines = java.nio.file.Files.readAllLines(dir.resolve("graphs.jsonl"))
+    assert(lines.size === 3) // g, g3, g4 — torn g2 dropped, none merged
+  }
+
   test("unparseable INTERIOR line is corruption, not a torn append -> loud") {
     // only the final line of an append-only log can be torn by a crash; an
     // interior line that fails structural parse means lost metadata and

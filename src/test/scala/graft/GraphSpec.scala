@@ -256,6 +256,71 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s("value__min") === "42.0" && s("value__max") === "42.0")
   }
 
+  test("thresholds added after a stats-less build FAIL the memoized skip (F38)") {
+    val base = dir.resolve("stats2")
+    writeSpendFixture(base.resolve("tx"))
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    val out = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/out/{input_fingerprint}", Map.empty)))
+    def producer(ths: Seq[graft.graph.Statistics.Threshold]) = Producer("gate_total",
+      build = (_, ins) => Seq(ins.head.agg(sum(col("amount")).as("value")).coalesce(1)),
+      thresholds = ths) // thresholds are fingerprint-excluded: same identity
+    def graph(ths: Seq[graft.graph.Statistics.Threshold]) =
+      new Graph("gate").add("tx", transactions).add("out", out)
+        .produce(producer(ths), Seq("tx"), Seq("out")).close()
+    val backend = new MemoryBackend
+    // first build: no stats collected (computeStatistics=false, no thresholds)
+    new LocalExecutor(backend).build(spark, graph(Nil).snapshot(spark, backend))
+    assert(backend.readStatistics("gate/out").isEmpty)
+    // tightening the contract later must NOT silently pass the memoized
+    // skip: absent stored statistics are a threshold failure
+    val g2 = graph(Seq(graft.graph.Statistics.Threshold.MinRows(1)))
+    val e = intercept[IllegalStateException] {
+      new LocalExecutor(backend).build(spark, g2.snapshot(spark, backend))
+    }
+    assert(e.getMessage.contains("was not collected"))
+  }
+
+  test("snapshot survives a custom Storage without a model codec; codec registry enables it") {
+    val base = dir.resolve("custom-storage")
+    writeSpendFixture(base.resolve("tx"))
+    // F23 extension seam: a Storage subclass wrapping the file layout
+    case class SpecStorage(inner: FileStorage) extends graft.storage.Storage {
+      def discoverPartitions(conf: org.apache.hadoop.conf.Configuration) = inner.discoverPartitions(conf)
+      def generatePartition(key: graft.partitions.PartitionKey.PartitionKey, fp: graft.fingerprints.Fingerprint) =
+        inner.generatePartition(key, fp)
+      def contentFingerprint(p: graft.storage.StoragePartition, conf: org.apache.hadoop.conf.Configuration) =
+        inner.contentFingerprint(p, conf)
+    }
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val inner = FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date")))
+    val transactions = Artifact(txType, Format.Json, SpecStorage(inner))
+    val g = new Graph("custom-store").add("tx", transactions).close()
+    val backend = new MemoryBackend
+    // snapshot must succeed (model write skipped with a warning, NOT thrown)
+    val snap = g.snapshot(spark, backend)
+    assert(snap.rawPartitions("tx").size === 2)
+    assert(backend.readGraphModel("custom-store").isEmpty)
+    // registering a codec makes the same graph model-persistable
+    import graft.util.MiniJson._
+    graft.graph.ModelCodec.registerStorage("spec-storage",
+      { case SpecStorage(i) => JObj.of(
+          "template" -> JStr(i.template.template),
+          "field_kinds" -> JObj(i.template.fieldKinds.toSeq.sortBy(_._1).map { case (k, v) => k -> JStr(v) })) },
+      j => SpecStorage(FileStorage(PathTemplate(j("template").str,
+        j("field_kinds").obj.map { case (k, v) => k -> v.str }))))
+    g.snapshot(spark, backend)
+    val model = backend.readGraphModel("custom-store")
+    assert(model.nonEmpty)
+    assert(model.get.artifact("tx").storage === transactions.storage)
+  }
+
   test("independent producers build concurrently in one wave") {
     val base = dir.resolve("par1")
     writeSpendFixture(base.resolve("tx"))

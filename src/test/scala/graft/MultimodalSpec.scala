@@ -77,6 +77,28 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.content_hash !== 0L)
   }
 
+  test("hostile WAV chunk sizes terminate (no spin) and degrade to opaque") {
+    // RIFF/WAVE with a chunk whose size field is -8: the advance
+    // `8 + size + (size & 1)` would be 0 and the walk would never progress
+    val bb = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(24).put("WAVE".getBytes("US-ASCII"))
+    bb.put("junk".getBytes("US-ASCII")).putInt(-8)
+    bb.put("data".getBytes("US-ASCII")).putInt(4).putInt(0)
+    val hostile = bb.array()
+    // decodeWav itself must reject rather than hang …
+    assertThrows[IllegalArgumentException] { MediaCodecs.decodeWav(hostile) }
+    // … and the pipeline-level decode must absorb it as opaque; a TRUNCATED
+    // fmt chunk throws IndexOutOfBounds from the buffer reads — NonFatal,
+    // must still degrade instead of killing the batch
+    val trunc = java.util.Arrays.copyOfRange(
+      MediaCodecs.encodeWav(8000, Array[Short](1, 2, 3)), 0, 16)
+    import spark.implicits._
+    val out = Multimodal.decodeFeatures(Seq(
+      Multimodal.MediaRecord(1L, "audio", hostile),
+      Multimodal.MediaRecord(2L, "audio", trunc)).toDS()).collect()
+    assert(out.length === 2 && out.forall(_.modality === "opaque"))
+  }
+
   test("decoded modality follows the payload bytes, not the routing label") {
     val feats = Multimodal.features(spark, sf)
     val byMod = feats.groupBy("modality").count().collect()
