@@ -21,12 +21,16 @@ object Bench {
     // measured query isn't charged session bring-up. One representative
     // per machinery family — plain scan/join (q1), kernel expressions
     // (x6), the producer/executor/backend path (q13: snapshot + build +
-    // memoization code), and a micro-batch streaming query (qs3: state
-    // store + MicroBatchExecution classes) — so framework/streaming
-    // queries measure their WORK, not one-time class-loading + JIT.
+    // memoization code), a micro-batch streaming query (qs3: state
+    // store + MicroBatchExecution classes), and the shingle/near-dup
+    // machinery (x17: graft_shingle_hashes codegen, the inverted-index
+    // join, array HOF re-verify, and the iterative label-propagation
+    // loop shared by x2/x3/x15) — so framework/streaming/dedup queries
+    // measure their WORK, not one-time class-loading + JIT.
     try {
       for (w <- Seq("q1_pricing_summary", "x6_ann_bruteforce",
-                    "q13_partitioned_spend", "qs3_stream_state"))
+                    "q13_partitioned_spend", "qs3_stream_state",
+                    "x17_dedup_clusters"))
         SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
