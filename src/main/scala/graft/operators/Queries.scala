@@ -1383,6 +1383,187 @@ object Queries {
        |WHERE ((h % 100) + 100) % 100 < (CASE lang $rateCase ELSE 10 END)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X19
+  /** Intra-document repetition (the Gopher/C4-style quality rule): the
+    * fraction of a document's 3-shingles that are duplicates of an earlier
+    * one, plus the duplicate-token fraction. High repetition = boilerplate /
+    * degenerate generation — a standard pretraining drop rule. Pure map-side
+    * scan (no shuffle at all): total shingles is arithmetic on the token
+    * count, distinct shingles is the codegen'd kernel x2 already uses, and
+    * every ratio is int/int → one exact IEEE division. */
+  private def x19(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("n_unique", size(array_distinct(col("tk"))))
+      .withColumn("sh_total", greatest(col("n_tokens") - 2, lit(0)))
+      .withColumn("sh_distinct", size(expr("graft_shingle_hashes(tk, 3)")))
+      .withColumn("dup_shingle_ratio",
+        (col("sh_total") - col("sh_distinct")).cast(DoubleType) / greatest(col("sh_total"), lit(1)))
+      .withColumn("dup_token_ratio",
+        (col("n_tokens") - col("n_unique")).cast(DoubleType) / col("n_tokens"))
+      .withColumn("is_repetitive", col("dup_shingle_ratio") >= 0.2)
+      .select(col("doc_id"), col("n_tokens"), col("sh_total"), col("sh_distinct"),
+        col("dup_shingle_ratio"), col("dup_token_ratio"), col("is_repetitive"))
+
+  private val x19Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |s AS (SELECT doc_id,
+       |        CAST(len(tk) AS INT) AS n_tokens,
+       |        CAST(len(list_distinct(tk)) AS INT) AS n_unique,
+       |        CAST(greatest(len(tk) - 2, 0) AS INT) AS sh_total,
+       |        CAST(len(list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS INT) AS sh_distinct
+       |      FROM t)
+       |SELECT doc_id, n_tokens, sh_total, sh_distinct,
+       |  CAST(sh_total - sh_distinct AS DOUBLE) / greatest(sh_total, 1) AS dup_shingle_ratio,
+       |  CAST(n_tokens - n_unique AS DOUBLE) / n_tokens AS dup_token_ratio,
+       |  (CAST(sh_total - sh_distinct AS DOUBLE) / greatest(sh_total, 1)) >= 0.2 AS is_repetitive
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- X20
+  /** Benchmark-contamination detection: flag training documents sharing an
+    * outsized fraction of 3-shingles with a held-out benchmark set (here a
+    * deterministic 1/97 slice of the corpus standing in for the eval set).
+    * Shape at 100 TB: the benchmark's distinct-shingle table is tiny next
+    * to the corpus, so the equi-join broadcasts and the corpus side stays
+    * one linear postings scan — never an all-pairs comparison. Shared
+    * counts are integers; the one division is exact IEEE. */
+  private def x20(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir).select(col("doc_id"), col("sh"), col("n"))
+    val benchSh = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val shared = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(benchSh, Seq("s")) // shingles are distinct per doc → plain count
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"), col("n").as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared"))
+      .withColumn("contamination_ratio",
+        col("n_shared").cast(DoubleType) / greatest(col("n_shingles"), lit(1)))
+      .withColumn("contaminated", col("contamination_ratio") >= 0.2)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        col("contamination_ratio"), col("contaminated"))
+  }
+
+  private val x20Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |b AS (SELECT DISTINCT unnest(sh) AS sng FROM s WHERE doc_id % 97 = 0),
+       |t AS (SELECT doc_id, unnest(sh) AS sng FROM s WHERE doc_id % 97 <> 0),
+       |sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |       FROM t JOIN b USING (sng) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(d.n AS INT) AS n_shingles,
+       |  COALESCE(sh.n_shared, 0) AS n_shared,
+       |  CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / greatest(d.n, 1) AS contamination_ratio,
+       |  (CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / greatest(d.n, 1)) >= 0.2 AS contaminated
+       |FROM (SELECT doc_id, len(sh) AS n FROM s WHERE doc_id % 97 <> 0) d
+       |LEFT JOIN sh USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- X21
+  /** GPT-style sequence packing by concatenation: documents are concatenated
+    * per language stratum in doc_id order and cut into fixed 256-token
+    * training sequences; each document reports the sequence span it lands
+    * in. The running offset is a window sum PARTITIONED BY the stratum —
+    * parallel across strata, never a global single-partition sort (the
+    * per-stratum prefix is the scalable decomposition; a global pack would
+    * use the same two-phase prefix-sum shape). All columns are integer
+    * arithmetic — bit-stable across engines. */
+  private def x21(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 256
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(toks(col("text"))))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("first_seq", expr(s"start_offset div $seqLen"))
+      .withColumn("last_seq", expr(s"(start_offset + n_tokens - 1) div $seqLen"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_offset"),
+        col("first_seq"), col("last_seq"), col("n_seqs"))
+  }
+
+  private val x21Sql =
+    """WITH d AS (SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
+      |o AS (SELECT doc_id, lang, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      |  FROM d)
+      |SELECT doc_id, lang, n_tokens, start_offset,
+      |  start_offset // 256 AS first_seq,
+      |  (start_offset + n_tokens - 1) // 256 AS last_seq,
+      |  (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1 AS n_seqs
+      |FROM o""".stripMargin
+
+  // ---------------------------------------------------------------- X22
+  /** PII scrubbing: mask email addresses and long digit runs before
+    * training. The fixture plants deterministic PII on 1/7 of documents
+    * (the synthetic corpus contains none); the scrub itself is two
+    * codegen'd regexp_replace passes — a pure map-side scan. Output ships
+    * the sha256 of the scrubbed text (content-addressed evidence the scrub
+    * agreed), never the full text, so the compare shuffle stays narrow. */
+  private def x22(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    Tables.documents(spark, dir)
+      .withColumn("injected",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com id 1234567890")))
+          .otherwise(col("text")))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("injected"), emailPat, "<EMAIL>"),
+          "\\d{6,}", "<NUM>"))
+      .withColumn("pii_found", col("scrubbed") =!= col("injected"))
+      .select(col("doc_id"), col("pii_found"),
+        sha2(col("scrubbed"), 256).as("scrub_hash"),
+        length(col("scrubbed")).as("scrub_len"))
+  }
+
+  private val x22Sql =
+    """WITH i AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com id 1234567890'
+      |      ELSE text END AS injected
+      |  FROM documents),
+      |s AS (SELECT doc_id, injected,
+      |    regexp_replace(regexp_replace(injected,
+      |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |      '\d{6,}', '<NUM>', 'g') AS scrubbed
+      |  FROM i)
+      |SELECT doc_id, scrubbed <> injected AS pii_found,
+      |  sha256(scrubbed) AS scrub_hash,
+      |  CAST(length(scrubbed) AS INT) AS scrub_len
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- X23
+  /** Symmetric int8 embedding quantization (the storage/serving compression
+    * for the ANN stack, x6/x7/x14): per-vector scale = 127/max|v|, each
+    * component floor(v*scale + 0.5). Deterministic across engines — the
+    * quantized components are integers, their sum is order-independent, and
+    * the scale is one IEEE division. Output is the compact per-vector
+    * contract (dims, scale, component sum/min/max), not the raw arrays. */
+  private def x23(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale", when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
+      .withColumn("q_sum", expr("aggregate(v, bigint(0), (acc, x) -> acc + floor(x * scale + 0.5D))"))
+      .withColumn("q_min", expr("array_min(transform(v, x -> floor(x * scale + 0.5D)))"))
+      .withColumn("q_max", expr("array_max(transform(v, x -> floor(x * scale + 0.5D)))"))
+      .select(col("vec_id"), size(col("v")).as("dim"), col("scale"),
+        col("q_sum"), col("q_min"), col("q_max"))
+
+  private val x23Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+      |s AS (SELECT vec_id, v,
+      |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale FROM m)
+      |SELECT vec_id, CAST(len(v) AS INT) AS dim, scale,
+      |  CAST(list_sum(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+      |  CAST(list_min(list_transform(v, x -> floor(x * scale + 0.5))) AS BIGINT) AS q_min,
+      |  CAST(list_max(list_transform(v, x -> floor(x * scale + 0.5))) AS BIGINT) AS q_max
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -1480,7 +1661,17 @@ object Queries {
     Q("x17_dedup_clusters", x17, Some(x17Sql),
       "near-dup connected components via min-label propagation"),
     Q("x18_stratified_sample", x18, Some(x18Sql),
-      "deterministic content-addressed stratified sampling")) ++
+      "deterministic content-addressed stratified sampling"),
+    Q("x19_repetition", x19, Some(x19Sql),
+      "intra-document repetition ratios (duplicate shingles/tokens)"),
+    Q("x20_contamination", x20, Some(x20Sql),
+      "benchmark n-gram contamination detection"),
+    Q("x21_sequence_pack", x21, Some(x21Sql),
+      "GPT-style concat-and-cut sequence packing offsets"),
+    Q("x22_pii_scrub", x22, Some(x22Sql),
+      "regex PII scrub (emails, long digit runs) with content-hash evidence"),
+    Q("x23_embed_quant", x23, Some(x23Sql),
+      "symmetric int8 embedding quantization contract")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

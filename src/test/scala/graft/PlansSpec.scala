@@ -151,4 +151,30 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("* Project"), s"$q projections left whole-stage codegen:\n$p")
     }
   }
+
+  test("x19/x22: repetition + PII scrub are pure map-side scans (no Exchange at all)") {
+    for (q <- Seq("x19_repetition", "x22_pii_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle — it is a per-row scan:\n$p")
+    }
+  }
+
+  test("x20: contamination meets in an equi-join, never all-pairs") {
+    val p = plan("x20_contamination")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x21: the packing prefix-sum window is PARTITIONED by stratum (no global sort)") {
+    val p = plan("x21_sequence_pack")
+    assert(p.contains("Window"), p)
+    // a Window with an empty partition spec would show 'Exchange SinglePartition'
+    assert(!p.contains("SinglePartition"),
+      s"packing offsets collapsed to one partition — the stratum decomposition is gone:\n$p")
+  }
+
+  test("x23: quantization has no shuffle and no UDF (HOFs over the array only)") {
+    val p = plan("x23_embed_quant")
+    assert(!p.contains("Exchange"), s"x23 must be map-side only:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
+  }
 }
