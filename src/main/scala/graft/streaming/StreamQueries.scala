@@ -256,11 +256,51 @@ object StreamQueries {
       | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 15 MINUTE""".stripMargin
 
+  // ---------------------------------------------------------------- QS7
+  /** Streaming DEDUP-ON-INGEST: the streaming twin of x1 — documents arrive
+    * over three micro-batches (file splits consumed one per trigger) and the
+    * exact-dedup state (per content hash: min doc_id + copy count)
+    * accumulates across batches in the aggregation state store. This is the
+    * production shape for corpus construction: dedup decided AT INGEST, not
+    * in a nightly batch over the full corpus. The content hash is computed
+    * BEFORE the shuffle, so state keys are 64 hex chars, never document
+    * text. Complete-mode aggregation is arrival-order-free → exact batch
+    * oracle (same SQL family as x1). */
+  private val docsRawSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def qs7(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.util.TempDirs.create("graft-stream-docs")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // three deterministic arrival waves (hash-split, not modulo, so waves
+    // mix duplicates — the state store has real cross-batch work to do)
+    for (i <- 0 until 3) {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(src.resolve(s"wave-$i").toString)
+      Thread.sleep(5) // file mtime orders the waves
+    }
+    val deduped = spark.readStream.schema(docsRawSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+      .select(sha2(col("text"), 256).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    runToTable(spark, deduped, OutputMode.Complete())
+  }
+
+  private val qs7Sql =
+    """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("qs1_stream_tumbling", qs1, Some(qs1Sql), "tumbling windows + watermark (complete mode)"),
     Q("qs2_stream_session", qs2, Some(qs2Sql), "session windows per user"),
     Q("qs3_stream_state", qs3, Some(qs3Sql), "mapGroupsWithState earliest-event fold"),
     Q("qs4_stream_late_append", qs4, None, "append mode + watermark + stream dedup"),
     Q("qs5_stream_static_join", qs5, Some(qs5Sql), "stream-static dimension join"),
-    Q("qs6_stream_stream_join", qs6, Some(qs6Sql), "stream-stream interval join (watermark-bounded state)"))
+    Q("qs6_stream_stream_join", qs6, Some(qs6Sql), "stream-stream interval join (watermark-bounded state)"),
+    Q("qs7_stream_dedup_ingest", qs7, Some(qs7Sql), "streaming exact dedup-on-ingest (state across micro-batches)"))
 }
