@@ -1463,18 +1463,32 @@ object Queries {
   /** GPT-style sequence packing by concatenation: documents are concatenated
     * per language stratum in doc_id order and cut into fixed 256-token
     * training sequences; each document reports the sequence span it lands
-    * in. The running offset is a window sum PARTITIONED BY the stratum —
-    * parallel across strata, never a global single-partition sort (the
-    * per-stratum prefix is the scalable decomposition; a global pack would
-    * use the same two-phase prefix-sum shape). All columns are integer
-    * arithmetic — bit-stable across engines. */
+    * in. The running offset is a TWO-PHASE prefix sum (the q5-linear trick):
+    * docs bucket by `doc_id div 4096`, bucket totals form a metadata-scale
+    * prefix table (one row per occupied bucket — the only single-partition
+    * window, bounded by bucket count, never by data), and the within-bucket
+    * residual is a window PARTITIONED BY (lang, bucket) — thousands of
+    * independent partitions at corpus scale, not one per language. All
+    * output columns are integer arithmetic — bit-stable across engines. */
   private def x21(spark: SparkSession, dir: String): DataFrame = {
     val seqLen = 256
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    val d = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(toks(col("text"))))
-      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bkt", expr("doc_id div 4096"))
+    // phase 1: per-(lang, bucket) token totals → running prefix of FULL
+    // buckets before this one (tiny frame; broadcast back to the data)
+    val wb = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = d.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("bucket_before", coalesce(sum(col("bsum")).over(wb), lit(0L)))
+      .select(col("lang"), col("bkt"), col("bucket_before"))
+    // phase 2: within-bucket residual prefix, partitioned by (lang, bucket)
+    val ww = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("within_before", coalesce(sum(col("n_tokens")).over(ww), lit(0L)))
+      .join(broadcast(bucketPrefix), Seq("lang", "bkt"))
+      .withColumn("start_offset", col("bucket_before") + col("within_before"))
       .withColumn("first_seq", expr(s"start_offset div $seqLen"))
       .withColumn("last_seq", expr(s"(start_offset + n_tokens - 1) div $seqLen"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)

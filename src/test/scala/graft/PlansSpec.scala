@@ -164,12 +164,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
-  test("x21: the packing prefix-sum window is PARTITIONED by stratum (no global sort)") {
+  test("x21: packing is the two-phase prefix sum — data window partitioned by (lang, bucket)") {
     val p = plan("x21_sequence_pack")
     assert(p.contains("Window"), p)
     // a Window with an empty partition spec would show 'Exchange SinglePartition'
     assert(!p.contains("SinglePartition"),
-      s"packing offsets collapsed to one partition — the stratum decomposition is gone:\n$p")
+      s"packing offsets collapsed to one partition:\n$p")
+    // the DATA-side window must carry the bucket in its partition spec —
+    // per-language-only partitioning puts a whole language in one task
+    assert(p.contains("bkt"), s"bucket decomposition missing from the plan:\n$p")
   }
 
   test("x23: quantization has no shuffle and no UDF (HOFs over the array only)") {
