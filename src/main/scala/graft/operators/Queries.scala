@@ -1578,6 +1578,25 @@ object Queries {
       |  CAST(list_max(list_transform(v, x -> floor(x * scale + 0.5))) AS BIGINT) AS q_max
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- X24
+  /** Hot-key aggregation through the SALTED two-phase decomposition
+    * ([[Skew.saltedSum]]): events carry ~8 event types over 100k+ rows —
+    * exactly the shape where a single reducer per key melts at corpus
+    * scale. The salt spreads each key over 16 partial sums; the final
+    * combine is 8×16 rows. Salting is semantics-preserving, so the oracle
+    * is the PLAIN group-by — the decomposition must be invisible in the
+    * result. Decimal partials keep both phases exact. */
+  private def x24(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedSum(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("value").cast(DecimalType(18, 2)).as("v")),
+      "event_type", "v", saltFactor = 16)
+      .select(col("event_type"), round(col("sum_v").cast(DoubleType), 2).as("total"))
+
+  private val x24Sql =
+    """SELECT event_type, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -1685,7 +1704,9 @@ object Queries {
     Q("x22_pii_scrub", x22, Some(x22Sql),
       "regex PII scrub (emails, long digit runs) with content-hash evidence"),
     Q("x23_embed_quant", x23, Some(x23Sql),
-      "symmetric int8 embedding quantization contract")) ++
+      "symmetric int8 embedding quantization contract"),
+    Q("x24_salted_agg", x24, Some(x24Sql),
+      "hot-key aggregation via the salted two-phase decomposition")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

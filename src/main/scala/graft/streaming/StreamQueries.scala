@@ -39,8 +39,10 @@ object StreamQueries {
       Files.copy(Paths.get(s"$dir/events.parquet"), src.resolve("events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     } else {
-      // split by time range so multi-batch runs advance the watermark
-      val ev = spark.read.parquet(s"$dir/events.parquet").orderBy("ts")
+      // split by time range so multi-batch runs advance the watermark —
+      // no orderBy: only the FILE-level time ranges matter, rows within a
+      // chunk need no sort (the old sort re-ran once per chunk write)
+      val ev = spark.read.parquet(s"$dir/events.parquet")
       val bounds = ev.stat.approxQuantile("ts", (1 to (nFiles - 1)).map(_.toDouble / nFiles).toArray, 0.01)
       val all = Seq(Long.MinValue) ++ bounds.map(_.toLong) ++ Seq(Long.MaxValue)
       for (i <- 0 until nFiles) {
@@ -295,6 +297,37 @@ object StreamQueries {
     """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY text""".stripMargin
 
+  // ---------------------------------------------------------------- QS8
+  /** SLIDING 1-hour windows every 30 minutes (complete mode): each event
+    * lands in exactly two overlapping windows. Spark aligns sliding windows
+    * to the epoch, so the oracle enumerates the same two epoch-aligned
+    * 30-minute grid starts per event and replays the aggregation. */
+  private def qs8(spark: SparkSession, dir: String): DataFrame = {
+    val windowed = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("total"))
+    runToTable(spark, windowed, OutputMode.Complete())
+      .select(
+        col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("window.end").cast(TimestampNTZType).as("window_end"),
+        col("event_type"), col("n"),
+        round(col("total").cast(DoubleType), 2).as("total"))
+  }
+
+  private val qs8Sql =
+    """WITH e AS (SELECT event_type, value,
+      |    make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP)) // 1800000) * 1800000000) AS g
+      |  FROM events),
+      |w AS (SELECT event_type, value, g AS ws FROM e
+      |      UNION ALL
+      |      SELECT event_type, value, g - INTERVAL 30 MINUTE FROM e)
+      |SELECT CAST(ws AS TIMESTAMP) AS window_start,
+      |       CAST(ws + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+      |       event_type, count(*) AS n,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM w GROUP BY 1, 2, 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("qs1_stream_tumbling", qs1, Some(qs1Sql), "tumbling windows + watermark (complete mode)"),
     Q("qs2_stream_session", qs2, Some(qs2Sql), "session windows per user"),
@@ -302,5 +335,6 @@ object StreamQueries {
     Q("qs4_stream_late_append", qs4, None, "append mode + watermark + stream dedup"),
     Q("qs5_stream_static_join", qs5, Some(qs5Sql), "stream-static dimension join"),
     Q("qs6_stream_stream_join", qs6, Some(qs6Sql), "stream-stream interval join (watermark-bounded state)"),
-    Q("qs7_stream_dedup_ingest", qs7, Some(qs7Sql), "streaming exact dedup-on-ingest (state across micro-batches)"))
+    Q("qs7_stream_dedup_ingest", qs7, Some(qs7Sql), "streaming exact dedup-on-ingest (state across micro-batches)"),
+    Q("qs8_stream_sliding", qs8, Some(qs8Sql), "sliding overlapping windows (epoch-aligned oracle replay)"))
 }

@@ -180,4 +180,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), s"x23 must be map-side only:\n$p")
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("x24: the salt reaches the FIRST aggregate and is gone by the final one") {
+    val p = plan("x24_salted_agg")
+    // phase 1 groups by (key, salt); phase 2 groups by key alone — the
+    // decomposition that spreads a hot key over 16 reducers (grouping keys
+    // live in the formatted plan's detail sections)
+    assert(p.contains("__salt"), s"salted partial aggregate missing:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Keys [1]") && l.contains("event_type")),
+      s"final combine must group by the key alone:\n$p")
+  }
 }
