@@ -197,6 +197,30 @@ final class Graph(val name: String) {
     this
   }
 
+  /** Nested-namespace block (reference F3 — the TypedBox nesting of
+    * graphs/__init__.py:90-141, where `g.artifacts.ns.x = a` builds dotted
+    * paths structurally): every `add` inside the block prefixes `ns.`, and
+    * blocks nest (`namespace("a") { _.namespace("b") { ... } }` → `a.b.x`).
+    * Purely a builder affordance — keys, storage late-binding, and reads
+    * are identical to spelling the dotted name out. */
+  def namespace(ns: String)(build: NamespaceBuilder => Unit): this.type = {
+    build(new NamespaceBuilder(this, ns))
+    this
+  }
+
+  final class NamespaceBuilder private[Graph] (g: Graph, prefix: String) {
+    def add(key: String, artifact: Artifact): this.type = {
+      g.add(s"$prefix.$key", artifact); this
+    }
+    def namespace(ns: String)(build: NamespaceBuilder => Unit): this.type = {
+      build(new NamespaceBuilder(g, s"$prefix.$ns")); this
+    }
+    /** Producer wiring with namespace-relative keys. */
+    def produce(producer: Producer, inputs: Seq[String], outputs: Seq[String]): this.type = {
+      g.produce(producer, inputs.map(k => s"$prefix.$k"), outputs.map(k => s"$prefix.$k")); this
+    }
+  }
+
   /** Wire a producer: inputs must exist; outputs must exist and not already
     * be produced by another producer (reference: producers/__init__.py:384-415). */
   def produce(producer: Producer, inputs: Seq[String], outputs: Seq[String]): this.type = {

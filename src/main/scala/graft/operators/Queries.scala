@@ -1597,6 +1597,27 @@ object Queries {
     """SELECT event_type, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- X25
+  /** Corpus mixture construction: per-source EPOCH weighting (upsampling by
+    * repetition — the standard way training mixtures overweight curated
+    * sources). Each document is emitted once per epoch with its epoch
+    * index, weights derived deterministically from the source id. Pure
+    * map-side explode — the row multiplier is the weight, no shuffle; at
+    * 100 TB the multiplied rows stream straight into downstream packing
+    * (x21) without materializing. Complements x18 (downsampling) as the
+    * other half of mixture construction. */
+  private def x25(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("epochs", expr("cast(substring(source, 4) as int)") % 3 + 1)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(sequence(lit(1), col("epochs"))).as("epoch"))
+      .withColumn("epoch", col("epoch").cast(IntegerType))
+
+  private val x25Sql =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(unnest(generate_series(1, CAST(substr(source, 4, 10) AS INT) % 3 + 1)) AS INT) AS epoch
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -1706,7 +1727,9 @@ object Queries {
     Q("x23_embed_quant", x23, Some(x23Sql),
       "symmetric int8 embedding quantization contract"),
     Q("x24_salted_agg", x24, Some(x24Sql),
-      "hot-key aggregation via the salted two-phase decomposition")) ++
+      "hot-key aggregation via the salted two-phase decomposition"),
+    Q("x25_corpus_mix", x25, Some(x25Sql),
+      "epoch-weighted mixture construction (per-source upsampling)")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

@@ -256,6 +256,36 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s("value__min") === "42.0" && s("value__max") === "42.0")
   }
 
+  test("namespace blocks build dotted keys and wire producers relatively (F3)") {
+    val base = dir.resolve("ns1")
+    writeSpendFixture(base.resolve("tx"))
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    val out = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/{names}/{input_fingerprint}", Map.empty)))
+    val total = Producer("ns_total",
+      build = (_, ins) => Seq(ins.head.agg(sum(col("amount")).as("value")).coalesce(1)))
+    val g = new Graph("nsdemo")
+    g.namespace("finance") { fin =>
+      fin.add("tx", transactions)
+      fin.namespace("derived") { d => d.add("total", out); () }
+      fin.produce(total, Seq("tx"), Seq("derived.total"))
+      ()
+    }
+    g.close()
+    assert(g.artifacts.keySet === Set("finance.tx", "finance.derived.total"))
+    // {names} late-binding sees the FULL dotted path as directories
+    val tpl = g.artifacts("finance.derived.total").storage.asInstanceOf[FileStorage].template.template
+    assert(tpl.contains("finance/derived/total"), tpl)
+    // and the graph builds end-to-end through the namespaced wiring
+    val backend = new MemoryBackend
+    val r = new LocalExecutor(backend).build(spark, g.snapshot(spark, backend))
+    assert(r.totalBuilt === 1)
+  }
+
   test("thresholds added after a stats-less build FAIL the memoized skip (F38)") {
     val base = dir.resolve("stats2")
     writeSpendFixture(base.resolve("tx"))
