@@ -391,11 +391,15 @@ object GraftFunctions {
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")` and
   * every session gets the functions without explicit registration. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name),
         builder))
     }
+    // plan-time guard against accidental cartesian products (opt-in via
+    // graft.guard.noCartesian — see CartesianGuard's scaladoc)
+    ext.injectOptimizerRule(graft.plans.CartesianGuard.apply)
+  }
 }

@@ -120,7 +120,7 @@ object ModelCodec {
   }
 
   private def formatOf(name: String): Format =
-    Seq(Format.Json, Format.Parquet, Format.Csv, Format.Text, Format.Binary)
+    Seq(Format.Json, Format.Parquet, Format.Csv, Format.Text, Format.Binary, Format.Orc)
       .find(_.name == name)
       .orElse(graft.io.IO.registeredFormat(name)) // F23 extension formats
       .getOrElse(throw new IllegalArgumentException(s"unknown format '$name'"))

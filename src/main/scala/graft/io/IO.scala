@@ -17,6 +17,7 @@ object Format {
   case object Csv     extends Format("csv", ".csv")
   case object Text    extends Format("text", ".txt")
   case object Binary  extends Format("binaryFile", ".bin")
+  case object Orc     extends Format("orc", ".orc")
 }
 
 /** Multiple-dispatch IO registry (reference: src/arti/io/__init__.py:30-82 +
@@ -73,7 +74,7 @@ object IO {
     })
 
   private def builtinFileFormat(f: Format): Boolean = f match {
-    case Format.Json | Format.Parquet | Format.Csv | Format.Text | Format.Binary => true
+    case Format.Json | Format.Parquet | Format.Csv | Format.Text | Format.Binary | Format.Orc => true
     case _ => false
   }
 
@@ -101,6 +102,7 @@ object IO {
             case Format.Parquet => reader.parquet(paths: _*)
             case Format.Csv     => reader.option("header", "true").csv(paths: _*)
             case Format.Text    => reader.text(paths: _*)
+            case Format.Orc     => reader.orc(paths: _*)
             case Format.Binary  => reader.format("binaryFile").load(paths: _*)
           }
         case other => throw new IllegalArgumentException(s"no reader registered for $other")
@@ -130,6 +132,7 @@ object IO {
       case Format.Json    => w.json(basePath)
       case Format.Parquet => w.parquet(basePath)
       case Format.Csv     => w.option("header", "true").csv(basePath)
+      case Format.Orc     => w.orc(basePath)
       case other          => throw new IllegalArgumentException(s"$other does not support partitioned writes")
     }
   }
@@ -203,6 +206,7 @@ object IO {
             case Format.Parquet => w.parquet(partition.path)
             case Format.Csv     => w.option("header", "true").csv(partition.path)
             case Format.Text    => w.text(partition.path)
+            case Format.Orc     => w.orc(partition.path)
             case Format.Binary  => throw new IllegalArgumentException("binaryFile is read-only")
           }
         case (_, _: LiteralStorage) =>

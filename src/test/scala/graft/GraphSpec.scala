@@ -424,6 +424,12 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = IO.read(spark, F.Csv, csvStore, Seq(part))
     assert(back.count() === 3)
     assert(back.columns.toSeq === Seq("id", "s"))
+    // orc: the other columnar built-in (typed round-trip, no header games)
+    val orcStore = FileStorage(PathTemplate(s"$base/o/{input_fingerprint}", Map.empty))
+    val opart = orcStore.generatePartition(Map.empty, graft.fingerprints.Fingerprint(8L))
+    IO.write(df, F.Orc, orcStore, opart)
+    val oback = IO.read(spark, F.Orc, orcStore, Seq(opart))
+    assert(oback.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
     // literal storage read
     val lit = Artifact.literal(AInt64(), """{"n": 5}""")
     val one = IO.read(spark, lit.format, lit.storage, lit.storage.discoverPartitions(spark.sparkContext.hadoopConfiguration))

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -179,6 +180,26 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("x23_embed_quant")
     assert(!p.contains("Exchange"), s"x23 must be map-side only:\n$p")
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"), p)
+  }
+
+  test("cartesian guard: unconditioned cross joins fail at PLAN time when enabled") {
+    val a = spark.range(10).toDF("x")
+    val b = spark.range(10).toDF("y")
+    graft.plans.CartesianGuard.install(spark) // session built without extensions
+    spark.conf.set("graft.guard.noCartesian", "true")
+    try {
+      // the nastiest accident: a join condition that folds to TRUE — the
+      // guard runs in the optimizer, after constant folding, so it sees it
+      val e = intercept[Exception] { a.join(b, lit(1) === lit(1)).collect() }
+      assert(e.getMessage != null && e.getMessage.contains("cartesian guard"),
+        s"expected the guard, got: $e")
+      val e2 = intercept[Exception] { a.crossJoin(b).collect() }
+      assert(e2.getMessage.contains("cartesian guard"))
+      // conditioned joins are untouched
+      assert(a.join(b, col("x") === col("y")).count() === 10)
+    } finally spark.conf.set("graft.guard.noCartesian", "false")
+    // guard off (default): the cross join plans and runs
+    assert(a.crossJoin(b).count() === 100)
   }
 
   test("x24: the salt reaches the FIRST aggregate and is gone by the final one") {
