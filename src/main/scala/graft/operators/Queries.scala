@@ -1618,6 +1618,115 @@ object Queries {
       |  CAST(unnest(generate_series(1, CAST(substr(source, 4, 10) AS INT) % 3 + 1)) AS INT) AS epoch
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- X26
+  /** The CAPSTONE: the full training-corpus preparation dataflow as ONE
+    * declarative query — exact dedup → repetition filter (x19 rule) →
+    * quality gate (x15 rule) → benchmark-contamination drop (x20 rule) →
+    * PII scrub (x22) → stratified sample (x18 rates) — every stage the
+    * proven cross-engine primitive, composed. Plan shape: the corpus-scale
+    * data crosses a shuffle only where aggregation demands it (the dedup
+    * keep-set, the contamination shared-counts); the keep-set and benchmark
+    * shingle set broadcast back, and every filter/scrub/sample stage is
+    * map-side. The oracle replays the identical rules as one CTE chain. */
+  private def x26(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val docs = Tables.documents(spark, dir)
+    // stage 1: exact dedup (keep min doc_id per text) — hash before shuffle
+    val keep = docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val d1 = docs.join(keep, Seq("doc_id"), "left_semi")
+    // stages 2+3: repetition + quality — one map-side pass
+    val d3 = d1
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("sh", expr("graft_shingle_hashes(tk, 3)"))
+      .withColumn("sh_total", greatest(col("n_tokens") - 2, lit(0)))
+      .withColumn("dup_ratio",
+        (col("sh_total") - size(col("sh"))).cast(DoubleType) / greatest(col("sh_total"), lit(1)))
+      .withColumn("stop_ratio",
+        expr(s"graft_count_in(tk, $stopArr)").cast(DoubleType) / col("n_tokens"))
+      .filter(col("dup_ratio") < 0.2 && col("stop_ratio") <= 0.5 && col("n_tokens") >= 10)
+    // stage 4: contamination drop (x20 rule, benchmark = doc_id % 97 == 0;
+    // benchmark docs themselves never enter a training corpus)
+    val benchSh = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(explode(expr("graft_shingle_hashes(tk, 3)")).as("s")).distinct()
+    val shared = d3.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(benchSh, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val d4 = d3.filter(col("doc_id") % 97 =!= 0)
+      .join(shared, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared"))
+      .filter(col("n_shared").cast(DoubleType) / greatest(col("sh_total"), lit(1)) < 0.2)
+    // stages 5+6: PII scrub + stratified sample — map-side again
+    val rate = x18Rates.foldRight(lit(10)) { case ((lang, r), rest) =>
+      when(col("lang") === lang, lit(r)).otherwise(rest)
+    }
+    d4.withColumn("scrub_hash",
+        sha2(regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          "\\d{6,}", "<NUM>"), 256))
+      .withColumn("bucket",
+        (((element_at(expr("graft_sha64(array(cast(doc_id as string)))"), 1) % 100) + 100) % 100)
+          .cast(IntegerType))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("bucket"), col("scrub_hash"))
+  }
+
+  private val x26Sql = {
+    val rateCase = x18Rates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH d1 AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+       |sh0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh,
+       |         CAST(len(tk) AS INT) AS n_tokens,
+       |         CAST(len(list_filter(tk, x -> x IN ($stopwordsSqlList))) AS INT) AS n_stop
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM d1)),
+       |d3 AS (
+       |  SELECT s.doc_id, s.n_tokens, s.sh,
+       |         CAST(greatest(s.n_tokens - 2, 0) AS INT) AS sh_total
+       |  FROM sh0 s
+       |  WHERE CAST(greatest(s.n_tokens - 2, 0) - len(s.sh) AS DOUBLE)
+       |          / greatest(greatest(s.n_tokens - 2, 0), 1) < 0.2
+       |    AND CAST(s.n_stop AS DOUBLE) / s.n_tokens <= 0.5
+       |    AND s.n_tokens >= 10),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(sh) AS s FROM (
+       |    SELECT list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+       |    FROM (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id % 97 = 0) q)),
+       |shared AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM d3) t JOIN bsh USING (s)
+       |  GROUP BY t.doc_id),
+       |d4 AS (
+       |  SELECT d3.doc_id, d3.n_tokens FROM d3 LEFT JOIN shared USING (doc_id)
+       |  WHERE d3.doc_id % 97 <> 0
+       |    AND CAST(COALESCE(shared.n_shared, 0) AS DOUBLE) / greatest(d3.sh_total, 1) < 0.2),
+       |hx AS (SELECT doc_id, substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16) AS h FROM d4),
+       |ch AS (SELECT doc_id,
+       |  list_transform(range(4), c -> CAST(
+       |    (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 1, 1)) - 1) * 4096
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 2, 1)) - 1) * 256
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 3, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 4, 1)) - 1) AS HUGEINT)) AS cs
+       |  FROM hx),
+       |fp AS (SELECT doc_id, CAST(
+       |    ((cs[1] * 65536 + cs[2]) * 65536 + cs[3]) * 65536 + cs[4]
+       |    - CASE WHEN cs[1] >= 32768 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS h
+       |  FROM ch)
+       |SELECT d.doc_id, doc.lang, doc.source, d.n_tokens,
+       |  CAST(((fp.h % 100) + 100) % 100 AS INT) AS bucket,
+       |  sha256(regexp_replace(regexp_replace(doc.text,
+       |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+       |    '\\d{6,}', '<NUM>', 'g')) AS scrub_hash
+       |FROM d4 d JOIN fp USING (doc_id) JOIN documents doc ON doc.doc_id = d.doc_id
+       |WHERE ((fp.h % 100) + 100) % 100 <
+       |  (CASE doc.lang $rateCase ELSE 10 END)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -1729,7 +1838,9 @@ object Queries {
     Q("x24_salted_agg", x24, Some(x24Sql),
       "hot-key aggregation via the salted two-phase decomposition"),
     Q("x25_corpus_mix", x25, Some(x25Sql),
-      "epoch-weighted mixture construction (per-source upsampling)")) ++
+      "epoch-weighted mixture construction (per-source upsampling)"),
+    Q("x26_training_corpus", x26, Some(x26Sql),
+      "capstone: dedup->repetition->quality->contamination->scrub->sample, one pass")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

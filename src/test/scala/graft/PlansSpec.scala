@@ -202,6 +202,18 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.crossJoin(b).count() === 100)
   }
 
+  test("x26: the capstone pipeline joins equi-only and keeps scrub/sample map-side") {
+    val p = plan("x26_training_corpus")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    // the final scrub+sample stages must not introduce a shuffle after the
+    // contamination join: the operators ABOVE the topmost join (the lines
+    // before it in the tree) must be pure Project/Filter — no Exchange
+    val tree = p.substring(0, p.indexOf("(1) Scan"))
+    val aboveTopJoin = tree.linesIterator.takeWhile(!_.contains("Join")).mkString("\n")
+    assert(!aboveTopJoin.contains("Exchange"),
+      s"a shuffle appeared above the final join — scrub/sample stopped being map-side:\n$tree")
+  }
+
   test("x24: the salt reaches the FIRST aggregate and is gone by the final one") {
     val p = plan("x24_salted_agg")
     // phase 1 groups by (key, salt); phase 2 groups by key alone — the
