@@ -228,6 +228,59 @@ object FrameworkQueries {
       |UNION ALL
       |SELECT 'v2' AS tag, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) + CAST(42.42 AS DECIMAL(18,2)) AS DOUBLE), 2) AS total FROM orders""".stripMargin
 
+  final case class OrderSPP(o_orderstatus: String, o_totalprice: Double, o_orderpriority: String)
+  final case class ByPrioRow(o_orderpriority: String, n: Long)
+
+  /** q25_multi_output: F6's multi-OUTPUT leg through the full engine — one
+    * `typedOut2` producer emits two artifacts (per-status totals, per-
+    * priority counts) from one input read; the executor writes, hashes and
+    * registers both under one input fingerprint. Result = both artifacts
+    * read back and union-tagged, so the driver's oracle checks the whole
+    * two-output path end to end. */
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp()
+    val raw = Artifact(collectionOf[OrderSPP]("orders"),
+      Format.Parquet, FileStorage(PathTemplate(s"$dir/orders.parquet", Map.empty)))
+    val byStatus = Artifact(collectionOf[ByStatusRow]("by_status"),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/by_status/{input_fingerprint}", Map.empty)))
+    val byPrio = Artifact(collectionOf[ByPrioRow]("by_priority"),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/by_priority/{input_fingerprint}", Map.empty)))
+
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val eI: Encoder[OrderSPP] = Encoders.product[OrderSPP]
+    implicit val eS: Encoder[ByStatusRow] = Encoders.product[ByStatusRow]
+    implicit val eP: Encoder[ByPrioRow] = Encoders.product[ByPrioRow]
+    val split = Producer.typedOut2[OrderSPP, ByStatusRow, ByPrioRow]("status_prio_split") { in =>
+      import in.sparkSession.implicits._
+      val s = in.groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType), 2).as("total"))
+        .coalesce(1).as[ByStatusRow]
+      val p = in.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")).coalesce(1).as[ByPrioRow]
+      (s, p)
+    }
+    val g = new Graph("multiout")
+      .add("orders", raw).add("by_status", byStatus).add("by_priority", byPrio)
+      .produce(split, Seq("orders"), Seq("by_status", "by_priority"))
+      .close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    snap.read(spark, backend, "by_status")
+      .select(lit("by_status").as("which"), col("o_orderstatus").as("k"), col("total").as("v"))
+      .unionByName(snap.read(spark, backend, "by_priority")
+        .select(lit("by_priority").as("which"), col("o_orderpriority").as("k"),
+          col("n").cast(DoubleType).as("v")))
+  }
+
+  private val q25Sql =
+    """SELECT 'by_status' AS which, o_orderstatus AS k,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS v
+      |FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'by_priority', o_orderpriority, CAST(count(*) AS DOUBLE)
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** x15_clean_corpus: the LLM-training-data pipeline as a PRODUCER GRAPH —
     * documents → exact dedup (keep min id per text) → near-dedup (drop the
     * higher id of every shingle-Jaccard ≥ 0.5 pair, via the inverted-index
@@ -338,5 +391,6 @@ object FrameworkQueries {
       "per-partition incremental build with fingerprint skip (oracle-checked build/skip contract)"),
     Q("q15_validated_build", q15, Some(q15Sql), "validate_outputs gate before write"),
     Q("q16_snapshot_replay", q16, Some(q16Sql), "snapshot tag + replay old tag"),
+    Q("q25_multi_output", q25, Some(q25Sql), "one producer, two artifacts (F6 multi-output through the engine)"),
     Q("x15_clean_corpus", x15, Some(x15Sql), "full dedup+quality pipeline as a producer graph"))
 }
