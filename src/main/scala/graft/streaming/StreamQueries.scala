@@ -328,6 +328,56 @@ object StreamQueries {
       |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
       |FROM w GROUP BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- QS9
+  /** Checkpointed INCREMENTAL INGESTION — the streaming analog of the
+    * executor's skip-if-built memoization: run 1 ingests waves 0-1 into a
+    * parquet sink through a durable checkpoint; a third wave arrives; run 2
+    * restarts the SAME query from the checkpoint and must process ONLY the
+    * new wave (the query self-checks this via its progress counters and
+    * fails loudly if the checkpoint re-read old files). Map-side stateless
+    * transform → the final sink contents equal the batch oracle regardless
+    * of batch boundaries. This is the production auto-ingest shape: each
+    * periodic run pays for new data only, exactly-once. */
+  private def qs9(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val root = graft.util.TempDirs.create("graft-stream-ingest")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    val ckpt = root.resolve("ckpt").toString
+    val out = root.resolve("out").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    def wave(i: Int): Unit = {
+      ev.filter(pmod(xxhash64(col("event_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(src.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    def runIngest(): Long = {
+      val q = spark.readStream.schema(eventsRawSchema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src.toString)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // sum over the run's batches (AvailableNow may append a zero-input
+      // commit batch, so lastProgress alone under-counts)
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    wave(0); wave(1)
+    runIngest()
+    wave(2)
+    val wave2Rows = spark.read.parquet(src.resolve("wave-2").toString).count()
+    val run2Input = runIngest()
+    // the checkpoint contract: run 2 saw exactly the new wave's rows
+    require(run2Input == wave2Rows,
+      s"checkpoint failed to skip ingested waves: run 2 read $run2Input rows, wave 2 has $wave2Rows")
+    spark.read.parquet(out)
+  }
+
+  private val qs9Sql =
+    """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("qs1_stream_tumbling", qs1, Some(qs1Sql), "tumbling windows + watermark (complete mode)"),
     Q("qs2_stream_session", qs2, Some(qs2Sql), "session windows per user"),
@@ -336,5 +386,7 @@ object StreamQueries {
     Q("qs5_stream_static_join", qs5, Some(qs5Sql), "stream-static dimension join"),
     Q("qs6_stream_stream_join", qs6, Some(qs6Sql), "stream-stream interval join (watermark-bounded state)"),
     Q("qs7_stream_dedup_ingest", qs7, Some(qs7Sql), "streaming exact dedup-on-ingest (state across micro-batches)"),
-    Q("qs8_stream_sliding", qs8, Some(qs8Sql), "sliding overlapping windows (epoch-aligned oracle replay)"))
+    Q("qs8_stream_sliding", qs8, Some(qs8Sql), "sliding overlapping windows (epoch-aligned oracle replay)"),
+    Q("qs9_stream_incremental_ingest", qs9, Some(qs9Sql),
+      "checkpointed ingestion: restarted query pays for NEW files only (self-checked)"))
 }
