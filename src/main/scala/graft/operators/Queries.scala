@@ -940,7 +940,7 @@ object Queries {
     * (sequential summation — the same order DuckDB's list_dot_product
     * uses, so both engines see identical IEEE doubles); candidates meet in
     * (table, signature) buckets — a linear shuffle. */
-  private val x7Tables = 8
+  private val x7Tables = 12
   private val x7Bits = 6
   private val x7Dims = 64
 
@@ -991,11 +991,11 @@ object Queries {
   /** The full multi-table pipeline in DuckDB: same md5-derived planes, same
     * signatures, same candidate union, same re-rank. */
   private val x7Sql =
-    """WITH planes AS (
+    s"""WITH planes AS (
       |  SELECT t, b, list(CASE WHEN substr(md5(t || '_' || b || '_' || d), 1, 1) <= '7'
       |                         THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
-      |  FROM (SELECT unnest(range(8)) AS t), (SELECT unnest(range(6)) AS b),
-      |       (SELECT unnest(range(64)) AS d)
+      |  FROM (SELECT unnest(range($x7Tables)) AS t), (SELECT unnest(range($x7Bits)) AS b),
+      |       (SELECT unnest(range($x7Dims)) AS d)
       |  GROUP BY t, b),
       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
