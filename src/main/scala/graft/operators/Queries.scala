@@ -1027,7 +1027,7 @@ object Queries {
     * Corpus→list assignment is ONE max_by aggregation: the K-way broadcast
     * expansion partial-aggregates map-side back to one row per vector, so
     * the shuffle never carries the 16×-wide expansion and there is no
-    * row_number window on the corpus path. Queries probe their 3 nearest
+    * row_number window on the corpus path. Queries probe their 4 nearest
     * lists (a 5-row window), then exact re-rank. */
   private def x14(spark: SparkSession, dir: String): DataFrame =
     x14On(Tables.embeddings(spark, dir)
@@ -1055,7 +1055,7 @@ object Queries {
       .join(broadcast(cents))
       .withColumn("cent_sim", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
       .withColumn("cent_rank", row_number().over(wq))
-      .filter(col("cent_rank") <= 3)
+      .filter(col("cent_rank") <= 4)
       .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
     probes.join(lists, Seq("cent_id"))
@@ -1084,7 +1084,7 @@ object Queries {
       |  SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qn, c.cent_id,
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
-      |  FROM e, cents c WHERE e.vec_id < 5) p WHERE rn <= 3)
+      |  FROM e, cents c WHERE e.vec_id < 5) p WHERE rn <= 4)
       |SELECT query_id, vec_id, rnk, cos_sim FROM (
       |  SELECT p.query_id, l.vec_id,
       |    round(list_dot_product(p.qv, l.v) / (p.qn * l.nrm), 6) AS cos_sim,
