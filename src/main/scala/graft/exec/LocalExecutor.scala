@@ -151,40 +151,90 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
           val outputs = producer.build(spark, inputDfs)
           require(outputs.size == outputKeys.size,
             s"producer '${producer.name}' returned ${outputs.size} outputs for ${outputKeys.size} declared")
-          producer.validateOutputs(outputs) match {
+          // WRITE-AUDIT-PUBLISH: each output plan executes exactly ONCE —
+          // into a staging path next to its final location. Validation and
+          // statistics then run over the MATERIALIZED staged bytes (a file
+          // scan, not a re-execution of the producer plan — the old path
+          // recomputed the plan up to 3×: validate, profile, write), and
+          // only a passing gate publishes staging → final with a metadata
+          // rename. A failing gate deletes staging: no byte ever appears
+          // at an artifact path past a failing gate, and validation audits
+          // exactly what was written, not a recomputation of it.
+          // (Bucketed cluster_by outputs keep the direct write: their
+          // identity lives in the catalog, not just the path.)
+          val conf = spark.sparkContext.hadoopConfiguration
+          val planned = outputKeys.zip(outputs).map { case (k, df) =>
+            val a = g.artifacts(k)
+            val part = a.storage.generatePartition(outKey, inputFp)
+            val clusterBy = a.atype match {
+              case c: graft.types.ArtiType.ACollection
+                if c.clusterBy.nonEmpty && !c.isPartitioned && a.format == graft.io.Format.Parquet =>
+                c.clusterBy
+              case _ => Nil
+            }
+            (k, a, df, part, clusterBy)
+          }
+          val staged = planned.map { case (k, a, df, part, clusterBy) =>
+            if (clusterBy.nonEmpty) {
+              IO.writeBucketed(df, a.format, part.path, clusterBy,
+                IO.bucketTableName(g.name, k), overwrite = true)
+              (k, a, df.schema, part, None, false) // already final; audited below via read
+            } else {
+              val stagingPath = part.path.stripSuffix("/") + "__staging"
+              val sp = new org.apache.hadoop.fs.Path(stagingPath)
+              val fs = sp.getFileSystem(conf)
+              // remember whether staging had to create the artifact's parent
+              // dir: a failing gate must leave the artifact TREE untouched,
+              // not just data-free
+              val parentPreExisting = sp.getParent == null || fs.exists(sp.getParent)
+              fs.delete(sp, true) // stale staging from a crashed run
+              IO.write(df, a.format, a.storage, part.copy(path = stagingPath), overwrite = true)
+              (k, a, df.schema, part, Some(stagingPath), parentPreExisting)
+            }
+          }
+          def auditDf(a: graft.graph.Artifact, schema: org.apache.spark.sql.types.StructType,
+              path: String) =
+            IO.read(spark, a.format, a.storage,
+              Seq(graft.storage.StoragePartition(path, outKey)), Some(schema))
+          val auditDfs = staged.map { case (_, a, schema, part, stagingOpt, _) =>
+            auditDf(a, schema, stagingOpt.getOrElse(part.path))
+          }
+          def dropStaging(): Unit = staged.foreach { case (_, _, _, _, stagingOpt, parentPreExisting) =>
+            stagingOpt.foreach { spStr =>
+              val p = new org.apache.hadoop.fs.Path(spStr)
+              val fs = p.getFileSystem(conf)
+              fs.delete(p, true)
+              if (!parentPreExisting && p.getParent != null &&
+                  fs.exists(p.getParent) && fs.listStatus(p.getParent).isEmpty)
+                fs.delete(p.getParent, false)
+            }
+          }
+          producer.validateOutputs(auditDfs) match {
             case Left(msg) =>
-              // no write happens past a failing gate; the wave driver
-              // aborts the build once this wave has drained
+              dropStaging()
               failures += s"${producer.name}: $msg"
             case Right(()) =>
-              // F38: profile once per output when stats are wanted OR
-              // thresholds gate the write; threshold violations abort
-              // BEFORE any byte lands, like validateOutputs
+              // F38: profile the staged bytes when stats are wanted OR
+              // thresholds gate the publish; violations abort BEFORE the
+              // rename, so nothing is published past a failing threshold
               val wantStats = producer.computeStatistics || producer.thresholds.nonEmpty
-              val profiles = outputs.map(df =>
+              val profiles = auditDfs.map(df =>
                 if (wantStats) Some(graft.graph.Statistics.profile(df)) else None)
               val thresholdFailures = profiles.flatten.flatMap(st =>
                 graft.graph.Statistics.checkThresholds(producer.thresholds, st).left.toOption)
               if (thresholdFailures.nonEmpty) {
+                dropStaging()
                 failures += s"${producer.name}: ${thresholdFailures.mkString("; ")}"
               } else {
-              outputKeys.zip(outputs).zip(profiles).foreach { case ((k, df), prof) =>
-                val a = g.artifacts(k)
-                val part = a.storage.generatePartition(outKey, inputFp)
-                // cluster_by → bucketBy (SURVEY §1.4): un-partitioned
-                // clustered parquet Collections persist as bucketed tables
-                // so downstream joins on the cluster key skip the Exchange
-                val clusterBy = a.atype match {
-                  case c: graft.types.ArtiType.ACollection
-                    if c.clusterBy.nonEmpty && !c.isPartitioned && a.format == graft.io.Format.Parquet =>
-                    c.clusterBy
-                  case _ => Nil
+              staged.zip(profiles).foreach { case ((k, a, _, part, stagingOpt, _), prof) =>
+                stagingOpt.foreach { sp =>
+                  val fin = new org.apache.hadoop.fs.Path(part.path)
+                  val fs = fin.getFileSystem(conf)
+                  fs.delete(fin, true) // rebuild of a changed partition
+                  if (fin.getParent != null) fs.mkdirs(fin.getParent)
+                  require(fs.rename(new org.apache.hadoop.fs.Path(sp), fin),
+                    s"publish failed: could not rename $sp -> ${part.path}")
                 }
-                if (clusterBy.nonEmpty)
-                  IO.writeBucketed(df, a.format, part.path, clusterBy,
-                    IO.bucketTableName(g.name, k), overwrite = true)
-                else
-                  IO.write(df, a.format, a.storage, part, overwrite = true)
                 val withFp = part.copy(contentFingerprint =
                   Some(a.storage.contentFingerprints(spark, Seq(part)).head))
                 backend.writeArtifactPartitions(s"${g.name}/$k", Seq(withFp))

@@ -351,6 +351,44 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(model.get.artifact("tx").storage === transactions.storage)
   }
 
+  test("write-audit-publish: a failing gate leaves no staging debris; a pass leaves no staging path") {
+    val base = dir.resolve("wap1")
+    writeSpendFixture(base.resolve("tx"))
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    def outArt = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/out/{input_fingerprint}", Map.empty)))
+    def graph(gate: Seq[org.apache.spark.sql.DataFrame] => Either[String, Unit]) =
+      new Graph("wap").add("tx", transactions).add("out", outArt)
+        .produce(Producer("p",
+          build = (_, ins) => Seq(ins.head.agg(sum(col("amount")).as("value")).coalesce(1)),
+          validateOutputs = gate), Seq("tx"), Seq("out")).close()
+
+    // failing gate: nothing under out/, no *__staging anywhere
+    val backend = new MemoryBackend
+    intercept[IllegalStateException] {
+      new LocalExecutor(backend).build(spark, graph(_ => Left("nope")).snapshot(spark, backend))
+    }
+    assert(!java.nio.file.Files.exists(base.resolve("out")))
+
+    // the gate sees the MATERIALIZED bytes (schema + values of the staged
+    // output), and publish leaves only the final path
+    var audited: Option[Double] = None
+    val b2 = new MemoryBackend
+    val ok = graph { outs =>
+      audited = Some(outs.head.collect()(0).getDouble(0)); Right(())
+    }
+    new LocalExecutor(b2).build(spark, ok.snapshot(spark, b2))
+    assert(audited.contains(42.0))
+    val leftover = java.nio.file.Files.walk(base.resolve("out")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(leftover).asScala
+      .map(_.toString).toList
+    assert(!names.exists(_.contains("__staging")), names.mkString("\n"))
+  }
+
   test("independent producers build concurrently in one wave") {
     val base = dir.resolve("par1")
     writeSpendFixture(base.resolve("tx"))
