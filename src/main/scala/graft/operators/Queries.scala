@@ -1727,6 +1727,43 @@ object Queries {
        |  (CASE doc.lang $rateCase ELSE 10 END)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q26
+  /** Banded RANGE JOIN with no equi key — the operator Spark has no native
+    * strategy for (a naive `|a.ts - b.ts| <= δ` join plans as a nested
+    * loop): for each purchase, how many clicks landed within ±60 s,
+    * corpus-wide. The scalable decomposition buckets time at the band
+    * width δ; a pair within δ must sit in the same or adjacent buckets, so
+    * the probe side EXPLODES to its 3 candidate buckets and the join
+    * becomes equi on the bucket id — a linear shuffle with per-bucket
+    * locality, then the exact band filter. The 3× probe duplication is the
+    * entire cost of turning O(n·m) into a hash join; dedup is unnecessary
+    * because (bucket, click) candidates are distinct by construction. */
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    val deltaUs = 60L * 1000000
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      // session tz is pinned UTC, so NTZ→LTZ is the identity wall clock
+      unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+      .withColumn("bkt", explode(array(
+        expr(s"p_ts div $deltaUs") - 1, expr(s"p_ts div $deltaUs"), expr(s"p_ts div $deltaUs") + 1)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts_us").as("c_ts"))
+      .withColumn("bkt", expr(s"c_ts div $deltaUs"))
+    purchases.join(clicks, Seq("bkt"))
+      .filter(abs(col("c_ts") - col("p_ts")) <= deltaUs)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_nearby_clicks"))
+  }
+
+  private val q26Sql =
+    """SELECT p.event_id AS purchase_id, count(*) AS n_nearby_clicks
+      |FROM events p JOIN events c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 60000000
+      |GROUP BY p.event_id""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -1799,6 +1836,7 @@ object Queries {
     Q("q23_unpivot", q23, Some(q23Sql), "unpivot/melt back to long form"),
     Q("q24_outer_join", q24, Some(q24Sql), "full outer join with null-bearing sides"),
     Q("q20_fingerprint_column", q20, Some(q20Sql), "sha64 + XOR combine (full-algorithm oracle)"),
+    Q("q26_range_join", q26, Some(q26Sql), "banded range join via bucket decomposition (no nested loop)"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

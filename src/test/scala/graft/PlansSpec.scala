@@ -202,6 +202,13 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.crossJoin(b).count() === 100)
   }
 
+  test("q26: the banded range join is an EQUI join on buckets, not a nested loop") {
+    val p = plan("q26_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the bucket decomposition must make this a hash join:\n$p")
+    assert(p.contains("Join") && p.contains("bkt"), p)
+  }
+
   test("x26: the capstone pipeline joins equi-only and keeps scrub/sample map-side") {
     val p = plan("x26_training_corpus")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
