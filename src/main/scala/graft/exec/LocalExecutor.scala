@@ -160,8 +160,10 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
           // rename. A failing gate deletes staging: no byte ever appears
           // at an artifact path past a failing gate, and validation audits
           // exactly what was written, not a recomputation of it.
-          // (Bucketed cluster_by outputs keep the direct write: their
-          // identity lives in the catalog, not just the path.)
+          // Bucketed cluster_by outputs cannot stage (their identity lives
+          // in the catalog, not just the path), so the no-write-past-a-
+          // failing-gate contract is preserved the OLD way for them:
+          // validate the plan BEFORE the bucketed write lands.
           val conf = spark.sparkContext.hadoopConfiguration
           val planned = outputKeys.zip(outputs).map { case (k, df) =>
             val a = g.artifacts(k)
@@ -174,11 +176,17 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
             }
             (k, a, df, part, clusterBy)
           }
+          val preGate: Either[String, Unit] =
+            if (planned.exists(_._5.nonEmpty)) producer.validateOutputs(outputs)
+            else Right(())
+          if (preGate.isLeft) {
+            failures += s"${producer.name}: ${preGate.left.getOrElse("")}"
+          } else {
           val staged = planned.map { case (k, a, df, part, clusterBy) =>
             if (clusterBy.nonEmpty) {
               IO.writeBucketed(df, a.format, part.path, clusterBy,
                 IO.bucketTableName(g.name, k), overwrite = true)
-              (k, a, df.schema, part, None, false) // already final; audited below via read
+              (k, a, df.schema, part, None, false) // validated above; audited below via read
             } else {
               val stagingPath = part.path.stripSuffix("/") + "__staging"
               val sp = new org.apache.hadoop.fs.Path(stagingPath)
@@ -209,7 +217,12 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
                 fs.delete(p.getParent, false)
             }
           }
-          producer.validateOutputs(auditDfs) match {
+          // bucketed-output producers already passed the pre-write gate;
+          // re-running it over the audit frames would double the gate's
+          // actions for no additional safety
+          val gate = if (planned.exists(_._5.nonEmpty)) Right(())
+                     else producer.validateOutputs(auditDfs)
+          gate match {
             case Left(msg) =>
               dropStaging()
               failures += s"${producer.name}: $msg"
@@ -243,6 +256,7 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
               }
               built(producer.name) += 1
               }
+          }
           }
         }
       }

@@ -109,4 +109,29 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan.contains("SelectedBucketsCount") || plan.toLowerCase.contains("bucket"), plan)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("bucketed outputs still validate BEFORE the write (no staging path exists for them)") {
+    import graft.exec.LocalExecutor
+    import graft.graph.{Artifact, Graph, MemoryBackend, Producer}
+    import graft.types.ArtiType._
+
+    val base = Files.createTempDirectory("graft-cluster-gate").toString
+    spark.range(100).selectExpr("id as k", "id * 2 as v").write.parquet(s"$base/raw")
+    val raw = Artifact(ACollection("raw", AStruct("r", Seq("k" -> AInt64(), "v" -> AInt64()))),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/raw", Map.empty)))
+    val out = Artifact(
+      ACollection("cout", AStruct("cout", Seq("k" -> AInt64(), "agg" -> AInt64())), clusterBy = Seq("k")),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/cout/{input_fingerprint}", Map.empty)))
+    val g = new Graph("cbgate").add("raw", raw).add("cout", out)
+      .produce(Producer("p",
+        build = (_, ins) => Seq(ins.head.groupBy(col("k")).agg(sum(col("v")).as("agg"))),
+        validateOutputs = _ => Left("rejected")), Seq("raw"), Seq("cout"))
+      .close()
+    val backend = new MemoryBackend
+    intercept[IllegalStateException] {
+      new LocalExecutor(backend).build(spark, g.snapshot(spark, backend))
+    }
+    // the failing gate ran BEFORE the bucketed write: nothing landed
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/cout")))
+  }
 }
