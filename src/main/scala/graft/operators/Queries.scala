@@ -1764,6 +1764,66 @@ object Queries {
       | AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 60000000
       |GROUP BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- X27
+  /** Vocabulary construction (the tokenizer-training prep): rank tokens by
+    * corpus frequency, keep the top 1000 with tf/df/coverage. Rank ties
+    * break lexically so the cut is deterministic. The running coverage
+    * (what fraction of all token occurrences the vocab prefix explains —
+    * the number that decides vocab size) is a prefix sum over the RANKED
+    * list: ≤1000 rows, metadata-scale, so its single-partition window is
+    * bounded by the vocab cut, never the corpus. */
+  private def x27(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val totalTokens = tokens.count()
+    val ranked = tokens.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("tf").desc, col("token").asc)))
+      .filter(col("rank") <= 1000)
+    ranked
+      .withColumn("cum_tf", sum(col("tf")).over(
+        Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("coverage", round(col("cum_tf").cast(DoubleType) / totalTokens.toDouble, 6))
+      .select(col("rank"), col("token"), col("tf"), col("df"), col("coverage"))
+  }
+
+  private val x27Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |f AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+      |r AS (SELECT token, tf, df,
+      |        CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
+      |      FROM f QUALIFY rank <= 1000)
+      |SELECT rank, token, tf, df,
+      |  round(CAST(sum(tf) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |        / (SELECT count(*) FROM t), 6) AS coverage
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- X28
+  /** Corpus length-distribution histogram (the first chart anyone draws of
+    * a training corpus): fixed-width 100-char buckets of n_chars with doc
+    * counts, token totals, and each bucket's share of the corpus. One
+    * map-side bucket assignment + one aggregation; the share division is
+    * int/int → exact IEEE. */
+  private def x28(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nDocs = d.count()
+    d.withColumn("bucket_lo", (expr("n_chars div 100") * 100).cast(LongType))
+      .withColumn("n_tokens", size(toks(col("text"))))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("total_tokens"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .withColumn("share", round(col("n_docs").cast(DoubleType) / nDocs.toDouble, 6))
+  }
+
+  private val x28Sql =
+    """SELECT (n_chars // 100) * 100 AS bucket_lo,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 6) AS share
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -1878,7 +1938,11 @@ object Queries {
     Q("x25_corpus_mix", x25, Some(x25Sql),
       "epoch-weighted mixture construction (per-source upsampling)"),
     Q("x26_training_corpus", x26, Some(x26Sql),
-      "capstone: dedup->repetition->quality->contamination->scrub->sample, one pass")) ++
+      "capstone: dedup->repetition->quality->contamination->scrub->sample, one pass"),
+    Q("x27_vocabulary", x27, Some(x27Sql),
+      "tokenizer-prep vocabulary: top-k tokens with tf/df/coverage"),
+    Q("x28_length_histogram", x28, Some(x28Sql),
+      "corpus length-distribution histogram with shares")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 
