@@ -1775,15 +1775,22 @@ object Queries {
   private def x27(spark: SparkSession, dir: String): DataFrame = {
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
-    val totalTokens = tokens.count()
-    val ranked = tokens.groupBy(col("token"))
+    // ROLLUP folds the grand total into the SAME aggregation pass — no
+    // second corpus scan for the coverage denominator (tokens.count()
+    // would re-read everything); the null-token row IS the total, joined
+    // back over a 1-row broadcast on a dummy key (equi, guard-safe)
+    val f = tokens.rollup(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val total = f.filter(col("token").isNull)
+      .select(col("tf").as("total_tf")).withColumn("j", lit(1))
+    f.filter(col("token").isNotNull)
       .withColumn("rank", row_number().over(Window.orderBy(col("tf").desc, col("token").asc)))
       .filter(col("rank") <= 1000)
-    ranked
       .withColumn("cum_tf", sum(col("tf")).over(
         Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("coverage", round(col("cum_tf").cast(DoubleType) / totalTokens.toDouble, 6))
+      .withColumn("j", lit(1))
+      .join(broadcast(total), Seq("j"))
+      .withColumn("coverage", round(col("cum_tf").cast(DoubleType) / col("total_tf").cast(DoubleType), 6))
       .select(col("rank"), col("token"), col("tf"), col("df"), col("coverage"))
   }
 
@@ -1805,15 +1812,18 @@ object Queries {
     * map-side bucket assignment + one aggregation; the share division is
     * int/int → exact IEEE. */
   private def x28(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val nDocs = d.count()
-    d.withColumn("bucket_lo", (expr("n_chars div 100") * 100).cast(LongType))
+    // total docs = sum over the AGGREGATED bucket frame (the q5-linear
+    // n_total trick): one corpus pass total, the denominator windows over
+    // ~bucket-count rows, never a second scan
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, dir)
+      .withColumn("bucket_lo", (expr("n_chars div 100") * 100).cast(LongType))
       .withColumn("n_tokens", size(toks(col("text"))))
       .groupBy(col("bucket_lo"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast(LongType)).as("total_tokens"),
         min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
-      .withColumn("share", round(col("n_docs").cast(DoubleType) / nDocs.toDouble, 6))
+      .withColumn("share", round(col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(wAll), 6))
   }
 
   private val x28Sql =
