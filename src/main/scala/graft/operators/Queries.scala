@@ -1834,6 +1834,61 @@ object Queries {
       |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 6) AS share
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- X29
+  /** Quantized TWO-STAGE retrieval (the standard memory-bound ANN shape):
+    * stage 1 scans int8-quantized vectors (x23's scale rule) and keeps the
+    * top-50 per query by INTEGER dot product — 4× less memory traffic than
+    * floats, and the integer scores are bit-exact across engines; stage 2
+    * re-ranks the candidates with exact float cosine and emits the top-10.
+    * At scale, stage 1 is the only corpus-wide pass and it reads 1/4 of
+    * the bytes; stage 2 touches 50 vectors per query. */
+  private def x29(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("scale", when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
+      .withColumn("q", expr("transform(v, x -> floor(x * scale + 0.5D))"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("score_int").desc, col("vec_id").asc)
+    val stage1 = corpus.join(broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("v").as("qv"), col("nrm").as("qn"))))
+      .withColumn("score_int",
+        expr("aggregate(zip_with(q, qq, (x, y) -> x * y), bigint(0), (a, p) -> a + p)"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= 50)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    stage1
+      .withColumn("cos_sim", round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("score_int"), col("cos_sim"))
+  }
+
+  private val x29Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |s AS (SELECT vec_id, v, nrm,
+      |        list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+      |q8 AS (SELECT vec_id, v, nrm,
+      |         list_transform(v, x -> floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END) + 0.5)) AS q
+      |       FROM s),
+      |stage1 AS (
+      |  SELECT qr.vec_id AS query_id, c.vec_id, qr.v AS qv, qr.nrm AS qn, c.v, c.nrm,
+      |    CAST(list_dot_product(c.q, qr.q) AS BIGINT) AS score_int,
+      |    row_number() OVER (PARTITION BY qr.vec_id
+      |      ORDER BY list_dot_product(c.q, qr.q) DESC, c.vec_id) AS r1
+      |  FROM q8 c, q8 qr WHERE qr.vec_id < 5 AND c.vec_id >= 5
+      |  QUALIFY r1 <= 50)
+      |SELECT query_id, vec_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY round(list_dot_product(qv, v) / (qn * nrm), 6) DESC, vec_id) AS INT) AS rnk,
+      |  score_int,
+      |  round(list_dot_product(qv, v) / (qn * nrm), 6) AS cos_sim
+      |FROM stage1
+      |QUALIFY rnk <= 10""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -1952,7 +2007,9 @@ object Queries {
     Q("x27_vocabulary", x27, Some(x27Sql),
       "tokenizer-prep vocabulary: top-k tokens with tf/df/coverage"),
     Q("x28_length_histogram", x28, Some(x28Sql),
-      "corpus length-distribution histogram with shares")) ++
+      "corpus length-distribution histogram with shares"),
+    Q("x29_quantized_rerank", x29, Some(x29Sql),
+      "two-stage retrieval: int8 first-pass scan + exact cosine re-rank")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

@@ -33,7 +33,7 @@ object EqCheck {
       // x7/x14 vs x6: (query_id, vec_id) neighbor-set recall
       val truth = Queries.byName("x6_ann_bruteforce").run(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      for (ann <- Seq("x7_ann_lsh", "x14_ann_ivf")) {
+      for (ann <- Seq("x7_ann_lsh", "x14_ann_ivf", "x29_quantized_rerank")) {
         val got = Queries.byName(ann).run(spark, sf).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val hit = got.count(truth.contains)
