@@ -1889,6 +1889,40 @@ object Queries {
       |FROM stage1
       |QUALIFY rnk <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- X30
+  /** DELTA near-dedup — the daily-crawl shape: a small batch of NEW
+    * documents (1/10 of the corpus standing in for today's arrivals)
+    * deduped against the EXISTING corpus index without touching
+    * index×index pairs. The postings join is asymmetric: the delta side is
+    * tiny, so candidate generation is |delta postings| probing the index's
+    * shingle buckets — cost proportional to the DELTA, not the corpus, and
+    * at scale the delta's shingle set broadcasts. Same jac ≥ 0.5 exact
+    * verification as x2. Output: which new docs are near-dups of which
+    * existing doc (keep-the-old decision, auditable). */
+  private def x30(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+    val dPosts = delta.select(col("doc_id").as("new_id"), col("n").as("nn"), explode(col("sh")).as("s"))
+    val iPosts = index.select(col("doc_id").as("old_id"), col("n").as("no"), explode(col("sh")).as("s"))
+    iPosts.join(dPosts, Seq("s"))
+      .groupBy(col("new_id"), col("old_id"), col("nn"), col("no"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("nn") + col("no") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("new_id"), col("old_id"), col("jac"))
+  }
+
+  private val x30Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s)
+       |SELECT d.doc_id AS new_id, i.doc_id AS old_id,
+       |  CAST(count(*) AS DOUBLE) / (d.n + i.n - count(*)) AS jac
+       |FROM t d JOIN t i ON d.s = i.s
+       |WHERE d.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+       |GROUP BY d.doc_id, i.doc_id, d.n, i.n
+       |HAVING CAST(count(*) AS DOUBLE) / (d.n + i.n - count(*)) >= 0.5""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -2009,7 +2043,9 @@ object Queries {
     Q("x28_length_histogram", x28, Some(x28Sql),
       "corpus length-distribution histogram with shares"),
     Q("x29_quantized_rerank", x29, Some(x29Sql),
-      "two-stage retrieval: int8 first-pass scan + exact cosine re-rank")) ++
+      "two-stage retrieval: int8 first-pass scan + exact cosine re-rank"),
+    Q("x30_delta_dedup", x30, Some(x30Sql),
+      "delta near-dedup: new docs vs the existing corpus index (asymmetric join)")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 
