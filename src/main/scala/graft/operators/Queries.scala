@@ -1923,6 +1923,50 @@ object Queries {
        |GROUP BY d.doc_id, i.doc_id, d.n, i.n
        |HAVING CAST(count(*) AS DOUBLE) / (d.n + i.n - count(*)) >= 0.5""".stripMargin
 
+  // ---------------------------------------------------------------- X31
+  /** Per-document KEYWORD extraction (tf-idf): each document's top-3 tokens
+    * by tf·idf over the corpus — the summarization/tagging primitive. One
+    * postings aggregation builds (doc, token, tf); document frequencies
+    * come from the same frame; idf joins back on token (broadcastable: the
+    * df table is vocabulary-sized). Determinism: tf and df are exact ints,
+    * idf = ln(N/df) from identical ints, the rank orders by (tf·idf, token)
+    * with the score compared UNROUNDED (both engines see identical
+    * doubles) and only the EMITTED score rounded. */
+  private def x31(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // df + corpus size from the SAME frame (rollup row = total distinct
+    // docs carrying at least one token — every doc here, by construction)
+    val dfs = tf.rollup(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = dfs.filter(col("token").isNull)
+      .select(col("df").as("n_docs")).withColumn("j", lit(1))
+    val idf = dfs.filter(col("token").isNotNull).withColumn("j", lit(1))
+      .join(broadcast(nDocs), Seq("j"))
+      .select(col("token"), log(col("n_docs").cast(DoubleType) / col("df")).as("idf"), col("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(
+      (col("tf") * col("idf")).desc, col("token").asc)
+    tf.join(idf, Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        round(col("tf") * col("idf"), 6).as("tfidf"))
+  }
+
+  private val x31Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+      |dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+      |idf AS (SELECT token, df, ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df) AS idf FROM dfs),
+      |r AS (SELECT tf.doc_id, tf.token, tf.tf, idf.df, tf.tf * idf.idf AS score,
+      |        CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |          ORDER BY tf.tf * idf.idf DESC, tf.token) AS INT) AS rank
+      |      FROM tf JOIN idf USING (token))
+      |SELECT doc_id, rank, token, tf, df, round(score, 6) AS tfidf
+      |FROM r WHERE rank <= 3""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -2045,7 +2089,9 @@ object Queries {
     Q("x29_quantized_rerank", x29, Some(x29Sql),
       "two-stage retrieval: int8 first-pass scan + exact cosine re-rank"),
     Q("x30_delta_dedup", x30, Some(x30Sql),
-      "delta near-dedup: new docs vs the existing corpus index (asymmetric join)")) ++
+      "delta near-dedup: new docs vs the existing corpus index (asymmetric join)"),
+    Q("x31_doc_keywords", x31, Some(x31Sql),
+      "per-document top-3 tf-idf keywords")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 
