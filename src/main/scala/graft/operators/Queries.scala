@@ -1383,6 +1383,35 @@ object Queries {
        |WHERE ((h % 100) + 100) % 100 < (CASE lang $rateCase ELSE 10 END)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q27
+  /** The distribution-window family q8 leaves out: ntile quartiles,
+    * percent_rank, cume_dist, and frame-bound first/last values, per
+    * market segment over customer account balances. All four are exact
+    * rational functions of (rank, count) — deterministic given the unique
+    * (c_acctbal, c_custkey) ordering. */
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("seg_min", first(col("c_acctbal")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("seg_max", last(col("c_acctbal")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+  }
+
+  private val q27Sql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  min(c_acctbal) OVER (PARTITION BY c_mktsegment) AS seg_min,
+      |  max(c_acctbal) OVER (PARTITION BY c_mktsegment) AS seg_max
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin
+
   // ---------------------------------------------------------------- X19
   /** Intra-document repetition (the Gopher/C4-style quality rule): the
     * fraction of a document's 3-shingles that are duplicates of an earlier
@@ -2040,6 +2069,7 @@ object Queries {
     Q("q24_outer_join", q24, Some(q24Sql), "full outer join with null-bearing sides"),
     Q("q20_fingerprint_column", q20, Some(q20Sql), "sha64 + XOR combine (full-algorithm oracle)"),
     Q("q26_range_join", q26, Some(q26Sql), "banded range join via bucket decomposition (no nested loop)"),
+    Q("q27_window_suite", q27, Some(q27Sql), "ntile/percent_rank/cume_dist/frame bounds"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output
