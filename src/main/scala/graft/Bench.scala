@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // MEDIAN-OF-N protocol (default 3): each query runs N times
+    // back-to-back and reports its per-query MEDIAN, so (a) one-time
+    // JIT/codegen cost lands in rep 1 and is discounted, and (b) the
+    // round-close number is the same artifact the driver records — no
+    // cherry-picked best-of runs. Spread (max-min, seconds) is emitted
+    // per query so noisy medians are visible.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,32 +24,34 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/parquet-footer caches, so the first
-    // measured query isn't charged session bring-up. One representative
-    // per machinery family — plain scan/join (q1), kernel expressions
-    // (x6), the producer/executor/backend path (q13: snapshot + build +
-    // memoization code), a micro-batch streaming query (qs3: state
-    // store + MicroBatchExecution classes), and the shingle/near-dup
-    // machinery (x17: graft_shingle_hashes codegen, the inverted-index
-    // join, array HOF re-verify, and the iterative label-propagation
-    // loop shared by x2/x3/x15) — so framework/streaming/dedup queries
-    // measure their WORK, not one-time class-loading + JIT.
+    // untimed warmup: JVM/codegen/parquet-footer caches, so rep 1 of the
+    // first measured query isn't charged session bring-up. One
+    // representative per machinery family — plain scan/join (q1), kernel
+    // expressions (x6), the producer/executor/backend path (q13: snapshot
+    // + staged write + publish), a micro-batch streaming query (qs3), and
+    // the shingle/near-dup machinery (x17).
     try {
       for (w <- Seq("q1_pricing_summary", "x6_ann_bruteforce",
                     "q13_partitioned_spend", "qs3_stream_state",
                     "x17_dedup_clusters"))
         SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      spark.catalog.clearCache() // previous query's persist() outside the timer
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      spark.catalog.clearCache() // previous rep's persist() outside the timer
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results: Seq[(String, Double, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val times = (1 to reps).map(_ => once(fn)).sorted
+      val median = times(times.size / 2)
+      (name, median, times.last - times.head)
+    }
+    def jnum(d: Double): String = f"$d%.4f"
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + jnum(m) }.mkString("{", ",", "}")
+    val spread = results.map { case (k, _, s) => "\"" + k + "\":" + jnum(s) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"median_of_$reps","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -176,16 +176,35 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
             }
             (k, a, df, part, clusterBy)
           }
+          val anyBucketed = planned.exists(_._5.nonEmpty)
+          val wantStats = producer.computeStatistics || producer.thresholds.nonEmpty
+          // Pre-write gate for producers with a bucketed output: bucketed
+          // writes land at the FINAL path and register the catalog table,
+          // so the ENTIRE gate — validation AND thresholds — must pass on
+          // the plan before any byte lands (a post-write threshold check
+          // would leave published bucketed bytes behind a failing gate).
+          // Profiles computed here double as the recorded statistics, so
+          // the plan re-executes once for the gate, once for the write —
+          // the same cost shape as the pre-WAP path this preserves.
+          val prePlanProfiles: Seq[Option[Map[String, String]]] =
+            if (anyBucketed && wantStats) outputs.map(df => Some(graft.graph.Statistics.profile(df)))
+            else planned.map(_ => None)
           val preGate: Either[String, Unit] =
-            if (planned.exists(_._5.nonEmpty)) producer.validateOutputs(outputs)
-            else Right(())
+            if (!anyBucketed) Right(())
+            else producer.validateOutputs(outputs).flatMap { _ =>
+              val viol = prePlanProfiles.flatten.flatMap(st =>
+                graft.graph.Statistics.checkThresholds(producer.thresholds, st).left.toOption)
+              if (viol.isEmpty) Right(()) else Left(viol.mkString("; "))
+            }
           if (preGate.isLeft) {
             failures += s"${producer.name}: ${preGate.left.getOrElse("")}"
           } else {
           val staged = planned.map { case (k, a, df, part, clusterBy) =>
             if (clusterBy.nonEmpty) {
+              graft.util.Timing.timed(s"${producer.name}/$k writeBucketed") {
               IO.writeBucketed(df, a.format, part.path, clusterBy,
                 IO.bucketTableName(g.name, k), overwrite = true)
+              }
               (k, a, df.schema, part, None, false) // validated above; audited below via read
             } else {
               val stagingPath = part.path.stripSuffix("/") + "__staging"
@@ -196,7 +215,9 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
               // not just data-free
               val parentPreExisting = sp.getParent == null || fs.exists(sp.getParent)
               fs.delete(sp, true) // stale staging from a crashed run
+              graft.util.Timing.timed(s"${producer.name}/$k stagingWrite") {
               IO.write(df, a.format, a.storage, part.copy(path = stagingPath), overwrite = true)
+              }
               (k, a, df.schema, part, Some(stagingPath), parentPreExisting)
             }
           }
@@ -204,6 +225,8 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
               path: String) =
             IO.read(spark, a.format, a.storage,
               Seq(graft.storage.StoragePartition(path, outKey)), Some(schema))
+          // audit frames scan MATERIALIZED bytes: the staging path for
+          // plain outputs; the already-final path for bucketed ones
           val auditDfs = staged.map { case (_, a, schema, part, stagingOpt, _) =>
             auditDf(a, schema, stagingOpt.getOrElse(part.path))
           }
@@ -217,11 +240,20 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
                 fs.delete(p.getParent, false)
             }
           }
-          // bucketed-output producers already passed the pre-write gate;
-          // re-running it over the audit frames would double the gate's
-          // actions for no additional safety
-          val gate = if (planned.exists(_._5.nonEmpty)) Right(())
-                     else producer.validateOutputs(auditDfs)
+          // Post-write audit over materialized bytes. Pure-bucketed
+          // producers already passed the full gate pre-write (re-running it
+          // would double the gate's actions for no additional safety); a
+          // MIXED producer (bucketed + plain outputs) still audits — the
+          // plain outputs' staged bytes deserve the same materialized-bytes
+          // check as a pure-plain producer, so the gate re-runs with audit
+          // frames for staged outputs and plan frames for bucketed ones.
+          val anyStaged = staged.exists(_._5.nonEmpty)
+          val gate = graft.util.Timing.timed(s"${producer.name} auditValidate") {
+            if (!anyBucketed) producer.validateOutputs(auditDfs)
+            else if (anyStaged) producer.validateOutputs(
+              staged.indices.map(i => if (staged(i)._5.isDefined) auditDfs(i) else outputs(i)))
+            else Right(())
+          }
           gate match {
             case Left(msg) =>
               dropStaging()
@@ -229,16 +261,23 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
             case Right(()) =>
               // F38: profile the staged bytes when stats are wanted OR
               // thresholds gate the publish; violations abort BEFORE the
-              // rename, so nothing is published past a failing threshold
-              val wantStats = producer.computeStatistics || producer.thresholds.nonEmpty
-              val profiles = auditDfs.map(df =>
-                if (wantStats) Some(graft.graph.Statistics.profile(df)) else None)
-              val thresholdFailures = profiles.flatten.flatMap(st =>
-                graft.graph.Statistics.checkThresholds(producer.thresholds, st).left.toOption)
+              // rename, so nothing is published past a failing threshold.
+              // Bucketed producers recorded their profiles pre-write (the
+              // plan pass that also fed the threshold gate) — reuse them.
+              val profiles = graft.util.Timing.timed(s"${producer.name} profile") {
+                if (anyBucketed) prePlanProfiles
+                else auditDfs.map(df =>
+                  if (wantStats) Some(graft.graph.Statistics.profile(df)) else None)
+              }
+              val thresholdFailures =
+                if (anyBucketed) Nil // checked pre-write on the same profiles
+                else profiles.flatten.flatMap(st =>
+                  graft.graph.Statistics.checkThresholds(producer.thresholds, st).left.toOption)
               if (thresholdFailures.nonEmpty) {
                 dropStaging()
                 failures += s"${producer.name}: ${thresholdFailures.mkString("; ")}"
               } else {
+              graft.util.Timing.timed(s"${producer.name} publish+fingerprint") {
               staged.zip(profiles).foreach { case ((k, a, _, part, stagingOpt, _), prof) =>
                 stagingOpt.foreach { sp =>
                   val fin = new org.apache.hadoop.fs.Path(part.path)
@@ -253,6 +292,7 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
                 backend.writeArtifactPartitions(s"${g.name}/$k", Seq(withFp))
                 backend.linkSnapshotPartitions(snapshot.id, s"${g.name}/$k", Seq(withFp))
                 prof.foreach(st => backend.writeStatistics(s"${g.name}/$k", part.path, st))
+              }
               }
               built(producer.name) += 1
               }

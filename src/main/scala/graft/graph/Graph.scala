@@ -313,7 +313,9 @@ final class Graph(val name: String) {
         throw new IllegalStateException(s"raw artifact '$k' has no data — cannot snapshot (reference graphs/__init__.py:345-347)")
       // batched, cluster-capable hashing: at 100 TB this is Spark jobs
       // (one task per data file), never a driver byte-stream
-      val fps = a.storage.contentFingerprints(spark, parts)
+      val fps = graft.util.Timing.timed(s"snapshot/$name/$k contentFingerprints(${parts.size})") {
+        a.storage.contentFingerprints(spark, parts)
+      }
       val withFps = parts.zip(fps).map { case (p, fp) => p.copy(contentFingerprint = Some(fp)) }
       k -> withFps
     }.toMap

@@ -70,9 +70,11 @@ object ModelCodec {
         w("outputs").arr.map(_.str))))
   }
 
-  /** Raised when a graph carries a Storage with no registered codec —
-    * snapshot() catches exactly this to skip model persistence instead of
-    * failing the build (the storage extension seam must stay usable). */
+  /** Raised when a graph carries a Storage with no registered codec.
+    * `Graph.snapshot` never catches this: it PRE-CHECKS via [[canEncode]]
+    * (the same codec lookup [[encodeStorage]] dispatches on) and skips
+    * model persistence with a warning, so the exception only surfaces on a
+    * direct `encode` of an unsupported model. */
   final class UnsupportedStorage(msg: String) extends IllegalArgumentException(msg)
 
   /** F23-style extension seam, mirroring IO.register: a custom Storage
@@ -86,14 +88,20 @@ object ModelCodec {
     storageCodecs.put(kind, (enc, dec))
   }
 
+  /** The single storage-codec dispatch both [[canEncode]] and
+    * [[encodeStorage]] share — built-ins, then the registry — so the two
+    * can never drift apart. */
+  private def customCodecFor(s: Storage): Option[(String, (PartialFunction[Storage, J], J => Storage))] =
+    storageCodecs.find(_._2._1.isDefinedAt(s))
+
+  private def isBuiltin(s: Storage): Boolean = s match {
+    case _: FileStorage | _: LiteralStorage => true
+    case _ => false
+  }
+
   /** True iff every artifact's storage in the model has a codec. */
   def canEncode(m: GraphModel): Boolean =
-    m.artifacts.forall { case (_, a) =>
-      a.storage match {
-        case _: FileStorage | _: LiteralStorage => true
-        case s => storageCodecs.exists(_._2._1.isDefinedAt(s))
-      }
-    }
+    m.artifacts.forall { case (_, a) => isBuiltin(a.storage) || customCodecFor(a.storage).isDefined }
 
   private def encodeStorage(s: Storage): J = s match {
     case FileStorage(t) => JObj.of(
@@ -102,9 +110,8 @@ object ModelCodec {
       "field_kinds" -> JObj(t.fieldKinds.toSeq.sortBy(_._1).map { case (k, v) => k -> JStr(v) }))
     case LiteralStorage(json) => JObj.of("kind" -> JStr("literal"), "json" -> JStr(json))
     case other =>
-      storageCodecs.collectFirst {
-        case (kind, (enc, _)) if enc.isDefinedAt(other) =>
-          JObj.of("kind" -> JStr(kind), "payload" -> enc(other))
+      customCodecFor(other).map { case (kind, (enc, _)) =>
+        JObj.of("kind" -> JStr(kind), "payload" -> enc(other))
       }.getOrElse(throw new UnsupportedStorage(
         s"storage ${other.getClass.getName} has no model codec — register one via " +
           "ModelCodec.registerStorage to make it backend-persistable"))

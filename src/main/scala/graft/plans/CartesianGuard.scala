@@ -28,11 +28,13 @@ case class CartesianGuard(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     spark.conf.getOption("graft.guard.noCartesian").contains("true")
 
-  /** No condition, or a condition the optimizer folded to a constant —
-    * `ON 1=1` reaches the optimized plan as `Some(true)`, not `None`. */
+  /** No condition, or a condition the optimizer folded to literal TRUE —
+    * `ON 1=1` reaches the optimized plan as `Some(true)`, not `None`. A
+    * condition folded to false or NULL yields ZERO rows, not |L|x|R|, so
+    * only `true` counts as cartesian here. */
   private def unconditioned(j: Join): Boolean = j.condition match {
     case None => true
-    case Some(org.apache.spark.sql.catalyst.expressions.Literal(v, _)) => v != false
+    case Some(org.apache.spark.sql.catalyst.expressions.Literal(v, _)) => v == true
     case _ => false
   }
 

@@ -134,4 +134,72 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the failing gate ran BEFORE the bucketed write: nothing landed
     assert(!Files.exists(java.nio.file.Paths.get(s"$base/cout")))
   }
+
+  test("bucketed outputs: a failing THRESHOLD also gates BEFORE the write (no bytes, no table)") {
+    import graft.exec.LocalExecutor
+    import graft.graph.{Artifact, Graph, MemoryBackend, Producer, Statistics}
+    import graft.types.ArtiType._
+
+    val base = Files.createTempDirectory("graft-cluster-thresh").toString
+    spark.range(100).selectExpr("id as k", "id * 2 as v").write.parquet(s"$base/raw")
+    val raw = Artifact(ACollection("raw", AStruct("r", Seq("k" -> AInt64(), "v" -> AInt64()))),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/raw", Map.empty)))
+    val out = Artifact(
+      ACollection("cout2", AStruct("cout2", Seq("k" -> AInt64(), "agg" -> AInt64())), clusterBy = Seq("k")),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/cout2/{input_fingerprint}", Map.empty)))
+    val g = new Graph("cbthresh").add("raw", raw).add("cout2", out)
+      .produce(Producer("p",
+        build = (_, ins) => Seq(ins.head.groupBy(col("k")).agg(sum(col("v")).as("agg"))),
+        thresholds = Seq(Statistics.Threshold.MinRows(1000000))), Seq("raw"), Seq("cout2"))
+      .close()
+    val backend = new MemoryBackend
+    val err = intercept[IllegalStateException] {
+      new LocalExecutor(backend).build(spark, g.snapshot(spark, backend))
+    }
+    assert(err.getMessage.contains("rows"))
+    // the threshold gate ran BEFORE the bucketed write: no bytes at the
+    // final path and no catalog table registered
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/cout2")))
+    assert(!spark.catalog.tableExists(IO.bucketTableName("cbthresh", "cout2")))
+  }
+
+  test("mixed bucketed+plain producers audit the plain output's STAGED bytes post-write") {
+    import graft.exec.LocalExecutor
+    import graft.graph.{Artifact, Graph, MemoryBackend, Producer}
+    import graft.types.ArtiType._
+
+    val base = Files.createTempDirectory("graft-cluster-mixed").toString
+    spark.range(100).selectExpr("id as k", "id * 2 as v").write.parquet(s"$base/raw")
+    val raw = Artifact(ACollection("raw", AStruct("r", Seq("k" -> AInt64(), "v" -> AInt64()))),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/raw", Map.empty)))
+    val bucketed = Artifact(
+      ACollection("mb", AStruct("mb", Seq("k" -> AInt64(), "agg" -> AInt64())), clusterBy = Seq("k")),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/mb/{input_fingerprint}", Map.empty)))
+    val plain = Artifact(
+      ACollection("mp", AStruct("mp", Seq("k" -> AInt64(), "agg" -> AInt64()))),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/mp/{input_fingerprint}", Map.empty)))
+
+    // the validator runs twice for a mixed producer: once pre-write on the
+    // plans (guards the bucketed write), once post-write where the PLAIN
+    // output must be a materialized staged scan, not the producer plan
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    var sawStagedScan = false
+    val g = new Graph("cbmixed").add("raw", raw).add("mb", bucketed).add("mp", plain)
+      .produce(Producer("p",
+        build = (_, ins) => Seq(
+          ins.head.groupBy(col("k")).agg(sum(col("v")).as("agg")),
+          ins.head.groupBy(col("k")).agg(max(col("v")).as("agg"))),
+        validateOutputs = outs => {
+          if (calls.incrementAndGet() == 2) {
+            sawStagedScan = outs(1).inputFiles.exists(_.contains("__staging"))
+            assert(outs(1).count() === 100)
+          }
+          Right(())
+        }), Seq("raw"), Seq("mb", "mp"))
+      .close()
+    val backend = new MemoryBackend
+    new LocalExecutor(backend).build(spark, g.snapshot(spark, backend))
+    assert(calls.get() === 2, "mixed producers must gate pre-write AND audit post-write")
+    assert(sawStagedScan, "the post-write audit must scan the plain output's staging path")
+  }
 }
