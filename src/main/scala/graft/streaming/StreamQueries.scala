@@ -135,6 +135,83 @@ object StreamQueries {
       |SELECT min(ts) AS session_start, max(ts) AS session_last, user_id, count(*) AS n_events
       |FROM s GROUP BY user_id, sess_id""".stripMargin
 
+  // --------------------------------------------------------------- QS1A
+  /** APPEND-mode twin of qs1 — the production shape: complete mode re-emits
+    * every window each trigger (unbounded sink work as history grows);
+    * append emits each window exactly ONCE, when the watermark passes its
+    * end, and the state store drops it. State and sink writes stay bounded
+    * by the watermark horizon no matter how long the stream runs.
+    *
+    * The emission set is exactly derivable, so this is ORACLE-CHECKED, not
+    * rows-only: with an availableNow drain, the final watermark is
+    * max(event time) truncated to ms minus the 10-minute delay, and append
+    * emits precisely the windows with `window_end <= watermark`
+    * (empirically: qs4's 3380 = qs1's 3385 minus the 5 windows past the
+    * final watermark). The source splits into 3 time-ordered files consumed
+    * one per trigger so the watermark genuinely advances mid-stream —
+    * emission happens incrementally, not in one final flush. */
+  private def qs1a(spark: SparkSession, dir: String): DataFrame = {
+    val windowed = eventsStream(spark, dir, nFiles = 3)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("total"))
+    runToTable(spark, windowed, OutputMode.Append())
+      .select(
+        col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("window.end").cast(TimestampNTZType).as("window_end"),
+        col("event_type"), col("n"),
+        round(col("total").cast(DoubleType), 2).as("total"))
+  }
+
+  /** The final-watermark expression shared by the append oracles: Spark
+    * tracks event-time stats in MILLISECONDS, so the µs part of max(ts)
+    * truncates before the delay subtracts. */
+  private val wmSql =
+    """(SELECT make_timestamp((epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000) * 1000)
+      |   - INTERVAL 10 MINUTE FROM events)""".stripMargin
+
+  private val qs1aSql =
+    s"""WITH agg AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       |         CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       |         event_type, count(*) AS n,
+       |         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+       |  FROM events GROUP BY 1, 2, 3)
+       |SELECT * FROM agg WHERE window_end <= $wmSql""".stripMargin
+
+  // --------------------------------------------------------------- QS2A
+  /** APPEND-mode twin of qs2: session windows emit once, when the
+    * watermark passes `session.end` (= last event + gap). An emitted
+    * session is final — any event that could still merge into it would
+    * carry ts < session.end <= watermark and be dropped as too late — so
+    * the emitted rows equal the batch sessions whose end cleared the final
+    * watermark, and the oracle replays exactly that. */
+  private def qs2a(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = eventsStream(spark, dir, nFiles = 3)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(spark, sessions, OutputMode.Append())
+      .select(
+        col("session_window.start").cast(TimestampNTZType).as("session_start"),
+        (col("session_window.end") - expr("INTERVAL 5 MINUTES")).cast(TimestampNTZType).as("session_last"),
+        col("user_id"), col("n_events"))
+  }
+
+  private val qs2aSql =
+    s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |m AS (SELECT user_id, ts,
+       |        CASE WHEN lag(ts) OVER w IS NULL
+       |               OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_sess
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (SELECT user_id, ts,
+       |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |      FROM m),
+       |sess AS (SELECT min(ts) AS session_start, max(ts) AS session_last, user_id, count(*) AS n_events
+       |         FROM s GROUP BY user_id, sess_id)
+       |SELECT * FROM sess WHERE session_last + INTERVAL 5 MINUTE <= $wmSql""".stripMargin
+
   // ---------------------------------------------------------------- QS3
   // public: Spark codegen instantiates these from generated classes
   case class EvRow(event_id: Long, user_id: Long, event_type: String, tsMicros: Long)
@@ -328,6 +405,38 @@ object StreamQueries {
       |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
       |FROM w GROUP BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------------- QS8A
+  /** APPEND-mode twin of qs8: each sliding window emits once when the
+    * watermark passes its end — same derivable contract as qs1a, over the
+    * epoch-aligned 30-minute grid. */
+  private def qs8a(spark: SparkSession, dir: String): DataFrame = {
+    val windowed = eventsStream(spark, dir, nFiles = 3)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("total"))
+    runToTable(spark, windowed, OutputMode.Append())
+      .select(
+        col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("window.end").cast(TimestampNTZType).as("window_end"),
+        col("event_type"), col("n"),
+        round(col("total").cast(DoubleType), 2).as("total"))
+  }
+
+  private val qs8aSql =
+    s"""WITH e AS (SELECT event_type, value,
+       |    make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP)) // 1800000) * 1800000000) AS g
+       |  FROM events),
+       |w AS (SELECT event_type, value, g AS ws FROM e
+       |      UNION ALL
+       |      SELECT event_type, value, g - INTERVAL 30 MINUTE FROM e),
+       |agg AS (
+       |  SELECT CAST(ws AS TIMESTAMP) AS window_start,
+       |         CAST(ws + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       |         event_type, count(*) AS n,
+       |         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+       |  FROM w GROUP BY 1, 2, 3)
+       |SELECT * FROM agg WHERE window_end <= $wmSql""".stripMargin
+
   // ---------------------------------------------------------------- QS9
   /** Checkpointed INCREMENTAL INGESTION — the streaming analog of the
     * executor's skip-if-built memoization: run 1 ingests waves 0-1 into a
@@ -380,13 +489,19 @@ object StreamQueries {
 
   val all: Seq[Q] = Seq(
     Q("qs1_stream_tumbling", qs1, Some(qs1Sql), "tumbling windows + watermark (complete mode)"),
+    Q("qs1a_stream_tumbling_append", qs1a, Some(qs1aSql),
+      "append-mode tumbling windows: watermark-bounded state, exact emission oracle"),
     Q("qs2_stream_session", qs2, Some(qs2Sql), "session windows per user"),
+    Q("qs2a_stream_session_append", qs2a, Some(qs2aSql),
+      "append-mode session windows: emitted sessions are final (exact emission oracle)"),
     Q("qs3_stream_state", qs3, Some(qs3Sql), "mapGroupsWithState earliest-event fold"),
     Q("qs4_stream_late_append", qs4, None, "append mode + watermark + stream dedup"),
     Q("qs5_stream_static_join", qs5, Some(qs5Sql), "stream-static dimension join"),
     Q("qs6_stream_stream_join", qs6, Some(qs6Sql), "stream-stream interval join (watermark-bounded state)"),
     Q("qs7_stream_dedup_ingest", qs7, Some(qs7Sql), "streaming exact dedup-on-ingest (state across micro-batches)"),
     Q("qs8_stream_sliding", qs8, Some(qs8Sql), "sliding overlapping windows (epoch-aligned oracle replay)"),
+    Q("qs8a_stream_sliding_append", qs8a, Some(qs8aSql),
+      "append-mode sliding windows: per-window single emission (exact oracle)"),
     Q("qs9_stream_incremental_ingest", qs9, Some(qs9Sql),
       "checkpointed ingestion: restarted query pays for NEW files only (self-checked)"))
 }
