@@ -31,7 +31,11 @@ final case class BuildReport(built: Map[String, Int], skipped: Map[String, Int],
   * every `build` body is a lazy Spark plan whose actions fan out to the
   * cluster — the executor never materializes data on the driver.
   */
-final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
+final class LocalExecutor(backend: Backend,
+    // orchestration threads are cheap (each only issues Spark plans and
+    // actions); track the host so a wide wave — sibling producers or a
+    // backfill's partitions — overlaps its jobs instead of queueing 4-wide
+    parallelism: Int = math.max(4, Runtime.getRuntime.availableProcessors() / 4)) {
 
   /** Build independent WORK UNITS concurrently (the reference's own TODO,
     * executors/local.py:14-16): topo order grouped into dependency waves;
@@ -248,6 +252,14 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
           // check as a pure-plain producer, so the gate re-runs with audit
           // frames for staged outputs and plan frames for bucketed ones.
           val anyStaged = staged.exists(_._5.nonEmpty)
+          // FUSE the audit passes: when both validation and statistics will
+          // scan the same staged bytes, cache the audit frames so the bytes
+          // are read ONCE (validation materializes the cache, profiling
+          // reads it) — at 100 TB the difference between one scan and two
+          // over every freshly-built partition is the WAP tax itself
+          val cacheAudit = !anyBucketed && wantStats
+          if (cacheAudit) auditDfs.foreach(_.persist())
+          try {
           val gate = graft.util.Timing.timed(s"${producer.name} auditValidate") {
             if (!anyBucketed) producer.validateOutputs(auditDfs)
             else if (anyStaged) producer.validateOutputs(
@@ -297,6 +309,7 @@ final class LocalExecutor(backend: Backend, parallelism: Int = 4) {
               built(producer.name) += 1
               }
           }
+          } finally if (cacheAudit) auditDfs.foreach(_.unpersist())
           }
         }
       }

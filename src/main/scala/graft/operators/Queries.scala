@@ -2068,6 +2068,75 @@ object Queries {
       |SELECT doc_id, rank, token, tf, df, round(score, 6) AS tfidf
       |FROM r WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- X32
+  /** Statistical LM quality scoring (the CCNet-style filter, and the
+    * statistical complement of x8's heuristics): a unigram language model
+    * trained on the corpus itself scores each document by its mean token
+    * log-probability — low scores flag gibberish/boilerplate whose tokens
+    * the corpus rarely uses. One aggregation builds the model (token tf +
+    * the rollup total, no second corpus scan for the denominator — x27's
+    * trick); the vocabulary-sized model joins back to the token stream
+    * (broadcastable at scale); one per-doc aggregation scores.
+    * Cross-engine determinism: per-token logp = ln(tf/total) of identical
+    * doubles; the per-doc sum runs SEQUENTIALLY over the token-sorted list
+    * in both engines (aggregate ∘ array_sort here, list_reduce ∘ list_sort
+    * in the oracle), so both see the same IEEE association; the emitted
+    * score rounds at 6dp like every float output. */
+  private def x32(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val f = tokens.rollup(col("token")).agg(count(lit(1)).as("tf"))
+    val total = f.filter(col("token").isNull)
+      .select(col("tf").as("total_tf")).withColumn("j", lit(1))
+    val model = f.filter(col("token").isNotNull).withColumn("j", lit(1))
+      .join(broadcast(total), Seq("j"))
+      .select(col("token"), log(col("tf").cast(DoubleType) / col("total_tf")).as("logp"))
+    tokens.join(model, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), collect_list(col("logp")).as("lps"))
+      .withColumn("sum_logp",
+        expr("aggregate(array_sort(lps), 0D, (a, x) -> a + x)"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_logp") / col("n_tokens"), 6).as("lm_score"))
+  }
+
+  private val x32Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |f AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+      |tot AS (SELECT count(*) AS total FROM t),
+      |model AS (SELECT token, ln(CAST(tf AS DOUBLE) / (SELECT total FROM tot)) AS logp FROM f),
+      |d AS (SELECT t.doc_id, m.logp FROM t JOIN model m USING (token))
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(list_reduce(list_prepend(0.0, list_sort(list(logp))), (a, b) -> a + b)
+      |        / count(*), 6) AS lm_score
+      |FROM d GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- X33
+  /** Per-source document caps — corpus balancing (every real pipeline caps
+    * how much any one domain/crawl contributes): keep the 20 lowest-id
+    * documents per source, emit the kept set. Deterministic (id order, not
+    * rand), and the rank-filter shape is exactly what Spark's
+    * WindowGroupLimit optimizes: each map task pre-prunes to its local
+    * top-20 per source BEFORE the shuffle, so the exchange carries
+    * O(sources × cap × tasks), not the corpus — the plan that survives a
+    * skewed 100 TB crawl where one domain is half the data. */
+  private val x33Cap = 20
+
+  private def x33(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= x33Cap)
+      .select(col("source"), col("rn"), col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  private val x33Sql =
+    s"""SELECT source, CAST(row_number() OVER w AS INT) AS rn, doc_id, lang, n_chars
+       |FROM documents
+       |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+       |QUALIFY rn <= $x33Cap""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -2193,7 +2262,11 @@ object Queries {
     Q("x30_delta_dedup", x30, Some(x30Sql),
       "delta near-dedup: new docs vs the existing corpus index (asymmetric join)"),
     Q("x31_doc_keywords", x31, Some(x31Sql),
-      "per-document top-3 tf-idf keywords")) ++
+      "per-document top-3 tf-idf keywords"),
+    Q("x32_lm_quality", x32, Some(x32Sql),
+      "unigram-LM statistical quality scoring (mean token log-prob per doc)"),
+    Q("x33_source_cap", x33, Some(x33Sql),
+      "per-source document caps via rank-limit (corpus balancing)")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

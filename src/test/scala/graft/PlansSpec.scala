@@ -238,4 +238,21 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.contains("Keys [1]") && l.contains("event_type")),
       s"final combine must group by the key alone:\n$p")
   }
+
+  test("x33: the per-source cap pre-prunes map-side (WindowGroupLimit)") {
+    val p = plan("x33_source_cap")
+    // the rank-filter must become a WindowGroupLimit so each map task
+    // prunes to its local top-20 per source BEFORE the shuffle — the plan
+    // that survives one domain being half of a 100 TB crawl
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+  }
+
+  test("x32: the LM model joins back via broadcast, never a corpus shuffle on tokens") {
+    val p = plan("x32_lm_quality")
+    // the only nested loop allowed is the 1-row total fan-in (x27's rollup
+    // denominator trick); the vocabulary-sized model must meet the token
+    // stream in a BroadcastHashJoin, and nothing may go cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+  }
 }
