@@ -187,6 +187,44 @@ object FastOps {
     sig
   }
 
+  /** x7's 192-bit md5-derived hyperplane family, precomputed ONCE as a
+    * static ±1 matrix (the md5s are plan constants, not per-row work).
+    * Same sign rule as the DuckDB oracle: +1 iff the first hex char of
+    * md5("b_d") ≤ '7'. */
+  private lazy val md5Planes192: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(192) { b =>
+      Array.tabulate(64) { d =>
+        md.reset()
+        val hex = md.digest(s"${b}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (hex.charAt(0) <= '7') 1.0 else -1.0
+      }
+    }
+  }
+
+  /** All 192 plane dots + sign-bit packing in ONE pass → array of 3
+    * longs (word w bit j = sign(v · plane_{64w+j})). The naive spelling —
+    * 192 separate graft_dot calls against 64-element literal arrays — is a
+    * ~75 KB expression tree whose janino compilation dominates the query;
+    * this kernel is one call with static plane data. Summation order per
+    * plane is sequential over d, exactly graft_dot / list_dot_product, so
+    * the oracle sees identical IEEE doubles. */
+  def md5PlaneSig192(v: ArrayData): ArrayData = {
+    val x = v.toDoubleArray()
+    val out = new Array[Long](3)
+    var b = 0
+    while (b < 192) {
+      val pl = md5Planes192(b)
+      val n = math.min(x.length, pl.length)
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += x(d) * pl(d); d += 1 }
+      if (s > 0) out(b >>> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Random-hyperplane LSH signature: bit b = sign(v · plane_b), plane
     * components ±1 derived from mix(b*8192 + d) — deterministic, never
     * materialized. */
@@ -279,6 +317,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def nullSafeEval(v: Any): Any = FastOps.simhash(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** x7's packed 192-bit md5-plane signature of array<double> → array<long>(3). */
+case class Md5PlaneSig192(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.md5PlaneSig192(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.md5PlaneSig192($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
@@ -375,6 +423,7 @@ object GraftFunctions {
     "graft_minhash" -> (es => MinHashSig(es.head, if (es.size > 1) intArg(es(1)) else 32)),
     "graft_simhash" -> (es => SimHash64(es.head)),
     "graft_hyperplane" -> (es => HyperplaneSig(es.head, if (es.size > 1) intArg(es(1)) else 8)),
+    "graft_md5_planes192" -> (es => Md5PlaneSig192(es.head)),
     "graft_count_in" -> (es => CountInSet(es(0), strArrayArg(es(1)))),
     "graft_sum_len" -> (es => SumCharLen(es.head)),
     "graft_rolling_fp" -> (es => RollingFp(es.head)))

@@ -459,6 +459,26 @@ final case class RehydratedSnapshot(model: GraphModel, id: Fingerprint) {
   def read(spark: SparkSession, backend: Backend, key: String): DataFrame =
     readWhere(spark, backend, key)(_ => true)
 
+  /** Same registry-resolved views as [[GraphSnapshot.readView]] — a
+    * rehydrated artifact materializes through any registered view, so a
+    * tag consumer in a fresh process gets scalars/rows/custom views, not
+    * just frames. */
+  def readView[T](spark: SparkSession, backend: Backend, key: String, cls: Class[T]): T = {
+    val a = model.artifact(key)
+    ViewRegistry.resolve(cls, a.atype).materialize(spark, read(spark, backend, key), a.atype)
+  }
+
+  def readScalar[T](spark: SparkSession, backend: Backend, key: String)(implicit ct: scala.reflect.ClassTag[T]): T = {
+    val boxed: Class[_] = ct.runtimeClass match {
+      case java.lang.Long.TYPE    => classOf[java.lang.Long]
+      case java.lang.Double.TYPE  => classOf[java.lang.Double]
+      case java.lang.Boolean.TYPE => classOf[java.lang.Boolean]
+      case java.lang.Integer.TYPE => classOf[java.lang.Long]
+      case other                  => other
+    }
+    readView(spark, backend, key, boxed).asInstanceOf[T]
+  }
+
   /** Same partition-pruned contract as [[GraphSnapshot.readWhere]]: the
     * file-list is filtered before Spark sees it; a predicate matching
     * nothing yields an empty frame with the declared schema. Raw and

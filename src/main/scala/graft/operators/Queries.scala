@@ -950,28 +950,20 @@ object Queries {
   private val x7Words = x7SigBits / 64
   private val x7Dims = 64
 
-  /** plane(b)(d) = +1 iff the first hex char of md5("b_d") ≤ '7'. */
-  private lazy val x7Planes: Seq[Seq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until x7SigBits).map { b =>
-      (0 until x7Dims).map { d =>
-        md.reset()
-        val hex = md.digest(s"${b}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
-        if (hex.charAt(0) <= '7') 1.0 else -1.0
-      }
-    }
-  }
+  // plane(b)(d) = +1 iff the first hex char of md5("b_d") ≤ '7' — the
+  // matrix lives as static data inside the codegen kernel
+  // (FastOps.md5Planes192); the oracle SQL below re-derives it in DuckDB.
 
   private def x7(spark: SparkSession, dir: String): DataFrame = {
-    // packed signature word w = Σ_{j<64} [dot(v, plane_{64w+j}) > 0] << j
-    def wordCol(w: Int) = (0 until 64).map { j =>
-      val arr = x7Planes(w * 64 + j).map(p => if (p > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
-      when(expr(s"graft_dot(v, $arr)") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // packed signature word w bit j = [dot(v, plane_{64w+j}) > 0] — ONE
+    // codegen kernel call with the plane matrix as static data (the
+    // spelled-out 192 × 64-literal-array expression tree was ~75 KB of
+    // generated code whose compilation dominated the query; the kernel
+    // computes the identical sequential-sum dots)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      .withColumn("sig", array((0 until x7Words).map(wordCol): _*))
+      .withColumn("sig", expr("graft_md5_planes192(v)"))
       .persist() // signature scan + stage-2 vector fetch share one read
     // stage 1: ids+codes ONLY through the scan (24 B/row), queries broadcast
     val codes = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("sig"))
@@ -2137,6 +2129,45 @@ object Queries {
        |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
        |QUALIFY rn <= $x33Cap""".stripMargin
 
+  // ---------------------------------------------------------------- X34
+  /** Cross-document SPAN duplication — the span-level memorization signal
+    * (the exact-substring-dedup family à la "Deduplicating Training Data
+    * Makes Language Models Better", at 8-token granularity): for each
+    * document, what fraction of its distinct 8-gram spans also occurs in
+    * some OTHER document. Distinct from x2 (whole-doc similarity), x19
+    * (intra-doc repetition), and x9 (corpus-vs-benchmark): this is
+    * corpus-vs-itself at span granularity, the signal behind span-level
+    * filtering/redaction decisions. Shape: one shingle-kernel pass (8-byte
+    * hashes, never span strings, through the shuffle), one df aggregation,
+    * one join-back, one per-doc aggregation — all equi, all linear. */
+  private def x34(spark: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("graft_shingle_hashes(split(text, ' '), 8)")).as("s"))
+    // shingle sets are distinct per doc, so count(*) IS the doc frequency
+    val dfs = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    posts.join(dfs, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast(DoubleType) / col("n_spans"), 6))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"), col("shared_ratio"))
+  }
+
+  private val x34Sql =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+      |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+      |                tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      |t AS (SELECT doc_id, unnest(sh) AS s FROM s),
+      |dfs AS (SELECT s, count(*) AS df FROM t GROUP BY s)
+      |SELECT t.doc_id, count(*) AS n_spans,
+      |  CAST(sum(CASE WHEN dfs.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  round(CAST(sum(CASE WHEN dfs.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_ratio
+      |FROM t JOIN dfs USING (s)
+      |GROUP BY t.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -2266,7 +2297,9 @@ object Queries {
     Q("x32_lm_quality", x32, Some(x32Sql),
       "unigram-LM statistical quality scoring (mean token log-prob per doc)"),
     Q("x33_source_cap", x33, Some(x33Sql),
-      "per-source document caps via rank-limit (corpus balancing)")) ++
+      "per-source document caps via rank-limit (corpus balancing)"),
+    Q("x34_span_dup", x34, Some(x34Sql),
+      "cross-document 8-gram span duplication (memorization fraction per doc)")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

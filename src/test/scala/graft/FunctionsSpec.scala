@@ -185,6 +185,33 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped === exact, s"capped path diverged: missing=${(exact -- capped).size} spurious=${(capped -- exact).size}")
   }
 
+  test("md5-plane signature kernel matches the spelled-out plane dots") {
+    // independent re-derivation: plane(b)(d) = ±1 from md5("b_d"), dot
+    // summed sequentially (the oracle's list_dot_product order), bit b of
+    // word b/64 set iff dot > 0 — exactly what the kernel must compute
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def plane(b: Int, d: Int): Double = {
+      md.reset()
+      val hex = md.digest(s"${b}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= '7') 1.0 else -1.0
+    }
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("sig", expr("graft_md5_planes192(v)"))
+      .limit(20).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val v = r.getSeq[Double](1)
+      val expected = new Array[Long](3)
+      for (b <- 0 until 192) {
+        var s = 0.0
+        for (d <- v.indices.take(64)) s += v(d) * plane(b, d)
+        if (s > 0) expected(b >>> 6) |= (1L << (b & 63))
+      }
+      assert(r.getSeq[Long](2) === expected.toSeq, s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("IVF ANN (x14) is immune to sparse, non-sequential ids") {
     // the old centroid rule (vec_id % step == 0 over dense ids) collapses on
     // remapped ids; the md5-ordered rule must not. Corpus ids are scattered

@@ -127,4 +127,54 @@ class PropertiesSpec extends AnyFunSuite {
       S.typeFromJson(S.typeToJson(t)) == t
     })
   }
+
+  // ------------------------------------------------- Avro adapter laws
+  import graft.types.AvroTypeSystem
+
+  /** Make a generated type Avro-legal: map keys become strings (Avro maps
+    * require them — non-string keys are an explicit refusal, tested in
+    * AvroTypesSpec) and nested records get unique names (Avro full-names
+    * must not collide within one schema). */
+  private def avroize(t: ArtiType, depth: Int = 0): ArtiType = t match {
+    case m: AMap    => m.copy(key = AString(), value = avroize(m.value, depth + 1))
+    case l: AList   => l.copy(element = avroize(l.element, depth + 1))
+    case s: ASet    => s.copy(element = avroize(s.element, depth + 1))
+    case s: AStruct => AStruct(s"s$depth", s.fields.zipWithIndex.map {
+      case ((n, f), i) => n -> avroize(f, depth * 10 + i + 1)
+    }, s.nullable, s.description)
+    case other => other
+  }
+
+  /** The adapter's DOCUMENTED widening normal form: what a round trip must
+    * land on (exact types map to themselves). */
+  private def widen(t: ArtiType): ArtiType = t match {
+    case x: AInt8  => AInt32(x.nullable)
+    case x: AInt16 => AInt32(x.nullable)
+    case x: AUInt8  => AInt32(x.nullable)
+    case x: AUInt16 => AInt32(x.nullable)
+    case x: AUInt32 => AInt64(x.nullable)
+    case x: ATime if x.precision == ArtiType.TimePrecision.Second =>
+      x.copy(precision = ArtiType.TimePrecision.Millisecond)
+    case x: ATimestamp if x.precision == ArtiType.TimePrecision.Second =>
+      x.copy(precision = ArtiType.TimePrecision.Millisecond)
+    case x: ADateTime if x.precision == ArtiType.TimePrecision.Second =>
+      x.copy(precision = ArtiType.TimePrecision.Millisecond)
+    case x: AEnum =>
+      val symbolic = x.underlying.isInstanceOf[AString] &&
+        x.items.forall { case s: String => s.matches("[A-Za-z_][A-Za-z0-9_]*"); case _ => false }
+      if (symbolic) AEnum(x.name, AString(), x.items, x.nullable)
+      else AString(x.nullable) // genScalar only builds string-underlying enums
+    case l: AList   => l.copy(element = widen(l.element))
+    case s: ASet    => s.copy(element = widen(s.element))
+    case m: AMap    => m.copy(key = AString(), value = widen(m.value))
+    case s: AStruct => s.copy(fields = s.fields.map { case (n, f) => n -> widen(f) })
+    case other => other
+  }
+
+  test("Avro adapter: toArti(toAvro(t)) == documented normal form for generated types") {
+    check("avro-roundtrip-normalform", Prop.forAll(genType) { t0 =>
+      val t = avroize(t0)
+      AvroTypeSystem.toArti(AvroTypeSystem.toAvro(t)) == widen(t)
+    })
+  }
 }

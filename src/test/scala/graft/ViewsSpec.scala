@@ -103,6 +103,14 @@ class ViewsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rehydrated snapshots resolve views from the registry too") {
+    val (snap, backend) = buildGraph("rehydrated")
+    snap.tag(backend, "t1")
+    val re = graft.graph.RehydratedSnapshot.fromTag(backend, "views-rehydrated", "t1")
+    assert(re.readScalar[Double](spark, backend, "total") === 42.0)
+    assert(re.readView(spark, backend, "copy", classOf[Seq[Row]]).size === 3)
+  }
+
   test("priority decides among competing views for one target (higher wins)") {
     abstract class Tagged(val tag: String) // distinct target class per test run
     class TagView(t: String, override val priority: Int) extends ArtiView[Tagged] {
