@@ -38,58 +38,78 @@ final class LocalExecutor(backend: Backend,
     parallelism: Int = math.max(4, Runtime.getRuntime.availableProcessors() / 4)) {
 
   /** Build independent WORK UNITS concurrently (the reference's own TODO,
-    * executors/local.py:14-16): topo order grouped into dependency waves;
-    * within a wave, every (producer, output-partition) pair is its own
+    * executors/local.py:14-16) with DAG SCHEDULING at producer
+    * granularity: each producer binding gets a completion future chained
+    * off exactly the futures of the producers feeding it — not a global
+    * wave barrier — so a producer starts the moment ITS inputs are ready,
+    * even while a slow sibling chain is still building (with barriers, the
+    * deepest chain's latency is Σ of the slowest producer per DEPTH
+    * LEVEL; with DAG chaining it is Σ over the chain's own producers).
+    * Within a producer, every (producer, output-partition) pair is its own
     * task on a fixed thread pool — so sibling producers AND the partitions
     * of one incremental producer build in parallel (a 7-year backfill
     * occupies 7 slots, not 1). SparkSession is thread-safe; each task only
     * issues lazy plans + actions, and output partitions write to disjoint
-    * paths by construction. */
+    * paths by construction. All composition below is non-blocking (no
+    * pool thread ever awaits another future), so a fixed pool cannot
+    * deadlock.
+    *
+    * Failure semantics: a validation/threshold failure blocks everything
+    * DOWNSTREAM of the failing producer (they never run — their inputs
+    * are unpublished); independent subtrees still complete cleanly, and
+    * `build` then throws with every accumulated failure. A thrown
+    * exception (IO, publish) likewise fails its chain; the final await
+    * lets all in-flight siblings settle before rethrowing. */
   def build(spark: SparkSession, snapshot: GraphSnapshot): BuildReport = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Success, Try}
 
     val g = snapshot.graph
+    val order = g.topoOrder()
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // None = this producer did not run because something upstream failed
+    val done = mutable.Map.empty[ProducerBinding, Future[Option[Seq[BuildReport]]]]
+    val settled: Seq[Try[Option[Seq[BuildReport]]]] =
+      try {
+        for (b <- order) {
+          val upstream = b.inputKeys.flatMap(g.producerOf).distinct.map(done)
+          done(b) = Future.sequence(upstream).flatMap { ups =>
+            val upstreamBlocked = ups.exists(_.isEmpty) ||
+              ups.iterator.flatten.flatten.exists(_.validationFailures.nonEmpty)
+            if (upstreamBlocked) Future.successful(None)
+            else {
+              // `map` routing is driver-side metadata — cheap to compute
+              // here, on this producer's own schedule
+              val inputParts: Seq[Seq[StoragePartition]] = b.inputKeys.map { k =>
+                if (g.isRaw(k)) snapshot.rawPartitions(k)
+                else backend.readSnapshotPartitions(snapshot.id, s"${g.name}/$k")
+              }
+              Future.traverse(b.producer.map(inputParts)) { case (outKey, partDeps) =>
+                Future(buildPartition(spark, snapshot, b, outKey, partDeps))
+              }.map(Some(_))
+            }
+          }
+        }
+        // settle EVERY chain (failed or not) before acting: in-flight
+        // sibling writes finish cleanly instead of being abandoned mid-way
+        Await.result(
+          Future.traverse(order)(b => done(b).transform(t => Success(t))),
+          Duration.Inf)
+      } finally pool.shutdown()
+
+    settled.collectFirst { case Failure(e) => e }.foreach(throw _)
+    val reports = settled.collect { case Success(Some(rs)) => rs }.flatten
     val built = mutable.Map.empty[String, Int].withDefaultValue(0)
     val skipped = mutable.Map.empty[String, Int].withDefaultValue(0)
     val failures = mutable.ListBuffer.empty[String]
-
-    // wave = bindings whose producing inputs are all in earlier waves
-    val order = g.topoOrder()
-    val waveOf = mutable.Map.empty[ProducerBinding, Int]
-    for (b <- order) {
-      val depWaves = b.inputKeys.flatMap(g.producerOf).map(waveOf)
-      waveOf(b) = if (depWaves.isEmpty) 0 else depWaves.max + 1
+    reports.foreach { r =>
+      r.built.foreach { case (k, v) => built(k) += v }
+      r.skipped.foreach { case (k, v) => skipped(k) += v }
+      failures ++= r.validationFailures
     }
-    val waves = order.groupBy(waveOf).toSeq.sortBy(_._1).map(_._2)
-
-    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      for (wave <- waves if failures.isEmpty) {
-        // flatten to partition-level tasks: `map` routing is driver-side
-        // metadata, so computing it eagerly per wave is cheap
-        val tasks = wave.flatMap { b =>
-          val inputParts: Seq[Seq[StoragePartition]] = b.inputKeys.map { k =>
-            if (g.isRaw(k)) snapshot.rawPartitions(k)
-            else backend.readSnapshotPartitions(snapshot.id, s"${g.name}/$k")
-          }
-          b.producer.map(inputParts).map { case (outKey, partDeps) => (b, outKey, partDeps) }
-        }
-        val futures = tasks.map { case (b, outKey, partDeps) =>
-          Future(buildPartition(spark, snapshot, b, outKey, partDeps))
-        }
-        // await the whole wave before acting on failures: siblings finish
-        // their in-flight writes cleanly instead of being abandoned mid-way
-        val results = futures.map(f => Await.result(f, Duration.Inf))
-        results.foreach { r =>
-          r.built.foreach { case (k, v) => built(k) += v }
-          r.skipped.foreach { case (k, v) => skipped(k) += v }
-          failures ++= r.validationFailures
-        }
-      }
-    } finally pool.shutdown()
     if (failures.nonEmpty)
       throw new IllegalStateException(s"validate_outputs failed for: ${failures.mkString("; ")}")
     BuildReport(built.toMap, skipped.toMap, failures.toSeq)

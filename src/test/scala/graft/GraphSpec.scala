@@ -420,6 +420,81 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxSeen.get() >= 2, s"independent producers should overlap, max concurrency = ${maxSeen.get()}")
   }
 
+  test("DAG scheduling: an independent chain proceeds PAST a slow sibling (no wave barrier)") {
+    val base = dir.resolve("dag1")
+    writeSpendFixture(base.resolve("tx"))
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    def outArtifact(n: String) = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/$n/{input_fingerprint}", Map.empty)))
+    // graph: tx → slow → s   and   tx → fastA → a → fastB → b
+    // wave barriers would hold fastB (depth 2) behind slow (depth 1);
+    // DAG scheduling lets the a→b chain finish while slow is in flight.
+    // slow BLOCKS until fastB starts (latch), so barrier scheduling would
+    // time the latch out and the flag below stays false.
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    @volatile var fastBStartedWhileSlowInFlight = false
+    def agg(ins: Seq[org.apache.spark.sql.DataFrame]) =
+      Seq(ins.head.agg(sum(col("amount")).as("value")).coalesce(1))
+    val slow = Producer("slow", build = (_, ins) => {
+      fastBStartedWhileSlowInFlight = latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      agg(ins)
+    })
+    val fastA = Producer("fastA", build = (_, ins) => agg(ins))
+    val fastB = Producer("fastB", build = (_, ins) => {
+      latch.countDown()
+      Seq(ins.head.select((col("value") * 2).as("value")).coalesce(1))
+    })
+    val g = new Graph("dag").add("tx", transactions)
+      .add("s", outArtifact("s")).add("a", outArtifact("a")).add("b", outArtifact("b"))
+      .produce(slow, Seq("tx"), Seq("s"))
+      .produce(fastA, Seq("tx"), Seq("a"))
+      .produce(fastB, Seq("a"), Seq("b"))
+      .close()
+    val backend = new MemoryBackend
+    val r = new LocalExecutor(backend, parallelism = 3).build(spark, g.snapshot(spark, backend))
+    assert(r.totalBuilt === 3)
+    assert(fastBStartedWhileSlowInFlight,
+      "the a→b chain was held behind the unrelated slow producer — wave-barrier scheduling")
+    assert(g.snapshot(spark, backend).readScalar[Double](spark, backend, "b") === 84.0)
+  }
+
+  test("a failing producer blocks only ITS downstream; independent chains complete") {
+    val base = dir.resolve("dag2")
+    writeSpendFixture(base.resolve("tx"))
+    val txType = ACollection("transactions",
+      AStruct("tx", Seq("id" -> AInt64(), "date" -> ADate(), "amount" -> AFloat64())),
+      partitionBy = Seq("date"))
+    val transactions = Artifact(txType, Format.Json,
+      FileStorage(PathTemplate(s"$base/tx/{date.iso}.json", Map("date" -> "date"))))
+    def outArtifact(n: String) = Artifact(AFloat64(), Format.Json,
+      FileStorage(PathTemplate(s"$base/$n/{input_fingerprint}", Map.empty)))
+    def agg(ins: Seq[org.apache.spark.sql.DataFrame]) =
+      Seq(ins.head.agg(sum(col("amount")).as("value")).coalesce(1))
+    @volatile var downstreamRan = false
+    val bad = Producer("bad", build = (_, ins) => agg(ins),
+      validateOutputs = _ => Left("always fails"))
+    val afterBad = Producer("after_bad", build = (_, ins) => { downstreamRan = true; agg(ins) })
+    val ok = Producer("ok", build = (_, ins) => agg(ins))
+    val g = new Graph("dag2").add("tx", transactions)
+      .add("x", outArtifact("x")).add("y", outArtifact("y")).add("z", outArtifact("z"))
+      .produce(bad, Seq("tx"), Seq("x"))
+      .produce(afterBad, Seq("x"), Seq("y"))
+      .produce(ok, Seq("tx"), Seq("z"))
+      .close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    val e = intercept[IllegalStateException] { new LocalExecutor(backend).build(spark, snap) }
+    assert(e.getMessage.contains("always fails"))
+    assert(!downstreamRan, "downstream of the failed gate must never run")
+    assert(backend.readSnapshotPartitions(snap.id, "dag2/x").isEmpty, "nothing published past the gate")
+    assert(backend.readSnapshotPartitions(snap.id, "dag2/z").nonEmpty,
+      "the independent chain must complete despite the sibling failure")
+  }
+
   test("PARTITIONS of one incremental producer build concurrently too") {
     val base = dir.resolve("par2")
     writeSpendFixture(base.resolve("tx")) // 2 date partitions
