@@ -281,6 +281,64 @@ object FrameworkQueries {
       |SELECT 'by_priority', o_orderpriority, CAST(count(*) AS DOUBLE)
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  final case class OrdSumRow(o_custkey: Long, total: Double, n_orders: Long)
+  final case class CustSelRow(c_custkey: Long, c_mktsegment: String)
+
+  /** q28_bucketed_join: the cluster_by leg of the Collection model through
+    * the WHOLE engine under the driver's correctness gate — two producers
+    * emit `cluster_by` Collections (per-customer order totals; the customer
+    * dimension), which the executor writes as bucketed catalog tables
+    * (pre-write full gate, no staging — LayoutSpec pins those semantics)
+    * and snapshot reads resolve back through the catalog, so the join on
+    * the cluster key needs no Exchange (PlansSpec/LayoutSpec assert the
+    * plan; THIS query puts the result under the DuckDB oracle). */
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp()
+    val ordersT = collectionOf[OrderRow]("orders")
+    val custT = ACollection("customer", fromEncoder[CustSelRow]("cust"))
+    val rawOrders = Artifact(ordersT, Format.Parquet,
+      FileStorage(PathTemplate(s"$dir/orders.parquet", Map.empty)))
+    val rawCust = Artifact(
+      ACollection("customer_raw", AStruct("c", Seq(
+        "c_custkey" -> AInt64(), "c_name" -> AString(), "c_nationkey" -> AInt32(),
+        "c_acctbal" -> AFloat64(), "c_mktsegment" -> AString()))),
+      Format.Parquet, FileStorage(PathTemplate(s"$dir/customer.parquet", Map.empty)))
+    val ordSum = Artifact(
+      ACollection("ord_sum", fromEncoder[OrdSumRow]("os"), clusterBy = Seq("o_custkey")),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/ord_sum/{input_fingerprint}", Map.empty)))
+    val custSel = Artifact(
+      ACollection("cust_sel", fromEncoder[CustSelRow]("cs"), clusterBy = Seq("c_custkey")),
+      Format.Parquet, FileStorage(PathTemplate(s"$base/cust_sel/{input_fingerprint}", Map.empty)))
+
+    val sumP = Producer("ord_sum", build = (_, ins) => Seq(
+      ins.head.groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType), 2).as("total"),
+          count(lit(1)).as("n_orders"))))
+    val selP = Producer("cust_sel", build = (_, ins) => Seq(
+      ins.head.select(col("c_custkey"), col("c_mktsegment"))))
+
+    val g = new Graph("bucketed")
+      .add("orders", rawOrders).add("customer", rawCust)
+      .add("ord_sum", ordSum).add("cust_sel", custSel)
+      .produce(sumP, Seq("orders"), Seq("ord_sum"))
+      .produce(selP, Seq("customer"), Seq("cust_sel"))
+      .close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    snap.read(spark, backend, "ord_sum")
+      .join(snap.read(spark, backend, "cust_sel"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), col("total"), col("n_orders"), col("c_mktsegment"))
+  }
+
+  private val q28Sql =
+    """SELECT o_custkey,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+      |  count(*) AS n_orders, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_custkey, c_mktsegment""".stripMargin
+
   /** x15_clean_corpus: the LLM-training-data pipeline as a PRODUCER GRAPH —
     * documents → exact dedup (keep min id per text) → near-dedup (drop the
     * higher id of every shingle-Jaccard ≥ 0.5 pair, via the inverted-index
@@ -392,5 +450,7 @@ object FrameworkQueries {
     Q("q15_validated_build", q15, Some(q15Sql), "validate_outputs gate before write"),
     Q("q16_snapshot_replay", q16, Some(q16Sql), "snapshot tag + replay old tag"),
     Q("q25_multi_output", q25, Some(q25Sql), "one producer, two artifacts (F6 multi-output through the engine)"),
+    Q("q28_bucketed_join", q28, Some(q28Sql),
+      "cluster_by Collections end to end: bucketed executor writes, catalog reads, co-located join"),
     Q("x15_clean_corpus", x15, Some(x15Sql), "full dedup+quality pipeline as a producer graph"))
 }
