@@ -66,11 +66,11 @@ object StreamQueries {
     * durable checkpointLocation. Nothing outside this harness uses it. */
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "sink_" + UUID.randomUUID().toString.replace("-", "")
-    // state-store count follows shuffle partitions; 8 is plenty for the
-    // 100k-row local demo and cuts per-batch store maintenance 4x (a real
-    // deployment sizes this to the key cardinality)
+    // state-store count follows shuffle partitions; 4 is plenty for the
+    // 100k-row local demo and cuts per-batch store maintenance 8x vs the
+    // session default (a real deployment sizes this to the key cardinality)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()

@@ -125,6 +125,31 @@ class AvroTypesSpec extends AnyFunSuite {
     assertThrows[UnsupportedOperationException] { avro.toArti("not a schema") }
   }
 
+  test("bridge: a Spark schema crosses to an Avro schema through ArtiType") {
+    // the F28 payoff: two REGISTERED systems interoperate through the hub
+    // type — a user exports an artifact's Spark schema as the Avro schema
+    // for their Kafka/ingest edge without hand-mapping either side
+    import org.apache.spark.sql.types._
+    val sparkRegistry = graft.types.TypeSystemRegistry.spark()
+    val sparkSchema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_orderstatus", StringType, nullable = false),
+      StructField("o_totalprice", DoubleType, nullable = true),
+      StructField("o_orderdate", TimestampNTZType, nullable = false),
+      StructField("tags", ArrayType(StringType, containsNull = false), nullable = false)))
+    val hub = sparkRegistry.toArti(sparkSchema)
+    val avroSchema = sys(hub.asInstanceOf[ArtiType])
+    assert(avroSchema.getType === AT.RECORD)
+    val fields = avroSchema.getFields.asScala.map(f => f.name() -> f.schema()).toMap
+    assert(fields("o_orderkey").getType === AT.LONG)
+    assert(fields("o_orderstatus").getType === AT.STRING)
+    assert(fields("o_totalprice").getType === AT.UNION) // nullable -> [null, double]
+    assert(fields("o_orderdate").getLogicalType.getName === "local-timestamp-micros")
+    assert(fields("tags").getType === AT.ARRAY)
+    // and back: the Avro side round-trips to the same hub type
+    assert(arti(avroSchema) === hub)
+  }
+
   test("collection metadata rides Avro props (partition/cluster keys, name)") {
     val c = exactRows.collectFirst { case ("collection", t: ACollection) => t }.get
     val s = sys(c)
