@@ -2168,6 +2168,35 @@ object Queries {
       |FROM t JOIN dfs USING (s)
       |GROUP BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- X35
+  /** Document CHUNKING with overlap — the RAG/embedding-prep primitive:
+    * split each document into 64-token windows on a 48-token stride
+    * (16-token overlap so no boundary context is lost), emitting per chunk
+    * its position, length, and a content hash (sha256 of the joined chunk
+    * text — computable by BOTH engines, so chunk identity is
+    * cross-engine-stable and directly usable as an exact-dedup key for
+    * chunk-level dedup before embedding). Pure map-side row expansion —
+    * no shuffle at all; at 100 TB this is the same scan cost as reading
+    * the corpus. */
+  private def x35(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("s", explode(expr("sequence(0, size(tk) - 1, 48)")))
+      .select(col("doc_id"),
+        (col("s") / 48).cast(IntegerType).as("chunk_idx"),
+        col("s").cast(IntegerType).as("chunk_start"),
+        least(lit(64), size(col("tk")) - col("s")).cast(IntegerType).as("n_chunk_tokens"),
+        sha2(array_join(slice(col("tk"), col("s") + 1, lit(64)), " "), 256).as("chunk_hash"))
+  }
+
+  private val x35Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS s FROM d)
+      |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx, CAST(s AS INT) AS chunk_start,
+      |  CAST(least(64, len(tk) - s) AS INT) AS n_chunk_tokens,
+      |  sha256(array_to_string(tk[s+1 : least(s+64, len(tk))], ' ')) AS chunk_hash
+      |FROM c""".stripMargin
+
   // ---------------------------------------------------------------- X13 oracle
   /** x13 replayed in SQL: same modality routing, same synthesized payload
     * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
@@ -2299,7 +2328,9 @@ object Queries {
     Q("x33_source_cap", x33, Some(x33Sql),
       "per-source document caps via rank-limit (corpus balancing)"),
     Q("x34_span_dup", x34, Some(x34Sql),
-      "cross-document 8-gram span duplication (memorization fraction per doc)")) ++
+      "cross-document 8-gram span duplication (memorization fraction per doc)"),
+    Q("x35_doc_chunking", x35, Some(x35Sql),
+      "64-token chunks on a 48-token stride with cross-engine chunk hashes (RAG prep)")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 
