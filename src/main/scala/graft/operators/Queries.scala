@@ -1401,6 +1401,57 @@ object Queries {
        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- X36
+  /** Canonical-document selection per near-dup CLUSTER — the retention
+    * policy that completes the dedup story (x2/x3 find pairs, x17 forms
+    * clusters, THIS decides the survivor): per cluster keep the LONGEST
+    * member (least-truncated copy), ties to the lowest id — deterministic,
+    * auditable, and the standard alternative to blind keep-min-id when
+    * duplicates differ by truncation. One equi-join (clusters × doc
+    * metadata) + one max_by aggregation — the same no-window-on-the-corpus
+    * shape as x14's assignment. */
+  private def x36(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = x17(spark, dir) // (doc_id, cluster_id), only clustered docs
+    clusters
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        // longest member, ties to the lowest id (max of (n_chars, -id))
+        max_by(col("doc_id"), struct(col("n_chars"), (lit(0L) - col("doc_id")).as("nid"))).as("keep_id"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("cluster_id"), col("keep_id"), col("n_members"), col("max_chars"))
+  }
+
+  /** x17's recursive-closure clustering + the same keep-longest policy as
+    * a per-cluster ranked window. */
+  private val x36Sql =
+    s"""WITH RECURSIVE s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |c AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |      FROM reach GROUP BY src),
+       |m AS (SELECT c.cluster_id, c.doc_id, d.n_chars,
+       |        row_number() OVER (PARTITION BY c.cluster_id
+       |          ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+       |        max(d.n_chars) OVER (PARTITION BY c.cluster_id) AS max_chars
+       |      FROM c JOIN documents d USING (doc_id))
+       |SELECT cluster_id, doc_id AS keep_id, n_members, max_chars
+       |FROM m WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------- X18
   /** Deterministic stratified sampling — the corpus-construction primitive
     * for mixing training data: keep a document iff its content-addressed
@@ -2330,7 +2381,9 @@ object Queries {
     Q("x34_span_dup", x34, Some(x34Sql),
       "cross-document 8-gram span duplication (memorization fraction per doc)"),
     Q("x35_doc_chunking", x35, Some(x35Sql),
-      "64-token chunks on a 48-token stride with cross-engine chunk hashes (RAG prep)")) ++
+      "64-token chunks on a 48-token stride with cross-engine chunk hashes (RAG prep)"),
+    Q("x36_cluster_canon", x36, Some(x36Sql),
+      "canonical survivor per near-dup cluster (keep-longest policy over x17's clusters)")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

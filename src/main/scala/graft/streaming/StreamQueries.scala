@@ -31,31 +31,42 @@ object StreamQueries {
 
   /** Copy the events file into a fresh dir (file-source streams read dirs)
     * and open it as a stream with µs TimestampType `ts` (LTZ; session is
-    * pinned UTC so values match the NTZ batch reads). */
+    * pinned UTC so values match the NTZ batch reads).
+    *
+    * The source DIRECTORY is memoized per (dir, nFiles): every twin of a
+    * window family splits the SAME events file the SAME deterministic way
+    * (quantile time bounds), so re-materializing it per query only re-runs
+    * the quantile job and three writes for identical bytes. Streams never
+    * mutate their source; each query still gets its own checkpoint/sink. */
+  private val sourceCache = scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
   private def eventsStream(spark: SparkSession, dir: String, nFiles: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = graft.util.TempDirs.create("graft-stream")
-    if (nFiles <= 1) {
-      Files.copy(Paths.get(s"$dir/events.parquet"), src.resolve("events.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      // split by time range so multi-batch runs advance the watermark —
-      // no orderBy: only the FILE-level time ranges matter, rows within a
-      // chunk need no sort (the old sort re-ran once per chunk write)
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-      val bounds = ev.stat.approxQuantile("ts", (1 to (nFiles - 1)).map(_.toDouble / nFiles).toArray, 0.01)
-      val all = Seq(Long.MinValue) ++ bounds.map(_.toLong) ++ Seq(Long.MaxValue)
-      for (i <- 0 until nFiles) {
-        ev.filter(col("ts") > all(i) && col("ts") <= all(i + 1))
-          .coalesce(1).write.parquet(src.resolve(s"chunk-$i").toString)
-        // order batches by file mtime: later chunks must arrive later
-        Thread.sleep(5)
+    val src = sourceCache.getOrElseUpdate((dir, nFiles), {
+      val fresh = graft.util.TempDirs.create("graft-stream")
+      if (nFiles <= 1) {
+        Files.copy(Paths.get(s"$dir/events.parquet"), fresh.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        // split by time range so multi-batch runs advance the watermark —
+        // no orderBy: only the FILE-level time ranges matter, rows within a
+        // chunk need no sort (the old sort re-ran once per chunk write)
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val bounds = ev.stat.approxQuantile("ts", (1 to (nFiles - 1)).map(_.toDouble / nFiles).toArray, 0.01)
+        val all = Seq(Long.MinValue) ++ bounds.map(_.toLong) ++ Seq(Long.MaxValue)
+        for (i <- 0 until nFiles) {
+          ev.filter(col("ts") > all(i) && col("ts") <= all(i + 1))
+            .coalesce(1).write.parquet(fresh.resolve(s"chunk-$i").toString)
+          // order batches by file mtime: later chunks must arrive later
+          Thread.sleep(5)
+        }
       }
-    }
+      fresh.toString
+    })
     val reader = spark.readStream.schema(eventsRawSchema)
       .option("recursiveFileLookup", "true")
     (if (nFiles > 1) reader.option("maxFilesPerTrigger", "1") else reader)
-      .parquet(src.toString)
+      .parquet(src)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
