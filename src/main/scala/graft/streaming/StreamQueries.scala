@@ -361,20 +361,31 @@ object StreamQueries {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private def qs7(spark: SparkSession, dir: String): DataFrame = {
-    val src = graft.util.TempDirs.create("graft-stream-docs")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    // three deterministic arrival waves (hash-split, not modulo, so waves
-    // mix duplicates — the state store has real cross-batch work to do)
-    for (i <- 0 until 3) {
-      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
-        .coalesce(1).write.parquet(src.resolve(s"wave-$i").toString)
-      Thread.sleep(5) // file mtime orders the waves
-    }
-    val deduped = spark.readStream.schema(docsRawSchema)
+  /** Three deterministic arrival waves of the documents table (hash-split,
+    * not modulo, so waves mix duplicates — the state store has real
+    * cross-batch work to do). Memoized per dir like [[sourceCache]]. */
+  private val docWaveCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def docsWaves(spark: SparkSession, dir: String): String =
+    docWaveCache.getOrElseUpdate(dir, {
+      val src = graft.util.TempDirs.create("graft-stream-docs")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      for (i <- 0 until 3) {
+        docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+          .coalesce(1).write.parquet(src.resolve(s"wave-$i").toString)
+        Thread.sleep(5) // file mtime orders the waves
+      }
+      src.toString
+    })
+
+  private def docsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docsRawSchema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "1")
-      .parquet(src.toString)
+      .parquet(docsWaves(spark, dir))
+
+  private def qs7(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = docsStream(spark, dir)
       .select(sha2(col("text"), 256).as("text_hash"), col("doc_id"))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -384,6 +395,36 @@ object StreamQueries {
   private val qs7Sql =
     """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY text""".stripMargin
+
+  // --------------------------------------------------------------- QS10
+  /** Streaming CHUNK-dedup-on-ingest — x35's chunking composed with qs7's
+    * cross-batch dedup state: documents arrive over three micro-batches,
+    * each batch explodes into 64-token/48-stride chunks MAP-SIDE (row
+    * expansion inside the stream, before any state), and the aggregation
+    * state accumulates per chunk hash (first-owner doc + copy count)
+    * across batches. This is the streaming RAG-ingest shape: chunk
+    * identity decided AT INGEST, duplicate chunks never reach the
+    * embedding stage twice. State keys are 64-hex chunk hashes, never
+    * chunk text. Complete-mode aggregation is arrival-order-free → exact
+    * batch oracle (x35's chunk CTE + one GROUP BY). */
+  private def qs10(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docsStream(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("s", explode(expr("sequence(0, size(tk) - 1, 48)")))
+      .select(
+        sha2(array_join(slice(col("tk"), col("s") + 1, lit(64)), " "), 256).as("chunk_hash"),
+        col("doc_id"))
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_copies"))
+    runToTable(spark, chunks, OutputMode.Complete())
+  }
+
+  private val qs10Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS s FROM d)
+      |SELECT sha256(array_to_string(tk[s+1 : least(s+64, len(tk))], ' ')) AS chunk_hash,
+      |  min(doc_id) AS first_doc, count(*) AS n_copies
+      |FROM c GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- QS8
   /** SLIDING 1-hour windows every 30 minutes (complete mode): each event
@@ -514,5 +555,7 @@ object StreamQueries {
     Q("qs8a_stream_sliding_append", qs8a, Some(qs8aSql),
       "append-mode sliding windows: per-window single emission (exact oracle)"),
     Q("qs9_stream_incremental_ingest", qs9, Some(qs9Sql),
-      "checkpointed ingestion: restarted query pays for NEW files only (self-checked)"))
+      "checkpointed ingestion: restarted query pays for NEW files only (self-checked)"),
+    Q("qs10_stream_chunk_ingest", qs10, Some(qs10Sql),
+      "streaming chunk-dedup-on-ingest: map-side chunking + cross-batch chunk-hash state"))
 }
