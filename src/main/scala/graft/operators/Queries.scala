@@ -2296,6 +2296,53 @@ object Queries {
        |SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q29
+  /** Time-series GAP-FILL + RESAMPLE (the metrics/feature-engineering
+    * primitive Spark has no built-in for): per-user daily purchase spend
+    * resampled onto each user's contiguous [first-day, last-day] calendar
+    * grid, with forward-filled spend on gap days and an exact running
+    * total. The grid is `sequence()` + `explode` (linear in emitted days,
+    * no join against a global calendar table), the fill is
+    * `last(_, ignoreNulls)` over an ordered per-user window — ONE shuffle
+    * by user_id total, and at 100 TB the per-user day spans keep the
+    * expansion proportional to the output, never |users| × |calendar|.
+    * Sums stay DECIMAL until one final cast+round (engine-identical). */
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(dec(col("value"))).as("spend_dec"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("spend_ffill",
+        round(last(col("spend_dec"), ignoreNulls = true).over(w).cast(DoubleType), 2))
+      .withColumn("is_gap", col("spend_dec").isNull)
+      .withColumn("cum_spend",
+        round(sum(coalesce(col("spend_dec"), lit(0))).over(w).cast(DoubleType), 2))
+      .select(col("user_id"), col("day"), col("spend_ffill"), col("is_gap"), col("cum_spend"))
+  }
+
+  private val q29Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS spend_dec
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |         FROM span),
+      |j AS (SELECT g.user_id, g.day, d.spend_dec FROM grid g LEFT JOIN daily d USING (user_id, day))
+      |SELECT user_id, day,
+      |  round(CAST(last_value(spend_dec IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS spend_ffill,
+      |  spend_dec IS NULL AS is_gap,
+      |  round(CAST(sum(coalesce(spend_dec, 0)) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_spend
+      |FROM j""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -2322,6 +2369,8 @@ object Queries {
     Q("q20_fingerprint_column", q20, Some(q20Sql), "sha64 + XOR combine (full-algorithm oracle)"),
     Q("q26_range_join", q26, Some(q26Sql), "banded range join via bucket decomposition (no nested loop)"),
     Q("q27_window_suite", q27, Some(q27Sql), "ntile/percent_rank/cume_dist/frame bounds"),
+    Q("q29_gapfill_resample", q29, Some(q29Sql),
+      "time-series gap-fill: daily grid + forward fill + exact running total"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output
