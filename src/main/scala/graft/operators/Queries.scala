@@ -2343,6 +2343,220 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_spend
       |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- X37
+  /** SCD2 / CDC MERGE — the slowly-changing-dimension build every warehouse
+    * (and every training-data snapshot lineage) needs: treat each order as a
+    * change event to its customer's priority attribute and collapse the
+    * stream into type-2 dimension rows (valid_from / valid_to / is_current,
+    * one open row per key). Gaps-and-islands: a lag() change flag, a running
+    * sum to number the islands, one aggregate per island, then lead() to
+    * close each version with the next one's start. Two window passes and one
+    * aggregate over a SINGLE shuffle by the dimension key — at 100 TB the
+    * change log partitions by key and nothing is ever driver-side; this is
+    * the scalable MERGE INTO alternative when the engine has no mutable
+    * table (the output is a fresh immutable dimension snapshot). */
+  private def x37(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir).select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      col("o_orderdate"), col("o_orderpriority").as("priority"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val runs = src
+      .withColumn("chg",
+        when(lag(col("priority"), 1).over(w).isNull ||
+          lag(col("priority"), 1).over(w) =!= col("priority"), 1).otherwise(0))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("custkey"), col("grp").cast(IntegerType).as("version"))
+      .agg(min(col("priority")).as("priority"),
+        min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val w2 = Window.partitionBy(col("custkey")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("custkey"), col("version"), col("priority"),
+        col("valid_from"), col("valid_to"), col("is_current"), col("n_orders"))
+  }
+
+  private val x37Sql =
+    """WITH src AS (
+      |  SELECT o_custkey AS custkey, o_orderkey, o_orderdate, o_orderpriority AS priority
+      |  FROM orders),
+      |marked AS (
+      |  SELECT *, CASE WHEN lag(priority) OVER w IS NULL OR lag(priority) OVER w != priority
+      |                 THEN 1 ELSE 0 END AS chg
+      |  FROM src WINDOW w AS (PARTITION BY custkey ORDER BY o_orderdate, o_orderkey)),
+      |grouped AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM marked),
+      |runs AS (
+      |  SELECT custkey, CAST(grp AS INT) AS version, min(priority) AS priority,
+      |         min(o_orderdate) AS valid_from, CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM grouped GROUP BY custkey, grp)
+      |SELECT custkey, version, priority, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) AS valid_to,
+      |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) IS NULL AS is_current,
+      |  n_orders
+      |FROM runs""".stripMargin
+
+  // ---------------------------------------------------------------- X38
+  /** Embedding K-MEANS (semantic clustering — the grouping step behind
+    * semantic dedup, diversity sampling, and topic balancing): one Lloyd
+    * iteration with k=8 seeds (the lowest vec_ids), a centroid recompute,
+    * and a final re-assignment by cosine. Everything is joins + aggregates:
+    * assignment is a BROADCAST of the k centroids against the corpus (never
+    * corpus × corpus), and the centroid recompute is a posexplode →
+    * partial-aggregated elementwise sum — the only shuffle, carrying
+    * (cluster, dim, int64) triples, map-side combined, so at 100 TB the
+    * exchange is k × dims × partitions rows regardless of corpus size.
+    * Cross-engine determinism: element values are quantized to integer
+    * micros (round(el·1e6) — the 6dp convention), summed EXACTLY as longs,
+    * and the mean is one IEEE division; cosines round at 6dp with
+    * cluster-id tiebreaks. More Lloyd rounds = repeating the same two
+    * stages; one round is enough to pin the algebra under the oracle. */
+  private def x38(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .persist() // three passes: seed pick, assign-1 + recompute, assign-2
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast(IntegerType).as("cluster"), col("v").as("cv"), col("nrm").as("cn"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cluster").asc)
+      e.join(broadcast(cent))
+        .withColumn("cos_sim", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("cos_sim"))
+    }
+    val cent2 = assign(seeds)
+      .join(e, "vec_id")
+      .select(col("cluster"), posexplode(col("v")).as(Seq("i", "el")))
+      .withColumn("elq", round(col("el") * 1e6, 0).cast(LongType))
+      .groupBy(col("cluster"), col("i"))
+      .agg(sum(col("elq")).as("s"), count(lit(1)).as("c"))
+      .withColumn("cel", col("s").cast(DoubleType) / (col("c") * lit(1e6)))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("i"), col("cel")))).as("ic"))
+      .select(col("cluster"), expr("transform(ic, x -> x.cel)").as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+    assign(cent2)
+  }
+
+  private val x38Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |seeds AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, s.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.v, s.cv) / (e.nrm * s.cn), 6) DESC, s.cluster) AS rn
+      |    FROM e, seeds s) t WHERE rn = 1),
+      |jx AS (SELECT a1.cluster, e.v FROM a1 JOIN e USING (vec_id)),
+      |ex AS (SELECT cluster, i, CAST(round(v[i + 1] * 1000000) AS BIGINT) AS elq
+      |       FROM jx, (SELECT unnest(range(64)) AS i)),
+      |cs AS (SELECT cluster, i, sum(elq) AS s, count(*) AS c FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT cluster, list(CAST(s AS DOUBLE) / (c * 1000000.0) ORDER BY i) AS cv
+      |         FROM cs GROUP BY cluster),
+      |cent2 AS (SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent)
+      |SELECT vec_id, cluster, cos_sim FROM (
+      |  SELECT e.vec_id, c.cluster,
+      |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS cos_sim,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC, c.cluster) AS rn
+      |  FROM e, cent2 c) t WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- X39
+  /** Z-ORDER DATA LAYOUT (multi-dimensional clustering for data skipping —
+    * what Delta/Iceberg OPTIMIZE ZORDER does): quantize (l_partkey,
+    * l_suppkey) to 8 bits each against their true min/max, Morton-interleave
+    * the bits into a 16-bit z-key, bucket rows by the z-key prefix, and emit
+    * per-bucket (count, per-dimension min/max) — the exact file-level
+    * statistics a scan planner would prune on. `would_scan` marks the
+    * buckets a 5%-wide partkey range predicate actually has to read: on this
+    * data ~1/10 of the buckets, versus 100% under any single-column layout
+    * for the second dimension. Whole thing is one pre-agg for bounds (a
+    * 1-row broadcast), a map-side integer kernel for the z-key (pure
+    * codegen'd bit arithmetic), and ONE shuffle for the per-bucket stats —
+    * at 100 TB this is the same cost as any groupBy, and the z-key doubles
+    * as a `repartitionByRange` / write-ordering key to physically lay files
+    * out this way. */
+  private def x39(spark: SparkSession, dir: String): DataFrame = {
+    val morton = (0 until 8).map(i =>
+      s"(shiftright(qx, $i) & 1) * ${1L << (2 * i)}L + (shiftright(qy, $i) & 1) * ${1L << (2 * i + 1)}L")
+      .mkString(" + ")
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+    val bounds = li.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    li.join(broadcast(bounds))
+      .withColumn("qx", expr("(l_partkey - pmin) * 256 div (pmax - pmin + 1)"))
+      .withColumn("qy", expr("(l_suppkey - smin) * 256 div (smax - smin + 1)"))
+      .withColumn("lo", expr("pmin + (pmax - pmin) * 2 div 5"))
+      .withColumn("hi", expr("pmin + (pmax - pmin) * 9 div 20"))
+      .withColumn("zkey", expr(morton))
+      .groupBy(expr("cast(shiftright(zkey, 6) as int)").as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"),
+        (max(col("l_partkey")) >= min(col("lo")) &&
+          min(col("l_partkey")) <= min(col("hi"))).as("would_scan"))
+  }
+
+  private val x39Sql = {
+    val morton = (0 until 8).map(i =>
+      s"((qx >> $i) & 1) * ${1L << (2 * i)} + ((qy >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+       |                  min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+       |q AS (SELECT l_partkey, l_suppkey,
+       |        (l_partkey - pmin) * 256 // (pmax - pmin + 1) AS qx,
+       |        (l_suppkey - smin) * 256 // (smax - smin + 1) AS qy,
+       |        pmin + (pmax - pmin) * 2 // 5 AS lo,
+       |        pmin + (pmax - pmin) * 9 // 20 AS hi
+       |      FROM lineitem, b),
+       |z AS (SELECT *, ($morton) AS zkey FROM q)
+       |SELECT CAST(zkey >> 6 AS INT) AS zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+       |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max,
+       |  (max(l_partkey) >= min(lo) AND min(l_partkey) <= min(hi)) AS would_scan
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X40
+  /** CURRICULUM ORDERING — the easy→hard training-schedule prep: bin each
+    * document into a difficulty phase by token count against FIXED
+    * thresholds (map-side, data-independent — no global ntile, so no
+    * single-partition window at 100 TB), then give every document a
+    * deterministic position inside its phase by shuffling on md5(text)
+    * (a content-addressed permutation both engines compute identically —
+    * re-running the pipeline never reorders the curriculum). The only
+    * shuffle is the per-phase window partition; consumption order is
+    * (phase, pos_in_phase), and at scale pos_in_phase is exactly the
+    * within-partition sort key a range-partitioned writer would use. */
+  private def x40(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("phase")).orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"), md5(col("text")).as("shuffle_key"))
+      .withColumn("phase",
+        when(col("n_tokens") < 40, 1).when(col("n_tokens") < 60, 2)
+          .when(col("n_tokens") < 80, 3).otherwise(4))
+      .withColumn("pos_in_phase", row_number().over(w))
+      .select(col("doc_id"), col("n_tokens"), col("phase"), col("pos_in_phase"))
+  }
+
+  private val x40Sql =
+    """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |                  md5(text) AS shuffle_key FROM documents),
+      |p AS (SELECT *, CASE WHEN n_tokens < 40 THEN 1 WHEN n_tokens < 60 THEN 2
+      |                     WHEN n_tokens < 80 THEN 3 ELSE 4 END AS phase FROM t)
+      |SELECT doc_id, n_tokens, CAST(phase AS INT) AS phase,
+      |  CAST(row_number() OVER (PARTITION BY phase ORDER BY shuffle_key, doc_id) AS INT) AS pos_in_phase
+      |FROM p""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -2432,7 +2646,15 @@ object Queries {
     Q("x35_doc_chunking", x35, Some(x35Sql),
       "64-token chunks on a 48-token stride with cross-engine chunk hashes (RAG prep)"),
     Q("x36_cluster_canon", x36, Some(x36Sql),
-      "canonical survivor per near-dup cluster (keep-longest policy over x17's clusters)")) ++
+      "canonical survivor per near-dup cluster (keep-longest policy over x17's clusters)"),
+    Q("x37_scd2_merge", x37, Some(x37Sql),
+      "SCD2/CDC merge: change stream -> type-2 dimension versions (gaps-and-islands)"),
+    Q("x38_kmeans_embed", x38, Some(x38Sql),
+      "embedding k-means (seeded Lloyd round + reassign) for semantic grouping"),
+    Q("x39_zorder_layout", x39, Some(x39Sql),
+      "Z-order (Morton) layout: per-bucket min/max stats + range-predicate pruning"),
+    Q("x40_curriculum", x40, Some(x40Sql),
+      "curriculum ordering: fixed difficulty bins + deterministic content-hash shuffle")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

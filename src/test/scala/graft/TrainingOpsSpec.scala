@@ -99,4 +99,82 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("text_hash").collect().toSeq
     assert(streamed === batch)
   }
+
+  test("q29: each user's grid is contiguous daily, fills are non-null, cum monotone") {
+    val df = run("q29_gapfill_resample").cache()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("day")
+    val stepped = df
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("prev_cum", lag(col("cum_spend"), 1).over(w))
+    // grid has no holes: consecutive rows are exactly one day apart
+    assert(stepped.filter(col("prev_day").isNotNull &&
+      datediff(col("day"), col("prev_day")) =!= 1).isEmpty, "grid gap")
+    // forward fill: first row of each user is a real (non-gap) day, so
+    // spend_ffill is never null; running total never decreases
+    assert(df.filter(col("spend_ffill").isNull).isEmpty)
+    assert(stepped.filter(col("prev_cum").isNotNull && col("cum_spend") < col("prev_cum")).isEmpty)
+    // gap days change neither the fill nor the running total
+    val gaps = stepped.filter(col("is_gap") && col("prev_cum").isNotNull &&
+      col("cum_spend") =!= col("prev_cum"))
+    assert(gaps.isEmpty, "a gap day moved the running total")
+    df.unpersist()
+  }
+
+  test("x37: SCD2 versions tile each customer's history with one open row") {
+    val df = run("x37_scd2_merge").cache()
+    val perKey = df.groupBy("custkey").agg(
+      sum(when(col("is_current"), 1).otherwise(0)).as("n_open"),
+      count(lit(1)).as("n_versions"),
+      max(col("version")).as("max_v"), min(col("version")).as("min_v"))
+    assert(perKey.filter(col("n_open") =!= 1).isEmpty, "each key needs exactly one open version")
+    assert(perKey.filter(col("min_v") =!= 1 || col("max_v") =!= col("n_versions")).isEmpty,
+      "versions must be the contiguous 1..n")
+    // each closed version's valid_to equals the next version's valid_from,
+    // and adjacent versions never share the same priority (else not a change)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("custkey").orderBy("version")
+    val chained = df
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .withColumn("next_prio", lead(col("priority"), 1).over(w))
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("valid_to") =!= col("next_from")).isEmpty, "broken validity chain")
+    assert(chained.filter(col("next_prio").isNotNull &&
+      col("next_prio") === col("priority")).isEmpty, "adjacent versions with equal attribute")
+    df.unpersist()
+  }
+
+  test("x38: every vector lands in exactly one cluster and seeds stay populated") {
+    val df = run("x38_kmeans_embed").cache()
+    val n = graft.operators.Tables.embeddings(spark, sf).count()
+    assert(df.count() === n, "one assignment per vector")
+    assert(df.select("vec_id").distinct().count() === n)
+    val sizes = df.groupBy("cluster").count()
+    assert(sizes.count() === 8, "all 8 clusters survive the Lloyd round on this data")
+    assert(df.filter(col("cos_sim") < -1.000001 || col("cos_sim") > 1.000001).isEmpty)
+    df.unpersist()
+  }
+
+  test("x39: z-buckets partition the table and bound their members' keys") {
+    val df = run("x39_zorder_layout").cache()
+    val total = df.agg(sum("n_rows")).head.getLong(0)
+    assert(total === graft.operators.Tables.lineitem(spark, sf).count(), "buckets must partition all rows")
+    assert(df.filter(col("p_min") > col("p_max") || col("s_min") > col("s_max")).isEmpty)
+    // the layout must actually skip: the 5% range predicate reads <40% of buckets
+    val frac = df.filter(col("would_scan")).count().toDouble / df.count()
+    assert(frac < 0.4, f"z-order layout prunes nothing (scan fraction $frac%.2f)")
+    df.unpersist()
+  }
+
+  test("x40: phases are the fixed bins and positions tile each phase 1..n") {
+    val df = run("x40_curriculum").cache()
+    assert(df.filter(
+      (col("n_tokens") < 40 && col("phase") =!= 1) ||
+      (col("n_tokens") >= 40 && col("n_tokens") < 60 && col("phase") =!= 2) ||
+      (col("n_tokens") >= 60 && col("n_tokens") < 80 && col("phase") =!= 3) ||
+      (col("n_tokens") >= 80 && col("phase") =!= 4)).isEmpty)
+    val perPhase = df.groupBy("phase").agg(
+      count(lit(1)).as("n"), min("pos_in_phase").as("lo"), max("pos_in_phase").as("hi"))
+    assert(perPhase.filter(col("lo") =!= 1 || col("hi") =!= col("n")).isEmpty,
+      "pos_in_phase must be the contiguous 1..n per phase")
+    df.unpersist()
+  }
 }
