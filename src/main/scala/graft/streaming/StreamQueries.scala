@@ -426,6 +426,68 @@ object StreamQueries {
       |  min(doc_id) AS first_doc, count(*) AS n_copies
       |FROM c GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- QS11
+  /** Streaming CLEAN-ON-INGEST — the stateless half of the ingest pipeline
+    * (qs7/qs10 are its stateful dedup half): every arriving document is PII-
+    * scrubbed (x22's passes) and quality-scored (x8's rules, over the
+    * SCRUBBED text), and only passing docs reach the sink. No aggregation,
+    * no watermark, NO STATE AT ALL — pure map-side transforms in append
+    * mode, so at any scale this runs with zero state-store cost and
+    * per-batch latency equal to the scan. Exact oracle: stateless row
+    * transforms are trivially arrival-order-free (the batch SQL is the
+    * same scrub→score→filter over the same files). */
+  private def qs11(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val stopArr = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      .map(s => s"'$s'").mkString("array(", ", ", ")")
+    val cleaned = docsStream(spark, dir)
+      .withColumn("injected",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com id 1234567890")))
+          .otherwise(col("text")))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("injected"), emailPat, "<EMAIL>"),
+          "\\d{6,}", "<NUM>"))
+      .withColumn("pii_found", col("scrubbed") =!= col("injected"))
+      .withColumn("tk", split(col("scrubbed"), " "))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("n_unique", size(array_distinct(col("tk"))))
+      .withColumn("n_stop", expr(s"graft_count_in(tk, $stopArr)"))
+      .withColumn("quality_score",
+        col("n_unique").cast(DoubleType) / col("n_tokens") * 0.5 +
+          (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens")) * 0.5)
+      .filter(col("quality_score") >= 0.5 && col("n_tokens") >= 20)
+      .select(col("doc_id"), col("pii_found"),
+        sha2(col("scrubbed"), 256).as("scrub_hash"),
+        col("n_tokens"), col("quality_score"))
+    runToTable(spark, cleaned, OutputMode.Append())
+  }
+
+  private val qs11Sql =
+    """WITH i AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com id 1234567890'
+      |      ELSE text END AS injected
+      |  FROM documents),
+      |s AS (SELECT doc_id, injected,
+      |    regexp_replace(regexp_replace(injected,
+      |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |      '\d{6,}', '<NUM>', 'g') AS scrubbed
+      |  FROM i),
+      |t AS (SELECT doc_id, injected, scrubbed, string_split(scrubbed, ' ') AS tk FROM s),
+      |m AS (SELECT doc_id, injected, scrubbed,
+      |    CAST(len(tk) AS INT) AS n_tokens,
+      |    CAST(len(list_distinct(tk)) AS INT) AS n_unique,
+      |    CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS INT) AS n_stop
+      |  FROM t)
+      |SELECT doc_id, scrubbed <> injected AS pii_found, sha256(scrubbed) AS scrub_hash,
+      |  n_tokens,
+      |  CAST(n_unique AS DOUBLE) / n_tokens * 0.5 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 AS quality_score
+      |FROM m
+      |WHERE (CAST(n_unique AS DOUBLE) / n_tokens * 0.5 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) >= 0.5
+      |  AND n_tokens >= 20""".stripMargin
+
   // ---------------------------------------------------------------- QS8
   /** SLIDING 1-hour windows every 30 minutes (complete mode): each event
     * lands in exactly two overlapping windows. Spark aligns sliding windows
@@ -557,5 +619,7 @@ object StreamQueries {
     Q("qs9_stream_incremental_ingest", qs9, Some(qs9Sql),
       "checkpointed ingestion: restarted query pays for NEW files only (self-checked)"),
     Q("qs10_stream_chunk_ingest", qs10, Some(qs10Sql),
-      "streaming chunk-dedup-on-ingest: map-side chunking + cross-batch chunk-hash state"))
+      "streaming chunk-dedup-on-ingest: map-side chunking + cross-batch chunk-hash state"),
+    Q("qs11_stream_clean_ingest", qs11, Some(qs11Sql),
+      "streaming clean-on-ingest: stateless PII scrub + quality gate in append mode"))
 }

@@ -100,6 +100,16 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("qs11: streamed clean-on-ingest enforces its own gate and flags exactly the planted PII") {
+    val df = run("qs11_stream_clean_ingest").cache()
+    assert(df.filter(col("n_tokens") < 20 || col("quality_score") < 0.5).isEmpty,
+      "a document below the quality gate reached the sink")
+    // the fixture plants PII on doc_id % 7 == 0 and the corpus has none
+    // naturally, so the flag must match the planting rule exactly
+    assert(df.filter(col("pii_found") =!= (col("doc_id") % 7 === 0)).isEmpty)
+    df.unpersist()
+  }
+
   test("q29: each user's grid is contiguous daily, fills are non-null, cum monotone") {
     val df = run("q29_gapfill_resample").cache()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("day")
