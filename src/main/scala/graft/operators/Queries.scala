@@ -2557,6 +2557,108 @@ object Queries {
       |  CAST(row_number() OVER (PARTITION BY phase ORDER BY shuffle_key, doc_id) AS INT) AS pos_in_phase
       |FROM p""".stripMargin
 
+  // ---------------------------------------------------------------- X41
+  /** BLOOM-FILTER PRE-FILTERED JOIN — the explicit form of the runtime
+    * filter every warehouse pushes into big-probe-side joins: build a
+    * 64 Kbit Bloom filter over the build side's keys (urgent orders) as a
+    * DISTRIBUTED aggregation (k=4 double-hashed positions per key, map-side
+    * bit_or partials, a ≤1024-row word table densified into ONE 8 KB array
+    * row), broadcast that single row, and drop non-matching fact rows
+    * map-side BEFORE the join shuffle. The exact semi-join then removes the
+    * false positives, so the OUTPUT is provably the plain semi-join (the
+    * oracle needs no Bloom model) while the exchange carries only
+    * ~|matches| + fp rows instead of the whole fact table. At 100 TB this
+    * is the difference between shuffling 100 TB and shuffling the ~2%
+    * that survives; the filter itself never exceeds one broadcast page.
+    * The same shape is what Spark's own InjectRuntimeFilter emits — built
+    * here explicitly so the operator works on any bounded key set. */
+  private def x41(spark: SparkSession, dir: String): DataFrame = {
+    val mBits = 65536
+    val words = mBits / 64
+    def positions(key: Column): Seq[Column] = {
+      // reduce each hash mod m BEFORE combining: the raw h1 + j*h2 double-
+      // hash overflows Long under ANSI arithmetic; mod-first is the same
+      // position sequence in Z_m and stays tiny
+      val h1 = pmod(xxhash64(key), lit(mBits.toLong))
+      val h2 = pmod(xxhash64(key, lit("graft_bloom")), lit(mBits.toLong))
+      (0 until 4).map(j => pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong)))
+    }
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = urgent
+      .select(explode(array(positions(col("o_orderkey")): _*)).as("pos"))
+      .groupBy(expr("pos div 64").as("w"))
+      .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("bits"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("bits"))).as("mp"))
+      .select(expr(s"transform(sequence(0, ${words - 1}), w -> coalesce(mp[cast(w as bigint)], 0L))").as("bloom"))
+    // membership test: every one of the 4 bit positions is set
+    val test = positions(col("l_orderkey")).map { p =>
+      (element_at(col("bloom"), (p / 64).cast(IntegerType) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast(IntegerType)))) =!= 0L
+    }.reduce(_ && _)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(bloom))
+      .filter(test)               // map-side drop BEFORE the join
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) -
+          col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType), 2).as("revenue"))
+  }
+
+  private val x41Sql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- X46
+  /** RANDOM PROJECTION (Johnson–Lindenstrauss) — 64-dim embeddings down to
+    * 16 dims with a ±1 projection matrix derived from md5(j_d) (same
+    * deterministic-plane trick as x7, so BOTH engines construct the
+    * identical matrix and the reduction is fully oracle-checked). The
+    * computation is relational end-to-end: elements quantized to integer
+    * micros (exact), joined against the BROADCAST 1024-row plane table,
+    * and summed as longs — order-independent, so the one shuffle (by
+    * (vec_id, j), map-side combined) is determinism-free territory. This
+    * is the storage/speed half of an ANN stack: 4× smaller vectors whose
+    * dot products approximate the originals' (x7/x29 are the recall half).
+    * At 100 TB the plane table is a page and the output is dims/4 of the
+    * input — a pure scan-shaped pipeline. */
+  private def x46(spark: SparkSession, dir: String): DataFrame = {
+    val planes = spark.range(16).select(col("id").cast(IntegerType).as("j"))
+      .crossJoin(spark.range(64).select(col("id").cast(IntegerType).as("d")))
+      .withColumn("sgn",
+        when(substring(md5(concat(col("j").cast(StringType), lit("_"), col("d").cast(StringType))), 1, 1) <= "7", 1L)
+          .otherwise(-1L))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")).as(Seq("d", "el")))
+      .withColumn("elq", round(col("el") * 1e6, 0).cast(LongType))
+      .join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("elq") * col("sgn")).as("pq"))
+      .withColumn("pel", col("pq").cast(DoubleType) / 1e6)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("pel")))).as("jp"))
+      .select(col("vec_id"), expr("transform(jp, x -> x.pel)").as("proj"))
+      .withColumn("proj_norm", round(expr("sqrt(graft_dot(proj, proj))"), 6))
+  }
+
+  private val x46Sql =
+    """WITH planes AS (
+      |  SELECT j, d, CASE WHEN substr(md5(j || '_' || d), 1, 1) <= '7' THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT unnest(range(16)) AS j), (SELECT unnest(range(64)) AS d)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ex AS (SELECT vec_id, d, CAST(round(v[d + 1] * 1000000) AS BIGINT) AS elq
+      |       FROM e, (SELECT unnest(range(64)) AS d)),
+      |c AS (SELECT vec_id, j, sum(elq * sgn) AS pq FROM ex JOIN planes USING (d) GROUP BY 1, 2),
+      |p AS (SELECT vec_id, list(CAST(pq AS DOUBLE) / 1000000.0 ORDER BY j) AS proj FROM c GROUP BY 1)
+      |SELECT vec_id, proj, round(sqrt(list_dot_product(proj, proj)), 6) AS proj_norm FROM p""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -2654,7 +2756,11 @@ object Queries {
     Q("x39_zorder_layout", x39, Some(x39Sql),
       "Z-order (Morton) layout: per-bucket min/max stats + range-predicate pruning"),
     Q("x40_curriculum", x40, Some(x40Sql),
-      "curriculum ordering: fixed difficulty bins + deterministic content-hash shuffle")) ++
+      "curriculum ordering: fixed difficulty bins + deterministic content-hash shuffle"),
+    Q("x41_bloom_join", x41, Some(x41Sql),
+      "Bloom-prefiltered semi join: distributed 64Kbit filter, map-side fact pruning"),
+    Q("x46_random_projection", x46, Some(x46Sql),
+      "Johnson-Lindenstrauss 64->16 dim reduction with md5-derived signs (full oracle)")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

@@ -174,6 +174,34 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x41: bloom-prefiltered join equals the plain semi join exactly") {
+    val plain = graft.operators.Tables.lineitem(spark, sf)
+      .join(graft.operators.Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag").count()
+      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val bloomed = run("x41_bloom_join")
+      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bloomed === plain, "bloom pre-filter changed the exact join result")
+  }
+
+  test("x46: projection is 16-dim, deterministic, and roughly norm-preserving") {
+    val df = run("x46_random_projection").cache()
+    assert(df.filter(size(col("proj")) =!= 16).isEmpty)
+    // deterministic: a second run produces the identical rows
+    val again = run("x46_random_projection")
+    assert(df.exceptAll(again).isEmpty && again.exceptAll(df).isEmpty)
+    // JL with ±1 signs scales norms by ~sqrt(16) in expectation; check the
+    // mean ratio is within a loose factor-2 band (it's a 16-dim sketch)
+    val ratio = df
+      .join(graft.operators.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), expr("sqrt(graft_dot(cast(embedding as array<double>), cast(embedding as array<double>)))").as("nrm")), "vec_id")
+      .agg(avg(col("proj_norm") / (col("nrm") * math.sqrt(16)))).head.getDouble(0)
+    assert(ratio > 0.5 && ratio < 2.0, f"norm preservation way off: $ratio%.3f")
+    df.unpersist()
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
