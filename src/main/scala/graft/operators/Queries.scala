@@ -2586,21 +2586,31 @@ object Queries {
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bloom = urgent
+    // the filter is BUILT distributed (map-side bit_or partials over the
+    // build side), then its 8 KB word array lands in the plan as ONE
+    // literal — a metadata-scale scalar job at plan-build time (the same
+    // documented pattern as x2's df-cap). Embedding it as a literal is
+    // what pins the evaluation ORDER: expressed as a join, Catalyst
+    // legally reorders the semi join underneath it (observed via
+    // ExplainOne) and the pre-filter stops pre-filtering; as a scan-level
+    // predicate it provably runs before the join, which is exactly the
+    // plan Spark's own InjectRuntimeFilter produces for this shape.
+    val bloomArr: Array[Long] = urgent
       .select(explode(array(positions(col("o_orderkey")): _*)).as("pos"))
       .groupBy(expr("pos div 64").as("w"))
       .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("bits"))
       .agg(map_from_arrays(collect_list(col("w")), collect_list(col("bits"))).as("mp"))
       .select(expr(s"transform(sequence(0, ${words - 1}), w -> coalesce(mp[cast(w as bigint)], 0L))").as("bloom"))
+      .head().getSeq[Long](0).toArray
+    val bloomLit = typedLit(bloomArr)
     // membership test: every one of the 4 bit positions is set
     val test = positions(col("l_orderkey")).map { p =>
-      (element_at(col("bloom"), (p / 64).cast(IntegerType) + 1)
+      (element_at(bloomLit, (p / 64).cast(IntegerType) + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast(IntegerType)))) =!= 0L
     }.reduce(_ && _)
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(bloom))
-      .filter(test)               // map-side drop BEFORE the join
+      .filter(test)               // scan-level drop BEFORE the join shuffle
       .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
