@@ -2669,6 +2669,97 @@ object Queries {
       |p AS (SELECT vec_id, list(CAST(pq AS DOUBLE) / 1000000.0 ORDER BY j) AS proj FROM c GROUP BY 1)
       |SELECT vec_id, proj, round(sqrt(list_dot_product(proj, proj)), 6) AS proj_norm FROM p""".stripMargin
 
+  // ---------------------------------------------------------------- X42
+  /** DETERMINISTIC WEIGHTED SAMPLING without replacement (Efraimidis–
+    * Spirakis A-RES), stratified by language: every document draws its
+    * uniform u from md5(text) — content-addressed, so the sample is
+    * REPRODUCIBLE across engines and reruns — and competes on the key
+    * ln(u)/weight (weight = n_chars: longer docs proportionally likelier).
+    * Top-20 keys per stratum win. This is the principled "sample by
+    * quality/length" primitive (x18 is the unweighted cousin): map-side
+    * key computation, ONE per-stratum top-k window — at 100 TB the top-k
+    * is a partial-aggregated rank (no global sort), and the key needs no
+    * RNG state, no seed distribution, no driver coordination. Keys are
+    * rounded at 8dp before ranking so one-ulp ln() differences between
+    * engines can't flip an order (doc_id breaks rounded ties). */
+  private def x42(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("skey").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("hv", conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType))
+      .withColumn("skey",
+        round(log((col("hv") + 0.5) / lit(281474976710656.0)) / col("n_chars"), 8))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("skey"), col("rnk"))
+  }
+
+  private val x42Sql =
+    """WITH t AS (SELECT doc_id, lang, n_chars,
+      |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv FROM documents),
+      |k AS (SELECT doc_id, lang, n_chars,
+      |    round(ln((hv + 0.5) / 281474976710656.0) / n_chars, 8) AS skey FROM t)
+      |SELECT lang, doc_id, n_chars, skey,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS INT) AS rnk
+      |FROM k QUALIFY rnk <= 20""".stripMargin
+
+  // ---------------------------------------------------------------- X43
+  /** BIGRAM LANGUAGE-MODEL CONSTRUCTION — the statistical-LM build whose
+    * unigram half x32 consumes: corpus-wide bigram counts joined with
+    * first-token unigram counts into exact conditional probabilities
+    * P(w2|w1) = c12/c1 (int/int → one IEEE division, no transcendental
+    * functions anywhere). Emitted for bigrams seen ≥ 5 times. Two
+    * aggregations (bigram, unigram) + one equi-join on w1 — all map-side
+    * combined; at 100 TB the shuffles carry (token-pair, count) partials,
+    * which is as small as this computation can be expressed. */
+  private def x43(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir).select(toks(col("text")).as("tk"))
+    val big = tk
+      .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")),
+        col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = tk
+      .select(explode(expr("slice(tk, 1, size(tk) - 1)")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    big.filter(col("c12") >= 5)
+      .join(uni, "w1")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        (col("c12").cast(DoubleType) / col("c1")).as("cond_p"))
+  }
+
+  private val x43Sql =
+    """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |      FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d)),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+      |uni AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1)
+      |SELECT big.w1, big.w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS cond_p
+      |FROM big JOIN uni ON big.w1 = uni.w1
+      |WHERE c12 >= 5""".stripMargin
+
+  // ---------------------------------------------------------------- X45
+  /** CLUSTER EXEMPLARS (coreset selection) — the consumption side of x38's
+    * semantic clustering: per cluster, the 5 most central members (highest
+    * cosine to the recomputed centroid) become the cluster's exemplars —
+    * the "show me what's in this slice of the corpus" / prototype-based
+    * dedup primitive. One window over x38's assignment output: the
+    * composition costs one per-cluster top-k on top of the clustering
+    * pass, nothing else. */
+  private def x45(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    x38(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("cluster"), col("rnk"), col("vec_id"), col("cos_sim"))
+  }
+
+  private val x45Sql =
+    s"""WITH assign AS ($x38Sql)
+       |SELECT cluster, CAST(row_number() OVER (PARTITION BY cluster
+       |    ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk,
+       |  vec_id, cos_sim
+       |FROM assign QUALIFY rnk <= 5""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -2770,7 +2861,13 @@ object Queries {
     Q("x41_bloom_join", x41, Some(x41Sql),
       "Bloom-prefiltered semi join: distributed 64Kbit filter, map-side fact pruning"),
     Q("x46_random_projection", x46, Some(x46Sql),
-      "Johnson-Lindenstrauss 64->16 dim reduction with md5-derived signs (full oracle)")) ++
+      "Johnson-Lindenstrauss 64->16 dim reduction with md5-derived signs (full oracle)"),
+    Q("x42_weighted_sample", x42, Some(x42Sql),
+      "deterministic A-RES weighted sampling, stratified, content-addressed uniforms"),
+    Q("x43_bigram_lm", x43, Some(x43Sql),
+      "bigram LM build: exact conditional probabilities from two aggregations"),
+    Q("x45_cluster_exemplars", x45, Some(x45Sql),
+      "coreset selection: 5 most-central members per k-means cluster")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

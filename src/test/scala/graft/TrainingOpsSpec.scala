@@ -202,6 +202,38 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x42: each stratum yields exactly 20 winners with valid A-RES keys") {
+    val df = run("x42_weighted_sample").cache()
+    val perLang = df.groupBy("lang").agg(count(lit(1)).as("n"), max("rnk").as("hi"))
+    assert(perLang.filter(col("n") =!= 20 || col("hi") =!= 20).isEmpty)
+    // ln(u)/w with u in (0,1): keys are strictly negative
+    assert(df.filter(col("skey") >= 0).isEmpty)
+    // content-addressed: a rerun reproduces the identical sample
+    val again = run("x42_weighted_sample")
+    assert(df.exceptAll(again).isEmpty && again.exceptAll(df).isEmpty)
+    df.unpersist()
+  }
+
+  test("x43: conditional probabilities are consistent with their unigram denominators") {
+    val df = run("x43_bigram_lm").cache()
+    assert(df.filter(col("cond_p") <= 0 || col("cond_p") > 1 || col("c12") > col("c1")).isEmpty)
+    // the emitted (≥5) bigrams of a w1 can never sum past its unigram count
+    val sums = df.groupBy("w1").agg(sum("c12").as("s"), max("c1").as("c1"), min("c1").as("c1lo"))
+    assert(sums.filter(col("s") > col("c1") || col("c1") =!= col("c1lo")).isEmpty)
+    df.unpersist()
+  }
+
+  test("x45: exemplars are 5 per cluster and agree with the x38 assignment") {
+    val ex = run("x45_cluster_exemplars").cache()
+    val perCluster = ex.groupBy("cluster").agg(count(lit(1)).as("n"))
+    assert(perCluster.filter(col("n") =!= 5).isEmpty)
+    val joined = ex.select(col("vec_id"), col("cluster").as("ex_cluster"))
+      .join(run("x38_kmeans_embed"), "vec_id")
+    assert(joined.filter(col("ex_cluster") =!= col("cluster")).isEmpty,
+      "an exemplar was attributed to a cluster it isn't assigned to")
+    ex.unpersist()
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
