@@ -255,4 +255,40 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
   }
+
+  test("x41: the bloom membership test runs BELOW the semi join (scan-level pre-filter)") {
+    // expressed as a bitmap JOIN, Catalyst legally reorders the semi join
+    // underneath the test and the pre-filter stops pre-filtering — the
+    // literal-embedded form must keep the membership filter on the fact
+    // scan side of the join, where it cuts the probe stream map-side.
+    // (String-order check: AQE wraps the plan tree, so in the printed tree
+    // a child prints AFTER its parent — the bloom Filter below the join.)
+    val p = Queries.byName("x41_bloom_join").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toIndexedSeq
+    val joinAt = lines.indexWhere(l => l.contains("LeftSemi"))
+    val bloomAt = lines.indexWhere(l => l.contains("Filter") && l.contains("element_at"))
+    assert(joinAt >= 0, s"semi join missing:\n$p")
+    assert(bloomAt > joinAt, s"bloom test not below the join (filter@$bloomAt, join@$joinAt):\n$p")
+  }
+
+  test("x38/x46: centroid and plane tables broadcast; corpus never self-joins") {
+    for (name <- Seq("x38_kmeans_embed", "x46_random_projection")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$name shuffled a join that must broadcast:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name lost its broadcast:\n$p")
+    }
+  }
+
+  test("x39/x40: layout and curriculum stay one-shuffle (no join operator at all)") {
+    for (name <- Seq("x40_curriculum")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+    }
+    // x39's bounds row is a 1-row broadcast fan-in; beyond it, no join
+    val p39 = plan("x39_zorder_layout")
+    assert(!p39.contains("CartesianProduct") && !p39.contains("SortMergeJoin"), p39)
+  }
 }
