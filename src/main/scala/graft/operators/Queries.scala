@@ -2760,6 +2760,44 @@ object Queries {
        |  vec_id, cos_sim
        |FROM assign QUALIFY rnk <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- X47
+  /** CLUSTER-BALANCED WEIGHTED SAMPLING — the SemDeDup-style curation move:
+    * stratify the corpus by SEMANTIC cluster (x38's k-means assignment)
+    * instead of by metadata, then draw a reproducible A-RES weighted sample
+    * (x42's content-addressed keys, weight = n_chars) of 5 docs per
+    * cluster. Equal draws per cluster rebalance the corpus against topic
+    * skew — the "no topic dominates the epoch" guarantee metadata strata
+    * can't give. Cost on top of the clustering pass: one equi-join to fetch
+    * weights (on id, broadcast-able at any k) and one per-cluster top-k
+    * window. Docs outside the embedded slice simply don't compete (inner
+    * join), which is the honest semantics of embedding-driven curation. */
+  private def x47(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster")).orderBy(col("skey").desc, col("doc_id").asc)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("hv", conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType))
+      .select(col("doc_id"), col("n_chars"),
+        round(log((col("hv") + 0.5) / lit(281474976710656.0)) / col("n_chars"), 8).as("skey"))
+    x38(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+      .join(docs, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("cluster"), col("rnk"), col("doc_id"), col("n_chars"), col("skey"))
+  }
+
+  private val x47Sql =
+    s"""WITH assign AS ($x38Sql),
+       |docs AS (SELECT doc_id, n_chars,
+       |    round(ln((('0x' || substr(md5(text), 1, 12))::BIGINT + 0.5) / 281474976710656.0)
+       |      / n_chars, 8) AS skey
+       |  FROM documents)
+       |SELECT cluster, CAST(row_number() OVER (PARTITION BY cluster
+       |    ORDER BY skey DESC, doc_id) AS INT) AS rnk,
+       |  doc_id, n_chars, skey
+       |FROM (SELECT a.cluster, a.vec_id AS doc_id, d.n_chars, d.skey
+       |      FROM assign a JOIN docs d ON a.vec_id = d.doc_id) t
+       |QUALIFY rnk <= 5""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -2867,7 +2905,9 @@ object Queries {
     Q("x43_bigram_lm", x43, Some(x43Sql),
       "bigram LM build: exact conditional probabilities from two aggregations"),
     Q("x45_cluster_exemplars", x45, Some(x45Sql),
-      "coreset selection: 5 most-central members per k-means cluster")) ++
+      "coreset selection: 5 most-central members per k-means cluster"),
+    Q("x47_cluster_balanced_sample", x47, Some(x47Sql),
+      "semantic-stratified weighted sampling: A-RES draws per k-means cluster")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

@@ -488,6 +488,109 @@ object StreamQueries {
       |WHERE (CAST(n_unique AS DOUBLE) / n_tokens * 0.5 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) >= 0.5
       |  AND n_tokens >= 20""".stripMargin
 
+  // --------------------------------------------------------------- QS12
+  /** STREAMING SCD2 / CDC MERGE — x37's type-2 dimension build as a
+    * continuously-maintained state machine: orders arrive in three
+    * time-ordered waves, `flatMapGroupsWithState` keeps ONE open version
+    * per customer (version, priority, valid_from, n_orders), and every
+    * arriving priority CHANGE emits the closed version downstream in
+    * append mode. This is the streaming upsert shape warehouses run MERGE
+    * for — except versions are immutable emissions and state is exactly
+    * |keys| rows, watermark-free. Within a batch each group's rows fold in
+    * (date, orderkey) order, and the time-split waves guarantee cross-batch
+    * order, so emissions equal the batch gaps-and-islands exactly: the
+    * oracle is x37's SQL restricted to CLOSED versions (open versions live
+    * in state, awaiting their closing change — the honest CDC contract). */
+  private val ordersRawSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType), StructField("o_orderpriority", StringType)))
+
+  /** Three arrival waves split on FIXED date bounds (no quantile job): a
+    * change run never straddles a wave boundary mid-date, so cross-batch
+    * fold order is the batch order. Memoized per dir like [[sourceCache]]. */
+  private val orderWaveCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ordersWaves(spark: SparkSession, dir: String): String =
+    orderWaveCache.getOrElseUpdate(dir, {
+      val src = graft.util.TempDirs.create("graft-stream-orders")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val cuts = Seq(
+        col("o_orderdate") < lit("1996-01-01").cast(TimestampNTZType),
+        col("o_orderdate") >= lit("1996-01-01").cast(TimestampNTZType) &&
+          col("o_orderdate") < lit("1997-06-01").cast(TimestampNTZType),
+        col("o_orderdate") >= lit("1997-06-01").cast(TimestampNTZType))
+      for ((c, i) <- cuts.zipWithIndex) {
+        o.filter(c).coalesce(1).write.parquet(src.resolve(s"wave-$i").toString)
+        Thread.sleep(5) // file mtime orders the waves
+      }
+      src.toString
+    })
+
+  // public: Spark codegen instantiates these from generated classes
+  case class OrdRow(o_custkey: Long, o_orderkey: Long, dateMicros: Long, priority: String)
+  case class Scd2State(version: Int, priority: String, validFromMicros: Long, n: Long)
+  case class Scd2Closed(custkey: Long, version: Int, priority: String,
+      valid_from_micros: Long, valid_to_micros: Long, n_orders: Long)
+
+  private def qs12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord: Dataset[OrdRow] = spark.readStream.schema(ordersRawSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(ordersWaves(spark, dir))
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("dateMicros"),
+        col("o_orderpriority").as("priority"))
+      .as[OrdRow]
+    val closed = ord.groupByKey(_.o_custkey)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (ck, rows, state: GroupState[Scd2State]) =>
+          // arrival order within the batch is arbitrary; the fold order is
+          // the DATA's order (date, orderkey) — same tiebreak as x37
+          val sorted = rows.toSeq.sortBy(r => (r.dateMicros, r.o_orderkey))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          var st = state.getOption.orNull
+          for (r <- sorted) {
+            if (st == null) st = Scd2State(1, r.priority, r.dateMicros, 1L)
+            else if (r.priority == st.priority) st = st.copy(n = st.n + 1)
+            else {
+              out += Scd2Closed(ck, st.version, st.priority, st.validFromMicros, r.dateMicros, st.n)
+              st = Scd2State(st.version + 1, r.priority, r.dateMicros, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+    runToTable(spark, closed.toDF(), OutputMode.Append())
+      .select(col("custkey"), col("version"), col("priority"),
+        timestamp_micros(col("valid_from_micros")).cast(TimestampNTZType).as("valid_from"),
+        timestamp_micros(col("valid_to_micros")).cast(TimestampNTZType).as("valid_to"),
+        col("n_orders"))
+  }
+
+  private val qs12Sql =
+    """WITH src AS (
+      |  SELECT o_custkey AS custkey, o_orderkey, o_orderdate, o_orderpriority AS priority
+      |  FROM orders),
+      |marked AS (
+      |  SELECT *, CASE WHEN lag(priority) OVER w IS NULL OR lag(priority) OVER w != priority
+      |                 THEN 1 ELSE 0 END AS chg
+      |  FROM src WINDOW w AS (PARTITION BY custkey ORDER BY o_orderdate, o_orderkey)),
+      |grouped AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM marked),
+      |runs AS (
+      |  SELECT custkey, CAST(grp AS INT) AS version, min(priority) AS priority,
+      |         min(o_orderdate) AS valid_from, CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM grouped GROUP BY custkey, grp)
+      |SELECT custkey, version, priority, valid_from, valid_to, n_orders FROM (
+      |  SELECT *, lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) AS valid_to
+      |  FROM runs) t
+      |WHERE valid_to IS NOT NULL""".stripMargin
+
   // ---------------------------------------------------------------- QS8
   /** SLIDING 1-hour windows every 30 minutes (complete mode): each event
     * lands in exactly two overlapping windows. Spark aligns sliding windows
@@ -621,5 +724,7 @@ object StreamQueries {
     Q("qs10_stream_chunk_ingest", qs10, Some(qs10Sql),
       "streaming chunk-dedup-on-ingest: map-side chunking + cross-batch chunk-hash state"),
     Q("qs11_stream_clean_ingest", qs11, Some(qs11Sql),
-      "streaming clean-on-ingest: stateless PII scrub + quality gate in append mode"))
+      "streaming clean-on-ingest: stateless PII scrub + quality gate in append mode"),
+    Q("qs12_stream_scd2", qs12, Some(qs12Sql),
+      "streaming SCD2/CDC merge: one open version per key in state, closed versions emitted append"))
 }

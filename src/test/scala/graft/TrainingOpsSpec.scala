@@ -234,6 +234,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ex.unpersist()
   }
 
+  test("qs12: streamed SCD2 emissions equal the batch x37's closed versions") {
+    val streamed = run("qs12_stream_scd2")
+      .orderBy("custkey", "version").collect().toSeq
+    val batch = run("x37_scd2_merge")
+      .filter(!col("is_current"))
+      .select("custkey", "version", "priority", "valid_from", "valid_to", "n_orders")
+      .orderBy("custkey", "version").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("x47: 5 draws per cluster, every draw is a member of its cluster") {
+    val df = run("x47_cluster_balanced_sample").cache()
+    assert(df.groupBy("cluster").count().filter(col("count") =!= 5).isEmpty)
+    val joined = df.select(col("doc_id").as("vec_id"), col("cluster").as("s_cluster"))
+      .join(run("x38_kmeans_embed"), "vec_id")
+    assert(joined.filter(col("s_cluster") =!= col("cluster")).isEmpty)
+    df.unpersist()
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
