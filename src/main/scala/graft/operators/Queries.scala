@@ -2798,6 +2798,149 @@ object Queries {
        |      FROM assign a JOIN docs d ON a.vec_id = d.doc_id) t
        |QUALIFY rnk <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- X44
+  /** TEXTRANK — weighted PageRank over the bigram co-occurrence graph
+    * (x43's edges), the classic graph-centrality keyword extractor that
+    * complements x31's tf-idf. Two power iterations of the simplified
+    * (no dangling redistribution) update p' = 0.15/N + 0.85·Σ p(u)·w(u,v)/
+    * out(u), expressed as pure joins + aggregations: each iteration is one
+    * equi-join of the edge list with the previous rank vector and one
+    * groupBy on the target node — the exact shape that scales (iteration
+    * cost ∝ |edges|, like x17's label propagation). Per-edge contributions
+    * quantize to exact int64 picos before the order-sensitive SUM, so both
+    * engines accumulate identical integers; everything after is
+    * fixed-order IEEE. More iterations = more of the same stage. */
+  private def x44(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.documents(spark, dir)
+      .select(toks(col("text")).as("tk"))
+      .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+      .persist() // nodes, out-weights, and both iterations share the edge list
+    val nodes = edges.select(col("w1").as("w")).union(edges.select(col("w2").as("w"))).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val outw = edges.groupBy(col("w1")).agg(sum(col("c12")).as("ow"))
+    val base = nodes.crossJoin(broadcast(nn))
+    def iterate(p: DataFrame): DataFrame = {
+      val s = edges.join(outw, "w1")
+        .join(p.select(col("w").as("w1"), col("p")), "w1")
+        .select(col("w2").as("w"),
+          round(col("p") * (col("c12") / col("ow").cast(DoubleType)) * lit(1e12), 0)
+            .cast(LongType).as("contrib"))
+        .groupBy(col("w")).agg(sum(col("contrib")).as("acc"))
+      base.join(s, Seq("w"), "left")
+        .withColumn("p", lit(0.15) / col("n") +
+          lit(0.85) * (coalesce(col("acc"), lit(0L)) / lit(1e12)))
+        .select(col("w"), col("n"), col("p"))
+    }
+    val p0 = base.withColumn("p", lit(1.0) / col("n")).select(col("w"), col("n"), col("p"))
+    val w = Window.orderBy(col("pr_milli").desc, col("word").asc)
+    iterate(iterate(p0))
+      .select(col("w").as("word"), round(col("p") * 1000, 6).as("pr_milli"))
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  private val x44Sql =
+    """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |      FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d)),
+      |edges AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2 HAVING count(*) >= 5),
+      |nodes AS (SELECT w1 AS w FROM edges UNION SELECT w2 FROM edges),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      |outw AS (SELECT w1, sum(c12) AS ow FROM edges GROUP BY 1),
+      |base AS (SELECT w, n FROM nodes, nn),
+      |p0 AS (SELECT w, 1.0 / n AS p FROM base),
+      |s1 AS (SELECT e.w2 AS w, sum(CAST(round(p0.p * (e.c12 / CAST(o.ow AS DOUBLE)) * 1000000000000) AS BIGINT)) AS acc
+      |       FROM edges e JOIN outw o ON e.w1 = o.w1 JOIN p0 ON p0.w = e.w1 GROUP BY e.w2),
+      |it1 AS (SELECT base.w, base.n, 0.15 / base.n + 0.85 * (COALESCE(s1.acc, 0) / 1000000000000.0) AS p
+      |        FROM base LEFT JOIN s1 ON s1.w = base.w),
+      |s2 AS (SELECT e.w2 AS w, sum(CAST(round(it1.p * (e.c12 / CAST(o.ow AS DOUBLE)) * 1000000000000) AS BIGINT)) AS acc
+      |       FROM edges e JOIN outw o ON e.w1 = o.w1 JOIN it1 ON it1.w = e.w1 GROUP BY e.w2),
+      |it2 AS (SELECT base.w, 0.15 / base.n + 0.85 * (COALESCE(s2.acc, 0) / 1000000000000.0) AS p
+      |        FROM base LEFT JOIN s2 ON s2.w = base.w)
+      |SELECT w AS word, round(p * 1000, 6) AS pr_milli,
+      |  CAST(row_number() OVER (ORDER BY round(p * 1000, 6) DESC, w) AS INT) AS rnk
+      |FROM it2""".stripMargin
+
+  // ---------------------------------------------------------------- X48
+  /** SEMANTIC OUTLIER DETECTION — the noise filter on top of x38's
+    * clustering: a vector whose similarity to its own cluster's centroid
+    * sits ≥ 2σ below the cluster mean is flagged as semantic noise (mislabeled
+    * scrape, format debris, off-distribution content). Per-cluster moments
+    * are computed over the 6dp-quantized similarities as EXACT integer sums
+    * (the q18 moments trick), so mean/σ/z are engine-identical; the stats
+    * table is k rows, broadcast back. Cost on top of clustering: one k-row
+    * aggregation + one broadcast join — nothing corpus-scaled. */
+  private def x48(spark: SparkSession, dir: String): DataFrame = {
+    val q = x38(spark, dir)
+      .withColumn("cq", round(col("cos_sim") * 1e6, 0).cast(LongType))
+    val stats = q.groupBy(col("cluster")).agg(
+      sum(col("cq")).as("s"), sum(col("cq") * col("cq")).as("ss"), count(lit(1)).as("cnt"))
+      .withColumn("mean", (col("s").cast(DoubleType) / col("cnt")) / lit(1e6))
+      .withColumn("sd", sqrt(greatest(
+        (col("ss").cast(DoubleType) / col("cnt")) / lit(1e12) - col("mean") * col("mean"),
+        lit(0.0))))
+      .select(col("cluster"), col("mean"), col("sd"))
+    q.join(broadcast(stats), "cluster")
+      .withColumn("z", when(col("sd") === 0, lit(0.0))
+        .otherwise(round((col("cos_sim") - col("mean")) / col("sd"), 6)))
+      .select(col("vec_id"), col("cluster"), col("cos_sim"),
+        round(col("mean"), 6).as("cluster_mean"), col("z"),
+        (col("z") <= -2.0).as("is_outlier"))
+  }
+
+  private val x48Sql =
+    s"""WITH assign AS ($x38Sql),
+       |q AS (SELECT vec_id, cluster, cos_sim,
+       |        CAST(round(cos_sim * 1000000) AS BIGINT) AS cq FROM assign),
+       |stats AS (
+       |  SELECT cluster,
+       |    (CAST(sum(cq) AS DOUBLE) / count(*)) / 1000000.0 AS mean,
+       |    sqrt(greatest(
+       |      (CAST(sum(cq * cq) AS DOUBLE) / count(*)) / 1000000000000.0
+       |        - ((CAST(sum(cq) AS DOUBLE) / count(*)) / 1000000.0)
+       |          * ((CAST(sum(cq) AS DOUBLE) / count(*)) / 1000000.0),
+       |      0.0)) AS sd
+       |  FROM q GROUP BY cluster)
+       |SELECT vec_id, q.cluster, cos_sim, round(mean, 6) AS cluster_mean,
+       |  CASE WHEN sd = 0 THEN 0.0 ELSE round((cos_sim - mean) / sd, 6) END AS z,
+       |  (CASE WHEN sd = 0 THEN 0.0 ELSE round((cos_sim - mean) / sd, 6) END) <= -2.0 AS is_outlier
+       |FROM q JOIN stats ON q.cluster = stats.cluster""".stripMargin
+
+  // ---------------------------------------------------------------- Q30
+  /** The SQL-TEXT interface — the same engine driven entirely through
+    * `spark.sql` over registered views (what a BI tool or a SQL-first user
+    * sends): CTE + three-table join + decimal aggregation + ranking window,
+    * planned by the identical Catalyst session (broadcast dims and all).
+    * Views are prefixed `g_` so the registration never collides with the
+    * executor's catalog tables (q28). */
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer", "nation").foreach(t =>
+      Tables(spark, dir, t).createOrReplaceTempView(s"g_$t"))
+    spark.sql(
+      """WITH rev AS (
+        |  SELECT n.n_name, sum(cast(o.o_totalprice as decimal(18,2))) AS total
+        |  FROM g_orders o
+        |  JOIN g_customer c ON o.o_custkey = c.c_custkey
+        |  JOIN g_nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name)
+        |SELECT n_name, round(cast(total as double), 2) AS total_price,
+        |  cast(rank() OVER (ORDER BY total DESC, n_name) as int) AS rnk
+        |FROM rev""".stripMargin)
+  }
+
+  private val q30Sql =
+    """WITH rev AS (
+      |  SELECT n.n_name, sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name)
+      |SELECT n_name, round(CAST(total AS DOUBLE), 2) AS total_price,
+      |  CAST(rank() OVER (ORDER BY total DESC, n_name) AS INT) AS rnk
+      |FROM rev""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -2826,6 +2969,8 @@ object Queries {
     Q("q27_window_suite", q27, Some(q27Sql), "ntile/percent_rank/cume_dist/frame bounds"),
     Q("q29_gapfill_resample", q29, Some(q29Sql),
       "time-series gap-fill: daily grid + forward fill + exact running total"),
+    Q("q30_sql_interface", q30, Some(q30Sql),
+      "the spark.sql text interface: CTE + 3-way join + decimal agg + rank window"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output
@@ -2907,7 +3052,11 @@ object Queries {
     Q("x45_cluster_exemplars", x45, Some(x45Sql),
       "coreset selection: 5 most-central members per k-means cluster"),
     Q("x47_cluster_balanced_sample", x47, Some(x47Sql),
-      "semantic-stratified weighted sampling: A-RES draws per k-means cluster")) ++
+      "semantic-stratified weighted sampling: A-RES draws per k-means cluster"),
+    Q("x44_textrank", x44, Some(x44Sql),
+      "TextRank: 2 power iterations of weighted PageRank over the bigram graph"),
+    Q("x48_semantic_outliers", x48, Some(x48Sql),
+      "per-cluster z-score outlier flags from exact integer moments")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)
     .map(q => q.copy(run = withGraftFunctions(q.run)))
 

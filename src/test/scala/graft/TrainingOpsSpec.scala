@@ -253,6 +253,46 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x44: TextRank mass stays in (0, 1] per node and ranks tile 1..n") {
+    val df = run("x44_textrank").cache()
+    assert(df.filter(col("pr_milli") <= 0).isEmpty, "a node lost all rank mass")
+    val n = df.count()
+    assert(df.agg(min("rnk")).head.getInt(0) === 1 &&
+      df.agg(max("rnk")).head.getInt(0) === n)
+    // simplified PR without dangling redistribution can only LOSE mass:
+    // total ≤ 1000 milli (and well above the floor 0.15)
+    val total = df.agg(sum(col("pr_milli"))).head.getDouble(0)
+    assert(total <= 1000.001 && total >= 150.0, s"total rank mass $total")
+    df.unpersist()
+  }
+
+  test("x48: z-scores are standardized per cluster and flags match the rule") {
+    val df = run("x48_semantic_outliers").cache()
+    assert(df.filter(col("is_outlier") =!= (col("z") <= -2.0)).isEmpty)
+    // per-cluster mean of z must be ~0 (it's (x - mean)/sd over the cluster)
+    val worst = df.groupBy("cluster").agg(abs(avg("z")).as("m"))
+      .agg(max("m")).head.getDouble(0)
+    assert(worst < 1e-3, s"per-cluster z means not centered: $worst")
+    df.unpersist()
+  }
+
+  test("q30: the SQL-text interface agrees with the DataFrame API on the same plan") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val viaSql = run("q30_sql_interface").orderBy("rnk").collect().toSeq
+    val viaDf = graft.operators.Tables.orders(spark, sf)
+      .join(graft.operators.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.operators.Tables.apply(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+      .select(col("n_name"), round(col("total").cast(DoubleType), 2).as("total_price"),
+        rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("total").desc, col("n_name").asc)).cast("int").as("rnk"))
+      .orderBy("rnk").collect().toSeq
+    assert(viaSql === viaDf)
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
