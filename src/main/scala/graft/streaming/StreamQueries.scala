@@ -336,6 +336,64 @@ object StreamQueries {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
   }
 
+  // --------------------------------------------------------------- QS13
+  /** STREAM-STREAM LEFT OUTER join — qs6's attribution with the
+    * unattributed clicks KEPT: a click with no purchase in its 15-minute
+    * window emits null-extended exactly when the watermark passes the
+    * window's end (state eviction = emission; Spark's availableNow final
+    * no-data batch advances the watermark to its terminal value, flushing
+    * the tail). This is the capability inner joins don't exercise: bounded
+    * state AND completeness. The oracle is exact because the terminal
+    * watermark is derivable — min(max click_ts, max purchase_ts) − 30 min —
+    * so "which unmatched clicks have expired" is a pure batch predicate:
+    * matched rows always emit; an unmatched click emits iff
+    * click_ts + 15 min < terminal watermark. */
+  private def qs13(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 15 MINUTES"),
+      "left_outer")
+    runToTable(spark, joined, OutputMode.Append())
+      .select(col("click_id"), col("user_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("purchase_id"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"),
+        col("purchase_id").isNotNull.as("attributed"))
+  }
+
+  private val qs13Sql =
+    """WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(click_ts) FROM c), (SELECT max(purchase_ts) FROM p))
+      |         - INTERVAL 30 MINUTE AS w),
+      |matched AS (
+      |  SELECT c.click_id, c.user_id, c.click_ts, p.purchase_id, p.purchase_ts
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |    AND p.purchase_ts >= c.click_ts
+      |    AND p.purchase_ts <= c.click_ts + INTERVAL 15 MINUTE),
+      |expired_unmatched AS (
+      |  SELECT c.click_id, c.user_id, c.click_ts,
+      |    CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS TIMESTAMP) AS purchase_ts
+      |  FROM c
+      |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+      |    AND p.purchase_ts >= c.click_ts
+      |    AND p.purchase_ts <= c.click_ts + INTERVAL 15 MINUTE)
+      |    AND c.click_ts + INTERVAL 15 MINUTE < (SELECT w FROM wm))
+      |SELECT click_id, user_id, click_ts, purchase_id, purchase_ts,
+      |  purchase_id IS NOT NULL AS attributed
+      |FROM (SELECT * FROM matched UNION ALL SELECT * FROM expired_unmatched) t""".stripMargin
+
   private val qs6Sql =
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
       |  CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
@@ -726,5 +784,7 @@ object StreamQueries {
     Q("qs11_stream_clean_ingest", qs11, Some(qs11Sql),
       "streaming clean-on-ingest: stateless PII scrub + quality gate in append mode"),
     Q("qs12_stream_scd2", qs12, Some(qs12Sql),
-      "streaming SCD2/CDC merge: one open version per key in state, closed versions emitted append"))
+      "streaming SCD2/CDC merge: one open version per key in state, closed versions emitted append"),
+    Q("qs13_stream_outer_join", qs13, Some(qs13Sql),
+      "stream-stream LEFT OUTER interval join: null-extended emission at watermark expiry"))
 }

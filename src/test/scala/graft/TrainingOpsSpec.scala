@@ -293,6 +293,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql === viaDf)
   }
 
+  test("qs13: outer-join attributed rows equal qs6's inner join exactly") {
+    val outer = run("qs13_stream_outer_join").cache()
+    val attributed = outer.filter(col("attributed"))
+      .select("click_id", "purchase_id", "user_id")
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    val inner = run("qs6_stream_stream_join")
+      .select("click_id", "purchase_id", "user_id")
+      .orderBy("click_id", "purchase_id").collect().toSeq
+    assert(attributed === inner)
+    // null-extended rows really are null-extended, and only they are
+    assert(outer.filter(col("attributed") && col("purchase_id").isNull).isEmpty)
+    assert(outer.filter(!col("attributed") && col("purchase_id").isNotNull).isEmpty)
+    outer.unpersist()
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
