@@ -2941,6 +2941,59 @@ object Queries {
       |  CAST(rank() OVER (ORDER BY total DESC, n_name) AS INT) AS rnk
       |FROM rev""".stripMargin
 
+  // ---------------------------------------------------------------- Q31
+  /** FUNNEL ANALYSIS — ordered sequential-pattern detection (the
+    * match_recognize workload, product-analytics style): users who
+    * signed up, then clicked within 48 h of the signup, then purchased
+    * within 48 h of that click — each stage anchored at the PREVIOUS
+    * stage's first qualifying event. Three stage aggregations, each an
+    * equi-join on user + a time-range filter + min() — all shuffles keyed
+    * by user, no window over the whole table, no self-cross; at 100 TB
+    * each stage's state is one row per surviving user. The output is the
+    * 3-row funnel with top-of-funnel conversion rates (exact n/n₁). */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).persist() // three stage scans share the read
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 48 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 48 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n_users")).withColumn("step_no", lit(1))
+      .withColumn("step", lit("signup"))
+      .unionByName(s2.agg(count(lit(1)).as("n_users")).withColumn("step_no", lit(2))
+        .withColumn("step", lit("click_within_48h")))
+      .unionByName(s3.agg(count(lit(1)).as("n_users")).withColumn("step_no", lit(3))
+        .withColumn("step", lit("purchase_within_48h")))
+    val w = Window.orderBy(col("step_no"))
+    counts
+      .withColumn("conv_from_top",
+        round(col("n_users").cast(DoubleType) /
+          first(col("n_users")).over(w).cast(DoubleType), 6))
+      .select(col("step_no"), col("step"), col("n_users"), col("conv_from_top"))
+  }
+
+  private val q31Sql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |         AND e.ts <= s1.t1 + INTERVAL 48 HOUR GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |         AND e.ts <= s2.t2 + INTERVAL 48 HOUR GROUP BY 1),
+      |counts AS (
+      |  SELECT 1 AS step_no, 'signup' AS step, (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'click_within_48h', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase_within_48h', (SELECT count(*) FROM s3))
+      |SELECT step_no, step, n_users,
+      |  round(CAST(n_users AS DOUBLE) /
+      |    CAST(first_value(n_users) OVER (ORDER BY step_no) AS DOUBLE), 6) AS conv_from_top
+      |FROM counts""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -2971,6 +3024,8 @@ object Queries {
       "time-series gap-fill: daily grid + forward fill + exact running total"),
     Q("q30_sql_interface", q30, Some(q30Sql),
       "the spark.sql text interface: CTE + 3-way join + decimal agg + rank window"),
+    Q("q31_funnel", q31, Some(q31Sql),
+      "funnel analysis: ordered 3-step sequence detection with 48h stage windows"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -308,6 +308,19 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     outer.unpersist()
   }
 
+  test("q31: the funnel only narrows and rates divide exactly") {
+    val rows = run("q31_funnel").orderBy("step_no").collect()
+    assert(rows.length === 3)
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel widened: ${ns.mkString(",")}")
+    val top = ns(0).toDouble
+    rows.foreach { r =>
+      val expected = BigDecimal(r.getAs[Long]("n_users") / top)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("conv_from_top") === expected)
+    }
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
