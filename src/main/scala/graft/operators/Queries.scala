@@ -2415,22 +2415,30 @@ object Queries {
     * and the mean is one IEEE division; cosines round at 6dp with
     * cluster-id tiebreaks. More Lloyd rounds = repeating the same two
     * stages; one round is enough to pin the algebra under the oracle. */
-  private def x38(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  /** embeddings as (vec_id, v: array<double>, nrm) — the shared entry of
+    * the k-means family (x38/x45/x47/x48/x49). */
+  private def embWithNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-      .persist() // three passes: seed pick, assign-1 + recompute, assign-2
-    val seeds = e.filter(col("vec_id") < 8)
+
+  /** nearest-centroid assignment: broadcast the k centroids against the
+    * vector set; rounded cosine with cluster-id tiebreak. */
+  private def kmeansAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cluster").asc)
+    vecs.join(broadcast(cent))
+      .withColumn("cos_sim", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("cos_sim"))
+  }
+
+  /** one Lloyd round over `e`: seed on `seedFilter`, assign, recompute
+    * centroids from integer-exact elementwise sums → (cluster, cv, cn). */
+  private def kmeansCentroids(e: DataFrame, seedFilter: Column): DataFrame = {
+    val seeds = e.filter(seedFilter)
       .select(col("vec_id").cast(IntegerType).as("cluster"), col("v").as("cv"), col("nrm").as("cn"))
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cluster").asc)
-      e.join(broadcast(cent))
-        .withColumn("cos_sim", round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cluster"), col("cos_sim"))
-    }
-    val cent2 = assign(seeds)
+    kmeansAssign(e, seeds)
       .join(e, "vec_id")
       .select(col("cluster"), posexplode(col("v")).as(Seq("i", "el")))
       .withColumn("elq", round(col("el") * 1e6, 0).cast(LongType))
@@ -2441,7 +2449,12 @@ object Queries {
       .agg(array_sort(collect_list(struct(col("i"), col("cel")))).as("ic"))
       .select(col("cluster"), expr("transform(ic, x -> x.cel)").as("cv"))
       .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
-    assign(cent2)
+  }
+
+  private def x38(spark: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(spark, dir)
+      .persist() // three passes: seed pick, assign-1 + recompute, assign-2
+    kmeansAssign(e, kmeansCentroids(e, col("vec_id") < 8))
   }
 
   private val x38Sql =
@@ -2994,6 +3007,83 @@ object Queries {
       |    CAST(first_value(n_users) OVER (ORDER BY step_no) AS DOUBLE), 6) AS conv_from_top
       |FROM counts""".stripMargin
 
+  // ---------------------------------------------------------------- X49
+  /** DELTA CLUSTER ASSIGNMENT — x30's asymmetric-delta discipline applied
+    * to semantic routing: the centroid model is built ONCE from the
+    * standing corpus (vec_id % 10 != 0 plays the frozen index), and
+    * today's arrivals (vec_id % 10 == 0) are routed to their semantic
+    * cluster by a single broadcast assignment — cost ∝ |delta| × k, the
+    * index is never re-clustered. This is how semantic dedup/routing runs
+    * in production: nightly model build, per-batch assignment. Output is
+    * the delta's routing table (which cluster each new vector lands in,
+    * how close it sits), directly consumable by x45/x47/x48 downstream. */
+  private def x49(spark: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(spark, dir).persist()
+    val index = e.filter(col("vec_id") % 10 =!= 0)
+    val delta = e.filter(col("vec_id") % 10 === 0)
+    kmeansAssign(delta, kmeansCentroids(index, col("vec_id") >= 1 && col("vec_id") <= 8))
+  }
+
+  private val x49Sql =
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |e AS (SELECT * FROM e0 WHERE vec_id % 10 != 0),
+      |delta AS (SELECT * FROM e0 WHERE vec_id % 10 = 0),
+      |seeds AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv, nrm AS cn
+      |          FROM e WHERE vec_id >= 1 AND vec_id <= 8),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, s.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.v, s.cv) / (e.nrm * s.cn), 6) DESC, s.cluster) AS rn
+      |    FROM e, seeds s) t WHERE rn = 1),
+      |jx AS (SELECT a1.cluster, e.v FROM a1 JOIN e USING (vec_id)),
+      |ex AS (SELECT cluster, i, CAST(round(v[i + 1] * 1000000) AS BIGINT) AS elq
+      |       FROM jx, (SELECT unnest(range(64)) AS i)),
+      |cs AS (SELECT cluster, i, sum(elq) AS s, count(*) AS c FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT cluster, list(CAST(s AS DOUBLE) / (c * 1000000.0) ORDER BY i) AS cv
+      |         FROM cs GROUP BY cluster),
+      |cent2 AS (SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent)
+      |SELECT vec_id, cluster, cos_sim FROM (
+      |  SELECT d.vec_id, c.cluster,
+      |    round(list_dot_product(d.v, c.cv) / (d.nrm * c.cn), 6) AS cos_sim,
+      |    row_number() OVER (PARTITION BY d.vec_id
+      |      ORDER BY round(list_dot_product(d.v, c.cv) / (d.nrm * c.cn), 6) DESC, c.cluster) AS rn
+      |  FROM delta d, cent2 c) t WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- X50
+  /** EQUI-DEPTH HISTOGRAM — the other histogram (x28 is equi-width): eight
+    * buckets holding ~equal row counts, bounded by the 12.5%-step
+    * `percentile_disc` cuts. Discrete percentiles pick ACTUAL data values
+    * (2-decimal prices), so the cut points — and therefore every bucket
+    * assignment — are exact decimals with no interpolation ulp risk; both
+    * engines agree value-for-value (gated at all 3 SFs). Plan shape: one
+    * percentile aggregation (Spark's sort-free percentile_disc agg), the
+    * 7-value cut row broadcast, then a pure map-side bucket kernel and ONE
+    * groupBy — the same cost as any histogram, scale-free. Equi-depth
+    * bounds are what an optimizer's selectivity estimation and a range
+    * partitioner's splits are built from. */
+  private def x50(spark: SparkSession, dir: String): DataFrame = {
+    val qs = (1 to 7).map(_ * 0.125)
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("price"))
+    val cuts = li.agg(
+      array(qs.map(q =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY price)")): _*).as("cs"))
+    li.join(broadcast(cuts))
+      .withColumn("bucket", expr("cast(size(filter(cs, c -> price > c)) as int)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("price")).as("lo"), max(col("price")).as("hi"))
+  }
+
+  private val x50Sql =
+    """WITH cuts AS (SELECT quantile_disc(l_extendedprice,
+      |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cs FROM lineitem)
+      |SELECT CAST(len(list_filter(cs, c -> l_extendedprice > c)) AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM lineitem, cuts GROUP BY 1""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -3110,6 +3200,10 @@ object Queries {
       "semantic-stratified weighted sampling: A-RES draws per k-means cluster"),
     Q("x44_textrank", x44, Some(x44Sql),
       "TextRank: 2 power iterations of weighted PageRank over the bigram graph"),
+    Q("x50_equidepth_histogram", x50, Some(x50Sql),
+      "equi-depth 8-bucket histogram from percentile_disc cuts (selectivity/range-split stats)"),
+    Q("x49_delta_cluster_assign", x49, Some(x49Sql),
+      "delta semantic routing: frozen-index centroids, broadcast assignment of arrivals"),
     Q("x48_semantic_outliers", x48, Some(x48Sql),
       "per-cluster z-score outlier flags from exact integer moments")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)

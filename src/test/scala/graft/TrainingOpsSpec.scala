@@ -321,6 +321,34 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x49: exactly the delta is routed, to clusters the index model defines") {
+    val df = run("x49_delta_cluster_assign").cache()
+    val deltaN = graft.operators.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(df.count() === deltaN, "every arrival routed exactly once")
+    assert(df.filter(col("vec_id") % 10 =!= 0).isEmpty, "an index vector leaked into the delta")
+    assert(df.filter(col("cluster") < 1 || col("cluster") > 8).isEmpty)
+    df.unpersist()
+  }
+
+  test("x50: buckets are equi-depth (within tie slack) and bounds nest the cuts") {
+    val df = run("x50_equidepth_histogram").cache()
+    val rows = df.orderBy("bucket").collect()
+    assert(rows.length === 8)
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    // equal depth up to ties on 2-decimal prices: each bucket within ±20% of n/8
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows").toDouble
+      assert(math.abs(n - total / 8.0) <= total / 8.0 * 0.2,
+        s"bucket ${r.getAs[Int]("bucket")} depth $n vs ${total / 8.0}")
+    }
+    // buckets are ordered, non-overlapping ranges
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"), "bucket ranges overlap")
+    }
+    df.unpersist()
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
