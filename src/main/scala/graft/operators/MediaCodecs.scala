@@ -26,9 +26,9 @@ object MediaCodecs {
     s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
   }
 
-  /** Real P6 parse: header tokens (with comment/whitespace handling), then
-    * per-pixel BT.601 luma over the raster. */
-  def decodePpm(b: Array[Byte]): ImageInfo = {
+  /** P6 header parse shared by decode and resize: (width, height,
+    * raster offset). Handles comments/whitespace per the netpbm spec. */
+  private def parsePpmHeader(b: Array[Byte]): (Int, Int, Int) = {
     require(b.length >= 2 && b(0) == 'P' && b(1) == '6', "not a P6 ppm")
     var i = 2
     def nextInt(): Int = {
@@ -47,6 +47,31 @@ object MediaCodecs {
     require(maxval == 255, s"only 8-bit ppm supported, maxval=$maxval")
     i += 1 // single whitespace after maxval
     require(b.length - i >= w * h * 3, s"truncated raster: ${b.length - i} < ${w * h * 3}")
+    (w, h, i)
+  }
+
+  /** Nearest-neighbor downsample by an integer factor: out(x, y) =
+    * src(x·f, y·f), out dims = ⌈w/f⌉ × ⌈h/f⌉ — a REAL resize over real
+    * raster bytes, emitting a well-formed P6 (round-trips decodePpm). */
+  def resizePpm(b: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"bad resize factor $factor")
+    val (w, h, off) = parsePpmHeader(b)
+    val wr = (w + factor - 1) / factor
+    val hr = (h + factor - 1) / factor
+    val out = new Array[Byte](wr * hr * 3)
+    var p = 0
+    while (p < wr * hr) {
+      val src = off + 3 * (((p / wr) * factor) * w + (p % wr) * factor)
+      out(3 * p) = b(src); out(3 * p + 1) = b(src + 1); out(3 * p + 2) = b(src + 2)
+      p += 1
+    }
+    encodePpm(wr, hr, out)
+  }
+
+  /** Real P6 parse: header tokens (with comment/whitespace handling), then
+    * per-pixel BT.601 luma over the raster. */
+  def decodePpm(b: Array[Byte]): ImageInfo = {
+    val (w, h, i) = parsePpmHeader(b)
     // BT.601 luma in INTEGER millis (299r + 587g + 114b): integer sums are
     // exact and order-independent, so any engine computing the same bytes
     // lands on the same double after the single final division

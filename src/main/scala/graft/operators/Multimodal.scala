@@ -108,6 +108,53 @@ object Multimodal {
   /** End-to-end: documents → media records → batched decode → features DF. */
   def features(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(fromDocuments(spark, dir)).toDF()
+
+  /** Resized-image features (SURVEY X5 "resize"). */
+  case class ResizedImage(
+      doc_id: Long, src_w: Int, src_h: Int, out_w: Int, out_h: Int, out_luma: Double)
+
+  /** RESIZE as a partition-batched typed transform: image payloads are
+    * nearest-neighbor downsampled by `factor` through [[MediaCodecs
+    * .resizePpm]] (real raster work on real bytes), and the resized frame
+    * re-enters the decoder for its stats — the preprocessing shape every
+    * vision-training pipeline runs (resize → re-encode → feature). Poison
+    * payloads drop (same contract as decode's opaque degrade). */
+  def resizeFeatures(media: Dataset[MediaRecord], factor: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.filter(_.modality == "image").flatMap { r =>
+        try {
+          val src = MediaCodecs.decodePpm(r.payload)
+          val out = MediaCodecs.decodePpm(MediaCodecs.resizePpm(r.payload, factor))
+          Some(ResizedImage(r.doc_id, src.width, src.height, out.width, out.height, out.meanLuma))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** One sampled frame (SURVEY X5 "frame-sample"). */
+  case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, luma: Double)
+
+  /** FRAME SAMPLING as a partition-batched typed transform: every
+    * `stride`-th frame index of each video expands to its own row with its
+    * presentation timestamp — the map-side row-expansion shape of video
+    * ingest (sample → per-frame features → embed). GFV0 stores one
+    * keyframe, so each sampled row carries the keyframe's luma; a real
+    * MP4 codec would decode the frame AT the sampled index through this
+    * same seam — the row-expansion plumbing, indices, and timestamps are
+    * the load-bearing contract. */
+  def frameSamples(media: Dataset[MediaRecord], stride: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.filter(_.modality == "video").flatMap { r =>
+        try {
+          val v = MediaCodecs.decodeGfv(r.payload)
+          (0 until v.nFrames by stride).iterator
+            .map(i => FrameSample(r.doc_id, i, i * 40L, v.keyframe.meanLuma))
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+    }
+  }
 }
 
 /** Skew-handling utility (SURVEY "salting for skew"): explode the build side

@@ -3084,6 +3084,61 @@ object Queries {
       |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
       |FROM lineitem, cuts GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- X51
+  /** IMAGE RESIZE through the multimodal pipeline (SURVEY X5 "resize"):
+    * nearest-neighbor 2× downsample of every image payload as a
+    * partition-batched typed transform, the resized raster re-decoded for
+    * its stats. The oracle replays the SAME byte-level computation in SQL
+    * (payload raster bytes are synthesized from the doc text, so the
+    * sampled-pixel luma sum is expressible engine-side as exact integer
+    * millis — x13's trick on the sampled grid). Pure map-side. */
+  private def x51(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeFeatures(Multimodal.fromDocuments(spark, dir), 2).toDF()
+
+  private val x51Sql = {
+    // sampled-pixel luma: resized pixel p reads source pixel
+    // ((p // wr)·2)·w + (p % wr)·2; raster byte k = ord(text[k % L])
+    val src = "(((p // wr) * 2) * w + (p % wr) * 2)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS L,
+       |    CAST(4 + n_chars % 12 AS INT) AS w,
+       |    CAST(4 + (n_chars // 3) % 8 AS INT) AS h
+       |  FROM documents WHERE n_chars % 3 = 0),
+       |r AS (SELECT *, CAST((w + 1) // 2 AS INT) AS wr, CAST((h + 1) // 2 AS INT) AS hr FROM d)
+       |SELECT doc_id, w AS src_w, h AS src_h, wr AS out_w, hr AS out_h,
+       |  CAST(list_sum(list_transform(range(wr * hr),
+       |    p -> 299 * ord(substr(text, CAST((3 * $src) % L AS INT) + 1, 1))
+       |       + 587 * ord(substr(text, CAST((3 * $src + 1) % L AS INT) + 1, 1))
+       |       + 114 * ord(substr(text, CAST((3 * $src + 2) % L AS INT) + 1, 1)))) AS DOUBLE)
+       |    / (1000.0 * wr * hr) AS out_luma
+       |FROM r""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X52
+  /** FRAME SAMPLING through the multimodal pipeline (SURVEY X5
+    * "frame-sample"): every 5th frame index of each video expands to a row
+    * with its presentation timestamp — the map-side row-expansion shape of
+    * video ingest. GFV0 carries one keyframe, so each sampled row carries
+    * the keyframe's luma (a real MP4 codec would decode AT the index
+    * through the same seam); indices, timestamps, and the expansion
+    * contract are fully oracle-checked. */
+  private def x52(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSamples(Multimodal.fromDocuments(spark, dir), 5).toDF()
+
+  private val x52Sql =
+    """WITH v AS (
+      |  SELECT doc_id, text, length(text) AS L,
+      |    CAST(1 + n_chars % 30 AS INT) AS n_frames
+      |  FROM documents WHERE n_chars % 3 = 2),
+      |s AS (SELECT doc_id, text, L, CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx FROM v)
+      |SELECT doc_id, frame_idx, CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+      |  CAST(list_sum(list_transform(range(48),
+      |    p -> 299 * ord(substr(text, CAST((3 * p) % L AS INT) + 1, 1))
+      |       + 587 * ord(substr(text, CAST((3 * p + 1) % L AS INT) + 1, 1))
+      |       + 114 * ord(substr(text, CAST((3 * p + 2) % L AS INT) + 1, 1)))) AS DOUBLE)
+      |    / (1000.0 * 48) AS luma
+      |FROM s""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -3204,6 +3259,10 @@ object Queries {
       "equi-depth 8-bucket histogram from percentile_disc cuts (selectivity/range-split stats)"),
     Q("x49_delta_cluster_assign", x49, Some(x49Sql),
       "delta semantic routing: frozen-index centroids, broadcast assignment of arrivals"),
+    Q("x51_image_resize", x51, Some(x51Sql),
+      "multimodal resize: nearest-neighbor 2x downsample, byte-level full oracle"),
+    Q("x52_frame_sample", x52, Some(x52Sql),
+      "multimodal frame sampling: stride-5 row expansion with timestamps, full oracle"),
     Q("x48_semantic_outliers", x48, Some(x48Sql),
       "per-cluster z-score outlier flags from exact integer moments")) ++
     FrameworkQueries.all ++ graft.streaming.StreamQueries.all)

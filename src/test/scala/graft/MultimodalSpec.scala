@@ -139,4 +139,32 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0))
     assert(salts.toSeq === again.toSeq)
   }
+
+  test("resizePpm: 2x nearest-neighbor halves dims (ceil) and round-trips the decoder") {
+    val rgb = Array.tabulate(7 * 5 * 3)(i => (i % 251).toByte)
+    val src = MediaCodecs.encodePpm(7, 5, rgb)
+    val out = MediaCodecs.decodePpm(MediaCodecs.resizePpm(src, 2))
+    assert(out.width === 4 && out.height === 3)
+    // sampled pixels are exactly src(2x, 2y): check the top-left pixel's bytes
+    val resized = MediaCodecs.resizePpm(src, 2)
+    val rasterOff = resized.length - 4 * 3 * 3
+    assert(resized(rasterOff) === rgb(0), "top-left pixel must be src(0,0)")
+    // factor 1 is identity on the raster
+    val id = MediaCodecs.decodePpm(MediaCodecs.resizePpm(src, 1))
+    assert(id.width === 7 && id.height === 5 &&
+      id.meanLuma === MediaCodecs.decodePpm(src).meanLuma)
+  }
+
+  test("frameSamples: stride-5 expansion emits ceil(n/5) rows with 40ms timestamps") {
+    val media = Multimodal.fromDocuments(spark, sf)
+    val samples = Multimodal.frameSamples(media, 5).toDF().cache()
+    val videos = Multimodal.features(spark, sf).filter(col("modality") === "video")
+      .select(col("doc_id"), col("n_frames"))
+    val joined = samples.groupBy("doc_id").count().join(videos, "doc_id")
+    assert(joined.filter(col("count") =!=
+      ceil(col("n_frames").cast("double") / 5)).isEmpty, "wrong sample count")
+    assert(samples.filter(col("ts_ms") =!= col("frame_idx") * 40).isEmpty)
+    assert(samples.filter(col("frame_idx") % 5 =!= 0).isEmpty)
+    samples.unpersist()
+  }
 }
