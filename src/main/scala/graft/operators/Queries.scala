@@ -3054,22 +3054,39 @@ object Queries {
 
   // ---------------------------------------------------------------- X50
   /** EQUI-DEPTH HISTOGRAM — the other histogram (x28 is equi-width): eight
-    * buckets holding ~equal row counts, bounded by the 12.5%-step
-    * `percentile_disc` cuts. Discrete percentiles pick ACTUAL data values
-    * (2-decimal prices), so the cut points — and therefore every bucket
-    * assignment — are exact decimals with no interpolation ulp risk; both
-    * engines agree value-for-value (gated at all 3 SFs). Plan shape: one
-    * percentile aggregation (Spark's sort-free percentile_disc agg), the
-    * 7-value cut row broadcast, then a pure map-side bucket kernel and ONE
-    * groupBy — the same cost as any histogram, scale-free. Equi-depth
-    * bounds are what an optimizer's selectivity estimation and a range
-    * partitioner's splits are built from. */
+    * buckets holding ~equal row counts, bounded by the 12.5%-step discrete
+    * percentiles (the value at sorted position ⌈n·q⌉ — DuckDB
+    * quantile_disc / SQL percentile_disc semantics). Discrete percentiles
+    * pick ACTUAL data values (2-decimal prices), so the cut points — and
+    * therefore every bucket assignment — are exact decimals with no
+    * interpolation ulp risk. The cuts are computed by a DISTRIBUTED exact
+    * selection, not Spark's percentile_disc aggregate (which buffers every
+    * value in one task — measured 11 s at sf0.1 vs ~1 s for this plan):
+    * range-repartition on the value, per-partition ranks (a PARTITIONED
+    * window), 32-row partition offsets, then global rank = offset + local
+    * rank and cut(q) = min price with rank ≥ ⌈n·q⌉ — one aggregate. Each
+    * stage is shuffle-bounded and survives any n. Equi-depth bounds are
+    * what selectivity estimation and range-partitioner splits are built
+    * from. */
   private def x50(spark: SparkSession, dir: String): DataFrame = {
     val qs = (1 to 7).map(_ * 0.125)
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("price"))
-    val cuts = li.agg(
-      array(qs.map(q =>
-        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY price)")): _*).as("cs"))
+    val nDf = li.agg(count(lit(1)).as("n"))
+    val parts = li.repartitionByRange(32, col("price"))
+      .withColumn("pid", spark_partition_id())
+    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .withColumn("offset", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val wRank = Window.partitionBy(col("pid")).orderBy(col("price"))
+    val cuts = parts
+      .withColumn("lrn", row_number().over(wRank))
+      .join(broadcast(offsets), "pid")
+      .withColumn("grank", col("offset") + col("lrn"))
+      .crossJoin(broadcast(nDf))
+      .agg(array(qs.map(q =>
+        min(when(col("grank") >= expr(s"cast(ceil(n * $q) as bigint)"), col("price")))): _*)
+        .as("cs"))
     li.join(broadcast(cuts))
       .withColumn("bucket", expr("cast(size(filter(cs, c -> price > c)) as int)"))
       .groupBy(col("bucket"))
@@ -3139,6 +3156,54 @@ object Queries {
       |    / (1000.0 * 48) AS luma
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- Q33
+  /** REFERENTIAL-INTEGRITY AUDIT — the warehouse data-quality sweep (dbt
+    * relationship tests, Deequ-style): every foreign-key edge of the star
+    * schema checked by an ANTI join, reporting orphan counts and rates.
+    * Clean data reports zeros — the report being hash-gated is the point
+    * (a regression that drops FK integrity flips the gate); the spec
+    * corrupts a copy in-memory and proves the same plan detects it. Each
+    * edge is one broadcast/shuffled anti join + a 1-row count — the
+    * cheapest possible audit shape, and at 100 TB the parent key sets are
+    * the broadcast side. */
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck)).join(parent.select(col(pk)),
+          col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .crossJoin(child.agg(count(lit(1)).as("n_total")))
+        .select(lit(name).as("fk"), col("n_orphans"), col("n_total"),
+          round(col("n_orphans").cast(DoubleType) / col("n_total"), 6).as("orphan_rate"))
+    val li = Tables.lineitem(spark, dir)
+    edge("orders->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey")
+      .unionByName(edge("lineitem->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"))
+      .unionByName(edge("lineitem->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+  }
+
+  private val q33Sql =
+    """SELECT 'orders->customer' AS fk, CAST(count(*) AS BIGINT) AS n_orphans,
+      |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_total,
+      |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM orders), 6) AS orphan_rate
+      |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'lineitem->orders', count(*), (SELECT count(*) FROM lineitem),
+      |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM lineitem), 6)
+      |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem->part', count(*), (SELECT count(*) FROM lineitem),
+      |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM lineitem), 6)
+      |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      |UNION ALL
+      |SELECT 'lineitem->supplier', count(*), (SELECT count(*) FROM lineitem),
+      |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM lineitem), 6)
+      |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -3171,6 +3236,8 @@ object Queries {
       "the spark.sql text interface: CTE + 3-way join + decimal agg + rank window"),
     Q("q31_funnel", q31, Some(q31Sql),
       "funnel analysis: ordered 3-step sequence detection with 48h stage windows"),
+    Q("q33_integrity_audit", q33, Some(q33Sql),
+      "referential-integrity audit: per-FK orphan counts/rates via anti joins"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -349,6 +349,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("q33: the audit is green on clean data and detects an injected orphan") {
+    val clean = run("q33_integrity_audit")
+    assert(clean.filter(col("n_orphans") =!= 0).isEmpty, "clean fixtures must audit green")
+    // corrupt a copy: remap one order's custkey to an id that cannot exist,
+    // then run the same anti-join shape — the audit must catch exactly it
+    val orders = graft.operators.Tables.orders(spark, sf)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") === 7, lit(-999L)).otherwise(col("o_custkey")))
+    val orphans = orders.select(col("o_custkey"))
+      .join(graft.operators.Tables.customer(spark, sf).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .count()
+    assert(orphans === 1L, s"injected orphan not detected (got $orphans)")
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
