@@ -3204,6 +3204,104 @@ object Queries {
       |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM lineitem), 6)
       |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)""".stripMargin
 
+  // ---------------------------------------------------------------- Q34
+  /** ROLLING WINDOW STATISTICS — 7-day moving average and volatility of
+    * daily spend per user over q29's gap-filled calendar grid (gap days
+    * count as 0 — that is what a calendar-window metric means). The frame
+    * sums run over integer CENTS (exact, order-free) and the mean/σ are
+    * fixed-order IEEE on top — the q18/x48 moments recipe applied to
+    * sliding frames. One shuffle by user; frames never leave the
+    * partition. This is the feature-engineering primitive behind every
+    * "7d_avg_spend"-style training feature. */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(dec(col("value"))).as("spend_dec"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-6, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("cents", coalesce(round(col("spend_dec") * 100, 0), lit(0)).cast(LongType))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("ss", sum(col("cents") * col("cents")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mean", (col("s").cast(DoubleType) / col("n")) / lit(100.0))
+      .select(col("user_id"), col("day"),
+        round(col("mean"), 6).as("roll_avg"),
+        round(sqrt(greatest(
+          (col("ss").cast(DoubleType) / col("n")) / lit(10000.0) - col("mean") * col("mean"),
+          lit(0.0))), 6).as("roll_std"),
+        col("n").cast(IntegerType).as("n_days"))
+  }
+
+  private val q34Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS spend_dec
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |         FROM span),
+      |j AS (SELECT g.user_id, g.day,
+      |        CAST(coalesce(round(d.spend_dec * 100), 0) AS BIGINT) AS cents
+      |      FROM grid g LEFT JOIN daily d USING (user_id, day)),
+      |r AS (SELECT user_id, day,
+      |        sum(cents) OVER w AS s, sum(cents * cents) OVER w AS ss,
+      |        count(*) OVER w AS n
+      |      FROM j WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, day,
+      |  round((CAST(s AS DOUBLE) / n) / 100.0, 6) AS roll_avg,
+      |  round(sqrt(greatest((CAST(ss AS DOUBLE) / n) / 10000.0
+      |    - ((CAST(s AS DOUBLE) / n) / 100.0) * ((CAST(s AS DOUBLE) / n) / 100.0), 0.0)), 6) AS roll_std,
+      |  CAST(n AS INT) AS n_days
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- X53
+  /** NULL IMPUTATION by group statistic — the feature-cleaning step before
+    * any numeric feature reaches training: values knocked out by a
+    * deterministic corruption rule (event_id % 13 = 0, mirroring x22's
+    * planted-PII pattern) are filled with their event type's LOWER MEDIAN
+    * (percentile-disc semantics — an actual data value, no interpolation),
+    * computed per group over the surviving values. Group medians via the
+    * x50 selection recipe collapsed to a per-group window rank (groups are
+    * the partition key, so the rank window is fully distributed); the
+    * k-group median table broadcasts back. Flags carried so downstream can
+    * weight imputed rows. */
+  private def x53(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 13 === 0, lit(null)).otherwise(col("value")).as("value"))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wCnt = Window.partitionBy(col("event_type"))
+    val medians = ev.filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wCnt))
+      .filter(col("rn") === expr("(n + 1) div 2")) // lower median: ceil(n/2), integer div
+      .select(col("event_type"), col("value").as("group_median"))
+    ev.join(broadcast(medians), "event_type")
+      .select(col("event_id"), col("event_type"),
+        col("value").isNull.as("imputed"),
+        coalesce(col("value"), col("group_median")).as("value_filled"),
+        col("group_median"))
+  }
+
+  private val x53Sql =
+    """WITH ev AS (SELECT event_id, event_type,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+      |  FROM events),
+      |m AS (SELECT event_type, value AS group_median FROM (
+      |    SELECT event_type, value,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM ev WHERE value IS NOT NULL) t
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT event_id, ev.event_type, value IS NULL AS imputed,
+      |  coalesce(value, group_median) AS value_filled, group_median
+      |FROM ev JOIN m ON ev.event_type = m.event_type""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -3238,6 +3336,10 @@ object Queries {
       "funnel analysis: ordered 3-step sequence detection with 48h stage windows"),
     Q("q33_integrity_audit", q33, Some(q33Sql),
       "referential-integrity audit: per-FK orphan counts/rates via anti joins"),
+    Q("q34_rolling_stats", q34, Some(q34Sql),
+      "7-day rolling avg/volatility per user over the gap-filled grid (exact cents frames)"),
+    Q("x53_imputation", x53, Some(x53Sql),
+      "null imputation by group lower-median (percentile-disc semantics), flags carried"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

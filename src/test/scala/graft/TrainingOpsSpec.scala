@@ -364,6 +364,31 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphans === 1L, s"injected orphan not detected (got $orphans)")
   }
 
+  test("q34: rolling windows warm up 1..7 then stay at 7; volatility of constants is ~0") {
+    val df = run("q34_rolling_stats").cache()
+    assert(df.filter(col("n_days") < 1 || col("n_days") > 7).isEmpty)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("day")
+    val warm = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7 && col("n_days") =!= col("rn"))
+    assert(warm.isEmpty, "warm-up frame width must equal the row's position")
+    assert(df.filter(col("roll_std") < 0).isEmpty)
+    df.unpersist()
+  }
+
+  test("x53: exactly the corrupted rows are imputed, with their group's median") {
+    val df = run("x53_imputation").cache()
+    assert(df.filter(col("imputed") =!= (col("event_id") % 13 === 0)).isEmpty)
+    assert(df.filter(col("value_filled").isNull).isEmpty, "imputation left a null behind")
+    assert(df.filter(col("imputed") && col("value_filled") =!= col("group_median")).isEmpty)
+    // the median really is a median: within each group, at least half the
+    // surviving values sit at or below it
+    val check = df.filter(!col("imputed")).groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("value_filled") <= col("group_median"), 1).otherwise(0)).as("le"))
+    assert(check.filter(col("le") * 2 < col("n")).isEmpty, "group median not a median")
+    df.unpersist()
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
