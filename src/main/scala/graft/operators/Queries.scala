@@ -3302,6 +3302,40 @@ object Queries {
       |  coalesce(value, group_median) AS value_filled, group_median
       |FROM ev JOIN m ON ev.event_type = m.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- X54
+  /** TRAIN/VAL/TEST SPLIT — deterministic 80/10/10 partitioning by a
+    * content-addressed hash bucket (md5(text) % 100, the x18/x42 recipe):
+    * the same document lands in the same split on every run, every
+    * engine, every partitioning — the property that keeps eval sets
+    * uncontaminated across pipeline re-runs (a seeded RNG split silently
+    * reshuffles when row order changes; a content hash cannot). Output is
+    * the split manifest: per (split, lang) counts and within-split shares
+    * — the balance check run before any training job. Map-side bucket +
+    * one aggregation + a 3-row broadcast of split totals. */
+  private def x54(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables.documents(spark, dir)
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType), lit(100L)))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+    val perCell = bucketed.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n_docs"))
+    val totals = perCell.groupBy(col("split")).agg(sum(col("n_docs")).as("n_split"))
+    perCell.join(broadcast(totals), "split")
+      .select(col("split"), col("lang"), col("n_docs"), col("n_split"),
+        round(col("n_docs").cast(DoubleType) / col("n_split"), 6).as("lang_share"))
+  }
+
+  private val x54Sql =
+    """WITH b AS (SELECT lang,
+      |    CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+      |         WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |cell AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1, 2),
+      |tot AS (SELECT split, sum(n_docs) AS n_split FROM cell GROUP BY 1)
+      |SELECT cell.split, lang, n_docs, n_split,
+      |  round(CAST(n_docs AS DOUBLE) / n_split, 6) AS lang_share
+      |FROM cell JOIN tot ON cell.split = tot.split""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -3340,6 +3374,8 @@ object Queries {
       "7-day rolling avg/volatility per user over the gap-filled grid (exact cents frames)"),
     Q("x53_imputation", x53, Some(x53Sql),
       "null imputation by group lower-median (percentile-disc semantics), flags carried"),
+    Q("x54_train_split", x54, Some(x54Sql),
+      "deterministic content-addressed 80/10/10 split with per-split language balance"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

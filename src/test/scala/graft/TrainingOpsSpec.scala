@@ -389,6 +389,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x54: splits cover every doc disjointly at roughly 80/10/10") {
+    val df = run("x54_train_split").cache()
+    val total = df.agg(sum("n_docs")).head.getLong(0)
+    assert(total === graft.operators.Tables.documents(spark, sf).count(),
+      "splits must partition the corpus")
+    val bySplit = df.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // hash buckets approximate the quota; at 500 docs allow a wide band
+    assert(bySplit("train").toDouble / total > 0.7 && bySplit("train").toDouble / total < 0.9)
+    // shares sum to 1 within each split
+    val sums = df.groupBy("split").agg(round(sum("lang_share"), 4).as("s"))
+    assert(sums.filter(abs(col("s") - 1.0) > 0.001).isEmpty)
+    df.unpersist()
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
