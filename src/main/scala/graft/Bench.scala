@@ -51,7 +51,14 @@ object Bench {
     val qs = results.map { case (k, m, _) => "\"" + k + "\":" + jnum(m) }.mkString("{", ",", "}")
     val spread = results.map { case (k, _, s) => "\"" + k + "\":" + jnum(s) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"median_of_$reps","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"median_of_$reps","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    println(line)
+    // the full per-query map also lands in a FILE: stdout capture truncated
+    // the round-4 artifact to 69/104 queries, and the file is what keeps
+    // BASELINE.md prose honest (quote the artifact, never a side run)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

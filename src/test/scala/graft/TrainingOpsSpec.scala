@@ -399,10 +399,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bySplit.keySet === Set("train", "val", "test"))
     // hash buckets approximate the quota; at 500 docs allow a wide band
     assert(bySplit("train").toDouble / total > 0.7 && bySplit("train").toDouble / total < 0.9)
-    // shares sum to 1 within each split
-    val sums = df.groupBy("split").agg(round(sum("lang_share"), 4).as("s"))
-    assert(sums.filter(abs(col("s") - 1.0) > 0.001).isEmpty)
+    // integer micro-shares sum to 10⁶ within each split, up to the floor
+    // division's per-language remainder (< 1 micro each)
+    val sums = df.groupBy("split").agg(sum("share_micros").as("s"), count(lit(1)).as("k"))
+    assert(sums.filter(col("s") > 1000000L || col("s") <= lit(1000000L) - col("k")).isEmpty)
     df.unpersist()
+  }
+
+  test("minLabelComponents: 64-link chain converges in O(log) rounds, correct labels") {
+    // a single path 1-2-...-64: the worst case for plain min-label
+    // propagation (63 rounds); pointer jumping must close it in ≤ 10
+    val n = 64
+    val fwd = spark.range(1, n).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val (labels, rounds) = Queries.minLabelComponents(edges)
+    assert(rounds <= 10, s"expected O(log n) rounds, got $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert(got.values.forall(_ == 1L), "every node must take the component min label")
   }
 
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
