@@ -55,8 +55,17 @@ object Bench {
     println(line)
     // the full per-query map also lands in a FILE: stdout capture truncated
     // the round-4 artifact to 69/104 queries, and the file is what keeps
-    // BASELINE.md prose honest (quote the artifact, never a side run)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // BASELINE.md prose honest (quote the artifact, never a side run).
+    // Default path is anchored to the repo root (where build.sbt lives) so
+    // a JVM launched from elsewhere doesn't scatter artifacts; the file is
+    // gitignored — round closes copy it to BENCH_LOCAL_r{N}.json.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val cwd = java.nio.file.Paths.get("").toAbsolutePath
+      val root = Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(cwd)
+      root.resolve("BENCH_LOCAL.json").toString
+    })
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -20,14 +20,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object PipelineCache {
   private val built =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
   def shared(spark: SparkSession, key: String, dir: String)(
       build: => DataFrame): DataFrame = {
-    val k = (System.identityHashCode(spark.sparkContext), key, dir)
+    // applicationId is unique per SparkContext (identityHashCode could
+    // collide after a GC'd context); reusing it in the path means a new
+    // session overwrites the stable per-app location instead of
+    // accumulating orphaned hex-suffixed dirs
+    val k = (spark.sparkContext.applicationId, key, dir)
     val path = built.getOrElseUpdate(k, {
       val out = Files.createDirectories(Paths.get("target", "graft-shared"))
-        .resolve(s"$key-${Integer.toHexString(k.hashCode())}").toString
+        .resolve(s"$key-${k._1}-${Integer.toHexString(dir.hashCode)}").toString
       build.write.mode("overwrite").parquet(out)
       out
     })

@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** The batteries-included operator/query library declared in SURVEY.md §2.3
   * (Q-series) and §2.4 (X-series LLM-data-pipeline extensions), expressed
@@ -1344,17 +1345,26 @@ object Queries {
     * round with zero jump overhead. Each round: one equi-join + one
     * aggregation (+ the label self-join from round 2), all linear in
     * |edges|, and ONE driver scalar (changed count) whose action also
-    * materializes the round's cache so the next round reads cache, not a
-    * growing lineage. Returns (labels, rounds). */
+    * materializes the round's labels AS A LEAF PLAN. The leaf rebuild is
+    * load-bearing, not an optimization: each round references the previous
+    * `labels` THREE times (neighbor-min, base, jump), so without lineage
+    * truncation the analyzed logical plan grows ~3^rounds — persist()
+    * caches data but Spark still renders the FULL plan string per action,
+    * which OOMs the driver on multi-round inputs long before the data
+    * does. Rebuilding from the materialized RDD keeps the per-round plan
+    * O(1) (the public-API equivalent of localCheckpoint, with an RDD
+    * handle we can unpersist exactly). Returns (labels, rounds). */
   private[graft] def minLabelComponents(edges0: DataFrame): (DataFrame, Int) = {
+    val spark = edges0.sparkSession
     val edges = edges0.toDF("src", "dst").persist()
     // round 0 fused into initialization: label = min(self, direct neighbors)
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("lbl")).persist()
-    // `labels` is a DERIVED view of the persisted `merged` after round 1,
-    // so unpersisting targets the BACKING frame — otherwise every round's
-    // cache leaks for the life of the query
-    var backing = labels
+    // handles to the previous round's materialization so each round can
+    // free EXACTLY its predecessor — otherwise every round's cache leaks
+    // for the life of the query
+    var backingDf: DataFrame = labels
+    var backingRdd: org.apache.spark.rdd.RDD[Row] = null
     var changed = true
     var rounds = 0
     while (changed && rounds < 20) {
@@ -1365,23 +1375,26 @@ object Queries {
         if (rounds == 0) base.withColumn("jlbl", col("lbl"))
         else base.join(
           labels.select(col("src").as("lbl"), col("lbl").as("jlbl")), Seq("lbl"), "left")
-      val merged = jumped.select(col("src"), col("lbl"),
+      val mergedPlan = jumped.select(col("src"), col("lbl"),
         least(col("lbl"),
           coalesce(col("nlbl"), col("lbl")),
           coalesce(col("jlbl"), col("lbl"))).as("lbl2"))
-        .persist()
+      // lineage cut: persist the round's ROWS, then re-enter SQL through a
+      // leaf LogicalRDD — the next round's plan starts here, not at round 0
+      val rdd = mergedPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val merged = spark.createDataFrame(rdd, mergedPlan.schema)
       // full count, deliberately: it materializes EVERY partition of the
-      // persisted frame AND is the convergence scalar (labels are monotone
+      // persisted RDD AND is the convergence scalar (labels are monotone
       // decreasing, so zero strict drops ⇔ fixpoint — no extra round)
       changed = merged.filter(col("lbl2") < col("lbl")).count() > 0
-      backing.unpersist()
-      backing = merged
+      if (backingRdd != null) backingRdd.unpersist() else backingDf.unpersist()
+      backingRdd = rdd
       labels = merged.select(col("src"), col("lbl2").as("lbl"))
       rounds += 1
       if (sys.env.contains("GRAFT_TIMING"))
         println(s"[cc] round $rounds changed=$changed")
     }
-    // the final backing frame stays cached (one row per node — bounded, and
+    // the final round's RDD stays cached (one row per node — bounded, and
     // the caller's action reads it); edges are no longer needed
     edges.unpersist()
     (labels, rounds)
@@ -3092,41 +3105,64 @@ object Queries {
     * quantile_disc / SQL percentile_disc semantics). Discrete percentiles
     * pick ACTUAL data values (2-decimal prices), so the cut points — and
     * therefore every bucket assignment — are exact decimals with no
-    * interpolation ulp risk. The cuts are computed by a DISTRIBUTED exact
+    * interpolation ulp risk. The cuts come from a DISTINCT-VALUE HISTOGRAM
     * selection, not Spark's percentile_disc aggregate (which buffers every
-    * value in one task — measured 11 s at sf0.1 vs ~1 s for this plan):
-    * range-repartition on the value, per-partition ranks (a PARTITIONED
-    * window), 32-row partition offsets, then global rank = offset + local
-    * rank and cut(q) = min price with rank ≥ ⌈n·q⌉ — one aggregate. Each
-    * stage is shuffle-bounded and survives any n. Equi-depth bounds are
-    * what selectivity estimation and range-partitioner splits are built
-    * from. */
+    * raw value in one task — measured 11 s at sf0.1 vs ~1 s for this
+    * plan): one map-side-combined groupBy collapses the corpus to
+    * (price, count), a cumulative-count window runs over DISTINCT values
+    * only, and cut(q) = min price whose cumulative count reaches ⌈n·q⌉.
+    * The window's single partition is bounded by the DECIMAL(8,2) price
+    * DOMAIN (≤ ~10M narrow rows at ANY table size — domain-bounded, not
+    * data-bounded), so the plan holds at 100 TB; the corpus-sized passes
+    * (histogram build, bucket assignment) are map-side. Fully
+    * deterministic: no RangePartitioner sampling anywhere — the r5
+    * range-partition plan needed a persist() just to pin the sampler seed,
+    * and paid a materialization plus a second scan for it. Equi-depth
+    * bounds are what selectivity estimation and range-partitioner splits
+    * are built from. */
   private def x50(spark: SparkSession, dir: String): DataFrame = {
     val qs = (1 to 7).map(_ * 0.125)
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("price"))
-    val nDf = li.agg(count(lit(1)).as("n"))
-    // persisted, deliberately: TWO subtrees below (offsets and ranks) read
-    // `parts`, and RangePartitioner samples with a per-instantiation seed —
-    // unpersisted, the two evaluations could place boundary rows in
-    // different pids, making offset+local-rank an incorrect global rank
-    val parts = li.repartitionByRange(32, col("price"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    val wOff = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parts.groupBy(col("pid")).agg(count(lit(1)).as("c"))
-      .withColumn("offset", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .select(col("pid"), col("offset"))
-    val wRank = Window.partitionBy(col("pid")).orderBy(col("price"))
-    val cuts = parts
-      .withColumn("lrn", row_number().over(wRank))
-      .join(broadcast(offsets), "pid")
-      .withColumn("grank", col("offset") + col("lrn"))
-      .crossJoin(broadcast(nDf))
-      .agg(array(qs.map(q =>
-        min(when(col("grank") >= expr(s"cast(ceil(n * $q) as bigint)"), col("price")))): _*)
-        .as("cs"))
-    li.join(broadcast(cuts))
-      .withColumn("bucket", expr("cast(size(filter(cs, c -> price > c)) as int)"))
+    // DISTINCT-VALUE HISTOGRAM selection (r6, replacing the r5
+    // range-partition + offsets + local-rank plan): one map-side-combined
+    // groupBy collapses the corpus to its distinct prices with counts;
+    // cut(q) = min price whose cumulative count reaches ⌈n·q⌉ — the exact
+    // percentile_disc value. Fully DETERMINISTIC (no RangePartitioner
+    // sampling seed anywhere — the r5 persist() existed only to pin that
+    // seed, and cost a materialization plus a second scan). The cumsum
+    // window is single-partition over DISTINCT values only: bounded by the
+    // DECIMAL(8,2) price DOMAIN (≤ ~10M rows at ANY table size — domain-
+    // bounded, not data-bounded), narrow (value, count), so it holds at
+    // 100 TB; the corpus-sized passes are the two scans (histogram build,
+    // bucket assignment), both map-side against a broadcast.
+    // n first, as its own action: a bare count() resolves from parquet
+    // row-group STATS (no data scan, ~0.1 s), and inlining n as a literal
+    // removes an entire second WindowExec pass over the distinct values
+    // (the unboundedPreceding..unboundedFollowing total-sum frame cost
+    // ~0.4 s of the old plan). Target ranks are exact integers:
+    // ceil(n·k/8) = (n·k + 7) div 8 — no float ceil, no ulp risk.
+    val n = li.count()
+    val wCum = Window.orderBy(col("price")).rowsBetween(Window.unboundedPreceding, 0)
+    // cuts as 7 SCALAR columns, not an array: the bucket assignment below
+    // is then a sum of plain comparisons — fully codegen'd. (The first
+    // draft used size(filter(cs, c -> price > c)); higher-order-function
+    // expressions are interpreted per row and break the whole-stage span —
+    // measured 1.0 s of the query on the lambda alone.)
+    val cutCols = qs.indices.map { i =>
+      min(when(col("cum") >= lit((n * (i + 1) + 7) / 8), col("price"))).as(s"cut$i")
+    }
+    // The second driver action fetches the 7 cut scalars and pins them as
+    // LITERALS in the assignment scan — metadata-scale (the x2 df-cap /
+    // x41 bloom-literal pattern): a broadcast join of the 1-row cut frame
+    // would run as BroadcastNestedLoopJoin, which breaks whole-stage
+    // codegen (measured +0.5 s on the 600 k-row pass)
+    val cutsRow = li.groupBy(col("price")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .agg(cutCols.head, cutCols.tail: _*)
+      .head()
+    li.withColumn("bucket", qs.indices
+        .map(i => when(col("price") > lit(cutsRow.get(i)), 1).otherwise(0))
+        .reduce(_ + _).cast(IntegerType))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), min(col("price")).as("lo"), max(col("price")).as("hi"))
   }
@@ -3363,7 +3399,7 @@ object Queries {
     val totals = perCell.groupBy(col("split")).agg(sum(col("n_docs")).as("n_split"))
     perCell.join(broadcast(totals), "split")
       .select(col("split"), col("lang"), col("n_docs"), col("n_split"),
-        expr("(n_docs * 1000000L) div n_split").as("share_micros"))
+        expr("(n_docs * 1000000L) div n_split").as("share_ppm"))
   }
 
   private val x54Sql =
@@ -3375,7 +3411,7 @@ object Queries {
       |cell AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1, 2),
       |tot AS (SELECT split, sum(n_docs) AS n_split FROM cell GROUP BY 1)
       |SELECT cell.split, lang, n_docs, n_split,
-      |  CAST((n_docs * 1000000) // n_split AS BIGINT) AS share_micros
+      |  CAST((n_docs * 1000000) // n_split AS BIGINT) AS share_ppm
       |FROM cell JOIN tot ON cell.split = tot.split""".stripMargin
 
   // ================================================================ registry

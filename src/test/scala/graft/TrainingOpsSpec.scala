@@ -186,9 +186,18 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bloomed === plain, "bloom pre-filter changed the exact join result")
   }
 
-  test("x46: projection is 16-dim, deterministic, and roughly norm-preserving") {
+  test("x46: projection is 16 scalar dims, deterministic, and roughly norm-preserving") {
     val df = run("x46_random_projection").cache()
-    assert(df.filter(size(col("proj")) =!= 16).isEmpty)
+    val pCols = (0 until 16).map(i => s"p$i")
+    // all 16 scalar dims present (schema) and non-null long values
+    assert(pCols.forall(df.columns.contains), "p0..p15 scalar columns missing")
+    assert(df.filter(pCols.map(c => col(c).isNull).reduce(_ || _)).isEmpty)
+    // proj_norm is exactly re-derivable from the scalar dims (same longs,
+    // same sqrt, same rounding — bit-identical doubles)
+    val sumSq = pCols.map(c => col(c) * col(c)).reduce(_ + _)
+    val rederived = round(sqrt(sumSq.cast("double")) / 1e6, 6)
+    assert(df.filter(rederived =!= col("proj_norm")).isEmpty,
+      "proj_norm inconsistent with p0..p15")
     // deterministic: a second run produces the identical rows
     val again = run("x46_random_projection")
     assert(df.exceptAll(again).isEmpty && again.exceptAll(df).isEmpty)
@@ -401,7 +410,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bySplit("train").toDouble / total > 0.7 && bySplit("train").toDouble / total < 0.9)
     // integer micro-shares sum to 10⁶ within each split, up to the floor
     // division's per-language remainder (< 1 micro each)
-    val sums = df.groupBy("split").agg(sum("share_micros").as("s"), count(lit(1)).as("k"))
+    val sums = df.groupBy("split").agg(sum("share_ppm").as("s"), count(lit(1)).as("k"))
     assert(sums.filter(col("s") > 1000000L || col("s") <= lit(1000000L) - col("k")).isEmpty)
     df.unpersist()
   }
