@@ -57,6 +57,18 @@ object JavaSerFormat {
     finally out.close()
   }
 
+  /** Defense-in-depth on top of the trusted-bytes contract: the stream
+    * only ever NEEDS schema + row classes, so deserialization is pinned to
+    * that allowlist (JDK value classes, scala runtime/collections, Spark
+    * SQL types/rows) and everything else is rejected before instantiation
+    * — a tampered artifact can't smuggle a gadget class through the read
+    * path. `**` matches subpackages, `*` one package, `!*` rejects the
+    * rest; maxdepth bounds nested-object DoS. */
+  private[io] val serialFilter: java.io.ObjectInputFilter =
+    java.io.ObjectInputFilter.Config.createFilter(
+      "maxdepth=64;java.lang.*;java.math.*;java.time.**;java.sql.*;java.util.*;" +
+        "scala.**;org.apache.spark.sql.**;org.apache.spark.unsafe.types.*;!*")
+
   private def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "no data: cannot read an artifact with no partitions")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -65,6 +77,7 @@ object JavaSerFormat {
     for (pathStr <- paths) {
       val p = new Path(pathStr)
       val in = new ObjectInputStream(p.getFileSystem(conf).open(p))
+      in.setObjectInputFilter(serialFilter)
       try {
         schema = in.readObject().asInstanceOf[StructType]
         all ++= in.readObject().asInstanceOf[Array[Row]]

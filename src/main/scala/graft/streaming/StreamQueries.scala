@@ -591,17 +591,28 @@ object StreamQueries {
   case class Scd2Closed(custkey: Long, version: Int, priority: String,
       valid_from_micros: Long, valid_to_micros: Long, n_orders: Long)
 
-  private def qs12(spark: SparkSession, dir: String): DataFrame = {
+  /** The order-change stream over a wave DIRECTORY — split out of qs12 so
+    * the checkpoint-recovery spec can point the same pipeline at its own
+    * incrementally-growing source dir. */
+  private[graft] def ordersStreamFrom(spark: SparkSession, srcDir: String): Dataset[OrdRow] = {
     import spark.implicits._
-    val ord: Dataset[OrdRow] = spark.readStream.schema(ordersRawSchema)
+    spark.readStream.schema(ordersRawSchema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "1")
-      .parquet(ordersWaves(spark, dir))
+      .parquet(srcDir)
       .select(col("o_custkey"), col("o_orderkey"),
         unix_micros(col("o_orderdate").cast(TimestampType)).as("dateMicros"),
         col("o_orderpriority").as("priority"))
       .as[OrdRow]
-    val closed = ord.groupByKey(_.o_custkey)
+  }
+
+  /** The SCD2 state machine — closed versions only, append-mode emission.
+    * Shared verbatim by qs12 and the restart/recovery spec: the WHOLE
+    * point of the recovery test is that this exact pipeline resumes from
+    * its checkpointed GroupState. */
+  private[graft] def scd2Closed(ord: Dataset[OrdRow]): DataFrame = {
+    import ord.sparkSession.implicits._
+    ord.groupByKey(_.o_custkey)
       .flatMapGroupsWithState[Scd2State, Scd2Closed](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (ck, rows, state: GroupState[Scd2State]) =>
@@ -621,12 +632,17 @@ object StreamQueries {
           if (st != null) state.update(st)
           out.iterator
       }
-    runToTable(spark, closed.toDF(), OutputMode.Append())
+      .toDF()
       .select(col("custkey"), col("version"), col("priority"),
         timestamp_micros(col("valid_from_micros")).cast(TimestampNTZType).as("valid_from"),
         timestamp_micros(col("valid_to_micros")).cast(TimestampNTZType).as("valid_to"),
         col("n_orders"))
   }
+
+  private def qs12(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark,
+      scd2Closed(ordersStreamFrom(spark, ordersWaves(spark, dir))),
+      OutputMode.Append())
 
   private val qs12Sql =
     """WITH src AS (

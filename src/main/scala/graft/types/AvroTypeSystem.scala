@@ -227,7 +227,7 @@ object AvroTypeSystem {
     case x: ACollection => x.copy(nullable = v)
   }
 
-  private def setDescription(t: ArtiType, d: String): ArtiType = t match {
+  private[types] def setDescription(t: ArtiType, d: String): ArtiType = t match {
     case x: ABinary => x.copy(description = Some(d))
     case x: ABoolean => x.copy(description = Some(d))
     case x: ADate => x.copy(description = Some(d))

@@ -87,4 +87,34 @@ class JavaSerSpec extends AnyFunSuite with BeforeAndAfterAll {
       IO.write(df, JavaSerFormat.JavaSer, storage, part) // no overwrite flag
     }
   }
+
+  test("deserialization filter rejects classes outside the schema/row allowlist") {
+    // a hand-forged artifact that smuggles a non-allowlisted (but
+    // perfectly Serializable) JDK class where the Row array belongs — the
+    // filter must kill it BEFORE instantiation, not after
+    val p = dir.resolve("forged.ser")
+    val out = new java.io.ObjectOutputStream(Files.newOutputStream(p))
+    try {
+      out.writeObject(org.apache.spark.sql.types.StructType(Nil))
+      out.writeObject(new java.net.InetSocketAddress("localhost", 1))
+    } finally out.close()
+    val storage = FileStorage(PathTemplate(p.toString, Map.empty))
+    val ex = intercept[Exception] {
+      IO.read(spark, JavaSerFormat.JavaSer, storage,
+        Seq(StoragePartition(p.toString, Map.empty))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.isInstanceOf[java.io.InvalidClassException]),
+      s"expected InvalidClassException from the filter, got: $ex")
+    // and the legitimate schema+rows path still reads (filter not over-broad)
+    val okPath = dir.resolve("legit.ser").toString
+    val df = spark.range(3).toDF("v")
+    IO.write(df, JavaSerFormat.JavaSer, FileStorage(PathTemplate(okPath, Map.empty)),
+      StoragePartition(okPath, Map.empty))
+    val back = IO.read(spark, JavaSerFormat.JavaSer,
+      FileStorage(PathTemplate(okPath, Map.empty)),
+      Seq(StoragePartition(okPath, Map.empty)))
+    assert(back.collect().map(_.getLong(0)).sorted === Array(0L, 1L, 2L))
+  }
 }

@@ -1,9 +1,8 @@
 package graft
 
-import java.net.URI
 import java.nio.file.{Files, Path => JPath}
 
-import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,19 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.exec.LocalExecutor
 import graft.graph.{Artifact, Graph, MemoryBackend, Producer, RehydratedSnapshot}
 import graft.io.Format
-import graft.storage.{FileStorage, PathTemplate}
+import graft.storage.{FileStorage, MockFileSystem, PathTemplate}
 import graft.types.ArtiType._
-
-/** A second Hadoop FileSystem SCHEME backed by local disk: the no-egress
-  * stand-in for an object store (reference ships a GCS storage backend,
-  * src/arti/storage/google/cloud/storage.py:36-57 — the point under test is
-  * that NOTHING in the engine assumes `file://`: discovery globs, staged
-  * writes, publish renames, content hashing, and rehydrated reads all go
-  * through the `Path.getFileSystem(conf)` seam). */
-class MockFileSystem extends RawLocalFileSystem {
-  override def getScheme: String = "mock"
-  override def getUri: URI = URI.create("mock:///")
-}
 
 /** F21 — the storage seam proven on a non-file scheme: q13's spend graph
   * (raw orders → per-day spend → scalar total) runs ENTIRELY over

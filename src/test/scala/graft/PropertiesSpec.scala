@@ -177,4 +177,31 @@ class PropertiesSpec extends AnyFunSuite {
       AvroTypeSystem.toArti(AvroTypeSystem.toAvro(t)) == widen(t)
     })
   }
+
+  // ------------------------------------------------ Arrow adapter laws
+  import graft.types.ArrowTypeSystem
+
+  /** Arrow's normal form is near-identity (unsigned ints, float16, and the
+    * full second..nano temporal family are native): the ONLY normalization
+    * is the enum symbol rule — non-symbol items can't ride the
+    * comma-joined metadata, so the type degrades to its underlying
+    * (mirrors the Avro leg's symbol rule). */
+  private def arrowNormal(t: ArtiType): ArtiType = t match {
+    case x: AEnum =>
+      val symbolic = x.items.nonEmpty && x.underlying.isInstanceOf[AString] &&
+        x.items.forall { case s: String => s.matches("[A-Za-z_][A-Za-z0-9_]*"); case _ => false }
+      if (symbolic) AEnum(x.name, AString(), x.items, x.nullable)
+      else AString(x.nullable) // genScalar only builds string-underlying enums
+    case l: AList   => l.copy(element = arrowNormal(l.element))
+    case s: ASet    => s.copy(element = arrowNormal(s.element))
+    case m: AMap    => m.copy(key = arrowNormal(m.key), value = arrowNormal(m.value))
+    case s: AStruct => s.copy(fields = s.fields.map { case (n, f) => n -> arrowNormal(f) })
+    case other => other
+  }
+
+  test("Arrow adapter: toArti(toArrow(t)) == near-identity normal form for generated types") {
+    check("arrow-roundtrip-normalform", Prop.forAll(genType) { t =>
+      ArrowTypeSystem.toArti(ArrowTypeSystem.toArrow(t)) == arrowNormal(t)
+    })
+  }
 }
