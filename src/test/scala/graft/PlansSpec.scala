@@ -291,4 +291,21 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p39 = plan("x39_zorder_layout")
     assert(!p39.contains("CartesianProduct") && !p39.contains("SortMergeJoin"), p39)
   }
+
+  test("x50: the bucket pass is join-free literal comparisons inside codegen") {
+    // the r6 shape: cuts are fetched once (metadata-scale) and pinned as
+    // literals, so the corpus-sized assignment scan has NO join operator
+    // of any kind and stays inside one WholeStageCodegen span (the r5
+    // BroadcastNestedLoopJoin + interpreted higher-order filter() cost
+    // ~1.5 s of the query between them)
+    val df = Queries.byName("x50_equidepth_histogram").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"x50's final pass grew a join:\n$p")
+    assert(!p.contains("ArrayFilter") && !p.contains("LambdaFunction"),
+      s"interpreted HOF crept back into x50:\n$p")
+    assert(p.contains("*("), s"x50's scan left codegen:\n$p") // '*(n)' = codegen span
+    // and no RangePartitioner sampling anywhere — determinism by plan shape
+    assert(!p.contains("rangepartitioning"), s"x50 reintroduced sampled range partitioning:\n$p")
+  }
 }
