@@ -704,7 +704,13 @@ object Queries {
     // pipelined CPU, while caching it would materialize the widest frame
     // in the query three times over.
     val docs = shingledDocs.persist()
-    val posts = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    // set sizes do NOT ride the postings (r6): postings outnumber docs by
+    // the shingle count (~430x), so carrying n through the self-join
+    // shuffle costs ~430x more bytes than joining the per-doc sizes table
+    // onto the SMALL pair output afterwards — measured ~20% of the query
+    // locally, and the dominant shuffle at corpus scale
+    val sizes = docs.select(col("doc_id"), col("n"))
+    val posts = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // ADAPTIVE df-cap: one metadata-scale scalar (the hottest shingle's
     // document frequency) decides whether stop-shingle handling is needed.
     // Test corpora never trip it, so they run the plain inverted-index
@@ -713,11 +719,13 @@ object Queries {
     val dfs = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val maxDf = Option(dfs.agg(max(col("df"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     def pairCounts(p: DataFrame): DataFrame =
-      p.select(col("doc_id").as("doc_a"), col("n").as("na"), col("s"))
-        .join(p.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("s")), "s")
+      p.select(col("doc_id").as("doc_a"), col("s"))
+        .join(p.select(col("doc_id").as("doc_b"), col("s")), "s")
         .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
     if (maxDf <= cap) {
       // no stop-shingles anywhere → every pair count is exact
       pairCounts(posts)
