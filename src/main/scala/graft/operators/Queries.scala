@@ -3422,6 +3422,46 @@ object Queries {
       |  CAST((n_docs * 1000000) // n_split AS BIGINT) AS share_ppm
       |FROM cell JOIN tot ON cell.split = tot.split""".stripMargin
 
+  // ---------------------------------------------------------------- X55
+  /** EVENT-SEQUENCE (training-episode) CONSTRUCTION — the behavioral-
+    * pretraining shape: each user's event log becomes one ordered episode
+    * of its FIRST 32 events by (µs timestamp, event_id), emitted as a
+    * manifest row (length, time span, and the sha256 fingerprint of the
+    * ordered event-type sequence — the content address a sequence store
+    * would key on). Scale shape: the rank window is partitioned by
+    * user_id and filtered rn ≤ 32, so WindowGroupLimit prunes each
+    * user's tail map-side before the ordered collect (per-user state is
+    * ≤ 32 rows by construction, never the raw log), and the groupBy
+    * reuses the window's hash partitioning — one shuffle total. The
+    * in-group sort + fingerprint run over ≤ 32-element arrays (HOFs are
+    * fine off the corpus-sized path). Timestamps are compared at µs on
+    * both engines (the ns→µs floor is the documented oracle protocol). */
+  private def x55(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 32)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("seq_len"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"),
+        sha2(array_join(
+          expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+          " "), 256).as("seq_hash"))
+  }
+
+  private val x55Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |      FROM e)
+      |SELECT user_id, CAST(count(*) AS INT) AS seq_len,
+      |  min(us) AS first_us, max(us) AS last_us,
+      |  sha256(string_agg(event_type, ' ' ORDER BY rn)) AS seq_hash
+      |FROM r WHERE rn <= 32 GROUP BY user_id""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -3462,6 +3502,8 @@ object Queries {
       "null imputation by group lower-median (percentile-disc semantics), flags carried"),
     Q("x54_train_split", x54, Some(x54Sql),
       "deterministic content-addressed 80/10/10 split with per-split language balance"),
+    Q("x55_event_sequences", x55, Some(x55Sql),
+      "ordered training-episode construction: first-32 event sequence manifest per user (rank-pruned map-side)"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

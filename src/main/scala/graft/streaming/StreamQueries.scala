@@ -454,6 +454,44 @@ object StreamQueries {
     """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY text""".stripMargin
 
+  // --------------------------------------------------------------- QS14
+  /** Streaming STRATIFIED WEIGHTED RESERVOIR — x42's A-RES sampling as an
+    * ingest-time operator: documents arrive over micro-batches, each
+    * computes its content-addressed key map-side (md5-derived uniform,
+    * weight = n_chars, rounded 8dp — identical to x42), and a
+    * [[graft.functions.ReservoirK]] aggregation keeps AT MOST 20 entries
+    * of state per language across batches. Because the reservoir merge is
+    * associative/commutative under the exact key order, the final sample
+    * equals the batch global-sort result EXACTLY — same oracle as x42 —
+    * while state stays bounded at k·|strata| forever (the property that
+    * lets "sample by quality at ingest" run unbounded at 100 TB; a
+    * windowed top-k would need the whole corpus in state). */
+  private def qs14(spark: SparkSession, dir: String): DataFrame = {
+    val res = udaf(new graft.functions.ReservoirK(20))
+    val keyed = docsStream(spark, dir)
+      .withColumn("hv", conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType))
+      .withColumn("skey",
+        round(log((col("hv") + 0.5) / lit(281474976710656.0)) / col("n_chars"), 8))
+    val agged = keyed.groupBy(col("lang"))
+      .agg(res(col("skey"), col("doc_id"), col("n_chars")).as("reservoir"))
+    // explode on the drained table: the streaming plan stays one
+    // complete-mode aggregation with bounded per-group state
+    runToTable(spark, agged, OutputMode.Complete())
+      .select(col("lang"), posexplode(col("reservoir")).as(Seq("pos", "e")))
+      .select(col("lang"), col("e.doc_id").as("doc_id"), col("e.n_chars").as("n_chars"),
+        col("e.skey").as("skey"), (col("pos") + 1).cast(IntegerType).as("rnk"))
+  }
+
+  /** Same oracle as x42 — the equality IS the contract. */
+  private val qs14Sql =
+    """WITH t AS (SELECT doc_id, lang, n_chars,
+      |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv FROM documents),
+      |k AS (SELECT doc_id, lang, n_chars,
+      |    round(ln((hv + 0.5) / 281474976710656.0) / n_chars, 8) AS skey FROM t)
+      |SELECT lang, doc_id, n_chars, skey,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS INT) AS rnk
+      |FROM k QUALIFY rnk <= 20""".stripMargin
+
   // --------------------------------------------------------------- QS10
   /** Streaming CHUNK-dedup-on-ingest — x35's chunking composed with qs7's
     * cross-batch dedup state: documents arrive over three micro-batches,
@@ -802,5 +840,7 @@ object StreamQueries {
     Q("qs12_stream_scd2", qs12, Some(qs12Sql),
       "streaming SCD2/CDC merge: one open version per key in state, closed versions emitted append"),
     Q("qs13_stream_outer_join", qs13, Some(qs13Sql),
-      "stream-stream LEFT OUTER interval join: null-extended emission at watermark expiry"))
+      "stream-stream LEFT OUTER interval join: null-extended emission at watermark expiry"),
+    Q("qs14_stream_reservoir", qs14, Some(qs14Sql),
+      "streaming stratified A-RES reservoir: bounded k-per-stratum state, exactly equal to batch x42"))
 }

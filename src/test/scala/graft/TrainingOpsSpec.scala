@@ -100,6 +100,34 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("x55: episodes cap at 32, spans are ordered, and truncation is exact") {
+    val df = run("x55_event_sequences").cache()
+    assert(df.filter(col("seq_len") < 1 || col("seq_len") > 32).isEmpty)
+    assert(df.filter(col("first_us") > col("last_us")).isEmpty)
+    // the cap truncates exactly: users with >= 32 events get exactly 32,
+    // users below keep their whole log
+    val counts = graft.operators.Tables.events(spark, sf).groupBy("user_id").count()
+    val joined = df.join(counts, "user_id")
+    assert(joined.filter(col("count") >= 32 && col("seq_len") =!= 32).isEmpty)
+    assert(joined.filter(col("count") < 32 && col("seq_len") =!= col("count")).isEmpty)
+    // content-addressed: a rerun reproduces identical fingerprints
+    val again = run("x55_event_sequences")
+    assert(df.exceptAll(again).isEmpty && again.exceptAll(df).isEmpty)
+    df.unpersist()
+  }
+
+  test("qs14: the bounded streaming reservoir equals batch x42 exactly") {
+    // the merge-associativity contract: k-bounded cross-batch state picks
+    // the same winners as the global sort, in the same rank order
+    val streamed = run("qs14_stream_reservoir")
+      .select("lang", "doc_id", "n_chars", "skey", "rnk")
+      .orderBy("lang", "rnk").collect().toSeq
+    val batch = run("x42_weighted_sample")
+      .select("lang", "doc_id", "n_chars", "skey", "rnk")
+      .orderBy("lang", "rnk").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("qs11: streamed clean-on-ingest enforces its own gate and flags exactly the planted PII") {
     val df = run("qs11_stream_clean_ingest").cache()
     assert(df.filter(col("n_tokens") < 20 || col("quality_score") < 0.5).isEmpty,
