@@ -3422,6 +3422,67 @@ object Queries {
       |  CAST((n_docs * 1000000) // n_split AS BIGINT) AS share_ppm
       |FROM cell JOIN tot ON cell.split = tot.split""".stripMargin
 
+  // ---------------------------------------------------------------- X56
+  /** CROSS-SPLIT CONTAMINATION AUDIT — the check that makes x54's split
+    * manifest trustworthy: a val/test document whose near-duplicate (the
+    * x2 exact jac ≥ 0.5 contract) sits in TRAIN leaks training content
+    * into evaluation, silently inflating every metric computed on it.
+    * Output is the per-eval-split audit row: doc counts, contaminated
+    * counts, and an integer ppm share (exact across engines). Scale
+    * shape: split assignment is a map-side hash of the content (x54's
+    * bucketing); the pair set comes from the SAME bounded inverted-index
+    * engine as x2 (never all-pairs); the directional filter and the
+    * distinct are over the PAIR table, which is near-dup-rate sized, not
+    * corpus sized. x20 is the external-benchmark cousin; this one guards
+    * the pipeline's own split boundary. */
+  private def x56(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(spark, dir)
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType), lit(100L)))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    val pairs = nearDupPairs(shingled(spark, dir)).select(col("doc_a"), col("doc_b"))
+    val undirected = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val contaminated = undirected
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= "train" && col("sb") === "train")
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("isc", lit(1L))
+    split.filter(col("split") =!= "train")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("isc"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_ppm", expr("(n_contaminated * 1000000L) div n_docs"))
+  }
+
+  private val x56Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |cont AS (SELECT DISTINCT e.a AS doc_id
+       |  FROM e JOIN sp sa ON sa.doc_id = e.a JOIN sp sb ON sb.doc_id = e.b
+       |  WHERE sa.split != 'train' AND sb.split = 'train')
+       |SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(cont.doc_id) AS BIGINT) AS n_contaminated,
+       |  CAST((count(cont.doc_id) * 1000000) // count(*) AS BIGINT) AS contamination_ppm
+       |FROM sp LEFT JOIN cont ON sp.doc_id = cont.doc_id
+       |WHERE sp.split != 'train' GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- X55
   /** EVENT-SEQUENCE (training-episode) CONSTRUCTION — the behavioral-
     * pretraining shape: each user's event log becomes one ordered episode
@@ -3504,6 +3565,8 @@ object Queries {
       "deterministic content-addressed 80/10/10 split with per-split language balance"),
     Q("x55_event_sequences", x55, Some(x55Sql),
       "ordered training-episode construction: first-32 event sequence manifest per user (rank-pruned map-side)"),
+    Q("x56_split_contamination", x56, Some(x56Sql),
+      "cross-split contamination audit: eval docs near-duplicating train content, per-split ppm"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -116,6 +116,19 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x56: the split audit is non-vacuous and its ppm arithmetic is exact") {
+    val df = run("x56_split_contamination").cache()
+    assert(df.count() === 2, "exactly the val and test rows")
+    assert(df.filter(col("n_contaminated") > col("n_docs")).isEmpty)
+    assert(df.filter(
+      col("contamination_ppm") =!= expr("(n_contaminated * 1000000L) div n_docs")).isEmpty)
+    // the synthetic corpus plants near-dups that cross the content-hash
+    // split boundary — the audit must actually catch some (a vacuously
+    // zero audit would prove nothing)
+    assert(df.agg(sum("n_contaminated")).head.getLong(0) > 0)
+    df.unpersist()
+  }
+
   test("qs14: the bounded streaming reservoir equals batch x42 exactly") {
     // the merge-associativity contract: k-bounded cross-batch state picks
     // the same winners as the global sort, in the same rank order
