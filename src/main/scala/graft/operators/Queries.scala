@@ -3422,6 +3422,43 @@ object Queries {
       |  CAST((n_docs * 1000000) // n_split AS BIGINT) AS share_ppm
       |FROM cell JOIN tot ON cell.split = tot.split""".stripMargin
 
+  // ---------------------------------------------------------------- X57
+  /** HEAVY HITTERS via a Misra–Gries sketch + exact recount — the
+    * two-pass shape that finds "every token above an n/(k+1) frequency
+    * threshold" WITHOUT a corpus-wide groupBy carrying every distinct
+    * token through a shuffle. Pass 1 runs [[graft.functions.MisraGries]]
+    * as one global aggregate: per-partition summaries are ≤ k entries,
+    * merge unions them at ≤ k entries, and the driver receives ONE
+    * k-entry map — bounded state end to end, with the classic guarantee
+    * that every token of true count > n/(k+1) is certainly in the
+    * summary. Pass 2 recounts ONLY the ≤ k candidates (membership
+    * predicate against a metadata-scale literal list — the x50 cut-point
+    * pattern) and keeps those whose EXACT count clears the threshold:
+    * cnt·(k+1) > n, all-integer, engine-identical. The result is
+    * therefore provably the exact HAVING set, which is what the DuckDB
+    * oracle computes directly — the sketch changes the COST shape, never
+    * the answer. At 100 TB pass 1 reads everything but shuffles k-entry
+    * maps, and pass 2's scan prunes on a 30-string predicate. */
+  private def x57(spark: SparkSession, dir: String): DataFrame = {
+    val k = 30
+    val toksDf = Tables.documents(spark, dir).select(explode(toks(col("text"))).as("token"))
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val summary = toksDf.agg(mg(col("token")).as("mg")).head()
+      .getAs[scala.collection.Map[String, Long]]("mg")
+    val candidates = summary.keys.toSeq.sorted
+    val n = toksDf.count()
+    toksDf.filter(col("token").isInCollection(candidates))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > lit(n))
+      .withColumn("n_tokens", lit(n))
+  }
+
+  private val x57Sql =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+      |SELECT token, CAST(count(*) AS BIGINT) AS cnt, (SELECT n FROM n) AS n_tokens
+      |FROM t GROUP BY token HAVING count(*) * 31 > (SELECT n FROM n)""".stripMargin
+
   // ---------------------------------------------------------------- X56
   /** CROSS-SPLIT CONTAMINATION AUDIT — the check that makes x54's split
     * manifest trustworthy: a val/test document whose near-duplicate (the
@@ -3567,6 +3604,8 @@ object Queries {
       "ordered training-episode construction: first-32 event sequence manifest per user (rank-pruned map-side)"),
     Q("x56_split_contamination", x56, Some(x56Sql),
       "cross-split contamination audit: eval docs near-duplicating train content, per-split ppm"),
+    Q("x57_heavy_hitters", x57, Some(x57Sql),
+      "Misra-Gries bounded-state candidates + exact recount: provably the exact over-threshold token set"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

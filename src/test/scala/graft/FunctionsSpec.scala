@@ -225,4 +225,28 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val perQuery = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     assert(perQuery.values.forall(_ == 10), s"uneven top-k: $perQuery")
   }
+
+  test("MisraGries: bounded state, and every over-threshold token certainly survives") {
+    import spark.implicits._
+    // deliberately SKEWED input (the test corpora are near-uniform, which
+    // never stresses the decrement path): one token at 1000, fifty at 10.
+    // k=5 → threshold n/(k+1) = 250 → only "hot" is guaranteed.
+    val tokens = Seq.fill(1000)("hot") ++ (1 to 50).flatMap(i => Seq.fill(10)(s"t$i"))
+    val df = spark.sparkContext
+      .parallelize(new scala.util.Random(42).shuffle(tokens), 8).toDF("token")
+    val k = 5
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val summary = df.agg(mg(col("token"))).head()
+      .getAs[scala.collection.Map[String, Long]](0)
+    assert(summary.size <= k, s"state exceeded k: ${summary.size}")
+    val n = tokens.size
+    val exactOver = tokens.groupBy(identity).collect {
+      case (t, occ) if occ.size.toLong * (k + 1) > n => t
+    }.toSet
+    assert(exactOver.nonEmpty, "fixture must have at least one guaranteed token")
+    assert(exactOver.subsetOf(summary.keySet.toSet),
+      s"MG guarantee violated: $exactOver not all in ${summary.keySet}")
+    // and the retained weight never exceeds the true count (MG only decrements)
+    assert(summary("hot") <= 1000L)
+  }
 }
