@@ -3560,6 +3560,154 @@ object Queries {
       |  sha256(string_agg(event_type, ' ' ORDER BY rn)) AS seq_hash
       |FROM r WHERE rn <= 32 GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- X58
+  /** BM25 RELEVANCE RETRIEVAL — the data-selection shape: score every
+    * document against a fixed query-term set and keep the global top-50
+    * (selecting "the slice of the corpus most relevant to X" before
+    * fine-tuning). Score arithmetic is the Robertson k1/b form with
+    * x16's idf; each per-(doc,term) score is converted to integer MICROS
+    * before the per-doc sum, so the aggregate is order-independent and
+    * bit-identical across engines (the x54 micro-share recipe — a double
+    * sum here would be summation-order-dependent). Scale shape: the token
+    * explode filters to the query terms MAP-SIDE (an `isin` against a
+    * 3-string literal — postings for non-query terms never leave the
+    * scan), corpus stats (N, Σdl) are ONE tiny aggregate pinned as
+    * literals (the x50 cut-point pattern), per-term df is a 3-row frame
+    * broadcast back onto the tf frame, and the top-50 is
+    * TakeOrderedAndProject — no global sort materializes. */
+  private def x58(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("dup", "vector", "join")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val st = docs.agg(
+      count(lit(1)).as("n"), sum(col("dl").cast(LongType)).as("sdl")).head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf", round(log(lit(nDocs.toDouble) / col("df")), 6))
+    tf.join(broadcast(idf), "token")
+      // identical association order to the oracle SQL: ((idf*(tf*2.2))/den)
+      .withColumn("score", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      .withColumn("score_micros", round(col("score") * lit(1000000.0), 0).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_terms"),
+        sum(col("score_micros")).as("bm25_micros"))
+      .orderBy(col("bm25_micros").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  private val x58Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |dls AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl FROM d),
+      |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(tk) AS token FROM dls)
+      |  WHERE token IN ('dup', 'vector', 'join') GROUP BY 1, 2, 3),
+      |idf AS (SELECT token,
+      |    round(ln(CAST((SELECT n FROM st) AS DOUBLE) / count(DISTINCT doc_id)), 6) AS idf
+      |  FROM tf GROUP BY token)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+      |  sum(CAST(round(idf * (tf * 2.2) /
+      |      (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st))) * 1000000.0, 0)
+      |    AS BIGINT)) AS bm25_micros
+      |FROM tf JOIN idf USING (token)
+      |GROUP BY doc_id ORDER BY bm25_micros DESC, doc_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- X59
+  /** CROSS-SOURCE DUPLICATION MATRIX — corpus provenance analysis: for
+    * every unordered source pair, how many near-duplicate document pairs
+    * (the x2 jac ≥ 0.5 contract) span them. Mirror-site detection, crawl
+    * overlap measurement, and per-source dedup-rate attribution all read
+    * off this matrix; `cross_source = false` rows measure intra-source
+    * redundancy. Scale shape: the pair set comes from the SAME bounded
+    * inverted-index engine as x2/x56 (never all-pairs), and the
+    * near-dup-rate-sized pair frame is BROADCAST onto the corpus-sized
+    * doc→source side twice — the big table is streamed, never shuffled,
+    * and the output is |sources|² at most. */
+  private def x59(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = nearDupPairs(shingled(spark, dir)).select(col("doc_a"), col("doc_b"))
+    val withA = src.select(col("doc_id").as("doc_a"), col("source").as("sa"))
+      .join(broadcast(pairs), "doc_a")
+    val withB = src.select(col("doc_id").as("doc_b"), col("source").as("sb"))
+      .join(broadcast(withA), "doc_b")
+    withB
+      .select(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("src_lo") =!= col("src_hi"))
+  }
+
+  private val x59Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5)
+       |SELECT least(da.source, db.source) AS src_lo,
+       |  greatest(da.source, db.source) AS src_hi,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  least(da.source, db.source) != greatest(da.source, db.source) AS cross_source
+       |FROM p JOIN documents da ON da.doc_id = p.doc_a
+       |       JOIN documents db ON db.doc_id = p.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- X60
+  /** PER-GROUP WINSORIZATION — feature preprocessing: clip each event's
+    * value to its event_type's [p05, p95] band so tail outliers can't
+    * dominate a downstream normalization or loss. The cut points are
+    * DISCRETE rank quantiles (value at rank ⌈0.05·n⌉ / ⌈0.95·n⌉ — actual
+    * data values, x53's lower-median mechanics generalized), so there is
+    * no interpolation arithmetic to drift between engines, and the
+    * clipped output is a pass-through double (bit-identical). Scale
+    * shape: one rank window per group computes both cuts in a single
+    * shuffle, the k-row cut table broadcasts back, and the clip itself
+    * is map-side (`greatest(lo, least(hi, v))`). */
+  private def x60(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wCnt = Window.partitionBy(col("event_type"))
+    val cuts = ev
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wCnt))
+      .filter(col("rn") === expr("(n + 19) div 20") ||
+        col("rn") === expr("(19 * n + 19) div 20"))
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.join(broadcast(cuts), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("value_clipped"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+  }
+
+  private val x60Sql =
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
+      |c AS (SELECT event_type, min(value) AS lo, max(value) AS hi FROM r
+      |  WHERE rn = (n + 19) // 20 OR rn = (19 * n + 19) // 20 GROUP BY 1)
+      |SELECT event_id, ev.event_type, value,
+      |  greatest(lo, least(hi, value)) AS value_clipped,
+      |  (value < lo OR value > hi) AS clipped
+      |FROM ev JOIN c ON ev.event_type = c.event_type""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -3606,6 +3754,12 @@ object Queries {
       "cross-split contamination audit: eval docs near-duplicating train content, per-split ppm"),
     Q("x57_heavy_hitters", x57, Some(x57Sql),
       "Misra-Gries bounded-state candidates + exact recount: provably the exact over-threshold token set"),
+    Q("x58_bm25_retrieval", x58, Some(x58Sql),
+      "BM25 top-50 relevance retrieval: map-side term filter, broadcast df, integer-micro exact scores"),
+    Q("x59_source_dup_matrix", x59, Some(x59Sql),
+      "cross-source near-dup matrix: provenance/mirror analysis off the bounded pair engine"),
+    Q("x60_winsorize", x60, Some(x60Sql),
+      "per-group [p05,p95] winsorization via discrete rank quantiles, map-side clip"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

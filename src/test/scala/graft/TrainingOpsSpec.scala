@@ -141,6 +141,50 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("x58: top-50 is ordered, scores positive, and the ranking is content-addressed") {
+    val rows = run("x58_bm25_retrieval").collect().toSeq
+    assert(rows.size === 50)
+    rows.foreach { r =>
+      val nTerms = r.getAs[Int]("n_terms")
+      assert(nTerms >= 1 && nTerms <= 3, s"n_terms out of range: $r")
+      assert(r.getAs[Long]("bm25_micros") > 0L, s"non-positive score: $r")
+    }
+    // (score desc, doc_id asc) is a total order — the returned sequence
+    // must already BE that order (TakeOrderedAndProject's contract)
+    val resorted = rows.sortBy(r => (-r.getAs[Long]("bm25_micros"), r.getAs[Long]("doc_id")))
+    assert(rows === resorted, "result not in (score desc, doc_id) order")
+    assert(run("x58_bm25_retrieval").collect().toSeq === rows, "rerun diverged")
+  }
+
+  test("x59: the matrix is unordered-normalized and conserves the pair count") {
+    val df = run("x59_source_dup_matrix").cache()
+    assert(df.filter(col("src_lo") > col("src_hi")).isEmpty, "unnormalized pair row")
+    assert(df.filter(col("cross_source") =!= (col("src_lo") =!= col("src_hi"))).isEmpty)
+    assert(df.filter(col("n_pairs") < 1).isEmpty)
+    // every near-dup pair lands in exactly one matrix cell
+    val total = df.agg(sum("n_pairs")).head.getLong(0)
+    val nPairs = run("x2_ngram_jaccard").count()
+    assert(total === nPairs, s"matrix total $total != pair count $nPairs")
+    df.unpersist()
+  }
+
+  test("x60: clipping is idempotent, flag-consistent, and bounded at ~10% per group") {
+    val df = run("x60_winsorize").cache()
+    // clipped iff the clamp moved the value (pass-through doubles are exact)
+    assert(df.filter(col("clipped") =!= (col("value") =!= col("value_clipped"))).isEmpty)
+    // discrete [p05, p95] cuts clip at most ~10% of each group
+    val rates = df.groupBy("event_type")
+      .agg((sum(col("clipped").cast("long")) / count(lit(1))).as("rate"))
+    assert(rates.filter(col("rate") > 0.11).isEmpty,
+      rates.collect().mkString("\n"))
+    // re-clipping an already-clipped column is a no-op (idempotence)
+    val lo = df.groupBy("event_type").agg(min("value_clipped").as("lo2"), max("value_clipped").as("hi2"))
+    val reclip = df.join(lo, "event_type")
+      .filter(col("value_clipped") < col("lo2") || col("value_clipped") > col("hi2"))
+    assert(reclip.isEmpty)
+    df.unpersist()
+  }
+
   test("qs11: streamed clean-on-ingest enforces its own gate and flags exactly the planted PII") {
     val df = run("qs11_stream_clean_ingest").cache()
     assert(df.filter(col("n_tokens") < 20 || col("quality_score") < 0.5).isEmpty,
