@@ -691,6 +691,13 @@ object Queries {
   private def x2(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(shingled(spark, dir))
 
+  /** x2's pair output through [[PipelineCache]]: the pair engine runs ONCE
+    * per (session, dir) for its downstream consumers (x56 audit, x59
+    * matrix). x2's and x17's own bench entries never read the cache —
+    * they stay honest end-to-end runs (the x17/x38 contract). */
+  private def sharedPairs(spark: SparkSession, dir: String): DataFrame =
+    PipelineCache.shared(spark, "x2_pairs", dir)(nearDupPairs(shingled(spark, dir)))
+
   /** Exact token-Jaccard near-dup pairs (jac ≥ 0.5) over a (doc_id, sh, n)
     * frame — the shared engine for x2 and the x15 pipeline's near-dedup
     * producer. See [[shingleDfCap]] for the only (documented) approximation
@@ -3478,7 +3485,7 @@ object Queries {
       .withColumn("split",
         when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
       .select(col("doc_id"), col("split"))
-    val pairs = nearDupPairs(shingled(spark, dir)).select(col("doc_a"), col("doc_b"))
+    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val undirected = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val contaminated = undirected
@@ -3635,7 +3642,7 @@ object Queries {
     * and the output is |sources|² at most. */
   private def x59(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val pairs = nearDupPairs(shingled(spark, dir)).select(col("doc_a"), col("doc_b"))
+    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val withA = src.select(col("doc_id").as("doc_a"), col("source").as("sa"))
       .join(broadcast(pairs), "doc_a")
     val withB = src.select(col("doc_id").as("doc_b"), col("source").as("sb"))
@@ -3708,6 +3715,89 @@ object Queries {
       |  (value < lo OR value > hi) AS clipped
       |FROM ev JOIN c ON ev.event_type = c.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- X61
+  /** CROSS-DOCUMENT REPEATED-SPAN CATALOG — exact-substring dedup support
+    * (dedup at span rather than document granularity): every 8-token span
+    * appearing in ≥ 2 distinct documents, with its document frequency and
+    * first container. x34 measures per-DOC span sharing; this inverts the
+    * index to the span side, producing the catalog a span-removal pass
+    * would consume. Two-pass exact (the x57 recipe): pass 1 aggregates on
+    * the 8-byte xxhash64 of the span — the corpus-wide shuffle carries
+    * (hash, doc_id), never span text — and keeps hashes seen ≥ 2 times;
+    * pass 2 recounts EXACTLY on the span STRING over only the surviving
+    * postings (catalog-sized, hash set broadcast as a semi join), so a
+    * hash collision can only ADD a candidate that the exact recount then
+    * drops — the output is provably the exact string-level catalog. For a
+    * corpus whose catalog outgrows the broadcast budget, drop the hint
+    * and the same plan runs as a shuffled semi join. */
+  private def x61(spark: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(tk) - 7), i -> concat_ws(' ', slice(tk, i, 8)))"))).as("span"))
+    val withH = posts.withColumn("h", xxhash64(col("span")))
+    val rep = withH.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    withH.join(broadcast(rep), "h")
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  private val x61Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+      |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+      |            tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS span
+      |     FROM d WHERE len(tk) >= 8)
+      |SELECT span, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+      |FROM s GROUP BY span HAVING count(*) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------- X62
+  /** PER-SOURCE QUALITY SCORECARD — the crawl-inclusion dashboard: one
+    * row per source with volume (docs, tokens), quality (x8's per-doc
+    * score summed as exact integer micros — a double mean would be
+    * summation-order-dependent), gate-pass count, and exact-duplicate
+    * exposure (docs sharing a sha256 with any other doc). The decision
+    * table behind "which sources stay in the next crawl". Scale shape:
+    * duplicate membership is ONE window count over the content hash (the
+    * shuffle carries 64 hex chars + id, never text); x8's quality kernels
+    * are map-side codegen; the final rollup is a |sources|-row
+    * aggregation with map-side combine. */
+  private def x62(spark: SparkSession, dir: String): DataFrame = {
+    val wTh = Window.partitionBy(col("th"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("th"))
+      .withColumn("n_copies", count(lit(1)).over(wTh))
+    docs.join(x8(spark, dir).select(col("doc_id"), col("n_tokens"),
+        col("quality_score"), col("is_quality")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("total_tokens"),
+        sum(round(col("quality_score") * lit(1000000.0), 0).cast(LongType)).as("quality_micros"),
+        sum(col("is_quality").cast(LongType)).as("n_quality"),
+        sum((col("n_copies") > 1).cast(LongType)).as("n_dup_docs"))
+      .withColumn("mean_quality_micros", expr("quality_micros div n_docs"))
+      .withColumn("dup_ppm", expr("(n_dup_docs * 1000000L) div n_docs"))
+  }
+
+  private val x62Sql =
+    s"""WITH q AS ($x8Sql),
+       |h AS (SELECT doc_id, source,
+       |        count(*) OVER (PARTITION BY sha256(text)) AS n_copies
+       |      FROM documents)
+       |SELECT h.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CAST(round(q.quality_score * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS quality_micros,
+       |  CAST(sum(CASE WHEN q.is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN h.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(CAST(round(q.quality_score * 1000000.0, 0) AS BIGINT)) // count(*) AS BIGINT) AS mean_quality_micros,
+       |  CAST((sum(CASE WHEN h.n_copies > 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+       |FROM h JOIN q USING (doc_id)
+       |GROUP BY h.source""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -3760,6 +3850,10 @@ object Queries {
       "cross-source near-dup matrix: provenance/mirror analysis off the bounded pair engine"),
     Q("x60_winsorize", x60, Some(x60Sql),
       "per-group [p05,p95] winsorization via discrete rank quantiles, map-side clip"),
+    Q("x61_span_catalog", x61, Some(x61Sql),
+      "cross-doc repeated 8-token span catalog: hash-pass prune + exact string recount (two-pass exact)"),
+    Q("x62_source_scorecard", x62, Some(x62Sql),
+      "per-source quality/dup/volume scorecard: window dup count + micro-exact quality rollup"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

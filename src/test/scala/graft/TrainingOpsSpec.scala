@@ -185,6 +185,39 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x61: the span catalog is exactly the inverse of x34's per-doc shared counts") {
+    val cat = run("x61_span_catalog").cache()
+    assert(cat.filter(col("n_docs") < 2).isEmpty)
+    // postings conservation: Σ_span n_docs == Σ_doc n_shared (x34 counts
+    // the same repeated postings from the document side)
+    val fromCatalog = cat.agg(sum("n_docs")).head.getLong(0)
+    val fromDocs = run("x34_span_dup").agg(sum("n_shared")).head.getLong(0)
+    assert(fromCatalog === fromDocs, s"catalog $fromCatalog != per-doc $fromDocs")
+    // first_doc really contains the span (spot-check the max-df span)
+    val top = cat.orderBy(col("n_docs").desc, col("span")).head()
+    val holder = graft.operators.Tables.documents(spark, sf)
+      .filter(col("doc_id") === top.getAs[Long]("first_doc"))
+      .filter(col("text").contains(top.getAs[String]("span")))
+    assert(!holder.isEmpty, "first_doc does not contain its span")
+    cat.unpersist()
+  }
+
+  test("x62: the scorecard conserves docs, tokens, and duplicate membership") {
+    val sc = run("x62_source_scorecard").cache()
+    val docs = graft.operators.Tables.documents(spark, sf)
+    assert(sc.agg(sum("n_docs")).head.getLong(0) === docs.count())
+    assert(sc.filter(col("n_quality") > col("n_docs") ||
+      col("n_dup_docs") > col("n_docs")).isEmpty)
+    assert(sc.filter(
+      col("mean_quality_micros") =!= expr("quality_micros div n_docs") ||
+        col("dup_ppm") =!= expr("(n_dup_docs * 1000000L) div n_docs")).isEmpty)
+    // duplicate membership matches x1's per-hash copy counts
+    val fromX1 = run("x1_exact_dedup").filter(col("n_copies") > 1)
+      .agg(coalesce(sum("n_copies"), lit(0L))).head.getLong(0)
+    assert(sc.agg(sum("n_dup_docs")).head.getLong(0) === fromX1)
+    sc.unpersist()
+  }
+
   test("qs11: streamed clean-on-ingest enforces its own gate and flags exactly the planted PII") {
     val df = run("qs11_stream_clean_ingest").cache()
     assert(df.filter(col("n_tokens") < 20 || col("quality_score") < 0.5).isEmpty,
