@@ -308,4 +308,49 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and no RangePartitioner sampling anywhere — determinism by plan shape
     assert(!p.contains("rangepartitioning"), s"x50 reintroduced sampled range partitioning:\n$p")
   }
+
+  // AQE's toString prints "== Final Plan ==" then "== Initial Plan ==" —
+  // scan-count gates must look at the final section only, or every scan
+  // double-counts. (Only safe for plans without InMemoryRelation children,
+  // whose nested cache print carries its own sections.)
+  private def finalSection(p: String): String = {
+    val i = p.indexOf("== Initial Plan ==")
+    if (i >= 0) p.substring(0, i) else p
+  }
+
+  test("x62: the scorecard reads the corpus ONCE (quality kernels ride the scan projection)") {
+    val df = Queries.byName("x62_source_scorecard").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"expected 1 corpus scan, got $scans:\n$p")
+  }
+
+  test("x58: the tf branch is cached and reused on both sides, top-k is TakeOrdered") {
+    val df = Queries.byName("x58_bm25_retrieval").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both the idf derivation and the score join must read the SAME cache
+    // (two InMemoryTableScans) — a second FileScan of the corpus means the
+    // branch was re-planned from the scan
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"tf cache not reused by both branches:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 materialized a global sort:\n$p")
+  }
+
+  test("x59/x56: pair consumers read the corpus once, through the melted-ends broadcast") {
+    for (name <- Seq("x59_source_dup_matrix", "x56_split_contamination")) {
+      val df = Queries.byName(name).run(spark, sf)
+      df.collect()
+      val p = finalSection(df.queryExecution.executedPlan.toString)
+      // corpus scans read the testdata table; the pair-cache read
+      // (target/graft-shared) must not count against the budget
+      val corpusScans = p.linesIterator
+        .count(l => l.contains("FileScan parquet") && !l.contains("graft-shared"))
+      // x59: the single source-attr scan; x56: attr scan + the per-split
+      // denominator scan (a separate aggregation granularity)
+      val budget = if (name.startsWith("x59")) 1 else 2
+      assert(corpusScans <= budget, s"$name corpus scans $corpusScans > $budget:\n$p")
+    }
+  }
 }
