@@ -3826,6 +3826,116 @@ object Queries {
        |FROM h JOIN q USING (doc_id)
        |GROUP BY h.source""".stripMargin
 
+  // ---------------------------------------------------------------- X63
+  /** PER-SOURCE DISTRIBUTION DRIFT — KL(source ‖ corpus) over the token
+    * unigram distribution: the statistical "this crawl changed" detector
+    * (a source whose token distribution diverges from the corpus gets
+    * human review before the next training run). Per-token contributions
+    * p_s·ln(p_s/p_c) are quantized to integer NANOS before the per-source
+    * sum (the x54 recipe at nano precision — KL values are ~1e-3, micros
+    * would keep only 3 significant digits), so the sum is
+    * order-independent and bit-identical across engines. Scale shape: ONE
+    * corpus scan builds the (source, token) count frame — map-side
+    * combine makes the shuffle |sources|·|vocab| sized — and corpus
+    * totals, per-source totals, and the final KL all derive from that
+    * small persisted frame (broadcast joins, no second scan). */
+  private def x63(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ct = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val nTot = ct.agg(sum(col("c_t"))).head().getLong(0)
+    st.join(broadcast(ct), "token").join(broadcast(ns), "source")
+      .withColumn("p_s", col("c_st").cast(DoubleType) / col("n_s"))
+      .withColumn("p_c", col("c_t").cast(DoubleType) / lit(nTot.toDouble))
+      .withColumn("contrib_nanos",
+        round(col("p_s") * log(col("p_s") / col("p_c")) * lit(1000000000.0), 0).cast(LongType))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("contrib_nanos")).as("kl_nanos"))
+  }
+
+  private val x63Sql =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c_st FROM t GROUP BY 1, 2),
+      |ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+      |j AS (SELECT st.source, ns.n_s,
+      |        CAST(st.c_st AS DOUBLE) / ns.n_s AS p_s,
+      |        CAST(ct.c_t AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE) AS p_c
+      |      FROM st JOIN ct USING (token) JOIN ns USING (source))
+      |SELECT source, max(n_s) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab_size,
+      |  CAST(sum(CAST(round(p_s * ln(p_s / p_c) * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS kl_nanos
+      |FROM j GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X64
+  /** DATASET MANIFEST CARD — the one-row release summary emitted next to
+    * a training corpus: volumes (docs/tokens/chars), provenance breadth
+    * (languages, sources), exact-duplicate exposure, and the Shannon
+    * entropy of the language mix (nano-exact, the x63 quantization). The
+    * machine-readable "dataset card" a registry would index. Scale shape:
+    * two scans at two grouping granularities — one groupBy(lang, source)
+    * whose map-side combine leaves a |langs|·|sources| frame (persisted;
+    * totals, entropy, and breadth all derive from it without re-scanning),
+    * and one content-hash aggregation for dup stats whose 1-row result is
+    * pinned as literals (the x50 pattern — no 1-row join). */
+  private def x64(spark: SparkSession, dir: String): DataFrame = {
+    val ls = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"),
+        sum(col("n_chars")).as("chars"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dupRow = Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("th")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"),
+        count(lit(1)).as("n_unique")).head()
+    val (dupDocs, nUnique) = (dupRow.getLong(0), dupRow.getLong(1))
+    val totals = ls.agg(sum(col("n_docs")).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("tok")).as("total_tokens"), sum(col("chars")).as("total_chars"))
+    val entropy = ls.groupBy(col("lang")).agg(sum(col("n_docs")).as("nl"))
+      .crossJoin(ls.agg(sum(col("n_docs")).as("nd")))
+      .withColumn("p", col("nl").cast(DoubleType) / col("nd"))
+      .agg(sum(round(-col("p") * log(col("p")) * lit(1000000000.0), 0).cast(LongType))
+        .as("lang_entropy_nanos"))
+    totals.crossJoin(entropy)
+      .withColumn("mean_doc_tokens", expr("total_tokens div n_docs"))
+      .withColumn("n_dup_docs", lit(dupDocs))
+      .withColumn("n_unique_docs", lit(nUnique))
+      .withColumn("dup_doc_ppm", expr("(n_dup_docs * 1000000L) div n_docs"))
+  }
+
+  private val x64Sql =
+    """WITH d AS (SELECT lang, source, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |ls AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tok, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM d GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(sum(tok) AS BIGINT) AS total_tokens,
+      |    CAST(sum(chars) AS BIGINT) AS total_chars FROM ls),
+      |ent AS (SELECT CAST(sum(CAST(round(-p * ln(p) * 1000000000.0, 0) AS BIGINT)) AS BIGINT)
+      |    AS lang_entropy_nanos
+      |  FROM (SELECT CAST(sum(n_docs) AS DOUBLE) / (SELECT n_docs FROM tot) AS p
+      |        FROM ls GROUP BY lang)),
+      |dup AS (SELECT CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |    CAST(count(*) AS BIGINT) AS n_unique_docs
+      |  FROM (SELECT count(*) AS c FROM documents GROUP BY sha256(text)))
+      |SELECT tot.*, ent.lang_entropy_nanos,
+      |  total_tokens // n_docs AS mean_doc_tokens,
+      |  dup.n_dup_docs, dup.n_unique_docs,
+      |  (dup.n_dup_docs * 1000000) // n_docs AS dup_doc_ppm
+      |FROM tot, ent, dup""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -3882,6 +3992,10 @@ object Queries {
       "cross-doc repeated 8-token span catalog: hash-pass prune + exact string recount (two-pass exact)"),
     Q("x62_source_scorecard", x62, Some(x62Sql),
       "per-source quality/dup/volume scorecard: window dup count + micro-exact quality rollup"),
+    Q("x63_source_drift", x63, Some(x63Sql),
+      "per-source KL(source||corpus) token-distribution drift, nano-exact contributions, one corpus scan"),
+    Q("x64_dataset_card", x64, Some(x64Sql),
+      "one-row dataset manifest: volumes, breadth, dup exposure, nano-exact language entropy"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

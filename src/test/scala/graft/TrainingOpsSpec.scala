@@ -218,6 +218,38 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     sc.unpersist()
   }
 
+  test("x63: KL drift is non-negative (up to nano quantization) and conserves tokens") {
+    val df = run("x63_source_drift").cache()
+    // Gibbs: true KL >= 0; each nano-rounded contribution errs <= 0.5,
+    // so a source's sum sits above -vocab_size/2 nanos
+    assert(df.filter(col("kl_nanos") < -col("vocab_size") / 2).isEmpty,
+      df.filter(col("kl_nanos") < 0).collect().mkString("\n"))
+    val fromDrift = df.agg(sum("n_tokens")).head.getLong(0)
+    val fromCorpus = graft.operators.Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n")).agg(sum("n")).head.getLong(0)
+    assert(fromDrift === fromCorpus, s"token totals drifted: $fromDrift != $fromCorpus")
+    df.unpersist()
+  }
+
+  test("x64: the dataset card agrees with the operators it summarizes") {
+    val card = run("x64_dataset_card").head()
+    val docs = graft.operators.Tables.documents(spark, sf)
+    assert(card.getAs[Long]("n_docs") === docs.count())
+    assert(card.getAs[Long]("n_langs") === docs.select("lang").distinct().count())
+    assert(card.getAs[Long]("n_sources") === docs.select("source").distinct().count())
+    // dup membership matches x1's per-hash counts; unique = x1's row count
+    val x1df = run("x1_exact_dedup").cache()
+    val dupFromX1 = x1df.filter(col("n_copies") > 1)
+      .agg(coalesce(sum("n_copies"), lit(0L))).head.getLong(0)
+    assert(card.getAs[Long]("n_dup_docs") === dupFromX1)
+    assert(card.getAs[Long]("n_unique_docs") === x1df.count())
+    x1df.unpersist()
+    assert(card.getAs[Long]("lang_entropy_nanos") >= 0L)
+    // entropy of a k-way mix is bounded by ln(k) (nano-scaled, +1 slack)
+    val bound = math.round(math.log(card.getAs[Long]("n_langs").toDouble) * 1e9) + 1
+    assert(card.getAs[Long]("lang_entropy_nanos") <= bound)
+  }
+
   test("qs11: streamed clean-on-ingest enforces its own gate and flags exactly the planted PII") {
     val df = run("qs11_stream_clean_ingest").cache()
     assert(df.filter(col("n_tokens") < 20 || col("quality_score") < 0.5).isEmpty,
