@@ -3748,8 +3748,8 @@ object Queries {
     * first container. x34 measures per-DOC span sharing; this inverts the
     * index to the span side, producing the catalog a span-removal pass
     * would consume. Two-pass exact (the x57 recipe): pass 1 aggregates on
-    * the 8-byte xxhash64 of the span — the corpus-wide shuffle carries
-    * (hash, doc_id), never span text — and keeps hashes seen ≥ 2 times;
+    * the 8-byte span farmhash (graft_shingle_hashes — codegen, no span
+    * strings ever materialize) and keeps hashes seen ≥ 2 times;
     * pass 2 recounts EXACTLY on the span STRING over only the surviving
     * postings (catalog-sized, hash set broadcast as a semi join), so a
     * hash collision can only ADD a candidate that the exact recount then
@@ -3757,15 +3757,30 @@ object Queries {
     * corpus whose catalog outgrows the broadcast budget, drop the hint
     * and the same plan runs as a shuffled semi join. */
   private def x61(spark: SparkSession, dir: String): DataFrame = {
-    val posts = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .filter(size(col("tk")) >= 8)
+    // pass 1 is PURE CODEGEN: graft_shingle_hashes emits the farmhash64 of
+    // each distinct joined 8-token span directly — no span strings, no
+    // interpreted HOF, an 8-byte shuffle
+    // persisted: feeds both the df aggregation and the candidate-doc
+    // semi join; rows are (id, hash) = 16 B — narrow enough that
+    // MEMORY_AND_DISK is safe at any scale, and one scan is saved
+    val hashed = docs.select(col("doc_id"),
+      explode(expr("graft_shingle_hashes(tk, 8)")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rep = hashed.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    // only docs holding a candidate span need STRINGS — at corpus scale
+    // that is the near-dup-rate-sized subset, so the interpreted
+    // span-string transform never runs over the full corpus (the hash
+    // re-derivation below is the same codegen kernel, scan-cheap)
+    val candDocs = hashed.join(broadcast(rep), "h").select(col("doc_id")).distinct()
+    val posts = docs.join(broadcast(candDocs), Seq("doc_id"))
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(tk) - 7), i -> concat_ws(' ', slice(tk, i, 8)))"))).as("span"))
-    val withH = posts.withColumn("h", xxhash64(col("span")))
-    val rep = withH.groupBy(col("h")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
-    withH.join(broadcast(rep), "h")
+      .withColumn("h", expr("farmhash64(span)"))
+    posts.join(broadcast(rep), "h")
       .groupBy(col("span"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
