@@ -3951,6 +3951,171 @@ object Queries {
       |  (dup.n_dup_docs * 1000000) // n_docs AS dup_doc_ppm
       |FROM tot, ent, dup""".stripMargin
 
+  // ---------------------------------------------------------------- X65
+  /** LM-BASED QUALITY FILTER (perplexity filtering) — the CCNet-style
+    * model-based quality gate: score every document by its mean negative
+    * log-likelihood under the corpus bigram LM (x43's c12≥5 table, reused
+    * through PipelineCache so the LM is built once per session), and keep
+    * documents that are both well-covered by the model and low-perplexity.
+    * Cross-engine exactness is the x63 recipe: per-bigram −ln(cond_p) is
+    * nano-quantized to int64 BEFORE the per-document sum, so the
+    * aggregation is order-free integer arithmetic; the mean is integer
+    * division over the quantized sum. Scale shape: the corpus-sized
+    * bigram postings stream into ONE shuffle join against the LM (whose
+    * c12≥5 floor bounds it far below the postings), then collapse in the
+    * same pass to a per-document row — no second corpus scan, no
+    * driver-side state. At 100 TB the LM side is still the small side of
+    * the join (broadcastable when it fits; hash-partitioned otherwise —
+    * the plan degrades gracefully, never quadratically). */
+  private def x65(spark: SparkSession, dir: String): DataFrame = {
+    val lm = PipelineCache.shared(spark, "x43_lm", dir)(x43(spark, dir))
+      .select(col("w1"), col("w2"),
+        round(-log(col("cond_p")) * lit(1000000000.0), 0).cast(LongType).as("tok_nll_nanos"))
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("doc_id"), col("w1"), expr("tk[i + 1]").as("w2"))
+    bg.join(lm, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("tok_nll_nanos")).as("n_modeled"),
+        sum(coalesce(col("tok_nll_nanos"), lit(0L))).as("nll_nanos"))
+      .withColumn("coverage_ppm", expr("(n_modeled * 1000000) div n_bigrams"))
+      .withColumn("mean_nll_micros",
+        when(col("n_modeled") > 0, expr("nll_nanos div (n_modeled * 1000)")))
+      .withColumn("keep",
+        coalesce(col("coverage_ppm") >= lit(950000L) &&
+          col("mean_nll_micros") <= lit(3400000L), lit(false)))
+  }
+
+  private val x65Sql =
+    s"""WITH lm0 AS ($x43Sql),
+       |lm AS (SELECT w1, w2,
+       |    CAST(round(-ln(cond_p) * 1000000000.0, 0) AS BIGINT) AS tok_nll_nanos FROM lm0),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |b AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+       |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM d)),
+       |j AS (SELECT b.doc_id, lm.tok_nll_nanos
+       |      FROM b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        CAST(count(tok_nll_nanos) AS BIGINT) AS n_modeled,
+       |        CAST(sum(coalesce(tok_nll_nanos, 0)) AS BIGINT) AS nll_nanos
+       |      FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, n_modeled, nll_nanos,
+       |  (n_modeled * 1000000) // n_bigrams AS coverage_ppm,
+       |  CASE WHEN n_modeled > 0 THEN nll_nanos // (n_modeled * 1000) END AS mean_nll_micros,
+       |  coalesce((n_modeled * 1000000) // n_bigrams >= 950000
+       |    AND CASE WHEN n_modeled > 0 THEN nll_nanos // (n_modeled * 1000) END <= 3400000,
+       |    FALSE) AS keep
+       |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- X66
+  /** SLIDING-WINDOW CHUNK MANIFEST — the context-window preprocessing
+    * step every LM pipeline runs before packing: cut each document into
+    * 64-token windows at stride 48 (16-token overlap so no boundary
+    * bigram is ever lost), and emit the manifest row a downstream reader
+    * needs — (doc, chunk index, start offset, length, content hash).
+    * The hash is sha256 of the space-rejoined chunk, so a chunk is
+    * content-addressed independently of which document produced it
+    * (chunk-level dedup composes directly on top). Scale shape: this is
+    * a PURE MAP-SIDE op — sequence+explode inside one projection, ZERO
+    * shuffles, no state — the best possible 100 TB plan (each input
+    * split writes its chunk manifest independently). */
+  private def x66(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"),
+        explode(sequence(lit(0), size(col("tk")) - 1, lit(48))).as("st"))
+      .select(col("doc_id"),
+        expr("st div 48").cast(IntegerType).as("chunk_idx"),
+        col("st").cast(IntegerType).as("start_tok"),
+        least(lit(64), col("n") - col("st")).cast(IntegerType).as("chunk_len"),
+        sha2(array_join(expr("slice(tk, st + 1, least(64, n - st))"), " "), 256)
+          .as("chunk_hash"))
+
+  private val x66Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id, tk, len(tk) AS n, unnest(range(0, len(tk), 48)) AS st FROM d)
+      |SELECT doc_id, CAST(st // 48 AS INT) AS chunk_idx, CAST(st AS INT) AS start_tok,
+      |  CAST(least(64, n - st) AS INT) AS chunk_len,
+      |  sha256(array_to_string(list_slice(tk, st + 1, st + least(64, n - st)), ' ')) AS chunk_hash
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- X67
+  /** BALANCED SHARD PLANNER — deterministic output-file planning: assign
+    * every document to one of 16 shards by SNAKE ORDER over the global
+    * (n_tokens DESC, doc_id) rank — the classic greedy bin-balancer that
+    * keeps per-shard token totals within one document of each other
+    * without any driver-side loop. The global rank is NOT a global
+    * single-partition window (the percentile trap, x50's lesson): it
+    * decomposes into a DISTINCT-VALUE cumulative count (domain-bounded —
+    * the token-count domain, not the corpus) broadcast back, plus a
+    * PER-VALUE row_number window (partitioned by n_tokens — parallel,
+    * data-bounded only within one distinct value). At 100 TB the corpus
+    * is scanned once map-side against the broadcast histogram; the only
+    * corpus shuffle is the per-value rank window, keyed on a
+    * high-cardinality column. Output is the 16-row shard manifest a
+    * writer would consume as its partition plan. */
+  private def x67(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast(LongType).as("n_tokens"))
+    // cum_before(v) = #docs with MORE tokens than v: a window over the
+    // DISTINCT token counts only (domain-bounded single partition — the
+    // x50 argument), then broadcast; never a corpus-sized global window
+    val wCum = Window.orderBy(col("n_tokens").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val hist = t.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .select(col("n_tokens"), col("cum_before"))
+    val wIn = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    t.join(broadcast(hist), "n_tokens")
+      .withColumn("pos", col("cum_before") + row_number().over(wIn) - lit(1))
+      .withColumn("shard",
+        when(expr("pos div 16") % 2 === 0, col("pos") % 16)
+          .otherwise(lit(15) - col("pos") % 16).cast(IntegerType))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_doc_tokens"), max(col("n_tokens")).as("max_doc_tokens"))
+  }
+
+  private val x67Sql =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |r AS (SELECT n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos FROM t),
+      |s AS (SELECT n_tokens, CASE WHEN (pos // 16) % 2 = 0 THEN pos % 16
+      |                            ELSE 15 - pos % 16 END AS shard FROM r)
+      |SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  min(n_tokens) AS min_doc_tokens, max(n_tokens) AS max_doc_tokens
+      |FROM s GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- X68
+  /** BOILERPLATE PREFIX DETECTION — the header/template sweep run before
+    * near-dup: documents sharing their first 12 tokens verbatim are
+    * grouped by the sha256 of that prefix, and every group with ≥2
+    * members is reported (site templates, license headers, crawl
+    * boilerplate). Complements x61 (which catalogs repeated spans at ANY
+    * offset) with the cheap anchored-prefix special case: one map-side
+    * hash per document + one hash aggregation — no postings, no
+    * positions, no second pass. At 100 TB this is the same plan: the
+    * shuffle carries one 32-byte key per document, nothing else. */
+  private def x68(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        sha2(array_join(expr("slice(split(text, ' '), 1, 12)"), " "), 256).as("prefix_hash"))
+      .groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= 2)
+
+  private val x68Sql =
+    """SELECT sha256(array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')) AS prefix_hash,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  min(doc_id) AS first_doc_id
+      |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -4011,6 +4176,14 @@ object Queries {
       "per-source KL(source||corpus) token-distribution drift, nano-exact contributions, one corpus scan"),
     Q("x64_dataset_card", x64, Some(x64Sql),
       "one-row dataset manifest: volumes, breadth, dup exposure, nano-exact language entropy"),
+    Q("x65_lm_quality_filter", x65, Some(x65Sql),
+      "perplexity filtering under the corpus bigram LM: nano-exact NLL, coverage + mean-NLL keep gate"),
+    Q("x66_chunk_manifest", x66, Some(x66Sql),
+      "64-token/48-stride sliding-window chunk manifest, content-addressed chunks, zero-shuffle map-side"),
+    Q("x67_shard_planner", x67, Some(x67Sql),
+      "snake-order balanced 16-shard plan via distinct-value rank decomposition (no global window)"),
+    Q("x68_boilerplate_prefix", x68, Some(x68Sql),
+      "anchored 12-token prefix boilerplate groups: one 32-byte-key shuffle, no postings"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -578,6 +578,68 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.forall(_ == 1L), "every node must take the component min label")
   }
 
+  test("x65: NLL arithmetic is exact-integer and the keep gate matches its columns") {
+    val df = run("x65_lm_quality_filter").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("nll_nanos") < 0 || col("n_modeled") > col("n_bigrams") ||
+      col("coverage_ppm") < 0 || col("coverage_ppm") > 1000000L).isEmpty,
+      "counts and quantized sums must be consistent")
+    // keep is exactly its definition — no drift between the flag and columns
+    val drift = df.filter(col("keep") =!=
+      coalesce(col("coverage_ppm") >= 950000L && col("mean_nll_micros") <= 3400000L, lit(false)))
+    assert(drift.isEmpty, drift.collect().mkString("\n"))
+    assert(run("x65_lm_quality_filter").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
+
+  test("x66: chunks tile each document with stride 48 and cover its full length") {
+    val df = run("x66_chunk_manifest").cache()
+    assert(df.filter(col("start_tok") =!= col("chunk_idx") * 48 ||
+      col("chunk_len") < 1 || col("chunk_len") > 64).isEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    val cover = df.groupBy("doc_id").agg(
+      max(col("start_tok") + col("chunk_len")).as("covered"),
+      count(lit(1)).as("k"), max("chunk_idx").as("last_idx"))
+    val bad = cover.join(docs, "doc_id")
+      .filter(col("covered") =!= col("n_tokens") || col("last_idx") =!= col("k") - 1)
+    assert(bad.isEmpty, "every doc must be fully covered by contiguous chunk indexes")
+    assert(cover.count() === docs.count(), "every document must produce chunks")
+    df.unpersist()
+  }
+
+  test("x67: 16 shards partition the corpus and token totals balance") {
+    val df = run("x67_shard_planner").cache()
+    assert(df.select("shard").collect().map(_.getInt(0)).toSet === (0 until 16).toSet)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val Seq(nDocs, totTok) =
+      docs.agg(count(lit(1)), sum("n_tokens")).head().toSeq.map(_.asInstanceOf[Long]).toSeq
+    val agg = df.agg(sum("n_docs"), sum("total_tokens"),
+      max("total_tokens") - min("total_tokens")).head()
+    assert(agg.getLong(0) === nDocs && agg.getLong(1) === totTok,
+      "shards must partition the corpus exactly")
+    val maxDoc = docs.agg(max("n_tokens")).head().getLong(0)
+    assert(agg.getLong(2) <= maxDoc,
+      s"snake order bounds the shard spread by one document (spread ${agg.getLong(2)}, max doc $maxDoc)")
+    df.unpersist()
+  }
+
+  test("x68: prefix groups are non-vacuous and consistent with exact duplicates") {
+    val df = run("x68_boilerplate_prefix").cache()
+    assert(df.count() > 0, "synthetic corpus has exact dups, so prefix groups must exist")
+    assert(df.filter(col("n_docs") < 2 || col("n_sources") > col("n_docs")).isEmpty)
+    // every doc in an exact-duplicate group (x1) shares its first 12
+    // tokens with its copies by definition, so it must land in SOME
+    // prefix group — x68's covered-doc total is bounded below by x1's
+    val dupDocs = run("x1_exact_dedup").filter(col("n_copies") >= 2)
+      .agg(coalesce(sum("n_copies"), lit(0L))).head().getLong(0)
+    val prefixDocs = df.agg(sum("n_docs")).head().getLong(0)
+    assert(prefixDocs >= dupDocs,
+      s"prefix groups cover $prefixDocs docs but exact dups alone cover $dupDocs")
+    df.unpersist()
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
