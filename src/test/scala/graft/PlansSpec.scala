@@ -353,4 +353,22 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(corpusScans <= budget, s"$name corpus scans $corpusScans > $budget:\n$p")
     }
   }
+
+  test("x66: the chunk manifest is pure map-side — zero exchanges, zero joins") {
+    val p = plan("x66_chunk_manifest")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"x66 must stay a single narrow projection:\n$p")
+  }
+
+  test("x67: the rank decomposition joins via broadcast, never a corpus sort-merge") {
+    val p = plan("x67_shard_planner")
+    assert(p.contains("BroadcastHashJoin"), s"histogram must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x65: the LM scoring join is hash-based, never nested-loop") {
+    val p = plan("x65_lm_quality_filter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"postings-vs-LM must be an equi hash join:\n$p")
+  }
 }
