@@ -4116,6 +4116,58 @@ object Queries {
       |  min(doc_id) AS first_doc_id
       |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  // ---------------------------------------------------------------- X69
+  /** PMI COLLOCATION EXTRACTION — the phrase-mining prep step (find
+    * "new york"-style multiword units before tokenizer training): the
+    * top-100 adjacent token pairs by pointwise mutual information
+    * ln(p(w1,w2) / (p(w1)·p(w2))), among pairs seen ≥ 10 times. All
+    * probabilities share ONE denominator (the bigram-position total N),
+    * and both marginals derive from the aggregated pair frame itself
+    * (sum over the vocab²-bounded counts — never a second corpus scan).
+    * PMI is nano-quantized (the x63 ln recipe) so the ranking key is an
+    * integer; ties break on the pair itself. Scale shape: one corpus
+    * shuffle (the pair aggregation, map-side combined); the marginal
+    * sums and joins run over the aggregated frame only, broadcast back;
+    * the final top-100 is TakeOrderedAndProject (no global sort). */
+  private def x69(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(toks(col("text")).as("tk"))
+      .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = bg.agg(sum(col("c12"))).head().getLong(0)
+    val m1 = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val m2 = bg.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val out = bg.filter(col("c12") >= 10)
+      .join(broadcast(m1), "w1").join(broadcast(m2), "w2")
+      .withColumn("pmi_nanos",
+        round(log(col("c12").cast(DoubleType) * lit(n.toDouble) /
+          (col("c1").cast(DoubleType) * col("c2").cast(DoubleType))) *
+          lit(1000000000.0), 0).cast(LongType))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), col("pmi_nanos"))
+      .orderBy(col("pmi_nanos").desc, col("w1"), col("w2"))
+      .limit(100)
+    // no unpersist here: the returned plan still reads bg (3 branches);
+    // the harnesses clearCache() between queries
+    out
+  }
+
+  private val x69Sql =
+    """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |      FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d)),
+      |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+      |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM p GROUP BY 1),
+      |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM p GROUP BY 1),
+      |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM p)
+      |SELECT p.w1, p.w2, c12, c1, c2,
+      |  CAST(round(ln(CAST(c12 AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE) /
+      |    (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1000000000.0, 0) AS BIGINT) AS pmi_nanos
+      |FROM p JOIN m1 USING (w1) JOIN m2 USING (w2)
+      |WHERE c12 >= 10
+      |ORDER BY pmi_nanos DESC, p.w1, p.w2 LIMIT 100""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -4184,6 +4236,8 @@ object Queries {
       "snake-order balanced 16-shard plan via distinct-value rank decomposition (no global window)"),
     Q("x68_boilerplate_prefix", x68, Some(x68Sql),
       "anchored 12-token prefix boilerplate groups: one 32-byte-key shuffle, no postings"),
+    Q("x69_pmi_collocations", x69, Some(x69Sql),
+      "top-100 PMI collocations (c12 ≥ 10): one corpus shuffle, vocab-bounded marginals, nano-exact ln"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

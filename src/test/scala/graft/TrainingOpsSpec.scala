@@ -640,6 +640,18 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x69: collocations are count-consistent, ranked by PMI, and deterministic") {
+    val rows = run("x69_pmi_collocations").collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 100)
+    assert(rows.forall { r =>
+      val (c12, c1, c2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      c12 >= 10 && c1 >= c12 && c2 >= c12
+    }, "marginals must dominate the pair count")
+    val pmis = rows.map(_.getLong(5))
+    assert(pmis === pmis.sorted.reverse, "output must be ranked by PMI desc")
+    assert(run("x69_pmi_collocations").collect().toSeq === rows, "rerun diverged")
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
