@@ -4168,6 +4168,81 @@ object Queries {
       |WHERE c12 >= 10
       |ORDER BY pmi_nanos DESC, p.w1, p.w2 LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- X70
+  /** LABEL-SPACE COHESION AUDIT — the embedding-quality scorecard run
+    * before trusting labels for curriculum/eval construction: per label,
+    * how tight the class is (mean + min cosine of members to their own
+    * integer-exact centroid — the x38 quantized-sum recipe, so the
+    * centroid is bit-identical across engines/partitionings) and how
+    * close it sits to the nearest OTHER class (max centroid-centroid
+    * cosine), with the margin between them. A negative margin flags a
+    * label whose members sit closer to another class's center than their
+    * own spread — the "these labels are noise" signal. Per-member cosines
+    * are 6dp-rounded then micro-quantized BEFORE the mean's integer sum
+    * (order-free); the mean itself is exposed as one exact double
+    * division. Scale shape: one posexplode aggregation bounded by
+    * |labels|·dims builds centroids, the k-row centroid table broadcasts
+    * back for ONE cosine pass over the (persisted) vectors, and the k²
+    * centroid-pair matrix never touches the corpus. */
+  private def x70(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast(IntegerType).as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // centroid pass + cosine pass
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "el")))
+      .withColumn("elq", round(col("el") * 1e6, 0).cast(LongType))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("elq")).as("s"), count(lit(1)).as("c"))
+      .withColumn("cel", col("s").cast(DoubleType) / (col("c") * lit(1e6)))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("cel")))).as("ic"))
+      .select(col("label"), expr("transform(ic, x -> x.cel)").as("cv"))
+      .withColumn("cn", expr("sqrt(graft_dot(cv, cv))"))
+    val other = cent.select(col("label").as("olabel"), col("cv").as("ocv"), col("cn").as("ocn"))
+    val sep = cent.join(other, col("label") =!= col("olabel")) // k² rows, metadata scale
+      .withColumn("ccos", round(expr("graft_dot(cv, ocv)") / (col("cn") * col("ocn")), 6))
+      .groupBy(col("label")).agg(max(col("ccos")).as("separation"))
+    val coh = e.join(broadcast(cent), "label")
+      .withColumn("cos_q", round(
+        round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6) * lit(1e6), 0)
+        .cast(LongType))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("cos_q")).as("coh_sum"),
+        min(round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6)).as("min_cos"))
+    coh.join(broadcast(sep), "label")
+      .withColumn("cohesion",
+        round(col("coh_sum").cast(DoubleType) / (col("n_vecs") * lit(1e6)), 6))
+      .withColumn("margin", round(col("cohesion") - col("separation"), 6))
+      .select(col("label"), col("n_vecs"), col("cohesion"), col("min_cos"),
+        col("separation"), col("margin"))
+  }
+
+  private val x70Sql =
+    """WITH e AS (SELECT vec_id, CAST(label AS INT) AS label, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |ex AS (SELECT label, i, CAST(round(v[i + 1] * 1000000) AS BIGINT) AS elq
+      |       FROM e, (SELECT unnest(range(64)) AS i)),
+      |cs AS (SELECT label, i, sum(elq) AS s, count(*) AS c FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT label, list(CAST(s AS DOUBLE) / (c * 1000000.0) ORDER BY i) AS cv
+      |         FROM cs GROUP BY label),
+      |cent2 AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+      |sep AS (SELECT a.label,
+      |         max(round(list_dot_product(a.cv, b.cv) / (a.cn * b.cn), 6)) AS separation
+      |        FROM cent2 a JOIN cent2 b ON a.label <> b.label GROUP BY a.label),
+      |coh AS (SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |         CAST(sum(CAST(round(round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6)
+      |           * 1000000.0) AS BIGINT)) AS BIGINT) AS coh_sum,
+      |         min(round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6)) AS min_cos
+      |        FROM e JOIN cent2 c USING (label) GROUP BY e.label)
+      |SELECT label, n_vecs,
+      |  round(CAST(coh_sum AS DOUBLE) / (n_vecs * 1000000.0), 6) AS cohesion,
+      |  min_cos, separation,
+      |  round(round(CAST(coh_sum AS DOUBLE) / (n_vecs * 1000000.0), 6) - separation, 6) AS margin
+      |FROM coh JOIN sep USING (label)""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -4238,6 +4313,8 @@ object Queries {
       "anchored 12-token prefix boilerplate groups: one 32-byte-key shuffle, no postings"),
     Q("x69_pmi_collocations", x69, Some(x69Sql),
       "top-100 PMI collocations (c12 ≥ 10): one corpus shuffle, vocab-bounded marginals, nano-exact ln"),
+    Q("x70_label_cohesion", x70, Some(x70Sql),
+      "per-label embedding cohesion/separation/margin audit: integer-exact centroids, micro-exact means"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

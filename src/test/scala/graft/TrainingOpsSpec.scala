@@ -652,6 +652,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("x69_pmi_collocations").collect().toSeq === rows, "rerun diverged")
   }
 
+  test("x70: cohesion audit covers every label exactly and its margin arithmetic holds") {
+    val df = run("x70_label_cohesion").cache()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(df.agg(sum("n_vecs")).head().getLong(0) === emb.count(),
+      "every vector must be audited under exactly one label")
+    assert(df.select("label").collect().map(_.getInt(0)).toSet ===
+      emb.select("label").distinct().collect().map(_.getInt(0)).toSet)
+    val bad = df.filter(col("cohesion") < -1 || col("cohesion") > 1 ||
+      col("min_cos") > col("cohesion") ||
+      col("margin") =!= round(col("cohesion") - col("separation"), 6))
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
+    assert(run("x70_label_cohesion").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
+
   test("x40: phases are the fixed bins and positions tile each phase 1..n") {
     val df = run("x40_curriculum").cache()
     assert(df.filter(
