@@ -4243,6 +4243,236 @@ object Queries {
       |  round(round(CAST(coh_sum AS DOUBLE) / (n_vecs * 1000000.0), 6) - separation, 6) AS margin
       |FROM coh JOIN sep USING (label)""".stripMargin
 
+  // ---------------------------------------------------------------- X71
+  /** CONTENT-DEFINED CHUNKING — the LBFS/rsync/FastCDC discipline at token
+    * granularity, the OTHER half of the chunking story x66 starts: a token
+    * ENDS a chunk iff its own md5 lands in a fixed 1/32 residue class, so
+    * boundaries are decided by CONTENT alone. Insert or delete a token and
+    * only the chunk it sits in redraws — every other chunk keeps its
+    * content hash (x66's fixed stride shifts EVERY downstream chunk, which
+    * is why incremental dedup pipelines use CDC). Expected chunk length is
+    * the divisor (32 tokens); chunks are content-addressed by sha256 for
+    * cross-run/cross-engine identity. Scale shape: like x66 this is a PURE
+    * MAP-SIDE op — boundary filter, cut-pair zip, explode and hash all
+    * inside one projection, ZERO shuffles (plan-gated) — so CDC over
+    * 100 TB is embarrassingly parallel, each input split chunking its docs
+    * independently. */
+  private def x71(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      // boundary AFTER 1-based position i iff md5(token_i) mod 32 == 0 —
+      // a per-token decision (the CDC property; no rolling state needed at
+      // token granularity)
+      .withColumn("bpos", expr(
+        "filter(sequence(1, n), i -> pmod(cast(conv(substring(md5(element_at(tk, i)), 1, 4), 16, 10) as bigint), 32) = 0)"))
+      // cut pairs (s, e): starts = 0 ∪ boundaries, ends = boundaries ∪ n;
+      // the degenerate (n, n) tail (when the last token is a boundary)
+      // filters out
+      .withColumn("cut", expr(
+        "filter(zip_with(concat(array(0), bpos), concat(bpos, array(n)), (s, e) -> named_struct('s', s, 'e', e)), p -> p.e > p.s)"))
+      .select(col("doc_id"), col("tk"), posexplode(col("cut")).as(Seq("ci", "p")))
+      .select(col("doc_id"),
+        col("ci").cast(IntegerType).as("chunk_idx"),
+        col("p.s").cast(IntegerType).as("start_tok"),
+        (col("p.e") - col("p.s")).cast(IntegerType).as("chunk_len"),
+        sha2(expr("array_join(slice(tk, p.s + 1, p.e - p.s), ' ')"), 256).as("chunk_hash"))
+
+  private val x71Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |p AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM d),
+      |b AS (SELECT doc_id, i AS e FROM p
+      |      WHERE ('0x' || substr(md5(tk[i]), 1, 4))::BIGINT % 32 = 0),
+      |ends AS (SELECT DISTINCT doc_id, e FROM
+      |  (SELECT doc_id, e FROM b UNION ALL SELECT doc_id, len(tk) AS e FROM d)),
+      |c AS (SELECT doc_id, e,
+      |        lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s FROM ends)
+      |SELECT c.doc_id,
+      |  CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.s) - 1 AS INT) AS chunk_idx,
+      |  CAST(s AS INT) AS start_tok, CAST(e - s AS INT) AS chunk_len,
+      |  sha256(array_to_string(list_slice(tk, s + 1, e), ' ')) AS chunk_hash
+      |FROM c JOIN d USING (doc_id) WHERE e > s""".stripMargin
+
+  // ---------------------------------------------------------------- X72
+  /** TOKEN-BUDGET WATERFILLING — the data-mixture planner: given a token
+    * budget (half the corpus here), allocate it across sources by the
+    * max-min fair rule — every source keeps all its tokens up to a common
+    * water level T, sources below the level keep everything — with the
+    * integer remainder distributed deterministically so allocations SUM TO
+    * THE BUDGET EXACTLY (the per-source sampling rates a mixture run would
+    * execute). The closed form needs one sorted scan: the first source (by
+    * availability ascending) whose `avail × remaining_sources + cum_before`
+    * reaches the budget pins the level. Scale shape: ONE corpus
+    * aggregation produces the |sources|-row frame; everything after —
+    * total/count, the pivot search, the level itself — is GLOBAL WINDOWS
+    * over that tiny frame (no self-joins: a branch per derived scalar
+    * would re-run the corpus scan once per branch), so at 100 TB the
+    * planner costs one map-side-combined count, nothing else. */
+  private def x72(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("avail"))
+    // |sources|-row frame from here down — global windows are fine
+    val wAsc = Window.orderBy(col("avail").asc, col("source").asc)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    a
+      .withColumn("idx", row_number().over(wAsc).cast(LongType))
+      .withColumn("cumb", coalesce(
+        sum(col("avail")).over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("budget", expr("sum(avail) over () div 2"))
+      // pivot: first (avail-ascending) row whose uniform fill reaches the
+      // budget — found with a global min over an eligibility-masked struct
+      .withColumn("j", min(when(
+        col("avail") * (col("m") - col("idx") + 1) + col("cumb") >= col("budget"),
+        struct(col("idx"), col("cumb")))).over(wAll))
+      .withColumn("j0", col("j.idx")).withColumn("c0", col("j.cumb"))
+      .withColumn("u", col("m") - col("j0") + 1)
+      .withColumn("t", expr("(budget - c0) div u"))
+      .withColumn("rem", expr("(budget - c0) % u"))
+      .withColumn("capped", col("idx") < col("j0"))
+      // +1 remainder tokens go to the first `rem` uncapped sources in
+      // source order — deterministic, and T+1 ≤ avail is guaranteed
+      // (rem > 0 forces every uncapped avail ≥ T+1)
+      .withColumn("urn", sum(when(col("idx") >= col("j0"), 1L).otherwise(0L))
+        .over(Window.orderBy(col("source").asc).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("alloc_tokens", when(col("capped"), col("avail"))
+        .otherwise(col("t") + when(col("urn") <= col("rem"), 1L).otherwise(0L)))
+      .withColumn("rate_ppm", expr("(alloc_tokens * 1000000) div avail"))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("alloc_tokens"), col("rate_ppm"), col("capped"))
+  }
+
+  private val x72Sql =
+    """WITH a AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY source),
+      |s AS (SELECT source, avail,
+      |    CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS idx,
+      |    CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+      |    CAST(count(*) OVER () AS BIGINT) AS m,
+      |    CAST(sum(avail) OVER () AS BIGINT) AS total
+      |  FROM a),
+      |s2 AS (SELECT *, total // 2 AS budget FROM s),
+      |j AS (SELECT min(idx) AS j0 FROM s2
+      |      WHERE avail * (m - idx + 1) + cumb >= budget),
+      |c AS (SELECT cumb AS c0 FROM s2, j WHERE idx = j0),
+      |o AS (SELECT s2.*, j0, c0,
+      |        (budget - c0) // (m - j0 + 1) AS t,
+      |        (budget - c0) % (m - j0 + 1) AS rem,
+      |        idx < j0 AS capped,
+      |        CAST(sum(CASE WHEN idx >= j0 THEN 1 ELSE 0 END) OVER
+      |          (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS urn
+      |      FROM s2, j, c)
+      |SELECT source, avail AS avail_tokens,
+      |  CAST(CASE WHEN capped THEN avail
+      |       ELSE t + CASE WHEN urn <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+      |  CAST((CASE WHEN capped THEN avail
+      |       ELSE t + CASE WHEN urn <= rem THEN 1 ELSE 0 END END * 1000000) // avail
+      |    AS BIGINT) AS rate_ppm,
+      |  capped
+      |FROM o""".stripMargin
+
+  // ---------------------------------------------------------------- X73
+  /** EMBEDDING-SPACE ANISOTROPY AUDIT — the health check run before
+    * trusting cosine similarity (ANN, dedup, clustering all assume the
+    * space isn't collapsed): per dimension, the exact count/mean/variance
+    * of that coordinate across the corpus, plus each dimension's share of
+    * the total variance (a concentrated share = anisotropic/collapsed
+    * space, the signal that embeddings need whitening before x5/x6/x38).
+    * Exactness is the x38/q18 recipe: coordinates are micro-quantized to
+    * int64, first and second moments are order-free INTEGER sums, the
+    * float mean/variance are single IEEE expressions over those integers,
+    * and the variance share is integer ppm over re-quantized variances —
+    * bit-identical across engines and partitionings. Scale shape: one
+    * corpus scan, posexplode to (dim, value), one map-side-combined
+    * aggregation to a dims-row frame; everything after is metadata-scale.
+    * (At ~1e12-row corpora swap the micro for milli quantization to keep
+    * Σq² inside int64 — the scale knob is one literal.) */
+  private def x73(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "el")))
+      .withColumn("elq", round(col("el") * lit(1e6), 0).cast(LongType))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("elq")).as("s1"),
+        sum(col("elq") * col("elq")).as("s2"))
+      .withColumn("mean",
+        round(col("s1").cast(DoubleType) / (col("n").cast(DoubleType) * lit(1e6)), 6))
+      .withColumn("variance",
+        round((col("s2").cast(DoubleType) / col("n") -
+          pow(col("s1").cast(DoubleType) / col("n"), 2)) / lit(1e12), 6))
+      .withColumn("varq", round(col("variance") * lit(1e6), 0).cast(LongType))
+    // dims-row frame: the trace window is metadata-scale
+    per
+      .withColumn("traceq", sum(col("varq")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("var_share_ppm", expr("(varq * 1000000) div traceq"))
+      .select(col("dim").cast(IntegerType).as("dim"), col("n"), col("mean"),
+        col("variance"), col("var_share_ppm"))
+  }
+
+  private val x73Sql =
+    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      |ex AS (SELECT i, CAST(round(v[i + 1] * 1000000) AS BIGINT) AS elq
+      |       FROM e, (SELECT unnest(range(64)) AS i)),
+      |m AS (SELECT i AS dim, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(elq) AS BIGINT) AS s1,
+      |        CAST(sum(elq * elq) AS BIGINT) AS s2
+      |      FROM ex GROUP BY 1),
+      |v AS (SELECT dim, n,
+      |        round(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean,
+      |        round((CAST(s2 AS DOUBLE) / n -
+      |          pow(CAST(s1 AS DOUBLE) / n, 2)) / 1e12, 6) AS variance
+      |      FROM m),
+      |q AS (SELECT *, CAST(round(variance * 1000000) AS BIGINT) AS varq FROM v)
+      |SELECT CAST(dim AS INT) AS dim, n, mean, variance,
+      |  CAST((varq * 1000000) // CAST((SELECT sum(varq) FROM q) AS BIGINT)
+      |    AS BIGINT) AS var_share_ppm
+      |FROM q""".stripMargin
+
+  // ---------------------------------------------------------------- X74
+  /** SPAN NOVELTY AUDIT — the temporal complement of x34: for each
+    * document, how many of its distinct 8-token spans were ALREADY SEEN in
+    * an earlier document (by doc_id ingest order), i.e. how much genuinely
+    * new text each document contributes. This is the curve a crawl
+    * operator watches to decide when a source is mined out (novelty decay)
+    * and the keep-rule behind "dedup against history" incremental
+    * ingestion. Shape: the x34 kernel — one shingle-hash pass (8-byte
+    * hashes through the shuffle, never strings), min(doc_id) per span as
+    * the first-seen index, one join-back, one per-doc aggregation; the
+    * span aggregation's exchange is reused for the join-back side (same
+    * key), so the corpus shuffles once. Novelty is integer ppm — exact. */
+  private def x74(spark: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("graft_shingle_hashes(split(text, ' '), 8)")).as("s"))
+    val first = posts.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    posts.join(first, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen_before"))
+      .withColumn("novelty_ppm", expr("((n_spans - n_seen_before) * 1000000) div n_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_seen_before"), col("novelty_ppm"))
+  }
+
+  private val x74Sql =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+      |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+      |                tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      |t AS (SELECT doc_id, unnest(sh) AS s FROM s),
+      |f AS (SELECT s, min(doc_id) AS first_doc FROM t GROUP BY s),
+      |a AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |        CAST(sum(CASE WHEN first_doc < t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before
+      |      FROM t JOIN f USING (s) GROUP BY t.doc_id)
+      |SELECT doc_id, n_spans, n_seen_before,
+      |  ((n_spans - n_seen_before) * 1000000) // n_spans AS novelty_ppm
+      |FROM a""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -4315,6 +4545,14 @@ object Queries {
       "top-100 PMI collocations (c12 ≥ 10): one corpus shuffle, vocab-bounded marginals, nano-exact ln"),
     Q("x70_label_cohesion", x70, Some(x70Sql),
       "per-label embedding cohesion/separation/margin audit: integer-exact centroids, micro-exact means"),
+    Q("x71_cdc_chunking", x71, Some(x71Sql),
+      "content-defined chunking (CDC): md5-residue token boundaries, edit-local chunk identity, zero-shuffle"),
+    Q("x72_mixture_waterfill", x72, Some(x72Sql),
+      "token-budget waterfilling across sources: max-min fair allocation, integer-exact to the budget"),
+    Q("x73_embedding_audit", x73, Some(x73Sql),
+      "embedding-space anisotropy audit: per-dim integer-exact moments + variance-share ppm"),
+    Q("x74_span_novelty", x74, Some(x74Sql),
+      "per-doc span novelty vs earlier docs (dedup-against-history signal): one shingle-hash shuffle"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -371,4 +371,30 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"postings-vs-LM must be an equi hash join:\n$p")
   }
+
+  test("x71: CDC chunking is pure map-side — zero exchanges, zero joins") {
+    val p = plan("x71_cdc_chunking")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"x71 must stay a single narrow projection (the x66 contract):\n$p")
+  }
+
+  test("x72: the waterfill planner aggregates the corpus once; all else is metadata-scale") {
+    val p = plan("x72_mixture_waterfill")
+    // one corpus scan feeding one partial+final aggregate pair; the
+    // |sources|-row global windows after it must not re-touch the table
+    // (a self-join formulation re-ran the scan once per derived scalar)
+    assert(p.linesIterator.count(_.matches(".*\\(\\d+\\) Scan parquet.*")) == 1,
+      s"x72 must scan documents exactly once:\n$p")
+    assert(!p.contains("Join"),
+      s"the pivot search must be windows over the tiny frame, not joins:\n$p")
+  }
+
+  test("x74: the novelty join reuses the span-postings exchange (one corpus shuffle)") {
+    val df = Queries.byName("x74_span_novelty").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.contains("ReusedExchange") ||
+      p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"postings must shuffle once and be reused for the join-back:\n$p")
+  }
 }

@@ -680,4 +680,81 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pos_in_phase must be the contiguous 1..n per phase")
     df.unpersist()
   }
+
+  test("x71: CDC chunks tile each document and every cut sits on a boundary token") {
+    val df = run("x71_cdc_chunking").cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // contiguous tiling: chunk i+1 starts where chunk i ends, first at 0,
+    // last ends at the token count
+    val cover = df.groupBy("doc_id").agg(
+      min("start_tok").as("first"), max(col("start_tok") + col("chunk_len")).as("covered"),
+      sum("chunk_len").as("len_sum"), count(lit(1)).as("k"), max("chunk_idx").as("last_idx"))
+    val bad = cover.join(docs.select(col("doc_id"), size(col("tk")).as("n")), "doc_id")
+      .filter(col("first") =!= 0 || col("covered") =!= col("n") ||
+        col("len_sum") =!= col("n") || col("last_idx") =!= col("k") - 1)
+    assert(bad.isEmpty, "CDC chunks must tile each document contiguously")
+    assert(cover.count() === docs.count(), "every document must produce chunks")
+    // content rule: every non-final chunk's LAST token is in the md5 cut
+    // class, and no interior token of any chunk is — re-derived from text
+    val withTk = df.join(docs, "doc_id")
+      .withColumn("lastTok", expr("element_at(tk, start_tok + chunk_len)"))
+      .withColumn("endsDoc", col("start_tok") + col("chunk_len") === size(col("tk")))
+    val ruleBad = withTk.filter(!col("endsDoc") &&
+      expr("pmod(cast(conv(substring(md5(lastTok), 1, 4), 16, 10) as bigint), 32)") =!= 0)
+    assert(ruleBad.isEmpty, "every non-final chunk must end on a boundary token")
+    val interiorBad = withTk
+      .withColumn("inner", expr("slice(tk, start_tok + 1, chunk_len - 1)"))
+      .filter(expr("exists(inner, t -> pmod(cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint), 32) = 0)"))
+    assert(interiorBad.isEmpty, "no chunk may contain an interior boundary token")
+    df.unpersist()
+  }
+
+  test("x72: waterfill allocates exactly the budget, max-min fair, never over avail") {
+    val df = run("x72_mixture_waterfill").cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.select(size(split(col("text"), " ")).cast("long").as("nt"))
+      .agg(sum("nt")).head().getLong(0)
+    assert(df.agg(sum("alloc_tokens")).head().getLong(0) === total / 2,
+      "allocations must sum to the budget EXACTLY")
+    assert(df.filter(col("alloc_tokens") > col("avail_tokens") ||
+      col("alloc_tokens") < 0).isEmpty, "no source may exceed its availability")
+    assert(df.filter(col("capped") && col("alloc_tokens") =!= col("avail_tokens")).isEmpty,
+      "capped sources keep everything they have")
+    val un = df.filter(!col("capped"))
+      .agg(max("alloc_tokens").as("hi"), min("alloc_tokens").as("lo")).head()
+    assert(un.getLong(0) - un.getLong(1) <= 1,
+      "uncapped sources sit within one token of the common water level")
+    // max-min fairness: every capped source's whole holding is below the level
+    val capMax = df.filter(col("capped")).agg(coalesce(max("avail_tokens"), lit(0L))).head().getLong(0)
+    assert(capMax <= un.getLong(1),
+      "a capped source must hold no more than the water level")
+    df.unpersist()
+  }
+
+  test("x73: 64 audited dims, equal counts, shares sum to ~1e6, variance sane") {
+    val df = run("x73_embedding_audit").cache()
+    assert(df.select("dim").collect().map(_.getInt(0)).toSet === (0 until 64).toSet)
+    assert(df.select("n").distinct().count() === 1, "every dim sees every vector")
+    assert(df.filter(col("variance") < 0).isEmpty, "variance is non-negative")
+    val shareSum = df.agg(sum("var_share_ppm")).head().getLong(0)
+    assert(shareSum > 1000000L - 64 && shareSum <= 1000000L,
+      s"floor'd ppm shares must sum to within 64 of 1e6 (got $shareSum)")
+    assert(run("x73_embedding_audit").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
+
+  test("x74: novelty is bounded, the earliest doc is fully novel, and n_spans matches x34") {
+    val df = run("x74_span_novelty").cache()
+    assert(df.filter(col("novelty_ppm") < 0 || col("novelty_ppm") > 1000000 ||
+      col("n_seen_before") > col("n_spans")).isEmpty)
+    val firstDoc = df.agg(min("doc_id")).head().getLong(0)
+    assert(df.filter(col("doc_id") === firstDoc).head().getAs[Long]("novelty_ppm") === 1000000L,
+      "the earliest document has nothing before it — 100% novel")
+    // same shingle kernel as x34: per-doc span counts must agree exactly
+    val x34n = run("x34_span_dup").select(col("doc_id"), col("n_spans").as("m"))
+    assert(df.join(x34n, "doc_id").filter(col("n_spans") =!= col("m")).isEmpty,
+      "x74 and x34 must count identical distinct-span sets")
+    df.unpersist()
+  }
 }
