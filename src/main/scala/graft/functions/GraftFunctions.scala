@@ -99,6 +99,65 @@ object FastOps {
     new GenericArrayData(out)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xF).toByte
+      out(2 * i + 1) = hexDigits(d(i) & 0xF).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Content-defined chunking over array<string> tokens (x71's kernel): a
+    * token ENDS a chunk iff the top 16 bits of its md5 ≡ 0 (mod divisor) —
+    * bit-identical to the SQL spelling
+    * `pmod(conv(substring(md5(t),1,4),16,10), divisor) = 0` (first 4 hex
+    * chars ARE the first 2 digest bytes), but tested on the digest bytes
+    * directly. Each chunk's sha256 is fed token-by-token with ' '
+    * separators — the joined string is never materialized. One native pass
+    * replaces a filter∘sequence + zip_with + slice∘array_join lambda
+    * pipeline that cost ~17× DuckDB's C md5 loop. Returns
+    * array<struct<s,len,hash>>; the degenerate empty tail (when the last
+    * token is itself a boundary) is never emitted. */
+  def cdcChunks(tokens: ArrayData, divisor: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md5 = md5Local.get()
+    val sha = sha256Local.get()
+    val out = new java.util.ArrayList[Any](n / math.max(divisor, 1) + 2)
+    var start = 0
+    var i = 0
+    while (i < n) {
+      md5.reset()
+      val d = md5.digest(tokens.getUTF8String(i).getBytes)
+      val boundary = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % divisor == 0
+      if (boundary || i == n - 1) {
+        val e = i + 1
+        sha.reset()
+        var j = start
+        while (j < e) {
+          if (j > start) sha.update(' '.toByte)
+          sha.update(tokens.getUTF8String(j).getBytes)
+          j += 1
+        }
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](start, e - start, hex(sha.digest()))))
+        start = e
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** count of elements ∈ `set` — one pass, no per-row lambda machinery. */
   def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
     val n = arr.numElements()
@@ -381,6 +440,20 @@ case class RollingFp(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** content-defined chunk manifest of array<string> tokens →
+  * array<struct<s:int, len:int, hash:string>> (x71). */
+case class CdcChunks(child: Expression, divisor: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("hash", StringType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.cdcChunks(v.asInstanceOf[ArrayData], divisor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.cdcChunks($c, $divisor)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Order-independent fingerprint combination as a typed Aggregator
   * (SURVEY §4(b)): XOR over int64 fingerprints, the distributed analog of
   * `Fingerprint.combine` — commutative/associative, so partial aggregation
@@ -426,6 +499,7 @@ object GraftFunctions {
     "graft_md5_planes192" -> (es => Md5PlaneSig192(es.head)),
     "graft_count_in" -> (es => CountInSet(es(0), strArrayArg(es(1)))),
     "graft_sum_len" -> (es => SumCharLen(es.head)),
+    "graft_cdc_chunks" -> (es => CdcChunks(es.head, if (es.size > 1) intArg(es(1)) else 32)),
     "graft_rolling_fp" -> (es => RollingFp(es.head)))
 
   def register(spark: SparkSession): Unit = {

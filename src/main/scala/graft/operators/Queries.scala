@@ -4253,30 +4253,22 @@ object Queries {
     * is why incremental dedup pipelines use CDC). Expected chunk length is
     * the divisor (32 tokens); chunks are content-addressed by sha256 for
     * cross-run/cross-engine identity. Scale shape: like x66 this is a PURE
-    * MAP-SIDE op — boundary filter, cut-pair zip, explode and hash all
-    * inside one projection, ZERO shuffles (plan-gated) — so CDC over
-    * 100 TB is embarrassingly parallel, each input split chunking its docs
-    * independently. */
+    * MAP-SIDE op — boundary scan, chunk cut, and content hash all inside
+    * ONE codegen'd kernel call (`graft_cdc_chunks`, FastOps.cdcChunks:
+    * boundary tested on md5 digest bytes, chunk sha256 fed incrementally,
+    * no joined strings; the HOF-lambda spelling of the same plan ran ~17×
+    * slower than DuckDB's C md5 loop) — ZERO shuffles (plan-gated), so CDC
+    * over 100 TB is embarrassingly parallel, each input split chunking its
+    * docs independently. */
   private def x71(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .withColumn("n", size(col("tk")))
-      // boundary AFTER 1-based position i iff md5(token_i) mod 32 == 0 —
-      // a per-token decision (the CDC property; no rolling state needed at
-      // token granularity)
-      .withColumn("bpos", expr(
-        "filter(sequence(1, n), i -> pmod(cast(conv(substring(md5(element_at(tk, i)), 1, 4), 16, 10) as bigint), 32) = 0)"))
-      // cut pairs (s, e): starts = 0 ∪ boundaries, ends = boundaries ∪ n;
-      // the degenerate (n, n) tail (when the last token is a boundary)
-      // filters out
-      .withColumn("cut", expr(
-        "filter(zip_with(concat(array(0), bpos), concat(bpos, array(n)), (s, e) -> named_struct('s', s, 'e', e)), p -> p.e > p.s)"))
-      .select(col("doc_id"), col("tk"), posexplode(col("cut")).as(Seq("ci", "p")))
+      .select(col("doc_id"),
+        posexplode(expr("graft_cdc_chunks(split(text, ' '), 32)")).as(Seq("ci", "c")))
       .select(col("doc_id"),
         col("ci").cast(IntegerType).as("chunk_idx"),
-        col("p.s").cast(IntegerType).as("start_tok"),
-        (col("p.e") - col("p.s")).cast(IntegerType).as("chunk_len"),
-        sha2(expr("array_join(slice(tk, p.s + 1, p.e - p.s), ' ')"), 256).as("chunk_hash"))
+        col("c.s").as("start_tok"),
+        col("c.len").as("chunk_len"),
+        col("c.hash").as("chunk_hash"))
 
   private val x71Sql =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
