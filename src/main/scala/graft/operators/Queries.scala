@@ -4465,6 +4465,109 @@ object Queries {
       |  ((n_spans - n_seen_before) * 1000000) // n_spans AS novelty_ppm
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- X75
+  /** GAP SESSIONIZATION — the batch form of the session primitive (qs2
+    * streams it with Spark's session windows): a user's event log breaks
+    * into sessions wherever the gap to the previous event exceeds 30
+    * minutes; each session reports its size, span, distinct event types,
+    * and micro-exact value sum. Shape: ONE shuffle on user_id — the gap
+    * lag and the running break-count share the same (partition, order)
+    * spec so the second window rides the first one's sort, and the final
+    * per-session aggregation's ClusteredDistribution(user_id, session_idx)
+    * is already satisfied by hashpartitioning(user_id) (co-located by
+    * construction), so no second exchange exists. Per-user state is the
+    * sort buffer, not the session — nothing accumulates beyond the
+    * partition sort at 100 TB. Timestamps compare at µs (the documented
+    * ns→µs oracle protocol). */
+  private def x75(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"),
+      col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("gap").isNull || col("gap") > lit(1800000000L), 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(IntegerType))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        sum(round(col("value") * lit(1e6), 0).cast(LongType)).as("value_micros"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  private val x75Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+      |             event_type, value FROM events),
+      |g AS (SELECT *, us - lag(us) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e),
+      |s AS (SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
+      |          THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+      |      FROM g)
+      |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+      |  min(us) AS start_us, max(us) AS end_us,
+      |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+      |  max(us) - min(us) AS duration_us
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- X76
+  /** SEQUENCE-PACKING MANIFEST — the pretraining packer: the corpus is one
+    * global token stream (documents concatenated in doc_id order) cut into
+    * fixed 2048-token training sequences, documents SPLITTING across cuts
+    * (the standard packing discipline — zero padding, every sequence
+    * exactly full). Output: one manifest row per (document × sequence it
+    * touches) with the in-doc token offset — exactly what a loader needs
+    * to assemble sequence `seq_id` without ever materializing the stream.
+    * Shape: the global token offset is a TWO-LEVEL cumsum (the x67
+    * decomposition): per-bucket totals (doc_id div 1024) cumsum'd on the
+    * bucket-count-sized frame and broadcast back, plus an intra-bucket
+    * running sum — no corpus-wide single-partition window anywhere. The
+    * bin fan-out (explode over the [first,last] sequence range) is
+    * map-side; a doc emits 1 + ⌈nt/2048⌉ rows at most. */
+  private def x76(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast(LongType).as("nt"))
+      .filter(col("nt") > 0)
+      .withColumn("bkt", expr("doc_id div 1024"))
+    val wB = Window.orderBy(col("bkt"))
+    val bbase = d.groupBy(col("bkt")).agg(sum(col("nt")).as("bt"))
+      .withColumn("bbase", coalesce(
+        sum(col("bt")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("bbase"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+    d.join(broadcast(bbase), Seq("bkt"))
+      .withColumn("start", col("bbase") + coalesce(
+        sum(col("nt")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("fin", col("start") + col("nt"))
+      .withColumn("seq_id", explode(expr("sequence(start div 2048, (fin - 1) div 2048)")))
+      .select(col("doc_id"), col("seq_id"),
+        (greatest(col("start"), col("seq_id") * 2048) - col("start"))
+          .cast(IntegerType).as("tok_offset"),
+        (least(col("fin"), (col("seq_id") + 1) * 2048) -
+          greatest(col("start"), col("seq_id") * 2048))
+          .cast(IntegerType).as("n_tokens"))
+  }
+
+  private val x76Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+      |o AS (SELECT doc_id, nt, CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |      FROM d WHERE nt > 0),
+      |e AS (SELECT doc_id, nt, start, start + nt AS fin,
+      |        unnest(range(start // 2048, (start + nt - 1) // 2048 + 1)) AS seq_id
+      |      FROM o)
+      |SELECT doc_id, seq_id,
+      |  CAST(greatest(start, seq_id * 2048) - start AS INT) AS tok_offset,
+      |  CAST(least(fin, (seq_id + 1) * 2048) - greatest(start, seq_id * 2048)
+      |    AS INT) AS n_tokens
+      |FROM e""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -4545,6 +4648,10 @@ object Queries {
       "embedding-space anisotropy audit: per-dim integer-exact moments + variance-share ppm"),
     Q("x74_span_novelty", x74, Some(x74Sql),
       "per-doc span novelty vs earlier docs (dedup-against-history signal): one shingle-hash shuffle"),
+    Q("x75_session_stats", x75, Some(x75Sql),
+      "batch gap sessionization (30-min rule): one user_id shuffle, windows + agg share the partitioning"),
+    Q("x76_pack_manifest", x76, Some(x76Sql),
+      "2048-token sequence-packing manifest with document splits: two-level cumsum, no global window"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

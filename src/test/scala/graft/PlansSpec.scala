@@ -389,6 +389,25 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the pivot search must be windows over the tiny frame, not joins:\n$p")
   }
 
+  test("x75: sessionization shuffles the log once — windows and agg share the user_id partitioning") {
+    val p = plan("x75_session_stats")
+    assert(p.linesIterator.count(_.matches(".*\\(\\d+\\) Exchange.*")) == 1,
+      s"lag + running break-count + per-session agg must all ride ONE user_id exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x76: packing has no corpus-wide single-partition window; bucket base joins broadcast") {
+    val p = plan("x76_pack_manifest")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the bucket-base cumsum must broadcast back, never sort-merge:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the only empty-partitionBy window may sit above the bucket AGGREGATE
+    // (bucket-count-sized), never directly above the doc-level frame: the
+    // doc-level window must carry the bkt partition key
+    assert(p.contains("windowspecdefinition(bkt"),
+      s"the per-doc running sum must be partitioned by bucket:\n$p")
+  }
+
   test("x74: the novelty join reuses the span-postings exchange (one corpus shuffle)") {
     val df = Queries.byName("x74_span_novelty").run(spark, sf)
     df.collect()

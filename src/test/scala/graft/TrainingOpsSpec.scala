@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -756,5 +757,52 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.join(x34n, "doc_id").filter(col("n_spans") =!= col("m")).isEmpty,
       "x74 and x34 must count identical distinct-span sets")
     df.unpersist()
+  }
+
+  test("x75: sessions partition the log, are contiguous per user, and split on >30min gaps") {
+    val df = run("x75_session_stats").cache()
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(df.agg(sum("n_events")).head().getLong(0) === nEvents,
+      "sessions must partition the event log exactly")
+    assert(df.filter(col("duration_us") < 0 || col("n_event_types") > col("n_events") ||
+      col("end_us") < col("start_us")).isEmpty)
+    // contiguity: per user, session_idx is exactly 1..k
+    val perUser = df.groupBy("user_id").agg(
+      min("session_idx").as("lo"), max("session_idx").as("hi"), count(lit(1)).as("k"))
+    assert(perUser.filter(col("lo") =!= 1 || col("hi") =!= col("k")).isEmpty,
+      "session_idx must be contiguous 1..k per user")
+    // the defining invariant: consecutive sessions of a user are separated
+    // by MORE than 30 minutes (otherwise they'd be one session)
+    val wU = Window.partitionBy("user_id").orderBy("session_idx")
+    val gaps = df.withColumn("prev_end", lag(col("end_us"), 1).over(wU))
+      .filter(col("prev_end").isNotNull)
+    assert(gaps.filter(col("start_us") - col("prev_end") <= 1800000000L).isEmpty,
+      "adjacent sessions must sit more than 30 minutes apart")
+    df.unpersist()
+  }
+
+  test("x76: packing covers every token once, all interior sequences exactly full") {
+    val df = run("x76_pack_manifest").cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+    val total = docs.agg(sum("nt")).head().getLong(0)
+    // per-document conservation + contiguous in-doc offsets
+    val perDoc = df.groupBy("doc_id").agg(
+      sum("n_tokens").as("covered"), min("tok_offset").as("first"),
+      max(col("tok_offset") + col("n_tokens")).as("last"))
+    val bad = perDoc.join(docs, "doc_id")
+      .filter(col("covered") =!= col("nt") || col("first") =!= 0 || col("last") =!= col("nt"))
+    assert(bad.isEmpty, "each document's segments must tile it exactly")
+    assert(perDoc.count() === docs.count())
+    // per-sequence: every sequence except the last is exactly 2048 tokens
+    val perSeq = df.groupBy("seq_id").agg(sum("n_tokens").as("fill")).cache()
+    val maxSeq = perSeq.agg(max("seq_id")).head().getLong(0)
+    assert(maxSeq === (total - 1) / 2048, "sequence count must match ceil(total/2048)")
+    assert(perSeq.filter(col("seq_id") < maxSeq && col("fill") =!= 2048).isEmpty,
+      "every interior sequence must be exactly full")
+    val lastFill = perSeq.filter(col("seq_id") === maxSeq).select("fill").head().getLong(0)
+    assert(lastFill === total - maxSeq * 2048, "the tail sequence holds the remainder")
+    perSeq.unpersist(); df.unpersist()
   }
 }
