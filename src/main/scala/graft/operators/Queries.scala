@@ -4568,6 +4568,78 @@ object Queries {
       |    AS INT) AS n_tokens
       |FROM e""".stripMargin
 
+  // ---------------------------------------------------------------- X77
+  /** DUPLICATION-GRAPH PAGERANK — centrality over the near-dup graph: a
+    * document whose neighbors are themselves heavily duplicated scores
+    * higher than one with the same degree in a quiet corner, which is the
+    * ranking a dedup reviewer wants (worst offenders first — x62 counts
+    * exposure, this weighs it). Classic damped PageRank, FOUR fixed
+    * power-iteration rounds on the symmetric x2 pair graph, in pure
+    * integer micros: r₀ = 1e6; rᵢ₊₁ = 150 000 + (850 000 · Σᵢₙ r/deg) div
+    * 1e6 — every contribution an integer div, so the result is
+    * bit-identical across engines and partitionings (no float fixpoint to
+    * disagree on). Scale shape: per round ONE equi-join (edges × ranks) +
+    * one aggregation, both linear in |edges|; ranks re-enter each round
+    * through a persisted-RDD LEAF (the x17 lineage discipline — plan stays
+    * O(1) per round at ANY iteration count, no 2^rounds analyzed-plan
+    * blowup, and the gate below pins the leaf). The pair graph arrives via
+    * [[PipelineCache]] (x2's engine runs once per session/dir). */
+  private def x77(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").persist()
+    val nodes = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    var backing: org.apache.spark.rdd.RDD[Row] = null
+    for (_ <- 1 to 4) {
+      val contrib = edges
+        .join(ranks.select(col("u"), expr("r div deg").as("c")), "u")
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      // symmetric graph: every node has in-edges, but keep the left join +
+      // coalesce so an asymmetric edge list stays correct
+      val nextPlan = nodes
+        .join(contrib.withColumnRenamed("v", "u"), Seq("u"), "left")
+        .select(col("u"), col("deg"), (lit(150000L) +
+          expr("(cast(850000 as bigint) * coalesce(s, cast(0 as bigint))) div 1000000")).as("r"))
+      val rdd = nextPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(rdd, nextPlan.schema)
+      next.count() // materialize this round; the next one starts from a leaf
+      if (backing != null) backing.unpersist()
+      backing = rdd
+      ranks = next
+    }
+    edges.unpersist(); nodes.unpersist()
+    ranks.select(col("u").as("doc_id"), col("deg").as("degree"),
+      col("r").as("rank_micro"))
+  }
+
+  private val x77Sql = {
+    val iter = (k: Int) =>
+      s"""r$k AS (SELECT n.u, n.deg,
+         |  CAST(150000 + (850000 * CAST(coalesce(x.s, 0) AS BIGINT)) // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.v AS u, CAST(sum(r.r // r.deg) AS BIGINT) AS s
+         |    FROM e JOIN r${k - 1} r ON r.u = e.u GROUP BY e.v) x ON n.u = x.u)"""
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |nodes AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+       |r0 AS (SELECT u, deg, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |${iter(4)}
+       |SELECT u AS doc_id, deg AS degree, r AS rank_micro FROM r4""".stripMargin
+  }
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -4652,6 +4724,8 @@ object Queries {
       "batch gap sessionization (30-min rule): one user_id shuffle, windows + agg share the partitioning"),
     Q("x76_pack_manifest", x76, Some(x76Sql),
       "2048-token sequence-packing manifest with document splits: two-level cumsum, no global window"),
+    Q("x77_dup_pagerank", x77, Some(x77Sql),
+      "integer-micro PageRank over the near-dup graph (4 rounds): per-round leaf rebuild, O(1) plan"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

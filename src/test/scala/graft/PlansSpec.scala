@@ -408,6 +408,14 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the per-doc running sum must be partitioned by bucket:\n$p")
   }
 
+  test("x77: pagerank's final frame is a persisted-RDD leaf — no cross-round lineage") {
+    val p = plan("x77_dup_pagerank")
+    assert(p.contains("Scan ExistingRDD"),
+      s"each round must re-enter SQL through a leaf (the x17 discipline):\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"the final plan must not reach back to the parquet scans:\n$p")
+  }
+
   test("x74: the novelty join reuses the span-postings exchange (one corpus shuffle)") {
     val df = Queries.byName("x74_span_novelty").run(spark, sf)
     df.collect()

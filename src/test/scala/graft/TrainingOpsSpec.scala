@@ -805,4 +805,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lastFill === total - maxSeq * 2048, "the tail sequence holds the remainder")
     perSeq.unpersist(); df.unpersist()
   }
+
+  test("x77: pagerank keeps the damping floor, bounded mass, x17's node set, determinism") {
+    val df = run("x77_dup_pagerank").cache()
+    // every node holds at least the teleport mass; floor-division only
+    // loses mass, so the total sits in [n*150000, n*1e6]
+    assert(df.filter(col("rank_micro") < 150000L || col("degree") < 1).isEmpty)
+    val n = df.count()
+    val tot = df.agg(sum("rank_micro")).head().getLong(0)
+    assert(tot >= n * 150000L && tot <= n * 1000000L,
+      s"rank mass out of bounds: $tot for $n nodes")
+    // same graph as x17: the ranked node set IS the clustered doc set
+    val cc = run("x17_dedup_clusters").select("doc_id")
+    assert(df.select("doc_id").exceptAll(cc).isEmpty &&
+      cc.exceptAll(df.select("doc_id")).isEmpty,
+      "pagerank must rank exactly the near-dup-graph nodes")
+    assert(run("x77_dup_pagerank").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
 }
