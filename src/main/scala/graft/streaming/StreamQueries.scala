@@ -492,6 +492,35 @@ object StreamQueries {
       |  CAST(row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS INT) AS rnk
       |FROM k QUALIFY rnk <= 20""".stripMargin
 
+  // --------------------------------------------------------------- QS15
+  /** Streaming RETRANSMIT DEDUP — exactly-once delivery from an
+    * at-least-once source with BOUNDED state, the property qs7 cannot give
+    * (its dedup state holds every content hash ever seen; this one's is
+    * evicted by the watermark). The stream doubles every event map-side
+    * (simulating at-least-once redelivery — both copies carry the SAME
+    * event time, as retransmissions do), then
+    * `dropDuplicatesWithinWatermark(event_id)` admits each event exactly
+    * once: duplicates share their timestamp, so they always fall inside
+    * the 10-minute watermark where the exactly-once guarantee is total,
+    * while state for events older than the watermark is dropped — at
+    * 100 TB/day the dedup store holds minutes, not the corpus. Append
+    * emission happens on FIRST arrival (the watermark bounds state, not
+    * latency). Oracle: the source table itself — every event delivered
+    * exactly once is just `events`. */
+  private def qs15(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = eventsStream(spark, dir, nFiles = 3)
+      // at-least-once simulation: every event arrives twice in its batch
+      .withColumn("copy", explode(array(lit(1), lit(2))))
+      .drop("copy")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    runToTable(spark, dedup, OutputMode.Append())
+  }
+
+  private val qs15Sql =
+    """SELECT event_id, user_id, event_type FROM events""".stripMargin
+
   // --------------------------------------------------------------- QS10
   /** Streaming CHUNK-dedup-on-ingest — x35's chunking composed with qs7's
     * cross-batch dedup state: documents arrive over three micro-batches,
@@ -842,5 +871,7 @@ object StreamQueries {
     Q("qs13_stream_outer_join", qs13, Some(qs13Sql),
       "stream-stream LEFT OUTER interval join: null-extended emission at watermark expiry"),
     Q("qs14_stream_reservoir", qs14, Some(qs14Sql),
-      "streaming stratified A-RES reservoir: bounded k-per-stratum state, exactly equal to batch x42"))
+      "streaming stratified A-RES reservoir: bounded k-per-stratum state, exactly equal to batch x42"),
+    Q("qs15_stream_retransmit_dedup", qs15, Some(qs15Sql),
+      "exactly-once from at-least-once: dropDuplicatesWithinWatermark, state evicted past the watermark"))
 }

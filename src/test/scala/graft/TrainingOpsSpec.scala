@@ -101,6 +101,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("qs15: doubled-up stream delivers every event exactly once") {
+    val streamed = run("qs15_stream_retransmit_dedup").cache()
+    val events = graft.operators.Tables.events(spark, sf)
+    assert(streamed.count() === events.count(),
+      "each retransmitted event must be admitted exactly once")
+    assert(streamed.select("event_id").distinct().count() === streamed.count())
+    assert(streamed.select("event_id", "user_id", "event_type")
+      .exceptAll(events.select("event_id", "user_id", "event_type")).isEmpty)
+    streamed.unpersist()
+  }
+
   test("x55: episodes cap at 32, spans are ordered, and truncation is exact") {
     val df = run("x55_event_sequences").cache()
     assert(df.filter(col("seq_len") < 1 || col("seq_len") > 32).isEmpty)
