@@ -4640,6 +4640,128 @@ object Queries {
        |SELECT u AS doc_id, deg AS degree, r AS rank_micro FROM r4""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X78
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-sizing decision table: for
+    * candidate vocabulary sizes 1k..64k (powers of two), what fraction of
+    * all token OCCURRENCES the top-k types by frequency cover (ties broken
+    * lexically — fully deterministic). The curve's knee is where a bigger
+    * vocab stops paying; oov_ppm at the chosen size is the UNK rate a
+    * word-level model would eat. Shape: ONE corpus shuffle (token counts,
+    * map-side combined); every window after runs on the VOCAB-bounded
+    * frame (the x50 domain-bounded single-partition argument), and the
+    * size grid joins via a 7-row broadcast theta join — vocab × 7, never
+    * corpus × anything. Coverage is integer ppm — exact. */
+  private def x78(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val wRank = Window.orderBy(col("c").desc, col("t").asc)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("rk", row_number().over(wRank).cast(LongType))
+      .withColumn("cum", sum(col("c")).over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    val sizes = spark.range(1).select(explode(expr(
+      "array(1000L, 2000L, 4000L, 8000L, 16000L, 32000L, 64000L)")).as("vocab_size"))
+    ranked.join(broadcast(sizes), col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(count(lit(1)).as("vocab_used"), max(col("cum")).as("covered"),
+        max(col("tot")).as("tot"))
+      .select(col("vocab_size"), col("vocab_used"), col("covered"),
+        expr("(covered * 1000000) div tot").as("coverage_ppm"),
+        expr("1000000 - (covered * 1000000) div tot").as("oov_ppm"))
+  }
+
+  private val x78Sql =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY t),
+      |r AS (SELECT t, c,
+      |    CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS rk,
+      |    CAST(sum(c) OVER (ORDER BY c DESC, t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER () AS BIGINT) AS tot
+      |  FROM c),
+      |s AS (SELECT unnest([1000, 2000, 4000, 8000, 16000, 32000, 64000]) AS vocab_size)
+      |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+      |  CAST(count(*) AS BIGINT) AS vocab_used,
+      |  max(cum) AS covered,
+      |  (max(cum) * 1000000) // max(tot) AS coverage_ppm,
+      |  1000000 - (max(cum) * 1000000) // max(tot) AS oov_ppm
+      |FROM r JOIN s ON rk <= vocab_size
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- X79
+  /** SOURCE LENGTH-DRIFT (Kolmogorov–Smirnov) — the distribution-shape
+    * complement of x63's token-unigram KL: per source, the KS statistic
+    * between that source's document-length distribution and the whole
+    * corpus's (sup over the step points of |F_src − F_corpus|) — the
+    * "this crawl's documents suddenly got short" detector that unigram
+    * KL cannot see. Exactness: both CDFs stay INTEGER counts; each
+    * step-point deviation compares via cross-multiplication
+    * (|cum_src·n_all − cum_all·n_src|), and only the final sup converts
+    * to ppm by integer division — no float CDFs to disagree on. Shape:
+    * one corpus aggregation to the |sources|·|lengths| frame; the
+    * evaluation grid (every source × every observed length — the sup
+    * must check BOTH distributions' step points) is a domain-bounded
+    * broadcast cross join, windows ride the tiny frame. (Cross-products
+    * stay in int64 up to ~3e9 docs; past that the ppm quantization drops
+    * to per-mille — one literal.) */
+  private def x79(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: FOUR consumers branch off this domain-bounded frame
+    // (lens, srcs, global CDF, grid join-back) — without the persist each
+    // branch would re-run the corpus scan+aggregation
+    val sl = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+      .persist()
+    // |sources|·|lengths|-bounded from here down
+    val lens = sl.select(col("len")).distinct()
+    val srcs = sl.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val globCum = sl.groupBy(col("len")).agg(sum(col("c")).as("g"))
+      .withColumn("cum_all", sum(col("g")).over(
+        Window.orderBy(col("len")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_all", sum(col("g")).over(wAll))
+      .select(col("len"), col("cum_all"), col("n_all"))
+    srcs.crossJoin(broadcast(lens))
+      .join(sl, Seq("source", "len"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_src", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(globCum), Seq("len"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"),
+        max(expr("(abs(cum_src * n_all - cum_all * n_src) * 1000000) div (n_src * n_all)"))
+          .as("ks_ppm"))
+  }
+
+  private val x79Sql =
+    """WITH d AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+      |sl AS (SELECT source, len, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+      |lens AS (SELECT DISTINCT len FROM sl),
+      |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM sl GROUP BY 1),
+      |g AS (SELECT len, CAST(sum(c) AS BIGINT) AS g FROM sl GROUP BY 1),
+      |gc AS (SELECT len,
+      |    CAST(sum(g) OVER (ORDER BY len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all,
+      |    CAST(sum(g) OVER () AS BIGINT) AS n_all FROM g),
+      |grid AS (SELECT s.source, s.n_src, l.len, coalesce(sl.c, 0) AS c
+      |         FROM srcs s CROSS JOIN lens l
+      |         LEFT JOIN sl ON sl.source = s.source AND sl.len = l.len),
+      |cs AS (SELECT source, n_src, len,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_src
+      |  FROM grid)
+      |SELECT cs.source, max(cs.n_src) AS n_docs,
+      |  max((abs(cs.cum_src * gc.n_all - gc.cum_all * cs.n_src) * 1000000)
+      |    // (cs.n_src * gc.n_all)) AS ks_ppm
+      |FROM cs JOIN gc ON cs.len = gc.len
+      |GROUP BY 1""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -4726,6 +4848,10 @@ object Queries {
       "2048-token sequence-packing manifest with document splits: two-level cumsum, no global window"),
     Q("x77_dup_pagerank", x77, Some(x77Sql),
       "integer-micro PageRank over the near-dup graph (4 rounds): per-round leaf rebuild, O(1) plan"),
+    Q("x78_vocab_coverage", x78, Some(x78Sql),
+      "tokenizer vocab-sizing curve: coverage/oov ppm at 1k..64k — one corpus shuffle, vocab-bounded windows"),
+    Q("x79_length_drift_ks", x79, Some(x79Sql),
+      "per-source KS length drift vs corpus: integer CDFs, cross-multiplied sup, domain-bounded grid"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

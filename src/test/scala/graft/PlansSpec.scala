@@ -408,6 +408,22 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the per-doc running sum must be partitioned by bucket:\n$p")
   }
 
+  test("x78: one corpus scan; the size grid joins off-corpus") {
+    val p = plan("x78_vocab_coverage")
+    assert(p.linesIterator.count(_.matches(".*\\(\\d+\\) Scan parquet.*")) == 1,
+      s"x78 must scan documents exactly once:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x79: the KS grid never re-runs the corpus aggregation (persisted branch point)") {
+    val p = plan("x79_length_drift_ks")
+    // all four consumers must read the cached (source, len, c) frame:
+    // the parquet scan appears only inside the single InMemoryRelation
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"the branch point must be persisted:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("x77: pagerank's final frame is a persisted-RDD leaf — no cross-round lineage") {
     val p = plan("x77_dup_pagerank")
     assert(p.contains("Scan ExistingRDD"),

@@ -817,6 +817,38 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     perSeq.unpersist(); df.unpersist()
   }
 
+  test("x78: coverage curve is monotone, exhaustive at the tail, and ppm-consistent") {
+    val df = run("x78_vocab_coverage").cache()
+    assert(df.count() === 7)
+    assert(df.filter(col("coverage_ppm") + col("oov_ppm") =!= 1000000L).isEmpty)
+    assert(df.filter(col("vocab_used") > col("vocab_size")).isEmpty)
+    // more vocab never covers less
+    val rows = df.orderBy("vocab_size").collect()
+    assert(rows.sliding(2).forall(p =>
+      p(1).getAs[Long]("coverage_ppm") >= p(0).getAs[Long]("coverage_ppm") &&
+      p(1).getAs[Long]("vocab_used") >= p(0).getAs[Long]("vocab_used")))
+    // once the whole vocabulary fits under the size cap, coverage is total
+    assert(df.filter(col("vocab_used") < col("vocab_size") &&
+      col("coverage_ppm") =!= 1000000L).isEmpty,
+      "an unexhausted size cap means every type is in — coverage must be 1e6 ppm")
+    df.unpersist()
+  }
+
+  test("x79: KS drift is bounded, one row per source, and zero against itself") {
+    val df = run("x79_length_drift_ks").cache()
+    val srcs = spark.read.parquet(s"$sf/documents.parquet").select("source").distinct()
+    assert(df.count() === srcs.count())
+    assert(df.filter(col("ks_ppm") < 0 || col("ks_ppm") > 1000000L).isEmpty)
+    assert(df.agg(sum("n_docs")).head().getLong(0) ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    // self-check: a source holding the WHOLE corpus would have KS = 0; the
+    // per-source sup can only exceed the trivial bound when its CDF differs
+    // somewhere, so at least one real source must show nonzero drift
+    assert(df.filter(col("ks_ppm") > 0).count() >= 1)
+    assert(run("x79_length_drift_ks").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
+
   test("x77: pagerank keeps the damping floor, bounded mass, x17's node set, determinism") {
     val df = run("x77_dup_pagerank").cache()
     // every node holds at least the teleport mass; floor-division only
