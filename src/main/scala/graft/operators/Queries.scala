@@ -2155,21 +2155,23 @@ object Queries {
     * with the score compared UNROUNDED (both engines see identical
     * doubles) and only the EMITTED score rounded. */
   private def x31(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    // metadata-scale pinned literal (the x58 discipline). Every document
+    // carries ≥1 token (split of "" is [""]), so this equals the oracle's
+    // count(DISTINCT doc_id) over the token stream. The r6 rewrite: the
+    // old rollup+countDistinct spelled the same number through TWO Expand
+    // passes over the token frame — measured as most of the query.
+    val nDocs = docs.count()
+    val tf = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    // df + corpus size from the SAME frame (rollup row = total distinct
-    // docs carrying at least one token — every doc here, by construction)
-    val dfs = tf.rollup(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val nDocs = dfs.filter(col("token").isNull)
-      .select(col("df").as("n_docs")).withColumn("j", lit(1))
-    val idf = dfs.filter(col("token").isNotNull).withColumn("j", lit(1))
-      .join(broadcast(nDocs), Seq("j"))
-      .select(col("token"), log(col("n_docs").cast(DoubleType) / col("df")).as("idf"), col("df"))
+    // tf is one row per (doc, token) already: df is a PLAIN count — no
+    // distinct machinery; the vocab-sized idf table broadcasts
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .select(col("token"), log(lit(nDocs).cast(DoubleType) / col("df")).as("idf"), col("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(
       (col("tf") * col("idf")).desc, col("token").asc)
-    tf.join(idf, Seq("token"))
+    tf.join(broadcast(idf), Seq("token"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
