@@ -4764,6 +4764,116 @@ object Queries {
       |FROM cs JOIN gc ON cs.len = gc.len
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- X80
+  /** BPE TOKENIZER TRAINING — the first 4 merge rules, exactly as Sennrich
+    * trains them: the corpus is scanned ONCE into the word-frequency table
+    * (the standard BPE setup — everything after operates on the VOCAB-
+    * bounded frame, never the corpus again); each round counts adjacent
+    * symbol pairs weighted by word frequency, picks the most frequent pair
+    * (ties lexical — fully deterministic), and applies a GREEDY LEFT-SCAN
+    * non-overlapping merge to every word's symbol sequence (so `aaa` under
+    * merge (a,a) becomes [aa, a], never [a, aa]). Output: the 4 merge
+    * rules with their pair counts and the corpus symbol total after each —
+    * the artifact a tokenizer build hands to its encoder. Exactness: all
+    * counts integer; the engine's fold and the oracle's gaps-and-islands
+    * formulation provably compute the same greedy segmentation (a merge
+    * fires at even offsets within each maximal run of consecutive pair
+    * matches). Scale: at 100 TB the word table is the shuffle unit
+    * (~100 M rows, hash-partitioned); per-round pair counts map-side-
+    * combine to the |pairs|-bounded frame, and the argmax is a 1-row
+    * driver literal (the x57/x58 pinned-literal discipline). */
+  private def x80(spark: SparkSession, dir: String): DataFrame = {
+    var words = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("syms", split(col("w"), ""))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    for (round <- 1 to 4) {
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(zip_with(
+          expr("slice(syms, 1, size(syms) - 1)"),
+          expr("slice(syms, 2, size(syms) - 1)"),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      val (bl, br, bpc) = (best.getString(0), best.getString(1), best.getLong(2))
+      // greedy left-scan merge: fold the tail onto [head]; merge iff the
+      // accumulator's LAST symbol is `bl` and the incoming one is `br` —
+      // a just-merged "blbr" can never re-merge as the left half, which
+      // is exactly the non-overlapping greedy rule
+      val merged = words.withColumn("syms",
+        aggregate(
+          expr("slice(syms, 2, size(syms) - 1)"),
+          array(element_at(col("syms"), 1)),
+          (acc, cur) =>
+            when(element_at(acc, -1) === lit(bl) && cur === lit(br),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
+              .otherwise(concat(acc, array(cur)))))
+        .persist()
+      val corpusSyms = merged
+        .agg(sum(col("c") * size(col("syms")).cast(LongType)).as("s"))
+        .collect()(0).getLong(0)
+      words.unpersist()
+      words = merged
+      merges += ((round, bl, br, bpc, corpusSyms))
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("rnd", "lhs", "rhs", "pair_count", "corpus_syms")
+      .select(col("rnd"), col("lhs"), col("rhs"), col("pair_count"),
+        concat(col("lhs"), col("rhs")).as("new_sym"), col("corpus_syms"))
+  }
+
+  private val x80Sql = {
+    // one round: pair counts → argmax → greedy merge as gaps-and-islands
+    // (m flags pair-match positions; within each maximal run of consecutive
+    // matches the merge fires at odd row_numbers = even offsets; a position
+    // is dropped iff its predecessor merged)
+    def rnd(k: Int) = {
+      val prev = s"w${k - 1}"
+      s"""p$k AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS pc FROM (
+         |    SELECT c, s[i] AS l, s[i+1] AS r FROM (
+         |      SELECT c, s, unnest(range(1, len(s))) AS i FROM $prev))
+         |  GROUP BY l, r),
+         |b$k AS (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+         |f$k AS (SELECT q.w, q.c, q.i, q.s[q.i] AS sym,
+         |    CASE WHEN q.i < len(q.s) AND q.s[q.i] = b.l AND q.s[q.i+1] = b.r
+         |         THEN 1 ELSE 0 END AS m
+         |  FROM (SELECT w, c, s, unnest(range(1, len(s)+1)) AS i FROM $prev) q, b$k b),
+         |g$k AS (SELECT *, CASE WHEN m = 1 THEN
+         |      i - row_number() OVER (PARTITION BY w, m ORDER BY i) ELSE NULL END AS grp
+         |  FROM f$k),
+         |h$k AS (SELECT *, CASE WHEN m = 1 AND
+         |      row_number() OVER (PARTITION BY w, grp ORDER BY i) % 2 = 1
+         |    THEN 1 ELSE 0 END AS mh FROM g$k),
+         |k$k AS (SELECT *, coalesce(lag(mh) OVER (PARTITION BY w ORDER BY i), 0) AS claimed
+         |  FROM h$k),
+         |w$k AS (SELECT k.w, k.c,
+         |    list(CASE WHEN k.mh = 1 THEN b.l || b.r ELSE k.sym END ORDER BY k.i) AS s
+         |  FROM k$k k CROSS JOIN b$k b WHERE k.claimed = 0 GROUP BY k.w, k.c),
+         |s$k AS (SELECT CAST(sum(c * len(s)) AS BIGINT) AS syms FROM w$k)"""
+    }
+    def outRow(k: Int) =
+      s"""SELECT $k AS rnd, l AS lhs, r AS rhs, pc AS pair_count,
+         |  l || r AS new_sym, (SELECT syms FROM s$k) AS corpus_syms FROM b$k"""
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c, string_split(w, '') AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |${rnd(1)},
+       |${rnd(2)},
+       |${rnd(3)},
+       |${rnd(4)}
+       |${outRow(1)}
+       |UNION ALL ${outRow(2)}
+       |UNION ALL ${outRow(3)}
+       |UNION ALL ${outRow(4)}""".stripMargin
+  }
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -4854,6 +4964,8 @@ object Queries {
       "tokenizer vocab-sizing curve: coverage/oov ppm at 1k..64k — one corpus shuffle, vocab-bounded windows"),
     Q("x79_length_drift_ks", x79, Some(x79Sql),
       "per-source KS length drift vs corpus: integer CDFs, cross-multiplied sup, domain-bounded grid"),
+    Q("x80_bpe_merges", x80, Some(x80Sql),
+      "BPE tokenizer training, first 4 merges: vocab-bounded pair counts, greedy left-scan merge, full-algorithm oracle"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -45,13 +45,21 @@ object StreamQueries {
     val src = sourceCache.getOrElseUpdate((dir, nFiles), {
       val fresh = graft.util.TempDirs.create("graft-stream")
       if (nFiles <= 1) {
-        Files.copy(Paths.get(s"$dir/events.parquet"), fresh.resolve("events.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        // REWRITE, not copy: the original file types ts as TIMESTAMP(NANOS)
+        // and what an explicit LongType read schema yields for it is
+        // runtime-dependent (raw ns on older 4.x, µs on newer — a silent
+        // 1000× skew). eventsRawNs pins the chunk to a plain BIGINT ns
+        // column that every runtime reads back verbatim.
+        graft.operators.Tables.eventsRawNs(spark, dir)
+          .coalesce(1).write.parquet(fresh.resolve("events").toString)
       } else {
         // split by time range so multi-batch runs advance the watermark —
         // no orderBy: only the FILE-level time ranges matter, rows within a
-        // chunk need no sort (the old sort re-ran once per chunk write)
-        val ev = spark.read.parquet(s"$dir/events.parquet")
+        // chunk need no sort (the old sort re-ran once per chunk write).
+        // eventsRawNs: chunks must carry ns-LONG ts whichever nanos read
+        // behavior this runtime has, so the explicit LongType stream
+        // schema below reads them back unambiguously
+        val ev = graft.operators.Tables.eventsRawNs(spark, dir)
         val bounds = ev.stat.approxQuantile("ts", (1 to (nFiles - 1)).map(_.toDouble / nFiles).toArray, 0.01)
         val all = Seq(Long.MinValue) ++ bounds.map(_.toLong) ++ Seq(Long.MaxValue)
         for (i <- 0 until nFiles) {
@@ -811,7 +819,9 @@ object StreamQueries {
     val src = root.resolve("src"); Files.createDirectories(src)
     val ckpt = root.resolve("ckpt").toString
     val out = root.resolve("out").toString
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // ns-LONG ts in the wave files, whichever nanos read behavior this
+    // runtime has — the explicit stream schema below expects LongType
+    val ev = graft.operators.Tables.eventsRawNs(spark, dir)
     def wave(i: Int): Unit = {
       ev.filter(pmod(xxhash64(col("event_id")), lit(3)) === i)
         .coalesce(1).write.parquet(src.resolve(s"wave-$i").toString)
