@@ -4874,6 +4874,83 @@ object Queries {
        |UNION ALL ${outRow(4)}""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X81
+  /** DOMINANT PRINCIPAL DIRECTION via power iteration — the eigenvector
+    * the anisotropy audit (x73) motivates: the direction along which the
+    * embedding space concentrates (the "common direction" ABTT/whitening
+    * removes before trusting cosine). Three rounds of vₜ₊₁ ∝ Aᵀ(A·vₜ)
+    * over the UN-CENTERED second-moment operator, never materializing the
+    * 64×64 Gram matrix: each round is (1) a per-row dot s = ⟨x_q, v⟩
+    * (codegen'd fold over the array, map-side), (2) ONE posexplode
+    * aggregation Σᵢ sᵢ'·x_iq to the dims-row frame — so a round costs one
+    * corpus scan + a 64-key map-side-combined shuffle, the exact shape
+    * Spark MLlib uses for its distributed PCA matvec. Exactness: coords
+    * micro-quantized to int64, the per-row dot rescaled by integer
+    * division (micro²→micro), the new iterate max-norm-scaled back to
+    * ±1e6 by integer division — every number an int64, bit-identical
+    * across engines/partitionings (both engines' integer division
+    * truncates toward zero — verified). The 64-long iterate re-enters
+    * each round as a PINNED LITERAL (the x58 metadata-scale discipline),
+    * so rounds never grow lineage. Magnitude audit at this scale:
+    * |s| ≤ 64·(2e5·1e6) ≈ 1.3e13; Σᵢ sᵢ'·e ≤ 6e4·(1.3e7·2e5) ≈ 1.6e17 —
+    * inside int64; at ~1e9 rows drop the dot rescale to nano (one
+    * literal, same recipe as x73's scale knob). */
+  private def x81(spark: SparkSession, dir: String): DataFrame = {
+    val embq = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>), x -> cast(round(x * 1000000, 0) as bigint))")
+        .as("q"))
+      .persist()
+    var v: Array[Long] = Array.fill(64)(1000000L)
+    for (_ <- 1 to 3) {
+      val vlit = array(v.map(lit).toSeq: _*)
+      val w = embq
+        .withColumn("s", aggregate(
+          zip_with(col("q"), vlit, (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+        .withColumn("sp", expr("s div 1000000"))
+        .select(col("sp"), posexplode(col("q")).as(Seq("dim", "e")))
+        .groupBy(col("dim")).agg(sum(col("e") * col("sp")).as("w"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // rescale BEFORE the max-norm ratio: w reaches ~1e13-1e17, and
+      // w·1e6 would overflow int64 — wq keeps 7+ significant digits,
+      // ample for a micro-unit direction (Scala / truncates toward
+      // zero, identical to both engines' integer division)
+      val wq = (0 until 64).map(d => w(d) / 1000000L)
+      val m = wq.map(math.abs).max
+      v = wq.map(_ * 1000000L / m).toArray
+    }
+    embq.unpersist()
+    import spark.implicits._
+    v.zipWithIndex.map { case (c, d) => (d, c) }.toSeq
+      .toDF("dim", "v_micro")
+      .select(col("dim").cast(IntegerType).as("dim"), col("v_micro"))
+  }
+
+  private val x81Sql = {
+    def iter(k: Int) = {
+      val prev = s"v${k - 1}"
+      s"""s$k AS (SELECT ex.vec_id,
+         |    CAST(sum(ex.e * p.v) AS BIGINT) // 1000000 AS sp
+         |  FROM ex JOIN $prev p ON ex.dim = p.dim GROUP BY ex.vec_id),
+         |w$k AS (SELECT ex.dim,
+         |    CAST(sum(ex.e * s.sp) AS BIGINT) // 1000000 AS wq
+         |  FROM ex JOIN s$k s ON ex.vec_id = s.vec_id GROUP BY ex.dim),
+         |m$k AS (SELECT max(abs(wq)) AS m FROM w$k),
+         |v$k AS (SELECT dim, (wq * 1000000) // m AS v FROM w$k, m$k)"""
+    }
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, i AS dim, q[i + 1] AS e
+       |       FROM e, (SELECT unnest(range(64)) AS i)),
+       |v0 AS (SELECT unnest(range(64)) AS dim, CAST(1000000 AS BIGINT) AS v),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT CAST(dim AS INT) AS dim, CAST(v AS BIGINT) AS v_micro FROM v3""".stripMargin
+  }
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -4966,6 +5043,8 @@ object Queries {
       "per-source KS length drift vs corpus: integer CDFs, cross-multiplied sup, domain-bounded grid"),
     Q("x80_bpe_merges", x80, Some(x80Sql),
       "BPE tokenizer training, first 4 merges: vocab-bounded pair counts, greedy left-scan merge, full-algorithm oracle"),
+    Q("x81_principal_direction", x81, Some(x81Sql),
+      "dominant embedding direction via 3 integer-exact power iterations: one scan + 64-key agg per round, Gram never materialized"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -866,4 +866,63 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("x77_dup_pagerank").collect().toSet === df.collect().toSet, "rerun diverged")
     df.unpersist()
   }
+
+  test("x80: four distinct merges, symbol totals strictly shrink, new_sym concatenates") {
+    val rows = run("x80_bpe_merges").orderBy("rnd").collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    // each applied merge removes pair_count symbols from the corpus total
+    // is an over-claim (overlaps merge fewer) — but SOME must merge, so
+    // the total strictly decreases each round
+    val totals = rows.map(_.getAs[Long]("corpus_syms"))
+    assert(totals.zip(totals.tail).forall { case (a, b) => b < a },
+      s"corpus symbol total must shrink every round: ${totals.mkString(",")}")
+    rows.foreach { r =>
+      assert(r.getAs[String]("new_sym") ===
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+      assert(r.getAs[Long]("pair_count") > 0L)
+    }
+    // greedy can't merge more than pair_count occurrences, and merges at
+    // least pair_count/2 (overlapping runs halve it)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val before = if (i == 0) None else Some(totals(i - 1))
+      before.foreach { b =>
+        val removed = b - totals(i)
+        val pc = r.getAs[Long]("pair_count")
+        assert(removed <= pc && removed * 2 >= pc,
+          s"round ${i + 1}: removed $removed vs pair_count $pc")
+      }
+    }
+    // the four rules are distinct pairs
+    assert(rows.map(r => (r.getString(1), r.getString(2))).distinct.length === 4)
+    assert(run("x80_bpe_merges").collect().toSet === rows.toSet, "rerun diverged")
+  }
+
+  test("x81: a 64-dim unit-max direction, deterministic, and actually dominant") {
+    val df = run("x81_principal_direction").cache()
+    val rows = df.orderBy("dim").collect()
+    assert(rows.length === 64)
+    assert(rows.map(_.getInt(0)).toSeq === (0 until 64))
+    val comps = rows.map(_.getAs[Long]("v_micro"))
+    // max-norm scaling pins the largest |component| at exactly 1e6
+    assert(comps.map(math.abs).max === 1000000L)
+    assert(comps.forall(c => math.abs(c) <= 1000000L))
+    // dominance check: the Rayleigh quotient of the returned direction
+    // must beat a coordinate axis's by a wide margin on anisotropic data
+    // (cheap float check, not part of the exactness contract)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val v = comps.map(_.toDouble / 1e6)
+    def rayleigh(dir: Array[Double]): Double = {
+      val n2 = dir.map(x => x * x).sum
+      vecs.map(x => { val d = x.zip(dir).map { case (a, b) => a * b }.sum; d * d }).sum / n2
+    }
+    val rv = rayleigh(v)
+    val axes = (0 until 64).map(d => rayleigh(Array.tabulate(64)(i => if (i == d) 1.0 else 0.0)))
+    assert(rv >= axes.max,
+      s"power-iteration direction ($rv) must dominate every axis (max ${axes.max})")
+    assert(run("x81_principal_direction").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
 }
