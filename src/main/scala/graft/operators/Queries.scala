@@ -4951,6 +4951,107 @@ object Queries {
        |SELECT CAST(dim AS INT) AS dim, CAST(v AS BIGINT) AS v_micro FROM v3""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X82
+  /** DSIR-STYLE IMPORTANCE RESAMPLING — Data Selection via Importance
+    * Resampling (Xie et al., 2023): pick the raw-corpus documents whose
+    * token distribution most resembles a TARGET domain (here: the
+    * `lang = 'en'` slice), by (1) estimating target and raw LMs over the
+    * paper's HASHED n-gram features (bigrams md5-bucketed into 10 000
+    * ids — unigrams alone carry no signal on a shared vocabulary),
+    * (2) scoring each document with its add-1-smoothed log-likelihood
+    * ratio Σ_features ln(p_tgt/p_raw) — the document's importance
+    * log-weight — and (3) Gumbel-top-k resampling WITHOUT replacement
+    * (key = log-weight + Gumbel noise ⇒ a sample ∝ softmax of the
+    * weights), with the Gumbel uniform CONTENT-ADDRESSED from md5(text)
+    * (the x42 discipline) so selection is reproducible across engines,
+    * re-runs, and partitionings. Exactness: both LMs come from integer
+    * counts; each feature's log-ratio is nano-quantized to int64 BEFORE
+    * the per-doc sum (order-free integer aggregation — the x63/x65
+    * recipe); the Gumbel key is one IEEE expression over identical
+    * inputs, rounded to 8dp and ranked with a doc_id tiebreak. Shape:
+    * ONE corpus scan builds (doc, fid, tf) with doc-functional
+    * metadata riding the groupBy keys (no second scan, no doc-level
+    * join); the LM is 10k rows and BROADCASTS back; top-200 is a
+    * rank cut. At 100 TB: the tf shuffle is the only corpus-sized
+    * exchange — and it carries integer feature ids, never n-gram
+    * strings; the final cut becomes a per-partition pre-prune +
+    * global top-k. */
+  private def x82(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .withColumn("hv", conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType))
+      .withColumn("tk", toks(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"), col("hv"),
+        explode(zip_with(
+          expr("slice(tk, 1, size(tk) - 1)"),
+          expr("slice(tk, 2, size(tk) - 1)"),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      // the paper's hashed n-gram features: md5-derived bucket in [0,1e4)
+      // — cross-engine-stable, and the corpus shuffle carries ONLY
+      // (doc-keys, int fid) partial counts, never n-gram strings
+      .withColumn("fid",
+        expr("cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint) % 10000"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("hv"), col("fid"))
+      .agg(count(lit(1)).as("tf"))
+      .persist() // two consumers: the LM build and the scoring join
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lm = tf.groupBy(col("fid"))
+      .agg(sum(col("tf")).as("c_raw"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(lit(0L))).as("c_tgt"))
+      .withColumn("n_raw", sum(col("c_raw")).over(wAll))
+      .withColumn("n_tgt", sum(col("c_tgt")).over(wAll))
+      .withColumn("v", count(lit(1)).over(wAll))
+      .withColumn("llr_nano", expr(
+        """cast(round((ln((c_tgt + 1) / cast(n_tgt + v as double)) -
+          |ln((c_raw + 1) / cast(n_raw + v as double))) * 1e9, 0) as bigint)""".stripMargin))
+      .select(col("fid"), col("llr_nano"))
+    tf.join(broadcast(lm), "fid")
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("hv"))
+      .agg(sum(col("tf") * col("llr_nano")).as("score_nano"),
+        sum(col("tf")).as("n_feats"))
+      .withColumn("gkey", round(
+        col("score_nano") / lit(1e9) -
+          log(-log((col("hv") + 0.5) / lit(281474976710656.0))), 8))
+      .withColumn("sel_rank", row_number().over(
+        Window.orderBy(col("gkey").desc, col("doc_id").asc)))
+      .filter(col("sel_rank") <= 200)
+      .select(col("sel_rank"), col("doc_id"), col("lang"), col("source"),
+        col("n_feats"), col("score_nano"), col("gkey"))
+  }
+
+  private val x82Sql =
+    """WITH d AS (SELECT doc_id, lang, source,
+      |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv,
+      |    string_split(text, ' ') AS tk
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, lang, source, hv,
+      |    ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 8))::BIGINT % 10000 AS fid,
+      |    CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, lang, source, hv, tk, unnest(range(1, len(tk))) AS i FROM d)
+      |  GROUP BY ALL),
+      |lm AS (
+      |  SELECT fid, CAST(sum(tf) AS BIGINT) AS c_raw,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS c_tgt
+      |  FROM tf GROUP BY fid),
+      |tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+      |    CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+      |    CAST(count(*) AS BIGINT) AS v FROM lm),
+      |llr AS (SELECT fid,
+      |    CAST(round((ln((c_tgt + 1) / CAST(n_tgt + v AS DOUBLE)) -
+      |      ln((c_raw + 1) / CAST(n_raw + v AS DOUBLE))) * 1e9) AS BIGINT) AS llr_nano
+      |  FROM lm, tot),
+      |sc AS (SELECT t.doc_id, t.lang, t.source, t.hv,
+      |    CAST(sum(t.tf * l.llr_nano) AS BIGINT) AS score_nano,
+      |    CAST(sum(t.tf) AS BIGINT) AS n_feats
+      |  FROM tf t JOIN llr l ON t.fid = l.fid
+      |  GROUP BY t.doc_id, t.lang, t.source, t.hv),
+      |g AS (SELECT *, round(score_nano / 1e9 -
+      |    ln(-ln((hv + 0.5) / 281474976710656.0)), 8) AS gkey FROM sc)
+      |SELECT CAST(row_number() OVER (ORDER BY gkey DESC, doc_id) AS INT) AS sel_rank,
+      |  doc_id, lang, source, n_feats, score_nano, gkey
+      |FROM g QUALIFY sel_rank <= 200""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -5045,6 +5146,8 @@ object Queries {
       "BPE tokenizer training, first 4 merges: vocab-bounded pair counts, greedy left-scan merge, full-algorithm oracle"),
     Q("x81_principal_direction", x81, Some(x81Sql),
       "dominant embedding direction via 3 integer-exact power iterations: one scan + 64-key agg per round, Gram never materialized"),
+    Q("x82_dsir_select", x82, Some(x82Sql),
+      "DSIR importance resampling toward the en slice: nano-exact LLR scores, content-addressed Gumbel top-k, one corpus scan"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -925,4 +925,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("x81_principal_direction").collect().toSet === df.collect().toSet, "rerun diverged")
     df.unpersist()
   }
+
+  test("x82: 200 unique docs, ranks contiguous, selection leans toward the target slice") {
+    val df = run("x82_dsir_select").cache()
+    val rows = df.orderBy("sel_rank").collect()
+    assert(rows.length === 200)
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 200))
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === 200)
+    // gkey is non-increasing down the ranking (the Gumbel-top-k order)
+    val keys = rows.map(_.getAs[Double]("gkey"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    // importance resampling toward lang='en' must over-represent it vs
+    // the corpus base rate (the entire point of DSIR)
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val baseEn = base.filter(col("lang") === "en").count().toDouble / base.count()
+    val selEn = rows.count(_.getAs[String]("lang") == "en").toDouble / 200
+    assert(selEn > baseEn, s"selected en rate $selEn must exceed base rate $baseEn")
+    assert(run("x82_dsir_select").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
 }
