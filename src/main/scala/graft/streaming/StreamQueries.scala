@@ -529,6 +529,47 @@ object StreamQueries {
   private val qs15Sql =
     """SELECT event_id, user_id, event_type FROM events""".stripMargin
 
+  // --------------------------------------------------------------- QS16
+  /** Streaming EXACT UNIQUE VISITORS per hour — the metric a naive
+    * streaming `count(distinct)` cannot give you (unsupported on
+    * streams), expressed as CHAINED STATEFUL OPERATORS: a watermarked
+    * per-(hour, user) dedup feeding a watermarked tumbling-window count.
+    * This is the multi-stateful-operator pipeline shape (dedup state +
+    * window state in ONE query, each evicted by the same watermark) that
+    * Spark supports since 3.4 and every funnel/reach dashboard needs.
+    * The dedup delay is 70 minutes — one full window plus the late
+    * allowance — so any two same-(hour, user) events are necessarily
+    * within the guarantee interval and the dedup is TOTAL: the appended
+    * result is exactly `count(distinct user)` per finalized hour.
+    * State: dedup keys live ≤ 70 min of event time, window state one
+    * open hour per shuffle partition — bounded forever at any volume. */
+  private def qs16(spark: SparkSession, dir: String): DataFrame = {
+    val uniq = eventsStream(spark, dir, nFiles = 3)
+      .withWatermark("ts", "70 minutes")
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .select(col("ts"), col("hour_start"), col("user_id"))
+      .dropDuplicatesWithinWatermark("hour_start", "user_id")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("unique_users"))
+    runToTable(spark, uniq, OutputMode.Append())
+      .select(
+        col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("window.end").cast(TimestampNTZType).as("window_end"),
+        col("unique_users"))
+  }
+
+  private val qs16WmSql =
+    """(SELECT make_timestamp((epoch_us(max(CAST(ts AS TIMESTAMP))) // 1000) * 1000)
+      |   - INTERVAL 70 MINUTE FROM events)""".stripMargin
+
+  private val qs16Sql =
+    s"""WITH agg AS (
+       |  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+       |         CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       |         count(DISTINCT user_id) AS unique_users
+       |  FROM events GROUP BY 1, 2)
+       |SELECT * FROM agg WHERE window_end <= $qs16WmSql""".stripMargin
+
   // --------------------------------------------------------------- QS10
   /** Streaming CHUNK-dedup-on-ingest — x35's chunking composed with qs7's
     * cross-batch dedup state: documents arrive over three micro-batches,
@@ -883,5 +924,7 @@ object StreamQueries {
     Q("qs14_stream_reservoir", qs14, Some(qs14Sql),
       "streaming stratified A-RES reservoir: bounded k-per-stratum state, exactly equal to batch x42"),
     Q("qs15_stream_retransmit_dedup", qs15, Some(qs15Sql),
-      "exactly-once from at-least-once: dropDuplicatesWithinWatermark, state evicted past the watermark"))
+      "exactly-once from at-least-once: dropDuplicatesWithinWatermark, state evicted past the watermark"),
+    Q("qs16_stream_unique_visitors", qs16, Some(qs16Sql),
+      "exact count(distinct user) per hour via chained stateful ops: watermarked dedup feeding the window agg"))
 }

@@ -944,4 +944,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("x82_dsir_select").collect().toSet === df.collect().toSet, "rerun diverged")
     df.unpersist()
   }
+
+  test("qs16: every emitted hour matches the batch count(distinct); none exceed the watermark") {
+    val df = run("qs16_stream_unique_visitors").cache()
+    assert(df.count() > 0)
+    // batch truth: exact distinct users per hour over the full log
+    val ev = graft.operators.Tables.events(spark, sf)
+    val truth = ev
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(countDistinct(col("user_id")).as("expect"))
+    val joined = df.join(truth, "window_start")
+    assert(joined.count() === df.count(), "an emitted window missing from batch truth")
+    assert(joined.filter(col("unique_users") =!= col("expect")).isEmpty,
+      "streamed unique count diverged from batch count(distinct)")
+    // append mode only finalizes windows the 70-minute watermark passed
+    val cutoff = ev.agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+      .minusMinutes(70)
+    val late = df.filter(col("window_end") > lit(java.sql.Timestamp.valueOf(cutoff)).cast("timestamp_ntz"))
+    assert(late.isEmpty, "a window past the terminal watermark was emitted")
+    df.unpersist()
+  }
 }
