@@ -75,6 +75,33 @@ object FastOps {
       java.security.MessageDigest.getInstance("SHA-256")
   }
 
+  /** Hashed bigram feature ids (x82's DSIR kernel): for every adjacent
+    * token pair, the md5 of "w1 w2" bucketed into [0, n) — bit-identical
+    * to the SQL spelling `('0x'||substr(md5(w1||' '||w2),1,8))::BIGINT % n`
+    * (first 8 hex chars ARE the first 4 digest bytes, read unsigned), but
+    * computed on the digest bytes in one native pass: no per-pair string
+    * Column, no hex round-trip. Multiplicity is kept (DSIR counts
+    * occurrences, not distinct features). */
+  def bigramBuckets(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < 2) return new GenericArrayData(Array.emptyLongArray)
+    val md5 = md5Local.get()
+    val out = new Array[Long](cnt - 1)
+    var i = 0
+    while (i < cnt - 1) {
+      md5.reset()
+      md5.update(tokens.getUTF8String(i).getBytes)
+      md5.update(' '.toByte)
+      md5.update(tokens.getUTF8String(i + 1).getBytes)
+      val d = md5.digest()
+      val u = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      out(i) = u % n
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** First 8 bytes of sha256(s) as a big-endian signed long. Unlike
     * farmhash, BOTH engines can compute sha256 of a string (Spark `sha2`,
     * DuckDB `sha256`), which is what lets simhash-based queries carry a
@@ -349,6 +376,16 @@ case class ShaHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** md5-bucketed bigram feature ids of array<string> tokens (multiplicity kept). */
+case class BigramBuckets(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.bigramBuckets(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.bigramBuckets($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** distinct n-shingle hash set of array<string> tokens. */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -493,6 +530,7 @@ object GraftFunctions {
     "graft_hash_strings" -> (es => HashStrings(es.head)),
     "graft_sha64" -> (es => ShaHash64(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, if (es.size > 1) intArg(es(1)) else 3)),
+    "graft_bigram_buckets" -> (es => BigramBuckets(es.head, if (es.size > 1) intArg(es(1)) else 10000)),
     "graft_minhash" -> (es => MinHashSig(es.head, if (es.size > 1) intArg(es(1)) else 32)),
     "graft_simhash" -> (es => SimHash64(es.head)),
     "graft_hyperplane" -> (es => HyperplaneSig(es.head, if (es.size > 1) intArg(es(1)) else 8)),

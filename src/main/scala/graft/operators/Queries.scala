@@ -4969,52 +4969,63 @@ object Queries {
     * the per-doc sum (order-free integer aggregation — the x63/x65
     * recipe); the Gumbel key is one IEEE expression over identical
     * inputs, rounded to 8dp and ranked with a doc_id tiebreak. Shape:
-    * ONE corpus scan builds (doc, fid, tf) with doc-functional
-    * metadata riding the groupBy keys (no second scan, no doc-level
-    * join); the LM is 10k rows and BROADCASTS back; top-200 is a
-    * rank cut. At 100 TB: the tf shuffle is the only corpus-sized
-    * exchange — and it carries integer feature ids, never n-gram
-    * strings; the final cut becomes a per-partition pre-prune +
-    * global top-k. */
+    * TWO corpus scans and ZERO corpus shuffles — pass 1 aggregates
+    * feature occurrences to the 10k-key LM (map-side combined, the only
+    * exchange is 10k rows) and pins it as a literal lookup table (the
+    * x58/x41 discipline); pass 2 scores every document MAP-SIDE by
+    * folding its feature ids through that literal, and the top-200 is a
+    * distributed TakeOrderedAndProject, never a global sort. The r6
+    * rewrite: the first version shuffled a (doc, fid, tf) frame and
+    * joined the LM back — 2.7 s vs DuckDB's 0.2; the join was spelling
+    * a map-side lookup. */
   private def x82(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
+    // hashed bigram feature ids per doc: md5("w1 w2") → bucket in [0,1e4),
+    // multiplicity kept — one codegen'd kernel call, no per-pair string
+    // Columns, no hex round-trip (graft_bigram_buckets ≡ the oracle's
+    // ('0x'||substr(md5(w1||' '||w2),1,8))::BIGINT % 10000)
+    def feats = Tables.documents(spark, dir)
+      .withColumn("fids", expr("graft_bigram_buckets(split(text, ' '), 10000)"))
+    // PASS 1 — the LM: occurrence counts per feature id, target (en) and
+    // raw in ONE 10k-key map-side-combined aggregation; collected and
+    // turned into literals (the x58 pinned-literal discipline — the LM is
+    // model metadata, not data)
+    val counts = feats
+      .select(col("lang"), explode(col("fids")).as("fid"))
+      .groupBy(col("fid"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val nRaw = counts.valuesIterator.map(_._1).sum
+    val nTgt = counts.valuesIterator.map(_._2).sum
+    val nV = counts.size.toLong
+    // add-1 smoothed log-likelihood ratio per feature, nano-quantized —
+    // driver-side Math.log IS the function Spark executors would run, so
+    // this is bit-identical to computing it in the plan (and the oracle's
+    // DuckDB ln agrees after nano rounding, the x63/x65 precedent)
+    val llr = Array.tabulate(10000) { f =>
+      counts.get(f).fold(0L) { case (cr, ct) =>
+        math.round((math.log((ct + 1).toDouble / (nTgt + nV)) -
+          math.log((cr + 1).toDouble / (nRaw + nV))) * 1e9)
+      }
+    }
+    // PASS 2 — scoring is pure MAP-SIDE: fold each doc's feature ids
+    // through the 10k-entry literal table (no join, no corpus shuffle),
+    // then a DISTRIBUTED top-k (TakeOrderedAndProject) — never a global
+    // sort or a corpus-wide window
+    val llrLit = lit(llr)
+    val scored = feats
       .withColumn("hv", conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType))
-      .withColumn("tk", toks(col("text")))
       .select(col("doc_id"), col("lang"), col("source"), col("hv"),
-        explode(zip_with(
-          expr("slice(tk, 1, size(tk) - 1)"),
-          expr("slice(tk, 2, size(tk) - 1)"),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
-      // the paper's hashed n-gram features: md5-derived bucket in [0,1e4)
-      // — cross-engine-stable, and the corpus shuffle carries ONLY
-      // (doc-keys, int fid) partial counts, never n-gram strings
-      .withColumn("fid",
-        expr("cast(conv(substring(md5(bg), 1, 8), 16, 10) as bigint) % 10000"))
-      .groupBy(col("doc_id"), col("lang"), col("source"), col("hv"), col("fid"))
-      .agg(count(lit(1)).as("tf"))
-      .persist() // two consumers: the LM build and the scoring join
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val lm = tf.groupBy(col("fid"))
-      .agg(sum(col("tf")).as("c_raw"),
-        sum(when(col("lang") === "en", col("tf")).otherwise(lit(0L))).as("c_tgt"))
-      .withColumn("n_raw", sum(col("c_raw")).over(wAll))
-      .withColumn("n_tgt", sum(col("c_tgt")).over(wAll))
-      .withColumn("v", count(lit(1)).over(wAll))
-      .withColumn("llr_nano", expr(
-        """cast(round((ln((c_tgt + 1) / cast(n_tgt + v as double)) -
-          |ln((c_raw + 1) / cast(n_raw + v as double))) * 1e9, 0) as bigint)""".stripMargin))
-      .select(col("fid"), col("llr_nano"))
-    tf.join(broadcast(lm), "fid")
-      .groupBy(col("doc_id"), col("lang"), col("source"), col("hv"))
-      .agg(sum(col("tf") * col("llr_nano")).as("score_nano"),
-        sum(col("tf")).as("n_feats"))
+        aggregate(col("fids"), lit(0L),
+          (acc, f) => acc + element_at(llrLit, f.cast(IntegerType) + 1)).as("score_nano"),
+        size(col("fids")).cast(LongType).as("n_feats"))
       .withColumn("gkey", round(
         col("score_nano") / lit(1e9) -
           log(-log((col("hv") + 0.5) / lit(281474976710656.0))), 8))
-      .withColumn("sel_rank", row_number().over(
+      .orderBy(col("gkey").desc, col("doc_id").asc).limit(200)
+    scored
+      .withColumn("sel_rank", row_number().over( // 200-row frame: bounded
         Window.orderBy(col("gkey").desc, col("doc_id").asc)))
-      .filter(col("sel_rank") <= 200)
       .select(col("sel_rank"), col("doc_id"), col("lang"), col("source"),
         col("n_feats"), col("score_nano"), col("gkey"))
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{aggregate, array, col, expr, lit, posexplode, sum, zip_with}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -439,5 +439,37 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ReusedExchange") ||
       p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
       s"postings must shuffle once and be reused for the join-back:\n$p")
+  }
+
+  test("x82: scoring is map-side against the pinned LM — no join, distributed top-k") {
+    val df = Queries.byName("x82_dsir_select").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("Join"),
+      s"the 10k-entry LM must be a literal lookup, never a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-200 must be a distributed top-k, not a global sort:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 1,
+      s"the scoring pass reads the corpus once:\n$p")
+  }
+
+  test("x81: the matvec round is one scan + one 64-key aggregation, iterate pinned as literal") {
+    // audit ONE round's plan: build it exactly as x81 does internally
+    val embq = graft.operators.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(cast(embedding as array<double>), x -> cast(round(x * 1000000, 0) as bigint)) as q")
+    val vlit = array((0 until 64).map(_ => lit(1000000L)): _*)
+    val round1 = embq
+      .withColumn("s", aggregate(zip_with(col("q"), vlit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("sp", expr("s div 1000000"))
+      .select(col("sp"), posexplode(col("q")).as(Seq("dim", "e")))
+      .groupBy(col("dim")).agg(sum(col("e") * col("sp")).as("w"))
+    val p = round1.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1,
+      s"a power-iteration round must scan the embeddings exactly once:\n$p")
+    assert(!p.contains("Join"), s"the iterate must enter as a literal, never a join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"the 64-key aggregation must map-side combine:\n$p")
   }
 }
