@@ -4788,9 +4788,23 @@ object Queries {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .withColumn("syms", split(col("w"), ""))
       .persist()
+    // Σc over ALL words — with it, the corpus symbol total of any round's
+    // frame is (Σ pair counts) + W, since every word contributes
+    // n_syms = n_pairs + 1 weighted by c. That identity lets each round's
+    // ONE reduction deliver both the argmax pair AND the running symbol
+    // total — no separate per-round size-sum job
+    val wTot = words.agg(sum(col("c"))).collect()(0).getLong(0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    // the parent frame stays cached until the CHILD is materialized by the
+    // next round's aggregation — unpersisting earlier would cascade the
+    // whole merge chain back to the corpus scan on every action
+    var prev: DataFrame = null
+    // corpus_syms of round k lands with round k+1's agg (placeholder -1)
     for (round <- 1 to 4) {
-      val best = words
+      // one action: two-level aggregation — pair counts, then their sum
+      // plus the deterministic argmax (min over (-pc, l, r) = max pc with
+      // lexical ties) in a single reduce; no sort, no limit stage
+      val row = words
         .filter(size(col("syms")) >= 2)
         .select(col("c"), explode(zip_with(
           expr("slice(syms, 1, size(syms) - 1)"),
@@ -4798,9 +4812,14 @@ object Queries {
           (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("c")).as("pc"))
-        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0)
-      val (bl, br, bpc) = (best.getString(0), best.getString(1), best.getLong(2))
+        .agg(sum(col("pc")).as("tot"),
+          min(struct((-col("pc")).as("npc"), col("l"), col("r"))).as("best"))
+        .collect()(0)
+      val totPc = row.getLong(0)
+      val b = row.getStruct(1)
+      val (bl, br, bpc) = (b.getString(1), b.getString(2), -b.getLong(0))
+      if (round > 1) { val m = merges(round - 2); merges(round - 2) = m.copy(_5 = totPc + wTot) }
+      if (prev != null) prev.unpersist() // this round's agg just materialized `words`
       // greedy left-scan merge: fold the tail onto [head]; merge iff the
       // accumulator's LAST symbol is `bl` and the incoming one is `br` —
       // a just-merged "blbr" can never re-merge as the left half, which
@@ -4814,13 +4833,15 @@ object Queries {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
               .otherwise(concat(acc, array(cur)))))
         .persist()
-      val corpusSyms = merged
-        .agg(sum(col("c") * size(col("syms")).cast(LongType)).as("s"))
-        .collect()(0).getLong(0)
-      words.unpersist()
+      prev = words
       words = merged
-      merges += ((round, bl, br, bpc, corpusSyms))
+      merges += ((round, bl, br, bpc, -1L))
     }
+    // round 4's total needs one final reduce over the last frame
+    val lastSyms = words
+      .agg(sum(col("c") * size(col("syms")).cast(LongType))).collect()(0).getLong(0)
+    merges(3) = merges(3).copy(_5 = lastSyms)
+    if (prev != null) prev.unpersist()
     words.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("rnd", "lhs", "rhs", "pair_count", "corpus_syms")
