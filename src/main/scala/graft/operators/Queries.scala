@@ -4916,7 +4916,9 @@ object Queries {
     * |s| ≤ 64·(2e5·1e6) ≈ 1.3e13; Σᵢ sᵢ'·e ≤ 6e4·(1.3e7·2e5) ≈ 1.6e17 —
     * inside int64; at ~1e9 rows drop the dot rescale to nano (one
     * literal, same recipe as x73's scale knob). */
-  private def x81(spark: SparkSession, dir: String): DataFrame = {
+  /** The x81 loop, reusable: 3 integer-exact power-iteration rounds →
+    * the dominant direction in micro units (max-norm pinned at ±1e6). */
+  private def principalDirectionMicro(spark: SparkSession, dir: String): Array[Long] = {
     val embq = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(
         "transform(cast(embedding as array<double>), x -> cast(round(x * 1000000, 0) as bigint))")
@@ -4941,13 +4943,20 @@ object Queries {
       v = wq.map(_ * 1000000L / m).toArray
     }
     embq.unpersist()
+    v
+  }
+
+  private def x81(spark: SparkSession, dir: String): DataFrame = {
+    val v = principalDirectionMicro(spark, dir)
     import spark.implicits._
     v.zipWithIndex.map { case (c, d) => (d, c) }.toSeq
       .toDF("dim", "v_micro")
       .select(col("dim").cast(IntegerType).as("dim"), col("v_micro"))
   }
 
-  private val x81Sql = {
+  /** The power-iteration CTE chain (through `v3`, the micro direction) —
+    * shared by x81's output and x84's whitening stage. */
+  private val powerIterCtes = {
     def iter(k: Int) = {
       val prev = s"v${k - 1}"
       s"""s$k AS (SELECT ex.vec_id,
@@ -4959,18 +4968,21 @@ object Queries {
          |m$k AS (SELECT max(abs(wq)) AS m FROM w$k),
          |v$k AS (SELECT dim, (wq * 1000000) // m AS v FROM w$k, m$k)"""
     }
-    s"""WITH e AS (SELECT vec_id,
+    s"""pe AS (SELECT vec_id,
        |    list_transform(embedding::DOUBLE[],
        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS q
        |  FROM embeddings),
        |ex AS (SELECT vec_id, i AS dim, q[i + 1] AS e
-       |       FROM e, (SELECT unnest(range(64)) AS i)),
+       |       FROM pe, (SELECT unnest(range(64)) AS i)),
        |v0 AS (SELECT unnest(range(64)) AS dim, CAST(1000000 AS BIGINT) AS v),
        |${iter(1)},
        |${iter(2)},
-       |${iter(3)}
-       |SELECT CAST(dim AS INT) AS dim, CAST(v AS BIGINT) AS v_micro FROM v3""".stripMargin
+       |${iter(3)}""".stripMargin
   }
+
+  private val x81Sql =
+    s"""WITH $powerIterCtes
+       |SELECT CAST(dim AS INT) AS dim, CAST(v AS BIGINT) AS v_micro FROM v3""".stripMargin
 
   // ---------------------------------------------------------------- X82
   /** DSIR-STYLE IMPORTANCE RESAMPLING — Data Selection via Importance
@@ -5084,6 +5096,63 @@ object Queries {
       |  doc_id, lang, source, n_feats, score_nano, gkey
       |FROM g QUALIFY sel_rank <= 200""".stripMargin
 
+  // ---------------------------------------------------------------- X84
+  /** WHITENED ANN (ABTT — "all-but-the-top"): remove the dominant
+    * direction x81 finds from every embedding, then run the exact cosine
+    * top-k on the CORRECTED space — the standard post-processing that
+    * stops an anisotropic embedding space from ranking everything by its
+    * common component (Mu & Viswanath 2018). Pipeline: (1) the x81 power
+    * iteration yields the micro direction u (3 scans, integer-exact);
+    * (2) whitening w = v − (⟨v,u⟩/⟨u,u⟩)·u runs MAP-SIDE — u enters as a
+    * 1-row broadcast, every dot is the codegen'd graft_dot kernel, and
+    * all float ops are order-pinned (left-to-right dots, one IEEE
+    * division, elementwise subtract) so both engines produce identical
+    * doubles (the x6 doctrine); (3) the x6 exact top-k over whitened
+    * vectors, rounded 6dp with vec_id tiebreaks. Scale: whitening adds
+    * one broadcast + O(dims) per row to the scan; the top-k stays the
+    * |q|-broadcast nested loop at test scale with the x7/x14 coded
+    * variants as the 100 TB path. */
+  private def x84(spark: SparkSession, dir: String): DataFrame = {
+    val u = principalDirectionMicro(spark, dir)
+    import spark.implicits._
+    val uDf = Seq(Tuple1(u.map(_.toDouble / 1e6).toSeq)).toDF("uv")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .crossJoin(broadcast(uDf)) // 1 row: the direction rides every task
+      .withColumn("t", expr("graft_dot(v0, uv) / graft_dot(uv, uv)"))
+      .withColumn("w", zip_with(col("v0"), col("uv"), (a, b) => a - col("t") * b))
+      .withColumn("nrm", expr("sqrt(graft_dot(w, w))"))
+      .select(col("vec_id"), col("w"), col("nrm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("w").as("qv"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 5)
+    val win = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    q.join(c)
+      .withColumn("cos_sim", round(expr("graft_dot(qv, w)") / (col("qn") * col("nrm")), 6))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rnk"), col("cos_sim"))
+  }
+
+  private val x84Sql =
+    s"""WITH $powerIterCtes,
+       |u AS (SELECT list(v / 1000000.0 ORDER BY dim) AS uv FROM v3),
+       |uu AS (SELECT list_dot_product(uv, uv) AS d FROM u),
+       |wh AS (SELECT e.vec_id,
+       |    list_transform(range(64),
+       |      i -> e.v[i + 1] - (list_dot_product(e.v, u.uv) / uu.d) * u.uv[i + 1]) AS w
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, u, uu),
+       |wn AS (SELECT vec_id, w, sqrt(list_dot_product(w, w)) AS nrm FROM wh),
+       |q AS (SELECT vec_id AS query_id, w AS qv, nrm AS qn FROM wn WHERE vec_id < 5),
+       |c AS (SELECT * FROM wn WHERE vec_id >= 5)
+       |SELECT query_id, vec_id, rnk, cos_sim FROM (
+       |  SELECT query_id, vec_id,
+       |    round(list_dot_product(qv, w) / (qn * nrm), 6) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(list_dot_product(qv, w) / (qn * nrm), 6) DESC, vec_id) AS INT) AS rnk
+       |  FROM q, c) t
+       |WHERE rnk <= 10""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -5180,6 +5249,8 @@ object Queries {
       "dominant embedding direction via 3 integer-exact power iterations: one scan + 64-key agg per round, Gram never materialized"),
     Q("x82_dsir_select", x82, Some(x82Sql),
       "DSIR importance resampling toward the en slice: nano-exact LLR scores, content-addressed Gumbel top-k, one corpus scan"),
+    Q("x84_whitened_ann", x84, Some(x84Sql),
+      "ABTT whitening (remove x81's dominant direction) + exact cosine top-k on the corrected space, order-pinned float ops"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

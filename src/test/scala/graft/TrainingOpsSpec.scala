@@ -945,6 +945,31 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x84: whitened space is orthogonal to the removed direction and re-ranks vs x6") {
+    val df = run("x84_whitened_ann").cache()
+    assert(df.count() === 50) // 5 queries × top-10
+    // the removed direction must be (numerically) gone: whiten a few
+    // vectors by the same formula and check ⟨w, u⟩ ≈ 0
+    val u = run("x81_principal_direction").orderBy("dim").collect()
+      .map(_.getAs[Long]("v_micro").toDouble / 1e6)
+    val uu = u.map(x => x * x).sum
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").limit(20).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    vecs.foreach { v =>
+      val t = v.zip(u).map { case (a, b) => a * b }.sum / uu
+      val w = v.zip(u).map { case (a, b) => a - t * b }
+      val resid = math.abs(w.zip(u).map { case (a, b) => a * b }.sum)
+      assert(resid < 1e-9, s"residual projection $resid after whitening")
+    }
+    // whitening must actually change the ranking on anisotropic data
+    val x6r = run("x6_ann_bruteforce").select("query_id", "vec_id", "rnk").collect().toSet
+    val x84r = df.select("query_id", "vec_id", "rnk").collect().toSet
+    assert(x6r !== x84r, "whitened top-k identical to raw top-k — direction removal did nothing")
+    assert(run("x84_whitened_ann").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
+
   test("qs16: every emitted hour matches the batch count(distinct); none exceed the watermark") {
     val df = run("qs16_stream_unique_visitors").cache()
     assert(df.count() > 0)
