@@ -5153,6 +5153,57 @@ object Queries {
        |  FROM q, c) t
        |WHERE rnk <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- X85
+  /** INCREMENTAL STATISTICS MAINTENANCE — column statistics as a MONOID:
+    * yesterday's per-language stats and today's delta stats each reduce
+    * to mergeable partials (count, sum, sum-of-squares, min, max — the
+    * q18 integer-moment recipe), and the union RE-AGGREGATES to exactly
+    * the full-corpus statistics without rescanning the old 90%. This is
+    * the operation that makes per-artifact statistics (F38's pre-publish
+    * gate) affordable at 100 TB: a daily stats refresh touches ONLY the
+    * delta partition, yet the published numbers are bit-identical to a
+    * full rescan — which is precisely what the oracle asserts (it IS the
+    * full rescan). Exactness: partials are int64 (chars are integers;
+    * Σx² ≤ 1e4²·1e9 docs within int64 — at larger scale the q18 decimal
+    * widening applies); mean/variance derive from merged integers in one
+    * IEEE expression each. Shape: two map-side-combined aggregations (one
+    * per slice) + a |langs|-row union re-agg — the corpus-sized work is
+    * proportional to the DELTA on an incremental run (the old slice's
+    * partials would be a stored table, re-aggregated for free). */
+  private def x85(spark: SparkSession, dir: String): DataFrame = {
+    def partials(slice: Column) = Tables.documents(spark, dir)
+      .filter(slice)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"),
+        min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+    val old = partials(col("doc_id") % 10 =!= 0) // the standing corpus
+    val delta = partials(col("doc_id") % 10 === 0) // today's arrivals
+    old.unionByName(delta)
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("s1")).as("total_chars"),
+        sum(col("s2")).as("s2"),
+        min(col("mn")).as("min_chars"),
+        max(col("mx")).as("max_chars"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("min_chars"), col("max_chars"),
+        round(col("total_chars").cast(DoubleType) / col("n_docs"), 6).as("mean_chars"),
+        round(col("s2").cast(DoubleType) / col("n_docs") -
+          pow(col("total_chars").cast(DoubleType) / col("n_docs"), 2), 6).as("var_chars"))
+  }
+
+  private val x85Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+      |  round(CAST(sum(n_chars * n_chars) AS DOUBLE) / count(*) -
+      |    pow(CAST(sum(n_chars) AS DOUBLE) / count(*), 2), 6) AS var_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -5251,6 +5302,8 @@ object Queries {
       "DSIR importance resampling toward the en slice: nano-exact LLR scores, content-addressed Gumbel top-k, one corpus scan"),
     Q("x84_whitened_ann", x84, Some(x84Sql),
       "ABTT whitening (remove x81's dominant direction) + exact cosine top-k on the corrected space, order-pinned float ops"),
+    Q("x85_incremental_stats", x85, Some(x85Sql),
+      "stats-as-a-monoid: old+delta partial moments merge to exactly the full-rescan statistics (the oracle IS the rescan)"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -970,6 +970,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x85: merged partials equal a direct full-scan aggregation exactly") {
+    val df = run("x85_incremental_stats")
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    val j = df.join(direct.withColumnRenamed("n_docs", "dn")
+      .withColumnRenamed("total_chars", "dt")
+      .withColumnRenamed("min_chars", "dmin")
+      .withColumnRenamed("max_chars", "dmax"), "lang")
+    assert(j.count() === df.count())
+    assert(j.filter(col("n_docs") =!= col("dn") || col("total_chars") =!= col("dt") ||
+      col("min_chars") =!= col("dmin") || col("max_chars") =!= col("dmax")).isEmpty,
+      "monoid merge diverged from the direct aggregation")
+  }
+
   test("qs16: every emitted hour matches the batch count(distinct); none exceed the watermark") {
     val df = run("qs16_stream_unique_visitors").cache()
     assert(df.count() > 0)
