@@ -5204,6 +5204,64 @@ object Queries {
       |    pow(CAST(sum(n_chars) AS DOUBLE) / count(*), 2), 6) AS var_chars
       |FROM documents GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- X86
+  /** PER-GROUP OLS REGRESSION from exact integer moments — the
+    * segment-trend primitive (per source: how does token count scale with
+    * document length — a crawler whose slope drifts is emitting different
+    * content): slope, intercept and r² of y = tokens on x = chars,
+    * computed from the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) in ONE map-side-combined aggregation — the q18/x85 moment
+    * recipe applied to bivariate statistics. All moments are int64
+    * (Σxy ≤ 2e7/doc — at ≥1e11 docs the q18 decimal widening applies);
+    * slope/intercept/r² are each ONE IEEE expression over identical
+    * integers, so both engines emit identical doubles. Scale: one corpus
+    * scan, a |sources|-row result, nothing else — and the moments are
+    * the same monoid x85 maintains incrementally, so the daily trend
+    * refresh also costs only the delta. */
+  private def x86(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("x"),
+        size(toks(col("text"))).cast(LongType).as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6).as("slope"),
+        round((col("sy").cast(DoubleType) -
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+            col("sx").cast(DoubleType)) / col("n").cast(DoubleType), 6).as("intercept"),
+        round(pow((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)), 6).as("r2"))
+  }
+
+  private val x86Sql =
+    """WITH m AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM (SELECT source, n_chars AS x,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      |        FROM documents)
+      |  GROUP BY source)
+      |SELECT source, n AS n_docs,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) -
+      |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+      |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+      |        (CAST(n * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |FROM m""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -5304,6 +5362,8 @@ object Queries {
       "ABTT whitening (remove x81's dominant direction) + exact cosine top-k on the corrected space, order-pinned float ops"),
     Q("x85_incremental_stats", x85, Some(x85Sql),
       "stats-as-a-monoid: old+delta partial moments merge to exactly the full-rescan statistics (the oracle IS the rescan)"),
+    Q("x86_source_regression", x86, Some(x86Sql),
+      "per-source OLS (tokens on chars) from exact integer moments: one scan, slope/intercept/r2 as single IEEE expressions"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -988,6 +988,27 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "monoid merge diverged from the direct aggregation")
   }
 
+  test("x86: regression is sane — r2 in [0,1], slope near chars-per-token inverse, residual-free on synthetic line") {
+    val df = run("x86_source_regression").cache()
+    assert(df.count() === 20) // one row per source
+    assert(df.filter(col("r2") < 0 || col("r2") > 1).isEmpty)
+    // tokens grow with length: every source's slope is positive and the
+    // fit on this corpus (tokens ~ chars/avg_word_len) is strong
+    assert(df.filter(col("slope") <= 0).isEmpty)
+    assert(df.filter(col("r2") < 0.9).isEmpty, "token-vs-chars fit should be near-linear")
+    // closed-form check on a hand-built exact line y = 2x + 1
+    val sqlc = spark
+    import sqlc.implicits._
+    val line = Seq((1L, 3L), (2L, 5L), (3L, 7L), (4L, 9L)).toDF("x", "y")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"))
+      .head().getDouble(0)
+    assert(line === 2.0)
+    df.unpersist()
+  }
+
   test("qs16: every emitted hour matches the batch count(distinct); none exceed the watermark") {
     val df = run("qs16_stream_unique_visitors").cache()
     assert(df.count() > 0)
