@@ -5262,6 +5262,65 @@ object Queries {
       |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- X87
+  /** ZIPF EXPONENT FIT — the vocabulary power-law health check: natural
+    * text follows freq ∝ rank^(−s) with s ≈ 1; a corpus whose fitted
+    * exponent drifts (template spam flattens it, aggressive dedup
+    * steepens it) fails the eyeball test a data curator runs on every
+    * new source. Fit: OLS of ln(freq) on ln(rank) over the top-1000
+    * vocabulary (x27's ranked cut), via the x86 moment recipe with BOTH
+    * logs MICRO-quantized to int64 first (ln ≤ ~20 → |q| ≤ 2e7; pair
+    * products ≤ 4e14, × 1000 rows ≤ 4e17 — inside int64, and the
+    * nano→micro step-down is exactly the documented x73 scale knob).
+    * The emitted exponent = −slope; r² says how power-law-like the
+    * vocabulary actually is. Shape: ONE corpus shuffle (token counts);
+    * the rank window and the moment aggregation ride the VOCAB-bounded
+    * frame (the x78 argument); output is one row. */
+  private def x87(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("t").asc)).cast(LongType))
+      .filter(col("rk") <= 1000)
+      .select(
+        expr("cast(round(ln(cast(rk as double)) * 1000000, 0) as bigint)").as("x"),
+        expr("cast(round(ln(cast(c as double)) * 1000000, 0) as bigint)").as("y"))
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("vocab_used"),
+        round(-((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)), 6).as("zipf_exponent"),
+        round(pow((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)), 6).as("r2"))
+  }
+
+  private val x87Sql =
+    """WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY t),
+      |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS rk FROM c
+      |      QUALIFY rk <= 1000),
+      |q AS (SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+      |             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y FROM r),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM q)
+      |SELECT n AS vocab_used,
+      |  round(-(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |          CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS zipf_exponent,
+      |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+      |        (CAST(n * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |FROM m""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -5364,6 +5423,8 @@ object Queries {
       "stats-as-a-monoid: old+delta partial moments merge to exactly the full-rescan statistics (the oracle IS the rescan)"),
     Q("x86_source_regression", x86, Some(x86Sql),
       "per-source OLS (tokens on chars) from exact integer moments: one scan, slope/intercept/r2 as single IEEE expressions"),
+    Q("x87_zipf_fit", x87, Some(x87Sql),
+      "vocabulary power-law exponent: log-log OLS over the top-1000 ranked cut, micro-quantized integer moments"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -1009,6 +1009,18 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x87: one-row fit, r2 in [0,1], exponent positive (frequencies fall with rank)") {
+    val df = run("x87_zipf_fit")
+    val r = df.head()
+    assert(df.count() === 1)
+    assert(r.getAs[Long]("vocab_used") > 0)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0 && r2 <= 1)
+    // rank ordering is by frequency desc, so the log-log slope is
+    // necessarily negative → the emitted exponent positive
+    assert(r.getAs[Double]("zipf_exponent") > 0)
+  }
+
   test("qs16: every emitted hour matches the batch count(distinct); none exceed the watermark") {
     val df = run("qs16_stream_unique_visitors").cache()
     assert(df.count() > 0)
