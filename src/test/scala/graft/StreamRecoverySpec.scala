@@ -99,4 +99,75 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(sink).count() > emittedRun1,
       "wave 2 closed no versions — the recovery assertion would be vacuous")
   }
+
+  test("qs16's chained dedup+window states restart from checkpoint: new wave only, emission-set equality") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery16")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    // ns-long waves cut at fixed dates (the qs12-test discipline: no
+    // quantile job); a same-(hour, user) pair can straddle a cut only
+    // via the dedup STATE, which is exactly the recovery payload here
+    val raw = graft.operators.Tables.eventsRawNs(spark, sf)
+    def ns(day: String): Long =
+      java.time.LocalDate.parse(day).atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val cuts = Seq(
+      col("ts") < ns("2024-01-05"),
+      col("ts") >= ns("2024-01-05") && col("ts") < ns("2024-01-10"),
+      col("ts") >= ns("2024-01-10"))
+    def writeWave(i: Int): Unit = {
+      raw.filter(cuts(i)).coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    def runOnce(): Long = {
+      val uniq = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "70 minutes")
+        .withColumn("hour_start", date_trunc("hour", col("ts")))
+        .select(col("ts"), col("hour_start"), col("user_id"))
+        .dropDuplicatesWithinWatermark("hour_start", "user_id")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("unique_users"))
+      val q = uniq.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce()
+    val emittedRun1 = spark.read.parquet(sink).count()
+
+    writeWave(2)
+    val wave2Rows = raw.filter(cuts(2)).count()
+    val run2Input = runOnce()
+
+    // (a) the checkpoint remembered the ingested file set
+    assert(run2Input === wave2Rows,
+      s"restart re-read old waves: run 2 input $run2Input, wave 2 has $wave2Rows")
+
+    // (b) emission-set equality with the single-run qs16 pipeline: BOTH
+    // state stores (dedup keys + open windows) must have been recovered —
+    // lost dedup state would double-count straddling (hour, user) pairs,
+    // lost window state would drop or re-emit hours
+    val recovered = spark.read.parquet(sink).select(
+      col("window.start").cast(TimestampNTZType).as("window_start"),
+      col("window.end").cast(TimestampNTZType).as("window_end"),
+      col("unique_users"))
+    val oneShot = graft.operators.Queries.byName("qs16_stream_unique_visitors").run(spark, sf)
+    assert(recovered.exceptAll(oneShot).isEmpty && oneShot.exceptAll(recovered).isEmpty,
+      "restarted emission set differs from the single-run pipeline")
+    assert(spark.read.parquet(sink).count() > emittedRun1,
+      "wave 2 finalized no windows — the recovery assertion would be vacuous")
+  }
 }
