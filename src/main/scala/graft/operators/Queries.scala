@@ -5011,18 +5011,17 @@ object Queries {
     * rewrite: the first version shuffled a (doc, fid, tf) frame and
     * joined the LM back — 2.7 s vs DuckDB's 0.2; the join was spelling
     * a map-side lookup. */
-  private def x82(spark: SparkSession, dir: String): DataFrame = {
-    // hashed bigram feature ids per doc: md5("w1 w2") → bucket in [0,1e4),
-    // multiplicity kept — one codegen'd kernel call, no per-pair string
-    // Columns, no hex round-trip (graft_bigram_buckets ≡ the oracle's
-    // ('0x'||substr(md5(w1||' '||w2),1,8))::BIGINT % 10000)
-    def feats = Tables.documents(spark, dir)
+  /** x82's PASS 1, reusable (qs17 scores a STREAM against it): the
+    * 10k-entry DSIR LM — per hashed-bigram feature, the add-1-smoothed
+    * nano-quantized log-likelihood ratio toward the `en` slice. One
+    * corpus scan, one 10k-key map-side-combined aggregation, collected
+    * (the x58 pinned-literal discipline — the LM is model metadata, not
+    * data). Driver-side Math.log IS the function Spark executors would
+    * run, so this is bit-identical to computing it in the plan (and the
+    * oracle's DuckDB ln agrees after nano rounding — x63/x65). */
+  private[graft] def dsirLlrTable(spark: SparkSession, dir: String): Array[Long] = {
+    val counts = Tables.documents(spark, dir)
       .withColumn("fids", expr("graft_bigram_buckets(split(text, ' '), 10000)"))
-    // PASS 1 — the LM: occurrence counts per feature id, target (en) and
-    // raw in ONE 10k-key map-side-combined aggregation; collected and
-    // turned into literals (the x58 pinned-literal discipline — the LM is
-    // model metadata, not data)
-    val counts = feats
       .select(col("lang"), explode(col("fids")).as("fid"))
       .groupBy(col("fid"))
       .agg(count(lit(1)).as("c_raw"),
@@ -5031,16 +5030,22 @@ object Queries {
     val nRaw = counts.valuesIterator.map(_._1).sum
     val nTgt = counts.valuesIterator.map(_._2).sum
     val nV = counts.size.toLong
-    // add-1 smoothed log-likelihood ratio per feature, nano-quantized —
-    // driver-side Math.log IS the function Spark executors would run, so
-    // this is bit-identical to computing it in the plan (and the oracle's
-    // DuckDB ln agrees after nano rounding, the x63/x65 precedent)
-    val llr = Array.tabulate(10000) { f =>
+    Array.tabulate(10000) { f =>
       counts.get(f).fold(0L) { case (cr, ct) =>
         math.round((math.log((ct + 1).toDouble / (nTgt + nV)) -
           math.log((cr + 1).toDouble / (nRaw + nV))) * 1e9)
       }
     }
+  }
+
+  private def x82(spark: SparkSession, dir: String): DataFrame = {
+    // hashed bigram feature ids per doc: md5("w1 w2") → bucket in [0,1e4),
+    // multiplicity kept — one codegen'd kernel call, no per-pair string
+    // Columns, no hex round-trip (graft_bigram_buckets ≡ the oracle's
+    // ('0x'||substr(md5(w1||' '||w2),1,8))::BIGINT % 10000)
+    def feats = Tables.documents(spark, dir)
+      .withColumn("fids", expr("graft_bigram_buckets(split(text, ' '), 10000)"))
+    val llr = dsirLlrTable(spark, dir)
     // PASS 2 — scoring is pure MAP-SIDE: fold each doc's feature ids
     // through the 10k-entry literal table (no join, no corpus shuffle),
     // then a DISTRIBUTED top-k (TakeOrderedAndProject) — never a global

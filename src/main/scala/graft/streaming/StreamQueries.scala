@@ -529,6 +529,57 @@ object StreamQueries {
   private val qs15Sql =
     """SELECT event_id, user_id, event_type FROM events""".stripMargin
 
+  // --------------------------------------------------------------- QS17
+  /** Streaming MODEL SCORING AT INGEST — x82's DSIR importance scoring
+    * applied to arriving documents: the 10k-entry LM is trained ONCE from
+    * the standing corpus (a batch pass, [[graft.operators.Queries
+    * .dsirLlrTable]]) and pinned as a literal; every arriving document is
+    * scored MAP-SIDE in the stream (fold over its hashed-bigram feature
+    * ids — zero state, zero shuffles inside the stream) and gated on
+    * score > 0 ("looks more target than raw"). This is the production
+    * quality-gate shape: the model is a deploy-time artifact, ingest pays
+    * O(tokens) per document, and the result is batch-exact because the
+    * computation is stateless — the oracle recomputes LM + scores in one
+    * batch SQL. */
+  private def qs17(spark: SparkSession, dir: String): DataFrame = {
+    val llr = graft.operators.Queries.dsirLlrTable(spark, dir)
+    val llrLit = lit(llr)
+    val scored = docsStream(spark, dir)
+      .withColumn("fids", expr("graft_bigram_buckets(split(text, ' '), 10000)"))
+      .select(col("doc_id"), col("lang"),
+        aggregate(col("fids"), lit(0L),
+          (acc, f) => acc + element_at(llrLit, f.cast("int") + 1)).as("score_nano"),
+        size(col("fids")).cast(LongType).as("n_feats"))
+      .withColumn("keep", col("score_nano") > 0L)
+    runToTable(spark, scored, OutputMode.Append())
+  }
+
+  private val qs17Sql =
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      |tf AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 8))::BIGINT % 10000 AS fid,
+      |    CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i FROM d)
+      |  GROUP BY ALL),
+      |lm AS (
+      |  SELECT fid, CAST(sum(tf) AS BIGINT) AS c_raw,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS c_tgt
+      |  FROM tf GROUP BY fid),
+      |tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+      |    CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+      |    CAST(count(*) AS BIGINT) AS v FROM lm),
+      |llr AS (SELECT fid,
+      |    CAST(round((ln((c_tgt + 1) / CAST(n_tgt + v AS DOUBLE)) -
+      |      ln((c_raw + 1) / CAST(n_raw + v AS DOUBLE))) * 1e9) AS BIGINT) AS llr_nano
+      |  FROM lm, tot)
+      |SELECT t.doc_id, t.lang,
+      |  CAST(sum(t.tf * l.llr_nano) AS BIGINT) AS score_nano,
+      |  CAST(sum(t.tf) AS BIGINT) AS n_feats,
+      |  CAST(sum(t.tf * l.llr_nano) AS BIGINT) > 0 AS keep
+      |FROM tf t JOIN llr l ON t.fid = l.fid
+      |GROUP BY t.doc_id, t.lang""".stripMargin
+
   // --------------------------------------------------------------- QS16
   /** Streaming EXACT UNIQUE VISITORS per hour — the metric a naive
     * streaming `count(distinct)` cannot give you (unsupported on
@@ -926,5 +977,7 @@ object StreamQueries {
     Q("qs15_stream_retransmit_dedup", qs15, Some(qs15Sql),
       "exactly-once from at-least-once: dropDuplicatesWithinWatermark, state evicted past the watermark"),
     Q("qs16_stream_unique_visitors", qs16, Some(qs16Sql),
-      "exact count(distinct user) per hour via chained stateful ops: watermarked dedup feeding the window agg"))
+      "exact count(distinct user) per hour via chained stateful ops: watermarked dedup feeding the window agg"),
+    Q("qs17_stream_dsir_score", qs17, Some(qs17Sql),
+      "model scoring at ingest: the pinned DSIR LM scores arriving docs map-side, stateless and batch-exact"))
 }

@@ -204,4 +204,76 @@ class PropertiesSpec extends AnyFunSuite {
       ArrowTypeSystem.toArti(ArrowTypeSystem.toArrow(t)) == arrowNormal(t)
     })
   }
+
+  // --------------------------------------------- r6 kernel laws (FastOps)
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val genToken = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private def arr(ts: Seq[String]) =
+    new GenericArrayData(ts.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  test("bigramBuckets: length n-1, range [0,buckets), equals the md5-hex spelling") {
+    check("bigram-buckets", Prop.forAll(Gen.listOf(genToken), Gen.choose(2, 20000)) { (ts, n) =>
+      val out = graft.functions.FastOps.bigramBuckets(arr(ts), n)
+      val expected = ts.iterator.sliding(2).withPartial(false).map { pair =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${pair.head} ${pair.last}".getBytes)
+          .take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16) % n
+      }.toSeq
+      val got = (0 until out.numElements()).map(out.getLong)
+      got == expected && got.forall(v => v >= 0 && v < n) &&
+        out.numElements() == math.max(ts.length - 1, 0)
+    })
+  }
+
+  test("BPE greedy fold == gaps-and-islands merge (the x80 engine/oracle equivalence)") {
+    val genSym = Gen.oneOf("a", "b", "ab", "c")
+    check("bpe-greedy", Prop.forAll(
+      Gen.listOf(genSym), Gen.oneOf(("a", "b"), ("a", "a"), ("b", "a"), ("ab", "c"))) {
+      case (syms, (l, r)) =>
+        // fold form (the engine): merge iff acc.last==l && cur==r
+        val fold = syms match {
+          case Nil => Nil
+          case h :: t => t.foldLeft(List(h)) { (acc, cur) =>
+            if (acc.last == l && cur == r) acc.init :+ (l + r) else acc :+ cur
+          }
+        }
+        // islands form (the oracle): within each maximal run of
+        // consecutive match positions, merge at even offsets; a position
+        // is dropped iff its predecessor merged
+        val m = syms.indices.map(i =>
+          i < syms.length - 1 && syms(i) == l && syms(i + 1) == r)
+        val mh = Array.fill(syms.length)(false)
+        var i = 0
+        while (i < syms.length) {
+          if (m(i)) {
+            var runStart = i
+            while (i < syms.length && m(i)) {
+              mh(i) = (i - runStart) % 2 == 0
+              i += 1
+            }
+          } else i += 1
+        }
+        val islands = syms.indices.collect {
+          case i if mh(i) => l + r
+          case i if !mh(i) && (i == 0 || !mh(i - 1)) => syms(i)
+        }.toList
+        fold == islands
+    })
+  }
+
+  test("power-iteration normalize: max-norm pinned at 1e6, direction scale-invariant in sign") {
+    check("maxnorm", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(-1000000000000L, 1000000000000L))
+        .suchThat(_.exists(_ != 0L))) { ws =>
+      val m = ws.map(math.abs).max
+      val v = ws.map(_ * 1000000L / m)
+      v.map(math.abs).max == 1000000L || // the max element hits exactly 1e6...
+        // ...unless truncation rounds a tie down (|w|=m ⇒ exactly ±1e6, so it can't)
+        v.map(math.abs).max <= 1000000L && ws.map(math.abs).count(_ == m) > 0 &&
+          v(ws.indexWhere(w => math.abs(w) == m)).abs == 1000000L
+    })
+  }
 }
