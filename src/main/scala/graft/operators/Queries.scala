@@ -5326,6 +5326,97 @@ object Queries {
       |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- X88
+  /** SEMDEDUP — semantic deduplication within k-means clusters (Abbas et
+    * al. 2023, the method that cut LAION/C4 30-50% with no quality loss):
+    * embeddings are clustered (x38's one-Lloyd-round pipeline, shared
+    * helpers), pairwise cosine runs ONLY within each cluster — the
+    * clustering exists precisely to make all-pairs tractable: cost is
+    * Σ|cluster|², never corpus², and at 100 TB k scales so clusters stay
+    * bounded — and for every pair above the duplicate threshold (0.45 here —
+    * calibrated to this synthetic space's x5 near-dup band, where the max
+    * pairwise cosine is ~0.48; production embeddings use ~0.95+, one
+    * literal) the
+    * member CLOSER to the centroid is dropped (the paper's keep-the-
+    * outlier rule: survivors maximize diversity). Output: every vector
+    * with its cluster, centroid similarity, ≥τ-neighbor count, and the
+    * drop verdict. Determinism: pair cosines and centroid similarities
+    * compare at the same 6dp rounding in both engines; the drop rule
+    * tie-breaks on vec_id. */
+  private def x88(spark: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(spark, dir).persist()
+    val assign = kmeansAssign(e, kmeansCentroids(e, col("vec_id") < 8))
+    val m = assign.join(e, "vec_id")
+      .select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
+        col("cos_sim").as("cent_sim"))
+      .persist()
+    val a = m.select(col("cluster"), col("vec_id").as("ida"), col("v").as("va"),
+      col("nrm").as("na"), col("cent_sim").as("csa"))
+    val b = m.select(col("cluster"), col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cent_sim").as("csb"))
+    val pairs = a.join(b, Seq("cluster")).filter(col("ida") < col("idb"))
+      .withColumn("cos", round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.45)
+      .persist() // two consumers: the loser set and the neighbor counts
+    // the paper's rule: drop the pair member closer to the centroid
+    // (higher cent_sim); ties drop the larger vec_id
+    val losers = pairs.select(
+      when(col("csa") > col("csb"), col("ida"))
+        .when(col("csa") < col("csb"), col("idb"))
+        .otherwise(greatest(col("ida"), col("idb"))).as("vec_id"))
+      .distinct()
+      .withColumn("dropped", lit(true))
+    val nDups = pairs.select(col("ida").as("vec_id"))
+      .unionAll(pairs.select(col("idb").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dups"))
+    val out = m.select(col("vec_id"), col("cluster"), col("cent_sim"))
+      .join(nDups, Seq("vec_id"), "left")
+      .join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("cent_sim"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+    pairs.unpersist(); m.unpersist(); e.unpersist()
+    out
+  }
+
+  private val x88Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |seeds AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT e.vec_id, s.cluster,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_dot_product(e.v, s.cv) / (e.nrm * s.cn), 6) DESC, s.cluster) AS rn
+      |    FROM e, seeds s) t WHERE rn = 1),
+      |jx AS (SELECT a1.cluster, e.v FROM a1 JOIN e USING (vec_id)),
+      |ex AS (SELECT cluster, i, CAST(round(v[i + 1] * 1000000) AS BIGINT) AS elq
+      |       FROM jx, (SELECT unnest(range(64)) AS i)),
+      |cs AS (SELECT cluster, i, sum(elq) AS s, count(*) AS c FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT cluster, list(CAST(s AS DOUBLE) / (c * 1000000.0) ORDER BY i) AS cv
+      |         FROM cs GROUP BY cluster),
+      |cent2 AS (SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+      |m AS (SELECT vec_id, cluster, cent_sim, v, nrm FROM (
+      |  SELECT e.vec_id, c.cluster, e.v, e.nrm,
+      |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS cent_sim,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) DESC, c.cluster) AS rn
+      |  FROM e, cent2 c) t WHERE rn = 1),
+      |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, a.cent_sim AS csa, b.cent_sim AS csb
+      |      FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45),
+      |losers AS (SELECT DISTINCT CASE WHEN csa > csb THEN ida
+      |                                WHEN csa < csb THEN idb
+      |                                ELSE greatest(ida, idb) END AS vec_id FROM p),
+      |nd AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dups FROM (
+      |         SELECT ida AS vec_id FROM p UNION ALL SELECT idb FROM p) q GROUP BY 1)
+      |SELECT m.vec_id, m.cluster, m.cent_sim,
+      |  coalesce(nd.n_dups, 0) AS n_dups,
+      |  (losers.vec_id IS NOT NULL) AS dropped
+      |FROM m LEFT JOIN nd ON m.vec_id = nd.vec_id
+      |       LEFT JOIN losers ON m.vec_id = losers.vec_id""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -5430,6 +5521,8 @@ object Queries {
       "per-source OLS (tokens on chars) from exact integer moments: one scan, slope/intercept/r2 as single IEEE expressions"),
     Q("x87_zipf_fit", x87, Some(x87Sql),
       "vocabulary power-law exponent: log-log OLS over the top-1000 ranked cut, micro-quantized integer moments"),
+    Q("x88_semdedup", x88, Some(x88Sql),
+      "SemDeDup: within-cluster pairwise cosine over the dup threshold, drop the member closer to the centroid; cost sum(|cluster|^2)"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -1021,6 +1021,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("zipf_exponent") > 0)
   }
 
+  test("x88: one row per vector; drops imply dups; pair mass is even; winners survive") {
+    val df = run("x88_semdedup").cache()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(df.count() === nVecs)
+    assert(df.select("vec_id").distinct().count() === nVecs)
+    // a dropped vector must have at least one over-threshold neighbor
+    assert(df.filter(col("dropped") && col("n_dups") === 0L).isEmpty)
+    // Σ n_dups counts each pair twice — even and (on this data) nonzero
+    val mass = df.agg(sum("n_dups")).head().getLong(0)
+    assert(mass > 0 && mass % 2 === 0, s"pair mass $mass")
+    // the rule drops ONE member per pair, so dropped < vectors-with-dups
+    val withDups = df.filter(col("n_dups") > 0).count()
+    val dropped = df.filter(col("dropped")).count()
+    assert(dropped > 0 && dropped < withDups)
+    assert(run("x88_semdedup").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
+
   test("qs16: every emitted hour matches the batch count(distinct); none exceed the watermark") {
     val df = run("qs16_stream_unique_visitors").cache()
     assert(df.count() > 0)
