@@ -5417,6 +5417,66 @@ object Queries {
       |FROM m LEFT JOIN nd ON m.vec_id = nd.vec_id
       |       LEFT JOIN losers ON m.vec_id = losers.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- X89
+  /** DEDUP-CLUSTER SIZE PROFILE — the one-page duplication report a
+    * curator reads before choosing a retention policy: for every
+    * near-dup cluster size, how many clusters exist, how many documents
+    * they hold, and how many a keep-one policy would remove; singletons
+    * (documents in no cluster) appear as the size-1 row so the table
+    * partitions the corpus exactly (Σ n_docs = corpus size — the spec
+    * pins it). Composes x17's components via [[PipelineCache]] (the
+    * closure runs once per session/dir); everything here is a
+    * cluster-count-sized aggregation plus one pinned corpus-count
+    * literal. The removable column IS the headline number: expected
+    * corpus shrink under keep-longest (x36). */
+  private def x89(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = PipelineCache.shared(spark, "x17_labels", dir)(x17(spark, dir))
+    val nDocs = Tables.documents(spark, dir).count() // metadata-scale literal
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size")).persist()
+    val nClustered = sizes.agg(sum(col("cluster_size"))).collect()(0).getLong(0)
+    val multi = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("removable"))
+    sizes.unpersist()
+    import spark.implicits._
+    val singles = Seq((1L, nDocs - nClustered, nDocs - nClustered, 0L))
+      .toDF("cluster_size", "n_clusters", "n_docs", "removable")
+    multi.unionByName(singles)
+  }
+
+  private val x89Sql =
+    s"""WITH RECURSIVE s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |c AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |      FROM reach GROUP BY src),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM c GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |cl AS (SELECT CAST(coalesce(sum(cluster_size), 0) AS BIGINT) AS n FROM sz)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS removable
+       |FROM sz GROUP BY cluster_size
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), tot.n - cl.n, tot.n - cl.n, CAST(0 AS BIGINT)
+       |FROM tot, cl""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -5523,6 +5583,8 @@ object Queries {
       "vocabulary power-law exponent: log-log OLS over the top-1000 ranked cut, micro-quantized integer moments"),
     Q("x88_semdedup", x88, Some(x88Sql),
       "SemDeDup: within-cluster pairwise cosine over the dup threshold, drop the member closer to the centroid; cost sum(|cluster|^2)"),
+    Q("x89_dup_size_profile", x89, Some(x89Sql),
+      "dedup-cluster size profile partitioning the corpus exactly: clusters/docs/removable per size, singletons as the size-1 row"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

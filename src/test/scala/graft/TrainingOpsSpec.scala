@@ -1039,6 +1039,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x89: the size profile partitions the corpus exactly and matches x17's components") {
+    val df = run("x89_dup_size_profile").cache()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // Σ n_docs over the table = the whole corpus (clustered + singletons)
+    assert(df.agg(sum("n_docs")).head().getLong(0) === nDocs)
+    // internal consistency per row
+    assert(df.filter(col("n_docs") =!= col("cluster_size") * col("n_clusters")).isEmpty)
+    assert(df.filter(col("removable") =!= (col("cluster_size") - 1) * col("n_clusters")).isEmpty)
+    // multi-doc rows must reconcile with x17's cluster count
+    val x17n = run("x17_dedup_clusters").select("cluster_id").distinct().count()
+    assert(df.filter(col("cluster_size") >= 2).agg(sum("n_clusters")).head().getLong(0) === x17n)
+    // no size-0 rows, one size-1 row
+    assert(df.filter(col("cluster_size") < 1).isEmpty)
+    assert(df.filter(col("cluster_size") === 1).count() === 1)
+    df.unpersist()
+  }
+
   test("qs16: every emitted hour matches the batch count(distinct); none exceed the watermark") {
     val df = run("qs16_stream_unique_visitors").cache()
     assert(df.count() > 0)
