@@ -472,4 +472,24 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),
       s"the 64-key aggregation must map-side combine:\n$p")
   }
+
+  test("x91: the blocklist gate is a pure map — no Exchange, no Join, one scan") {
+    val p = plan("x91_blocklist_filter")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"x91 must be a single map-side pass (the list is a literal):\n$p")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) === 1, p)
+    // only doc_id and text leave the scan
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("x90: the encode joins the vocab memo broadcast — the corpus never shuffles") {
+    val p = plan("x90_bpe_encode")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the trained word table must broadcast at test scale:\n$p")
+    // the corpus side reaches the final agg without a pre-join shuffle:
+    // the only hashpartitioning Exchange is the per-doc aggregation
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"encode must shuffle only for the per-doc aggregation:\n$p")
+  }
 }

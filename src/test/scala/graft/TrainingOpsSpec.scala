@@ -1056,6 +1056,51 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x90: encode reconciles with x10's word counts and x80's final corpus total") {
+    val df = run("x90_bpe_encode").cache()
+    // every document is encoded, none twice
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(df.count() === nDocs && df.select("doc_id").distinct().count() === nDocs)
+    // n_words is exactly the whitespace tokenization x10 reports
+    val joined = df.join(run("x10_token_count"), "doc_id")
+    assert(joined.filter(col("n_words") =!= col("ws_tokens")).isEmpty,
+      "encoder word count diverged from x10's whitespace tokens")
+    // merges only ever shrink a word, never below 1 symbol: per doc,
+    // n_words <= bpe_tokens <= characters-without-spaces
+    assert(df.filter(col("bpe_tokens") < col("n_words")).isEmpty)
+    assert(joined.filter(col("bpe_tokens") > col("len_chars")).isEmpty)
+    // fertility is the exact integer ratio in micros
+    assert(df.filter(
+      col("fertility_micro") =!= expr("(bpe_tokens * 1000000) div n_words")).isEmpty)
+    // THE reconciliation law: Σ bpe_tokens over docs = x80's corpus symbol
+    // total after round 4 (the trained table and the encoder agree on the
+    // whole corpus, not just per word)
+    val afterR4 = run("x80_bpe_merges").orderBy(col("rnd").desc)
+      .select("corpus_syms").head().getLong(0)
+    assert(df.agg(sum("bpe_tokens")).head().getLong(0) === afterR4,
+      "encoded corpus total != trained corpus symbol total")
+    assert(run("x90_bpe_encode").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
+
+  test("x91: hit accounting is internally exact and the gate follows the ppm rate") {
+    val df = run("x91_blocklist_filter").cache()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(df.count() === nDocs, "the gate must score every document")
+    // occurrences dominate distinct terms; distinct bounded by the list size
+    assert(df.filter(col("distinct_blocked") > col("blocked_hits")).isEmpty)
+    assert(df.filter(col("distinct_blocked") > 3).isEmpty)
+    assert(df.filter(col("blocked_hits") > col("n_tokens")).isEmpty)
+    // the decision IS the rate comparison — no other signal leaks in
+    assert(df.filter(col("kept") =!= (col("blocked_ppm") < 25000)).isEmpty)
+    assert(df.filter(
+      col("blocked_ppm") =!= expr("(blocked_hits * 1000000) div n_tokens")).isEmpty)
+    // the fixture corpus genuinely exercises both branches
+    assert(df.filter(col("kept")).count() > 0 && df.filter(!col("kept")).count() > 0,
+      "threshold must split the corpus — retune blockedPpmMax if this trips")
+    df.unpersist()
+  }
+
   test("qs16: every emitted hour matches the batch count(distinct); none exceed the watermark") {
     val df = run("qs16_stream_unique_visitors").cache()
     assert(df.count() > 0)
