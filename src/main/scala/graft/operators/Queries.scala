@@ -5580,6 +5580,117 @@ object Queries {
        |FROM s""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X92
+  /** TRIANGLE COUNT + global clustering coefficient of the near-dup graph
+    * — the structural audit that tells a curator whether duplication is
+    * CLIQUE-like (template families: triangles everywhere, cc → 1) or
+    * CHAIN-like (near-dup drift: few triangles, cc → 0), which decides
+    * whether keep-one-per-cluster is safe or will over-delete. Engine
+    * algorithm is the degree-oriented count (the MapReduce-era standard):
+    * orient every edge from its (degree, id)-smaller endpoint, count
+    * directed wedges, close them with a semi join — every triangle
+    * counted EXACTLY once and out-degrees bounded by O(√m), so the wedge
+    * self-join never explodes on a hub node (THE failure mode of naive
+    * triangle counting at scale). The oracle counts the same triangles by
+    * canonical a<b<c enumeration — different algorithm, provably the same
+    * integer. Wedge total comes off the degree table (Σ d(d−1)/2), cc is
+    * integer-micro exact. */
+  private def x92(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).persist()
+    val deg = pairs.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d")).persist()
+    val nNodes = deg.count()
+    val nEdges = pairs.count()
+    val wedges = Option(deg.agg(sum(expr("(d * (d - 1)) div 2"))).head.get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    // orient each edge low→high by (degree, id); carry the dst's key so
+    // the wedge legs can be ordered without re-joining the degree table
+    val e = pairs
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .persist()
+    // wedge (u; v, w) with v before w in orientation order closes iff the
+    // oriented edge v→w exists — each triangle appears as exactly one wedge
+    val nTri = e.as("e1").join(e.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (struct(col("e1.dd"), col("e1.dst")) < struct(col("e2.dd"), col("e2.dst"))))
+      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+      .join(e.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
+      .count()
+    pairs.unpersist(); deg.unpersist(); e.unpersist()
+    val cc = if (wedges > 0) (3L * nTri * 1000000L) / wedges else 0L
+    import spark.implicits._
+    Seq((nNodes, nEdges, nTri, wedges, cc))
+      .toDF("n_nodes", "n_edges", "n_triangles", "n_wedges", "global_cc_micro")
+  }
+
+  private val x92Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) u GROUP BY v),
+       |tri AS (SELECT CAST(count(*) AS BIGINT) AS nt
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       |       JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |wed AS (SELECT CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS w FROM deg)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       |  tri.nt AS n_triangles, wed.w AS n_wedges,
+       |  CASE WHEN wed.w > 0 THEN (3 * tri.nt * 1000000) // wed.w
+       |       ELSE CAST(0 AS BIGINT) END AS global_cc_micro
+       |FROM tri, wed""".stripMargin
+
+  // ---------------------------------------------------------------- X93
+  /** PREFIX-FILTERED exact similarity self-join (AllPairs/PPJoin family)
+    * — the third scale path to the SAME exact near-dup contract as x2
+    * (inverted index) and x3 (MinHash-LSH), and the only one of the three
+    * whose candidate bound is provable rather than probabilistic: order
+    * every document's shingles rarest-first (global (df, hash) order); a
+    * pair at Jaccard ≥ 0.5 must share ≥ ⌈n/2⌉ shingles, so it MUST
+    * collide inside each side's first n − ⌈n/2⌉ + 1 — postings outside
+    * the prefix never enter the join at all (~n/2 of them), and because
+    * prefixes are rarest-first the hot shingles that dominate x2's
+    * posting lists are exactly the ones excluded. Candidates are then
+    * verified exactly on the full sets. Oracle = x2's SQL: the output
+    * contract is the exact pair set, completeness is structural, and any
+    * miss fails the hash gate. */
+  private def x93(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir).persist()
+    val posts = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfs = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = posts.join(dfs, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .join(docs.select(col("doc_id"), col("n")), "doc_id")
+      .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("doc_id"), col("s"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("s"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -5692,6 +5803,12 @@ object Queries {
       "BPE corpus encoding via the trained word-table memo: per-doc token count + fertility (micros), vocab-join not re-segmentation"),
     Q("x91_blocklist_filter", x91, Some(x91Sql),
       "pinned-literal blocklist gate: per-doc hit counts + integer-ppm rate + keep decision, pure map (zero shuffle)"),
+    Q("x92_triangle_count", x92, Some(x92Sql),
+      "dup-graph triangles + clustering coefficient via degree-oriented wedges (O(sqrt m) out-degree bound; oracle = canonical enumeration)"),
+    // x93's oracle IS x2's (the x3 pattern): the prefix filter is provably
+    // complete at jac >= 0.5, so the output contract is the exact pair set
+    Q("x93_prefix_join", x93, Some(x2Sql),
+      "exact near-dup join via rarest-first prefix filtering (AllPairs/PPJoin): provable candidate bound, hot shingles never join"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -483,6 +483,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!readSchema.contains("n_chars") && !readSchema.contains("source"), readSchema)
   }
 
+  test("x93: the prefix join is all equi-joins — no nested loop anywhere") {
+    val p = plan("x93_prefix_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must never fall back to all-pairs:\n$p")
+    // the candidate self-join meets on the shingle hash (an equi key)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x90: the encode joins the vocab memo broadcast — the corpus never shuffles") {
     val p = plan("x90_bpe_encode")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -1101,6 +1101,38 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x92: triangle accounting reconciles with the pair engine and the cc bound") {
+    val df = run("x92_triangle_count").cache()
+    val r = df.head()
+    // the graph audited IS the x2 pair graph
+    val pairs = run("x2_ngram_jaccard").cache()
+    assert(r.getAs[Long]("n_edges") === pairs.count())
+    val nodes = pairs.select(col("doc_a").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("v"))).distinct().count()
+    assert(r.getAs[Long]("n_nodes") === nodes)
+    pairs.unpersist()
+    // every triangle is 3 closed wedges; cc therefore lives in [0, 1e6]
+    val (tri, wed, cc) = (r.getAs[Long]("n_triangles"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("global_cc_micro"))
+    assert(3 * tri <= wed, s"3*$tri closed wedges exceed the $wed total")
+    assert(cc >= 0 && cc <= 1000000)
+    assert(cc === (if (wed > 0) 3 * tri * 1000000 / wed else 0))
+    // the fixture's duplication is template-like: triangles must exist
+    assert(tri > 0, "fixture dup clusters of size >= 3 should close triangles")
+    assert(run("x92_triangle_count").head() === r, "rerun diverged")
+    df.unpersist()
+  }
+
+  test("x93: the prefix-filtered join returns EXACTLY x2's pair set (completeness is structural)") {
+    val a = run("x93_prefix_join").cache()
+    val b = run("x2_ngram_jaccard").cache()
+    // set equality including the jac doubles — both sides compute
+    // inter/(na+nb-inter) over the same integers
+    assert(a.exceptAll(b).isEmpty, "prefix join emitted a pair x2 does not have")
+    assert(b.exceptAll(a).isEmpty, "prefix join MISSED a true near-dup pair")
+    a.unpersist(); b.unpersist()
+  }
+
   test("qs16: every emitted hour matches the batch count(distinct); none exceed the watermark") {
     val df = run("qs16_stream_unique_visitors").cache()
     assert(df.count() > 0)
