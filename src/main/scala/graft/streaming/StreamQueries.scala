@@ -580,6 +580,75 @@ object StreamQueries {
       |FROM tf t JOIN llr l ON t.fid = l.fid
       |GROUP BY t.doc_id, t.lang""".stripMargin
 
+  // --------------------------------------------------------------- QS18
+  /** Streaming DISTRIBUTION-DRIFT detection — the data-quality monitor a
+    * production ingest runs continuously: per finalized event-time hour,
+    * a PSI-style divergence of the hour's `value` histogram against the
+    * standing corpus's baseline distribution. The baseline is trained
+    * ONCE from the static table and PINNED AS LITERALS in the plan (the
+    * qs17 deploy-time-model discipline) — the stream never joins it. The
+    * per-window histogram rides the ONE windowed aggregation as 8
+    * conditional sums (wide form — no second stateful operator, no
+    * per-(window, bin) shuffle rows), and the divergence is a stateless
+    * map over the finalized row. Exactness: bin = IEEE floor on
+    * bit-identical doubles; shares are integer micros; each bin's
+    * contribution is ONE IEEE expression nano-rounded (the x86
+    * discipline), so the appended result is batch-exact. State at 100 TB:
+    * one open hour × 9 longs per shuffle partition — constant. */
+  private val driftBinExpr =
+    "least(7, greatest(0, cast(floor(value / 15.0) as bigint)))"
+
+  /** One bin's nano-rounded PSI-style contribution; `q` is the baseline
+    * micro-share (Spark and DuckDB spell the same IEEE expression). */
+  private def driftTerm(b: String, q: String, idiv: String): String =
+    s"cast(round((($b * 1000000) $idiv n_events - $q) * " +
+      s"(ln(($b * 1000000) $idiv n_events + 1.0) - ln($q + 1.0)) * 1000) as bigint)"
+
+  private def qs18(spark: SparkSession, dir: String): DataFrame = {
+    // pinned baseline: the standing corpus's value histogram, micro shares
+    val base = graft.operators.Tables.events(spark, dir)
+      .select(expr(driftBinExpr).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c")).collect()
+    val tot = base.map(_.getLong(1)).sum
+    val qm = Array.fill(8)(0L)
+    base.foreach(r => qm(r.getLong(0).toInt) = r.getLong(1) * 1000000L / tot)
+    val binSums = (0 until 8).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"b$i"))
+    val windowed = eventsStream(spark, dir, nFiles = 3)
+      .withColumn("bin", expr(driftBinExpr))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), binSums: _*)
+    val drift = (0 until 8)
+      .map(i => driftTerm(s"b$i", s"${qm(i)}L", "div")).mkString(" + ")
+    runToTable(spark, windowed, OutputMode.Append())
+      .select(
+        col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("window.end").cast(TimestampNTZType).as("window_end"),
+        col("n_events"), expr(drift).as("drift_nano"))
+  }
+
+  private val qs18Sql = {
+    val binSql = "least(7, greatest(0, CAST(floor(value / 15.0) AS BIGINT)))"
+    val qmCols = (0 until 8).map(i =>
+      s"coalesce(CAST(sum(CASE WHEN bin = $i THEN qm END) AS BIGINT), 0) AS qm$i").mkString(",\n|  ")
+    val bCols = (0 until 8).map(i =>
+      s"CAST(sum(CASE WHEN $binSql = $i THEN 1 ELSE 0 END) AS BIGINT) AS b$i").mkString(",\n|    ")
+    val drift = (0 until 8).map(i => driftTerm(s"b$i", s"qm$i", "//")).mkString(" + ")
+    s"""WITH bc AS (SELECT $binSql AS bin, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |q AS (SELECT bin, CAST((c * 1000000) // (SELECT sum(c) FROM bc) AS BIGINT) AS qm FROM bc),
+       |qw AS (SELECT $qmCols FROM q),
+       |agg AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       |         CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       |         CAST(count(*) AS BIGINT) AS n_events,
+       |    $bCols
+       |  FROM events GROUP BY 1, 2)
+       |SELECT window_start, window_end, n_events,
+       |  $drift AS drift_nano
+       |FROM agg, qw WHERE window_end <= $wmSql""".stripMargin
+  }
+
   // --------------------------------------------------------------- QS16
   /** Streaming EXACT UNIQUE VISITORS per hour — the metric a naive
     * streaming `count(distinct)` cannot give you (unsupported on
@@ -979,5 +1048,7 @@ object StreamQueries {
     Q("qs16_stream_unique_visitors", qs16, Some(qs16Sql),
       "exact count(distinct user) per hour via chained stateful ops: watermarked dedup feeding the window agg"),
     Q("qs17_stream_dsir_score", qs17, Some(qs17Sql),
-      "model scoring at ingest: the pinned DSIR LM scores arriving docs map-side, stateless and batch-exact"))
+      "model scoring at ingest: the pinned DSIR LM scores arriving docs map-side, stateless and batch-exact"),
+    Q("qs18_stream_drift", qs18, Some(qs18Sql),
+      "streaming PSI-style drift per finalized hour vs the pinned baseline histogram: one windowed agg, nano-exact divergence"))
 }

@@ -1133,6 +1133,30 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist(); b.unpersist()
   }
 
+  test("qs18: one final row per hour, events conserved, watermark respected") {
+    val df = run("qs18_stream_drift").cache()
+    assert(df.count() > 0)
+    // append mode: each finalized window emitted exactly once, 1h wide
+    assert(df.select("window_start").distinct().count() === df.count())
+    assert(df.filter(
+      col("window_end") =!= col("window_start") + expr("INTERVAL 1 HOUR")).isEmpty)
+    // histogram mass conservation: emitted windows partition their events
+    val ev = graft.operators.Tables.events(spark, sf)
+    val truth = ev.groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("expect"))
+    val joined = df.join(truth, "window_start")
+    assert(joined.count() === df.count(), "an emitted window missing from batch truth")
+    assert(joined.filter(col("n_events") =!= col("expect")).isEmpty,
+      "a finalized window lost or duplicated events")
+    // only watermark-passed windows are final (10-minute delay)
+    val cutoff = ev.agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+      .minusMinutes(10)
+    assert(df.filter(col("window_end") >
+      lit(java.sql.Timestamp.valueOf(cutoff)).cast("timestamp_ntz")).isEmpty,
+      "a window past the terminal watermark was emitted")
+    df.unpersist()
+  }
+
   test("qs16: every emitted hour matches the batch count(distinct); none exceed the watermark") {
     val df = run("qs16_stream_unique_visitors").cache()
     assert(df.count() > 0)
