@@ -85,6 +85,39 @@ object MediaCodecs {
     ImageInfo(w, h, lumaMillis / (1000.0 * w * h))
   }
 
+  /** 64-bit perceptual AVERAGE-HASH (aHash) of a P6 raster: BT.601 integer
+    * luma per pixel, pixels mapped onto the 8×8 grid (cell row = y·8/h,
+    * col = x·8/w), bit(cell) = 1 iff the cell's mean luma exceeds the
+    * image mean. The comparison is CROSS-MULTIPLIED in integers
+    * (cellSum·totalCnt > totalSum·cellCnt) — no division anywhere, so the
+    * hash is bit-exact on any engine computing the same bytes. Cells no
+    * pixel maps to (w < 8 or h < 8) keep bit 0. Magnitude: totalSum ≤
+    * 255000·px, ×totalCnt stays inside int64 through ~megapixel rasters. */
+  def ahashPpm(b: Array[Byte]): Long = {
+    val (w, h, off) = parsePpmHeader(b)
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var totS = 0L
+    var totC = 0L
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      val i = off + 3 * p
+      val lum = 299L * (b(i) & 0xff) + 587L * (b(i + 1) & 0xff) + 114L * (b(i + 2) & 0xff)
+      val cell = ((p / w) * 8 / h) * 8 + ((p % w) * 8 / w)
+      sums(cell) += lum; cnts(cell) += 1
+      totS += lum; totC += 1
+      p += 1
+    }
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      if (sums(c) * totC > totS * cnts(c)) hash |= 1L << c
+      c += 1
+    }
+    hash
+  }
+
   // ------------------------------------------------------------------ WAV
   final case class AudioInfo(sampleRate: Int, nSamples: Int, durationMs: Long, rms: Double)
 

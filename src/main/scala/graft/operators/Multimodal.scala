@@ -132,6 +132,24 @@ object Multimodal {
     }
   }
 
+  /** A perceptual image fingerprint. */
+  case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual hashing as a partition-batched typed transform: every image
+    * payload reduces to its 64-bit aHash ([[MediaCodecs.ahashPpm]]) — the
+    * SimHash-of-pixels that makes image dedup a banded-bucket problem
+    * instead of a pairwise-pixel one. Poison payloads drop (decode's
+    * opaque-degrade contract). */
+  def imageHashes(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.filter(_.modality == "image").flatMap { r =>
+        try Some(ImageHash(r.doc_id, MediaCodecs.ahashPpm(r.payload)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
   /** One sampled frame (SURVEY X5 "frame-sample"). */
   case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, luma: Double)
 

@@ -5691,6 +5691,80 @@ object Queries {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  // ---------------------------------------------------------------- X94
+  /** PERCEPTUAL IMAGE NEAR-DUP — the multimodal leg of the dedup family
+    * (x1–x5 are text, x5/x88 embeddings): every image payload reduces to
+    * its 64-bit aHash (REAL raster work — BT.601 integer luma over the
+    * decoded P6 bytes, 8×8 grid, cross-multiplied integer bit rule:
+    * [[MediaCodecs.ahashPpm]]), then near-dups surface through the x4
+    * SimHash machinery — 4×16-bit bands bucket the candidates, exact
+    * Hamming ≤ 3 verifies them. The band decomposition is COMPLETE at
+    * this threshold by pigeonhole (≤ 3 differing bits over 4 bands leave
+    * one band identical), so the contract is exact: ALL image pairs
+    * within Hamming 3, found without any pairwise pixel comparison. The
+    * oracle recomputes the same hash from the same synthesized raster
+    * bytes in SQL (the x51 trick) and takes all-pairs Hamming directly —
+    * different algorithm, same exact pair set. Scale: hashing is one
+    * map-side pass over payload bytes; the bucket join moves 16-bit keys
+    * + ids; within-bucket cost is bounded by duplicate-family sizes (the
+    * x4 analysis). */
+  private def x94(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.imageHashes(Multimodal.fromDocuments(spark, dir))
+      .toDF().persist()
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      // arithmetic >> then mask ≡ logical shift within the 16-bit window
+      .withColumn("bv", expr("(ahash >> (band * 16)) & 65535"))
+    val cands = bands
+      .select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("ahash").as("ha"))
+      .join(bands.select(col("band"), col("bv"),
+        col("doc_id").as("doc_b"), col("ahash").as("hb")), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+    cands
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as bigint)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  private val x94Sql = {
+    // pixel p of the synthesized raster reads text bytes (3p, 3p+1, 3p+2)
+    // mod L — the x51/x13 synthesis contract
+    def byte(k: String) = s"ord(substr(text, CAST(($k) % L AS INT) + 1, 1))"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS L,
+       |    CAST(4 + n_chars % 12 AS INT) AS w,
+       |    CAST(4 + (n_chars // 3) % 8 AS INT) AS h
+       |  FROM documents WHERE n_chars % 3 = 0),
+       |px AS (
+       |  SELECT doc_id,
+       |    ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS cell,
+       |    299 * ${byte("3*p")} + 587 * ${byte("3*p + 1")} + 114 * ${byte("3*p + 2")} AS lum
+       |  FROM (SELECT doc_id, text, L, w, h, CAST(unnest(range(w * h)) AS INT) AS p FROM d)),
+       |cells AS (SELECT doc_id, cell, CAST(sum(lum) AS BIGINT) AS cs,
+       |    CAST(count(*) AS BIGINT) AS cc FROM px GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts,
+       |    CAST(sum(cc) AS BIGINT) AS tc FROM cells GROUP BY 1),
+       |grid AS (SELECT d.doc_id, g.cell
+       |  FROM d, (SELECT CAST(unnest(range(64)) AS INT) AS cell) g),
+       |bits AS (SELECT g.doc_id, g.cell,
+       |    coalesce(c.cs * t.tc > t.ts * c.cc, FALSE) AS bit
+       |  FROM grid g
+       |  JOIN tot t ON t.doc_id = g.doc_id
+       |  LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.cell = g.cell),
+       |hsh AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit AND cell < 32
+       |      THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN bit AND cell >= 32
+       |      THEN (CAST(1 AS BIGINT) << (cell - 32)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+       |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id) q
+       |WHERE hamming <= 3""".stripMargin
+  }
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -5809,6 +5883,8 @@ object Queries {
     // complete at jac >= 0.5, so the output contract is the exact pair set
     Q("x93_prefix_join", x93, Some(x2Sql),
       "exact near-dup join via rarest-first prefix filtering (AllPairs/PPJoin): provable candidate bound, hot shingles never join"),
+    Q("x94_image_phash", x94, Some(x94Sql),
+      "perceptual image near-dup: integer-exact aHash over real raster bytes, banded buckets, exact Hamming<=3 (pigeonhole-complete)"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -167,4 +167,50 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(samples.filter(col("frame_idx") % 5 =!= 0).isEmpty)
     samples.unpersist()
   }
+
+  test("ahashPpm: pinned bits on handcrafted rasters, zero on uniform") {
+    // uniform image: no cell mean exceeds the global mean -> all bits 0
+    val flat = MediaCodecs.encodePpm(8, 8, Array.fill(8 * 8 * 3)(100.toByte))
+    assert(MediaCodecs.ahashPpm(flat) === 0L)
+    // top half bright, bottom dark, 8x8: pixel row y maps to cell row y,
+    // so exactly cells 0..31 (bits 0..31) are above the mean
+    val half = Array.tabulate(8 * 8 * 3)(i => if (i / 3 / 8 < 4) 200.toByte else 10.toByte)
+    assert(MediaCodecs.ahashPpm(MediaCodecs.encodePpm(8, 8, half)) === 0x00000000FFFFFFFFL)
+    // identical bytes -> identical hash (the dedup premise)
+    val img = Multimodal.fromDocuments(spark, sf).filter(_.modality == "image").head()
+    assert(MediaCodecs.ahashPpm(img.payload) === MediaCodecs.ahashPpm(img.payload))
+    // small images leave unreachable cells at 0: a 4x4 raster touches only
+    // even grid rows/cols -> every odd-cell bit must be unset
+    val small = MediaCodecs.ahashPpm(
+      MediaCodecs.encodePpm(4, 4, Array.tabulate(4 * 4 * 3)(i => (i * 7 % 256).toByte)))
+    (0 until 64).foreach { c =>
+      if (c / 8 % 2 == 1 || c % 2 == 1)
+        assert((small >> c & 1L) === 0L, s"unreachable cell $c has a bit set")
+    }
+  }
+
+  test("x94: image near-dup pairs are images, Hamming-bounded, and include the exact dups") {
+    val df = graft.operators.Queries.byName("x94_image_phash").run(spark, sf).cache()
+    assert(df.filter(col("hamming") < 0 || col("hamming") > 3).isEmpty)
+    // both ends must be image-modality docs
+    val imgs = Multimodal.features(spark, sf)
+      .filter(col("modality") === "image").select(col("doc_id")).cache()
+    assert(df.select(col("doc_a").as("doc_id")).distinct().exceptAll(imgs).isEmpty)
+    assert(df.select(col("doc_b").as("doc_id")).distinct().exceptAll(imgs).isEmpty)
+    // byte-identical payloads hash identically -> every exact-text dup pair
+    // among images must surface with hamming 0
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("n_chars") % 3 === 0)
+      .select(sha2(col("text"), 256).as("h"), col("doc_id"))
+    val exactPairs = docs.join(docs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("h", "h2"), col("h") === col("h2") && col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    assert(df.count() > 0, "the fixture's image family should surface near-dups")
+    // (no exact-text dup lands in the image modality at this SF — the law
+    // still holds vacuously and bites at larger SFs)
+    assert(exactPairs.exceptAll(
+      df.filter(col("hamming") === 0).select(col("doc_a"), col("doc_b"))).isEmpty,
+      "an exact image dup pair is missing from the hamming-0 set")
+    imgs.unpersist(); df.unpersist()
+  }
 }
