@@ -139,7 +139,10 @@ object MediaCodecs {
 
   /** Real RIFF chunk walk: find fmt + data wherever they sit, skip the
     * rest (odd-sized chunks pad to even per the spec). */
-  def decodeWav(b: Array[Byte]): AudioInfo = {
+  /** RIFF chunk walk shared by decode and fingerprint: returns
+    * (littleEndianBuffer, sampleRate, dataOffset, nSamples) for a
+    * PCM16-mono payload; rejects anything else. */
+  private def pcm16Data(b: Array[Byte]): (java.nio.ByteBuffer, Int, Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(at: Int): String = new String(b, at, 4, "US-ASCII")
     require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE file")
@@ -171,7 +174,11 @@ object MediaCodecs {
     }
     require(rate > 0 && dataOff >= 0, "missing fmt or data chunk")
     require(bits == 16 && channels == 1, s"only PCM16 mono supported (bits=$bits ch=$channels)")
-    val n = dataLen / 2
+    (bb, rate, dataOff, dataLen / 2)
+  }
+
+  def decodeWav(b: Array[Byte]): AudioInfo = {
+    val (bb, rate, dataOff, n) = pcm16Data(b)
     // exact integer sum of squares (order-independent), one float division
     var sumSq = 0L
     var i = 0
@@ -181,6 +188,37 @@ object MediaCodecs {
       i += 1
     }
     AudioInfo(rate, n, n * 1000L / rate, if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+  }
+
+  /** 64-bit perceptual fingerprint of a PCM16-mono clip — the audio analog
+    * of [[ahashPpm]]: samples map onto 64 time frames (frame = i·64/n),
+    * bit(frame) = 1 iff the frame's mean ENERGY (integer sum of squares)
+    * exceeds the whole clip's — cross-multiplied in integers, so the
+    * fingerprint is bit-exact on any engine computing the same samples.
+    * Magnitude: e ≤ 2³⁰ per sample, so Σe·n stays inside int64 through
+    * ~65 k-sample clips; longer clips would pre-scale energies (one shift,
+    * same recipe as x73's scale knob). Empty frames (n < 64) keep bit 0. */
+  def ahashWav(b: Array[Byte]): Long = {
+    val (bb, _, off, n) = pcm16Data(b)
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var totS = 0L
+    var totC = 0L
+    var i = 0
+    while (i < n) {
+      val s = bb.getShort(off + i * 2).toLong
+      val f = (i.toLong * 64 / n).toInt
+      sums(f) += s * s; cnts(f) += 1
+      totS += s * s; totC += 1
+      i += 1
+    }
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      if (sums(c) * totC > totS * cnts(c)) hash |= 1L << c
+      c += 1
+    }
+    hash
   }
 
   // ----------------------------------------------------------------- GFV0

@@ -150,6 +150,18 @@ object Multimodal {
     }
   }
 
+  /** Audio fingerprinting, same shape: every PCM16 clip reduces to its
+    * 64-bit time-frame energy fingerprint ([[MediaCodecs.ahashWav]]). */
+  def audioHashes(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.filter(_.modality == "audio").flatMap { r =>
+        try Some(ImageHash(r.doc_id, MediaCodecs.ahashWav(r.payload)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
   /** One sampled frame (SURVEY X5 "frame-sample"). */
   case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, luma: Double)
 

@@ -5708,9 +5708,11 @@ object Queries {
     * map-side pass over payload bytes; the bucket join moves 16-bit keys
     * + ids; within-bucket cost is bounded by duplicate-family sizes (the
     * x4 analysis). */
-  private def x94(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = Multimodal.imageHashes(Multimodal.fromDocuments(spark, dir))
-      .toDF().persist()
+  /** Banded Hamming near-dup over a (doc_id, ahash) frame: 4×16-bit band
+    * buckets generate candidates, exact Hamming ≤ maxDist verifies —
+    * COMPLETE for maxDist ≤ 3 by pigeonhole. Shared by the image (x94)
+    * and audio (x95) perceptual dedup legs. */
+  private def bandedHammingPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
     val bands = hashes.select(col("doc_id"), col("ahash"),
         explode(expr("array(0, 1, 2, 3)")).as("band"))
       // arithmetic >> then mask ≡ logical shift within the 16-bit window
@@ -5723,9 +5725,13 @@ object Queries {
       .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
     cands
       .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as bigint)"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  private def x94(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(
+      Multimodal.imageHashes(Multimodal.fromDocuments(spark, dir)).toDF(), 3)
 
   private val x94Sql = {
     // pixel p of the synthesized raster reads text bytes (3p, 3p+1, 3p+2)
@@ -5757,6 +5763,52 @@ object Queries {
        |      THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS lo,
        |    CAST(sum(CASE WHEN bit AND cell >= 32
        |      THEN (CAST(1 AS BIGINT) << (cell - 32)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+       |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id) q
+       |WHERE hamming <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X95
+  /** PERCEPTUAL AUDIO NEAR-DUP — x94's audio twin, closing the multimodal
+    * dedup family (text x1–x5, embeddings x5/x88, image x94): every PCM16
+    * clip reduces map-side to a 64-bit time-frame energy fingerprint
+    * ([[MediaCodecs.ahashWav]] — real RIFF walking, integer sums of
+    * squares, cross-multiplied bit rule, zero floats), then the SAME
+    * banded-bucket machinery surfaces candidates and exact Hamming ≤ 3
+    * verifies them (pigeonhole-complete — see [[bandedHammingPairs]]).
+    * The oracle resynthesizes the samples from the doc text (the WAV
+    * encode contract), recomputes the fingerprint in SQL, and takes
+    * all-pairs Hamming — same exact pair set by a different route. */
+  private def x95(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(
+      Multimodal.audioHashes(Multimodal.fromDocuments(spark, dir)).toDF(), 3)
+
+  private val x95Sql = {
+    // sample i of the synthesized clip: ((ord(text[i % L]) - 96) * 256)²
+    // energy, mapped onto frame i·64/ns (ns = 200 + n_chars % 800 ≥ 200,
+    // so every frame holds ≥ 3 samples — no empty-frame grid needed)
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS L,
+       |    CAST(200 + n_chars % 800 AS INT) AS ns
+       |  FROM documents WHERE n_chars % 3 = 1),
+       |sm AS (
+       |  SELECT doc_id, CAST(i * 64 // ns AS INT) AS f,
+       |    CAST((ord(substr(text, CAST(i % L AS INT) + 1, 1)) - 96) * 256 AS BIGINT) AS v
+       |  FROM (SELECT doc_id, text, L, ns, CAST(unnest(range(ns)) AS INT) AS i FROM d)),
+       |fr AS (SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS es,
+       |    CAST(count(*) AS BIGINT) AS ec FROM sm GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(es) AS BIGINT) AS ts,
+       |    CAST(sum(ec) AS BIGINT) AS tc FROM fr GROUP BY 1),
+       |bits AS (SELECT f.doc_id, f.f, (f.es * t.tc > t.ts * f.ec) AS bit
+       |  FROM fr f JOIN tot t ON t.doc_id = f.doc_id),
+       |hsh AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit AND f < 32
+       |      THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN bit AND f >= 32
+       |      THEN (CAST(1 AS BIGINT) << (f - 32)) ELSE 0 END) AS BIGINT) AS hi
        |  FROM bits GROUP BY doc_id)
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -5885,6 +5937,8 @@ object Queries {
       "exact near-dup join via rarest-first prefix filtering (AllPairs/PPJoin): provable candidate bound, hot shingles never join"),
     Q("x94_image_phash", x94, Some(x94Sql),
       "perceptual image near-dup: integer-exact aHash over real raster bytes, banded buckets, exact Hamming<=3 (pigeonhole-complete)"),
+    Q("x95_audio_phash", x95, Some(x95Sql),
+      "perceptual audio near-dup: 64-frame integer energy fingerprint over real PCM16, same banded machinery, exact Hamming<=3"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

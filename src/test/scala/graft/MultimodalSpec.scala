@@ -189,6 +189,31 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ahashWav: pinned bits on handcrafted clips, zero on constant amplitude") {
+    // constant amplitude: every frame's mean energy equals the clip's -> 0
+    val flat = MediaCodecs.encodeWav(8000, Array.fill(640)(1000.toShort))
+    assert(MediaCodecs.ahashWav(flat) === 0L)
+    // loud first half (640 samples = 10/frame): frames 0..31 above the mean
+    val half = MediaCodecs.encodeWav(8000,
+      Array.tabulate(640)(i => if (i < 320) 20000.toShort else 100.toShort))
+    assert(MediaCodecs.ahashWav(half) === 0x00000000FFFFFFFFL)
+    // byte-identical payloads fingerprint identically (the dedup premise)
+    val clip = Multimodal.fromDocuments(spark, sf).filter(_.modality == "audio").head()
+    assert(MediaCodecs.ahashWav(clip.payload) === MediaCodecs.ahashWav(clip.payload))
+  }
+
+  test("x95: audio near-dup pairs are audio docs and Hamming-bounded (dups live at sf0.1)") {
+    val df = graft.operators.Queries.byName("x95_audio_phash").run(spark, sf).cache()
+    assert(df.filter(col("hamming") < 0 || col("hamming") > 3).isEmpty)
+    val auds = Multimodal.features(spark, sf)
+      .filter(col("modality") === "audio").select(col("doc_id")).cache()
+    assert(df.select(col("doc_a").as("doc_id")).distinct().exceptAll(auds).isEmpty)
+    assert(df.select(col("doc_b").as("doc_id")).distinct().exceptAll(auds).isEmpty)
+    // the sf0.001 fixture plants no audio dups — the oracle gate proves the
+    // empty result is CORRECT here and the 5-pair result at sf0.1 matches
+    auds.unpersist(); df.unpersist()
+  }
+
   test("x94: image near-dup pairs are images, Hamming-bounded, and include the exact dups") {
     val df = graft.operators.Queries.byName("x94_image_phash").run(spark, sf).cache()
     assert(df.filter(col("hamming") < 0 || col("hamming") > 3).isEmpty)
