@@ -5509,7 +5509,9 @@ object Queries {
     * honest end-to-end run); the join broadcasts at test scale
     * (vocab ≈ 31 words) and hash-joins on the ~100 M-row word table at
     * 100 TB — AQE's call, not ours. All outputs integer-exact. */
-  private def x90(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained (w, bpe_len) table through [[PipelineCache]] — the
+    * encoder memo shared by x90 and x96. */
+  private def bpeVocabShared(spark: SparkSession, dir: String): DataFrame = {
     var trained: DataFrame = null
     val vocab = PipelineCache.shared(spark, "x90_bpe_vocab", dir) {
       val (_, words) = bpeTrained(spark, dir)
@@ -5519,6 +5521,11 @@ object Queries {
     // the cache write (an action) ran while the training frame was still
     // persisted; dropping the cached blocks here costs nothing durable
     if (trained != null) trained.unpersist()
+    vocab
+  }
+
+  private def x90(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeVocabShared(spark, dir)
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .join(vocab, "w")
@@ -5536,6 +5543,47 @@ object Queries {
        |  (CAST(sum(len(v.s)) AS BIGINT) * 1000000) // count(*) AS fertility_micro
        |FROM enc e JOIN w4 v ON v.w = e.w
        |GROUP BY e.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- X96
+  /** TOKENIZER COMPRESSION PER SOURCE — the economics table a mixture
+    * designer reads next to x25/x72: for each source, how many characters
+    * one BPE token buys (chars_per_token) and how many tokens a
+    * whitespace word costs (fertility). A domain the tokenizer compresses
+    * poorly consumes training budget faster than its share of the corpus
+    * — THE practical argument for per-source token accounting. Composes
+    * the x90 encoder memo (vocab via [[PipelineCache]] — trained once per
+    * session/dir); the corpus pass is one explode + vocab join +
+    * source-cardinality aggregation, plus a second narrow scan for the
+    * char totals (columns pruned to (source, n_chars)). All integer
+    * micros. */
+  private def x96(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeVocabShared(spark, dir)
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .join(vocab, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("bpe_len")).as("bpe_tokens"))
+    val ch = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    ch.join(tok, "source")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("bpe_tokens"),
+        expr("(n_chars * 1000000) div bpe_tokens").as("chars_per_token_micro"),
+        expr("(bpe_tokens * 1000000) div n_words").as("fertility_micro"))
+  }
+
+  private val x96Sql =
+    s"""WITH $bpeCtesRaw,
+       |t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tok AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(len(v.s)) AS BIGINT) AS bpe_tokens
+       |  FROM t JOIN w4 v ON v.w = t.w GROUP BY source),
+       |ch AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY source)
+       |SELECT ch.source, ch.n_docs, ch.n_chars, tok.bpe_tokens,
+       |  (ch.n_chars * 1000000) // tok.bpe_tokens AS chars_per_token_micro,
+       |  (tok.bpe_tokens * 1000000) // tok.n_words AS fertility_micro
+       |FROM ch JOIN tok ON tok.source = ch.source""".stripMargin
 
   // ---------------------------------------------------------------- X91
   /** BLOCKLIST FILTERING (the C4/RefinedWeb "bad words" gate): score every
@@ -5939,6 +5987,8 @@ object Queries {
       "perceptual image near-dup: integer-exact aHash over real raster bytes, banded buckets, exact Hamming<=3 (pigeonhole-complete)"),
     Q("x95_audio_phash", x95, Some(x95Sql),
       "perceptual audio near-dup: 64-frame integer energy fingerprint over real PCM16, same banded machinery, exact Hamming<=3"),
+    Q("x96_bpe_compression", x96, Some(x96Sql),
+      "per-source tokenizer economics off the x90 memo: chars-per-token + fertility micros, the mixture designer's cost table"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -1083,6 +1083,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x96: the per-source economics roll up exactly from x90's per-doc encode") {
+    val df = run("x96_bpe_compression").cache()
+    // one row per source, every source present
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(df.count() === docs.select("source").distinct().count())
+    // token totals = x90's per-doc totals grouped by source
+    val fromX90 = run("x90_bpe_encode")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum("bpe_tokens").as("expect_tokens"), sum("n_words").as("expect_words"))
+    val j = df.join(fromX90, "source")
+    assert(j.count() === df.count())
+    assert(j.filter(col("bpe_tokens") =!= col("expect_tokens")).isEmpty,
+      "source token totals diverge from the per-doc encode")
+    // ratios are the exact integer micros of their own columns
+    assert(df.filter(col("chars_per_token_micro") =!=
+      expr("(n_chars * 1000000) div bpe_tokens")).isEmpty)
+    // a BPE token never spans words: fertility >= 1 token per word
+    assert(df.filter(col("fertility_micro") < 1000000).isEmpty)
+    df.unpersist()
+  }
+
   test("x91: hit accounting is internally exact and the gate follows the ppm rate") {
     val df = run("x91_blocklist_filter").cache()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
