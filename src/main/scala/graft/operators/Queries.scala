@@ -5865,6 +5865,71 @@ object Queries {
        |WHERE hamming <= 3""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X97
+  /** MATRYOSHKA / TRUNCATED-EMBEDDING RECALL AUDIT — the dimension-
+    * ablation table that decides whether a 16-dim prefix index is good
+    * enough to serve retrieval (the Matryoshka-representation question,
+    * and the sizing decision behind every IVF/PQ deployment): for each
+    * query vector, exact top-10 under the full 64-dim cosine vs exact
+    * top-10 under the 16-dim PREFIX cosine, reported as overlap@10.
+    * Both rankings use the x6 determinism discipline (6dp-rounded
+    * similarity, vec_id tiebreak), so the recall integers are
+    * bit-reproducible. Scale: the query set is a bounded audit sample
+    * (the x6 contract) — each representation costs one candidate scan
+    * against a broadcast query block; the recall join moves 10 rows per
+    * query. A full-corpus serving index would pair this audit with x14's
+    * IVF; this measures what the truncation LOSES before you buy it. */
+  private def x97(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def top10(frame: DataFrame, vec: String, nrm: String): DataFrame = {
+      val q = frame.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col(vec).as("qv"), col(nrm).as("qn"))
+      val c = frame.filter(col("vec_id") >= 5)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      q.join(c) // broadcast cross: |q| = 5
+        .withColumn("cos_sim",
+          round(expr(s"graft_dot(qv, $vec)") / (col("qn") * col(nrm)), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val full = top10(e.withColumn("nrm", expr("sqrt(graft_dot(v, v))")), "v", "nrm")
+    val trunc = top10(e.select(col("vec_id"), expr("slice(v, 1, 16)").as("tv"))
+      .withColumn("tn", expr("sqrt(graft_dot(tv, tv))")), "tv", "tn")
+    full.join(trunc.withColumn("m", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("m"), lit(0L))).as("n_match"))
+      .select(col("query_id"), col("n_match"),
+        (col("n_match") * lit(100000L)).as("recall_micro"))
+  }
+
+  private val x97Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |f AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |t AS (SELECT vec_id, v[1:16] AS tv,
+      |      sqrt(list_dot_product(v[1:16], v[1:16])) AS tn FROM e),
+      |topf AS (SELECT query_id, vec_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+      |        c.vec_id) AS rnk
+      |  FROM f q JOIN f c ON q.vec_id < 5 AND c.vec_id >= 5) z WHERE rnk <= 10),
+      |topt AS (SELECT query_id, vec_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_dot_product(q.tv, c.tv) / (q.tn * c.tn), 6) DESC,
+      |        c.vec_id) AS rnk
+      |  FROM t q JOIN t c ON q.vec_id < 5 AND c.vec_id >= 5) z WHERE rnk <= 10)
+      |SELECT tf.query_id,
+      |  CAST(sum(CASE WHEN tt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |  CAST(sum(CASE WHEN tt.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 100000 AS BIGINT)
+      |    AS recall_micro
+      |FROM topf tf LEFT JOIN topt tt
+      |  ON tt.query_id = tf.query_id AND tt.vec_id = tf.vec_id
+      |GROUP BY tf.query_id""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -5989,6 +6054,8 @@ object Queries {
       "perceptual audio near-dup: 64-frame integer energy fingerprint over real PCM16, same banded machinery, exact Hamming<=3"),
     Q("x96_bpe_compression", x96, Some(x96Sql),
       "per-source tokenizer economics off the x90 memo: chars-per-token + fertility micros, the mixture designer's cost table"),
+    Q("x97_matryoshka_recall", x97, Some(x97Sql),
+      "dimension-ablation audit: exact top-10 overlap of 16-dim prefix cosine vs full 64-dim, per query, bit-reproducible recall"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

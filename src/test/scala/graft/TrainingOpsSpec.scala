@@ -1105,6 +1105,20 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x97: recall integers are exact and one row per audit query") {
+    val df = run("x97_matryoshka_recall").cache()
+    assert(df.count() === 5 && df.select("query_id").distinct().count() === 5)
+    assert(df.filter(col("n_match") < 0 || col("n_match") > 10).isEmpty)
+    assert(df.filter(col("recall_micro") =!= col("n_match") * 100000).isEmpty)
+    // trivially, matching a self-consistent top-10: recall of full-vs-full
+    // is 1.0 — pinned via x6: every query has exactly 10 full neighbors
+    val x6n = run("x6_ann_bruteforce").groupBy("query_id").count()
+    assert(x6n.filter(col("count") =!= 10).isEmpty)
+    assert(run("x97_matryoshka_recall").collect().toSet === df.collect().toSet,
+      "rerun diverged")
+    df.unpersist()
+  }
+
   test("x91: hit accounting is internally exact and the gate follows the ppm rate") {
     val df = run("x91_blocklist_filter").cache()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
