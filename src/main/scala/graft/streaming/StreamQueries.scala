@@ -649,6 +649,84 @@ object StreamQueries {
        |FROM agg, qw WHERE window_end <= $wmSql""".stripMargin
   }
 
+  // --------------------------------------------------------------- QS19
+  /** STREAMING FUNNEL — q31's ordered sequential-pattern detection
+    * (signup → click ≤ 48 h → purchase ≤ 48 h, each stage anchored at the
+    * previous stage's FIRST qualifying event) as a continuously-running
+    * per-user state machine: `flatMapGroupsWithState` holds each user's
+    * funnel position (t1, t2, done) and emits ONE conversion row the
+    * moment the purchase lands — the real-time variant of the analytics
+    * query every growth dashboard batches nightly. Emissions are final by
+    * construction (a conversion cannot un-happen), so append mode is
+    * exact: the streamed conversion set equals the batch funnel's stage-3
+    * users with their stage timestamps. Order: within a batch each user's
+    * rows fold in (ts, event_id) order; the time-quantile file waves
+    * guarantee cross-batch order (the qs12 argument). State is ≤ 17
+    * bytes/user and MONOTONE (t1, t2 set once, then done) — at corpus
+    * scale an EventTimeTimeout at each stage window's end would evict
+    * users who can no longer convert; kept timeout-free here to mirror
+    * qs12's |keys|-bounded contract. */
+  case class FunnelEvt(user_id: Long, tsMicros: Long, event_id: Long, event_type: String)
+  case class FunnelState(t1: Long, t2: Long, done: Boolean)
+  case class FunnelConv(user_id: Long, t1_micros: Long, t2_micros: Long, t3_micros: Long)
+
+  private val h48 = 48L * 3600 * 1000000 // micros
+
+  private def qs19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conv = eventsStream(spark, dir, nFiles = 3)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEvt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelConv](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.tsMicros, r.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelConv]
+          for (r <- sorted if !st.done) {
+            if (st.t1 < 0) {
+              if (r.event_type == "signup") st = st.copy(t1 = r.tsMicros)
+            } else if (st.t2 < 0) {
+              if (r.event_type == "click" &&
+                r.tsMicros > st.t1 && r.tsMicros <= st.t1 + h48)
+                st = st.copy(t2 = r.tsMicros)
+            } else if (r.event_type == "purchase" &&
+              r.tsMicros > st.t2 && r.tsMicros <= st.t2 + h48) {
+              out += FunnelConv(uid, st.t1, st.t2, r.tsMicros)
+              st = st.copy(done = true)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF()
+      .select(col("user_id"),
+        timestamp_micros(col("t1_micros")).cast(TimestampNTZType).as("t1"),
+        timestamp_micros(col("t2_micros")).cast(TimestampNTZType).as("t2"),
+        timestamp_micros(col("t3_micros")).cast(TimestampNTZType).as("t3"))
+    runToTable(spark, conv, OutputMode.Append())
+  }
+
+  private val qs19Sql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+      |  GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 48 HOUR
+      |  GROUP BY 1)
+      |SELECT s3.user_id, CAST(s1.t1 AS TIMESTAMP) AS t1,
+      |  CAST(s2.t2 AS TIMESTAMP) AS t2, CAST(s3.t3 AS TIMESTAMP) AS t3
+      |FROM s3 JOIN s2 ON s2.user_id = s3.user_id
+      |        JOIN s1 ON s1.user_id = s3.user_id""".stripMargin
+
   // --------------------------------------------------------------- QS16
   /** Streaming EXACT UNIQUE VISITORS per hour — the metric a naive
     * streaming `count(distinct)` cannot give you (unsupported on
@@ -1050,5 +1128,7 @@ object StreamQueries {
     Q("qs17_stream_dsir_score", qs17, Some(qs17Sql),
       "model scoring at ingest: the pinned DSIR LM scores arriving docs map-side, stateless and batch-exact"),
     Q("qs18_stream_drift", qs18, Some(qs18Sql),
-      "streaming PSI-style drift per finalized hour vs the pinned baseline histogram: one windowed agg, nano-exact divergence"))
+      "streaming PSI-style drift per finalized hour vs the pinned baseline histogram: one windowed agg, nano-exact divergence"),
+    Q("qs19_stream_funnel", qs19, Some(qs19Sql),
+      "streaming funnel: per-user stage state machine emits conversions the moment the purchase lands, batch-funnel exact"))
 }

@@ -1169,6 +1169,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist(); b.unpersist()
   }
 
+  test("qs19: streamed conversions equal the batch funnel's stage-3 cohort") {
+    val df = run("qs19_stream_funnel").cache()
+    // one conversion per user, stage timestamps strictly ordered in-window
+    assert(df.select("user_id").distinct().count() === df.count())
+    assert(df.filter(col("t2") <= col("t1") ||
+      col("t2") > col("t1") + expr("INTERVAL 48 HOURS")).isEmpty)
+    assert(df.filter(col("t3") <= col("t2") ||
+      col("t3") > col("t2") + expr("INTERVAL 48 HOURS")).isEmpty)
+    // the conversion COUNT is the batch funnel's bottom row
+    val stage3 = run("q31_funnel").filter(col("step_no") === 3)
+      .select("n_users").head().getLong(0)
+    assert(df.count() === stage3,
+      "streamed conversion set diverged from the batch funnel")
+    df.unpersist()
+  }
+
   test("qs18: one final row per hour, events conserved, watermark respected") {
     val df = run("qs18_stream_drift").cache()
     assert(df.count() > 0)
