@@ -5934,6 +5934,68 @@ object Queries {
       |  ON tt.query_id = tf.query_id AND tt.vec_id = tf.vec_id
       |GROUP BY tf.query_id""".stripMargin
 
+  // ---------------------------------------------------------------- X98
+  /** CONTRASTIVE PAIR MINING — the training-pair construction behind
+    * every retrieval/embedding fine-tune (SimCSE/DPR-style): for each
+    * anchor vector, the HARDEST POSITIVE (most-similar same-label
+    * candidate) and the HARDEST NEGATIVE (most-similar different-label
+    * candidate), plus the margin between them — pairs with a small or
+    * negative margin are exactly the ones worth training on. Anchors are
+    * a bounded audit/mining block (vec_id < 20, the x6 contract);
+    * candidates are the rest of the corpus, scanned ONCE against the
+    * broadcast anchor block, with both argmaxes taken from the same
+    * ranked pass (one window, pivoted) — at corpus scale this is one
+    * scan + a 20-key aggregation, and a full-corpus mining run shards
+    * the anchor set. Determinism: 6dp-rounded cosine, vec_id tiebreak
+    * (the x6 discipline). */
+  private def x98(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val anchors = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+        col("nrm").as("an"), col("label").as("alabel"))
+    val cands = e.filter(col("vec_id") >= 20)
+    val w = Window.partitionBy(col("anchor_id"), col("is_pos"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    cands.join(broadcast(anchors))
+      .withColumn("cos_sim", round(expr("graft_dot(av, v)") / (col("an") * col("nrm")), 6))
+      .withColumn("is_pos", col("label") === col("alabel"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("is_pos"), col("vec_id"))).as("pos_id"),
+        max(when(col("is_pos"), col("cos_sim"))).as("pos_sim"),
+        max(when(!col("is_pos"), col("vec_id"))).as("neg_id"),
+        max(when(!col("is_pos"), col("cos_sim"))).as("neg_sim"))
+      .withColumn("margin", round(col("pos_sim") - col("neg_sim"), 6))
+  }
+
+  private val x98Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+      |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |a AS (SELECT vec_id AS anchor_id, v AS av, nrm AS an, label AS alabel
+      |  FROM e WHERE vec_id < 20),
+      |c AS (SELECT * FROM e WHERE vec_id >= 20),
+      |r AS (SELECT a.anchor_id, c.vec_id,
+      |    round(list_dot_product(a.av, c.v) / (a.an * c.nrm), 6) AS cos_sim,
+      |    (c.label = a.alabel) AS is_pos,
+      |    row_number() OVER (PARTITION BY a.anchor_id, (c.label = a.alabel)
+      |      ORDER BY round(list_dot_product(a.av, c.v) / (a.an * c.nrm), 6) DESC,
+      |        c.vec_id) AS rnk
+      |  FROM c, a)
+      |SELECT anchor_id,
+      |  max(CASE WHEN is_pos THEN vec_id END) AS pos_id,
+      |  max(CASE WHEN is_pos THEN cos_sim END) AS pos_sim,
+      |  max(CASE WHEN NOT is_pos THEN vec_id END) AS neg_id,
+      |  max(CASE WHEN NOT is_pos THEN cos_sim END) AS neg_sim,
+      |  round(max(CASE WHEN is_pos THEN cos_sim END)
+      |    - max(CASE WHEN NOT is_pos THEN cos_sim END), 6) AS margin
+      |FROM r WHERE rnk = 1
+      |GROUP BY anchor_id""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -6060,6 +6122,8 @@ object Queries {
       "per-source tokenizer economics off the x90 memo: chars-per-token + fertility micros, the mixture designer's cost table"),
     Q("x97_matryoshka_recall", x97, Some(x97Sql),
       "dimension-ablation audit: exact top-10 overlap of 16-dim prefix cosine vs full 64-dim, per query, bit-reproducible recall"),
+    Q("x98_contrastive_pairs", x98, Some(x98Sql),
+      "contrastive pair mining: hardest positive + hardest negative per anchor with margin, one scan + pivoted argmax pass"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -1169,6 +1169,27 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist(); b.unpersist()
   }
 
+  test("x98: mined pairs respect labels and the margin is their exact difference") {
+    val df = run("x98_contrastive_pairs").cache()
+    assert(df.count() === 20 && df.select("anchor_id").distinct().count() === 20)
+    // pos/neg ids never collide, sims live in [-1, 1], margin is exact
+    assert(df.filter(col("pos_id") === col("neg_id")).isEmpty)
+    assert(df.filter(abs(col("pos_sim")) > 1.000001 || abs(col("neg_sim")) > 1.000001).isEmpty)
+    assert(df.filter(col("margin") =!= round(col("pos_sim") - col("neg_sim"), 6)).isEmpty)
+    // label discipline: pos shares the anchor's label, neg does not
+    val lbl = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "label")
+    val j = df
+      .join(lbl.select(col("vec_id").as("anchor_id"), col("label").as("la")), "anchor_id")
+      .join(lbl.select(col("vec_id").as("pos_id"), col("label").as("lp")), "pos_id")
+      .join(lbl.select(col("vec_id").as("neg_id"), col("label").as("ln")), "neg_id")
+    assert(j.filter(col("lp") =!= col("la")).isEmpty, "a positive crossed labels")
+    assert(j.filter(col("ln") === col("la")).isEmpty, "a negative shares the label")
+    // the negative is genuinely hard: at least one anchor has margin < 0.1
+    assert(df.filter(col("margin") < 0.1).count() > 0,
+      "mining found no hard pairs — the fixture labels would make this vacuous")
+    df.unpersist()
+  }
+
   test("qs19: streamed conversions equal the batch funnel's stage-3 cohort") {
     val df = run("qs19_stream_funnel").cache()
     // one conversion per user, stage timestamps strictly ordered in-window
