@@ -640,6 +640,53 @@ object Queries {
       |UNION ALL SELECT o_orderstatus, 'min_price', min_price FROM wide
       |UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM wide""".stripMargin
 
+  // ---------------------------------------------------------------- Q36
+  /** SCHEMA-EVOLUTION READ — the lakehouse contract every long-lived table
+    * eventually needs: generation 1 of the orders feed was written WITHOUT
+    * the priority column, generation 2 added it; one `mergeSchema` read
+    * unions the file schemas (missing columns null-filled per Parquet
+    * semantics) and the aggregation treats legacy rows as their own
+    * priority class. The generations are materialized once per (session,
+    * dir) from the driver testdata — deterministic bytes, so re-runs and
+    * the oracle agree. At 100 TB this is exactly how a schema migration
+    * ships without rewriting history: new columns append, old files stay,
+    * readers see the union. The oracle replays the same two-generation
+    * union in SQL. */
+  private val schemaGenCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    val src = schemaGenCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val d = graft.util.TempDirs.create("graft-schema-gens")
+      val o = Tables.orders(spark, dir)
+      o.filter(year(col("o_orderdate")) < 1996)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.parquet(d.resolve("gen1").toString)
+      o.filter(year(col("o_orderdate")) >= 1996)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.parquet(d.resolve("gen2").toString)
+      d.toString
+    })
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$src/gen1", s"$src/gen2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(dec(col("o_totalprice"))).cast(DoubleType), 2).as("total"))
+  }
+
+  private val q36Sql =
+    """WITH unioned AS (
+      |  SELECT o_totalprice, NULL AS o_orderpriority FROM orders
+      |  WHERE year(o_orderdate) < 1996
+      |  UNION ALL
+      |  SELECT o_totalprice, o_orderpriority FROM orders
+      |  WHERE year(o_orderdate) >= 1996)
+      |SELECT coalesce(o_orderpriority, 'LEGACY') AS priority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM unioned GROUP BY 1""".stripMargin
+
   // ================================================================ X-series
   private def toks(c: Column): Column = split(c, " ")
 
@@ -6030,6 +6077,8 @@ object Queries {
       "funnel analysis: ordered 3-step sequence detection with 48h stage windows"),
     Q("q33_integrity_audit", q33, Some(q33Sql),
       "referential-integrity audit: per-FK orphan counts/rates via anti joins"),
+    Q("q36_schema_merge", q36, Some(q36Sql),
+      "schema-evolution read: two table generations (column added) under one mergeSchema scan, legacy rows null-filled"),
     Q("q34_rolling_stats", q34, Some(q34Sql),
       "7-day rolling avg/volatility per user over the gap-filled grid (exact cents frames)"),
     Q("x53_imputation", x53, Some(x53Sql),

@@ -1169,6 +1169,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist(); b.unpersist()
   }
 
+  test("q36: the merged read conserves both generations and isolates legacy rows") {
+    val df = run("q36_schema_merge").cache()
+    val orders = graft.operators.Tables.orders(spark, sf).cache()
+    // every order lands in exactly one priority class
+    assert(df.agg(sum("n_orders")).head().getLong(0) === orders.count())
+    // the LEGACY row is exactly generation 1 (pre-1996, written without
+    // the column); evolved rows keep their real priorities
+    val legacy = orders.filter(year(col("o_orderdate")) < 1996).count()
+    assert(df.filter(col("priority") === "LEGACY")
+      .select("n_orders").head().getLong(0) === legacy)
+    assert(df.filter(col("priority") =!= "LEGACY").count() ===
+      orders.filter(year(col("o_orderdate")) >= 1996)
+        .select("o_orderpriority").distinct().count())
+    orders.unpersist(); df.unpersist()
+  }
+
   test("x98: mined pairs respect labels and the margin is their exact difference") {
     val df = run("x98_contrastive_pairs").cache()
     assert(df.count() === 20 && df.select("anchor_id").distinct().count() === 20)
