@@ -6043,6 +6043,46 @@ object Queries {
       |FROM r WHERE rnk = 1
       |GROUP BY anchor_id""".stripMargin
 
+  // ---------------------------------------------------------------- X99
+  /** FEATURE HASHING (the hashing trick, Weinberger et al.) — the
+    * featurizer that makes text → vector work at ANY vocabulary size:
+    * each token hashes to one of 16 buckets with an md5-derived ±1 sign,
+    * and a document's vector is the signed bucket sums. No vocabulary
+    * table, no fitting, no OOV problem — the estimator is unbiased
+    * because the signs cancel collisions in expectation. This is the
+    * bridge from the documents table into vector space using nothing but
+    * hash functions both engines share (the x46/x7 md5 discipline), so
+    * the 16 signed-count columns are INTEGER-EXACT and fully
+    * oracle-checked. Plan shape at 100 TB: one scan, everything
+    * (md5, bucket, sign) codegen'd map-side, ONE map-side-combined
+    * aggregation keyed by doc — the cheapest possible featurization
+    * pass, and the flat f0..f15 scalar shape is what a downstream
+    * trainer or index stores (the x46 lesson). */
+  private def x99(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .withColumn("b", expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 16"))
+      .withColumn("sgn",
+        when(substring(md5(col("t")), 9, 1) <= "7", 1L).otherwise(-1L))
+    val dims = (0 until 16).map(i =>
+      sum(when(col("b") === i, col("sgn")).otherwise(0L)).as(s"f$i"))
+    tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"), dims: _*)
+  }
+
+  private val x99Sql = {
+    val fCols = (0 until 16).map(i =>
+      s"CAST(sum(CASE WHEN b = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i").mkString(",\n|  ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS b,
+       |    CASE WHEN substr(md5(t), 9, 1) <= '7' THEN 1 ELSE -1 END AS sgn
+       |  FROM tok)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  $fCols
+       |FROM h GROUP BY doc_id""".stripMargin
+  }
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -6173,6 +6213,8 @@ object Queries {
       "dimension-ablation audit: exact top-10 overlap of 16-dim prefix cosine vs full 64-dim, per query, bit-reproducible recall"),
     Q("x98_contrastive_pairs", x98, Some(x98Sql),
       "contrastive pair mining: hardest positive + hardest negative per anchor with margin, one scan + pivoted argmax pass"),
+    Q("x99_feature_hashing", x99, Some(x99Sql),
+      "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

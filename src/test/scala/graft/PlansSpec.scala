@@ -492,6 +492,14 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x99: featurization is one scan + one map-side-combined aggregation") {
+    val p = plan("x99_feature_hashing")
+    assert(!p.contains("Join"), s"feature hashing must not join anything:\n$p")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) Exchange.*""")) === 1,
+      s"exactly the per-doc aggregation shuffle:\n$p")
+    assert(p.contains("partial_"), s"the 17 sums must map-side combine:\n$p")
+  }
+
   test("x90: the encode joins the vocab memo broadcast — the corpus never shuffles") {
     val p = plan("x90_bpe_encode")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -1169,6 +1169,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     a.unpersist(); b.unpersist()
   }
 
+  test("x99: signed bucket sums bound by token count; identical docs get identical vectors") {
+    val df = run("x99_feature_hashing").cache()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(df.count() === nDocs)
+    // |Σ signs per bucket| can never exceed the tokens hashed into it, so
+    // the L1 norm of the vector is bounded by n_tokens
+    val l1 = (0 until 16).map(i => abs(col(s"f$i"))).reduce(_ + _)
+    assert(df.filter(l1 > col("n_tokens")).isEmpty)
+    assert(df.filter(l1 === 0 && col("n_tokens") > 0).count() < nDocs,
+      "every doc hashing to the zero vector means the featurizer is broken")
+    // n_tokens agrees with x10's whitespace count
+    val j = df.join(run("x10_token_count"), "doc_id")
+    assert(j.filter(col("n_tokens") =!= col("ws_tokens")).isEmpty)
+    // content-determinism: same text -> same vector
+    val byText = spark.read.parquet(s"$sf/documents.parquet")
+      .join(df, "doc_id")
+      .groupBy(col("text"))
+      .agg(countDistinct(struct((0 until 16).map(i => col(s"f$i")): _*)).as("nv"))
+    assert(byText.filter(col("nv") =!= 1).isEmpty, "equal texts produced different vectors")
+    df.unpersist()
+  }
+
   test("q36: the merged read conserves both generations and isolates legacy rows") {
     val df = run("q36_schema_merge").cache()
     val orders = graft.operators.Tables.orders(spark, sf).cache()
