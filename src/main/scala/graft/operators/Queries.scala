@@ -6083,6 +6083,71 @@ object Queries {
        |FROM h GROUP BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X100
+  /** FILTER ATTRIBUTION — the Venn table that tells a curator WHICH
+    * cleaning filter is doing the work: every document is scored against
+    * all three map-side gates at once (x8 quality, x19 repetition, x91
+    * blocklist) and the corpus partitions into the 2³ flag combinations
+    * with exact counts and ppm shares. The off-diagonal cells are the
+    * decisions: a filter whose removals are fully covered by another is
+    * free to drop; a filter with large EXCLUSIVE removals owns real
+    * signal. One scan computes all flags (the x8/x19/x91 kernels fold
+    * into the same codegen pass — no per-filter re-read, no joins), then
+    * an 8-row aggregation; at 100 TB this costs exactly one corpus pass,
+    * same as running ONE of the filters alone. */
+  private def x100(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val listLit = blockedTerms.map(t => s"'$t'").mkString(", ")
+    val flags = Tables.documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("n_unique", size(array_distinct(col("tk"))))
+      .withColumn("n_stop", expr(s"graft_count_in(tk, $stopArr)"))
+      .withColumn("q",
+        col("n_unique").cast(DoubleType) / col("n_tokens") * 0.5 +
+          (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens")) * 0.5)
+      .withColumn("low_quality", !(col("q") >= 0.5 && col("n_tokens") >= 20))
+      .withColumn("sh_total", greatest(col("n_tokens") - 2, lit(0)))
+      .withColumn("sh_distinct", size(expr("graft_shingle_hashes(tk, 3)")))
+      .withColumn("repetitive",
+        (col("sh_total") - col("sh_distinct")).cast(DoubleType) /
+          greatest(col("sh_total"), lit(1)) >= 0.2)
+      .withColumn("hits", expr(s"cast(size(filter(tk, t -> t IN ($listLit))) as bigint)"))
+      .withColumn("blocked",
+        expr("(hits * 1000000) div n_tokens") >= lit(blockedPpmMax))
+    flags.groupBy(col("low_quality"), col("repetitive"), col("blocked"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("tot", sum(col("n_docs")).over(Window.partitionBy()))
+      .select(col("low_quality"), col("repetitive"), col("blocked"), col("n_docs"),
+        expr("(n_docs * 1000000) div tot").as("share_ppm"))
+  }
+
+  private val x100Sql = {
+    val listLit = blockedTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |s AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+       |    CAST(len(list_distinct(tk)) AS INT) AS n_unique,
+       |    CAST(len(list_filter(tk, x -> x IN ($stopwordsSqlList))) AS INT) AS n_stop,
+       |    CAST(greatest(len(tk) - 2, 0) AS INT) AS sh_total,
+       |    CAST(len(list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS INT) AS sh_distinct,
+       |    CAST(len(list_filter(tk, x -> x IN ($listLit))) AS BIGINT) AS hits
+       |  FROM t),
+       |f AS (SELECT doc_id,
+       |    NOT ((CAST(n_unique AS DOUBLE) / n_tokens) * 0.5
+       |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 >= 0.5
+       |      AND n_tokens >= 20) AS low_quality,
+       |    (CAST(sh_total - sh_distinct AS DOUBLE) / greatest(sh_total, 1)) >= 0.2
+       |      AS repetitive,
+       |    (hits * 1000000) // n_tokens >= $blockedPpmMax AS blocked
+       |  FROM s),
+       |g AS (SELECT low_quality, repetitive, blocked,
+       |    CAST(count(*) AS BIGINT) AS n_docs FROM f GROUP BY 1, 2, 3)
+       |SELECT low_quality, repetitive, blocked, n_docs,
+       |  (n_docs * 1000000) // (SELECT CAST(sum(n_docs) AS BIGINT) FROM g) AS share_ppm
+       |FROM g""".stripMargin
+  }
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -6215,6 +6280,8 @@ object Queries {
       "contrastive pair mining: hardest positive + hardest negative per anchor with margin, one scan + pivoted argmax pass"),
     Q("x99_feature_hashing", x99, Some(x99Sql),
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
+    Q("x100_filter_attribution", x100, Some(x100Sql),
+      "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

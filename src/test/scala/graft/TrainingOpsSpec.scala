@@ -1191,6 +1191,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x100: the Venn partitions the corpus and each marginal equals its own filter") {
+    val df = run("x100_filter_attribution").cache()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(df.agg(sum("n_docs")).head().getLong(0) === nDocs,
+      "the flag combinations must partition the corpus exactly")
+    assert(df.select("low_quality", "repetitive", "blocked").distinct().count() === df.count())
+    // marginals reconcile with the standalone filters
+    def marginal(flag: String) = df.filter(col(flag))
+      .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+    assert(marginal("low_quality") ===
+      run("x8_text_quality").filter(!col("is_quality")).count())
+    assert(marginal("repetitive") ===
+      run("x19_repetition").filter(col("is_repetitive")).count())
+    assert(marginal("blocked") ===
+      run("x91_blocklist_filter").filter(!col("kept")).count())
+    df.unpersist()
+  }
+
   test("q36: the merged read conserves both generations and isolates legacy rows") {
     val df = run("q36_schema_merge").cache()
     val orders = graft.operators.Tables.orders(spark, sf).cache()
