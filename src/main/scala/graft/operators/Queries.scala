@@ -6148,6 +6148,64 @@ object Queries {
        |FROM g""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X101
+  /** k-NN LABEL CLASSIFICATION AUDIT — the weak-supervision sanity check
+    * behind label propagation, auto-labeling, and "do my embeddings know
+    * the taxonomy": each audit vector's label is predicted by MAJORITY
+    * VOTE of its 5 nearest candidates (cosine), and the row records
+    * whether the embedding neighborhood agrees with the ground truth.
+    * Accuracy high → labels are propagatable and an auto-label pass is
+    * safe; accuracy low with high x70 cohesion → the taxonomy is finer
+    * than the embedding space. Deterministic end-to-end: 6dp-rounded
+    * similarity with id tiebreaks picks the SAME 5 neighbors on any
+    * engine, and the vote tiebreak (count desc, label asc) is total.
+    * Scale: the audit block broadcasts; one candidate scan; the vote is a
+    * |block|×|labels| aggregation — the full-corpus version shards the
+    * block exactly like x98. */
+  private def x101(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val a = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("aid"), col("v").as("av"),
+        col("nrm").as("an"), col("label").as("true_label"))
+    val c = e.filter(col("vec_id") >= 20)
+    val wR = Window.partitionBy(col("aid")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val wV = Window.partitionBy(col("aid")).orderBy(col("votes").desc, col("label").asc)
+    c.join(broadcast(a))
+      .withColumn("cos_sim", round(expr("graft_dot(av, v)") / (col("an") * col("nrm")), 6))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("aid"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wV))
+      .filter(col("vr") === 1)
+      .select(col("aid").as("vec_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") === col("true_label")).as("correct"))
+  }
+
+  private val x101Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+      |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |a AS (SELECT vec_id AS aid, v AS av, nrm AS an, label AS true_label
+      |  FROM e WHERE vec_id < 20),
+      |c AS (SELECT * FROM e WHERE vec_id >= 20),
+      |nn AS (SELECT aid, true_label, label FROM (
+      |  SELECT a.aid, a.true_label, c.label,
+      |    row_number() OVER (PARTITION BY a.aid
+      |      ORDER BY round(list_dot_product(a.av, c.v) / (a.an * c.nrm), 6) DESC,
+      |        c.vec_id) AS rnk
+      |  FROM c, a) z WHERE rnk <= 5),
+      |v AS (SELECT aid, true_label, label, CAST(count(*) AS BIGINT) AS votes FROM nn
+      |  GROUP BY 1, 2, 3)
+      |SELECT aid AS vec_id, true_label, label AS pred_label, votes,
+      |  (label = true_label) AS correct
+      |FROM (SELECT *, row_number() OVER (PARTITION BY aid
+      |    ORDER BY votes DESC, label) AS vr FROM v) t
+      |WHERE vr = 1""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -6282,6 +6340,8 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("x101_knn_classify", x101, Some(x101Sql),
+      "k-NN label audit: 5-neighbor majority vote vs ground truth — is the taxonomy propagatable from embedding space"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),
     Q("x2_ngram_jaccard", x2, Some(x2Sql), "exact token-Jaccard near-dup"),
     // x3's oracle IS x2's: candidates are re-verified exactly, so the output

@@ -1191,6 +1191,19 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x101: one verdict per audit vector, vote counts bounded by k") {
+    val df = run("x101_knn_classify").cache()
+    assert(df.count() === 20 && df.select("vec_id").distinct().count() === 20)
+    assert(df.filter(col("votes") < 1 || col("votes") > 5).isEmpty)
+    assert(df.filter(col("correct") =!= (col("pred_label") === col("true_label"))).isEmpty)
+    // true labels are the actual ground truth of the audit block
+    val truth = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 20).select(col("vec_id"), col("label"))
+    assert(df.join(truth, "vec_id").filter(col("true_label") =!= col("label")).isEmpty)
+    assert(run("x101_knn_classify").collect().toSet === df.collect().toSet, "rerun diverged")
+    df.unpersist()
+  }
+
   test("x100: the Venn partitions the corpus and each marginal equals its own filter") {
     val df = run("x100_filter_attribution").cache()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
