@@ -276,4 +276,59 @@ class PropertiesSpec extends AnyFunSuite {
           v(ws.indexWhere(w => math.abs(w) == m)).abs == 1000000L
     })
   }
+
+  // ----------------------------------------------- perceptual hash laws
+  private val rasterGen: Gen[(Int, Int, Array[Byte])] = for {
+    w <- Gen.choose(4, 12)
+    h <- Gen.choose(4, 12)
+    px <- Gen.listOfN(w * h * 3, Gen.choose(0, 63))
+  } yield (w, h, px.map(_.toByte).toArray)
+
+  test("ahashPpm: brightness-scale invariant (the cross-multiplied bit rule's whole point)") {
+    // multiplying every pixel byte by c scales all cell AND total luma
+    // sums by c, so cellSum·totCnt > totSum·cellCnt is unchanged —
+    // aHash must be invariant under uniform brightness scaling
+    check("ahash-scale", Prop.forAll(rasterGen, Gen.choose(2, 4)) {
+      case ((w, h, px), c) =>
+        import graft.operators.MediaCodecs
+        val scaled = px.map(b => (b * c).toByte)
+        MediaCodecs.ahashPpm(MediaCodecs.encodePpm(w, h, px)) ==
+          MediaCodecs.ahashPpm(MediaCodecs.encodePpm(w, h, scaled))
+    })
+  }
+
+  test("ahashWav: amplitude-scale invariant and flat-clip zero") {
+    check("ahash-wav", Prop.forAll(
+      Gen.listOfN(200, Gen.choose(-4000, 4000)), Gen.choose(2, 4)) { (ss, c) =>
+      import graft.operators.MediaCodecs
+      val s = ss.map(_.toShort).toArray
+      val scaled = ss.map(v => (v * c).toShort).toArray
+      // energies scale by c² uniformly — fingerprint unchanged
+      MediaCodecs.ahashWav(MediaCodecs.encodeWav(8000, s)) ==
+        MediaCodecs.ahashWav(MediaCodecs.encodeWav(8000, scaled)) &&
+        // constant amplitude: no frame beats the clip mean
+        MediaCodecs.ahashWav(MediaCodecs.encodeWav(8000, Array.fill(200)(777.toShort))) == 0L
+    })
+  }
+
+  // ------------------------------------------ prefix-filter completeness
+  test("prefix filter is COMPLETE at jac >= 0.5 (the x93 candidate theorem)") {
+    // mirror x93's rule in pure Scala: prefix = the |S| - ceil(|S|/2) + 1
+    // smallest elements under the global order; every pair with
+    // jac >= 0.5 MUST share a prefix element on both sides
+    val setGen = Gen.chooseNum(3, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 40L)).map(_.toSet))
+    check("prefix-complete", Prop.forAll(Gen.listOfN(8, setGen)) { sets =>
+      def prefix(s: Set[Long]): Set[Long] = {
+        val n = s.size
+        s.toSeq.sorted.take(n - (n + 1) / 2 + 1).toSet
+      }
+      val docs = sets.zipWithIndex
+      docs.combinations(2).forall { case Seq((sa, _), (sb, _)) =>
+        val inter = (sa & sb).size
+        val jac = inter.toDouble / (sa.size + sb.size - inter)
+        jac < 0.5 || (prefix(sa) & prefix(sb)).nonEmpty
+      }
+    })
+  }
 }
