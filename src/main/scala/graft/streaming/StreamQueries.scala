@@ -727,6 +727,59 @@ object StreamQueries {
       |FROM s3 JOIN s2 ON s2.user_id = s3.user_id
       |        JOIN s1 ON s1.user_id = s3.user_id""".stripMargin
 
+  // --------------------------------------------------------------- QS20
+  /** STREAMING TRENDING — the "top right now" dashboard row: per
+    * finalized event-time hour, the most frequent event type with its
+    * count and ppm share. The argmax rides the ONE windowed aggregation
+    * as domain-pivoted conditional sums (event types are a bounded
+    * domain — the qs18 wide-form discipline), so no second stateful
+    * operator and no per-(window, type) shuffle rows exist anywhere;
+    * the argmax itself is a stateless CASE chain over the finalized row
+    * with a name-ascending tiebreak — total order, engine-independent.
+    * State: one open hour × 6 longs per partition. */
+  private val trendTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def qs20(spark: SparkSession, dir: String): DataFrame = {
+    val typeSums = trendTypes.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t"))
+    val windowed = eventsStream(spark, dir, nFiles = 3)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), typeSums: _*)
+    val topN = s"greatest(${trendTypes.map(t => s"c_$t").mkString(", ")})"
+    val topType = trendTypes
+      .map(t => s"WHEN c_$t = $topN THEN '$t'")
+      .mkString("CASE ", " ", " END")
+    runToTable(spark, windowed, OutputMode.Append())
+      .select(
+        col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("window.end").cast(TimestampNTZType).as("window_end"),
+        col("n_events"),
+        expr(topType).as("top_type"),
+        expr(topN).as("top_n"),
+        expr(s"($topN * 1000000) div n_events").as("top_share_ppm"))
+  }
+
+  private val qs20Sql = {
+    val cSums = trendTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS c_$t")
+      .mkString(",\n|         ")
+    val topN = s"greatest(${trendTypes.map(t => s"c_$t").mkString(", ")})"
+    val topType = trendTypes
+      .map(t => s"WHEN c_$t = $topN THEN '$t'")
+      .mkString("CASE ", " ", " END")
+    s"""WITH agg AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       |         CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       |         CAST(count(*) AS BIGINT) AS n_events,
+       |         $cSums
+       |  FROM events GROUP BY 1, 2)
+       |SELECT window_start, window_end, n_events,
+       |  $topType AS top_type, $topN AS top_n,
+       |  ($topN * 1000000) // n_events AS top_share_ppm
+       |FROM agg WHERE window_end <= $wmSql""".stripMargin
+  }
+
   // --------------------------------------------------------------- QS16
   /** Streaming EXACT UNIQUE VISITORS per hour — the metric a naive
     * streaming `count(distinct)` cannot give you (unsupported on
@@ -1130,5 +1183,7 @@ object StreamQueries {
     Q("qs18_stream_drift", qs18, Some(qs18Sql),
       "streaming PSI-style drift per finalized hour vs the pinned baseline histogram: one windowed agg, nano-exact divergence"),
     Q("qs19_stream_funnel", qs19, Some(qs19Sql),
-      "streaming funnel: per-user stage state machine emits conversions the moment the purchase lands, batch-funnel exact"))
+      "streaming funnel: per-user stage state machine emits conversions the moment the purchase lands, batch-funnel exact"),
+    Q("qs20_stream_trending", qs20, Some(qs20Sql),
+      "streaming trending: top event type per finalized hour via domain-pivoted sums, stateless argmax, one windowed agg"))
 }

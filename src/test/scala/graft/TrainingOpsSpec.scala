@@ -1275,6 +1275,26 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("qs20: the top type really is each hour's max and shares divide exactly") {
+    val df = run("qs20_stream_trending").cache()
+    assert(df.count() > 0)
+    assert(df.select("window_start").distinct().count() === df.count())
+    // the emitted argmax equals the batch per-hour winner
+    val ev = graft.operators.Tables.events(spark, sf)
+    val truth = ev.groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("window_start").orderBy(col("n").desc, col("event_type").asc)))
+      .filter(col("rk") === 1)
+    val j = df.join(truth, "window_start")
+    assert(j.count() === df.count())
+    assert(j.filter(col("top_type") =!= col("event_type") ||
+      col("top_n") =!= col("n")).isEmpty, "streamed argmax diverged from batch")
+    assert(df.filter(
+      col("top_share_ppm") =!= expr("(top_n * 1000000) div n_events")).isEmpty)
+    df.unpersist()
+  }
+
   test("qs18: one final row per hour, events conserved, watermark respected") {
     val df = run("qs18_stream_drift").cache()
     assert(df.count() > 0)
