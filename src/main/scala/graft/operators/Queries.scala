@@ -687,6 +687,52 @@ object Queries {
       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
       |FROM unioned GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- Q37
+  /** COHORT RETENTION TRIANGLE — the product-analytics table every
+    * dashboard renders: users grouped by first-seen week, each cohort's
+    * share still active k weeks later, in exact integer ppm. Three
+    * aggregations, all keyed (user → (user, week) distinct → (cohort,
+    * offset)): no window over the whole table, no self-cross; the cohort
+    * dimension table is weeks-sized, broadcast onto the final join. At
+    * 100 TB the (user, week) distinct is the only corpus-scale shuffle —
+    * exactly the reach/retention computation's information-theoretic
+    * minimum. Week offsets are integer µs arithmetic (no date interval
+    * semantics to disagree on). */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val act = ev.distinct()
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(first, "user_id")
+      .withColumn("week_offset",
+        expr("(unix_micros(cast(wk as timestamp)) - " +
+          "unix_micros(cast(cohort_week as timestamp))) div 604800000000"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week").cast(TimestampNTZType).as("cohort_week"),
+        col("week_offset"), col("n_active"),
+        expr("(n_active * 1000000) div cohort_size").as("retention_ppm"))
+  }
+
+  private val q37Sql =
+    """WITH ew AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_week FROM ew GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, wk FROM ew),
+      |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM f GROUP BY 1),
+      |r AS (SELECT f.cohort_week,
+      |    (epoch_us(a.wk) - epoch_us(f.cohort_week)) // 604800000000 AS week_offset,
+      |    CAST(count(*) AS BIGINT) AS n_active
+      |  FROM act a JOIN f ON f.user_id = a.user_id
+      |  GROUP BY 1, 2)
+      |SELECT r.cohort_week, r.week_offset, r.n_active,
+      |  (r.n_active * 1000000) // s.cohort_size AS retention_ppm
+      |FROM r JOIN sizes s ON s.cohort_week = r.cohort_week""".stripMargin
+
   // ================================================================ X-series
   private def toks(c: Column): Column = split(c, " ")
 
@@ -6242,6 +6288,8 @@ object Queries {
       "referential-integrity audit: per-FK orphan counts/rates via anti joins"),
     Q("q36_schema_merge", q36, Some(q36Sql),
       "schema-evolution read: two table generations (column added) under one mergeSchema scan, legacy rows null-filled"),
+    Q("q37_cohort_retention", q37, Some(q37Sql),
+      "cohort retention triangle: first-seen-week cohorts x weekly activity, exact ppm shares, three keyed aggregations"),
     Q("q34_rolling_stats", q34, Some(q34Sql),
       "7-day rolling avg/volatility per user over the gap-filled grid (exact cents frames)"),
     Q("x53_imputation", x53, Some(x53Sql),

@@ -1275,6 +1275,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("q37: week-0 retention is definitionally total and offsets stay causal") {
+    val df = run("q37_cohort_retention").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("week_offset") < 0).isEmpty, "activity before the cohort week")
+    assert(df.filter(col("retention_ppm") > 1000000).isEmpty)
+    // every user is active in their own first week: offset-0 rows are 100%
+    assert(df.filter(col("week_offset") === 0 && col("retention_ppm") =!= 1000000).isEmpty)
+    // offset-0 actives sum to the full user population
+    val users = graft.operators.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(df.filter(col("week_offset") === 0)
+      .agg(sum("n_active")).head().getLong(0) === users)
+    df.unpersist()
+  }
+
   test("qs20: the top type really is each hour's max and shares divide exactly") {
     val df = run("qs20_stream_trending").cache()
     assert(df.count() > 0)
