@@ -672,13 +672,12 @@ object StreamQueries {
 
   private val h48 = 48L * 3600 * 1000000 // micros
 
-  private def qs19(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val conv = eventsStream(spark, dir, nFiles = 3)
-      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
-        col("event_id"), col("event_type"))
-      .as[FunnelEvt]
-      .groupByKey(_.user_id)
+  /** The funnel state machine — shared verbatim by qs19 and the
+    * checkpoint-recovery spec (the qs12/scd2Closed discipline: the
+    * recovery test must resume THIS pipeline, not a copy). */
+  private[graft] def funnelConversions(ev: Dataset[FunnelEvt]): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelConv](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[FunnelState]) =>
@@ -706,7 +705,15 @@ object StreamQueries {
         timestamp_micros(col("t1_micros")).cast(TimestampNTZType).as("t1"),
         timestamp_micros(col("t2_micros")).cast(TimestampNTZType).as("t2"),
         timestamp_micros(col("t3_micros")).cast(TimestampNTZType).as("t3"))
-    runToTable(spark, conv, OutputMode.Append())
+  }
+
+  private def qs19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir, nFiles = 3)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEvt]
+    runToTable(spark, funnelConversions(ev), OutputMode.Append())
   }
 
   private val qs19Sql =

@@ -170,4 +170,79 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(sink).count() > emittedRun1,
       "wave 2 finalized no windows — the recovery assertion would be vacuous")
   }
+
+  test("qs19's funnel machine restarts from checkpoint: mid-funnel state survives the death") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery19")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    // cuts chosen so at least one user is MID-FUNNEL at the boundary:
+    // at sf0.001, user 6 signs up + clicks on Jan 4 and purchases Jan 5
+    // 17:16 — its (t1, t2) state is the recovery payload; a fresh state
+    // would never emit that conversion (the purchase alone can't)
+    val raw = graft.operators.Tables.eventsRawNs(spark, sf)
+    def ns(day: String): Long =
+      java.time.LocalDate.parse(day).atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val cuts = Seq(
+      col("ts") < ns("2024-01-03"),
+      col("ts") >= ns("2024-01-03") && col("ts") < ns("2024-01-05"),
+      col("ts") >= ns("2024-01-05"))
+    def writeWave(i: Int): Unit = {
+      raw.filter(cuts(i)).coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    def runOnce(): Long = {
+      val stable = spark
+      import stable.implicits._
+      val ev = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir.toString)
+        .select(col("user_id"), expr("ts div 1000").as("tsMicros"),
+          col("event_id"), col("event_type"))
+        .as[StreamQueries.FunnelEvt]
+      val q = StreamQueries.funnelConversions(ev)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce()
+    val emittedRun1 = spark.read.parquet(sink).count()
+
+    writeWave(2)
+    val wave2Rows = raw.filter(cuts(2)).count()
+    val run2Input = runOnce()
+
+    // (a) the checkpoint remembered the ingested file set
+    assert(run2Input === wave2Rows,
+      s"restart re-read old waves: run 2 input $run2Input, wave 2 has $wave2Rows")
+
+    // (b) emission-set equality with the single-run qs19 pipeline — only
+    // possible if the (t1, t2) funnel positions were recovered: a fresh
+    // state sees wave 2's purchases with no prior stages and emits nothing
+    val recovered = spark.read.parquet(sink)
+      .select("user_id", "t1", "t2", "t3")
+    val oneShot = graft.operators.Queries.byName("qs19_stream_funnel").run(spark, sf)
+      .select("user_id", "t1", "t2", "t3")
+    assert(recovered.exceptAll(oneShot).isEmpty && oneShot.exceptAll(recovered).isEmpty,
+      "restarted conversion set differs from the single-run pipeline")
+
+    // (c) the straddle really happened: run 2 added a conversion whose
+    // click PRECEDES the restart boundary — pure recovered state
+    val straddled = spark.read.parquet(sink)
+      .filter(col("t2") < lit("2024-01-05 00:00:00").cast(TimestampNTZType) &&
+        col("t3") >= lit("2024-01-05 00:00:00").cast(TimestampNTZType))
+    assert(straddled.count() > 0 && spark.read.parquet(sink).count() > emittedRun1,
+      "no conversion straddled the restart — the recovery assertion would be vacuous")
+  }
 }
