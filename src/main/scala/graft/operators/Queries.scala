@@ -837,7 +837,7 @@ object Queries {
     // plan; a 100 TB corpus with stop-shingles pays the capped path and
     // stays linear instead of quadratic in the hottest posting list.
     val dfs = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val maxDf = Option(dfs.agg(max(col("df"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val maxDf = Option(dfs.agg(max(col("df"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
     def pairCounts(p: DataFrame): DataFrame =
       p.select(col("doc_id").as("doc_a"), col("s"))
         .join(p.select(col("doc_id").as("doc_b"), col("s")), "s")
@@ -5743,7 +5743,7 @@ object Queries {
       .groupBy(col("v")).agg(count(lit(1)).as("d")).persist()
     val nNodes = deg.count()
     val nEdges = pairs.count()
-    val wedges = Option(deg.agg(sum(expr("(d * (d - 1)) div 2"))).head.get(0))
+    val wedges = Option(deg.agg(sum(expr("(d * (d - 1)) div 2"))).head().get(0))
       .fold(0L)(_.asInstanceOf[Long])
     // orient each edge low→high by (degree, id); carry the dst's key so
     // the wedge legs can be ordered without re-joining the degree table
