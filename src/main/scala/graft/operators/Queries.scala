@@ -733,6 +733,61 @@ object Queries {
       |  (r.n_active * 1000000) // s.cohort_size AS retention_ppm
       |FROM r JOIN sizes s ON s.cohort_week = r.cohort_week""".stripMargin
 
+  // ---------------------------------------------------------------- Q38
+  /** SNAPSHOT DIFF (change-data-feed between two table generations — what
+    * Delta CDF / `table_changes()` emits, and the primitive behind audit
+    * trails and incremental downstream refresh). Two generations of the
+    * orders table are derived deterministically from the same scan (rows
+    * added, rows removed, a price-amendment cohort), then diffed with ONE
+    * full-outer join on the key: `added` (new key), `removed` (key gone),
+    * `changed` (both sides present, payload differs); unchanged rows are
+    * filtered BEFORE projection so the output is delta-sized, not
+    * table-sized. At 100 TB this is exactly two co-partitioned shuffles on
+    * the primary key (AQE handles skew) and the emitted feed is
+    * proportional to the churn — the information-theoretic minimum for a
+    * diff. Prices are compared in exact integer cents (one IEEE
+    * round-to-cents each side, then pure int64 arithmetic), so both
+    * engines agree bit-for-bit; the +5% amendment is integral
+    * (`cents * 105 div 100`). */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+    // generation A: what existed "before" (keys %97==0 arrive later)
+    val genA = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"), col("cents").as("old_cents"))
+    // generation B: "after" — keys %89==0 were deleted, %13==0 re-priced
+    val genB = o.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, expr("cents * 105 div 100"))
+          .otherwise(col("cents")).as("new_cents"))
+    genA.join(genB, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_cents").isNull, lit("added"))
+          .when(col("new_cents").isNull, lit("removed"))
+          .when(col("old_cents") =!= col("new_cents"), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(col("o_orderkey"), col("change_type"),
+        col("old_cents"), col("new_cents"))
+  }
+
+  private val q38Sql =
+    """WITH o AS (SELECT o_orderkey,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |a AS (SELECT o_orderkey, cents AS old_cents FROM o WHERE o_orderkey % 97 <> 0),
+      |b AS (SELECT o_orderkey,
+      |        CASE WHEN o_orderkey % 13 = 0 THEN cents * 105 // 100
+      |             ELSE cents END AS new_cents
+      |      FROM o WHERE o_orderkey % 89 <> 0)
+      |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |       WHEN b.o_orderkey IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type,
+      |  old_cents, new_cents
+      |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+      |   OR old_cents <> new_cents""".stripMargin
+
   // ================================================================ X-series
   private def toks(c: Column): Column = split(c, " ")
 
@@ -6252,6 +6307,180 @@ object Queries {
       |    ORDER BY votes DESC, label) AS vr FROM v) t
       |WHERE vr = 1""".stripMargin
 
+  // ---------------------------------------------------------------- X102
+  /** PRODUCT-QUANTIZATION CODEBOOK TRAINING — the index-construction
+    * primitive behind every billion-vector ANN deployment (IVF-PQ/OPQ):
+    * the 64-dim embedding splits into 8 subspaces of 8 dims; each subspace
+    * independently trains a tiny codebook (k=4, seeded on the lowest
+    * vec_ids, one Lloyd round), and every vector is then ENCODED as 8
+    * one-byte codes plus its exact squared reconstruction error — 64
+    * floats compressed to 8 codes, the 32× memory cut that makes the x14
+    * ADC scan possible. All arithmetic is integer-exact end to end:
+    * elements quantize once to int64 micros, L2 distances are pure int64
+    * sums (max ~2^48, no overflow), centroid recompute is an exact
+    * long-sum + ONE IEEE division rounded back to micros — so any two
+    * engines produce byte-identical codes. Scale shape: codebooks are
+    * k×8×8 values — BROADCAST, never shuffled; the corpus is scanned
+    * twice (assign, encode); the only corpus-scale shuffle is the
+    * centroid recompute carrying (s, c, dim, int64) triples with map-side
+    * combine — k·dims·partitions rows regardless of corpus size. The
+    * subspace explode is map-side (Generate, no exchange). */
+  private def x102(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))").as("vq"))
+    // (vec_id, s, sub): the 8-dim integer subvector of subspace s
+    val subs = e.select(col("vec_id"), explode(expr(
+      "transform(sequence(0, 7), s -> struct(s as s, slice(vq, s * 8 + 1, 8) as sub))")).as("z"))
+      .select(col("vec_id"), col("z.s").as("s"), col("z.sub").as("sub"))
+      .persist() // three passes: seeds, assignment, final encode
+    val seeds = subs.filter(col("vec_id") < 4)
+      .select(col("s"), col("vec_id").cast(IntegerType).as("c"), col("sub").as("cent"))
+    val dist2 = expr(
+      "aggregate(zip_with(sub, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    // argmin as a lexicographic min-struct AGGREGATION, not a row_number
+    // window: the ×k candidate rows combine map-side, so the shuffle
+    // carries one pre-reduced row per (vec, s) — a window would shuffle
+    // the full exploded join. `sub` rides the struct (constant per group,
+    // so it never affects the ordering).
+    val assign1 = subs.join(broadcast(seeds), "s")
+      .withColumn("d2", dist2)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("c"), col("sub"))).as("m"))
+      .select(col("s"), col("m.c").as("c"), col("m.sub").as("sub"))
+    // centroid recompute: exact elementwise long sums, one division, back
+    // to integer micros — the only corpus-scale shuffle, map-side combined
+    val cents = assign1
+      .select(col("s"), col("c"), posexplode(col("sub")).as(Seq("i", "el")))
+      .groupBy(col("s"), col("c"), col("i"))
+      .agg(sum(col("el")).as("se"), count(lit(1)).as("n"))
+      .withColumn("ce", expr("cast(round(cast(se as double) / n, 0) as bigint)"))
+      .groupBy(col("s"), col("c"))
+      .agg(array_sort(collect_list(struct(col("i"), col("ce")))).as("ic"))
+      .select(col("s"), col("c"), expr("transform(ic, x -> x.ce)").as("cent"))
+    // encode in ONE corpus shuffle: per vector, 8 independent min-structs
+    // (one per subspace) combined map-side; codes + the error sum unpack
+    // after the aggregation
+    val mins = (0 until 8).map(s =>
+      min(when(col("s") === s, struct(col("d2"), col("c")))).as(s"m$s"))
+    subs.join(broadcast(cents), "s")
+      .withColumn("d2", dist2)
+      .groupBy(col("vec_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("vec_id") +:
+        (0 until 8).map(s => col(s"m$s.c").as(s"c$s")) :+
+        (0 until 8).map(s => col(s"m$s.d2")).reduce(_ + _).as("err_micro2"): _*)
+  }
+
+  private val x102Sql = {
+    val d2 = (sub: String, cent: String) =>
+      s"list_sum(list_transform(range(8), i -> ($sub[i + 1] - $cent[i + 1]) * ($sub[i + 1] - $cent[i + 1])))"
+    val codes = (0 until 8).map(s => s"max(CASE WHEN s = $s THEN c END) AS c$s").mkString(",\n      |  ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |subs AS (SELECT vec_id, s, list_slice(vq, s * 8 + 1, s * 8 + 8) AS sub
+       |  FROM e, (SELECT unnest(range(8)) AS s)),
+       |seeds AS (SELECT s, CAST(vec_id AS INT) AS c, sub AS cent FROM subs WHERE vec_id < 4),
+       |a1 AS (SELECT s, c, sub FROM (
+       |    SELECT v.s, k.c, v.sub,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${d2("v.sub", "k.cent")}, k.c) AS rn
+       |    FROM subs v JOIN seeds k ON k.s = v.s) t WHERE rn = 1),
+       |ex AS (SELECT s, c, i, sub[i + 1] AS el FROM a1, (SELECT unnest(range(8)) AS i)),
+       |cs AS (SELECT s, c, i, sum(el) AS se, count(*) AS n FROM ex GROUP BY 1, 2, 3),
+       |cent AS (SELECT s, c, list(CAST(round(se::DOUBLE / n) AS BIGINT) ORDER BY i) AS cent
+       |  FROM cs GROUP BY 1, 2),
+       |enc AS (SELECT vec_id, s, c, d2 FROM (
+       |    SELECT v.vec_id, v.s, k.c, ${d2("v.sub", "k.cent")} AS d2,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${d2("v.sub", "k.cent")}, k.c) AS rn
+       |    FROM subs v JOIN cent k ON k.s = v.s) t WHERE rn = 1)
+       |SELECT vec_id,
+       |  $codes,
+       |  CAST(sum(d2) AS BIGINT) AS err_micro2
+       |FROM enc GROUP BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X103
+  /** SKETCH QUALITY SCORECARD — the audit run before trusting a
+    * perceptual-hash dedup path at 100 TB, where exact verification of
+    * every candidate is unaffordable and the sketch's error profile IS
+    * the dedup contract. Two empirical curves against exact truth:
+    * `recall` rows bin the exact near-dup pairs (x2's jac ≥ 0.5 engine)
+    * by Jaccard decile and count how many the 64-bit SimHash keeps within
+    * hamming ≤ 3 — the measured S-curve to hold against the banding
+    * theory; `precision` rows bin the sketch's own candidates (x4's
+    * banded pairs) by hamming distance and count how many are true
+    * near-dups by exact Jaccard. Engine shape: truth pairs come from the
+    * bounded inverted-index engine, candidates from the linear banded
+    * self-join — NOTHING quadratic; the audit joins are pairs-sized frames
+    * against id-keyed signature/shingle lookups, and the output is ≤ ~14
+    * rows. Counts and ppm shares are exact integers. (The ORACLE replays
+    * hamming over all pairs quadratically — the oracle may be quadratic,
+    * the engine may not: x4's documented asymmetry.) */
+  private def x103(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).persist() // truth pairs + candidate re-score
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), expr("graft_simhash(graft_sha64(tk))").as("simhash"))
+    val recall = nearDupPairs(sh)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .groupBy(floor(col("jac") * 10).cast(IntegerType).as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("hamming") <= 3).cast(LongType)).as("n_true"))
+      .withColumn("part", lit("recall"))
+    val prec = x4(spark, dir)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .groupBy(col("hamming").cast(IntegerType).as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("jac") >= 0.5).cast(LongType)).as("n_true"))
+      .withColumn("part", lit("precision"))
+    recall.unionByName(prec)
+      .select(col("part"), col("bin"), col("n_pairs"), col("n_true"),
+        expr("(n_true * 1000000) div n_pairs").as("true_ppm"))
+  }
+
+  private val x103Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS sg FROM s),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |      FROM t a JOIN t b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |      GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tkn FROM documents),
+       |th AS (SELECT doc_id, substr(sha256(tkn), 1, 16) AS hx FROM tok),
+       |tbb AS (
+       |  SELECT doc_id, i,
+       |    ((strpos('0123456789abcdef', substr(hx, CAST(15 - i // 4 AS INT) + 1, 1)) - 1)
+       |      // (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 AS bit
+       |  FROM th, (SELECT unnest(range(64)) AS i)),
+       |bits AS (SELECT doc_id, i, (sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) > 0) AS sb
+       |         FROM tbb GROUP BY doc_id, i),
+       |shs AS (SELECT doc_id, list(CASE WHEN sb THEN 1 ELSE 0 END ORDER BY i) AS bv
+       |        FROM bits GROUP BY doc_id),
+       |ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(range(64), j -> a.bv[j + 1] != b.bv[j + 1])) AS INT) AS hamming
+       |  FROM shs a, shs b WHERE a.doc_id < b.doc_id),
+       |recall AS (
+       |  SELECT 'recall' AS part, CAST(floor(p.jac * 10) AS INT) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN h.hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+       |  FROM p JOIN ham h ON h.doc_a = p.doc_a AND h.doc_b = p.doc_b
+       |  WHERE p.jac >= 0.5 GROUP BY 2),
+       |prec AS (
+       |  SELECT 'precision' AS part, h.hamming AS bin,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN coalesce(p.jac, 0) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+       |  FROM ham h LEFT JOIN p ON p.doc_a = h.doc_a AND p.doc_b = h.doc_b
+       |  WHERE h.hamming <= 3 GROUP BY 2)
+       |SELECT part, bin, n_pairs, n_true, (n_true * 1000000) // n_pairs AS true_ppm
+       |FROM (SELECT * FROM recall UNION ALL SELECT * FROM prec) u""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -6290,6 +6519,8 @@ object Queries {
       "schema-evolution read: two table generations (column added) under one mergeSchema scan, legacy rows null-filled"),
     Q("q37_cohort_retention", q37, Some(q37Sql),
       "cohort retention triangle: first-seen-week cohorts x weekly activity, exact ppm shares, three keyed aggregations"),
+    Q("q38_snapshot_diff", q38, Some(q38Sql),
+      "change-data-feed between two table generations: added/removed/changed via one keyed full-outer join, delta-sized output"),
     Q("q34_rolling_stats", q34, Some(q34Sql),
       "7-day rolling avg/volatility per user over the gap-filled grid (exact cents frames)"),
     Q("x53_imputation", x53, Some(x53Sql),
@@ -6388,6 +6619,10 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("x103_sketch_scorecard", x103, Some(x103Sql),
+      "simhash sketch quality audit vs exact truth: recall per jac decile + precision per hamming bin, exact ppm"),
+    Q("x102_pq_codebook", x102, Some(x102Sql),
+      "product-quantization codebook training: per-subspace seeded k-means round, integer-exact codes + reconstruction error"),
     Q("x101_knn_classify", x101, Some(x101Sql),
       "k-NN label audit: 5-neighbor majority vote vs ground truth — is the taxonomy propagatable from embedding space"),
     Q("x1_exact_dedup", x1, Some(x1Sql), "exact content dedup"),

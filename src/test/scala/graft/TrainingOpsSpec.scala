@@ -1353,4 +1353,66 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(late.isEmpty, "a window past the terminal watermark was emitted")
     df.unpersist()
   }
+
+  test("q38: the change feed is exactly the generation delta — keys partition by change type") {
+    val df = run("q38_snapshot_diff").cache()
+    // membership laws follow the generation derivation exactly
+    assert(df.filter(col("change_type") === "added" &&
+      (col("o_orderkey") % 97 =!= 0 || col("o_orderkey") % 89 === 0)).isEmpty)
+    assert(df.filter(col("change_type") === "removed" &&
+      (col("o_orderkey") % 89 =!= 0 || col("o_orderkey") % 97 === 0)).isEmpty)
+    assert(df.filter(col("change_type") === "changed" &&
+      col("o_orderkey") % 13 =!= 0).isEmpty)
+    // changed rows really changed, by exactly the +5% integral amendment
+    val chg = df.filter(col("change_type") === "changed")
+    assert(chg.filter(col("new_cents") === col("old_cents")).isEmpty)
+    assert(chg.filter(col("new_cents") =!= expr("old_cents * 105 div 100")).isEmpty)
+    // added/removed carry exactly one side
+    assert(df.filter(col("change_type") === "added" && col("old_cents").isNotNull).isEmpty)
+    assert(df.filter(col("change_type") === "removed" && col("new_cents").isNotNull).isEmpty)
+    // completeness: every key that SHOULD appear does, exactly once
+    val o = graft.operators.Tables.orders(spark, sf)
+    val expectAdded = o.filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 89 =!= 0).count()
+    val expectRemoved = o.filter(col("o_orderkey") % 89 === 0 && col("o_orderkey") % 97 =!= 0).count()
+    val byType = df.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("added", 0L) === expectAdded)
+    assert(byType.getOrElse("removed", 0L) === expectRemoved)
+    assert(df.groupBy("o_orderkey").count().filter(col("count") > 1).isEmpty,
+      "a key appeared in the feed twice")
+    df.unpersist()
+  }
+
+  test("x102: PQ codes are total, bounded, deterministic, and non-degenerate") {
+    val df = run("x102_pq_codebook").cache()
+    // one row per vector, 8 codes each in [0, 4), error is a sum of squares
+    assert(df.count() === graft.operators.Tables.embeddings(spark, sf).count())
+    val codeCols = (0 until 8).map(s => col(s"c$s"))
+    assert(df.filter(codeCols.map(c => c < 0 || c > 3 || c.isNull).reduce(_ || _)).isEmpty,
+      "a code outside the k=4 codebook")
+    assert(df.filter(col("err_micro2") < 0).isEmpty)
+    // re-run is byte-identical (content-addressed seeds, integer algebra)
+    assert(run("x102_pq_codebook").exceptAll(df).isEmpty)
+    // the codebooks are actually used: most subspaces spread over >1 code
+    val spread = (0 until 8).count(s =>
+      df.select(countDistinct(col(s"c$s"))).head().getLong(0) > 1)
+    assert(spread >= 6, s"only $spread/8 subspaces use more than one centroid")
+    df.unpersist()
+  }
+
+  test("x103: the scorecard is internally consistent and reconciles with x2/x4 totals") {
+    val df = run("x103_sketch_scorecard").cache()
+    // shares are exact ppm of their own counts; truths never exceed pairs
+    assert(df.filter(col("n_true") > col("n_pairs") || col("n_pairs") < 1 ||
+      col("true_ppm") =!= expr("(n_true * 1000000) div n_pairs")).isEmpty)
+    // recall bins are jac deciles >= 5; precision bins are hamming <= 3
+    assert(df.filter(col("part") === "recall" && (col("bin") < 5 || col("bin") > 10)).isEmpty)
+    assert(df.filter(col("part") === "precision" && (col("bin") < 0 || col("bin") > 3)).isEmpty)
+    // marginals reconcile with the operators the audit is ABOUT
+    val recallPairs = df.filter(col("part") === "recall").agg(sum("n_pairs")).head().getLong(0)
+    assert(recallPairs === run("x2_ngram_jaccard").count(), "recall rows != exact pair count")
+    val precPairs = df.filter(col("part") === "precision").agg(sum("n_pairs")).head().getLong(0)
+    assert(precPairs === run("x4_simhash").count(), "precision rows != banded candidate count")
+    df.unpersist()
+  }
 }
