@@ -787,6 +787,50 @@ object StreamQueries {
        |FROM agg WHERE window_end <= $wmSql""".stripMargin
   }
 
+  // --------------------------------------------------------------- QS21
+  /** STREAMING INGEST QUOTA — admit only the FIRST 5 events per
+    * (event_type, hour) and drop the rest at the door: the per-key rate
+    * cap every ingest tier needs when one key floods (x33's source cap,
+    * but enforced AS DATA ARRIVES with bounded state instead of a batch
+    * rank over the accumulated corpus). The admission set rides a
+    * mergeable [[graft.functions.FirstK]] aggregation inside a
+    * watermarked tumbling-window groupBy: per open window the state is AT
+    * MOST 5 entries — not the window's events — and the watermark evicts
+    * it. Emission is APPEND-finalized (the qs1a contract: a window's
+    * admitted set emits exactly once, when the watermark passes its end),
+    * and because FirstK's merge is associative/commutative under the
+    * total (ts, event_id) order, arrival order across micro-batches
+    * cannot change the winners: the emitted set EQUALS the batch
+    * row_number() ≤ 5 — the oracle replays exactly that. At 100 TB the
+    * state is 5·|open windows × types| rows forever; the same shape caps
+    * per-tenant/per-source ingest in any multi-tenant pipeline. */
+  private def qs21(spark: SparkSession, dir: String): DataFrame = {
+    val admit = udaf(new graft.functions.FirstK(5))
+    val agged = eventsStream(spark, dir, nFiles = 3)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(admit(unix_micros(col("ts")), col("event_id"), col("user_id")).as("admitted"))
+    runToTable(spark, agged, OutputMode.Append())
+      .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("event_type"), posexplode(col("admitted")).as(Seq("pos", "e")))
+      .select(col("window_start"), col("event_type"),
+        col("e.event_id").as("event_id"), col("e.user_id").as("user_id"),
+        timestamp_micros(col("e.ts_us")).cast(TimestampNTZType).as("ts"),
+        (col("pos") + 1).cast(IntegerType).as("admit_rank"))
+  }
+
+  private val qs21Sql =
+    s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+       |             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start
+       |           FROM events),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY event_type, window_start ORDER BY ts, event_id) AS rn
+       |      FROM e)
+       |SELECT window_start, event_type, event_id, user_id, ts,
+       |  CAST(rn AS INT) AS admit_rank
+       |FROM r WHERE rn <= 5
+       |  AND window_start + INTERVAL 1 HOUR <= $wmSql""".stripMargin
+
   // --------------------------------------------------------------- QS16
   /** Streaming EXACT UNIQUE VISITORS per hour — the metric a naive
     * streaming `count(distinct)` cannot give you (unsupported on
@@ -1192,5 +1236,7 @@ object StreamQueries {
     Q("qs19_stream_funnel", qs19, Some(qs19Sql),
       "streaming funnel: per-user stage state machine emits conversions the moment the purchase lands, batch-funnel exact"),
     Q("qs20_stream_trending", qs20, Some(qs20Sql),
-      "streaming trending: top event type per finalized hour via domain-pivoted sums, stateless argmax, one windowed agg"))
+      "streaming trending: top event type per finalized hour via domain-pivoted sums, stateless argmax, one windowed agg"),
+    Q("qs21_stream_quota_admit", qs21, Some(qs21Sql),
+      "streaming ingest quota: first-5 events per (type, hour) via a mergeable bounded FirstK aggregation, append-finalized"))
 }

@@ -1415,4 +1415,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(precPairs === run("x4_simhash").count(), "precision rows != banded candidate count")
     df.unpersist()
   }
+
+  test("qs21: the quota admits exactly the batch-earliest 5 per (type, hour), never more") {
+    val df = run("qs21_stream_quota_admit").cache()
+    assert(df.count() > 0)
+    // quota law: at most 5 per group, ranks are 1..n with no gaps
+    val sizes = df.groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("n"), max("admit_rank").as("mx"), min("admit_rank").as("mn"))
+    assert(sizes.filter(col("n") > 5 || col("mx") =!= col("n") || col("mn") =!= 1).isEmpty)
+    // emitted set equals the batch row_number() <= 5 for every emitted window
+    val ev = graft.operators.Tables.events(spark, sf)
+    val w = Window.partitionBy(date_trunc("hour", col("ts")), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val batch = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(date_trunc("hour", col("ts")).as("window_start"), col("event_type"),
+        col("event_id"), col("rn").cast("int").as("admit_rank"))
+    val emitted = df.select("window_start", "event_type", "event_id", "admit_rank")
+    assert(emitted.join(batch,
+      Seq("window_start", "event_type", "event_id", "admit_rank")).count() === df.count(),
+      "a streamed admission disagrees with the batch earliest-5")
+    df.unpersist()
+  }
 }
