@@ -509,4 +509,33 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
       s"encode must shuffle only for the per-doc aggregation:\n$p")
   }
+
+  test("q38: the diff is ONE keyed full-outer join — no nested loop, pruned scans") {
+    val p = plan("q38_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter"), s"the diff must be a full-outer join:\n$p")
+    // tree lines look like "+- SortMergeJoin FullOuter (12)"
+    assert(p.linesIterator.count(_.matches(""".*[+:]- \w*Join .*\(\d+\)\s*""")) === 1,
+      s"exactly one join node in the diff:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_custkey"),
+      s"only key + price may leave the scan:\n$readSchema")
+  }
+
+  test("x102: codebooks broadcast; argmins aggregate (no Window operator anywhere)") {
+    val p = plan("x102_pq_codebook")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k x 8 x 8 codebooks must broadcast against the corpus:\n$p")
+    assert(!p.contains("Window"),
+      s"argmin must be a min-struct aggregation, not a row_number window:\n$p")
+    assert(p.contains("partial_min"),
+      s"the argmin aggregation must combine map-side:\n$p")
+  }
+
+  test("x103: the scorecard engine never goes quadratic") {
+    val p = plan("x103_sketch_scorecard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"truth is inverted-index, candidates are banded — no all-pairs:\n$p")
+  }
 }
