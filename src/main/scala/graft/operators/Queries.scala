@@ -6481,6 +6481,141 @@ object Queries {
        |SELECT part, bin, n_pairs, n_true, (n_true * 1000000) // n_pairs AS true_ppm
        |FROM (SELECT * FROM recall UNION ALL SELECT * FROM prec) u""".stripMargin
 
+  // ---------------------------------------------------------------- X104
+  /** EXACT QUANTILES IN TWO BOUNDED PASSES — the 100 TB replacement for a
+    * sort-based percentile: a global sort (or Spark's single-partition
+    * percentile aggregation state) is exactly what does NOT survive scale,
+    * while this needs two scans and O(1) state. Pass 1 histograms the
+    * value domain into 1024 equi-width buckets (one map-side-combined
+    * aggregation; the 1024-row cumulative table is a metadata-scale
+    * driver action, same class as x2's df-cap scalar). For each target
+    * rank k = ceil(p·n) (computed in pure INTEGER arithmetic —
+    * (permille·n + 999) div 1000 — so no engine can disagree by one ulp),
+    * the cumulative table names the ONE bucket holding the k-th smallest
+    * value; pass 2 filters to that bucket (a tight value-range scan,
+    * ~n/1024 rows) and takes the (k − below)-th smallest there. The
+    * refinement is rank arithmetic, so float bucket boundaries only ROUTE
+    * the search — correctness never depends on them. The oracle computes
+    * the same k-th order statistics directly (ORDER BY LIMIT OFFSET): the
+    * oracle may sort, the engine may not. */
+  private def x104(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 1024
+    val vals = Tables.events(spark, dir)
+      .select(col("value").as("v")).filter(col("v").isNotNull).persist()
+    val stats = vals.agg(min(col("v")), max(col("v")), count(col("v"))).head()
+    val (lo, hi, n) = (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
+    val span = if (hi > lo) hi - lo else 1.0
+    val bucket = least(floor((col("v") - lo) / span * nb), lit(nb - 1)).cast(IntegerType)
+    val hist = vals.groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = (0 until nb).scanLeft(0L)((acc, b) => acc + hist.getOrElse(b, 0L))
+    val parts = Seq(500, 900, 990).map { permille =>
+      val k = (permille.toLong * n + 999) / 1000
+      val b = cum.indexWhere(_ >= k) - 1 // cum(b) < k <= cum(b + 1)
+      val below = cum(b)
+      vals.filter(bucket === b)
+        .orderBy(col("v")).limit((k - below).toInt)
+        .agg(max(col("v")).as("value"))
+        .select(lit(permille).as("p_permille"), lit(k).as("k"), col("value"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  private val x104Sql = {
+    val ks = Seq(500, 900, 990)
+      .map(pm => s"SELECT $pm AS p_permille, ($pm * c + 999) // 1000 AS k FROM n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM t),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rnk FROM t),
+       |ks AS ($ks)
+       |SELECT ks.p_permille, ks.k, r.v AS value
+       |FROM ks JOIN r ON r.rnk = ks.k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X105
+  /** SPAN-CORRUPTION MANIFEST — T5/UL2-style denoising pairs built AS
+    * DATA (Raffel et al. 2020: mask ~15-20% of tokens in multi-token
+    * spans, replace each span with a numbered sentinel, train on
+    * sentinel→span targets): each document's tokens group into 3-token
+    * spans; a span is masked iff a CONTENT-ADDRESSED draw (md5 of
+    * doc_id-span index, the x42/x54 convention) lands in the 1/5 residue
+    * class — so the corruption is deterministic, reproducible across
+    * engines and re-runs, and needs no RNG state. Sentinels number by
+    * the running count of PRIOR masked spans (an ordered window over the
+    * span rows); `input_text` swaps each masked span for its sentinel,
+    * `targets` concatenates sentinel→span pairs in order. Shape: one
+    * Generate (span explode, map-side), ONE corpus shuffle for the
+    * per-doc window + re-assembly aggregation (exchange reused between
+    * them — same key), everything else scan-side expressions. At 100 TB
+    * this is the standard "build the denoising epoch declaratively"
+    * move: the manifest is recomputable from (corpus, recipe) alone. */
+  private def x105(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast(IntegerType))
+      .withColumn("nT", expr("size(tk) div 3").cast(IntegerType))
+      .filter(col("nT") > 0)
+    val spans = base
+      .select(col("doc_id"), col("tk"), col("nT"), col("n_tokens"),
+        explode(expr("sequence(0, nT - 1)")).as("t"))
+      .withColumn("seg", expr("array_join(slice(tk, t * 3 + 1, 3), ' ')"))
+      .withColumn("tail", expr("array_join(slice(tk, nT * 3 + 1, n_tokens - nT * 3), ' ')"))
+      .withColumn("masked", pmod(conv(substring(
+        md5(concat_ws("-", col("doc_id"), col("t"))), 1, 12), 16, 10)
+        .cast(LongType), lit(5L)) === 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = spans
+      .withColumn("k", coalesce(sum(col("masked").cast(LongType)).over(w), lit(0L)))
+      .withColumn("inp_seg", when(col("masked"),
+        concat(lit("<extra_id_"), col("k"), lit(">"))).otherwise(col("seg")))
+      .withColumn("tgt_seg", when(col("masked"),
+        concat(lit("<extra_id_"), col("k"), lit("> "), col("seg"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        (sum(col("masked").cast(LongType)) * 3).as("n_masked"),
+        // array_join drops the null tgt_seg of unmasked spans
+        expr("array_join(transform(array_sort(collect_list(struct(t, inp_seg))), x -> x.inp_seg), ' ')").as("body"),
+        expr("array_join(transform(array_sort(collect_list(struct(t, tgt_seg))), x -> x.tgt_seg), ' ')").as("targets"),
+        max(col("tail")).as("tail"))
+    agg.select(col("doc_id"), col("n_tokens"), col("n_masked"),
+      when(length(col("tail")) > 0, concat(col("body"), lit(" "), col("tail")))
+        .otherwise(col("body")).as("input_text"),
+      col("targets"))
+  }
+
+  private val x105Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT doc_id, tk, CAST(len(tk) AS INT) AS n_tokens,
+      |        CAST(len(tk) // 3 AS INT) AS nT
+      |      FROM d WHERE len(tk) // 3 > 0),
+      |tr AS (SELECT doc_id, n_tokens, nT, tk, unnest(range(nT)) AS t FROM b),
+      |seg AS (SELECT doc_id, n_tokens, t,
+      |         array_to_string(tk[t * 3 + 1 : t * 3 + 3], ' ') AS seg,
+      |         array_to_string(tk[nT * 3 + 1 : n_tokens], ' ') AS tail,
+      |         (('0x' || substr(md5(doc_id || '-' || t), 1, 12))::BIGINT % 5 = 0) AS masked
+      |       FROM tr),
+      |k AS (SELECT *, coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END)
+      |         OVER (PARTITION BY doc_id ORDER BY t
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+      |      FROM seg),
+      |s2 AS (SELECT doc_id, n_tokens, t, masked, k, tail,
+      |         CASE WHEN masked THEN '<extra_id_' || k || '>' ELSE seg END AS inp_seg,
+      |         CASE WHEN masked THEN '<extra_id_' || k || '> ' || seg END AS tgt_seg
+      |       FROM k),
+      |g AS (SELECT doc_id, max(n_tokens) AS n_tokens,
+      |        CAST(sum(CASE WHEN masked THEN 3 ELSE 0 END) AS BIGINT) AS n_masked,
+      |        array_to_string(list(inp_seg ORDER BY t), ' ') AS body,
+      |        array_to_string(list(tgt_seg ORDER BY t) FILTER (WHERE masked), ' ') AS targets,
+      |        max(tail) AS tail
+      |      FROM s2 GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_masked,
+      |  CASE WHEN length(tail) > 0 THEN body || ' ' || tail ELSE body END AS input_text,
+      |  coalesce(targets, '') AS targets
+      |FROM g""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -6619,6 +6754,10 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("x105_span_corruption", x105, Some(x105Sql),
+      "T5-style span-corruption manifest: content-addressed 3-token masks, numbered sentinels, input/target pairs as data"),
+    Q("x104_quantile_refine", x104, Some(x104Sql),
+      "exact p50/p90/p99 in two bounded passes: histogram-guided rank refinement, no global sort, integer rank algebra"),
     Q("x103_sketch_scorecard", x103, Some(x103Sql),
       "simhash sketch quality audit vs exact truth: recall per jac decile + precision per hamming bin, exact ppm"),
     Q("x102_pq_codebook", x102, Some(x102Sql),

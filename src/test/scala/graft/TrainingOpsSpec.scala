@@ -1436,4 +1436,49 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a streamed admission disagrees with the batch earliest-5")
     df.unpersist()
   }
+
+  test("x104: each refined value IS the k-th order statistic (the defining rank law)") {
+    val rows = run("x104_quantile_refine").collect()
+    assert(rows.length === 3)
+    val vals = graft.operators.Tables.events(spark, sf)
+      .select(col("value")).filter(col("value").isNotNull).cache()
+    val n = vals.count()
+    for (r <- rows) {
+      val (pm, k, v) = (r.getAs[Int]("p_permille"), r.getAs[Long]("k"), r.getAs[Double]("value"))
+      assert(k === (pm.toLong * n + 999) / 1000, s"rank algebra broke for p=$pm")
+      // v is the k-th smallest iff #(<= v) >= k and #(< v) < k
+      val le = vals.filter(col("value") <= v).count()
+      val lt = vals.filter(col("value") < v).count()
+      assert(le >= k && lt < k, s"p=$pm: value $v is not the $k-th order statistic ($lt < $k <= $le)")
+    }
+    vals.unpersist()
+  }
+
+  test("x105: substituting targets back into input_text reconstructs the original document") {
+    val df = run("x105_span_corruption").cache()
+    assert(df.filter(col("n_masked") % 3 =!= 0 || col("n_masked") > col("n_tokens")).isEmpty)
+    // corruption rate is content-addressed at 1/5 of spans — corpus-wide
+    // it must land near 3/5 / 3 = 20% of tokens (loose band)
+    val rate = df.agg((sum("n_masked") / sum("n_tokens")).as("r")).head().getDouble(0)
+    assert(rate > 0.12 && rate < 0.28, s"mask rate $rate outside the 1/5-span band")
+    // THE defining law: input + targets is a lossless encoding
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val sample = df.join(docs, "doc_id").limit(200).collect()
+    val sentinel = "<extra_id_(\\d+)>".r
+    for (r <- sample) {
+      val tgt = r.getAs[String]("targets")
+      val starts = sentinel.findAllMatchIn(tgt).map(_.start).toVector
+      val bySentinel = (starts :+ tgt.length).sliding(2).collect { case Seq(a, b) =>
+        val chunk = tgt.substring(a, b).trim
+        val idx = sentinel.findFirstMatchIn(chunk).get.group(1).toInt
+        idx -> chunk.replaceFirst("<extra_id_\\d+> ", "")
+      }.toMap
+      val rebuilt = sentinel.replaceAllIn(r.getAs[String]("input_text"),
+        m => java.util.regex.Matcher.quoteReplacement(bySentinel(m.group(1).toInt)))
+      assert(rebuilt === r.getAs[String]("text"),
+        s"doc ${r.getAs[Long]("doc_id")}: reconstruction diverged")
+    }
+    df.unpersist()
+  }
 }
