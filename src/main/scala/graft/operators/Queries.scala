@@ -788,6 +788,40 @@ object Queries {
       |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
       |   OR old_cents <> new_cents""".stripMargin
 
+  // ---------------------------------------------------------------- Q39
+  /** MERGE / UPSERT APPLY — the other half of the CDC story: q38 DIFFS
+    * two generations, q39 APPLIES that change feed to the base and must
+    * reproduce the target generation exactly (`MERGE INTO base USING feed
+    * WHEN MATCHED [AND removed] THEN DELETE / WHEN MATCHED THEN UPDATE /
+    * WHEN NOT MATCHED THEN INSERT`). Declaratively that is ONE left-anti
+    * join (untouched rows pass through) plus a union of the feed's
+    * upserts — and because the feed is churn-sized, the anti join's build
+    * side BROADCASTS: applying a day's changes to a 100 TB table costs
+    * one scan of the base, no corpus shuffle. The oracle derives the
+    * target generation directly, so the hash equality IS the round-trip
+    * theorem: merge(base, diff(base, target)) = target. */
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+    val feed = q38(spark, dir)
+    val untouched = base.join(broadcast(feed.select(col("o_orderkey"))),
+      Seq("o_orderkey"), "left_anti")
+    val upserts = feed.filter(col("change_type").isin("added", "changed"))
+      .select(col("o_orderkey"), col("new_cents").as("cents"))
+    untouched.unionByName(upserts)
+  }
+
+  /** The target generation, derived directly — equality with the engine's
+    * merge output is the round-trip proof. */
+  private val q39Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 13 = 0
+      |       THEN CAST(round(o_totalprice * 100) AS BIGINT) * 105 // 100
+      |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+      |FROM orders WHERE o_orderkey % 89 <> 0""".stripMargin
+
   // ================================================================ X-series
   private def toks(c: Column): Column = split(c, " ")
 
@@ -6616,6 +6650,79 @@ object Queries {
       |  coalesce(targets, '') AS targets
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- X106
+  /** SELF-RETRIEVAL AUDIT — the retrieval-quality diagnostic run before
+    * trusting an index for RAG or dedup lookups: every 40th document
+    * donates an interior snippet (tokens 4–13) as a query; the query's
+    * 3-shingle set retrieves candidates through the SAME inverted index
+    * x2 deduplicates with, scored by shared-shingle count. A healthy
+    * corpus self-retrieves at rank 1 (the source contains its own
+    * snippet, so it attains FULL overlap); failures are the signal — an
+    * exact or near duplicate with a smaller id outranking its source is
+    * duplication surfacing as retrieval ambiguity. Per query: candidate
+    * count, the top-ranked document, the source's exact rank, and the
+    * hit flag. Scale shape: queries are a 1/40 systematic sample
+    * (map-side filter), candidate generation is the linear postings
+    * equi-join (never all-pairs; at 100 TB the same df-cap x2 applies
+    * would bound stop-shingles), ranking is ONE aggregation per query
+    * with a lexicographic min-struct argmax — no window over candidates,
+    * map-side combined. */
+  private def x106(spark: SparkSession, dir: String): DataFrame = {
+    val docsSh = shingled(spark, dir)
+    val posts = docsSh.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val q = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("qid"),
+        expr("graft_shingle_hashes(slice(split(text, ' '), 4, 10), 3)").as("qsh"))
+      .filter(size(col("qsh")) > 0)
+    val cand = q.select(col("qid"), explode(col("qsh")).as("sg"))
+      .join(posts, "sg")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .persist() // read twice: source lookup + ranking
+    val src = cand.filter(col("doc_id") === col("qid"))
+      .select(col("qid"), col("shared").as("src_shared"))
+    cand.join(src, "qid")
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        min(struct((-col("shared")).as("ns"), col("doc_id").as("d"))).as("m"),
+        (sum(((col("shared") > col("src_shared")) ||
+          (col("shared") === col("src_shared") && col("doc_id") < col("qid")))
+          .cast(LongType)) + 1).as("src_rank"))
+      .select(col("qid"), col("n_cand"), col("m.d").as("top_doc"),
+        (-col("m.ns")).as("top_shared"), col("src_rank"),
+        (col("src_rank") === 1).as("self_hit"))
+  }
+
+  private val x106Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |post AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |q0 AS (SELECT doc_id AS qid,
+       |         list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS qsh
+       |       FROM (SELECT doc_id, tk[4:13] AS w FROM d WHERE doc_id % 40 = 0) z),
+       |q AS (SELECT * FROM q0 WHERE len(qsh) > 0),
+       |qp AS (SELECT qid, unnest(qsh) AS sg FROM q),
+       |cand AS (SELECT qp.qid, post.doc_id, CAST(count(*) AS BIGINT) AS shared
+       |         FROM qp JOIN post ON post.sg = qp.sg GROUP BY 1, 2),
+       |src AS (SELECT qid, shared AS src_shared FROM cand WHERE doc_id = qid),
+       |j AS (SELECT c.qid, c.doc_id, c.shared, s2.src_shared
+       |      FROM cand c JOIN src s2 USING (qid)),
+       |agg AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand,
+       |          CAST(sum(CASE WHEN shared > src_shared
+       |                     OR (shared = src_shared AND doc_id < qid)
+       |                   THEN 1 ELSE 0 END) + 1 AS BIGINT) AS src_rank
+       |        FROM j GROUP BY qid),
+       |top AS (SELECT qid, doc_id AS top_doc, shared AS top_shared FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY qid
+       |            ORDER BY shared DESC, doc_id) AS rn FROM cand) t
+       |        WHERE rn = 1)
+       |SELECT a.qid, a.n_cand, top.top_doc, top.top_shared, a.src_rank,
+       |  (a.src_rank = 1) AS self_hit
+       |FROM agg a JOIN top USING (qid)""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -6656,6 +6763,8 @@ object Queries {
       "cohort retention triangle: first-seen-week cohorts x weekly activity, exact ppm shares, three keyed aggregations"),
     Q("q38_snapshot_diff", q38, Some(q38Sql),
       "change-data-feed between two table generations: added/removed/changed via one keyed full-outer join, delta-sized output"),
+    Q("q39_merge_apply", q39, Some(q39Sql),
+      "MERGE/upsert apply: base + q38's change feed reproduces the target generation (broadcast anti join + union)"),
     Q("q34_rolling_stats", q34, Some(q34Sql),
       "7-day rolling avg/volatility per user over the gap-filled grid (exact cents frames)"),
     Q("x53_imputation", x53, Some(x53Sql),
@@ -6754,6 +6863,8 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("x106_self_retrieval", x106, Some(x106Sql),
+      "self-retrieval audit: interior snippets query the dedup inverted index; rank-1 misses expose duplication"),
     Q("x105_span_corruption", x105, Some(x105Sql),
       "T5-style span-corruption manifest: content-addressed 3-token masks, numbered sentinels, input/target pairs as data"),
     Q("x104_quantile_refine", x104, Some(x104Sql),

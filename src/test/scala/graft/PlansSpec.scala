@@ -538,4 +538,10 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"truth is inverted-index, candidates are banded — no all-pairs:\n$p")
   }
+
+  test("q39: the churn-sized feed broadcasts into the anti join — the base never shuffles for it") {
+    val p = plan("q39_merge_apply")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"untouched rows must pass through a broadcast anti join:\n$p")
+  }
 }

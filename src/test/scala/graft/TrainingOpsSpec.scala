@@ -1481,4 +1481,32 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     df.unpersist()
   }
+
+  test("x106: self-hit iff the source tops the ranking; ranks stay in range") {
+    val df = run("x106_self_retrieval").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("src_rank") < 1 || col("src_rank") > col("n_cand")).isEmpty)
+    // the rank formula and the argmax must agree: rank 1 <=> source wins
+    // the (shared desc, doc_id asc) order <=> top_doc IS the source
+    assert(df.filter(col("self_hit") =!= (col("top_doc") === col("qid"))).isEmpty)
+    // a systematic 1/40 sample of a mostly-unique corpus self-retrieves
+    val hits = df.filter(col("self_hit")).count()
+    assert(hits * 2 > df.count(), s"only $hits/${df.count()} snippets found their source")
+    df.unpersist()
+  }
+
+  test("q39: merge(base, diff(base, target)) IS target — the CDC round-trip theorem") {
+    val merged = run("q39_merge_apply").cache()
+    val o = graft.operators.Tables.orders(spark, sf)
+    val target = o.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0,
+          expr("cast(round(o_totalprice * 100, 0) as bigint) * 105 div 100"))
+          .otherwise(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+    assert(merged.exceptAll(target).isEmpty && target.exceptAll(merged).isEmpty,
+      "applying the q38 feed did not reproduce the target generation")
+    // deleted keys are really gone
+    assert(merged.filter(col("o_orderkey") % 89 === 0).isEmpty)
+    merged.unpersist()
+  }
 }
