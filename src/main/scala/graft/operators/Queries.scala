@@ -6723,6 +6723,128 @@ object Queries {
        |  (a.src_rank = 1) AS self_hit
        |FROM agg a JOIN top USING (qid)""".stripMargin
 
+  // ---------------------------------------------------------------- X107
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS — the multilingual/multi-source
+    * sampling-rate computation every pretraining mix runs (T5/UNIMAX
+    * alpha-sampling: weight ∝ n^α flattens the head so low-resource
+    * sources aren't drowned; α = 1/2 here, i.e. temperature 2). sqrt is
+    * the one power IEEE-754 requires to be CORRECTLY ROUNDED, so both
+    * engines produce the identical double, which quantizes once to
+    * integer micros — shares and upsampling factors are then pure int64
+    * algebra. Complements x72 (max-min waterfill) with the power-law
+    * rule. Shape: ONE corpus aggregation → a |sources|-row frame; the
+    * normalization windows ride that tiny frame. (epochs_milli's
+    * intermediate fits int64 at bench scale; a 100 TB run computes the
+    * final factor in doubles after the exact shares.) */
+  private def x107(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("weight_micro",
+        expr("cast(round(sqrt(cast(n_tokens as double)) * 1000000, 0) as bigint)"))
+      .withColumn("wsum", sum(col("weight_micro")).over(wAll))
+      .withColumn("tot", sum(col("n_tokens")).over(wAll))
+      .select(col("source"), col("n_tokens"), col("weight_micro"),
+        expr("(weight_micro * 1000000) div wsum").as("share_ppm"),
+        expr("((weight_micro * 1000000 div wsum) * tot) div (n_tokens * 1000)")
+          .as("epochs_milli"))
+  }
+
+  private val x107Sql =
+    """WITH a AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT *,
+      |    CAST(round(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS weight_micro
+      |  FROM a),
+      |t AS (SELECT *, CAST(sum(weight_micro) OVER () AS BIGINT) AS wsum,
+      |        CAST(sum(n_tokens) OVER () AS BIGINT) AS tot FROM w)
+      |SELECT source, n_tokens, weight_micro,
+      |  CAST((weight_micro * 1000000) // wsum AS BIGINT) AS share_ppm,
+      |  CAST((((weight_micro * 1000000) // wsum) * tot) // (n_tokens * 1000) AS BIGINT)
+      |    AS epochs_milli
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------- X108
+  /** NAIVE-BAYES QUALITY CLASSIFIER, TRAINED AND APPLIED IN ONE QUERY —
+    * the fasttext-style statistical filter (CCNet's classifier stage)
+    * built declaratively: weak labels come from a cheap heuristic
+    * (length ≥ 150 chars), per-token class counts train Laplace-smoothed
+    * log-odds, and every document is scored by the order-free integer
+    * sum of its tokens' nano-quantized log-odds plus the class prior —
+    * emitting the label, the score, the prediction, and the agreement
+    * flag (the audit: where the learned filter disagrees with its own
+    * weak teacher is exactly what a human reviews). Determinism: each
+    * log-odds is ln of an exact integer ratio — the identical double in
+    * any engine — rounded once at 9dp (the x63/x65 nano convention).
+    * Shape: one token-explode aggregation trains (vocab-bounded output),
+    * the model BROADCASTS back onto the same explode for scoring, one
+    * per-doc aggregation applies; class totals pin as literals (the x58
+    * corpus-stats pattern). At 100 TB: two corpus passes, vocab-sized
+    * state, no global anything. */
+  private def x108(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"),
+        (col("n_chars") >= 150).as("label_good"))
+      .persist() // three passes: class stats, train, score join-back
+    val toksL = docs.select(col("doc_id"), col("label_good"),
+      explode(col("tk")).as("token"))
+    val counts = toksL.groupBy(col("token"))
+      .agg(sum(when(col("label_good"), 1L).otherwise(0L)).as("cg"),
+        sum(when(!col("label_good"), 1L).otherwise(0L)).as("cb"))
+      .persist() // tiny (vocab-sized); feeds totals + the model
+    val st = counts.agg(sum(col("cg")), sum(col("cb")), count(lit(1))).head()
+    val (g, b, v) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val dc = docs.agg(
+      sum(when(col("label_good"), 1L).otherwise(0L)),
+      sum(when(!col("label_good"), 1L).otherwise(0L))).head()
+    val (gd, bd) = (dc.getLong(0), dc.getLong(1))
+    val model = counts.withColumn("lo_nano", expr(
+      s"cast(round((ln(cast(cg + 1 as double) / ${g + v}) - " +
+        s"ln(cast(cb + 1 as double) / ${b + v})) * 1e9, 0) as bigint)"))
+      .select(col("token"), col("lo_nano"))
+    val priorNano = expr(
+      s"cast(round((ln(cast($gd as double) / ${gd + bd}) - " +
+        s"ln(cast($bd as double) / ${gd + bd})) * 1e9, 0) as bigint)")
+    val scored = toksL.join(broadcast(model), "token")
+      .groupBy(col("doc_id")).agg(sum(col("lo_nano")).as("tok_nanos"))
+    docs.join(scored, Seq("doc_id"), "left")
+      .withColumn("score_nanos", priorNano + coalesce(col("tok_nanos"), lit(0L)))
+      .select(col("doc_id"), col("label_good"), col("score_nanos"),
+        (col("score_nanos") > 0).as("pred_good"),
+        ((col("score_nanos") > 0) === col("label_good")).as("correct"))
+  }
+
+  private val x108Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+      |             (n_chars >= 150) AS lbl FROM documents),
+      |tt AS (SELECT doc_id, lbl, unnest(tk) AS token FROM d),
+      |c AS (SELECT token,
+      |        CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cg,
+      |        CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |      FROM tt GROUP BY token),
+      |s AS (SELECT CAST(sum(cg) AS BIGINT) AS gt, CAST(sum(cb) AS BIGINT) AS bt,
+      |        CAST(count(*) AS BIGINT) AS v FROM c),
+      |dc AS (SELECT CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS gd,
+      |         CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS bd
+      |       FROM d),
+      |lo AS (SELECT token,
+      |         CAST(round((ln((cg + 1)::DOUBLE / (gt + v)) -
+      |                     ln((cb + 1)::DOUBLE / (bt + v))) * 1e9) AS BIGINT) AS lo_nano
+      |       FROM c, s),
+      |sc AS (SELECT tt.doc_id, CAST(sum(lo.lo_nano) AS BIGINT) AS tok_nanos
+      |       FROM tt JOIN lo USING (token) GROUP BY 1),
+      |pr AS (SELECT CAST(round((ln(gd::DOUBLE / (gd + bd)) -
+      |                          ln(bd::DOUBLE / (gd + bd))) * 1e9) AS BIGINT) AS prior_nano
+      |       FROM dc)
+      |SELECT d.doc_id, d.lbl AS label_good,
+      |  pr.prior_nano + coalesce(sc.tok_nanos, 0) AS score_nanos,
+      |  (pr.prior_nano + coalesce(sc.tok_nanos, 0)) > 0 AS pred_good,
+      |  ((pr.prior_nano + coalesce(sc.tok_nanos, 0)) > 0) = d.lbl AS correct
+      |FROM d LEFT JOIN sc USING (doc_id), pr""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -6863,6 +6985,10 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("x107_temperature_mixture", x107, Some(x107Sql),
+      "temperature-2 (alpha=1/2) mixture weights per source: sqrt-scaled shares + upsampling factors, integer-exact"),
+    Q("x108_nb_quality_classifier", x108, Some(x108Sql),
+      "naive-bayes quality filter trained on weak labels and applied in one query: nano-quantized log-odds, agreement audit"),
     Q("x106_self_retrieval", x106, Some(x106Sql),
       "self-retrieval audit: interior snippets query the dedup inverted index; rank-1 misses expose duplication"),
     Q("x105_span_corruption", x105, Some(x105Sql),

@@ -1509,4 +1509,35 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.filter(col("o_orderkey") % 89 === 0).isEmpty)
     merged.unpersist()
   }
+
+  test("x107: shares normalize, and temperature flattens the head without reordering it") {
+    val rows = run("x107_temperature_mixture").collect()
+      .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("share_ppm"), r.getAs[Long]("epochs_milli")))
+      .sortBy(_._1)
+    val sumPpm = rows.map(_._2).sum
+    assert(sumPpm > 1000000L - rows.length && sumPpm <= 1000000L,
+      s"shares must sum to 1e6 up to per-row floor loss, got $sumPpm")
+    // order-preserving: more tokens, more share — but FLATTER than proportional
+    for (w <- rows.sliding(2) if w.length == 2) {
+      val (Array((_, s1, e1), (_, s2, e2))) = w
+      assert(s2 >= s1, "share order must follow token order")
+      assert(e2 <= e1, "upsampling must favor the low-resource source")
+    }
+    val (nMin, sMin, _) = rows.head; val (nMax, sMax, _) = rows.last
+    assert(sMax.toDouble / sMin < nMax.toDouble / nMin,
+      "temperature scaling must compress the ratio below proportional")
+  }
+
+  test("x108: the learned filter is non-degenerate and mostly agrees with its weak teacher") {
+    val df = run("x108_nb_quality_classifier").cache()
+    // definitional consistency
+    assert(df.filter(col("pred_good") =!= (col("score_nanos") > 0)).isEmpty)
+    assert(df.filter(col("correct") =!= (col("pred_good") === col("label_good"))).isEmpty)
+    // it learned signal: both classes predicted, agreement well above chance
+    assert(df.select(countDistinct(col("pred_good"))).head().getLong(0) === 2,
+      "classifier predicts a single class — degenerate")
+    val acc = df.filter(col("correct")).count().toDouble / df.count()
+    assert(acc > 0.6, s"agreement $acc with the weak teacher is below the learnable band")
+    df.unpersist()
+  }
 }
