@@ -6845,6 +6845,78 @@ object Queries {
       |  ((pr.prior_nano + coalesce(sc.tok_nanos, 0)) > 0) = d.lbl AS correct
       |FROM d LEFT JOIN sc USING (doc_id), pr""".stripMargin
 
+  // ---------------------------------------------------------------- X109
+  /** FARTHEST-POINT-SAMPLING CORESET — greedy k-center selection (the
+    * classic 2-approximation): seed with the lowest vec_id, then k−1
+    * times pick the vector FARTHEST from everything chosen so far. The
+    * dual of x45's most-central exemplars: FPS maximizes DIVERSITY —
+    * it's the seeding step for robust clustering and the "cover the
+    * embedding space with k probes" selection for eval sets. The emitted
+    * radius sequence is the diagnostic: radius_micro2 at step i is the
+    * corpus' k=i COVERING RADIUS (squared, integer micros) — how far the
+    * worst-covered point still is — and it is provably non-increasing.
+    * Determinism: squared L2 over once-quantized integer micros with
+    * vec_id tiebreaks — identical on any engine. Scale shape: each round
+    * is ONE scan of the persisted quantized frame computing
+    * `min(existing d, dist to the newly chosen center)` — the chosen
+    * center rides into the scan as a 64-long LITERAL (the x82
+    * pin-as-literal pattern; collecting one 64-element row per round is
+    * a metadata-scale driver action) — followed by a min-struct argmax.
+    * k scans total, no joins, no shuffles beyond the k argmax
+    * aggregations. The oracle unrolls the same k−1 rounds as chained
+    * CTEs. */
+  private def x109(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))").as("vq"))
+      .persist()
+    def dist2To(center: Seq[Long]): Column = expr(
+      s"aggregate(zip_with(vq, array(${center.mkString("L,")}L), " +
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    val seedRow = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("vq")).head()
+    var picked = Vector((seedRow.getLong(0), seedRow.getSeq[Long](1), 0L))
+    var d = e.withColumn("d", dist2To(picked.head._2))
+    for (_ <- 1 until k) {
+      // argmax of the current min-distance, smallest id on ties
+      val far = d.agg(min(struct((-col("d")).as("nd"), col("vec_id").as("v")))).head()
+        .getStruct(0)
+      val (radius, vid) = (-far.getLong(0), far.getLong(1))
+      val cvq = e.filter(col("vec_id") === vid).head().getSeq[Long](1)
+      picked :+= ((vid, cvq, radius))
+      d = d.withColumn("d", least(col("d"), dist2To(cvq)))
+    }
+    picked.zipWithIndex
+      .map { case ((vid, _, r), i) => (i, vid, r) }
+      .toDF("sel_order", "vec_id", "radius_micro2")
+  }
+
+  private val x109Sql = {
+    val dist2 = (vq: String, cq: String) =>
+      s"list_sum(list_transform(range(64), i -> ($vq[i + 1] - $cq[i + 1]) * ($vq[i + 1] - $cq[i + 1])))"
+    val rounds = (1 until 5).map { i =>
+      s"""p$i AS (SELECT vec_id, vq, d FROM (SELECT *, row_number() OVER
+         |    (ORDER BY d DESC, vec_id) AS rn FROM d${i - 1}) t WHERE rn = 1),
+         |d$i AS (SELECT e.vec_id, e.vq,
+         |    least(d${i - 1}.d, ${dist2("e.vq", "p.vq")}) AS d
+         |  FROM e JOIN d${i - 1} USING (vec_id), p$i p
+         |  WHERE TRUE)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 until 5)
+      .map(i => s"SELECT $i AS sel_order, vec_id, CAST(d AS BIGINT) AS radius_micro2 FROM p$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id, vq FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+       |d0 AS (SELECT e.vec_id, e.vq, ${dist2("e.vq", "c.vq")} AS d FROM e, c0 c),
+       |$rounds
+       |SELECT CAST(0 AS INT) AS sel_order, vec_id, CAST(0 AS BIGINT) AS radius_micro2 FROM c0
+       |UNION ALL
+       |$out""".stripMargin
+  }
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -6985,6 +7057,8 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("x109_fps_coreset", x109, Some(x109Sql),
+      "farthest-point-sampling k-center coreset: greedy diverse selection + the covering-radius decay curve, integer-exact"),
     Q("x107_temperature_mixture", x107, Some(x107Sql),
       "temperature-2 (alpha=1/2) mixture weights per source: sqrt-scaled shares + upsampling factors, integer-exact"),
     Q("x108_nb_quality_classifier", x108, Some(x108Sql),

@@ -1540,4 +1540,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acc > 0.6, s"agreement $acc with the weak teacher is below the learnable band")
     df.unpersist()
   }
+
+  test("x109: the covering radius decays monotonically and the selection is stable") {
+    val rows = run("x109_fps_coreset").orderBy("sel_order").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 5, "a center repeated")
+    val radii = rows.drop(1).map(_.getAs[Long]("radius_micro2"))
+    assert(radii.forall(_ > 0), "a later center coincides with an earlier one")
+    for (Array(a, b) <- radii.sliding(2).filter(_.length == 2))
+      assert(b <= a, s"covering radius increased: $a -> $b")
+    // greedy selection is deterministic — byte-identical on re-run
+    val again = run("x109_fps_coreset").orderBy("sel_order").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
