@@ -6917,6 +6917,49 @@ object Queries {
        |$out""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X110
+  /** INCREMENTAL VIEW MAINTENANCE OF THE DEDUP INDEX — keep x1's
+    * content-hash index current under a CDC delta WITHOUT rebuilding it:
+    * the problem every standing 100 TB index has when the corpus churns
+    * daily. Counts are distributive, but `keep_id = min(doc_id)` is NOT —
+    * deleting the minimum forces a recompute — so the maintenance
+    * strategy is the real one (Materialize/DBSP-style): mark the DIRTY
+    * groups (content hashes touched by adds or removes — churn-sized),
+    * pass every untouched index row through a BROADCAST anti join, and
+    * recompute ONLY the dirty groups from the new generation's rows
+    * (a broadcast semi join narrows that scan to dirty content). Work is
+    * |index| pass-through + O(dirty) recompute — never a full
+    * re-aggregation of the corpus. A dirty hash whose copies all vanished
+    * drops out of the index naturally. The oracle rebuilds the index from
+    * the target generation directly, so the hash equality is the IVM
+    * theorem: maintain(index(A), delta) = index(B). Generations mirror
+    * q38's arithmetic (base = id%97≠0; adds = id%97=0 ∧ id%89≠0; removes
+    * = id%89=0 ⇒ generation B is exactly id%89≠0). */
+  private def x110(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h")).persist()
+    val base = docs.filter(col("doc_id") % 97 =!= 0)
+    val added = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") % 89 =!= 0)
+    val removed = base.filter(col("doc_id") % 89 === 0)
+    // the standing index over generation A (in production: the stored artifact)
+    val baseIdx = base.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val dirty = added.select(col("h")).unionByName(removed.select(col("h"))).distinct()
+    val clean = baseIdx.join(broadcast(dirty), Seq("h"), "left_anti")
+    val newGen = base.filter(col("doc_id") % 89 =!= 0).unionByName(added)
+    val rebuilt = newGen.join(broadcast(dirty), "h") // inner on distinct = semi
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    clean.unionByName(rebuilt)
+  }
+
+  /** Full rebuild over generation B — equality is the IVM theorem. */
+  private val x110Sql =
+    """SELECT sha256(text) AS h, min(doc_id) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents WHERE doc_id % 89 <> 0
+      |GROUP BY text""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -7057,6 +7100,8 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("x110_ivm_dedup_index", x110, Some(x110Sql),
+      "incremental maintenance of the dedup index under a CDC delta: dirty-group partial recompute == full rebuild"),
     Q("x109_fps_coreset", x109, Some(x109Sql),
       "farthest-point-sampling k-center coreset: greedy diverse selection + the covering-radius decay curve, integer-exact"),
     Q("x107_temperature_mixture", x107, Some(x107Sql),

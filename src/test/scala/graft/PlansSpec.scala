@@ -544,4 +544,13 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"untouched rows must pass through a broadcast anti join:\n$p")
   }
+
+  test("x110: dirty-set joins broadcast — untouched index rows are never re-aggregated") {
+    val p = plan("x110_ivm_dedup_index")
+    assert(p.contains("LeftAnti"), s"clean rows must pass through an anti join:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both the anti (clean) and semi (dirty recompute) joins must broadcast the churn-sized dirty set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-vs-corpus shuffle join belongs in incremental maintenance:\n$p")
+  }
 }

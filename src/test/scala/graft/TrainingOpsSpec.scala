@@ -1553,4 +1553,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = run("x109_fps_coreset").orderBy("sel_order").collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("x110: maintain(index(A), delta) equals index(B) — the IVM theorem, engine-side") {
+    val maintained = run("x110_ivm_dedup_index").cache()
+    val rebuild = graft.operators.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 89 =!= 0)
+      .select(sha2(col("text"), 256).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    assert(maintained.exceptAll(rebuild).isEmpty && rebuild.exceptAll(maintained).isEmpty,
+      "incremental maintenance diverged from the full rebuild")
+    // survivors only: no keep_id can point at a deleted document
+    assert(maintained.filter(col("keep_id") % 89 === 0).isEmpty)
+    maintained.unpersist()
+  }
 }
