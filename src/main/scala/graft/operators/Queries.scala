@@ -6876,19 +6876,26 @@ object Queries {
         "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
     val seedRow = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("vq")).head()
-    var picked = Vector((seedRow.getLong(0), seedRow.getSeq[Long](1), 0L))
-    var d = e.withColumn("d", dist2To(picked.head._2))
+    var picked = Vector((seedRow.getLong(0), 0L))
+    var center = seedRow.getSeq[Long](1)
+    // ONE action per round: the argmax min-struct carries the winner's
+    // vector out with it (vq never affects the ordering — (-d, vec_id)
+    // is already total), and each round's distances persist so the next
+    // round's scan starts from the cached frame, not the whole chain.
+    var d: DataFrame = null
     for (_ <- 1 until k) {
-      // argmax of the current min-distance, smallest id on ties
-      val far = d.agg(min(struct((-col("d")).as("nd"), col("vec_id").as("v")))).head()
-        .getStruct(0)
-      val (radius, vid) = (-far.getLong(0), far.getLong(1))
-      val cvq = e.filter(col("vec_id") === vid).head().getSeq[Long](1)
-      picked :+= ((vid, cvq, radius))
-      d = d.withColumn("d", least(col("d"), dist2To(cvq)))
+      val dNew = (if (d == null) e.withColumn("d", dist2To(center))
+                  else d.withColumn("d", least(col("d"), dist2To(center)))).persist()
+      val far = dNew.agg(min(struct((-col("d")).as("nd"),
+        col("vec_id").as("v"), col("vq").as("q")))).head().getStruct(0)
+      if (d != null) d.unpersist()
+      d = dNew
+      center = far.getSeq[Long](2)
+      picked :+= ((far.getLong(1), -far.getLong(0)))
     }
+    d.unpersist()
     picked.zipWithIndex
-      .map { case ((vid, _, r), i) => (i, vid, r) }
+      .map { case ((vid, r), i) => (i, vid, r) }
       .toDF("sel_order", "vec_id", "radius_micro2")
   }
 
