@@ -245,4 +245,83 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(straddled.count() > 0 && spark.read.parquet(sink).count() > emittedRun1,
       "no conversion straddled the restart — the recovery assertion would be vacuous")
   }
+
+  test("qs21's FirstK window buffers restart from checkpoint: a half-filled quota survives the death") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery21")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    // the second cut lands MID-HOUR (19:30 inside a 6-event hour), so the
+    // [19:00, 20:00) windows' FirstK buffers are HALF-FILLED at the kill:
+    // their earliest admissions exist only in checkpointed UDAF state
+    val raw = graft.operators.Tables.eventsRawNs(spark, sf)
+    def ns(t: String): Long =
+      java.time.LocalDateTime.parse(t).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val cut2 = ns("2024-01-09T19:30:00")
+    val cuts = Seq(
+      col("ts") < ns("2024-01-05T00:00:00"),
+      col("ts") >= ns("2024-01-05T00:00:00") && col("ts") < cut2,
+      col("ts") >= cut2)
+    def writeWave(i: Int): Unit = {
+      raw.filter(cuts(i)).coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    def runOnce(): Long = {
+      val admit = udaf(new graft.functions.FirstK(5))
+      val agged = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(admit(unix_micros(col("ts")), col("event_id"), col("user_id")).as("admitted"))
+      val q = agged.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce()
+    val emittedRun1 = spark.read.parquet(sink).count()
+
+    writeWave(2)
+    val wave2Rows = raw.filter(cuts(2)).count()
+    val run2Input = runOnce()
+
+    // (a) the checkpoint remembered the ingested file set
+    assert(run2Input === wave2Rows,
+      s"restart re-read old waves: run 2 input $run2Input, wave 2 has $wave2Rows")
+
+    // (b) emission-set equality with the single-run qs21 pipeline — only
+    // possible if the serialized Seq[AdmitEntry] buffers round-tripped
+    // through the state store: a fresh buffer for the straddling windows
+    // would admit only post-restart events
+    val recovered = spark.read.parquet(sink)
+      .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("event_type"), posexplode(col("admitted")).as(Seq("pos", "e")))
+      .select(col("window_start"), col("event_type"),
+        col("e.event_id").as("event_id"), col("e.user_id").as("user_id"),
+        timestamp_micros(col("e.ts_us")).cast(TimestampNTZType).as("ts"),
+        (col("pos") + 1).cast(IntegerType).as("admit_rank"))
+    val oneShot = graft.operators.Queries.byName("qs21_stream_quota_admit").run(spark, sf)
+    assert(recovered.exceptAll(oneShot).isEmpty && oneShot.exceptAll(recovered).isEmpty,
+      "restarted admission set differs from the single-run pipeline")
+
+    // (c) the straddle really happened: a window finalized AFTER the
+    // restart admitted an event from BEFORE it — pure recovered state
+    val straddleStart = lit("2024-01-09 19:00:00").cast(TimestampNTZType)
+    val straddled = recovered.filter(col("window_start") === straddleStart &&
+      col("ts") < lit("2024-01-09 19:30:00").cast(TimestampNTZType))
+    assert(straddled.count() > 0 && spark.read.parquet(sink).count() > emittedRun1,
+      "no admission straddled the restart — the recovery assertion would be vacuous")
+  }
 }
