@@ -1461,6 +1461,10 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // it must land near 3/5 / 3 = 20% of tokens (loose band)
     val rate = df.agg((sum("n_masked") / sum("n_tokens")).as("r")).head().getDouble(0)
     assert(rate > 0.12 && rate < 0.28, s"mask rate $rate outside the 1/5-span band")
+    // cross-op law vs x10: both operators count whitespace tokens
+    val mismatch = df.join(run("x10_token_count"), "doc_id")
+      .filter(col("n_tokens") =!= col("ws_tokens"))
+    assert(mismatch.isEmpty, "x105 and x10 disagree on token counts")
     // THE defining law: input + targets is a lossless encoding
     val docs = graft.operators.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"))
@@ -1492,6 +1496,18 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a systematic 1/40 sample of a mostly-unique corpus self-retrieves
     val hits = df.filter(col("self_hit")).count()
     assert(hits * 2 > df.count(), s"only $hits/${df.count()} snippets found their source")
+    // cross-op law vs x1: an EXACT duplicate with a smaller id has the
+    // identical shingle set, ties on shared count, and wins the id
+    // tiebreak — so a query doc that is not its own x1 keeper CANNOT
+    // self-hit. (The converse doesn't hold: near-dups also steal rank 1.)
+    val shadowed = run("x1_exact_dedup").filter(col("n_copies") > 1)
+      .join(graft.operators.Tables.documents(spark, sf)
+        .select(col("doc_id"), sha2(col("text"), 256).as("text_hash")), "text_hash")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as("qid"))
+    val violating = df.filter(col("self_hit")).join(shadowed, "qid")
+    assert(violating.isEmpty,
+      "a doc shadowed by an exact duplicate with a smaller id claimed rank 1")
     df.unpersist()
   }
 
