@@ -822,6 +822,42 @@ object Queries {
       |       ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
       |FROM orders WHERE o_orderkey % 89 <> 0""".stripMargin
 
+  // ---------------------------------------------------------------- Q40
+  /** SCD2 POINT-IN-TIME LOOKUP — the read side of x37's type-2 dimension
+    * and the join every warehouse fact table runs: each order resolves
+    * to the dimension VERSION valid on its date (`valid_from ≤ d <
+    * valid_to`, open version unbounded). Because x37's versions TILE each
+    * customer's timeline from their first order onward, every order
+    * matches exactly one non-empty interval — the spec pins that
+    * exactly-one law, and a same-date priority flip (an empty interval)
+    * can never match. Shape: one equi join on the customer key with the
+    * validity predicate as a residual filter — the dimension is
+    * versions-sized (broadcastable when it fits; AQE's call at 100 TB)
+    * and the fact side never shuffles more than its join partitioning.
+    * This is deliberately NOT a range-bucketed join: per customer the
+    * version count is small, so the equi key already bounds the
+    * candidates. */
+  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    val dim = x37(spark, dir)
+      .select(col("custkey"), col("version"), col("priority").as("dim_priority"),
+        col("valid_from"), col("valid_to"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_orderdate"))
+      .join(dim, Seq("custkey"))
+      .filter(col("o_orderdate") >= col("valid_from") &&
+        (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .select(col("o_orderkey"), col("custkey"), col("o_orderdate"),
+        col("version"), col("dim_priority"))
+  }
+
+  private lazy val q40Sql =
+    s"""WITH dim AS ($x37Sql)
+       |SELECT o.o_orderkey, d.custkey, o.o_orderdate, d.version,
+       |  d.priority AS dim_priority
+       |FROM orders o JOIN dim d ON d.custkey = o.o_custkey
+       |WHERE o.o_orderdate >= d.valid_from
+       |  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)""".stripMargin
+
   // ================================================================ X-series
   private def toks(c: Column): Column = split(c, " ")
 
@@ -6967,6 +7003,62 @@ object Queries {
       |FROM documents WHERE doc_id % 89 <> 0
       |GROUP BY text""".stripMargin
 
+  // ---------------------------------------------------------------- X111
+  /** FIRST/LAST-TOUCH ATTRIBUTION — the conversion-credit table product
+    * analytics runs on every funnel: each purchase credits the user's
+    * FIRST and LAST click inside the preceding 48-hour window (plus the
+    * touch count — the multi-touch denominator). Purchases with no
+    * qualifying click keep NULL attribution — the honest "organic"
+    * bucket, not a dropped row. Both argmin and argmax are lexicographic
+    * struct extremes with the unique event id as tiebreak, so identical
+    * timestamps cannot flip credit between engines. Shape: one equi join
+    * on user_id with the window predicate residual (per-user event
+    * counts bound the fan-out; AQE handles hot users), then ONE per-
+    * purchase aggregation — the exchange on purchase id reuses nothing
+    * but stays delta-shaped: at 100 TB this is two keyed shuffles,
+    * no windows over the event log, no self-cross. */
+  private def x111(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    purchases
+      .join(clicks, Seq("user_id"), "left")
+      .withColumn("touch",
+        col("cts") <= col("pts") && col("cts") >= col("pts") - expr("INTERVAL 48 HOURS"))
+      .withColumn("tstruct", when(col("touch"), struct(col("cts"), col("click_id"))))
+      .groupBy(col("purchase_id"), col("user_id"), col("pts"))
+      .agg(
+        sum(when(col("touch"), 1L).otherwise(0L)).as("n_touches"),
+        min(col("tstruct")).as("ft"), max(col("tstruct")).as("lt"))
+      .select(col("purchase_id"), col("user_id"),
+        col("pts").as("purchase_ts"), col("n_touches"),
+        col("ft.click_id").as("first_click_id"), col("ft.cts").as("first_click_ts"),
+        col("lt.click_id").as("last_click_id"), col("lt.cts").as("last_click_ts"))
+  }
+
+  private val x111Sql =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts,
+      |        (c.cts IS NOT NULL AND c.cts <= p.pts
+      |         AND c.cts >= p.pts - INTERVAL 48 HOUR) AS touch
+      |      FROM p LEFT JOIN c ON c.user_id = p.user_id)
+      |SELECT purchase_id, user_id, pts AS purchase_ts,
+      |  CAST(sum(CASE WHEN touch THEN 1 ELSE 0 END) AS BIGINT) AS n_touches,
+      |  (min(CASE WHEN touch THEN struct_pack(cts := cts, click_id := click_id) END)).click_id
+      |    AS first_click_id,
+      |  (min(CASE WHEN touch THEN struct_pack(cts := cts, click_id := click_id) END)).cts
+      |    AS first_click_ts,
+      |  (max(CASE WHEN touch THEN struct_pack(cts := cts, click_id := click_id) END)).click_id
+      |    AS last_click_id,
+      |  (max(CASE WHEN touch THEN struct_pack(cts := cts, click_id := click_id) END)).cts
+      |    AS last_click_ts
+      |FROM j GROUP BY purchase_id, user_id, pts""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -7107,6 +7199,10 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("q40_dimension_asof", q40, Some(q40Sql),
+      "SCD2 point-in-time lookup: each order resolves to the dimension version valid on its date (exactly-one law)"),
+    Q("x111_touch_attribution", x111, Some(x111Sql),
+      "first/last-touch conversion attribution within a 48h window, struct-extreme tiebreaks, organic rows kept as NULL"),
     Q("x110_ivm_dedup_index", x110, Some(x110Sql),
       "incremental maintenance of the dedup index under a CDC delta: dirty-group partial recompute == full rebuild"),
     Q("x109_fps_coreset", x109, Some(x109Sql),

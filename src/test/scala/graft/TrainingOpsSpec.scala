@@ -1582,4 +1582,42 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maintained.filter(col("keep_id") % 89 === 0).isEmpty)
     maintained.unpersist()
   }
+
+  test("q40: every order resolves to exactly ONE dimension version, and it contains the date") {
+    val df = run("q40_dimension_asof").cache()
+    val nOrders = graft.operators.Tables.orders(spark, sf).count()
+    assert(df.count() === nOrders, "the version intervals do not tile the timeline")
+    assert(df.groupBy("o_orderkey").count().filter(col("count") > 1).isEmpty,
+      "an order matched two versions — intervals overlap")
+    // the point-in-time law at DATE granularity: the version valid on date
+    // d is the run holding the chronologically LAST order of that date —
+    // so every order's resolved priority equals the priority of the
+    // largest-orderkey order on its own (customer, date). (Same-date
+    // priority flips produce empty intervals that can never match.)
+    val o = graft.operators.Tables.orders(spark, sf)
+    val lastOfDate = o.groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
+      .agg(max(struct(col("o_orderkey").as("k"), col("o_orderpriority").as("p"))).as("m"))
+      .select(col("custkey"), col("o_orderdate"), col("m.p").as("exp_pri"))
+    val joined = df.join(lastOfDate, Seq("custkey", "o_orderdate"))
+    assert(joined.count() === df.count())
+    assert(joined.filter(col("dim_priority") =!= col("exp_pri")).isEmpty,
+      "an order resolved to a version other than its date's closing run")
+    df.unpersist()
+  }
+
+  test("x111: attribution windows, ordering, and the organic bucket are all lawful") {
+    val df = run("x111_touch_attribution").cache()
+    val ev = graft.operators.Tables.events(spark, sf)
+    assert(df.count() === ev.filter(col("event_type") === "purchase").count(),
+      "a purchase row went missing — organic purchases must be kept")
+    // null-consistency: zero touches <=> null attribution
+    assert(df.filter((col("n_touches") === 0) =!= col("first_click_id").isNull).isEmpty)
+    assert(df.filter((col("n_touches") === 0) =!= col("last_click_id").isNull).isEmpty)
+    // credited clicks sit inside the window and in order
+    val touched = df.filter(col("n_touches") > 0)
+    assert(touched.filter(col("first_click_ts") > col("last_click_ts")).isEmpty)
+    assert(touched.filter(col("last_click_ts") > col("purchase_ts") ||
+      col("first_click_ts") < col("purchase_ts") - expr("INTERVAL 48 HOURS")).isEmpty)
+    df.unpersist()
+  }
 }
