@@ -553,4 +553,27 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-vs-corpus shuffle join belongs in incremental maintenance:\n$p")
   }
+
+  test("x105: the corruption manifest reuses ONE doc-keyed exchange for window + reassembly") {
+    val p = plan("x105_span_corruption")
+    assert(!p.contains("Join"), s"span corruption must not join anything:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"the sentinel window and the reassembly aggregation share the doc_id partitioning:\n$p")
+  }
+
+  test("x107: the mixture planner aggregates the corpus once; windows ride the sources frame") {
+    val p = plan("x107_temperature_mixture")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) === 1,
+      s"one corpus scan only:\n$p")
+    assert(!p.contains("Join"), s"normalization must be windows over the tiny frame, not joins:\n$p")
+  }
+
+  test("x111: attribution never windows the event log — one keyed join, one aggregation") {
+    val p = plan("x111_touch_attribution")
+    assert(!p.contains("Window"), s"struct extremes replace rank windows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the 48h predicate is residual on the user_id equi join:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      s"the struct extremes must combine map-side:\n$p")
+  }
 }
