@@ -482,6 +482,129 @@ object FrameworkQueries {
       |  CAST(sum(length(n_name)) AS BIGINT) AS name_chars
       |FROM nation GROUP BY n_regionkey""".stripMargin
 
+  final case class EmbRow(vec_id: Long, embedding: Seq[Float], label: Int)
+  final case class CodebookRow(s: Int, c: Int, cent: Seq[Long])
+  final case class CodesRow(vec_id: Long, c0: Int, c1: Int, c2: Int, c3: Int,
+      c4: Int, c5: Int, c6: Int, c7: Int, err_micro2: Long)
+  final case class ServeRow(qid: Long, rnk: Int, vec_id: Long, adc_micro2: Long)
+
+  /** x112_pq_index_serve: the VECTOR-INDEX LIFECYCLE as a producer graph —
+    * how a billion-vector deployment actually ships: train the PQ codebook
+    * offline (x102's subspace Lloyd round), ENCODE the corpus against it,
+    * publish both as validated, fingerprint-addressed artifacts
+    * (write-audit-publish: the codes artifact must cover every vector with
+    * in-range codes BEFORE it can publish — F13 guarding an index, not a
+    * table), then SERVE queries from the published artifacts alone via
+    * asymmetric-distance computation: per query, an 8×4 lookup table of
+    * exact integer subspace distances to every centroid (the LUT
+    * broadcasts — queries never touch raw vectors at serve time), summed
+    * over each vector's 8 codes, global top-3 per query. Incremental
+    * corollary for free: a new corpus slice re-encodes against the
+    * PUBLISHED codebook artifact without retraining (x49's frozen-index
+    * discipline — the executor's fingerprints make that skip automatic).
+    * At 100 TB the serve shuffle carries one pre-combined (query, vec)
+    * partial per scan task; batched query blocks shard that dimension. */
+  private def x112(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp()
+    def art(name: String, t: ACollection) = Artifact(t, Format.Parquet,
+      FileStorage(PathTemplate(s"$base/$name/{input_fingerprint}", Map.empty)))
+    val raw = Artifact(collectionOf[EmbRow]("embeddings"), Format.Parquet,
+      FileStorage(PathTemplate(s"$dir/embeddings.parquet", Map.empty)))
+    val codebook = art("codebook", collectionOf[CodebookRow]("codebook"))
+    val codes = art("codes", collectionOf[CodesRow]("codes"))
+    val hits = art("hits", collectionOf[ServeRow]("hits"))
+
+    def subsOf(e: DataFrame): DataFrame = e
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))").as("vq"))
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> struct(s as s, slice(vq, s * 8 + 1, 8) as sub))")).as("z"))
+      .select(col("vec_id"), col("z.s").as("s"), col("z.sub").as("sub"))
+
+    val trainP = Producer("train_codebook", build = (_, ins) => Seq(
+      Queries.pqCodebook(subsOf(ins.head).persist()).coalesce(1)))
+    val encodeP = Producer("encode_corpus",
+      build = (_, ins) => Seq(
+        Queries.pqEncode(subsOf(ins.head), ins(1)).coalesce(4)),
+      validateOutputs = outs => {
+        // ONE aggregation: coverage + code-range audit before publish
+        val codeCols = (0 until 8).map(s => col(s"c$s"))
+        val r = outs.head.agg(
+          count(lit(1)).as("n"),
+          max(codeCols.map(c => when(c < 0 || c > 3, 1).otherwise(0)).reduce(_ + _)).as("oob"))
+          .head()
+        if (r.getLong(0) == 0) Left("codes artifact is empty")
+        else if (r.getInt(1) > 0) Left("a code left the k=4 codebook range")
+        else Right(())
+      })
+    val serveP = Producer("serve_topk", build = (_, ins) => {
+      val (emb, cb, cds) = (ins(0), ins(1), ins(2))
+      val lut = subsOf(emb.filter(col("vec_id") < 10))
+        .withColumnRenamed("vec_id", "qid")
+        .join(broadcast(cb), "s")
+        .withColumn("d", Queries.pqDist2)
+        .select(col("qid"), col("s"), col("c"), col("d"))
+      val melted = cds.select(col("vec_id"), posexplode(array(
+        (0 until 8).map(s => col(s"c$s")): _*)).as(Seq("s", "c")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("adc_micro2").asc, col("vec_id").asc)
+      Seq(melted.join(broadcast(lut), Seq("s", "c"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("d")).as("adc_micro2"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk").cast(IntegerType).as("rnk"),
+          col("vec_id"), col("adc_micro2"))
+        .coalesce(1))
+    })
+
+    val g = new Graph("pq_index")
+      .add("embeddings", raw).add("codebook", codebook)
+      .add("codes", codes).add("hits", hits)
+      .produce(trainP, Seq("embeddings"), Seq("codebook"))
+      .produce(encodeP, Seq("embeddings", "codebook"), Seq("codes"))
+      .produce(serveP, Seq("embeddings", "codebook", "codes"), Seq("hits"))
+      .close()
+    val backend = new MemoryBackend
+    val snap = g.snapshot(spark, backend)
+    new LocalExecutor(backend).build(spark, snap)
+    snap.read(spark, backend, "hits")
+  }
+
+  private val x112Sql = {
+    val d2 = (sub: String, cent: String) =>
+      s"list_sum(list_transform(range(8), i -> ($sub[i + 1] - $cent[i + 1]) * ($sub[i + 1] - $cent[i + 1])))"
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |subs AS (SELECT vec_id, s, list_slice(vq, s * 8 + 1, s * 8 + 8) AS sub
+       |  FROM e, (SELECT unnest(range(8)) AS s)),
+       |seeds AS (SELECT s, CAST(vec_id AS INT) AS c, sub AS cent FROM subs WHERE vec_id < 4),
+       |a1 AS (SELECT s, c, sub FROM (
+       |    SELECT v.s, k.c, v.sub,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${d2("v.sub", "k.cent")}, k.c) AS rn
+       |    FROM subs v JOIN seeds k ON k.s = v.s) t WHERE rn = 1),
+       |ex AS (SELECT s, c, i, sub[i + 1] AS el FROM a1, (SELECT unnest(range(8)) AS i)),
+       |cs AS (SELECT s, c, i, sum(el) AS se, count(*) AS n FROM ex GROUP BY 1, 2, 3),
+       |cent AS (SELECT s, c, list(CAST(round(se::DOUBLE / n) AS BIGINT) ORDER BY i) AS cent
+       |  FROM cs GROUP BY 1, 2),
+       |enc AS (SELECT vec_id, s, c FROM (
+       |    SELECT v.vec_id, v.s, k.c,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${d2("v.sub", "k.cent")}, k.c) AS rn
+       |    FROM subs v JOIN cent k ON k.s = v.s) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, s, sub FROM subs WHERE vec_id < 10),
+       |lut AS (SELECT q.qid, k.s, k.c, ${d2("q.sub", "k.cent")} AS d
+       |        FROM q JOIN cent k ON k.s = q.s),
+       |adc AS (SELECT l.qid, enc.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_micro2
+       |        FROM enc JOIN lut l ON l.s = enc.s AND l.c = enc.c GROUP BY 1, 2)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, adc_micro2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc_micro2, vec_id) AS rnk FROM adc) t
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q13_partitioned_spend", q13, Some(q13Sql), "spend demo through the engine (graph+producer+executor)"),
     Q("q32_mock_storage", q32, Some(q32Sql),
@@ -493,5 +616,7 @@ object FrameworkQueries {
     Q("q25_multi_output", q25, Some(q25Sql), "one producer, two artifacts (F6 multi-output through the engine)"),
     Q("q28_bucketed_join", q28, Some(q28Sql),
       "cluster_by Collections end to end: bucketed executor writes, catalog reads, co-located join"),
-    Q("x15_clean_corpus", x15, Some(x15Sql), "full dedup+quality pipeline as a producer graph"))
+    Q("x15_clean_corpus", x15, Some(x15Sql), "full dedup+quality pipeline as a producer graph"),
+    Q("x112_pq_index_serve", x112, Some(x112Sql),
+      "vector-index lifecycle as a producer graph: train PQ codebook, encode+validate+publish, serve ADC top-3 from artifacts"))
 }

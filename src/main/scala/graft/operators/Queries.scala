@@ -6395,31 +6395,34 @@ object Queries {
     * centroid recompute carrying (s, c, dim, int64) triples with map-side
     * combine — k·dims·partitions rows regardless of corpus size. The
     * subspace explode is map-side (Generate, no exchange). */
-  private def x102(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), expr(
+  /** (vec_id, s, sub): integer-micro 8-dim subvectors of every embedding —
+    * the shared entry of the PQ family (x102 and the x112 index capstone). */
+  private[graft] def pqSubspaces(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), expr(
       "transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))").as("vq"))
-    // (vec_id, s, sub): the 8-dim integer subvector of subspace s
-    val subs = e.select(col("vec_id"), explode(expr(
-      "transform(sequence(0, 7), s -> struct(s as s, slice(vq, s * 8 + 1, 8) as sub))")).as("z"))
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> struct(s as s, slice(vq, s * 8 + 1, 8) as sub))")).as("z"))
       .select(col("vec_id"), col("z.s").as("s"), col("z.sub").as("sub"))
-      .persist() // three passes: seeds, assignment, final encode
+
+  /** exact int64 squared L2 between the row's `sub` and `cent` arrays. */
+  private[graft] val pqDist2: Column = expr(
+    "aggregate(zip_with(sub, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+
+  /** One seeded Lloyd round per subspace → (s, c, cent). Argmin is a
+    * lexicographic min-struct AGGREGATION, not a row_number window: the ×k
+    * candidate rows combine map-side, so the shuffle carries one
+    * pre-reduced row per (vec, s) — a window would shuffle the full
+    * exploded join. The centroid recompute is exact elementwise long sums,
+    * one division, back to integer micros — the only corpus-scale shuffle,
+    * map-side combined. */
+  private[graft] def pqCodebook(subs: DataFrame): DataFrame = {
     val seeds = subs.filter(col("vec_id") < 4)
       .select(col("s"), col("vec_id").cast(IntegerType).as("c"), col("sub").as("cent"))
-    val dist2 = expr(
-      "aggregate(zip_with(sub, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-    // argmin as a lexicographic min-struct AGGREGATION, not a row_number
-    // window: the ×k candidate rows combine map-side, so the shuffle
-    // carries one pre-reduced row per (vec, s) — a window would shuffle
-    // the full exploded join. `sub` rides the struct (constant per group,
-    // so it never affects the ordering).
-    val assign1 = subs.join(broadcast(seeds), "s")
-      .withColumn("d2", dist2)
+    subs.join(broadcast(seeds), "s")
+      .withColumn("d2", pqDist2)
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("d2"), col("c"), col("sub"))).as("m"))
       .select(col("s"), col("m.c").as("c"), col("m.sub").as("sub"))
-    // centroid recompute: exact elementwise long sums, one division, back
-    // to integer micros — the only corpus-scale shuffle, map-side combined
-    val cents = assign1
       .select(col("s"), col("c"), posexplode(col("sub")).as(Seq("i", "el")))
       .groupBy(col("s"), col("c"), col("i"))
       .agg(sum(col("el")).as("se"), count(lit(1)).as("n"))
@@ -6427,18 +6430,27 @@ object Queries {
       .groupBy(col("s"), col("c"))
       .agg(array_sort(collect_list(struct(col("i"), col("ce")))).as("ic"))
       .select(col("s"), col("c"), expr("transform(ic, x -> x.ce)").as("cent"))
-    // encode in ONE corpus shuffle: per vector, 8 independent min-structs
-    // (one per subspace) combined map-side; codes + the error sum unpack
-    // after the aggregation
+  }
+
+  /** Encode every vector against a codebook in ONE corpus shuffle: per
+    * vector, 8 independent min-structs (one per subspace) combined
+    * map-side; codes + the error sum unpack after the aggregation. */
+  private[graft] def pqEncode(subs: DataFrame, cents: DataFrame): DataFrame = {
     val mins = (0 until 8).map(s =>
       min(when(col("s") === s, struct(col("d2"), col("c")))).as(s"m$s"))
     subs.join(broadcast(cents), "s")
-      .withColumn("d2", dist2)
+      .withColumn("d2", pqDist2)
       .groupBy(col("vec_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("vec_id") +:
         (0 until 8).map(s => col(s"m$s.c").as(s"c$s")) :+
         (0 until 8).map(s => col(s"m$s.d2")).reduce(_ + _).as("err_micro2"): _*)
+  }
+
+  private def x102(spark: SparkSession, dir: String): DataFrame = {
+    val subs = pqSubspaces(spark, dir)
+      .persist() // three passes: seeds, assignment, final encode
+    pqEncode(subs, pqCodebook(subs))
   }
 
   private val x102Sql = {

@@ -1620,4 +1620,30 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("first_click_ts") < col("purchase_ts") - expr("INTERVAL 48 HOURS")).isEmpty)
     df.unpersist()
   }
+
+  test("x112: serving from published artifacts obeys the self-ADC identity with x102") {
+    val hits = run("x112_pq_index_serve").cache()
+    // 10 queries x top-3, ranks dense, distances monotone within a query
+    assert(hits.count() === 30)
+    val byQ = hits.groupBy("qid").agg(count(lit(1)).as("n"),
+      max("rnk").as("mx"), min("rnk").as("mn"))
+    assert(byQ.filter(col("n") =!= 3 || col("mx") =!= 3 || col("mn") =!= 1).isEmpty)
+    val w = Window.partitionBy(col("qid")).orderBy(col("rnk"))
+    assert(hits.withColumn("prev", lag(col("adc_micro2"), 1).over(w))
+      .filter(col("prev").isNotNull && col("adc_micro2") < col("prev")).isEmpty,
+      "ADC distance must be non-decreasing with rank")
+    // EXACT identity: ADC from a query to its own codes equals that
+    // vector's x102 reconstruction error (the argmin defining the codes
+    // is the same minimum the LUT sums) — ties the served artifact back
+    // to the training query bit-for-bit
+    val self = hits.filter(col("vec_id") === col("qid"))
+      .select(col("qid"), col("adc_micro2"))
+    val codes = run("x102_pq_codebook")
+      .select(col("vec_id").as("qid"), col("err_micro2"))
+    assert(self.count() > 0, "no query retrieved itself — vacuous identity")
+    assert(self.join(codes, "qid")
+      .filter(col("adc_micro2") =!= col("err_micro2")).isEmpty,
+      "self-ADC diverged from the x102 reconstruction error")
+    hits.unpersist()
+  }
 }
