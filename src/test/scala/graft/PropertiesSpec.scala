@@ -331,4 +331,25 @@ class PropertiesSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("FirstK admission is partition- and order-invariant (the qs21 exactness law)") {
+    import graft.functions.{AdmitEntry, FirstK}
+    val agg = new FirstK(5)
+    def fold(xs: Seq[AdmitEntry]) = xs.foldLeft(agg.zero)(agg.reduce)
+    // event ids synthesized unique (as in real data) so the (ts, id)
+    // order is total and ties cannot hide behind sort stability
+    val gen = Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 1000L)))
+      .map(_.zipWithIndex.map { case ((t, u), i) => AdmitEntry(t, i.toLong, u) })
+    check("firstk-invariance", Prop.forAll(gen, Gen.choose(0, 100), Gen.choose(0, 100)) {
+      (es, c1, c2) =>
+        val truth = es.sortBy(e => (e.ts_us, e.event_id)).take(5)
+        val (a, rest) = es.splitAt(if (es.isEmpty) 0 else c1 % (es.length + 1))
+        val (b, c) = rest.splitAt(if (rest.isEmpty) 0 else c2 % (rest.length + 1))
+        // any partition, any association, any commutation, any arrival order
+        agg.finish(agg.merge(agg.merge(fold(a), fold(b)), fold(c))) == truth &&
+        agg.finish(agg.merge(fold(c), agg.merge(fold(b), fold(a)))) == truth &&
+        agg.finish(fold(scala.util.Random.javaRandomToRandom(
+          new java.util.Random(42)).shuffle(es))) == truth
+    })
+  }
 }
