@@ -7071,6 +7071,57 @@ object Queries {
       |    AS last_click_ts
       |FROM j GROUP BY purchase_id, user_id, pts""".stripMargin
 
+  // ---------------------------------------------------------------- X113
+  /** NORMALIZATION-UNLOCKED DEDUP — the canonicalization pass run BEFORE
+    * exact dedup in every real pipeline: lowercase, strip punctuation,
+    * squeeze whitespace, then group by the hash of the CANONICAL text.
+    * The synthetic corpus is already canonical (lowercase, single-spaced),
+    * so the casing/punctuation noise the pass exists for is PLANTED
+    * deterministically (the x94/x95 derived-layer discipline): every 10th
+    * document gains a variant with a capitalized first letter, doubled
+    * trailing whitespace and a period — invisible noise to a reader,
+    * a different byte string to x1. The audit then reports each canonical
+    * group with ≥ 2 members: total copies, how many RAW variants it
+    * collapses (n_variants > 1 IS the unlock — byte-exact dedup cannot
+    * see those), and the content-addressed keeper. Entirely map-side
+    * until ONE 32-byte-key aggregation: the canonicalizer is three string
+    * kernels riding the scan projection, the shuffle carries two hashes +
+    * an id per row — at 100 TB this costs exactly what x1 costs. The
+    * canonical rules are engine-portable by construction (character
+    * classes, no locale tables), so the oracle replays them glyph for
+    * glyph. */
+  private def x113(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val variants = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(upper(substring(col("text"), 1, 1)),
+          expr("substring(text, 2)"), lit("  .")).as("text"))
+    d.unionByName(variants)
+      .select(col("doc_id"), sha2(col("text"), 256).as("raw_hash"),
+        sha2(trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), 256).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_hash")).as("n_variants"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  private val x113Sql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, upper(substring(text, 1, 1)) ||
+      |         substring(text, 2) || '  .'
+      |  FROM documents WHERE doc_id % 10 = 0)
+      |SELECT sha256(trim(regexp_replace(regexp_replace(
+      |         lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_variants,
+      |  min(doc_id) AS keep_id
+      |FROM all_docs
+      |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -7211,6 +7262,8 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("x113_normalized_dedup", x113, Some(x113Sql),
+      "canonicalized exact dedup audit: casing/punctuation variants collapsed per canonical hash, unlock vs x1 counted"),
     Q("q40_dimension_asof", q40, Some(q40Sql),
       "SCD2 point-in-time lookup: each order resolves to the dimension version valid on its date (exactly-one law)"),
     Q("x111_touch_attribution", x111, Some(x111Sql),

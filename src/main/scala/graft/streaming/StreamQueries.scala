@@ -831,6 +831,46 @@ object StreamQueries {
        |FROM r WHERE rn <= 5
        |  AND window_start + INTERVAL 1 HOUR <= $wmSql""".stripMargin
 
+  // --------------------------------------------------------------- QS22
+  /** STREAMING LEADERBOARD — the "top sales this hour" dashboard row:
+    * the 5 highest-value events per finalized hour, emitted once when
+    * the watermark closes the window. Reuses [[graft.functions.FirstK]]
+    * unchanged: FirstK is ordered admission under ANY total (long, long)
+    * key — qs21 feeds it event time for a quota, this feeds it NEGATED
+    * integer cents for a top-k by value (the unique event id still
+    * breaks ties) — same ≤ k state per open window, same append-mode
+    * finalization contract, same provable equality to the batch
+    * row_number(). One Aggregator, two operators: the algebra, not the
+    * key, is the primitive. */
+  private def qs22(spark: SparkSession, dir: String): DataFrame = {
+    val top = udaf(new graft.functions.FirstK(5))
+    val agged = eventsStream(spark, dir, nFiles = 3)
+      .withWatermark("ts", "10 minutes")
+      .withColumn("neg_cents", -expr("cast(round(value * 100, 0) as bigint)"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(top(col("neg_cents"), col("event_id"), col("user_id")).as("winners"))
+    runToTable(spark, agged, OutputMode.Append())
+      .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+        posexplode(col("winners")).as(Seq("pos", "e")))
+      .select(col("window_start"),
+        col("e.event_id").as("event_id"), col("e.user_id").as("user_id"),
+        (-col("e.ts_us")).as("value_cents"),
+        (col("pos") + 1).cast(IntegerType).as("rank"))
+  }
+
+  private val qs22Sql =
+    s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       |             CAST(round(value * 100) AS BIGINT) AS cents,
+       |             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start
+       |           FROM events),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY window_start ORDER BY cents DESC, event_id) AS rnk
+       |      FROM e)
+       |SELECT window_start, event_id, user_id, cents AS value_cents,
+       |  CAST(rnk AS INT) AS rank
+       |FROM r WHERE rnk <= 5
+       |  AND window_start + INTERVAL 1 HOUR <= $wmSql""".stripMargin
+
   // --------------------------------------------------------------- QS16
   /** Streaming EXACT UNIQUE VISITORS per hour — the metric a naive
     * streaming `count(distinct)` cannot give you (unsupported on
@@ -1238,5 +1278,7 @@ object StreamQueries {
     Q("qs20_stream_trending", qs20, Some(qs20Sql),
       "streaming trending: top event type per finalized hour via domain-pivoted sums, stateless argmax, one windowed agg"),
     Q("qs21_stream_quota_admit", qs21, Some(qs21Sql),
-      "streaming ingest quota: first-5 events per (type, hour) via a mergeable bounded FirstK aggregation, append-finalized"))
+      "streaming ingest quota: first-5 events per (type, hour) via a mergeable bounded FirstK aggregation, append-finalized"),
+    Q("qs22_stream_leaderboard", qs22, Some(qs22Sql),
+      "streaming top-5-by-value per finalized hour: FirstK under the negated-cents order, same bounded-state contract"))
 }

@@ -1646,4 +1646,39 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "self-ADC diverged from the x102 reconstruction error")
     hits.unpersist()
   }
+
+  test("qs22: the streamed leaderboard equals the batch top-5-by-value per emitted hour") {
+    val df = run("qs22_stream_leaderboard").cache()
+    assert(df.count() > 0)
+    val sizes = df.groupBy("window_start")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(sizes.filter(col("n") > 5 || col("mx") =!= col("n") || col("mn") =!= 1).isEmpty)
+    val ev = graft.operators.Tables.events(spark, sf)
+    val w = Window.partitionBy(date_trunc("hour", col("ts")))
+      .orderBy(expr("cast(round(value * 100, 0) as bigint)").desc, col("event_id").asc)
+    val batch = ev.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(date_trunc("hour", col("ts")).as("window_start"), col("event_id"),
+        expr("cast(round(value * 100, 0) as bigint)").as("value_cents"),
+        col("rank").cast("int").as("rank"))
+    assert(df.join(batch,
+      Seq("window_start", "event_id", "value_cents", "rank")).count() === df.count(),
+      "a streamed leaderboard row disagrees with the batch ranking")
+    df.unpersist()
+  }
+
+  test("x113: canonicalization collapses every planted variant onto its original") {
+    val df = run("x113_normalized_dedup").cache()
+    assert(df.count() > 0)
+    // keepers are originals: a planted variant (id >= 10000000) never wins
+    assert(df.filter(col("keep_id") >= 10000000L).isEmpty)
+    // the unlock is real: every group containing a planted variant shows
+    // n_variants >= 2 (byte-exact dedup could not see it), and the number
+    // of unlocked groups covers the planted population
+    val unlocked = df.filter(col("n_variants") >= 2)
+    val planted = graft.operators.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(unlocked.agg(sum(col("n_docs"))).head().getLong(0) >= planted,
+      "planted variants failed to collapse onto their originals")
+    df.unpersist()
+  }
 }
