@@ -7122,6 +7122,43 @@ object Queries {
       |FROM all_docs
       |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  // ---------------------------------------------------------------- X114
+  /** EVENT-TRANSITION MATRIX — the first-order Markov statistics behind
+    * behavioral pretraining, next-event prediction baselines, and funnel
+    * anomaly detection: for every (from, to) event-type pair, the exact
+    * transition count and probability over each user's time-ordered
+    * stream (ties broken by event_id — a total order, so both engines
+    * see the same successor). Probabilities are exact integer ppm of the
+    * from-state's outgoing total, so rows per from-state sum to ~1e6
+    * minus floor loss — auditable. Shape: ONE user-keyed exchange serves
+    * both the successor window and (after the map-side pair projection)
+    * the |types|²-bounded count aggregation; the from-state totals join
+    * back onto the tiny matrix by window. At 100 TB this is the q34/x75
+    * sessionization cost: one shuffle of (user, ts)-sorted events,
+    * nothing corpus-quadratic. */
+  private def x114(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div sum(n) over (partition by from_type)").as("p_ppm"))
+  }
+
+  private val x114Sql =
+    """WITH s AS (SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      |FROM m""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -7262,6 +7299,8 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("x114_event_transitions", x114, Some(x114Sql),
+      "first-order Markov transition matrix over user event streams: exact counts + integer-ppm probabilities"),
     Q("x113_normalized_dedup", x113, Some(x113Sql),
       "canonicalized exact dedup audit: casing/punctuation variants collapsed per canonical hash, unlock vs x1 counted"),
     Q("q40_dimension_asof", q40, Some(q40Sql),

@@ -1681,4 +1681,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "planted variants failed to collapse onto their originals")
     df.unpersist()
   }
+
+  test("x114: the transition matrix is a proper stochastic matrix (up to ppm floor loss)") {
+    val df = run("x114_event_transitions").cache()
+    // a 5-type event universe: the matrix is at most 5x5, counts positive
+    assert(df.count() <= 25 && df.filter(col("n") < 1).isEmpty)
+    // each row of the matrix sums to ~1e6 (floor loss < |to states|)
+    val rows = df.groupBy("from_type")
+      .agg(sum("p_ppm").as("s"), count(lit(1)).as("k"))
+    assert(rows.filter(col("s") > 1000000L || col("s") <= lit(1000000L) - col("k")).isEmpty,
+      "a from-state's outgoing probabilities do not normalize")
+    // conservation: total transitions = total events - one per active user
+    val ev = graft.operators.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(df.agg(sum("n")).head().getLong(0) === expected,
+      "transition count != events - users (a successor was dropped or doubled)")
+    df.unpersist()
+  }
 }
