@@ -21,8 +21,17 @@ final class FirstK(k: Int) extends Aggregator[AdmitEntry, Seq[AdmitEntry], Seq[A
 
   override def zero: Seq[AdmitEntry] = Vector.empty
 
+  // Invariant: buffers are always sorted (zero is empty, reduce inserts in
+  // place, merge re-sorts). On the ingest hot path the overwhelmingly
+  // common case — buffer full, row later than the current cutoff — must
+  // not re-sort or reallocate: a flooding key pays O(1) per rejected row.
   override def reduce(b: Seq[AdmitEntry], a: AdmitEntry): Seq[AdmitEntry] =
-    ((b :+ a).sorted(ord)).take(k)
+    if (b.length >= k && ord.gteq(a, b.last)) b
+    else {
+      val i = b.indexWhere(e => ord.gt(e, a))
+      val ins = if (i < 0) b :+ a else (b.take(i) :+ a) ++ b.drop(i)
+      if (ins.length > k) ins.take(k) else ins
+    }
 
   override def merge(x: Seq[AdmitEntry], y: Seq[AdmitEntry]): Seq[AdmitEntry] =
     ((x ++ y).sorted(ord)).take(k)

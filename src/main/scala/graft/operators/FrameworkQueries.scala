@@ -514,18 +514,11 @@ object FrameworkQueries {
     val codes = art("codes", collectionOf[CodesRow]("codes"))
     val hits = art("hits", collectionOf[ServeRow]("hits"))
 
-    def subsOf(e: DataFrame): DataFrame = e
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))").as("vq"))
-      .select(col("vec_id"), explode(expr(
-        "transform(sequence(0, 7), s -> struct(s as s, slice(vq, s * 8 + 1, 8) as sub))")).as("z"))
-      .select(col("vec_id"), col("z.s").as("s"), col("z.sub").as("sub"))
-
     val trainP = Producer("train_codebook", build = (_, ins) => Seq(
-      Queries.pqCodebook(subsOf(ins.head).persist()).coalesce(1)))
+      Queries.pqCodebook(Queries.pqSubspaces(ins.head).persist()).coalesce(1)))
     val encodeP = Producer("encode_corpus",
       build = (_, ins) => Seq(
-        Queries.pqEncode(subsOf(ins.head), ins(1)).coalesce(4)),
+        Queries.pqEncode(Queries.pqSubspaces(ins.head), ins(1)).coalesce(4)),
       validateOutputs = outs => {
         // ONE aggregation: coverage + code-range audit before publish
         val codeCols = (0 until 8).map(s => col(s"c$s"))
@@ -539,7 +532,7 @@ object FrameworkQueries {
       })
     val serveP = Producer("serve_topk", build = (_, ins) => {
       val (emb, cb, cds) = (ins(0), ins(1), ins(2))
-      val lut = subsOf(emb.filter(col("vec_id") < 10))
+      val lut = Queries.pqSubspaces(emb.filter(col("vec_id") < 10))
         .withColumnRenamed("vec_id", "qid")
         .join(broadcast(cb), "s")
         .withColumn("d", Queries.pqDist2)
@@ -571,24 +564,11 @@ object FrameworkQueries {
     snap.read(spark, backend, "hits")
   }
 
-  private val x112Sql = {
-    val d2 = (sub: String, cent: String) =>
-      s"list_sum(list_transform(range(8), i -> ($sub[i + 1] - $cent[i + 1]) * ($sub[i + 1] - $cent[i + 1])))"
-    s"""WITH e AS (SELECT vec_id,
-       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
-       |  FROM embeddings),
-       |subs AS (SELECT vec_id, s, list_slice(vq, s * 8 + 1, s * 8 + 8) AS sub
-       |  FROM e, (SELECT unnest(range(8)) AS s)),
-       |seeds AS (SELECT s, CAST(vec_id AS INT) AS c, sub AS cent FROM subs WHERE vec_id < 4),
-       |a1 AS (SELECT s, c, sub FROM (
-       |    SELECT v.s, k.c, v.sub,
-       |      row_number() OVER (PARTITION BY v.vec_id, v.s
-       |        ORDER BY ${d2("v.sub", "k.cent")}, k.c) AS rn
-       |    FROM subs v JOIN seeds k ON k.s = v.s) t WHERE rn = 1),
-       |ex AS (SELECT s, c, i, sub[i + 1] AS el FROM a1, (SELECT unnest(range(8)) AS i)),
-       |cs AS (SELECT s, c, i, sum(el) AS se, count(*) AS n FROM ex GROUP BY 1, 2, 3),
-       |cent AS (SELECT s, c, list(CAST(round(se::DOUBLE / n) AS BIGINT) ORDER BY i) AS cent
-       |  FROM cs GROUP BY 1, 2),
+  /** Shares the training CTE chain and the d2 spelling with x102Sql —
+    * ONE copy of the Lloyd-round oracle (Queries.pqTrainCtesSql). */
+  private lazy val x112Sql = {
+    val d2 = Queries.pqD2Sql
+    s"""WITH ${Queries.pqTrainCtesSql},
        |enc AS (SELECT vec_id, s, c FROM (
        |    SELECT v.vec_id, v.s, k.c,
        |      row_number() OVER (PARTITION BY v.vec_id, v.s

@@ -805,7 +805,7 @@ object Queries {
       .filter(col("o_orderkey") % 97 =!= 0)
       .select(col("o_orderkey"),
         expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
-    val feed = q38(spark, dir)
+    val feed = q38(spark, dir).persist() // read twice: key set + upserts
     val untouched = base.join(broadcast(feed.select(col("o_orderkey"))),
       Seq("o_orderkey"), "left_anti")
     val upserts = feed.filter(col("change_type").isin("added", "changed"))
@@ -6396,13 +6396,18 @@ object Queries {
     * combine — k·dims·partitions rows regardless of corpus size. The
     * subspace explode is map-side (Generate, no exchange). */
   /** (vec_id, s, sub): integer-micro 8-dim subvectors of every embedding —
-    * the shared entry of the PQ family (x102 and the x112 index capstone). */
-  private[graft] def pqSubspaces(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(col("vec_id"), expr(
+    * the shared entry of the PQ family (x102 and the x112 index capstone).
+    * Takes any (vec_id, embedding) frame so x112's producers quantize the
+    * SAME way training did — one quantization rule, one place. */
+  private[graft] def pqSubspaces(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), expr(
       "transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))").as("vq"))
       .select(col("vec_id"), explode(expr(
         "transform(sequence(0, 7), s -> struct(s as s, slice(vq, s * 8 + 1, 8) as sub))")).as("z"))
       .select(col("vec_id"), col("z.s").as("s"), col("z.sub").as("sub"))
+
+  private[graft] def pqSubspaces(spark: SparkSession, dir: String): DataFrame =
+    pqSubspaces(Tables.embeddings(spark, dir))
 
   /** exact int64 squared L2 between the row's `sub` and `cent` arrays. */
   private[graft] val pqDist2: Column = expr(
@@ -6453,11 +6458,16 @@ object Queries {
     pqEncode(subs, pqCodebook(subs))
   }
 
-  private val x102Sql = {
-    val d2 = (sub: String, cent: String) =>
-      s"list_sum(list_transform(range(8), i -> ($sub[i + 1] - $cent[i + 1]) * ($sub[i + 1] - $cent[i + 1])))"
-    val codes = (0 until 8).map(s => s"max(CASE WHEN s = $s THEN c END) AS c$s").mkString(",\n      |  ")
-    s"""WITH e AS (SELECT vec_id,
+  /** Exact int64 subspace L2 in DuckDB — shared by the x102 and x112
+    * oracles so the distance spelling cannot diverge. */
+  private[operators] val pqD2Sql: (String, String) => String = (sub, cent) =>
+    s"list_sum(list_transform(range(8), i -> ($sub[i + 1] - $cent[i + 1]) * ($sub[i + 1] - $cent[i + 1])))"
+
+  /** The codebook-training CTE chain (quantize → subspaces → seeds →
+    * assignment → centroid recompute), WITH-less so callers append their
+    * own consumers — ONE copy of the Lloyd round for both oracles. */
+  private[operators] val pqTrainCtesSql: String =
+    s"""e AS (SELECT vec_id,
        |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
        |  FROM embeddings),
        |subs AS (SELECT vec_id, s, list_slice(vq, s * 8 + 1, s * 8 + 8) AS sub
@@ -6466,16 +6476,20 @@ object Queries {
        |a1 AS (SELECT s, c, sub FROM (
        |    SELECT v.s, k.c, v.sub,
        |      row_number() OVER (PARTITION BY v.vec_id, v.s
-       |        ORDER BY ${d2("v.sub", "k.cent")}, k.c) AS rn
+       |        ORDER BY ${pqD2Sql("v.sub", "k.cent")}, k.c) AS rn
        |    FROM subs v JOIN seeds k ON k.s = v.s) t WHERE rn = 1),
        |ex AS (SELECT s, c, i, sub[i + 1] AS el FROM a1, (SELECT unnest(range(8)) AS i)),
        |cs AS (SELECT s, c, i, sum(el) AS se, count(*) AS n FROM ex GROUP BY 1, 2, 3),
        |cent AS (SELECT s, c, list(CAST(round(se::DOUBLE / n) AS BIGINT) ORDER BY i) AS cent
-       |  FROM cs GROUP BY 1, 2),
+       |  FROM cs GROUP BY 1, 2)""".stripMargin
+
+  private val x102Sql = {
+    val codes = (0 until 8).map(s => s"max(CASE WHEN s = $s THEN c END) AS c$s").mkString(",\n      |  ")
+    s"""WITH $pqTrainCtesSql,
        |enc AS (SELECT vec_id, s, c, d2 FROM (
-       |    SELECT v.vec_id, v.s, k.c, ${d2("v.sub", "k.cent")} AS d2,
+       |    SELECT v.vec_id, v.s, k.c, ${pqD2Sql("v.sub", "k.cent")} AS d2,
        |      row_number() OVER (PARTITION BY v.vec_id, v.s
-       |        ORDER BY ${d2("v.sub", "k.cent")}, k.c) AS rn
+       |        ORDER BY ${pqD2Sql("v.sub", "k.cent")}, k.c) AS rn
        |    FROM subs v JOIN cent k ON k.s = v.s) t WHERE rn = 1)
        |SELECT vec_id,
        |  $codes,
@@ -6942,6 +6956,7 @@ object Queries {
       picked :+= ((far.getLong(1), -far.getLong(0)))
     }
     d.unpersist()
+    e.unpersist() // the loop's own caches are released; release the corpus too
     picked.zipWithIndex
       .map { case ((vid, r), i) => (i, vid, r) }
       .toDF("sel_order", "vec_id", "radius_micro2")
