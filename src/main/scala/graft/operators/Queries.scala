@@ -858,6 +858,50 @@ object Queries {
        |WHERE o.o_orderdate >= d.valid_from
        |  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)""".stripMargin
 
+  // ---------------------------------------------------------------- Q41
+  /** COMPACTION PLAN — the lakehouse OPTIMIZE planner: given per-file
+    * (here per-ship-month) row counts, pack TIME-CONTIGUOUS runs of
+    * small files into ~12 equal-row compaction groups via a cumulative-
+    * sum cut (`cum_before div target`) — contiguity is the point (the
+    * table's time clustering survives the rewrite; x67's snake-order
+    * planner is the non-contiguous balancing dual). Everything after the
+    * ONE corpus aggregation runs on the |files| frame: the global window
+    * is month-cardinality — domain-bounded, not data-bounded (the x50
+    * argument), so the single-partition step never grows with the table.
+    * Pure integer algebra (target = ceil-div), so both engines cut at
+    * identical rows. At 100 TB the input is the file manifest the
+    * catalog already holds; the plan is metadata in, metadata out. */
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.lineitem(spark, dir)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("mo"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wBefore = Window.orderBy(col("mo"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("total", sum(col("n_rows")).over(wAll))
+      .withColumn("cum_before", coalesce(sum(col("n_rows")).over(wBefore), lit(0L)))
+      .withColumn("grp", expr("cast(cum_before div ((total + 11) div 12) as int)"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("total_rows"),
+        min(col("mo")).cast(TimestampNTZType).as("first_month"),
+        max(col("mo")).cast(TimestampNTZType).as("last_month"))
+  }
+
+  private val q41Sql =
+    """WITH f AS (SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mo,
+      |             CAST(count(*) AS BIGINT) AS n_rows
+      |           FROM lineitem GROUP BY 1),
+      |c AS (SELECT *, CAST(sum(n_rows) OVER () AS BIGINT) AS total,
+      |        CAST(coalesce(sum(n_rows) OVER (ORDER BY mo
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |      FROM f)
+      |SELECT CAST(cum_before // ((total + 11) // 12) AS INT) AS grp,
+      |  CAST(count(*) AS BIGINT) AS n_files, CAST(sum(n_rows) AS BIGINT) AS total_rows,
+      |  min(mo) AS first_month, max(mo) AS last_month
+      |FROM c GROUP BY 1""".stripMargin
+
   // ================================================================ X-series
   private def toks(c: Column): Column = split(c, " ")
 
@@ -7320,6 +7364,8 @@ object Queries {
       "canonicalized exact dedup audit: casing/punctuation variants collapsed per canonical hash, unlock vs x1 counted"),
     Q("q40_dimension_asof", q40, Some(q40Sql),
       "SCD2 point-in-time lookup: each order resolves to the dimension version valid on its date (exactly-one law)"),
+    Q("q41_compaction_plan", q41, Some(q41Sql),
+      "lakehouse OPTIMIZE planner: time-contiguous cumulative-sum bin packing into ~12 equal-row compaction groups"),
     Q("x111_touch_attribution", x111, Some(x111Sql),
       "first/last-touch conversion attribution within a 48h window, struct-extreme tiebreaks, organic rows kept as NULL"),
     Q("x110_ivm_dedup_index", x110, Some(x110Sql),

@@ -1698,4 +1698,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "transition count != events - users (a successor was dropped or doubled)")
     df.unpersist()
   }
+
+  test("q41: the plan conserves every row, keeps time contiguity, and balances to the target") {
+    val df = run("q41_compaction_plan").orderBy("grp").cache()
+    val li = graft.operators.Tables.lineitem(spark, sf)
+    assert(df.agg(sum("total_rows")).head().getLong(0) === li.count(),
+      "the plan lost or duplicated rows")
+    // contiguity: group time ranges are disjoint and ordered
+    val rows = df.collect()
+    for (Array(a, b) <- rows.sliding(2).filter(_.length == 2))
+      assert(a.getAs[java.time.LocalDateTime]("last_month")
+        .isBefore(b.getAs[java.time.LocalDateTime]("first_month")),
+        "compaction groups overlap in time")
+    // balance: every group is within one file of the target (cumsum cut
+    // can overshoot by at most the largest single file)
+    val target = (li.count() + 11) / 12
+    val maxFile = df.agg(max("total_rows")).head().getLong(0)
+    assert(rows.forall(_.getAs[Long]("total_rows") <= target + maxFile))
+    df.unpersist()
+  }
 }
