@@ -1118,11 +1118,16 @@ object Queries {
     * hashes are sha256-based (graft_sha64), which DuckDB can replicate
     * bit-for-bit — so this scale-path query carries a FULL algorithm
     * oracle instead of a rows-only check. */
-  private def x4(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
+  /** (doc_id, simhash): the 64-bit signatures — shared by x4 and the
+    * x103 scorecard so the corpus is hashed once per consumer chain. */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .withColumn("simhash", expr("graft_simhash(graft_sha64(tk))"))
       .select(col("doc_id"), col("simhash"))
+
+  /** Banded hamming ≤ 3 pairs over a signature frame (x4's engine). */
+  private def simhashPairs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"), col("simhash"),
         posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
@@ -1135,6 +1140,9 @@ object Queries {
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  private def x4(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhashSigs(spark, dir))
 
   /** The full simhash algorithm in DuckDB: per-token sha256 → first 16 hex
     * chars = the same 64 bits as graft_sha64's big-endian long (bit i = bit
@@ -6560,9 +6568,9 @@ object Queries {
     * the engine may not: x4's documented asymmetry.) */
   private def x103(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).persist() // truth pairs + candidate re-score
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), expr("graft_simhash(graft_sha64(tk))").as("simhash"))
+    // hashed ONCE: the recall lookup and the banded candidate generation
+    // both read this frame (x4's standalone query hashes its own)
+    val sigs = simhashSigs(spark, dir).persist()
     val recall = nearDupPairs(sh)
       .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
@@ -6571,7 +6579,7 @@ object Queries {
       .agg(count(lit(1)).as("n_pairs"),
         sum((col("hamming") <= 3).cast(LongType)).as("n_true"))
       .withColumn("part", lit("recall"))
-    val prec = x4(spark, dir)
+    val prec = simhashPairs(sigs)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
