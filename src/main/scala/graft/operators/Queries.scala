@@ -7226,6 +7226,41 @@ object Queries {
       |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- X115
+  /** BITEXT-PAIR MINING (proxy) — the parallel-corpus construction move:
+    * near-duplicate content carrying DIFFERENT language labels is the
+    * translation-pair candidate set (the synthetic corpus plants reused
+    * text across lang tags, standing in for real aligned documents).
+    * Rides the shared bounded pair engine (PipelineCache'd x2 pairs) and
+    * the melted-ends attribute lookup — langs resolve for both ends of
+    * every pair with ONE corpus scan, never a second shuffle of the
+    * documents table — then keeps only the cross-language pairs with
+    * their exact Jaccard. At 100 TB this adds two pair-rate-sized joins
+    * on top of whatever the dedup pass already paid. */
+  private def x115(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(spark, dir).select(col("doc_id"), col("lang").as("v"))
+    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"), col("jac"))
+    pairEnds(pairs.select(col("doc_a"), col("doc_b")), langs)
+      .filter(col("va") =!= col("vb"))
+      .join(pairs, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("va").as("lang_a"), col("vb").as("lang_b"), col("jac"))
+  }
+
+  private val x115Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS sg FROM s),
+       |p AS (SELECT doc_a, doc_b, jac FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5)
+       |SELECT p.doc_a, p.doc_b, da.lang AS lang_a, db.lang AS lang_b, p.jac
+       |FROM p JOIN documents da ON da.doc_id = p.doc_a
+       |       JOIN documents db ON db.doc_id = p.doc_b
+       |WHERE da.lang <> db.lang""".stripMargin
+
   // ================================================================ registry
 
   val all: Seq[Q] = (Seq(
@@ -7366,6 +7401,8 @@ object Queries {
       "the hashing trick: md5-bucketed signed token counts as 16 integer-exact vector columns, one codegen scan + one agg"),
     Q("x100_filter_attribution", x100, Some(x100Sql),
       "filter Venn table: the corpus partitioned by (quality, repetition, blocklist) flags in ONE pass — which filter owns real signal"),
+    Q("x115_bitext_pairs", x115, Some(x115Sql),
+      "bitext-pair mining proxy: near-dup pairs whose language labels differ, via the shared pair engine + melted-ends lookup"),
     Q("x114_event_transitions", x114, Some(x114Sql),
       "first-order Markov transition matrix over user event streams: exact counts + integer-ppm probabilities"),
     Q("x113_normalized_dedup", x113, Some(x113Sql),

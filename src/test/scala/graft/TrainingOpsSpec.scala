@@ -1717,4 +1717,19 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Long]("total_rows") <= target + maxFile))
     df.unpersist()
   }
+
+  test("x115: mined pairs are exactly the cross-language subset of x2's near-dups") {
+    val df = run("x115_bitext_pairs").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("lang_a") === col("lang_b")).isEmpty)
+    assert(df.filter(col("jac") < 0.5).isEmpty)
+    // subset + complement law against the pair engine and the lang table
+    val docs = graft.operators.Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val all = run("x2_ngram_jaccard")
+      .join(docs.select(col("doc_id").as("doc_a"), col("lang").as("la")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("lang").as("lb")), "doc_b")
+    val expect = all.filter(col("la") =!= col("lb")).count()
+    assert(df.count() === expect, s"mined ${df.count()} pairs, expected $expect cross-language near-dups")
+    df.unpersist()
+  }
 }
