@@ -503,7 +503,14 @@ object FrameworkQueries {
     * PUBLISHED codebook artifact without retraining (x49's frozen-index
     * discipline — the executor's fingerprints make that skip automatic).
     * At 100 TB the serve shuffle carries one pre-combined (query, vec)
-    * partial per scan task; batched query blocks shard that dimension. */
+    * partial per scan task; batched query blocks shard that dimension.
+    * Retrieval-quality honesty: k=4-per-subspace ADC is a COARSE first
+    * pass on these near-isotropic embeddings (measured top-3 ADC recall
+    * ≈ 0.33 vs exact L2; a top-64 ADC candidate window still only covers
+    * ~0.6 of the exact top-3) — this query demonstrates the index
+    * LIFECYCLE; the engine's recall-bearing ANN configurations are x14
+    * (centroid + int8-residual codes) and x7/x29 (wide signatures +
+    * exact re-rank), all ≥ 0.9 recall per BASELINE.md. */
   private def x112(spark: SparkSession, dir: String): DataFrame = {
     val base = tmp()
     def art(name: String, t: ACollection) = Artifact(t, Format.Parquet,
