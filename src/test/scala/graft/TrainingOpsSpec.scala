@@ -561,7 +561,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("x54: splits cover every doc disjointly at roughly 80/10/10") {
-    val df = run("x54_train_split").cache()
+    val df = run("x54_split_manifest").cache()
     val total = df.agg(sum("n_docs")).head.getLong(0)
     assert(total === graft.operators.Tables.documents(spark, sf).count(),
       "splits must partition the corpus")
