@@ -5,19 +5,24 @@ import org.apache.spark.sql.expressions.Aggregator
 
 /** Deterministic first-k admission as a MERGEABLE typed [[Aggregator]] —
   * the bounded-state primitive behind ingest quotas and per-key rate caps:
-  * keep the k EARLIEST rows by (event time, id), drop the rest. Like
-  * [[ReservoirK]] the state is AT MOST k entries per group regardless of
-  * input size, and `merge` is associative/commutative under the total
-  * (ts_us ASC, event_id ASC) order — map-side partials, shuffle order and
+  * keep the k SMALLEST rows under a total (long, long) key, drop the rest.
+  * Like [[ReservoirK]] the state is AT MOST k entries per group regardless
+  * of input size, and `merge` is associative/commutative under the total
+  * (k1 ASC, k2 ASC) order — map-side partials, shuffle order and
   * micro-batch arrival order all converge to the same admitted set the
-  * batch row_number() computes, which is what makes the streaming twin
-  * oracle-exact. Unlike ReservoirK the order key is the DATA's own
-  * timeline, so this is a quota (admit the first k), not a sample. */
-final case class AdmitEntry(ts_us: Long, event_id: Long, user_id: Long)
+  * batch row_number() computes, which is what makes the streaming twins
+  * oracle-exact. The key fields are deliberately NEUTRAL (r6 advice —
+  * they used to be named for the quota use only): qs21 feeds
+  * (event-time µs, event_id) for an ingest quota, qs22 feeds (negated
+  * integer cents, event_id) for a leaderboard, and `payload` rides along
+  * untouched. All three fields are non-nullable longs by CONTRACT:
+  * callers must filter NULL keys before aggregating (the typed encoder
+  * would throw mid-stream, not skip — qs22 guards `value IS NOT NULL`). */
+final case class AdmitEntry(k1: Long, k2: Long, payload: Long)
 
 final class FirstK(k: Int) extends Aggregator[AdmitEntry, Seq[AdmitEntry], Seq[AdmitEntry]] {
   private val ord: Ordering[AdmitEntry] =
-    Ordering.by((e: AdmitEntry) => (e.ts_us, e.event_id))
+    Ordering.by((e: AdmitEntry) => (e.k1, e.k2))
 
   override def zero: Seq[AdmitEntry] = Vector.empty
 

@@ -486,7 +486,8 @@ object FrameworkQueries {
   final case class CodebookRow(s: Int, c: Int, cent: Seq[Long])
   final case class CodesRow(vec_id: Long, c0: Int, c1: Int, c2: Int, c3: Int,
       c4: Int, c5: Int, c6: Int, c7: Int, err_micro2: Long)
-  final case class ServeRow(qid: Long, rnk: Int, vec_id: Long, adc_micro2: Long)
+  final case class ServeRow(qid: Long, rnk: Int, vec_id: Long,
+      adc_micro2: Long, exact_micro2: Long)
 
   /** x112_pq_index_serve: the VECTOR-INDEX LIFECYCLE as a producer graph —
     * how a billion-vector deployment actually ships: train the PQ codebook
@@ -494,23 +495,26 @@ object FrameworkQueries {
     * publish both as validated, fingerprint-addressed artifacts
     * (write-audit-publish: the codes artifact must cover every vector with
     * in-range codes BEFORE it can publish — F13 guarding an index, not a
-    * table), then SERVE queries from the published artifacts alone via
-    * asymmetric-distance computation: per query, an 8×4 lookup table of
-    * exact integer subspace distances to every centroid (the LUT
-    * broadcasts — queries never touch raw vectors at serve time), summed
-    * over each vector's 8 codes, global top-3 per query. Incremental
-    * corollary for free: a new corpus slice re-encodes against the
-    * PUBLISHED codebook artifact without retraining (x49's frozen-index
-    * discipline — the executor's fingerprints make that skip automatic).
-    * At 100 TB the serve shuffle carries one pre-combined (query, vec)
-    * partial per scan task; batched query blocks shard that dimension.
-    * Retrieval-quality honesty: k=4-per-subspace ADC is a COARSE first
-    * pass on these near-isotropic embeddings (measured top-3 ADC recall
-    * ≈ 0.33 vs exact L2; a top-64 ADC candidate window still only covers
-    * ~0.6 of the exact top-3) — this query demonstrates the index
-    * LIFECYCLE; the engine's recall-bearing ANN configurations are x14
-    * (centroid + int8-residual codes) and x7/x29 (wide signatures +
-    * exact re-rank), all ≥ 0.9 recall per BASELINE.md. */
+    * table), then SERVE queries from the published artifacts via the
+    * TWO-STAGE shape every production PQ deployment uses (r7; previously
+    * pure ADC): stage 1 scans CODES ONLY — per query an 8×16 lookup
+    * table of exact integer subspace distances to every centroid (the
+    * LUT broadcasts), summed over each vector's 8 codes, keeping a
+    * top-64 ADC shortlist; stage 2 exactly re-ranks ONLY the shortlist
+    * against the stored quantized vectors (≤ 64 rows/query — the x29
+    * bounded-re-rank discipline) and emits the top-3 by exact L2.
+    * Incremental corollary for free: a new corpus slice re-encodes
+    * against the PUBLISHED codebook artifact without retraining (x49's
+    * frozen-index discipline — the executor's fingerprints make that
+    * skip automatic). At 100 TB the serve shuffle carries one
+    * pre-combined (query, vec) partial per scan task; batched query
+    * blocks shard that dimension; the re-rank joins a 64·|queries|-row
+    * shortlist broadcast against ONE pass over the vector store.
+    * Retrieval quality: r6's k=4 pure-ADC serve measured top-3 recall
+    * ≈ 0.33 — below the engine's ≥ 0.8 ANN bar; with k=16 codebooks +
+    * the exact re-rank the served top-3 is recall-gated against exact
+    * quantized L2 by TrainingOpsSpec (measured values in BASELINE.md
+    * next to the r4 ANN table). */
   private def x112(spark: SparkSession, dir: String): DataFrame = {
     val base = tmp()
     def art(name: String, t: ACollection) = Artifact(t, Format.Parquet,
@@ -531,30 +535,46 @@ object FrameworkQueries {
         val codeCols = (0 until 8).map(s => col(s"c$s"))
         val r = outs.head.agg(
           count(lit(1)).as("n"),
-          max(codeCols.map(c => when(c < 0 || c > 3, 1).otherwise(0)).reduce(_ + _)).as("oob"))
+          max(codeCols.map(c => when(c < 0 || c > 15, 1).otherwise(0)).reduce(_ + _)).as("oob"))
           .head()
         if (r.getLong(0) == 0) Left("codes artifact is empty")
-        else if (r.getInt(1) > 0) Left("a code left the k=4 codebook range")
+        else if (r.getInt(1) > 0) Left("a code left the k=16 codebook range")
         else Right(())
       })
     val serveP = Producer("serve_topk", build = (_, ins) => {
       val (emb, cb, cds) = (ins(0), ins(1), ins(2))
-      val lut = Queries.pqSubspaces(emb.filter(col("vec_id") < 10))
+      val qsubs = Queries.pqSubspaces(emb.filter(col("vec_id") < 10))
         .withColumnRenamed("vec_id", "qid")
+      val lut = qsubs
         .join(broadcast(cb), "s")
         .withColumn("d", Queries.pqDist2)
         .select(col("qid"), col("s"), col("c"), col("d"))
       val melted = cds.select(col("vec_id"), posexplode(array(
         (0 until 8).map(s => col(s"c$s")): _*)).as(Seq("s", "c")))
-      val w = org.apache.spark.sql.expressions.Window
+      val wAdc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("adc_micro2").asc, col("vec_id").asc)
-      Seq(melted.join(broadcast(lut), Seq("s", "c"))
+      // stage 1: codes-only ADC scan → top-32 shortlist per query
+      val shortlist = melted.join(broadcast(lut), Seq("s", "c"))
         .groupBy(col("qid"), col("vec_id"))
         .agg(sum(col("d")).as("adc_micro2"))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= 64)
+        .select(col("qid"), col("vec_id"), col("adc_micro2"))
+      // stage 2: exact quantized L2 over the shortlist only (≤ 32/query)
+      val wEx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("exact_micro2").asc, col("vec_id").asc)
+      Seq(Queries.pqSubspaces(emb)
+        .join(broadcast(shortlist), "vec_id")
+        .join(broadcast(qsubs.select(col("qid"), col("s"), col("sub").as("qsub"))),
+          Seq("qid", "s"))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(sub, qsub, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .groupBy(col("qid"), col("vec_id"), col("adc_micro2"))
+        .agg(sum(col("d2")).as("exact_micro2"))
+        .withColumn("rnk", row_number().over(wEx))
         .filter(col("rnk") <= 3)
         .select(col("qid"), col("rnk").cast(IntegerType).as("rnk"),
-          col("vec_id"), col("adc_micro2"))
+          col("vec_id"), col("adc_micro2"), col("exact_micro2"))
         .coalesce(1))
     })
 
@@ -585,10 +605,20 @@ object FrameworkQueries {
        |lut AS (SELECT q.qid, k.s, k.c, ${d2("q.sub", "k.cent")} AS d
        |        FROM q JOIN cent k ON k.s = q.s),
        |adc AS (SELECT l.qid, enc.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_micro2
-       |        FROM enc JOIN lut l ON l.s = enc.s AND l.c = enc.c GROUP BY 1, 2)
-       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, adc_micro2 FROM (
+       |        FROM enc JOIN lut l ON l.s = enc.s AND l.c = enc.c GROUP BY 1, 2),
+       |short AS (SELECT qid, vec_id, adc_micro2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_micro2, vec_id) AS rn FROM adc) t
+       |  WHERE rn <= 64),
+       |exr AS (SELECT sh.qid, sh.vec_id, sh.adc_micro2,
+       |    CAST(sum(${d2("v.sub", "qs.sub")}) AS BIGINT) AS exact_micro2
+       |  FROM short sh
+       |    JOIN subs v ON v.vec_id = sh.vec_id
+       |    JOIN subs qs ON qs.vec_id = sh.qid AND qs.s = v.s
+       |  GROUP BY 1, 2, 3)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, adc_micro2, exact_micro2 FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
-       |    ORDER BY adc_micro2, vec_id) AS rnk FROM adc) t
+       |    ORDER BY exact_micro2, vec_id) AS rnk FROM exr) t
        |WHERE rnk <= 3""".stripMargin
   }
 

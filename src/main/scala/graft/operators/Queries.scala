@@ -326,12 +326,34 @@ object Queries {
       |  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
       |FROM lineitem""".stripMargin
 
+  /** HLL approximate distinct, HASH-GATED (r7): the raw estimate is
+    * engine-specific (Spark's HLL++ vs anything else), so what the oracle
+    * pins is the ACCURACY CONTRACT — the exact distinct counts plus an
+    * integer flag that the engine's estimate sits within 3 relative
+    * standard deviations (rsd = 0.05) of exact. The oracle emits the
+    * contract (flag = 1); if the estimator ever degrades past 3·rsd the
+    * engine emits 0 and the row goes red — the gate now checks the sketch
+    * instead of skipping it. Raw estimate values stay spec-checked in
+    * TrainingOpsSpec, not hash-compared. */
   private def q10b(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).agg(
       countDistinct(col("l_partkey")).as("exact_parts"),
       approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
       countDistinct(col("l_orderkey")).as("exact_orders"),
       approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"))
+      .select(
+        col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType) <=
+          col("exact_parts") * lit(0.15)).cast(IntegerType).as("parts_within_3rsd"),
+        (abs(col("approx_orders") - col("exact_orders")).cast(DoubleType) <=
+          col("exact_orders") * lit(0.15)).cast(IntegerType).as("orders_within_3rsd"))
+
+  private val q10bSql =
+    """SELECT count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  CAST(1 AS INT) AS parts_within_3rsd,
+      |  CAST(1 AS INT) AS orders_within_3rsd
+      |FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------- Q11
   /** Set operators: INTERSECT / EXCEPT / UNION (distinct semantics). */
@@ -3177,10 +3199,18 @@ object Queries {
     * out(u), expressed as pure joins + aggregations: each iteration is one
     * equi-join of the edge list with the previous rank vector and one
     * groupBy on the target node — the exact shape that scales (iteration
-    * cost ∝ |edges|, like x17's label propagation). Per-edge contributions
-    * quantize to exact int64 picos before the order-sensitive SUM, so both
-    * engines accumulate identical integers; everything after is
-    * fixed-order IEEE. More iterations = more of the same stage. */
+    * cost ∝ |edges|, like x17's label propagation). The iteration is
+    * FULLY INTEGER (r7, closing the round-6 double-rounding fragility
+    * audit): the rank vector is carried as int64 PICOS `pp = round(p·10¹²)`
+    * and every update is exact integer arithmetic with explicit half-up
+    * rounding — per-edge contribution `(2·pp·c12 + ow) div (2·ow)`
+    * (DECIMAL(38,0)/HUGEINT internally so the cross-product cannot
+    * overflow), damping `0.15/N + 0.85·acc/10¹²` as
+    * `(3·10¹¹ + n) div (2n) + (34·acc + 20) div 40`. There is not a
+    * single floating-point operation anywhere in the query, so engine
+    * results are bit-identical by construction — no .5-boundary/ulp
+    * surface at all. Output rank mass is `pr_nano = round(p·10⁹)`
+    * (= half-up pp/1000). More iterations = more of the same stage. */
   private def x44(spark: SparkSession, dir: String): DataFrame = {
     val edges = Tables.documents(spark, dir)
       .select(toks(col("text")).as("tk"))
@@ -3195,20 +3225,21 @@ object Queries {
     val base = nodes.crossJoin(broadcast(nn))
     def iterate(p: DataFrame): DataFrame = {
       val s = edges.join(outw, "w1")
-        .join(p.select(col("w").as("w1"), col("p")), "w1")
+        .join(p.select(col("w").as("w1"), col("pp")), "w1")
         .select(col("w2").as("w"),
-          round(col("p") * (col("c12") / col("ow").cast(DoubleType)) * lit(1e12), 0)
-            .cast(LongType).as("contrib"))
+          expr("CAST((2 * CAST(pp AS DECIMAL(38,0)) * c12 + ow) div (2 * ow) AS BIGINT)")
+            .as("contrib"))
         .groupBy(col("w")).agg(sum(col("contrib")).as("acc"))
       base.join(s, Seq("w"), "left")
-        .withColumn("p", lit(0.15) / col("n") +
-          lit(0.85) * (coalesce(col("acc"), lit(0L)) / lit(1e12)))
-        .select(col("w"), col("n"), col("p"))
+        .withColumn("pp", expr(
+          "(300000000000L + n) div (2 * n) + (34 * coalesce(acc, 0L) + 20) div 40"))
+        .select(col("w"), col("n"), col("pp"))
     }
-    val p0 = base.withColumn("p", lit(1.0) / col("n")).select(col("w"), col("n"), col("p"))
-    val w = Window.orderBy(col("pr_milli").desc, col("word").asc)
+    val p0 = base.withColumn("pp", expr("(2000000000000L + n) div (2 * n)"))
+      .select(col("w"), col("n"), col("pp"))
+    val w = Window.orderBy(col("pr_nano").desc, col("word").asc)
     iterate(iterate(p0))
-      .select(col("w").as("word"), round(col("p") * 1000, 6).as("pr_milli"))
+      .select(col("w").as("word"), expr("(2 * pp + 1000) div 2000").as("pr_nano"))
       .withColumn("rnk", row_number().over(w))
   }
 
@@ -3221,17 +3252,23 @@ object Queries {
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
       |outw AS (SELECT w1, sum(c12) AS ow FROM edges GROUP BY 1),
       |base AS (SELECT w, n FROM nodes, nn),
-      |p0 AS (SELECT w, 1.0 / n AS p FROM base),
-      |s1 AS (SELECT e.w2 AS w, sum(CAST(round(p0.p * (e.c12 / CAST(o.ow AS DOUBLE)) * 1000000000000) AS BIGINT)) AS acc
+      |p0 AS (SELECT w, n, (2000000000000 + n) // (2 * n) AS pp FROM base),
+      |s1 AS (SELECT e.w2 AS w,
+      |         sum(CAST((2 * CAST(p0.pp AS HUGEINT) * e.c12 + o.ow) // (2 * o.ow) AS BIGINT)) AS acc
       |       FROM edges e JOIN outw o ON e.w1 = o.w1 JOIN p0 ON p0.w = e.w1 GROUP BY e.w2),
-      |it1 AS (SELECT base.w, base.n, 0.15 / base.n + 0.85 * (COALESCE(s1.acc, 0) / 1000000000000.0) AS p
+      |it1 AS (SELECT base.w, base.n,
+      |          (300000000000 + base.n) // (2 * base.n)
+      |            + (34 * COALESCE(s1.acc, 0) + 20) // 40 AS pp
       |        FROM base LEFT JOIN s1 ON s1.w = base.w),
-      |s2 AS (SELECT e.w2 AS w, sum(CAST(round(it1.p * (e.c12 / CAST(o.ow AS DOUBLE)) * 1000000000000) AS BIGINT)) AS acc
+      |s2 AS (SELECT e.w2 AS w,
+      |         sum(CAST((2 * CAST(it1.pp AS HUGEINT) * e.c12 + o.ow) // (2 * o.ow) AS BIGINT)) AS acc
       |       FROM edges e JOIN outw o ON e.w1 = o.w1 JOIN it1 ON it1.w = e.w1 GROUP BY e.w2),
-      |it2 AS (SELECT base.w, 0.15 / base.n + 0.85 * (COALESCE(s2.acc, 0) / 1000000000000.0) AS p
+      |it2 AS (SELECT base.w,
+      |          (300000000000 + base.n) // (2 * base.n)
+      |            + (34 * COALESCE(s2.acc, 0) + 20) // 40 AS pp
       |        FROM base LEFT JOIN s2 ON s2.w = base.w)
-      |SELECT w AS word, round(p * 1000, 6) AS pr_milli,
-      |  CAST(row_number() OVER (ORDER BY round(p * 1000, 6) DESC, w) AS INT) AS rnk
+      |SELECT w AS word, CAST((2 * pp + 1000) // 2000 AS BIGINT) AS pr_nano,
+      |  CAST(row_number() OVER (ORDER BY (2 * pp + 1000) // 2000 DESC, w) AS INT) AS rnk
       |FROM it2""".stripMargin
 
   // ---------------------------------------------------------------- X48
@@ -4102,13 +4139,19 @@ object Queries {
     // data movements are the th window shuffle and the |sources|-row agg
     withQualityKernels(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("th"),
-        col("n_tokens"), col("quality_score"), col("is_quality"))
+        col("n_tokens"), col("n_unique"), col("n_stop"), col("is_quality"))
       .withColumn("n_copies", count(lit(1)).over(wTh))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast(LongType)).as("total_tokens"),
-        sum(round(col("quality_score") * lit(1000000.0), 0).cast(LongType)).as("quality_micros"),
+        // quality_score = (n_unique + n_tokens - n_stop)/(2·n_tokens):
+        // round(qs·10⁶) computed as the exact integer rational with
+        // half-up rounding (r7 — the audit caught real documents whose
+        // qs·10⁶ lands EXACTLY on a .5 boundary, the x58 failure class)
+        sum(expr("""((CAST(n_unique AS BIGINT) + n_tokens - n_stop) * 1000000
+                   | + n_tokens) div (2L * n_tokens)""".stripMargin))
+          .as("quality_micros"),
         sum(col("is_quality").cast(LongType)).as("n_quality"),
         sum((col("n_copies") > 1).cast(LongType)).as("n_dup_docs"))
       .withColumn("mean_quality_micros", expr("quality_micros div n_docs"))
@@ -4116,19 +4159,27 @@ object Queries {
   }
 
   private val x62Sql =
-    s"""WITH q AS ($x8Sql),
-       |h AS (SELECT doc_id, source,
+    s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
+       |k AS (SELECT doc_id, source,
+       |        CAST(len(tk) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique,
+       |        CAST(len(list_filter(tk, x -> x IN ($stopwordsSqlList))) AS BIGINT) AS n_stop,
        |        count(*) OVER (PARTITION BY sha256(text)) AS n_copies
-       |      FROM documents)
-       |SELECT h.source, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
-       |  CAST(sum(CAST(round(q.quality_score * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS quality_micros,
-       |  CAST(sum(CASE WHEN q.is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-       |  CAST(sum(CASE WHEN h.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-       |  CAST(sum(CAST(round(q.quality_score * 1000000.0, 0) AS BIGINT)) // count(*) AS BIGINT) AS mean_quality_micros,
-       |  CAST((sum(CASE WHEN h.n_copies > 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS dup_ppm
-       |FROM h JOIN q USING (doc_id)
-       |GROUP BY h.source""".stripMargin
+       |      FROM t),
+       |q AS (SELECT *,
+       |        ((n_unique + n_tokens - n_stop) * 1000000 + n_tokens) // (2 * n_tokens) AS qm,
+       |        (CAST(n_unique AS DOUBLE) / n_tokens) * 0.5
+       |          + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 >= 0.5
+       |          AND n_tokens >= 20 AS is_quality
+       |      FROM k)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(qm) AS BIGINT) AS quality_micros,
+       |  CAST(sum(CASE WHEN is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(qm) // count(*) AS BIGINT) AS mean_quality_micros,
+       |  CAST((sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+       |FROM q GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------- X63
   /** PER-SOURCE DISTRIBUTION DRIFT — KL(source ‖ corpus) over the token
@@ -4138,7 +4189,14 @@ object Queries {
     * p_s·ln(p_s/p_c) are quantized to integer NANOS before the per-source
     * sum (the x54 recipe at nano precision — KL values are ~1e-3, micros
     * would keep only 3 significant digits), so the sum is
-    * order-independent and bit-identical across engines. Scale shape: ONE
+    * order-independent and bit-identical across engines. r7 hardening
+    * (the x58 recipe): the ONLY double op left is the single-transcendental
+    * quantization `lr_nanos = round(ln((c_st·N)/(n_s·c_t))·10⁹)` — the ln
+    * argument is one division of two exact integer products, bit-identical
+    * across engines — and the contribution `p_s·lr` is then the exact
+    * integer rational `c_st·lr_nanos / n_s` with sign-aware half-away
+    * rounding in DECIMAL(38,0)/HUGEINT. No round(double-product) remains,
+    * so a DuckDB version bump cannot flip a .5 boundary. Scale shape: ONE
     * corpus scan builds the (source, token) count frame — map-side
     * combine makes the shuffle |sources|·|vocab| sized — and corpus
     * totals, per-source totals, and the final KL all derive from that
@@ -4152,10 +4210,16 @@ object Queries {
     val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
     val nTot = ct.agg(sum(col("c_t"))).head().getLong(0)
     st.join(broadcast(ct), "token").join(broadcast(ns), "source")
-      .withColumn("p_s", col("c_st").cast(DoubleType) / col("n_s"))
-      .withColumn("p_c", col("c_t").cast(DoubleType) / lit(nTot.toDouble))
-      .withColumn("contrib_nanos",
-        round(col("p_s") * log(col("p_s") / col("p_c")) * lit(1000000000.0), 0).cast(LongType))
+      // ln of ONE division of two exact integer products — bit-identical
+      // across engines; quantized once to int64 nanos
+      .withColumn("lr_nanos",
+        round(log((col("c_st").cast(DoubleType) * lit(nTot.toDouble)) /
+          (col("n_s").cast(DoubleType) * col("c_t"))) * lit(1000000000.0), 0).cast(LongType))
+      // p_s·lr as the exact rational c_st·lr/n_s, half-away-from-zero
+      .withColumn("numd", expr("CAST(c_st AS DECIMAL(38,0)) * lr_nanos"))
+      .withColumn("contrib_nanos", expr(
+        """CAST(CASE WHEN numd >= 0 THEN (2 * numd + n_s) div (2 * n_s)
+          |ELSE -((2 * (-numd) + n_s) div (2 * n_s)) END AS BIGINT)""".stripMargin))
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tokens"),
         count(lit(1)).as("vocab_size"),
@@ -4169,12 +4233,15 @@ object Queries {
       |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
       |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
       |j AS (SELECT st.source, ns.n_s,
-      |        CAST(st.c_st AS DOUBLE) / ns.n_s AS p_s,
-      |        CAST(ct.c_t AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE) AS p_c
-      |      FROM st JOIN ct USING (token) JOIN ns USING (source))
+      |        CAST(round(ln((CAST(st.c_st AS DOUBLE) * (SELECT n FROM n)) /
+      |          (CAST(ns.n_s AS DOUBLE) * ct.c_t)) * 1000000000.0, 0) AS BIGINT) AS lr_nanos,
+      |        st.c_st
+      |      FROM st JOIN ct USING (token) JOIN ns USING (source)),
+      |k AS (SELECT source, n_s, CAST(c_st AS HUGEINT) * lr_nanos AS numd FROM j)
       |SELECT source, max(n_s) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab_size,
-      |  CAST(sum(CAST(round(p_s * ln(p_s / p_c) * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS kl_nanos
-      |FROM j GROUP BY source""".stripMargin
+      |  CAST(sum(CAST(CASE WHEN numd >= 0 THEN (2 * numd + n_s) // (2 * n_s)
+      |    ELSE -((2 * (-numd) + n_s) // (2 * n_s)) END AS BIGINT)) AS BIGINT) AS kl_nanos
+      |FROM k GROUP BY source""".stripMargin
 
   // ---------------------------------------------------------------- X64
   /** DATASET MANIFEST CARD — the one-row release summary emitted next to
@@ -4204,10 +4271,17 @@ object Queries {
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"),
       sum(col("tok")).as("total_tokens"), sum(col("chars")).as("total_chars"))
+    // r7 hardening (the x58/x63 recipe): -ln(p) = ln(nd/nl) quantized ONCE
+    // to int64 nanos (single transcendental of one exact-integer division),
+    // then the contribution -p·ln(p) is the exact integer rational
+    // nl·L/nd with half-up rounding — no round(double-product) remains
     val entropy = ls.groupBy(col("lang")).agg(sum(col("n_docs")).as("nl"))
       .crossJoin(ls.agg(sum(col("n_docs")).as("nd")))
-      .withColumn("p", col("nl").cast(DoubleType) / col("nd"))
-      .agg(sum(round(-col("p") * log(col("p")) * lit(1000000000.0), 0).cast(LongType))
+      .withColumn("lnp_nanos",
+        round(log(col("nd").cast(DoubleType) / col("nl")) * lit(1000000000.0), 0)
+          .cast(LongType))
+      .agg(sum(expr(
+        "CAST((2 * CAST(nl AS DECIMAL(38,0)) * lnp_nanos + nd) div (2 * nd) AS BIGINT)"))
         .as("lang_entropy_nanos"))
     totals.crossJoin(entropy)
       .withColumn("mean_doc_tokens", expr("total_tokens div n_docs"))
@@ -4227,10 +4301,15 @@ object Queries {
       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
       |    CAST(sum(tok) AS BIGINT) AS total_tokens,
       |    CAST(sum(chars) AS BIGINT) AS total_chars FROM ls),
-      |ent AS (SELECT CAST(sum(CAST(round(-p * ln(p) * 1000000000.0, 0) AS BIGINT)) AS BIGINT)
-      |    AS lang_entropy_nanos
-      |  FROM (SELECT CAST(sum(n_docs) AS DOUBLE) / (SELECT n_docs FROM tot) AS p
-      |        FROM ls GROUP BY lang)),
+      |ent AS (SELECT CAST(sum(
+      |      CAST((2 * CAST(nl AS HUGEINT) * lnp_nanos + nd) // (2 * nd) AS BIGINT)
+      |    ) AS BIGINT) AS lang_entropy_nanos
+      |  FROM (SELECT nl, nd,
+      |          CAST(round(ln(CAST(nd AS DOUBLE) / nl) * 1000000000.0, 0) AS BIGINT)
+      |            AS lnp_nanos
+      |        FROM (SELECT CAST(sum(n_docs) AS BIGINT) AS nl,
+      |                (SELECT n_docs FROM tot) AS nd
+      |              FROM ls GROUP BY lang))),
       |dup AS (SELECT CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
       |    CAST(count(*) AS BIGINT) AS n_unique_docs
       |  FROM (SELECT count(*) AS c FROM documents GROUP BY sha256(text)))
@@ -4501,8 +4580,14 @@ object Queries {
       .agg(count(lit(1)).as("n_vecs"), sum(col("cos_q")).as("coh_sum"),
         min(round(expr("graft_dot(v, cv)") / (col("nrm") * col("cn")), 6)).as("min_cos"))
     coh.join(broadcast(sep), "label")
-      .withColumn("cohesion",
-        round(col("coh_sum").cast(DoubleType) / (col("n_vecs") * lit(1e6)), 6))
+      // round(coh_sum/(n_vecs·10⁶), 6) as the exact integer half-away
+      // division coh_sum/n_vecs (r7 — the boundary audit caught a label
+      // whose mean cosine lands EXACTLY on a .5 micro boundary); the
+      // final /10⁶ is one bit-identical IEEE division, no round at all
+      .withColumn("cohesion_micros", expr(
+        """CASE WHEN coh_sum >= 0 THEN (2 * coh_sum + n_vecs) div (2 * n_vecs)
+          |ELSE -((2 * (-coh_sum) + n_vecs) div (2 * n_vecs)) END""".stripMargin))
+      .withColumn("cohesion", col("cohesion_micros").cast(DoubleType) / lit(1e6))
       .withColumn("margin", round(col("cohesion") - col("separation"), 6))
       .select(col("label"), col("n_vecs"), col("cohesion"), col("min_cos"),
         col("separation"), col("margin"))
@@ -4527,9 +4612,13 @@ object Queries {
       |         min(round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6)) AS min_cos
       |        FROM e JOIN cent2 c USING (label) GROUP BY e.label)
       |SELECT label, n_vecs,
-      |  round(CAST(coh_sum AS DOUBLE) / (n_vecs * 1000000.0), 6) AS cohesion,
+      |  CAST(CASE WHEN coh_sum >= 0 THEN (2 * coh_sum + n_vecs) // (2 * n_vecs)
+      |    ELSE -((2 * (-coh_sum) + n_vecs) // (2 * n_vecs)) END AS DOUBLE) / 1000000.0
+      |    AS cohesion,
       |  min_cos, separation,
-      |  round(round(CAST(coh_sum AS DOUBLE) / (n_vecs * 1000000.0), 6) - separation, 6) AS margin
+      |  round(CAST(CASE WHEN coh_sum >= 0 THEN (2 * coh_sum + n_vecs) // (2 * n_vecs)
+      |    ELSE -((2 * (-coh_sum) + n_vecs) // (2 * n_vecs)) END AS DOUBLE) / 1000000.0
+      |    - separation, 6) AS margin
       |FROM coh JOIN sep USING (label)""".stripMargin
 
   // ---------------------------------------------------------------- X71
@@ -6450,11 +6539,11 @@ object Queries {
   /** PRODUCT-QUANTIZATION CODEBOOK TRAINING — the index-construction
     * primitive behind every billion-vector ANN deployment (IVF-PQ/OPQ):
     * the 64-dim embedding splits into 8 subspaces of 8 dims; each subspace
-    * independently trains a tiny codebook (k=4, seeded on the lowest
-    * vec_ids, one Lloyd round), and every vector is then ENCODED as 8
-    * one-byte codes plus its exact squared reconstruction error — 64
-    * floats compressed to 8 codes, the 32× memory cut that makes the x14
-    * ADC scan possible. All arithmetic is integer-exact end to end:
+    * independently trains a compact codebook (k=16, seeded on the 16
+    * lowest distinct vec_ids, one Lloyd round), and every vector is then
+    * ENCODED as 8 one-byte codes plus its exact squared reconstruction
+    * error — 64 floats compressed to 8 codes, the 32× memory cut that
+    * makes the x14 ADC scan possible. All arithmetic is integer-exact end to end:
     * elements quantize once to int64 micros, L2 distances are pure int64
     * sums (max ~2^48, no overflow), centroid recompute is an exact
     * long-sum + ONE IEEE division rounded back to micros — so any two
@@ -6490,8 +6579,18 @@ object Queries {
     * one division, back to integer micros — the only corpus-scale shuffle,
     * map-side combined. */
   private[graft] def pqCodebook(subs: DataFrame): DataFrame = {
-    val seeds = subs.filter(col("vec_id") < 4)
-      .select(col("s"), col("vec_id").cast(IntegerType).as("c"), col("sub").as("cent"))
+    // k=16 centroids per subspace (r7: k=4 measured ADC top-3 recall
+    // ≈ 0.33 on near-isotropic vectors — below the engine's ≥ 0.8 ANN
+    // bar; 16 codes is still a broadcast-trivial 8×16×8 table). Seeds
+    // are the k LOWEST DISTINCT vec_ids pinned as literals — not
+    // `vec_id < k`, which silently under-seeds any corpus whose ids
+    // don't start at 0 (r6 advice).
+    val k = 16
+    val seedIds: Array[Long] = subs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k).collect().map(_.getLong(0))
+    val seeds = subs.filter(col("vec_id").isInCollection(seedIds.toSeq))
+      .withColumn("c", (array_position(lit(seedIds), col("vec_id")) - 1).cast(IntegerType))
+      .select(col("s"), col("c"), col("sub").as("cent"))
     subs.join(broadcast(seeds), "s")
       .withColumn("d2", pqDist2)
       .groupBy(col("vec_id"), col("s"))
@@ -6541,7 +6640,10 @@ object Queries {
        |  FROM embeddings),
        |subs AS (SELECT vec_id, s, list_slice(vq, s * 8 + 1, s * 8 + 8) AS sub
        |  FROM e, (SELECT unnest(range(8)) AS s)),
-       |seeds AS (SELECT s, CAST(vec_id AS INT) AS c, sub AS cent FROM subs WHERE vec_id < 4),
+       |seeds AS (SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS c,
+       |    sub AS cent
+       |  FROM subs WHERE vec_id IN (
+       |    SELECT vec_id FROM (SELECT DISTINCT vec_id FROM subs ORDER BY vec_id LIMIT 16))),
        |a1 AS (SELECT s, c, sub FROM (
        |    SELECT v.s, k.c, v.sub,
        |      row_number() OVER (PARTITION BY v.vec_id, v.s
@@ -6678,6 +6780,13 @@ object Queries {
       val k = (permille.toLong * n + 999) / 1000
       val b = cum.indexWhere(_ >= k) - 1 // cum(b) < k <= cum(b + 1)
       val below = cum(b)
+      // limit() takes an Int: a degenerate near-constant corpus could put
+      // > 2^31 rows in one bucket and silently truncate the rank — fail
+      // loudly instead (the fix at that scale is a recursive histogram
+      // refinement of the oversized bucket, same two-pass recipe)
+      require(k - below <= Int.MaxValue,
+        s"x104: bucket $b holds ${k - below} candidate ranks (> Int.MaxValue); " +
+          "refine the histogram recursively before the order-statistic pass")
       vals.filter(bucket === b)
         .orderBy(col("v")).limit((k - below).toInt)
         .agg(max(col("v")).as("value"))
@@ -7107,29 +7216,39 @@ object Queries {
     * qualifying click keep NULL attribution — the honest "organic"
     * bucket, not a dropped row. Both argmin and argmax are lexicographic
     * struct extremes with the unique event id as tiebreak, so identical
-    * timestamps cannot flip credit between engines. Shape: one equi join
-    * on user_id with the window predicate residual (per-user event
-    * counts bound the fan-out; AQE handles hot users), then ONE per-
-    * purchase aggregation — the exchange on purchase id reuses nothing
-    * but stays delta-shaped: at 100 TB this is two keyed shuffles,
-    * no windows over the event log, no self-cross. */
+    * timestamps cannot flip credit between engines. Shape (r7, closing
+    * the round-6 fan-out finding): the purchase side explodes to its 3
+    * CANDIDATE CALENDAR DAYS (the days a 48 h look-back can touch) and
+    * joins clicks on (user_id, click-day) — a hot user with P purchases
+    * and C clicks now materializes at most 3·P·max-clicks-per-day rows
+    * instead of P·C; the window predicate then trims the day-coarse
+    * candidates exactly. Organic purchases re-enter through a LEFT join
+    * against the per-purchase credit table (delta-sized), keeping the
+    * honest NULL attribution. At 100 TB: two keyed shuffles + one
+    * delta-sized join-back, no windows over the event log, no per-key
+    * quadratic blow-up. */
   private def x111(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
-    purchases
-      .join(clicks, Seq("user_id"), "left")
-      .withColumn("touch",
-        col("cts") <= col("pts") && col("cts") >= col("pts") - expr("INTERVAL 48 HOURS"))
-      .withColumn("tstruct", when(col("touch"), struct(col("cts"), col("click_id"))))
-      .groupBy(col("purchase_id"), col("user_id"), col("pts"))
-      .agg(
-        sum(when(col("touch"), 1L).otherwise(0L)).as("n_touches"),
-        min(col("tstruct")).as("ft"), max(col("tstruct")).as("lt"))
+      .withColumn("cday", date_trunc("DAY", col("cts")))
+    val credits = purchases
+      .withColumn("cday", explode(expr(
+        """sequence(date_trunc('DAY', pts - INTERVAL 48 HOURS),
+          |         date_trunc('DAY', pts), interval 1 day)""".stripMargin)))
+      .join(clicks, Seq("user_id", "cday"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 48 HOURS"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        min(struct(col("cts"), col("click_id"))).as("ft"),
+        max(struct(col("cts"), col("click_id"))).as("lt"))
+    purchases.join(credits, Seq("purchase_id"), "left")
       .select(col("purchase_id"), col("user_id"),
-        col("pts").as("purchase_ts"), col("n_touches"),
+        col("pts").as("purchase_ts"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
         col("ft.click_id").as("first_click_id"), col("ft.cts").as("first_click_ts"),
         col("lt.click_id").as("last_click_id"), col("lt.cts").as("last_click_ts"))
   }
@@ -7292,7 +7411,8 @@ object Queries {
     Q("q8_revenue_windows", q8, Some(q8Sql), "rank/lag/lead/frames"),
     Q("q9_rollup_cube", q9, Some(q9Sql), "CUBE grouping sets"),
     Q("q10_distinct_parts", q10, Some(q10Sql), "exact distinct"),
-    Q("q10b_approx_distinct", q10b, None, "HLL approx distinct (engine-specific)"),
+    Q("q10b_approx_distinct", q10b, Some(q10bSql),
+      "HLL approx distinct, hash-gated on exact counts + the 3-rsd accuracy contract"),
     Q("q11_set_ops", q11, Some(q11Sql), "intersect/except/union"),
     Q("q12_scalar_suite", q12, Some(q12Sql), "string/date/math/json scalars"),
     Q("q17_artifact_statistics", q17, Some(q17Sql), "per-artifact column stats"),

@@ -276,13 +276,24 @@ object StreamQueries {
       |FROM events GROUP BY user_id, event_type""".stripMargin
 
   // ---------------------------------------------------------------- QS4
-  /** Watermark + append mode + dropDuplicatesWithinWatermark: the late-data
-    * path. The source is split into 3 time-ordered files consumed one per
-    * micro-batch, so the watermark genuinely advances and finalized windows
-    * are emitted incrementally. Append output depends on batch boundaries →
-    * rows-only check (windows emitted are always a subset of qs1's). */
+  /** Watermark + append mode + dropDuplicatesWithinWatermark: the
+    * late-data/duplicate path, HASH-GATED since r7 (formerly rows-only).
+    * Two changes closed the gate: (1) the stream now doubles every event
+    * map-side (qs15's at-least-once retransmit simulation, same event
+    * time on both copies) so the dedup operator is NON-VACUOUS — without
+    * injected duplicates the source has unique event_ids and the dedup
+    * never fires; (2) the emission set is derived exactly under the
+    * availableNow drain (the qs1a/qs13 watermark trick): duplicates share
+    * their timestamp so dedup-to-one is total within the watermark, the
+    * time-ordered file waves mean no event arrives after its window
+    * finalizes, and append emits precisely the windows with
+    * `window_end <= final watermark` with their exact distinct counts —
+    * which is what the oracle replays from the batch table. */
   private def qs4(spark: SparkSession, dir: String): DataFrame = {
     val windowed = eventsStream(spark, dir, nFiles = 3)
+      // at-least-once simulation: every event arrives twice in its batch
+      .withColumn("copy", explode(array(lit(1), lit(2))))
+      .drop("copy")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -292,6 +303,14 @@ object StreamQueries {
         col("window.start").cast(TimestampNTZType).as("window_start"),
         col("event_type"), col("n"))
   }
+
+  private val qs4Sql =
+    s"""WITH agg AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       |         CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       |         event_type, count(DISTINCT event_id) AS n
+       |  FROM events GROUP BY 1, 2, 3)
+       |SELECT window_start, event_type, n FROM agg WHERE window_end <= $wmSql""".stripMargin
 
   // ---------------------------------------------------------------- QS5
   /** Stream-static join: the event stream joins the static customer
@@ -598,11 +617,18 @@ object StreamQueries {
   private val driftBinExpr =
     "least(7, greatest(0, cast(floor(value / 15.0) as bigint)))"
 
-  /** One bin's nano-rounded PSI-style contribution; `q` is the baseline
-    * micro-share (Spark and DuckDB spell the same IEEE expression). */
-  private def driftTerm(b: String, q: String, idiv: String): String =
-    s"cast(round((($b * 1000000) $idiv n_events - $q) * " +
-      s"(ln(($b * 1000000) $idiv n_events + 1.0) - ln($q + 1.0)) * 1000) as bigint)"
+  /** One bin's PSI-style contribution, integer-exact (r7, the x58/x63
+    * recipe): p and q are integer micro-shares; the log difference is
+    * quantized ONCE to int64 nanos (the only double ops are two ln's of
+    * exact small integers — no association-order surface), and the term
+    * (p−q)·lnΔ·1000 is then the exact integer rational
+    * (p−q)·ld_nanos/10⁶ with half-up rounding. The product is ≥ 0 by
+    * monotonicity of ln, so unsigned half-up is exact on both engines. */
+  private def driftTerm(b: String, q: String, idiv: String): String = {
+    val p = s"(($b * 1000000) $idiv n_events)"
+    val ld = s"cast(round((ln($p + 1.0) - ln($q + 1.0)) * 1000000000) as bigint)"
+    s"((2 * (($p - $q) * $ld) + 1000000) $idiv 2000000)"
+  }
 
   private def qs18(spark: SparkSession, dir: String): DataFrame = {
     // pinned baseline: the standing corpus's value histogram, micro shares
@@ -814,8 +840,8 @@ object StreamQueries {
       .select(col("window.start").cast(TimestampNTZType).as("window_start"),
         col("event_type"), posexplode(col("admitted")).as(Seq("pos", "e")))
       .select(col("window_start"), col("event_type"),
-        col("e.event_id").as("event_id"), col("e.user_id").as("user_id"),
-        timestamp_micros(col("e.ts_us")).cast(TimestampNTZType).as("ts"),
+        col("e.k2").as("event_id"), col("e.payload").as("user_id"),
+        timestamp_micros(col("e.k1")).cast(TimestampNTZType).as("ts"),
         (col("pos") + 1).cast(IntegerType).as("admit_rank"))
   }
 
@@ -845,6 +871,7 @@ object StreamQueries {
   private def qs22(spark: SparkSession, dir: String): DataFrame = {
     val top = udaf(new graft.functions.FirstK(5))
     val agged = eventsStream(spark, dir, nFiles = 3)
+      .filter(col("value").isNotNull) // FirstK keys are non-nullable longs
       .withWatermark("ts", "10 minutes")
       .withColumn("neg_cents", -expr("cast(round(value * 100, 0) as bigint)"))
       .groupBy(window(col("ts"), "1 hour"))
@@ -853,8 +880,8 @@ object StreamQueries {
       .select(col("window.start").cast(TimestampNTZType).as("window_start"),
         posexplode(col("winners")).as(Seq("pos", "e")))
       .select(col("window_start"),
-        col("e.event_id").as("event_id"), col("e.user_id").as("user_id"),
-        (-col("e.ts_us")).as("value_cents"),
+        col("e.k2").as("event_id"), col("e.payload").as("user_id"),
+        (-col("e.k1")).as("value_cents"),
         (col("pos") + 1).cast(IntegerType).as("rank"))
   }
 
@@ -862,7 +889,7 @@ object StreamQueries {
     s"""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
        |             CAST(round(value * 100) AS BIGINT) AS cents,
        |             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start
-       |           FROM events),
+       |           FROM events WHERE value IS NOT NULL),
        |r AS (SELECT *, row_number() OVER (
        |        PARTITION BY window_start ORDER BY cents DESC, event_id) AS rnk
        |      FROM e)
@@ -1246,7 +1273,8 @@ object StreamQueries {
     Q("qs2a_stream_session_append", qs2a, Some(qs2aSql),
       "append-mode session windows: emitted sessions are final (exact emission oracle)"),
     Q("qs3_stream_state", qs3, Some(qs3Sql), "mapGroupsWithState earliest-event fold"),
-    Q("qs4_stream_late_append", qs4, None, "append mode + watermark + stream dedup"),
+    Q("qs4_stream_late_append", qs4, Some(qs4Sql),
+      "append + watermark + retransmit dedup, hash-gated on the finalized-window emission set"),
     Q("qs5_stream_static_join", qs5, Some(qs5Sql), "stream-static dimension join"),
     Q("qs6_stream_stream_join", qs6, Some(qs6Sql), "stream-stream interval join (watermark-bounded state)"),
     Q("qs7_stream_dedup_ingest", qs7, Some(qs7Sql), "streaming exact dedup-on-ingest (state across micro-batches)"),

@@ -342,7 +342,7 @@ class PropertiesSpec extends AnyFunSuite {
       .map(_.zipWithIndex.map { case ((t, u), i) => AdmitEntry(t, i.toLong, u) })
     check("firstk-invariance", Prop.forAll(gen, Gen.choose(0, 100), Gen.choose(0, 100)) {
       (es, c1, c2) =>
-        val truth = es.sortBy(e => (e.ts_us, e.event_id)).take(5)
+        val truth = es.sortBy(e => (e.k1, e.k2)).take(5)
         val (a, rest) = es.splitAt(if (es.isEmpty) 0 else c1 % (es.length + 1))
         val (b, c) = rest.splitAt(if (rest.isEmpty) 0 else c2 % (rest.length + 1))
         // any partition, any association, any commutation, any arrival order

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Queries
+
+/** ROUND-BOUNDARY AUDIT — the cross-engine fragility gate for every
+  * query whose oracle contract still quantizes a DOUBLE with `round(...)`
+  * (the `round(double·10⁶)` family flagged by the round-6 review).
+  *
+  * The hazard: Spark and DuckDB each compute the pre-round double, and if
+  * a data value lands within ~1 ulp of a `.5` rounding boundary, a 1-ulp
+  * divergence (a different libm, a DuckDB version bump, an FMA contraction)
+  * flips the rounded integer and the hash gate goes red — exactly the
+  * x58 failure class that round 7 eliminated by integer rewrite.
+  *
+  * The audit: take each audited query's REAL analyzed plan (not a copy)
+  * and rewrite every `Round(child: double, s)` node into a poisoned twin
+  * that adds 10¹⁵ to the result whenever the scaled value sits within
+  * `4·ulp` of a half-integer boundary. Re-executing the transformed plan
+  * must then produce EXACTLY the same rows as the original: any
+  * boundary-adjacent value anywhere in the pipeline — including inside
+  * aggregates, windows and cached subtrees — shifts an output by ~10¹⁵
+  * (or reorders a top-k) and fails the comparison. This turns "no emitted
+  * value is within 1 ulp of .5 on this data" from a claim into a gate.
+  *
+  * What a PASS means: on the checked corpus no double-rounding site is
+  * one ulp from flipping, so a DuckDB version bump cannot turn these rows
+  * red via rounding. Queries whose final rounds were migrated to integer
+  * arithmetic in r7 (x44, x58, x63, x64, qs18) no longer have a double
+  * `Round` in the plan at all and are out of scope by construction.
+  */
+class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("round-boundary-spec")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Round(c, s) → If(near-boundary, Round(c, s) + 1e15, Round(c, s)).
+    * Tolerance is 4 ulps of the scaled value (floor 1e-13): the band in
+    * which a realistic cross-engine double divergence could flip the
+    * rounded result. */
+  private def poison(r: Round): Expression = {
+    val scale = r.scale match {
+      case Literal(i: Int, _) => math.pow(10.0, i)
+      case other => return r // dynamic scale: not used by any audited query
+    }
+    val scaled = Multiply(Cast(r.child, DoubleType), Literal(scale))
+    val frac = Subtract(scaled, Cast(Cast(Floor(scaled), LongType), DoubleType))
+    val dist = Abs(Subtract(frac, Literal(0.5)))
+    val tol = Greatest(Seq(Literal(1e-13), Multiply(Abs(scaled), Literal(8.9e-16))))
+    val near = And(IsNotNull(scaled), LessThan(dist, tol))
+    If(near, Add(r, Literal(1e15)), r)
+  }
+
+  private def audited(df: DataFrame): DataFrame = {
+    // bottom-up on both the plan and expression trees: the poisoned
+    // replacement CONTAINS the matched Round, so a top-down transform
+    // would recurse into its own output forever
+    val plan = df.queryExecution.analyzed.transformUp {
+      case p => p.transformExpressionsUp {
+        case r: Round if r.child.dataType == DoubleType && r.dataType == DoubleType =>
+          poison(r)
+      }
+    }
+    GraftPlanBridge.ofRows(spark, plan)
+  }
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.collect().map(r => cols.map { c =>
+      val v = r.get(r.fieldIndex(c))
+      v match {
+        case d: Double => f"$d%.9g"
+        case x => String.valueOf(x)
+      }
+    }.mkString("|")).sorted.toSeq
+  }
+
+  /** every oracle-gated query that still rounds a double somewhere in its
+    * plan (the round-6 enumerated list minus the r7 integer migrations) */
+  private val auditedQueries = Seq(
+    "x38_kmeans_embed", "x45_cluster_exemplars", "x46_random_projection",
+    "x47_cluster_balanced_sample", "x48_semantic_outliers",
+    "x49_delta_cluster_assign", "x62_source_scorecard",
+    "x65_lm_quality_filter", "x69_pmi_collocations", "x70_label_cohesion",
+    "x73_embedding_audit", "x75_session_stats", "x81_principal_direction",
+    "x84_whitened_ann", "x87_zipf_fit", "x88_semdedup",
+    "x107_temperature_mixture", "x109_fps_coreset")
+
+  for (name <- auditedQueries)
+    test(s"$name: no double-round value within 4 ulps of a .5 boundary") {
+      val q = Queries.byName(name)
+      val base = canon(q.run(spark, sf))
+      spark.catalog.clearCache() // force the audited plan to recompute
+      val poisoned = canon(audited(q.run(spark, sf)))
+      spark.catalog.clearCache()
+      assert(base === poisoned,
+        s"$name: a pre-round double sits within the ulp band of a .5 " +
+          "boundary — a 1-ulp cross-engine divergence could flip the row")
+    }
+}

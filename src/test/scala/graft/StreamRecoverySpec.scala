@@ -309,8 +309,8 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("window.start").cast(TimestampNTZType).as("window_start"),
         col("event_type"), posexplode(col("admitted")).as(Seq("pos", "e")))
       .select(col("window_start"), col("event_type"),
-        col("e.event_id").as("event_id"), col("e.user_id").as("user_id"),
-        timestamp_micros(col("e.ts_us")).cast(TimestampNTZType).as("ts"),
+        col("e.k2").as("event_id"), col("e.payload").as("user_id"),
+        timestamp_micros(col("e.k1")).cast(TimestampNTZType).as("ts"),
         (col("pos") + 1).cast(IntegerType).as("admit_rank"))
     val oneShot = graft.operators.Queries.byName("qs21_stream_quota_admit").run(spark, sf)
     assert(recovered.exceptAll(oneShot).isEmpty && oneShot.exceptAll(recovered).isEmpty,
