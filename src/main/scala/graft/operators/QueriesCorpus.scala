@@ -1,0 +1,2110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-preparation & dataset-ops queries (SURVEY §2.4): sampling,
+  * packing, chunking, scrubbing, mixtures, splits, scorecards,
+  * layout/shard planning, attribution, capstone pipelines.
+  *
+  * Split out of the monolithic Queries.scala in r7 (registry unchanged —
+  * every member mixes back into [[Queries]], whose self-type these traits
+  * require). Members are `private[operators]`; SQL oracles are lazy so
+  * cross-trait references are initialization-order-safe.
+  */
+private[operators] trait QueriesCorpus { this: Queries.type =>
+
+  // ---------------------------------------------------------------- X12
+  /** Multimodal column plumbing: opaque binary payload + typed metadata.
+    * The "decode" is a deterministic fake (this container has no codec
+    * libs — see the builder contract); the Spark-side plumbing (binary
+    * column, schema, hashing, metadata derivation) is real. */
+  private[operators] def x12(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr("octet_length(cast(text as binary))").cast(LongType).as("byte_len"),
+      sha2(col("text"), 256).as("content_hash"),
+      when(col("n_chars") % 3 === 0, "image")
+        .when(col("n_chars") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      ((col("n_chars") * 7) % 1024).as("width"),
+      ((col("n_chars") * 13 + col("doc_id")) % 768).as("height"),
+      (col("n_chars") % 30 + 1).as("n_frames"))
+
+  private[operators] lazy val x12Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      |  sha256(text) AS content_hash,
+      |  CASE WHEN n_chars % 3 = 0 THEN 'image' WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  (n_chars * 7) % 1024 AS width,
+      |  (n_chars * 13 + doc_id) % 768 AS height,
+      |  n_chars % 30 + 1 AS n_frames
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- X18
+  /** Deterministic stratified sampling — the corpus-construction primitive
+    * for mixing training data: keep a document iff its content-addressed
+    * bucket (sha64 of the id, mod 100) falls under its language's sampling
+    * rate. Content-addressing (not rand()) makes the sample REPRODUCIBLE
+    * across runs, partitionings, and engines — rerunning the pipeline or
+    * adding a new language stratum never reshuffles which documents of an
+    * existing stratum are kept. Pure map-side filter: no shuffle at all
+    * until the per-stratum accounting aggregation. */
+  private[operators] lazy val x18Rates: Seq[(String, Int)] =
+    Seq("en" -> 25, "es" -> 50, "de" -> 75, "fr" -> 50, "zh" -> 100)
+
+  private[operators] def x18(spark: SparkSession, dir: String): DataFrame = {
+    val rate = x18Rates.foldRight(lit(10)) { case ((lang, r), rest) =>
+      when(col("lang") === lang, lit(r)).otherwise(rest)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("h", element_at(expr("graft_sha64(array(cast(doc_id as string)))"), 1))
+      .withColumn("bucket", ((col("h") % 100) + 100) % 100)
+      .withColumn("rate", rate)
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket").cast(IntegerType).as("bucket"))
+  }
+
+  /** Same sha64 bucket in DuckDB (16-bit-chunk hex reconstruction as in
+    * q20), same rate table, same keep rule. */
+  private[operators] lazy val x18Sql = {
+    val rateCase = x18Rates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH hx AS (SELECT doc_id, lang, substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16) AS h
+       |            FROM documents),
+       |ch AS (SELECT doc_id, lang,
+       |  list_transform(range(4), c -> CAST(
+       |    (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 1, 1)) - 1) * 4096
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 2, 1)) - 1) * 256
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 3, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 4, 1)) - 1) AS HUGEINT)) AS cs
+       |  FROM hx),
+       |fp AS (SELECT doc_id, lang, CAST(
+       |    ((cs[1] * 65536 + cs[2]) * 65536 + cs[3]) * 65536 + cs[4]
+       |    - CASE WHEN cs[1] >= 32768 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS h
+       |  FROM ch)
+       |SELECT doc_id, lang, CAST(((h % 100) + 100) % 100 AS INT) AS bucket
+       |FROM fp
+       |WHERE ((h % 100) + 100) % 100 < (CASE lang $rateCase ELSE 10 END)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X20
+  /** Benchmark-contamination detection: flag training documents sharing an
+    * outsized fraction of 3-shingles with a held-out benchmark set (here a
+    * deterministic 1/97 slice of the corpus standing in for the eval set).
+    * Shape at 100 TB: the benchmark's distinct-shingle table is tiny next
+    * to the corpus, so the equi-join broadcasts and the corpus side stays
+    * one linear postings scan — never an all-pairs comparison. Shared
+    * counts are integers; the one division is exact IEEE. */
+  private[operators] def x20(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir).select(col("doc_id"), col("sh"), col("n"))
+    val benchSh = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val shared = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(benchSh, Seq("s")) // shingles are distinct per doc → plain count
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"), col("n").as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared"))
+      .withColumn("contamination_ratio",
+        col("n_shared").cast(DoubleType) / greatest(col("n_shingles"), lit(1)))
+      .withColumn("contaminated", col("contamination_ratio") >= 0.2)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        col("contamination_ratio"), col("contaminated"))
+  }
+
+  private[operators] lazy val x20Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |b AS (SELECT DISTINCT unnest(sh) AS sng FROM s WHERE doc_id % 97 = 0),
+       |t AS (SELECT doc_id, unnest(sh) AS sng FROM s WHERE doc_id % 97 <> 0),
+       |sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |       FROM t JOIN b USING (sng) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(d.n AS INT) AS n_shingles,
+       |  COALESCE(sh.n_shared, 0) AS n_shared,
+       |  CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / greatest(d.n, 1) AS contamination_ratio,
+       |  (CAST(COALESCE(sh.n_shared, 0) AS DOUBLE) / greatest(d.n, 1)) >= 0.2 AS contaminated
+       |FROM (SELECT doc_id, len(sh) AS n FROM s WHERE doc_id % 97 <> 0) d
+       |LEFT JOIN sh USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- X21
+  /** GPT-style sequence packing by concatenation: documents are concatenated
+    * per language stratum in doc_id order and cut into fixed 256-token
+    * training sequences; each document reports the sequence span it lands
+    * in. The running offset is a TWO-PHASE prefix sum (the q5-linear trick):
+    * docs bucket by `doc_id div 4096`, bucket totals form a metadata-scale
+    * prefix table (one row per occupied bucket — the only single-partition
+    * window, bounded by bucket count, never by data), and the within-bucket
+    * residual is a window PARTITIONED BY (lang, bucket) — thousands of
+    * independent partitions at corpus scale, not one per language. All
+    * output columns are integer arithmetic — bit-stable across engines. */
+  private[operators] def x21(spark: SparkSession, dir: String): DataFrame = {
+    val seqLen = 256
+    val d = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(toks(col("text"))))
+      .withColumn("bkt", expr("doc_id div 4096"))
+    // phase 1: per-(lang, bucket) token totals → running prefix of FULL
+    // buckets before this one (tiny frame; broadcast back to the data)
+    val wb = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = d.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("bucket_before", coalesce(sum(col("bsum")).over(wb), lit(0L)))
+      .select(col("lang"), col("bkt"), col("bucket_before"))
+    // phase 2: within-bucket residual prefix, partitioned by (lang, bucket)
+    val ww = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("within_before", coalesce(sum(col("n_tokens")).over(ww), lit(0L)))
+      .join(broadcast(bucketPrefix), Seq("lang", "bkt"))
+      .withColumn("start_offset", col("bucket_before") + col("within_before"))
+      .withColumn("first_seq", expr(s"start_offset div $seqLen"))
+      .withColumn("last_seq", expr(s"(start_offset + n_tokens - 1) div $seqLen"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_offset"),
+        col("first_seq"), col("last_seq"), col("n_seqs"))
+  }
+
+  private[operators] lazy val x21Sql =
+    """WITH d AS (SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
+      |o AS (SELECT doc_id, lang, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      |  FROM d)
+      |SELECT doc_id, lang, n_tokens, start_offset,
+      |  start_offset // 256 AS first_seq,
+      |  (start_offset + n_tokens - 1) // 256 AS last_seq,
+      |  (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1 AS n_seqs
+      |FROM o""".stripMargin
+
+  // ---------------------------------------------------------------- X22
+  /** PII scrubbing: mask email addresses and long digit runs before
+    * training. The fixture plants deterministic PII on 1/7 of documents
+    * (the synthetic corpus contains none); the scrub itself is two
+    * codegen'd regexp_replace passes — a pure map-side scan. Output ships
+    * the sha256 of the scrubbed text (content-addressed evidence the scrub
+    * agreed), never the full text, so the compare shuffle stays narrow. */
+  private[operators] def x22(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    Tables.documents(spark, dir)
+      .withColumn("injected",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com id 1234567890")))
+          .otherwise(col("text")))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("injected"), emailPat, "<EMAIL>"),
+          "\\d{6,}", "<NUM>"))
+      .withColumn("pii_found", col("scrubbed") =!= col("injected"))
+      .select(col("doc_id"), col("pii_found"),
+        sha2(col("scrubbed"), 256).as("scrub_hash"),
+        length(col("scrubbed")).as("scrub_len"))
+  }
+
+  private[operators] lazy val x22Sql =
+    """WITH i AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com id 1234567890'
+      |      ELSE text END AS injected
+      |  FROM documents),
+      |s AS (SELECT doc_id, injected,
+      |    regexp_replace(regexp_replace(injected,
+      |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |      '\d{6,}', '<NUM>', 'g') AS scrubbed
+      |  FROM i)
+      |SELECT doc_id, scrubbed <> injected AS pii_found,
+      |  sha256(scrubbed) AS scrub_hash,
+      |  CAST(length(scrubbed) AS INT) AS scrub_len
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- X24
+  /** Hot-key aggregation through the SALTED two-phase decomposition
+    * ([[Skew.saltedSum]]): events carry ~8 event types over 100k+ rows —
+    * exactly the shape where a single reducer per key melts at corpus
+    * scale. The salt spreads each key over 16 partial sums; the final
+    * combine is 8×16 rows. Salting is semantics-preserving, so the oracle
+    * is the PLAIN group-by — the decomposition must be invisible in the
+    * result. Decimal partials keep both phases exact. */
+  private[operators] def x24(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedSum(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("value").cast(DecimalType(18, 2)).as("v")),
+      "event_type", "v", saltFactor = 16)
+      .select(col("event_type"), round(col("sum_v").cast(DoubleType), 2).as("total"))
+
+  private[operators] lazy val x24Sql =
+    """SELECT event_type, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- X25
+  /** Corpus mixture construction: per-source EPOCH weighting (upsampling by
+    * repetition — the standard way training mixtures overweight curated
+    * sources). Each document is emitted once per epoch with its epoch
+    * index, weights derived deterministically from the source id. Pure
+    * map-side explode — the row multiplier is the weight, no shuffle; at
+    * 100 TB the multiplied rows stream straight into downstream packing
+    * (x21) without materializing. Complements x18 (downsampling) as the
+    * other half of mixture construction. */
+  private[operators] def x25(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("epochs", expr("cast(substring(source, 4) as int)") % 3 + 1)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(sequence(lit(1), col("epochs"))).as("epoch"))
+      .withColumn("epoch", col("epoch").cast(IntegerType))
+
+  private[operators] lazy val x25Sql =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(unnest(generate_series(1, CAST(substr(source, 4, 10) AS INT) % 3 + 1)) AS INT) AS epoch
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- X26
+  /** The CAPSTONE: the full training-corpus preparation dataflow as ONE
+    * declarative query — exact dedup → repetition filter (x19 rule) →
+    * quality gate (x15 rule) → benchmark-contamination drop (x20 rule) →
+    * PII scrub (x22) → stratified sample (x18 rates) — every stage the
+    * proven cross-engine primitive, composed. Plan shape: the corpus-scale
+    * data crosses a shuffle only where aggregation demands it (the dedup
+    * keep-set, the contamination shared-counts); the keep-set and benchmark
+    * shingle set broadcast back, and every filter/scrub/sample stage is
+    * map-side. The oracle replays the identical rules as one CTE chain. */
+  private[operators] def x26(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val docs = Tables.documents(spark, dir)
+    // stage 1: exact dedup (keep min doc_id per text) — hash before shuffle
+    val keep = docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val d1 = docs.join(keep, Seq("doc_id"), "left_semi")
+    // stages 2+3: repetition + quality — one map-side pass
+    val d3 = d1
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("sh", expr("graft_shingle_hashes(tk, 3)"))
+      .withColumn("sh_total", greatest(col("n_tokens") - 2, lit(0)))
+      .withColumn("dup_ratio",
+        (col("sh_total") - size(col("sh"))).cast(DoubleType) / greatest(col("sh_total"), lit(1)))
+      .withColumn("stop_ratio",
+        expr(s"graft_count_in(tk, $stopArr)").cast(DoubleType) / col("n_tokens"))
+      .filter(col("dup_ratio") < 0.2 && col("stop_ratio") <= 0.5 && col("n_tokens") >= 10)
+    // stage 4: contamination drop (x20 rule, benchmark = doc_id % 97 == 0;
+    // benchmark docs themselves never enter a training corpus)
+    val benchSh = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(explode(expr("graft_shingle_hashes(tk, 3)")).as("s")).distinct()
+    val shared = d3.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(benchSh, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val d4 = d3.filter(col("doc_id") % 97 =!= 0)
+      .join(shared, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared"))
+      .filter(col("n_shared").cast(DoubleType) / greatest(col("sh_total"), lit(1)) < 0.2)
+    // stages 5+6: PII scrub + stratified sample — map-side again
+    val rate = x18Rates.foldRight(lit(10)) { case ((lang, r), rest) =>
+      when(col("lang") === lang, lit(r)).otherwise(rest)
+    }
+    d4.withColumn("scrub_hash",
+        sha2(regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          "\\d{6,}", "<NUM>"), 256))
+      .withColumn("bucket",
+        (((element_at(expr("graft_sha64(array(cast(doc_id as string)))"), 1) % 100) + 100) % 100)
+          .cast(IntegerType))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("bucket"), col("scrub_hash"))
+  }
+
+  private[operators] lazy val x26Sql = {
+    val rateCase = x18Rates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH d1 AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+       |sh0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh,
+       |         CAST(len(tk) AS INT) AS n_tokens,
+       |         CAST(len(list_filter(tk, x -> x IN ($stopwordsSqlList))) AS INT) AS n_stop
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM d1)),
+       |d3 AS (
+       |  SELECT s.doc_id, s.n_tokens, s.sh,
+       |         CAST(greatest(s.n_tokens - 2, 0) AS INT) AS sh_total
+       |  FROM sh0 s
+       |  WHERE CAST(greatest(s.n_tokens - 2, 0) - len(s.sh) AS DOUBLE)
+       |          / greatest(greatest(s.n_tokens - 2, 0), 1) < 0.2
+       |    AND CAST(s.n_stop AS DOUBLE) / s.n_tokens <= 0.5
+       |    AND s.n_tokens >= 10),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(sh) AS s FROM (
+       |    SELECT list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+       |    FROM (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id % 97 = 0) q)),
+       |shared AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM d3) t JOIN bsh USING (s)
+       |  GROUP BY t.doc_id),
+       |d4 AS (
+       |  SELECT d3.doc_id, d3.n_tokens FROM d3 LEFT JOIN shared USING (doc_id)
+       |  WHERE d3.doc_id % 97 <> 0
+       |    AND CAST(COALESCE(shared.n_shared, 0) AS DOUBLE) / greatest(d3.sh_total, 1) < 0.2),
+       |hx AS (SELECT doc_id, substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16) AS h FROM d4),
+       |ch AS (SELECT doc_id,
+       |  list_transform(range(4), c -> CAST(
+       |    (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 1, 1)) - 1) * 4096
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 2, 1)) - 1) * 256
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 3, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substr(h, CAST(c*4 AS INT) + 4, 1)) - 1) AS HUGEINT)) AS cs
+       |  FROM hx),
+       |fp AS (SELECT doc_id, CAST(
+       |    ((cs[1] * 65536 + cs[2]) * 65536 + cs[3]) * 65536 + cs[4]
+       |    - CASE WHEN cs[1] >= 32768 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS h
+       |  FROM ch)
+       |SELECT d.doc_id, doc.lang, doc.source, d.n_tokens,
+       |  CAST(((fp.h % 100) + 100) % 100 AS INT) AS bucket,
+       |  sha256(regexp_replace(regexp_replace(doc.text,
+       |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+       |    '\\d{6,}', '<NUM>', 'g')) AS scrub_hash
+       |FROM d4 d JOIN fp USING (doc_id) JOIN documents doc ON doc.doc_id = d.doc_id
+       |WHERE ((fp.h % 100) + 100) % 100 <
+       |  (CASE doc.lang $rateCase ELSE 10 END)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X33
+  /** Per-source document caps — corpus balancing (every real pipeline caps
+    * how much any one domain/crawl contributes): keep the 20 lowest-id
+    * documents per source, emit the kept set. Deterministic (id order, not
+    * rand), and the rank-filter shape is exactly what Spark's
+    * WindowGroupLimit optimizes: each map task pre-prunes to its local
+    * top-20 per source BEFORE the shuffle, so the exchange carries
+    * O(sources × cap × tasks), not the corpus — the plan that survives a
+    * skewed 100 TB crawl where one domain is half the data. */
+  private[operators] lazy val x33Cap = 20
+
+  private[operators] def x33(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= x33Cap)
+      .select(col("source"), col("rn"), col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  private[operators] lazy val x33Sql =
+    s"""SELECT source, CAST(row_number() OVER w AS INT) AS rn, doc_id, lang, n_chars
+       |FROM documents
+       |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+       |QUALIFY rn <= $x33Cap""".stripMargin
+
+  // ---------------------------------------------------------------- X35
+  /** Document CHUNKING with overlap — the RAG/embedding-prep primitive:
+    * split each document into 64-token windows on a 48-token stride
+    * (16-token overlap so no boundary context is lost), emitting per chunk
+    * its position, length, and a content hash (sha256 of the joined chunk
+    * text — computable by BOTH engines, so chunk identity is
+    * cross-engine-stable and directly usable as an exact-dedup key for
+    * chunk-level dedup before embedding). Pure map-side row expansion —
+    * no shuffle at all; at 100 TB this is the same scan cost as reading
+    * the corpus. */
+  private[operators] def x35(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("s", explode(expr("sequence(0, size(tk) - 1, 48)")))
+      .select(col("doc_id"),
+        (col("s") / 48).cast(IntegerType).as("chunk_idx"),
+        col("s").cast(IntegerType).as("chunk_start"),
+        least(lit(64), size(col("tk")) - col("s")).cast(IntegerType).as("n_chunk_tokens"),
+        sha2(array_join(slice(col("tk"), col("s") + 1, lit(64)), " "), 256).as("chunk_hash"))
+  }
+
+  private[operators] lazy val x35Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS s FROM d)
+      |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_idx, CAST(s AS INT) AS chunk_start,
+      |  CAST(least(64, len(tk) - s) AS INT) AS n_chunk_tokens,
+      |  sha256(array_to_string(tk[s+1 : least(s+64, len(tk))], ' ')) AS chunk_hash
+      |FROM c""".stripMargin
+
+  // ---------------------------------------------------------------- X13 oracle
+  /** x13 replayed in SQL: same modality routing, same synthesized payload
+    * BYTES (documents are pure ASCII, so ord(char) == payload byte), same
+    * header arithmetic for byte lengths, same per-pixel BT.601 luma and
+    * per-sample RMS sums in the same order. PPM header is
+    * "P6\nW H\n255\n" = 9 + digits(W) + digits(H) bytes. */
+  private[operators] lazy val x13Sql = {
+    // integer-milli luma: the sum is exact, so the single final division
+    // reproduces the engine's double bit-for-bit
+    val lumaExpr = (w: String, h: String) =>
+      s"""CAST(list_sum(list_transform(range($w * $h),
+         |      p -> 299 * ord(substr(text, CAST((3*p) % L AS INT) + 1, 1))
+         |         + 587 * ord(substr(text, CAST((3*p + 1) % L AS INT) + 1, 1))
+         |         + 114 * ord(substr(text, CAST((3*p + 2) % L AS INT) + 1, 1)))) AS DOUBLE)
+         |      / (1000.0 * $w * $h)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text, n_chars, length(text) AS L FROM documents),
+       |img AS (
+       |  SELECT doc_id, 'image' AS modality,
+       |    CAST(9 + length(CAST(4 + n_chars % 12 AS VARCHAR))
+       |           + length(CAST(4 + (n_chars // 3) % 8 AS VARCHAR))
+       |           + (4 + n_chars % 12) * (4 + (n_chars // 3) % 8) * 3 AS BIGINT) AS byte_len,
+       |    CAST(4 + n_chars % 12 AS INT) AS width,
+       |    CAST(4 + (n_chars // 3) % 8 AS INT) AS height,
+       |    CAST(0 AS BIGINT) AS duration_ms, CAST(1 AS INT) AS n_frames,
+       |    ${lumaExpr("(4 + n_chars % 12)", "(4 + (n_chars // 3) % 8)")} AS feature
+       |  FROM d WHERE n_chars % 3 = 0),
+       |aud AS (
+       |  SELECT doc_id, 'audio' AS modality,
+       |    CAST(44 + (200 + n_chars % 800) * 2 AS BIGINT) AS byte_len,
+       |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+       |    CAST((200 + n_chars % 800) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       |    CAST(0 AS INT) AS n_frames,
+       |    sqrt(CAST(list_sum(list_transform(range(200 + n_chars % 800),
+       |      i -> CAST((ord(substr(text, CAST(i % L AS INT) + 1, 1)) - 96) * 256 AS BIGINT)
+       |         * CAST((ord(substr(text, CAST(i % L AS INT) + 1, 1)) - 96) * 256 AS BIGINT))) AS DOUBLE)
+       |      / (200 + n_chars % 800)) AS feature
+       |  FROM d WHERE n_chars % 3 = 1),
+       |vid AS (
+       |  SELECT doc_id, 'video' AS modality,
+       |    CAST(8 + 9 + 1 + 1 + 8 * 6 * 3 AS BIGINT) AS byte_len,
+       |    CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+       |    CAST((1 + n_chars % 30) * 40 AS BIGINT) AS duration_ms,
+       |    CAST(1 + n_chars % 30 AS INT) AS n_frames,
+       |    ${lumaExpr("8", "6")} AS feature
+       |  FROM d WHERE n_chars % 3 = 2)
+       |SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X37
+  /** SCD2 / CDC MERGE — the slowly-changing-dimension build every warehouse
+    * (and every training-data snapshot lineage) needs: treat each order as a
+    * change event to its customer's priority attribute and collapse the
+    * stream into type-2 dimension rows (valid_from / valid_to / is_current,
+    * one open row per key). Gaps-and-islands: a lag() change flag, a running
+    * sum to number the islands, one aggregate per island, then lead() to
+    * close each version with the next one's start. Two window passes and one
+    * aggregate over a SINGLE shuffle by the dimension key — at 100 TB the
+    * change log partitions by key and nothing is ever driver-side; this is
+    * the scalable MERGE INTO alternative when the engine has no mutable
+    * table (the output is a fresh immutable dimension snapshot). */
+  private[operators] def x37(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir).select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      col("o_orderdate"), col("o_orderpriority").as("priority"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val runs = src
+      .withColumn("chg",
+        when(lag(col("priority"), 1).over(w).isNull ||
+          lag(col("priority"), 1).over(w) =!= col("priority"), 1).otherwise(0))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("custkey"), col("grp").cast(IntegerType).as("version"))
+      .agg(min(col("priority")).as("priority"),
+        min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val w2 = Window.partitionBy(col("custkey")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("custkey"), col("version"), col("priority"),
+        col("valid_from"), col("valid_to"), col("is_current"), col("n_orders"))
+  }
+
+  private[operators] lazy val x37Sql =
+    """WITH src AS (
+      |  SELECT o_custkey AS custkey, o_orderkey, o_orderdate, o_orderpriority AS priority
+      |  FROM orders),
+      |marked AS (
+      |  SELECT *, CASE WHEN lag(priority) OVER w IS NULL OR lag(priority) OVER w != priority
+      |                 THEN 1 ELSE 0 END AS chg
+      |  FROM src WINDOW w AS (PARTITION BY custkey ORDER BY o_orderdate, o_orderkey)),
+      |grouped AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM marked),
+      |runs AS (
+      |  SELECT custkey, CAST(grp AS INT) AS version, min(priority) AS priority,
+      |         min(o_orderdate) AS valid_from, CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM grouped GROUP BY custkey, grp)
+      |SELECT custkey, version, priority, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) AS valid_to,
+      |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) IS NULL AS is_current,
+      |  n_orders
+      |FROM runs""".stripMargin
+
+  // ---------------------------------------------------------------- X39
+  /** Z-ORDER DATA LAYOUT (multi-dimensional clustering for data skipping —
+    * what Delta/Iceberg OPTIMIZE ZORDER does): quantize (l_partkey,
+    * l_suppkey) to 8 bits each against their true min/max, Morton-interleave
+    * the bits into a 16-bit z-key, bucket rows by the z-key prefix, and emit
+    * per-bucket (count, per-dimension min/max) — the exact file-level
+    * statistics a scan planner would prune on. `would_scan` marks the
+    * buckets a 5%-wide partkey range predicate actually has to read: on this
+    * data ~1/10 of the buckets, versus 100% under any single-column layout
+    * for the second dimension. Whole thing is one pre-agg for bounds (a
+    * 1-row broadcast), a map-side integer kernel for the z-key (pure
+    * codegen'd bit arithmetic), and ONE shuffle for the per-bucket stats —
+    * at 100 TB this is the same cost as any groupBy, and the z-key doubles
+    * as a `repartitionByRange` / write-ordering key to physically lay files
+    * out this way. */
+  private[operators] def x39(spark: SparkSession, dir: String): DataFrame = {
+    val morton = (0 until 8).map(i =>
+      s"(shiftright(qx, $i) & 1) * ${1L << (2 * i)}L + (shiftright(qy, $i) & 1) * ${1L << (2 * i + 1)}L")
+      .mkString(" + ")
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+    val bounds = li.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    li.join(broadcast(bounds))
+      .withColumn("qx", expr("(l_partkey - pmin) * 256 div (pmax - pmin + 1)"))
+      .withColumn("qy", expr("(l_suppkey - smin) * 256 div (smax - smin + 1)"))
+      .withColumn("lo", expr("pmin + (pmax - pmin) * 2 div 5"))
+      .withColumn("hi", expr("pmin + (pmax - pmin) * 9 div 20"))
+      .withColumn("zkey", expr(morton))
+      .groupBy(expr("cast(shiftright(zkey, 6) as int)").as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"),
+        (max(col("l_partkey")) >= min(col("lo")) &&
+          min(col("l_partkey")) <= min(col("hi"))).as("would_scan"))
+  }
+
+  private[operators] lazy val x39Sql = {
+    val morton = (0 until 8).map(i =>
+      s"((qx >> $i) & 1) * ${1L << (2 * i)} + ((qy >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+       |                  min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+       |q AS (SELECT l_partkey, l_suppkey,
+       |        (l_partkey - pmin) * 256 // (pmax - pmin + 1) AS qx,
+       |        (l_suppkey - smin) * 256 // (smax - smin + 1) AS qy,
+       |        pmin + (pmax - pmin) * 2 // 5 AS lo,
+       |        pmin + (pmax - pmin) * 9 // 20 AS hi
+       |      FROM lineitem, b),
+       |z AS (SELECT *, ($morton) AS zkey FROM q)
+       |SELECT CAST(zkey >> 6 AS INT) AS zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+       |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max,
+       |  (max(l_partkey) >= min(lo) AND min(l_partkey) <= min(hi)) AS would_scan
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X40
+  /** CURRICULUM ORDERING — the easy→hard training-schedule prep: bin each
+    * document into a difficulty phase by token count against FIXED
+    * thresholds (map-side, data-independent — no global ntile, so no
+    * single-partition window at 100 TB), then give every document a
+    * deterministic position inside its phase by shuffling on md5(text)
+    * (a content-addressed permutation both engines compute identically —
+    * re-running the pipeline never reorders the curriculum). The only
+    * shuffle is the per-phase window partition; consumption order is
+    * (phase, pos_in_phase), and at scale pos_in_phase is exactly the
+    * within-partition sort key a range-partitioned writer would use. */
+  private[operators] def x40(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("phase")).orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"), md5(col("text")).as("shuffle_key"))
+      .withColumn("phase",
+        when(col("n_tokens") < 40, 1).when(col("n_tokens") < 60, 2)
+          .when(col("n_tokens") < 80, 3).otherwise(4))
+      .withColumn("pos_in_phase", row_number().over(w))
+      .select(col("doc_id"), col("n_tokens"), col("phase"), col("pos_in_phase"))
+  }
+
+  private[operators] lazy val x40Sql =
+    """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |                  md5(text) AS shuffle_key FROM documents),
+      |p AS (SELECT *, CASE WHEN n_tokens < 40 THEN 1 WHEN n_tokens < 60 THEN 2
+      |                     WHEN n_tokens < 80 THEN 3 ELSE 4 END AS phase FROM t)
+      |SELECT doc_id, n_tokens, CAST(phase AS INT) AS phase,
+      |  CAST(row_number() OVER (PARTITION BY phase ORDER BY shuffle_key, doc_id) AS INT) AS pos_in_phase
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------- X41
+  /** BLOOM-FILTER PRE-FILTERED JOIN — the explicit form of the runtime
+    * filter every warehouse pushes into big-probe-side joins: build a
+    * 64 Kbit Bloom filter over the build side's keys (urgent orders) as a
+    * DISTRIBUTED aggregation (k=4 double-hashed positions per key, map-side
+    * bit_or partials, a ≤1024-row word table densified into ONE 8 KB array
+    * row), broadcast that single row, and drop non-matching fact rows
+    * map-side BEFORE the join shuffle. The exact semi-join then removes the
+    * false positives, so the OUTPUT is provably the plain semi-join (the
+    * oracle needs no Bloom model) while the exchange carries only
+    * ~|matches| + fp rows instead of the whole fact table. At 100 TB this
+    * is the difference between shuffling 100 TB and shuffling the ~2%
+    * that survives; the filter itself never exceeds one broadcast page.
+    * The same shape is what Spark's own InjectRuntimeFilter emits — built
+    * here explicitly so the operator works on any bounded key set. */
+  private[operators] def x41(spark: SparkSession, dir: String): DataFrame = {
+    val mBits = 65536
+    val words = mBits / 64
+    def positions(key: Column): Seq[Column] = {
+      // reduce each hash mod m BEFORE combining: the raw h1 + j*h2 double-
+      // hash overflows Long under ANSI arithmetic; mod-first is the same
+      // position sequence in Z_m and stays tiny
+      val h1 = pmod(xxhash64(key), lit(mBits.toLong))
+      val h2 = pmod(xxhash64(key, lit("graft_bloom")), lit(mBits.toLong))
+      (0 until 4).map(j => pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong)))
+    }
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // the filter is BUILT distributed (map-side bit_or partials over the
+    // build side), then its 8 KB word array lands in the plan as ONE
+    // literal — a metadata-scale scalar job at plan-build time (the same
+    // documented pattern as x2's df-cap). Embedding it as a literal is
+    // what pins the evaluation ORDER: expressed as a join, Catalyst
+    // legally reorders the semi join underneath it (observed via
+    // ExplainOne) and the pre-filter stops pre-filtering; as a scan-level
+    // predicate it provably runs before the join, which is exactly the
+    // plan Spark's own InjectRuntimeFilter produces for this shape.
+    val bloomArr: Array[Long] = urgent
+      .select(explode(array(positions(col("o_orderkey")): _*)).as("pos"))
+      .groupBy(expr("pos div 64").as("w"))
+      .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("bits"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("bits"))).as("mp"))
+      .select(expr(s"transform(sequence(0, ${words - 1}), w -> coalesce(mp[cast(w as bigint)], 0L))").as("bloom"))
+      .head().getSeq[Long](0).toArray
+    val bloomLit = typedLit(bloomArr)
+    // membership test: every one of the 4 bit positions is set
+    val test = positions(col("l_orderkey")).map { p =>
+      (element_at(bloomLit, (p / 64).cast(IntegerType) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast(IntegerType)))) =!= 0L
+    }.reduce(_ && _)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+      .filter(test)               // scan-level drop BEFORE the join shuffle
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) -
+          col("l_discount").cast(DecimalType(4, 2)))).cast(DoubleType), 2).as("revenue"))
+  }
+
+  private[operators] lazy val x41Sql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- X42
+  /** DETERMINISTIC WEIGHTED SAMPLING without replacement (Efraimidis–
+    * Spirakis A-RES), stratified by language: every document draws its
+    * uniform u from md5(text) — content-addressed, so the sample is
+    * REPRODUCIBLE across engines and reruns — and competes on the key
+    * ln(u)/weight (weight = n_chars: longer docs proportionally likelier).
+    * Top-20 keys per stratum win. This is the principled "sample by
+    * quality/length" primitive (x18 is the unweighted cousin): map-side
+    * key computation, ONE per-stratum top-k window — at 100 TB the top-k
+    * is a partial-aggregated rank (no global sort), and the key needs no
+    * RNG state, no seed distribution, no driver coordination. Keys are
+    * rounded at 8dp before ranking so one-ulp ln() differences between
+    * engines can't flip an order (doc_id breaks rounded ties). */
+  private[operators] def x42(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("skey").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("hv", conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType))
+      .withColumn("skey",
+        round(log((col("hv") + 0.5) / lit(281474976710656.0)) / col("n_chars"), 8))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("skey"), col("rnk"))
+  }
+
+  private[operators] lazy val x42Sql =
+    """WITH t AS (SELECT doc_id, lang, n_chars,
+      |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv FROM documents),
+      |k AS (SELECT doc_id, lang, n_chars,
+      |    round(ln((hv + 0.5) / 281474976710656.0) / n_chars, 8) AS skey FROM t)
+      |SELECT lang, doc_id, n_chars, skey,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS INT) AS rnk
+      |FROM k QUALIFY rnk <= 20""".stripMargin
+
+  // ---------------------------------------------------------------- X50
+  /** EQUI-DEPTH HISTOGRAM — the other histogram (x28 is equi-width): eight
+    * buckets holding ~equal row counts, bounded by the 12.5%-step discrete
+    * percentiles (the value at sorted position ⌈n·q⌉ — DuckDB
+    * quantile_disc / SQL percentile_disc semantics). Discrete percentiles
+    * pick ACTUAL data values (2-decimal prices), so the cut points — and
+    * therefore every bucket assignment — are exact decimals with no
+    * interpolation ulp risk. The cuts come from a DISTINCT-VALUE HISTOGRAM
+    * selection, not Spark's percentile_disc aggregate (which buffers every
+    * raw value in one task — measured 11 s at sf0.1 vs ~1 s for this
+    * plan): one map-side-combined groupBy collapses the corpus to
+    * (price, count), a cumulative-count window runs over DISTINCT values
+    * only, and cut(q) = min price whose cumulative count reaches ⌈n·q⌉.
+    * The window's single partition is bounded by the DECIMAL(8,2) price
+    * DOMAIN (≤ ~10M narrow rows at ANY table size — domain-bounded, not
+    * data-bounded), so the plan holds at 100 TB; the corpus-sized passes
+    * (histogram build, bucket assignment) are map-side. Fully
+    * deterministic: no RangePartitioner sampling anywhere — the r5
+    * range-partition plan needed a persist() just to pin the sampler seed,
+    * and paid a materialization plus a second scan for it. Equi-depth
+    * bounds are what selectivity estimation and range-partitioner splits
+    * are built from. */
+  private[operators] def x50(spark: SparkSession, dir: String): DataFrame = {
+    val qs = (1 to 7).map(_ * 0.125)
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("price"))
+    // DISTINCT-VALUE HISTOGRAM selection (r6, replacing the r5
+    // range-partition + offsets + local-rank plan): one map-side-combined
+    // groupBy collapses the corpus to its distinct prices with counts;
+    // cut(q) = min price whose cumulative count reaches ⌈n·q⌉ — the exact
+    // percentile_disc value. Fully DETERMINISTIC (no RangePartitioner
+    // sampling seed anywhere — the r5 persist() existed only to pin that
+    // seed, and cost a materialization plus a second scan). The cumsum
+    // window is single-partition over DISTINCT values only: bounded by the
+    // DECIMAL(8,2) price DOMAIN (≤ ~10M rows at ANY table size — domain-
+    // bounded, not data-bounded), narrow (value, count), so it holds at
+    // 100 TB; the corpus-sized passes are the two scans (histogram build,
+    // bucket assignment), both map-side against a broadcast.
+    // n first, as its own action: a bare count() resolves from parquet
+    // row-group STATS (no data scan, ~0.1 s), and inlining n as a literal
+    // removes an entire second WindowExec pass over the distinct values
+    // (the unboundedPreceding..unboundedFollowing total-sum frame cost
+    // ~0.4 s of the old plan). Target ranks are exact integers:
+    // ceil(n·k/8) = (n·k + 7) div 8 — no float ceil, no ulp risk.
+    val n = li.count()
+    val wCum = Window.orderBy(col("price")).rowsBetween(Window.unboundedPreceding, 0)
+    // cuts as 7 SCALAR columns, not an array: the bucket assignment below
+    // is then a sum of plain comparisons — fully codegen'd. (The first
+    // draft used size(filter(cs, c -> price > c)); higher-order-function
+    // expressions are interpreted per row and break the whole-stage span —
+    // measured 1.0 s of the query on the lambda alone.)
+    val cutCols = qs.indices.map { i =>
+      min(when(col("cum") >= lit((n * (i + 1) + 7) / 8), col("price"))).as(s"cut$i")
+    }
+    // The second driver action fetches the 7 cut scalars and pins them as
+    // LITERALS in the assignment scan — metadata-scale (the x2 df-cap /
+    // x41 bloom-literal pattern): a broadcast join of the 1-row cut frame
+    // would run as BroadcastNestedLoopJoin, which breaks whole-stage
+    // codegen (measured +0.5 s on the 600 k-row pass)
+    val cutsRow = li.groupBy(col("price")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .agg(cutCols.head, cutCols.tail: _*)
+      .head()
+    li.withColumn("bucket", qs.indices
+        .map(i => when(col("price") > lit(cutsRow.get(i)), 1).otherwise(0))
+        .reduce(_ + _).cast(IntegerType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("price")).as("lo"), max(col("price")).as("hi"))
+  }
+
+  private[operators] lazy val x50Sql =
+    """WITH cuts AS (SELECT quantile_disc(l_extendedprice,
+      |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cs FROM lineitem)
+      |SELECT CAST(len(list_filter(cs, c -> l_extendedprice > c)) AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM lineitem, cuts GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- X51
+  /** IMAGE RESIZE through the multimodal pipeline (SURVEY X5 "resize"):
+    * nearest-neighbor 2× downsample of every image payload as a
+    * partition-batched typed transform, the resized raster re-decoded for
+    * its stats. The oracle replays the SAME byte-level computation in SQL
+    * (payload raster bytes are synthesized from the doc text, so the
+    * sampled-pixel luma sum is expressible engine-side as exact integer
+    * millis — x13's trick on the sampled grid). Pure map-side. */
+  private[operators] def x51(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeFeatures(Multimodal.fromDocuments(spark, dir), 2).toDF()
+
+  private[operators] lazy val x51Sql = {
+    // sampled-pixel luma: resized pixel p reads source pixel
+    // ((p // wr)·2)·w + (p % wr)·2; raster byte k = ord(text[k % L])
+    val src = "(((p // wr) * 2) * w + (p % wr) * 2)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS L,
+       |    CAST(4 + n_chars % 12 AS INT) AS w,
+       |    CAST(4 + (n_chars // 3) % 8 AS INT) AS h
+       |  FROM documents WHERE n_chars % 3 = 0),
+       |r AS (SELECT *, CAST((w + 1) // 2 AS INT) AS wr, CAST((h + 1) // 2 AS INT) AS hr FROM d)
+       |SELECT doc_id, w AS src_w, h AS src_h, wr AS out_w, hr AS out_h,
+       |  CAST(list_sum(list_transform(range(wr * hr),
+       |    p -> 299 * ord(substr(text, CAST((3 * $src) % L AS INT) + 1, 1))
+       |       + 587 * ord(substr(text, CAST((3 * $src + 1) % L AS INT) + 1, 1))
+       |       + 114 * ord(substr(text, CAST((3 * $src + 2) % L AS INT) + 1, 1)))) AS DOUBLE)
+       |    / (1000.0 * wr * hr) AS out_luma
+       |FROM r""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X52
+  /** FRAME SAMPLING through the multimodal pipeline (SURVEY X5
+    * "frame-sample"): every 5th frame index of each video expands to a row
+    * with its presentation timestamp — the map-side row-expansion shape of
+    * video ingest. GFV0 carries one keyframe, so each sampled row carries
+    * the keyframe's luma (a real MP4 codec would decode AT the index
+    * through the same seam); indices, timestamps, and the expansion
+    * contract are fully oracle-checked. */
+  private[operators] def x52(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSamples(Multimodal.fromDocuments(spark, dir), 5).toDF()
+
+  private[operators] lazy val x52Sql =
+    """WITH v AS (
+      |  SELECT doc_id, text, length(text) AS L,
+      |    CAST(1 + n_chars % 30 AS INT) AS n_frames
+      |  FROM documents WHERE n_chars % 3 = 2),
+      |s AS (SELECT doc_id, text, L, CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx FROM v)
+      |SELECT doc_id, frame_idx, CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+      |  CAST(list_sum(list_transform(range(48),
+      |    p -> 299 * ord(substr(text, CAST((3 * p) % L AS INT) + 1, 1))
+      |       + 587 * ord(substr(text, CAST((3 * p + 1) % L AS INT) + 1, 1))
+      |       + 114 * ord(substr(text, CAST((3 * p + 2) % L AS INT) + 1, 1)))) AS DOUBLE)
+      |    / (1000.0 * 48) AS luma
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- X53
+  /** NULL IMPUTATION by group statistic — the feature-cleaning step before
+    * any numeric feature reaches training: values knocked out by a
+    * deterministic corruption rule (event_id % 13 = 0, mirroring x22's
+    * planted-PII pattern) are filled with their event type's LOWER MEDIAN
+    * (percentile-disc semantics — an actual data value, no interpolation),
+    * computed per group over the surviving values. Group medians via the
+    * x50 selection recipe collapsed to a per-group window rank (groups are
+    * the partition key, so the rank window is fully distributed); the
+    * k-group median table broadcasts back. Flags carried so downstream can
+    * weight imputed rows. */
+  private[operators] def x53(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 13 === 0, lit(null)).otherwise(col("value")).as("value"))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wCnt = Window.partitionBy(col("event_type"))
+    val medians = ev.filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wCnt))
+      .filter(col("rn") === expr("(n + 1) div 2")) // lower median: ceil(n/2), integer div
+      .select(col("event_type"), col("value").as("group_median"))
+    ev.join(broadcast(medians), "event_type")
+      .select(col("event_id"), col("event_type"),
+        col("value").isNull.as("imputed"),
+        coalesce(col("value"), col("group_median")).as("value_filled"),
+        col("group_median"))
+  }
+
+  private[operators] lazy val x53Sql =
+    """WITH ev AS (SELECT event_id, event_type,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+      |  FROM events),
+      |m AS (SELECT event_type, value AS group_median FROM (
+      |    SELECT event_type, value,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM ev WHERE value IS NOT NULL) t
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT event_id, ev.event_type, value IS NULL AS imputed,
+      |  coalesce(value, group_median) AS value_filled, group_median
+      |FROM ev JOIN m ON ev.event_type = m.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- X54
+  /** TRAIN/VAL/TEST SPLIT — deterministic 80/10/10 partitioning by a
+    * content-addressed hash bucket (md5(text) % 100, the x18/x42 recipe):
+    * the same document lands in the same split on every run, every
+    * engine, every partitioning — the property that keeps eval sets
+    * uncontaminated across pipeline re-runs (a seeded RNG split silently
+    * reshuffles when row order changes; a content hash cannot). Output is
+    * the split manifest: per (split, lang) counts and within-split shares
+    * — the balance check run before any training job. The share is an
+    * integer MICRO-share ((n_docs·10⁶) div n_split, the x12/x38 exact-
+    * contract recipe) so the manifest is bit-identical across engines —
+    * a 6dp-rounded double here differs by one ulp between Spark and
+    * DuckDB rounding. Map-side bucket + one aggregation + a 3-row
+    * broadcast of split totals. */
+  private[operators] def x54(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables.documents(spark, dir)
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType), lit(100L)))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+    val perCell = bucketed.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n_docs"))
+    val totals = perCell.groupBy(col("split")).agg(sum(col("n_docs")).as("n_split"))
+    perCell.join(broadcast(totals), "split")
+      .select(col("split"), col("lang"), col("n_docs"), col("n_split"),
+        expr("(n_docs * 1000000L) div n_split").as("share_ppm"))
+  }
+
+  private[operators] lazy val x54Sql =
+    """WITH b AS (SELECT lang,
+      |    CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+      |         WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |cell AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1, 2),
+      |tot AS (SELECT split, sum(n_docs) AS n_split FROM cell GROUP BY 1)
+      |SELECT cell.split, lang, n_docs, n_split,
+      |  CAST((n_docs * 1000000) // n_split AS BIGINT) AS share_ppm
+      |FROM cell JOIN tot ON cell.split = tot.split""".stripMargin
+
+  // ---------------------------------------------------------------- X55
+  /** EVENT-SEQUENCE (training-episode) CONSTRUCTION — the behavioral-
+    * pretraining shape: each user's event log becomes one ordered episode
+    * of its FIRST 32 events by (µs timestamp, event_id), emitted as a
+    * manifest row (length, time span, and the sha256 fingerprint of the
+    * ordered event-type sequence — the content address a sequence store
+    * would key on). Scale shape: the rank window is partitioned by
+    * user_id and filtered rn ≤ 32, so WindowGroupLimit prunes each
+    * user's tail map-side before the ordered collect (per-user state is
+    * ≤ 32 rows by construction, never the raw log), and the groupBy
+    * reuses the window's hash partitioning — one shuffle total. The
+    * in-group sort + fingerprint run over ≤ 32-element arrays (HOFs are
+    * fine off the corpus-sized path). Timestamps are compared at µs on
+    * both engines (the ns→µs floor is the documented oracle protocol). */
+  private[operators] def x55(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 32)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("seq_len"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"),
+        sha2(array_join(
+          expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+          " "), 256).as("seq_hash"))
+  }
+
+  private[operators] lazy val x55Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |      FROM e)
+      |SELECT user_id, CAST(count(*) AS INT) AS seq_len,
+      |  min(us) AS first_us, max(us) AS last_us,
+      |  sha256(string_agg(event_type, ' ' ORDER BY rn)) AS seq_hash
+      |FROM r WHERE rn <= 32 GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- X60
+  /** PER-GROUP WINSORIZATION — feature preprocessing: clip each event's
+    * value to its event_type's [p05, p95] band so tail outliers can't
+    * dominate a downstream normalization or loss. The cut points are
+    * DISCRETE rank quantiles (value at rank ⌈0.05·n⌉ / ⌈0.95·n⌉ — actual
+    * data values, x53's lower-median mechanics generalized), so there is
+    * no interpolation arithmetic to drift between engines, and the
+    * clipped output is a pass-through double (bit-identical). Scale
+    * shape: one rank window per group computes both cuts in a single
+    * shuffle, the k-row cut table broadcasts back, and the clip itself
+    * is map-side (`greatest(lo, least(hi, v))`). */
+  private[operators] def x60(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wCnt = Window.partitionBy(col("event_type"))
+    val cuts = ev
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wCnt))
+      .filter(col("rn") === expr("(n + 19) div 20") ||
+        col("rn") === expr("(19 * n + 19) div 20"))
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.join(broadcast(cuts), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("value_clipped"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clipped"))
+  }
+
+  private[operators] lazy val x60Sql =
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
+      |c AS (SELECT event_type, min(value) AS lo, max(value) AS hi FROM r
+      |  WHERE rn = (n + 19) // 20 OR rn = (19 * n + 19) // 20 GROUP BY 1)
+      |SELECT event_id, ev.event_type, value,
+      |  greatest(lo, least(hi, value)) AS value_clipped,
+      |  (value < lo OR value > hi) AS clipped
+      |FROM ev JOIN c ON ev.event_type = c.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- X62
+  /** PER-SOURCE QUALITY SCORECARD — the crawl-inclusion dashboard: one
+    * row per source with volume (docs, tokens), quality (x8's per-doc
+    * score summed as exact integer micros — a double mean would be
+    * summation-order-dependent), gate-pass count, and exact-duplicate
+    * exposure (docs sharing a sha256 with any other doc). The decision
+    * table behind "which sources stay in the next crawl". Scale shape:
+    * duplicate membership is ONE window count over the content hash (the
+    * shuffle carries 64 hex chars + id, never text); x8's quality kernels
+    * are map-side codegen; the final rollup is a |sources|-row
+    * aggregation with map-side combine. */
+  private[operators] def x62(spark: SparkSession, dir: String): DataFrame = {
+    val wTh = Window.partitionBy(col("th"))
+    // ONE corpus scan: the quality kernels ride the same projection as the
+    // content hash (withQualityKernels is map-side codegen), so the only
+    // data movements are the th window shuffle and the |sources|-row agg
+    withQualityKernels(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("th"),
+        col("n_tokens"), col("n_unique"), col("n_stop"), col("is_quality"))
+      .withColumn("n_copies", count(lit(1)).over(wTh))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("total_tokens"),
+        // quality_score = (n_unique + n_tokens - n_stop)/(2·n_tokens):
+        // round(qs·10⁶) computed as the exact integer rational with
+        // half-up rounding (r7 — the audit caught real documents whose
+        // qs·10⁶ lands EXACTLY on a .5 boundary, the x58 failure class)
+        sum(expr("""((CAST(n_unique AS BIGINT) + n_tokens - n_stop) * 1000000
+                   | + n_tokens) div (2L * n_tokens)""".stripMargin))
+          .as("quality_micros"),
+        sum(col("is_quality").cast(LongType)).as("n_quality"),
+        sum((col("n_copies") > 1).cast(LongType)).as("n_dup_docs"))
+      .withColumn("mean_quality_micros", expr("quality_micros div n_docs"))
+      .withColumn("dup_ppm", expr("(n_dup_docs * 1000000L) div n_docs"))
+  }
+
+  private[operators] lazy val x62Sql =
+    s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
+       |k AS (SELECT doc_id, source,
+       |        CAST(len(tk) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique,
+       |        CAST(len(list_filter(tk, x -> x IN ($stopwordsSqlList))) AS BIGINT) AS n_stop,
+       |        count(*) OVER (PARTITION BY sha256(text)) AS n_copies
+       |      FROM t),
+       |q AS (SELECT *,
+       |        ((n_unique + n_tokens - n_stop) * 1000000 + n_tokens) // (2 * n_tokens) AS qm,
+       |        (CAST(n_unique AS DOUBLE) / n_tokens) * 0.5
+       |          + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 >= 0.5
+       |          AND n_tokens >= 20 AS is_quality
+       |      FROM k)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(qm) AS BIGINT) AS quality_micros,
+       |  CAST(sum(CASE WHEN is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(qm) // count(*) AS BIGINT) AS mean_quality_micros,
+       |  CAST((sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS dup_ppm
+       |FROM q GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X66
+  /** SLIDING-WINDOW CHUNK MANIFEST — the context-window preprocessing
+    * step every LM pipeline runs before packing: cut each document into
+    * 64-token windows at stride 48 (16-token overlap so no boundary
+    * bigram is ever lost), and emit the manifest row a downstream reader
+    * needs — (doc, chunk index, start offset, length, content hash).
+    * The hash is sha256 of the space-rejoined chunk, so a chunk is
+    * content-addressed independently of which document produced it
+    * (chunk-level dedup composes directly on top). Scale shape: this is
+    * a PURE MAP-SIDE op — sequence+explode inside one projection, ZERO
+    * shuffles, no state — the best possible 100 TB plan (each input
+    * split writes its chunk manifest independently). */
+  private[operators] def x66(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"),
+        explode(sequence(lit(0), size(col("tk")) - 1, lit(48))).as("st"))
+      .select(col("doc_id"),
+        expr("st div 48").cast(IntegerType).as("chunk_idx"),
+        col("st").cast(IntegerType).as("start_tok"),
+        least(lit(64), col("n") - col("st")).cast(IntegerType).as("chunk_len"),
+        sha2(array_join(expr("slice(tk, st + 1, least(64, n - st))"), " "), 256)
+          .as("chunk_hash"))
+
+  private[operators] lazy val x66Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id, tk, len(tk) AS n, unnest(range(0, len(tk), 48)) AS st FROM d)
+      |SELECT doc_id, CAST(st // 48 AS INT) AS chunk_idx, CAST(st AS INT) AS start_tok,
+      |  CAST(least(64, n - st) AS INT) AS chunk_len,
+      |  sha256(array_to_string(list_slice(tk, st + 1, st + least(64, n - st)), ' ')) AS chunk_hash
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- X67
+  /** BALANCED SHARD PLANNER — deterministic output-file planning: assign
+    * every document to one of 16 shards by SNAKE ORDER over the global
+    * (n_tokens DESC, doc_id) rank — the classic greedy bin-balancer that
+    * keeps per-shard token totals within one document of each other
+    * without any driver-side loop. The global rank is NOT a global
+    * single-partition window (the percentile trap, x50's lesson): it
+    * decomposes into a DISTINCT-VALUE cumulative count (domain-bounded —
+    * the token-count domain, not the corpus) broadcast back, plus a
+    * PER-VALUE row_number window (partitioned by n_tokens — parallel,
+    * data-bounded only within one distinct value). At 100 TB the corpus
+    * is scanned once map-side against the broadcast histogram; the only
+    * corpus shuffle is the per-value rank window, keyed on a
+    * high-cardinality column. Output is the 16-row shard manifest a
+    * writer would consume as its partition plan. */
+  private[operators] def x67(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast(LongType).as("n_tokens"))
+    // cum_before(v) = #docs with MORE tokens than v: a window over the
+    // DISTINCT token counts only (domain-bounded single partition — the
+    // x50 argument), then broadcast; never a corpus-sized global window
+    val wCum = Window.orderBy(col("n_tokens").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val hist = t.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .select(col("n_tokens"), col("cum_before"))
+    val wIn = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    t.join(broadcast(hist), "n_tokens")
+      .withColumn("pos", col("cum_before") + row_number().over(wIn) - lit(1))
+      .withColumn("shard",
+        when(expr("pos div 16") % 2 === 0, col("pos") % 16)
+          .otherwise(lit(15) - col("pos") % 16).cast(IntegerType))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_doc_tokens"), max(col("n_tokens")).as("max_doc_tokens"))
+  }
+
+  private[operators] lazy val x67Sql =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |r AS (SELECT n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos FROM t),
+      |s AS (SELECT n_tokens, CASE WHEN (pos // 16) % 2 = 0 THEN pos % 16
+      |                            ELSE 15 - pos % 16 END AS shard FROM r)
+      |SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  min(n_tokens) AS min_doc_tokens, max(n_tokens) AS max_doc_tokens
+      |FROM s GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- X72
+  /** TOKEN-BUDGET WATERFILLING — the data-mixture planner: given a token
+    * budget (half the corpus here), allocate it across sources by the
+    * max-min fair rule — every source keeps all its tokens up to a common
+    * water level T, sources below the level keep everything — with the
+    * integer remainder distributed deterministically so allocations SUM TO
+    * THE BUDGET EXACTLY (the per-source sampling rates a mixture run would
+    * execute). The closed form needs one sorted scan: the first source (by
+    * availability ascending) whose `avail × remaining_sources + cum_before`
+    * reaches the budget pins the level. Scale shape: ONE corpus
+    * aggregation produces the |sources|-row frame; everything after —
+    * total/count, the pivot search, the level itself — is GLOBAL WINDOWS
+    * over that tiny frame (no self-joins: a branch per derived scalar
+    * would re-run the corpus scan once per branch), so at 100 TB the
+    * planner costs one map-side-combined count, nothing else. */
+  private[operators] def x72(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("avail"))
+    // |sources|-row frame from here down — global windows are fine
+    val wAsc = Window.orderBy(col("avail").asc, col("source").asc)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    a
+      .withColumn("idx", row_number().over(wAsc).cast(LongType))
+      .withColumn("cumb", coalesce(
+        sum(col("avail")).over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("budget", expr("sum(avail) over () div 2"))
+      // pivot: first (avail-ascending) row whose uniform fill reaches the
+      // budget — found with a global min over an eligibility-masked struct
+      .withColumn("j", min(when(
+        col("avail") * (col("m") - col("idx") + 1) + col("cumb") >= col("budget"),
+        struct(col("idx"), col("cumb")))).over(wAll))
+      .withColumn("j0", col("j.idx")).withColumn("c0", col("j.cumb"))
+      .withColumn("u", col("m") - col("j0") + 1)
+      .withColumn("t", expr("(budget - c0) div u"))
+      .withColumn("rem", expr("(budget - c0) % u"))
+      .withColumn("capped", col("idx") < col("j0"))
+      // +1 remainder tokens go to the first `rem` uncapped sources in
+      // source order — deterministic, and T+1 ≤ avail is guaranteed
+      // (rem > 0 forces every uncapped avail ≥ T+1)
+      .withColumn("urn", sum(when(col("idx") >= col("j0"), 1L).otherwise(0L))
+        .over(Window.orderBy(col("source").asc).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("alloc_tokens", when(col("capped"), col("avail"))
+        .otherwise(col("t") + when(col("urn") <= col("rem"), 1L).otherwise(0L)))
+      .withColumn("rate_ppm", expr("(alloc_tokens * 1000000) div avail"))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("alloc_tokens"), col("rate_ppm"), col("capped"))
+  }
+
+  private[operators] lazy val x72Sql =
+    """WITH a AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY source),
+      |s AS (SELECT source, avail,
+      |    CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS idx,
+      |    CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+      |    CAST(count(*) OVER () AS BIGINT) AS m,
+      |    CAST(sum(avail) OVER () AS BIGINT) AS total
+      |  FROM a),
+      |s2 AS (SELECT *, total // 2 AS budget FROM s),
+      |j AS (SELECT min(idx) AS j0 FROM s2
+      |      WHERE avail * (m - idx + 1) + cumb >= budget),
+      |c AS (SELECT cumb AS c0 FROM s2, j WHERE idx = j0),
+      |o AS (SELECT s2.*, j0, c0,
+      |        (budget - c0) // (m - j0 + 1) AS t,
+      |        (budget - c0) % (m - j0 + 1) AS rem,
+      |        idx < j0 AS capped,
+      |        CAST(sum(CASE WHEN idx >= j0 THEN 1 ELSE 0 END) OVER
+      |          (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS BIGINT) AS urn
+      |      FROM s2, j, c)
+      |SELECT source, avail AS avail_tokens,
+      |  CAST(CASE WHEN capped THEN avail
+      |       ELSE t + CASE WHEN urn <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+      |  CAST((CASE WHEN capped THEN avail
+      |       ELSE t + CASE WHEN urn <= rem THEN 1 ELSE 0 END END * 1000000) // avail
+      |    AS BIGINT) AS rate_ppm,
+      |  capped
+      |FROM o""".stripMargin
+
+  // ---------------------------------------------------------------- X75
+  /** GAP SESSIONIZATION — the batch form of the session primitive (qs2
+    * streams it with Spark's session windows): a user's event log breaks
+    * into sessions wherever the gap to the previous event exceeds 30
+    * minutes; each session reports its size, span, distinct event types,
+    * and micro-exact value sum. Shape: ONE shuffle on user_id — the gap
+    * lag and the running break-count share the same (partition, order)
+    * spec so the second window rides the first one's sort, and the final
+    * per-session aggregation's ClusteredDistribution(user_id, session_idx)
+    * is already satisfied by hashpartitioning(user_id) (co-located by
+    * construction), so no second exchange exists. Per-user state is the
+    * sort buffer, not the session — nothing accumulates beyond the
+    * partition sort at 100 TB. Timestamps compare at µs (the documented
+    * ns→µs oracle protocol). */
+  private[operators] def x75(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"),
+      col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("gap").isNull || col("gap") > lit(1800000000L), 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(IntegerType))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        sum(round(col("value") * lit(1e6), 0).cast(LongType)).as("value_micros"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  private[operators] lazy val x75Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+      |             event_type, value FROM events),
+      |g AS (SELECT *, us - lag(us) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e),
+      |s AS (SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
+      |          THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+      |      FROM g)
+      |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+      |  min(us) AS start_us, max(us) AS end_us,
+      |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+      |  max(us) - min(us) AS duration_us
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- X76
+  /** SEQUENCE-PACKING MANIFEST — the pretraining packer: the corpus is one
+    * global token stream (documents concatenated in doc_id order) cut into
+    * fixed 2048-token training sequences, documents SPLITTING across cuts
+    * (the standard packing discipline — zero padding, every sequence
+    * exactly full). Output: one manifest row per (document × sequence it
+    * touches) with the in-doc token offset — exactly what a loader needs
+    * to assemble sequence `seq_id` without ever materializing the stream.
+    * Shape: the global token offset is a TWO-LEVEL cumsum (the x67
+    * decomposition): per-bucket totals (doc_id div 1024) cumsum'd on the
+    * bucket-count-sized frame and broadcast back, plus an intra-bucket
+    * running sum — no corpus-wide single-partition window anywhere. The
+    * bin fan-out (explode over the [first,last] sequence range) is
+    * map-side; a doc emits 1 + ⌈nt/2048⌉ rows at most. */
+  private[operators] def x76(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast(LongType).as("nt"))
+      .filter(col("nt") > 0)
+      .withColumn("bkt", expr("doc_id div 1024"))
+    val wB = Window.orderBy(col("bkt"))
+    val bbase = d.groupBy(col("bkt")).agg(sum(col("nt")).as("bt"))
+      .withColumn("bbase", coalesce(
+        sum(col("bt")).over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("bbase"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+    d.join(broadcast(bbase), Seq("bkt"))
+      .withColumn("start", col("bbase") + coalesce(
+        sum(col("nt")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("fin", col("start") + col("nt"))
+      .withColumn("seq_id", explode(expr("sequence(start div 2048, (fin - 1) div 2048)")))
+      .select(col("doc_id"), col("seq_id"),
+        (greatest(col("start"), col("seq_id") * 2048) - col("start"))
+          .cast(IntegerType).as("tok_offset"),
+        (least(col("fin"), (col("seq_id") + 1) * 2048) -
+          greatest(col("start"), col("seq_id") * 2048))
+          .cast(IntegerType).as("n_tokens"))
+  }
+
+  private[operators] lazy val x76Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+      |o AS (SELECT doc_id, nt, CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |      FROM d WHERE nt > 0),
+      |e AS (SELECT doc_id, nt, start, start + nt AS fin,
+      |        unnest(range(start // 2048, (start + nt - 1) // 2048 + 1)) AS seq_id
+      |      FROM o)
+      |SELECT doc_id, seq_id,
+      |  CAST(greatest(start, seq_id * 2048) - start AS INT) AS tok_offset,
+      |  CAST(least(fin, (seq_id + 1) * 2048) - greatest(start, seq_id * 2048)
+      |    AS INT) AS n_tokens
+      |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------- X79
+  /** SOURCE LENGTH-DRIFT (Kolmogorov–Smirnov) — the distribution-shape
+    * complement of x63's token-unigram KL: per source, the KS statistic
+    * between that source's document-length distribution and the whole
+    * corpus's (sup over the step points of |F_src − F_corpus|) — the
+    * "this crawl's documents suddenly got short" detector that unigram
+    * KL cannot see. Exactness: both CDFs stay INTEGER counts; each
+    * step-point deviation compares via cross-multiplication
+    * (|cum_src·n_all − cum_all·n_src|), and only the final sup converts
+    * to ppm by integer division — no float CDFs to disagree on. Shape:
+    * one corpus aggregation to the |sources|·|lengths| frame; the
+    * evaluation grid (every source × every observed length — the sup
+    * must check BOTH distributions' step points) is a domain-bounded
+    * broadcast cross join, windows ride the tiny frame. (Cross-products
+    * stay in int64 up to ~3e9 docs; past that the ppm quantization drops
+    * to per-mille — one literal.) */
+  private[operators] def x79(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: FOUR consumers branch off this domain-bounded frame
+    // (lens, srcs, global CDF, grid join-back) — without the persist each
+    // branch would re-run the corpus scan+aggregation
+    val sl = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+      .persist()
+    // |sources|·|lengths|-bounded from here down
+    val lens = sl.select(col("len")).distinct()
+    val srcs = sl.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val globCum = sl.groupBy(col("len")).agg(sum(col("c")).as("g"))
+      .withColumn("cum_all", sum(col("g")).over(
+        Window.orderBy(col("len")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_all", sum(col("g")).over(wAll))
+      .select(col("len"), col("cum_all"), col("n_all"))
+    srcs.crossJoin(broadcast(lens))
+      .join(sl, Seq("source", "len"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_src", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(globCum), Seq("len"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"),
+        max(expr("(abs(cum_src * n_all - cum_all * n_src) * 1000000) div (n_src * n_all)"))
+          .as("ks_ppm"))
+  }
+
+  private[operators] lazy val x79Sql =
+    """WITH d AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+      |sl AS (SELECT source, len, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+      |lens AS (SELECT DISTINCT len FROM sl),
+      |srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM sl GROUP BY 1),
+      |g AS (SELECT len, CAST(sum(c) AS BIGINT) AS g FROM sl GROUP BY 1),
+      |gc AS (SELECT len,
+      |    CAST(sum(g) OVER (ORDER BY len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all,
+      |    CAST(sum(g) OVER () AS BIGINT) AS n_all FROM g),
+      |grid AS (SELECT s.source, s.n_src, l.len, coalesce(sl.c, 0) AS c
+      |         FROM srcs s CROSS JOIN lens l
+      |         LEFT JOIN sl ON sl.source = s.source AND sl.len = l.len),
+      |cs AS (SELECT source, n_src, len,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_src
+      |  FROM grid)
+      |SELECT cs.source, max(cs.n_src) AS n_docs,
+      |  max((abs(cs.cum_src * gc.n_all - gc.cum_all * cs.n_src) * 1000000)
+      |    // (cs.n_src * gc.n_all)) AS ks_ppm
+      |FROM cs JOIN gc ON cs.len = gc.len
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- X82
+  /** DSIR-STYLE IMPORTANCE RESAMPLING — Data Selection via Importance
+    * Resampling (Xie et al., 2023): pick the raw-corpus documents whose
+    * token distribution most resembles a TARGET domain (here: the
+    * `lang = 'en'` slice), by (1) estimating target and raw LMs over the
+    * paper's HASHED n-gram features (bigrams md5-bucketed into 10 000
+    * ids — unigrams alone carry no signal on a shared vocabulary),
+    * (2) scoring each document with its add-1-smoothed log-likelihood
+    * ratio Σ_features ln(p_tgt/p_raw) — the document's importance
+    * log-weight — and (3) Gumbel-top-k resampling WITHOUT replacement
+    * (key = log-weight + Gumbel noise ⇒ a sample ∝ softmax of the
+    * weights), with the Gumbel uniform CONTENT-ADDRESSED from md5(text)
+    * (the x42 discipline) so selection is reproducible across engines,
+    * re-runs, and partitionings. Exactness: both LMs come from integer
+    * counts; each feature's log-ratio is nano-quantized to int64 BEFORE
+    * the per-doc sum (order-free integer aggregation — the x63/x65
+    * recipe); the Gumbel key is one IEEE expression over identical
+    * inputs, rounded to 8dp and ranked with a doc_id tiebreak. Shape:
+    * TWO corpus scans and ZERO corpus shuffles — pass 1 aggregates
+    * feature occurrences to the 10k-key LM (map-side combined, the only
+    * exchange is 10k rows) and pins it as a literal lookup table (the
+    * x58/x41 discipline); pass 2 scores every document MAP-SIDE by
+    * folding its feature ids through that literal, and the top-200 is a
+    * distributed TakeOrderedAndProject, never a global sort. The r6
+    * rewrite: the first version shuffled a (doc, fid, tf) frame and
+    * joined the LM back — 2.7 s vs DuckDB's 0.2; the join was spelling
+    * a map-side lookup. */
+  /** x82's PASS 1, reusable (qs17 scores a STREAM against it): the
+    * 10k-entry DSIR LM — per hashed-bigram feature, the add-1-smoothed
+    * nano-quantized log-likelihood ratio toward the `en` slice. One
+    * corpus scan, one 10k-key map-side-combined aggregation, collected
+    * (the x58 pinned-literal discipline — the LM is model metadata, not
+    * data). Driver-side Math.log IS the function Spark executors would
+    * run, so this is bit-identical to computing it in the plan (and the
+    * oracle's DuckDB ln agrees after nano rounding — x63/x65). */
+  private[graft] def dsirLlrTable(spark: SparkSession, dir: String): Array[Long] = {
+    val counts = Tables.documents(spark, dir)
+      .withColumn("fids", expr("graft_bigram_buckets(split(text, ' '), 10000)"))
+      .select(col("lang"), explode(col("fids")).as("fid"))
+      .groupBy(col("fid"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val nRaw = counts.valuesIterator.map(_._1).sum
+    val nTgt = counts.valuesIterator.map(_._2).sum
+    val nV = counts.size.toLong
+    Array.tabulate(10000) { f =>
+      counts.get(f).fold(0L) { case (cr, ct) =>
+        math.round((math.log((ct + 1).toDouble / (nTgt + nV)) -
+          math.log((cr + 1).toDouble / (nRaw + nV))) * 1e9)
+      }
+    }
+  }
+
+  private[operators] def x82(spark: SparkSession, dir: String): DataFrame = {
+    // hashed bigram feature ids per doc: md5("w1 w2") → bucket in [0,1e4),
+    // multiplicity kept — one codegen'd kernel call, no per-pair string
+    // Columns, no hex round-trip (graft_bigram_buckets ≡ the oracle's
+    // ('0x'||substr(md5(w1||' '||w2),1,8))::BIGINT % 10000)
+    def feats = Tables.documents(spark, dir)
+      .withColumn("fids", expr("graft_bigram_buckets(split(text, ' '), 10000)"))
+    val llr = dsirLlrTable(spark, dir)
+    // PASS 2 — scoring is pure MAP-SIDE: fold each doc's feature ids
+    // through the 10k-entry literal table (no join, no corpus shuffle),
+    // then a DISTRIBUTED top-k (TakeOrderedAndProject) — never a global
+    // sort or a corpus-wide window
+    val llrLit = lit(llr)
+    val scored = feats
+      .withColumn("hv", conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType))
+      .select(col("doc_id"), col("lang"), col("source"), col("hv"),
+        aggregate(col("fids"), lit(0L),
+          (acc, f) => acc + element_at(llrLit, f.cast(IntegerType) + 1)).as("score_nano"),
+        size(col("fids")).cast(LongType).as("n_feats"))
+      .withColumn("gkey", round(
+        col("score_nano") / lit(1e9) -
+          log(-log((col("hv") + 0.5) / lit(281474976710656.0))), 8))
+      .orderBy(col("gkey").desc, col("doc_id").asc).limit(200)
+    scored
+      .withColumn("sel_rank", row_number().over( // 200-row frame: bounded
+        Window.orderBy(col("gkey").desc, col("doc_id").asc)))
+      .select(col("sel_rank"), col("doc_id"), col("lang"), col("source"),
+        col("n_feats"), col("score_nano"), col("gkey"))
+  }
+
+  private[operators] lazy val x82Sql =
+    """WITH d AS (SELECT doc_id, lang, source,
+      |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv,
+      |    string_split(text, ' ') AS tk
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, lang, source, hv,
+      |    ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 8))::BIGINT % 10000 AS fid,
+      |    CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, lang, source, hv, tk, unnest(range(1, len(tk))) AS i FROM d)
+      |  GROUP BY ALL),
+      |lm AS (
+      |  SELECT fid, CAST(sum(tf) AS BIGINT) AS c_raw,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS c_tgt
+      |  FROM tf GROUP BY fid),
+      |tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+      |    CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+      |    CAST(count(*) AS BIGINT) AS v FROM lm),
+      |llr AS (SELECT fid,
+      |    CAST(round((ln((c_tgt + 1) / CAST(n_tgt + v AS DOUBLE)) -
+      |      ln((c_raw + 1) / CAST(n_raw + v AS DOUBLE))) * 1e9) AS BIGINT) AS llr_nano
+      |  FROM lm, tot),
+      |sc AS (SELECT t.doc_id, t.lang, t.source, t.hv,
+      |    CAST(sum(t.tf * l.llr_nano) AS BIGINT) AS score_nano,
+      |    CAST(sum(t.tf) AS BIGINT) AS n_feats
+      |  FROM tf t JOIN llr l ON t.fid = l.fid
+      |  GROUP BY t.doc_id, t.lang, t.source, t.hv),
+      |g AS (SELECT *, round(score_nano / 1e9 -
+      |    ln(-ln((hv + 0.5) / 281474976710656.0)), 8) AS gkey FROM sc)
+      |SELECT CAST(row_number() OVER (ORDER BY gkey DESC, doc_id) AS INT) AS sel_rank,
+      |  doc_id, lang, source, n_feats, score_nano, gkey
+      |FROM g QUALIFY sel_rank <= 200""".stripMargin
+
+  // ---------------------------------------------------------------- X85
+  /** INCREMENTAL STATISTICS MAINTENANCE — column statistics as a MONOID:
+    * yesterday's per-language stats and today's delta stats each reduce
+    * to mergeable partials (count, sum, sum-of-squares, min, max — the
+    * q18 integer-moment recipe), and the union RE-AGGREGATES to exactly
+    * the full-corpus statistics without rescanning the old 90%. This is
+    * the operation that makes per-artifact statistics (F38's pre-publish
+    * gate) affordable at 100 TB: a daily stats refresh touches ONLY the
+    * delta partition, yet the published numbers are bit-identical to a
+    * full rescan — which is precisely what the oracle asserts (it IS the
+    * full rescan). Exactness: partials are int64 (chars are integers;
+    * Σx² ≤ 1e4²·1e9 docs within int64 — at larger scale the q18 decimal
+    * widening applies); mean/variance derive from merged integers in one
+    * IEEE expression each. Shape: two map-side-combined aggregations (one
+    * per slice) + a |langs|-row union re-agg — the corpus-sized work is
+    * proportional to the DELTA on an incremental run (the old slice's
+    * partials would be a stored table, re-aggregated for free). */
+  private[operators] def x85(spark: SparkSession, dir: String): DataFrame = {
+    def partials(slice: Column) = Tables.documents(spark, dir)
+      .filter(slice)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"),
+        min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+    val old = partials(col("doc_id") % 10 =!= 0) // the standing corpus
+    val delta = partials(col("doc_id") % 10 === 0) // today's arrivals
+    old.unionByName(delta)
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("s1")).as("total_chars"),
+        sum(col("s2")).as("s2"),
+        min(col("mn")).as("min_chars"),
+        max(col("mx")).as("max_chars"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("min_chars"), col("max_chars"),
+        round(col("total_chars").cast(DoubleType) / col("n_docs"), 6).as("mean_chars"),
+        round(col("s2").cast(DoubleType) / col("n_docs") -
+          pow(col("total_chars").cast(DoubleType) / col("n_docs"), 2), 6).as("var_chars"))
+  }
+
+  private[operators] lazy val x85Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+      |  round(CAST(sum(n_chars * n_chars) AS DOUBLE) / count(*) -
+      |    pow(CAST(sum(n_chars) AS DOUBLE) / count(*), 2), 6) AS var_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- X86
+  /** PER-GROUP OLS REGRESSION from exact integer moments — the
+    * segment-trend primitive (per source: how does token count scale with
+    * document length — a crawler whose slope drifts is emitting different
+    * content): slope, intercept and r² of y = tokens on x = chars,
+    * computed from the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) in ONE map-side-combined aggregation — the q18/x85 moment
+    * recipe applied to bivariate statistics. All moments are int64
+    * (Σxy ≤ 2e7/doc — at ≥1e11 docs the q18 decimal widening applies);
+    * slope/intercept/r² are each ONE IEEE expression over identical
+    * integers, so both engines emit identical doubles. Scale: one corpus
+    * scan, a |sources|-row result, nothing else — and the moments are
+    * the same monoid x85 maintains incrementally, so the daily trend
+    * refresh also costs only the delta. */
+  private[operators] def x86(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("x"),
+        size(toks(col("text"))).cast(LongType).as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6).as("slope"),
+        round((col("sy").cast(DoubleType) -
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+            col("sx").cast(DoubleType)) / col("n").cast(DoubleType), 6).as("intercept"),
+        round(pow((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)), 6).as("r2"))
+  }
+
+  private[operators] lazy val x86Sql =
+    """WITH m AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM (SELECT source, n_chars AS x,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+      |        FROM documents)
+      |  GROUP BY source)
+      |SELECT source, n AS n_docs,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE) -
+      |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+      |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+      |        (CAST(n * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- X91
+  /** BLOCKLIST FILTERING (the C4/RefinedWeb "bad words" gate): score every
+    * document against a pinned policy term list and decide keep/drop by
+    * blocked-token rate. PURE MAP — zero shuffles, zero joins, output rows
+    * = input rows: the list rides the plan as a literal array (realistic
+    * policy lists are hundreds of terms — still a literal; a 100 k-term
+    * list flips to a broadcast join on token with the same output
+    * contract). The rate is integer-exact ppm, the keep decision a pure
+    * comparison — so the gate is reproducible across engines and
+    * re-runs, which is what makes a filtering decision auditable. At
+    * 100 TB this is the cheapest possible pass: one scan, predicate and
+    * projection pushed to parquet, no state. */
+  private[operators] lazy val blockedTerms = Seq("big", "dup", "slow")
+  private[operators] lazy val blockedPpmMax = 25000L // keep iff blocked rate < 2.5%
+
+  private[operators] def x91(spark: SparkSession, dir: String): DataFrame = {
+    val listLit = blockedTerms.map(t => s"'$t'").mkString(", ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast(LongType).as("n_tokens"),
+        expr(s"cast(size(filter(tk, t -> t IN ($listLit))) as bigint)")
+          .as("blocked_hits"),
+        expr(s"cast(size(array_intersect(tk, array($listLit))) as bigint)")
+          .as("distinct_blocked"))
+      .withColumn("blocked_ppm", expr("(blocked_hits * 1000000) div n_tokens"))
+      .withColumn("kept", col("blocked_ppm") < lit(blockedPpmMax))
+  }
+
+  private[operators] lazy val x91Sql = {
+    val listLit = blockedTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(tk, x -> x IN ($listLit))) AS BIGINT) AS blocked_hits,
+       |    CAST(len(list_distinct(list_filter(tk, x -> x IN ($listLit)))) AS BIGINT)
+       |      AS distinct_blocked
+       |  FROM t)
+       |SELECT doc_id, n_tokens, blocked_hits, distinct_blocked,
+       |  (blocked_hits * 1000000) // n_tokens AS blocked_ppm,
+       |  (blocked_hits * 1000000) // n_tokens < $blockedPpmMax AS kept
+       |FROM s""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X99
+  /** FEATURE HASHING (the hashing trick, Weinberger et al.) — the
+    * featurizer that makes text → vector work at ANY vocabulary size:
+    * each token hashes to one of 16 buckets with an md5-derived ±1 sign,
+    * and a document's vector is the signed bucket sums. No vocabulary
+    * table, no fitting, no OOV problem — the estimator is unbiased
+    * because the signs cancel collisions in expectation. This is the
+    * bridge from the documents table into vector space using nothing but
+    * hash functions both engines share (the x46/x7 md5 discipline), so
+    * the 16 signed-count columns are INTEGER-EXACT and fully
+    * oracle-checked. Plan shape at 100 TB: one scan, everything
+    * (md5, bucket, sign) codegen'd map-side, ONE map-side-combined
+    * aggregation keyed by doc — the cheapest possible featurization
+    * pass, and the flat f0..f15 scalar shape is what a downstream
+    * trainer or index stores (the x46 lesson). */
+  private[operators] def x99(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .withColumn("b", expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 16"))
+      .withColumn("sgn",
+        when(substring(md5(col("t")), 9, 1) <= "7", 1L).otherwise(-1L))
+    val dims = (0 until 16).map(i =>
+      sum(when(col("b") === i, col("sgn")).otherwise(0L)).as(s"f$i"))
+    tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"), dims: _*)
+  }
+
+  private[operators] lazy val x99Sql = {
+    val fCols = (0 until 16).map(i =>
+      s"CAST(sum(CASE WHEN b = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i").mkString(",\n|  ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS b,
+       |    CASE WHEN substr(md5(t), 9, 1) <= '7' THEN 1 ELSE -1 END AS sgn
+       |  FROM tok)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  $fCols
+       |FROM h GROUP BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X100
+  /** FILTER ATTRIBUTION — the Venn table that tells a curator WHICH
+    * cleaning filter is doing the work: every document is scored against
+    * all three map-side gates at once (x8 quality, x19 repetition, x91
+    * blocklist) and the corpus partitions into the 2³ flag combinations
+    * with exact counts and ppm shares. The off-diagonal cells are the
+    * decisions: a filter whose removals are fully covered by another is
+    * free to drop; a filter with large EXCLUSIVE removals owns real
+    * signal. One scan computes all flags (the x8/x19/x91 kernels fold
+    * into the same codegen pass — no per-filter re-read, no joins), then
+    * an 8-row aggregation; at 100 TB this costs exactly one corpus pass,
+    * same as running ONE of the filters alone. */
+  private[operators] def x100(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val listLit = blockedTerms.map(t => s"'$t'").mkString(", ")
+    val flags = Tables.documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("n_unique", size(array_distinct(col("tk"))))
+      .withColumn("n_stop", expr(s"graft_count_in(tk, $stopArr)"))
+      .withColumn("q",
+        col("n_unique").cast(DoubleType) / col("n_tokens") * 0.5 +
+          (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens")) * 0.5)
+      .withColumn("low_quality", !(col("q") >= 0.5 && col("n_tokens") >= 20))
+      .withColumn("sh_total", greatest(col("n_tokens") - 2, lit(0)))
+      .withColumn("sh_distinct", size(expr("graft_shingle_hashes(tk, 3)")))
+      .withColumn("repetitive",
+        (col("sh_total") - col("sh_distinct")).cast(DoubleType) /
+          greatest(col("sh_total"), lit(1)) >= 0.2)
+      .withColumn("hits", expr(s"cast(size(filter(tk, t -> t IN ($listLit))) as bigint)"))
+      .withColumn("blocked",
+        expr("(hits * 1000000) div n_tokens") >= lit(blockedPpmMax))
+    flags.groupBy(col("low_quality"), col("repetitive"), col("blocked"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("tot", sum(col("n_docs")).over(Window.partitionBy()))
+      .select(col("low_quality"), col("repetitive"), col("blocked"), col("n_docs"),
+        expr("(n_docs * 1000000) div tot").as("share_ppm"))
+  }
+
+  private[operators] lazy val x100Sql = {
+    val listLit = blockedTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |s AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+       |    CAST(len(list_distinct(tk)) AS INT) AS n_unique,
+       |    CAST(len(list_filter(tk, x -> x IN ($stopwordsSqlList))) AS INT) AS n_stop,
+       |    CAST(greatest(len(tk) - 2, 0) AS INT) AS sh_total,
+       |    CAST(len(list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS INT) AS sh_distinct,
+       |    CAST(len(list_filter(tk, x -> x IN ($listLit))) AS BIGINT) AS hits
+       |  FROM t),
+       |f AS (SELECT doc_id,
+       |    NOT ((CAST(n_unique AS DOUBLE) / n_tokens) * 0.5
+       |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 >= 0.5
+       |      AND n_tokens >= 20) AS low_quality,
+       |    (CAST(sh_total - sh_distinct AS DOUBLE) / greatest(sh_total, 1)) >= 0.2
+       |      AS repetitive,
+       |    (hits * 1000000) // n_tokens >= $blockedPpmMax AS blocked
+       |  FROM s),
+       |g AS (SELECT low_quality, repetitive, blocked,
+       |    CAST(count(*) AS BIGINT) AS n_docs FROM f GROUP BY 1, 2, 3)
+       |SELECT low_quality, repetitive, blocked, n_docs,
+       |  (n_docs * 1000000) // (SELECT CAST(sum(n_docs) AS BIGINT) FROM g) AS share_ppm
+       |FROM g""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X104
+  /** EXACT QUANTILES IN TWO BOUNDED PASSES — the 100 TB replacement for a
+    * sort-based percentile: a global sort (or Spark's single-partition
+    * percentile aggregation state) is exactly what does NOT survive scale,
+    * while this needs two scans and O(1) state. Pass 1 histograms the
+    * value domain into 1024 equi-width buckets (one map-side-combined
+    * aggregation; the 1024-row cumulative table is a metadata-scale
+    * driver action, same class as x2's df-cap scalar). For each target
+    * rank k = ceil(p·n) (computed in pure INTEGER arithmetic —
+    * (permille·n + 999) div 1000 — so no engine can disagree by one ulp),
+    * the cumulative table names the ONE bucket holding the k-th smallest
+    * value; pass 2 filters to that bucket (a tight value-range scan,
+    * ~n/1024 rows) and takes the (k − below)-th smallest there. The
+    * refinement is rank arithmetic, so float bucket boundaries only ROUTE
+    * the search — correctness never depends on them. The oracle computes
+    * the same k-th order statistics directly (ORDER BY LIMIT OFFSET): the
+    * oracle may sort, the engine may not. */
+  private[operators] def x104(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 1024
+    val vals = Tables.events(spark, dir)
+      .select(col("value").as("v")).filter(col("v").isNotNull).persist()
+    val stats = vals.agg(min(col("v")), max(col("v")), count(col("v"))).head()
+    val (lo, hi, n) = (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
+    val span = if (hi > lo) hi - lo else 1.0
+    val bucket = least(floor((col("v") - lo) / span * nb), lit(nb - 1)).cast(IntegerType)
+    val hist = vals.groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = (0 until nb).scanLeft(0L)((acc, b) => acc + hist.getOrElse(b, 0L))
+    val parts = Seq(500, 900, 990).map { permille =>
+      val k = (permille.toLong * n + 999) / 1000
+      val b = cum.indexWhere(_ >= k) - 1 // cum(b) < k <= cum(b + 1)
+      val below = cum(b)
+      // limit() takes an Int: a degenerate near-constant corpus could put
+      // > 2^31 rows in one bucket and silently truncate the rank — fail
+      // loudly instead (the fix at that scale is a recursive histogram
+      // refinement of the oversized bucket, same two-pass recipe)
+      require(k - below <= Int.MaxValue,
+        s"x104: bucket $b holds ${k - below} candidate ranks (> Int.MaxValue); " +
+          "refine the histogram recursively before the order-statistic pass")
+      vals.filter(bucket === b)
+        .orderBy(col("v")).limit((k - below).toInt)
+        .agg(max(col("v")).as("value"))
+        .select(lit(permille).as("p_permille"), lit(k).as("k"), col("value"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  private[operators] lazy val x104Sql = {
+    val ks = Seq(500, 900, 990)
+      .map(pm => s"SELECT $pm AS p_permille, ($pm * c + 999) // 1000 AS k FROM n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM t),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rnk FROM t),
+       |ks AS ($ks)
+       |SELECT ks.p_permille, ks.k, r.v AS value
+       |FROM ks JOIN r ON r.rnk = ks.k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X105
+  /** SPAN-CORRUPTION MANIFEST — T5/UL2-style denoising pairs built AS
+    * DATA (Raffel et al. 2020: mask ~15-20% of tokens in multi-token
+    * spans, replace each span with a numbered sentinel, train on
+    * sentinel→span targets): each document's tokens group into 3-token
+    * spans; a span is masked iff a CONTENT-ADDRESSED draw (md5 of
+    * doc_id-span index, the x42/x54 convention) lands in the 1/5 residue
+    * class — so the corruption is deterministic, reproducible across
+    * engines and re-runs, and needs no RNG state. Sentinels number by
+    * the running count of PRIOR masked spans (an ordered window over the
+    * span rows); `input_text` swaps each masked span for its sentinel,
+    * `targets` concatenates sentinel→span pairs in order. Shape: one
+    * Generate (span explode, map-side), ONE corpus shuffle for the
+    * per-doc window + re-assembly aggregation (exchange reused between
+    * them — same key), everything else scan-side expressions. At 100 TB
+    * this is the standard "build the denoising epoch declaratively"
+    * move: the manifest is recomputable from (corpus, recipe) alone. */
+  private[operators] def x105(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast(IntegerType))
+      .withColumn("nT", expr("size(tk) div 3").cast(IntegerType))
+      .filter(col("nT") > 0)
+    val spans = base
+      .select(col("doc_id"), col("tk"), col("nT"), col("n_tokens"),
+        explode(expr("sequence(0, nT - 1)")).as("t"))
+      .withColumn("seg", expr("array_join(slice(tk, t * 3 + 1, 3), ' ')"))
+      .withColumn("tail", expr("array_join(slice(tk, nT * 3 + 1, n_tokens - nT * 3), ' ')"))
+      .withColumn("masked", pmod(conv(substring(
+        md5(concat_ws("-", col("doc_id"), col("t"))), 1, 12), 16, 10)
+        .cast(LongType), lit(5L)) === 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = spans
+      .withColumn("k", coalesce(sum(col("masked").cast(LongType)).over(w), lit(0L)))
+      .withColumn("inp_seg", when(col("masked"),
+        concat(lit("<extra_id_"), col("k"), lit(">"))).otherwise(col("seg")))
+      .withColumn("tgt_seg", when(col("masked"),
+        concat(lit("<extra_id_"), col("k"), lit("> "), col("seg"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        (sum(col("masked").cast(LongType)) * 3).as("n_masked"),
+        // array_join drops the null tgt_seg of unmasked spans
+        expr("array_join(transform(array_sort(collect_list(struct(t, inp_seg))), x -> x.inp_seg), ' ')").as("body"),
+        expr("array_join(transform(array_sort(collect_list(struct(t, tgt_seg))), x -> x.tgt_seg), ' ')").as("targets"),
+        max(col("tail")).as("tail"))
+    agg.select(col("doc_id"), col("n_tokens"), col("n_masked"),
+      when(length(col("tail")) > 0, concat(col("body"), lit(" "), col("tail")))
+        .otherwise(col("body")).as("input_text"),
+      col("targets"))
+  }
+
+  private[operators] lazy val x105Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT doc_id, tk, CAST(len(tk) AS INT) AS n_tokens,
+      |        CAST(len(tk) // 3 AS INT) AS nT
+      |      FROM d WHERE len(tk) // 3 > 0),
+      |tr AS (SELECT doc_id, n_tokens, nT, tk, unnest(range(nT)) AS t FROM b),
+      |seg AS (SELECT doc_id, n_tokens, t,
+      |         array_to_string(tk[t * 3 + 1 : t * 3 + 3], ' ') AS seg,
+      |         array_to_string(tk[nT * 3 + 1 : n_tokens], ' ') AS tail,
+      |         (('0x' || substr(md5(doc_id || '-' || t), 1, 12))::BIGINT % 5 = 0) AS masked
+      |       FROM tr),
+      |k AS (SELECT *, coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END)
+      |         OVER (PARTITION BY doc_id ORDER BY t
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+      |      FROM seg),
+      |s2 AS (SELECT doc_id, n_tokens, t, masked, k, tail,
+      |         CASE WHEN masked THEN '<extra_id_' || k || '>' ELSE seg END AS inp_seg,
+      |         CASE WHEN masked THEN '<extra_id_' || k || '> ' || seg END AS tgt_seg
+      |       FROM k),
+      |g AS (SELECT doc_id, max(n_tokens) AS n_tokens,
+      |        CAST(sum(CASE WHEN masked THEN 3 ELSE 0 END) AS BIGINT) AS n_masked,
+      |        array_to_string(list(inp_seg ORDER BY t), ' ') AS body,
+      |        array_to_string(list(tgt_seg ORDER BY t) FILTER (WHERE masked), ' ') AS targets,
+      |        max(tail) AS tail
+      |      FROM s2 GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_masked,
+      |  CASE WHEN length(tail) > 0 THEN body || ' ' || tail ELSE body END AS input_text,
+      |  coalesce(targets, '') AS targets
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- X107
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS — the multilingual/multi-source
+    * sampling-rate computation every pretraining mix runs (T5/UNIMAX
+    * alpha-sampling: weight ∝ n^α flattens the head so low-resource
+    * sources aren't drowned; α = 1/2 here, i.e. temperature 2). sqrt is
+    * the one power IEEE-754 requires to be CORRECTLY ROUNDED, so both
+    * engines produce the identical double, which quantizes once to
+    * integer micros — shares and upsampling factors are then pure int64
+    * algebra. Complements x72 (max-min waterfill) with the power-law
+    * rule. Shape: ONE corpus aggregation → a |sources|-row frame; the
+    * normalization windows ride that tiny frame. (epochs_milli's
+    * intermediate fits int64 at bench scale; a 100 TB run computes the
+    * final factor in doubles after the exact shares.) */
+  private[operators] def x107(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("weight_micro",
+        expr("cast(round(sqrt(cast(n_tokens as double)) * 1000000, 0) as bigint)"))
+      .withColumn("wsum", sum(col("weight_micro")).over(wAll))
+      .withColumn("tot", sum(col("n_tokens")).over(wAll))
+      .select(col("source"), col("n_tokens"), col("weight_micro"),
+        expr("(weight_micro * 1000000) div wsum").as("share_ppm"),
+        expr("((weight_micro * 1000000 div wsum) * tot) div (n_tokens * 1000)")
+          .as("epochs_milli"))
+  }
+
+  private[operators] lazy val x107Sql =
+    """WITH a AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT *,
+      |    CAST(round(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS weight_micro
+      |  FROM a),
+      |t AS (SELECT *, CAST(sum(weight_micro) OVER () AS BIGINT) AS wsum,
+      |        CAST(sum(n_tokens) OVER () AS BIGINT) AS tot FROM w)
+      |SELECT source, n_tokens, weight_micro,
+      |  CAST((weight_micro * 1000000) // wsum AS BIGINT) AS share_ppm,
+      |  CAST((((weight_micro * 1000000) // wsum) * tot) // (n_tokens * 1000) AS BIGINT)
+      |    AS epochs_milli
+      |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------- X111
+  /** FIRST/LAST-TOUCH ATTRIBUTION — the conversion-credit table product
+    * analytics runs on every funnel: each purchase credits the user's
+    * FIRST and LAST click inside the preceding 48-hour window (plus the
+    * touch count — the multi-touch denominator). Purchases with no
+    * qualifying click keep NULL attribution — the honest "organic"
+    * bucket, not a dropped row. Both argmin and argmax are lexicographic
+    * struct extremes with the unique event id as tiebreak, so identical
+    * timestamps cannot flip credit between engines. Shape (r7, closing
+    * the round-6 fan-out finding): the purchase side explodes to its 3
+    * CANDIDATE CALENDAR DAYS (the days a 48 h look-back can touch) and
+    * joins clicks on (user_id, click-day) — a hot user with P purchases
+    * and C clicks now materializes at most 3·P·max-clicks-per-day rows
+    * instead of P·C; the window predicate then trims the day-coarse
+    * candidates exactly. Organic purchases re-enter through a LEFT join
+    * against the per-purchase credit table (delta-sized), keeping the
+    * honest NULL attribution. At 100 TB: two keyed shuffles + one
+    * delta-sized join-back, no windows over the event log, no per-key
+    * quadratic blow-up. */
+  private[operators] def x111(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .withColumn("cday", date_trunc("DAY", col("cts")))
+    val credits = purchases
+      .withColumn("cday", explode(expr(
+        """sequence(date_trunc('DAY', pts - INTERVAL 48 HOURS),
+          |         date_trunc('DAY', pts), interval 1 day)""".stripMargin)))
+      .join(clicks, Seq("user_id", "cday"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 48 HOURS"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        min(struct(col("cts"), col("click_id"))).as("ft"),
+        max(struct(col("cts"), col("click_id"))).as("lt"))
+    purchases.join(credits, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"),
+        col("pts").as("purchase_ts"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+        col("ft.click_id").as("first_click_id"), col("ft.cts").as("first_click_ts"),
+        col("lt.click_id").as("last_click_id"), col("lt.cts").as("last_click_ts"))
+  }
+
+  private[operators] lazy val x111Sql =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts,
+      |        (c.cts IS NOT NULL AND c.cts <= p.pts
+      |         AND c.cts >= p.pts - INTERVAL 48 HOUR) AS touch
+      |      FROM p LEFT JOIN c ON c.user_id = p.user_id)
+      |SELECT purchase_id, user_id, pts AS purchase_ts,
+      |  CAST(sum(CASE WHEN touch THEN 1 ELSE 0 END) AS BIGINT) AS n_touches,
+      |  (min(CASE WHEN touch THEN struct_pack(cts := cts, click_id := click_id) END)).click_id
+      |    AS first_click_id,
+      |  (min(CASE WHEN touch THEN struct_pack(cts := cts, click_id := click_id) END)).cts
+      |    AS first_click_ts,
+      |  (max(CASE WHEN touch THEN struct_pack(cts := cts, click_id := click_id) END)).click_id
+      |    AS last_click_id,
+      |  (max(CASE WHEN touch THEN struct_pack(cts := cts, click_id := click_id) END)).cts
+      |    AS last_click_ts
+      |FROM j GROUP BY purchase_id, user_id, pts""".stripMargin
+
+  // ---------------------------------------------------------------- X114
+  /** EVENT-TRANSITION MATRIX — the first-order Markov statistics behind
+    * behavioral pretraining, next-event prediction baselines, and funnel
+    * anomaly detection: for every (from, to) event-type pair, the exact
+    * transition count and probability over each user's time-ordered
+    * stream (ties broken by event_id — a total order, so both engines
+    * see the same successor). Probabilities are exact integer ppm of the
+    * from-state's outgoing total, so rows per from-state sum to ~1e6
+    * minus floor loss — auditable. Shape: ONE user-keyed exchange serves
+    * both the successor window and (after the map-side pair projection)
+    * the |types|²-bounded count aggregation; the from-state totals join
+    * back onto the tiny matrix by window. At 100 TB this is the q34/x75
+    * sessionization cost: one shuffle of (user, ts)-sorted events,
+    * nothing corpus-quadratic. */
+  private[operators] def x114(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div sum(n) over (partition by from_type)").as("p_ppm"))
+  }
+
+  private[operators] lazy val x114Sql =
+    """WITH s AS (SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- X115
+  /** BITEXT-PAIR MINING (proxy) — the parallel-corpus construction move:
+    * near-duplicate content carrying DIFFERENT language labels is the
+    * translation-pair candidate set (the synthetic corpus plants reused
+    * text across lang tags, standing in for real aligned documents).
+    * Rides the shared bounded pair engine (PipelineCache'd x2 pairs) and
+    * the melted-ends attribute lookup — langs resolve for both ends of
+    * every pair with ONE corpus scan, never a second shuffle of the
+    * documents table — then keeps only the cross-language pairs with
+    * their exact Jaccard. At 100 TB this adds two pair-rate-sized joins
+    * on top of whatever the dedup pass already paid. */
+  private[operators] def x115(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(spark, dir).select(col("doc_id"), col("lang").as("v"))
+    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"), col("jac"))
+    pairEnds(pairs.select(col("doc_a"), col("doc_b")), langs)
+      .filter(col("va") =!= col("vb"))
+      .join(pairs, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("va").as("lang_a"), col("vb").as("lang_b"), col("jac"))
+  }
+
+  private[operators] lazy val x115Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS sg FROM s),
+       |p AS (SELECT doc_a, doc_b, jac FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5)
+       |SELECT p.doc_a, p.doc_b, da.lang AS lang_a, db.lang AS lang_b, p.jac
+       |FROM p JOIN documents da ON da.doc_id = p.doc_a
+       |       JOIN documents db ON db.doc_id = p.doc_b
+       |WHERE da.lang <> db.lang""".stripMargin
+
+}

@@ -1,0 +1,1314 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Deduplication & pairwise-similarity queries (SURVEY §2.4): exact/
+  * near-dup engines (shingle inverted index, MinHash, SimHash, prefix
+  * filter), connected components, perceptual image/audio near-dup, and
+  * the shared bounded candidate-pair machinery.
+  *
+  * Split out of the monolithic Queries.scala in r7 (registry unchanged —
+  * every member mixes back into [[Queries]], whose self-type these traits
+  * require). Members are `private[operators]`; SQL oracles are lazy so
+  * cross-trait references are initialization-order-safe.
+  */
+private[operators] trait QueriesDedup { this: Queries.type =>
+
+  // ---------------------------------------------------------------- X1
+  /** Exact dedup, keep min id. The hash is computed BEFORE the groupBy so
+    * the shuffle carries 64 hex chars + an id per row, never the full
+    * document text (at 100 TB the shuffle IS the cost); grouping on
+    * sha256 is content-grouping — a collision needs 2^128 work. */
+  private[operators] def x1(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(sha2(col("text"), 256).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private[operators] lazy val x1Sql =
+    """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
+  // ---------------------------------------------------------------- X2
+  /** Exact n-gram (3-word shingle) Jaccard near-dup pairs via an
+    * inverted-index join: explode shingles → equi-join on shingle →
+    * count shared per pair → Jaccard from set sizes. Exact (any pair with
+    * jac ≥ 0.5 shares shingles) yet *linear* in postings, never the
+    * quadratic all-pairs loop — the shape that survives 100 TB. Single-word
+    * tokens are useless here (the synthetic corpus reuses a ~30-word
+    * vocabulary, making token-Jaccard ≈ 0.63 for unrelated docs; 3-shingles
+    * separate cleanly: near-dups ≥ 0.5, everything else < 0.03). */
+  /** doc_id, sh: distinct 3-shingle farmhash set (array<long>, one codegen
+    * kernel pass — no interpreted HOF string work), n = |sh|. */
+  private[graft] def shingleSets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), expr("graft_shingle_hashes(tk, 3)").as("sh"))
+      .withColumn("n", size(col("sh")))
+
+  private[operators] def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(Tables.documents(spark, dir))
+
+  /** Shingles with document frequency above this cap are dropped from the
+    * candidate-generating POSTINGS: pairs-per-shingle grows quadratically in
+    * df, so one corpus-scale stop-shingle would otherwise dominate the whole
+    * self-join. Candidates are re-verified EXACTLY on the full shingle sets,
+    * so the cap can only change the result for a pair whose EVERY shared
+    * shingle is hotter than the cap — at jac ≥ 0.5 that means two documents
+    * composed entirely of corpus-stop-shingles. The cap sits far above any
+    * df in the test corpora (output provably identical there); at 100 TB it
+    * is the knob that bounds the join. */
+  private[graft] lazy val shingleDfCap = 1000
+
+  private[operators] def x2(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(shingled(spark, dir))
+
+  /** x2's pair output through [[PipelineCache]]: the pair engine runs ONCE
+    * per (session, dir) for its downstream consumers (x56 audit, x59
+    * matrix). x2's and x17's own bench entries never read the cache —
+    * they stay honest end-to-end runs (the x17/x38 contract). */
+  private[operators] def sharedPairs(spark: SparkSession, dir: String): DataFrame =
+    PipelineCache.shared(spark, "x2_pairs", dir)(nearDupPairs(shingled(spark, dir)))
+
+  /** Attaches a per-doc attribute (doc_id, v) to BOTH ends of a pair
+    * frame with ONE scan of the corpus side: the pair list is melted to
+    * (doc_id, end) rows and broadcast onto the attribute scan, then
+    * regrouped by pair — the big table is read once and never shuffled
+    * (the melt/regroup only move pair-rate-sized rows). Output:
+    * (doc_a, doc_b, va, vb). */
+  private[operators] def pairEnds(pairs: DataFrame, attr: DataFrame): DataFrame = {
+    val melted = pairs.select(explode(array(
+        struct(col("doc_a").as("doc_id"), lit("a").as("end"),
+          col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_id"), lit("b").as("end"),
+          col("doc_a"), col("doc_b")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.end").as("end"),
+        col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+    attr.join(broadcast(melted), "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(when(col("end") === "a", col("v"))).as("va"),
+        max(when(col("end") === "b", col("v"))).as("vb"))
+  }
+
+  /** Exact token-Jaccard near-dup pairs (jac ≥ 0.5) over a (doc_id, sh, n)
+    * frame — the shared engine for x2 and the x15 pipeline's near-dedup
+    * producer. See [[shingleDfCap]] for the only (documented) approximation
+    * at corpus scale. */
+  private[graft] def nearDupPairs(shingledDocs: DataFrame, cap: Long = shingleDfCap): DataFrame = {
+    // postings carry the 8-byte farmhash of each shingle, not the string:
+    // the shuffle is ~4x narrower and the equi-join build side is primitive.
+    // (collision odds over ~10^5 distinct shingles are ~1e-11 — the string
+    // oracle still matches.) Only docs persists: postings are one explode
+    // over the cached shingle sets — recomputing that per consumer is
+    // pipelined CPU, while caching it would materialize the widest frame
+    // in the query three times over.
+    val docs = shingledDocs.persist()
+    // set sizes do NOT ride the postings (r6): postings outnumber docs by
+    // the shingle count (~430x), so carrying n through the self-join
+    // shuffle costs ~430x more bytes than joining the per-doc sizes table
+    // onto the SMALL pair output afterwards — measured ~20% of the query
+    // locally, and the dominant shuffle at corpus scale
+    val sizes = docs.select(col("doc_id"), col("n"))
+    val posts = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // ADAPTIVE df-cap: one metadata-scale scalar (the hottest shingle's
+    // document frequency) decides whether stop-shingle handling is needed.
+    // Test corpora never trip it, so they run the plain inverted-index
+    // plan; a 100 TB corpus with stop-shingles pays the capped path and
+    // stays linear instead of quadratic in the hottest posting list.
+    val dfs = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val maxDf = Option(dfs.agg(max(col("df"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    def pairCounts(p: DataFrame): DataFrame =
+      p.select(col("doc_id").as("doc_a"), col("s"))
+        .join(p.select(col("doc_id").as("doc_b"), col("s")), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    if (maxDf <= cap) {
+      // no stop-shingles anywhere → every pair count is exact
+      pairCounts(posts)
+        .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    } else {
+      val hot = dfs.filter(col("df") > cap).select(col("s"))
+      val capped = posts.join(broadcast(hot), Seq("s"), "left_anti").persist()
+      // per-doc count of capped-away shingles = n - kept postings
+      val nKept = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      val ncapOf = docs.select(col("doc_id"), col("n"))
+        .join(nKept, Seq("doc_id"), "left").na.fill(0, Seq("n_kept"))
+        .withColumn("ncap", col("n") - col("n_kept"))
+        .select(col("doc_id"), col("ncap"))
+      val pairs = pairCounts(capped)
+        .join(ncapOf.select(col("doc_id").as("doc_a"), col("ncap").as("ncap_a")), "doc_a")
+        .join(ncapOf.select(col("doc_id").as("doc_b"), col("ncap").as("ncap_b")), "doc_b")
+        .withColumn("kmax", least(col("ncap_a"), col("ncap_b")))
+      // kmax = 0 → no capped shingle could be shared → `inter` is exact
+      val exact = pairs.filter(col("kmax") === 0)
+        .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+      // kmax > 0 → true inter ∈ [inter, inter+kmax]; re-verify exactly on
+      // the full shingle sets ONLY where the upper bound reaches the
+      // threshold — bounded by the documents containing stop-shingles.
+      // (A pair whose EVERY shared shingle is capped never surfaces as a
+      // candidate: the residual, documented approximation of the cap.)
+      val upper = (col("inter") + col("kmax")).cast(DoubleType) /
+        (col("na") + col("nb") - col("inter") - col("kmax"))
+      val reverify = pairs.filter(col("kmax") > 0 && upper >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
+        .withColumn("interTrue", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("jac", col("interTrue").cast(DoubleType) / (col("na") + col("nb") - col("interTrue")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+      exact.unionByName(reverify)
+    }
+  }
+
+  private[operators] lazy val duckShingleSql =
+    """SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)""".stripMargin
+
+  private[operators] lazy val x2Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |     t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s)
+       |SELECT doc_a, doc_b, jac FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |  FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n) p
+       |WHERE jac >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- X3
+  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
+    * 32 hashes, 8 bands × 4 rows (P[candidate] ≈ 1-(1-s⁴)⁸ — ~0.97 at s=0.7).
+    * Shuffle is by band bucket (linear), never quadratic: the 100 TB path.
+    * Output shape matches x2 so recall is directly testable. */
+  private[operators] def x3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir).filter(col("n") > 0)
+    // 32-way minhash signature over the shingle set (single farmhash pass,
+    // then k splitmix permutations in a codegen'd kernel); band per 4-slice.
+    val sig = docs.withColumn("sig", expr("graft_minhash(sh, 32)"))
+    val docsP = sig.persist() // read 3x: two band sides + the verify join
+    val bands = docsP.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // candidate pairs carry only ids through the shuffle — the shingle
+    // hash arrays would multiply the exchange size
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(docsP.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
+      .join(docsP.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  // ---------------------------------------------------------------- X4
+  /** SimHash signatures + banded Hamming-distance near-dup pairs. The 64-bit
+    * signature is computed per-row in one codegen kernel pass (no shuffle);
+    * pair candidates come from 4 × 16-bit band buckets (linear shuffle).
+    * Threshold hamming ≤ 3 is the standard near-dup cutoff for 64-bit
+    * simhash (Manku, Jain, Sarma: "Detecting Near-Duplicates for Web
+    * Crawling", WWW'07), and makes banding EXACT by pigeonhole: ≤3
+    * differing bits touch at most 3 of the 4 bands, so every qualifying
+    * pair shares an intact band — no recall loss. 16-bit bands keep the
+    * buckets sparse (65 536 values per band vs 256 for 8-bit bands), which
+    * is what keeps the self-join linear-ish as the corpus grows. Token
+    * hashes are sha256-based (graft_sha64), which DuckDB can replicate
+    * bit-for-bit — so this scale-path query carries a FULL algorithm
+    * oracle instead of a rows-only check. */
+  /** (doc_id, simhash): the 64-bit signatures — shared by x4 and the
+    * x103 scorecard so the corpus is hashed once per consumer chain. */
+  private[operators] def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("simhash", expr("graft_simhash(graft_sha64(tk))"))
+      .select(col("doc_id"), col("simhash"))
+
+  /** Banded hamming ≤ 3 pairs over a signature frame (x4's engine). */
+  private[operators] def simhashPairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"), col("band"), col("band_val"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  private[operators] def x4(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhashSigs(spark, dir))
+
+  /** The full simhash algorithm in DuckDB: per-token sha256 → first 16 hex
+    * chars = the same 64 bits as graft_sha64's big-endian long (bit i = bit
+    * (i%4) of hex digit (15 - i/4)); per-bit ±1 majority vote; brute-force
+    * hamming over bit lists (the oracle may be quadratic — the engine may
+    * not). */
+  private[operators] lazy val x4Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |th AS (SELECT doc_id, substr(sha256(t), 1, 16) AS hx FROM tok),
+      |tb AS (
+      |  SELECT doc_id, i,
+      |    ((strpos('0123456789abcdef', substr(hx, CAST(15 - i // 4 AS INT) + 1, 1)) - 1)
+      |      // (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 AS bit
+      |  FROM th, (SELECT unnest(range(64)) AS i)),
+      |bits AS (SELECT doc_id, i, (sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) > 0) AS s
+      |         FROM tb GROUP BY doc_id, i),
+      |sh AS (SELECT doc_id, list(CASE WHEN s THEN 1 ELSE 0 END ORDER BY i) AS bv
+      |       FROM bits GROUP BY doc_id)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_filter(range(64), j -> a.bv[j + 1] != b.bv[j + 1])) AS INT) AS hamming
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id) p
+      |WHERE hamming <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- X5
+  /** Embedding-cosine near-dup pairs (exact, all-pairs baseline; threshold
+    * 0.45 — the synthetic corpus has max pairwise cosine ~0.51). Floats are
+    * widened to double before the dot product (float×float is exact in
+    * double), and cosine is rounded at 6dp — identical across engines. */
+  private[operators] def x5(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    // repartition the stream side: a BNLJ inherits the scan's 1-2 file
+    // partitions, serializing the O(n^2) pair loop on one core
+    val l = e.repartition(32).select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr("graft_dot(va, vb)"))
+      .withColumn("cos_sim", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  private[operators] lazy val x5Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings)
+      |SELECT vec_a, vec_b, cos_sim FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM e a, e b WHERE a.vec_id < b.vec_id) p
+      |WHERE cos_sim >= 0.45""".stripMargin
+
+  // ---------------------------------------------------------------- X17
+  /** Connected components over a BIDIRECTIONAL edge list (src, dst):
+    * min-label propagation with pointer jumping. Per round, each node
+    * takes the min of (its label, its neighbors' labels, its LABEL'S
+    * label). The hook step moves the component min one edge per round;
+    * the jump step halves every label chain, so convergence is
+    * O(log diameter) rounds — on a pathological 64-link mutation chain
+    * that is ~8 rounds, not 64 (PropertiesSpec pins it). The jump join is
+    * SKIPPED in round 1, where labels haven't compressed and lbl(lbl(u))
+    * can never beat the neighbor min — so clique-shaped inputs (the
+    * near-dup common case: mutual copies, diameter 1) converge in one
+    * round with zero jump overhead. Each round: one equi-join + one
+    * aggregation (+ the label self-join from round 2), all linear in
+    * |edges|, and ONE driver scalar (changed count) whose action also
+    * materializes the round's labels AS A LEAF PLAN. The leaf rebuild is
+    * load-bearing, not an optimization: each round references the previous
+    * `labels` THREE times (neighbor-min, base, jump), so without lineage
+    * truncation the analyzed logical plan grows ~3^rounds — persist()
+    * caches data but Spark still renders the FULL plan string per action,
+    * which OOMs the driver on multi-round inputs long before the data
+    * does. Rebuilding from the materialized RDD keeps the per-round plan
+    * O(1) (the public-API equivalent of localCheckpoint, with an RDD
+    * handle we can unpersist exactly). Returns (labels, rounds). */
+  private[graft] def minLabelComponents(edges0: DataFrame): (DataFrame, Int) = {
+    val spark = edges0.sparkSession
+    val edges = edges0.toDF("src", "dst").persist()
+    // round 0 fused into initialization: label = min(self, direct neighbors)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl")).persist()
+    // handles to the previous round's materialization so each round can
+    // free EXACTLY its predecessor — otherwise every round's cache leaks
+    // for the life of the query
+    var backingDf: DataFrame = labels
+    var backingRdd: org.apache.spark.rdd.RDD[Row] = null
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 20) {
+      val nbrMin = edges.join(labels.select(col("src").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val base = labels.join(nbrMin, Seq("src"), "left")
+      val jumped =
+        if (rounds == 0) base.withColumn("jlbl", col("lbl"))
+        else base.join(
+          labels.select(col("src").as("lbl"), col("lbl").as("jlbl")), Seq("lbl"), "left")
+      val mergedPlan = jumped.select(col("src"), col("lbl"),
+        least(col("lbl"),
+          coalesce(col("nlbl"), col("lbl")),
+          coalesce(col("jlbl"), col("lbl"))).as("lbl2"))
+      // lineage cut: persist the round's ROWS, then re-enter SQL through a
+      // leaf LogicalRDD — the next round's plan starts here, not at round 0
+      val rdd = mergedPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val merged = spark.createDataFrame(rdd, mergedPlan.schema)
+      // full count, deliberately: it materializes EVERY partition of the
+      // persisted RDD AND is the convergence scalar (labels are monotone
+      // decreasing, so zero strict drops ⇔ fixpoint — no extra round)
+      changed = merged.filter(col("lbl2") < col("lbl")).count() > 0
+      if (backingRdd != null) backingRdd.unpersist() else backingDf.unpersist()
+      backingRdd = rdd
+      labels = merged.select(col("src"), col("lbl2").as("lbl"))
+      rounds += 1
+      if (sys.env.contains("GRAFT_TIMING"))
+        println(s"[cc] round $rounds changed=$changed")
+    }
+    // the final round's RDD stays cached (one row per node — bounded, and
+    // the caller's action reads it); edges are no longer needed
+    edges.unpersist()
+    (labels, rounds)
+  }
+
+  /** Near-dup CLUSTER formation: connected components over the jac ≥ 0.5
+    * pair graph (x2's exact pairs) via [[minLabelComponents]]. The oracle
+    * replays the clustering as a recursive transitive-closure CTE.
+    * Training-data use: keep min(doc_id) per cluster, drop the rest — the
+    * cluster table IS the dedup decision, auditable. */
+  private[operators] def x17(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(shingled(spark, dir)).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val (labels, _) = minLabelComponents(edges)
+    labels.select(col("src").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Clusters via recursive transitive closure (termination: UNION is
+    * set-semantics), cluster id = min reachable doc including self. */
+  private[operators] lazy val x17Sql =
+    s"""WITH RECURSIVE s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- X36
+  /** Canonical-document selection per near-dup CLUSTER — the retention
+    * policy that completes the dedup story (x2/x3 find pairs, x17 forms
+    * clusters, THIS decides the survivor): per cluster keep the LONGEST
+    * member (least-truncated copy), ties to the lowest id — deterministic,
+    * auditable, and the standard alternative to blind keep-min-id when
+    * duplicates differ by truncation. One equi-join (clusters × doc
+    * metadata) + one max_by aggregation — the same no-window-on-the-corpus
+    * shape as x14's assignment. The cluster table comes through
+    * [[PipelineCache]]: x17's labels materialize ONCE per (session, dir)
+    * and this consumer pays a few-hundred-row scan, not a re-run of the
+    * library's most expensive pipeline. */
+  private[operators] def x36(spark: SparkSession, dir: String): DataFrame = {
+    // (doc_id, cluster_id), only clustered docs
+    val clusters = PipelineCache.shared(spark, "x17_labels", dir)(x17(spark, dir))
+    clusters
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        // longest member, ties to the lowest id (max of (n_chars, -id))
+        max_by(col("doc_id"), struct(col("n_chars"), (lit(0L) - col("doc_id")).as("nid"))).as("keep_id"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("cluster_id"), col("keep_id"), col("n_members"), col("max_chars"))
+  }
+
+  /** x17's recursive-closure clustering + the same keep-longest policy as
+    * a per-cluster ranked window. */
+  private[operators] lazy val x36Sql =
+    s"""WITH RECURSIVE s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |c AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |      FROM reach GROUP BY src),
+       |m AS (SELECT c.cluster_id, c.doc_id, d.n_chars,
+       |        row_number() OVER (PARTITION BY c.cluster_id
+       |          ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+       |        max(d.n_chars) OVER (PARTITION BY c.cluster_id) AS max_chars
+       |      FROM c JOIN documents d USING (doc_id))
+       |SELECT cluster_id, doc_id AS keep_id, n_members, max_chars
+       |FROM m WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- X30
+  /** DELTA near-dedup — the daily-crawl shape: a small batch of NEW
+    * documents (1/10 of the corpus standing in for today's arrivals)
+    * deduped against the EXISTING corpus index without touching
+    * index×index pairs. The postings join is asymmetric: the delta side is
+    * tiny, so candidate generation is |delta postings| probing the index's
+    * shingle buckets — cost proportional to the DELTA, not the corpus, and
+    * at scale the delta's shingle set broadcasts. Same jac ≥ 0.5 exact
+    * verification as x2. Output: which new docs are near-dups of which
+    * existing doc (keep-the-old decision, auditable). */
+  private[operators] def x30(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+    val dPosts = delta.select(col("doc_id").as("new_id"), col("n").as("nn"), explode(col("sh")).as("s"))
+    val iPosts = index.select(col("doc_id").as("old_id"), col("n").as("no"), explode(col("sh")).as("s"))
+    iPosts.join(dPosts, Seq("s"))
+      .groupBy(col("new_id"), col("old_id"), col("nn"), col("no"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("nn") + col("no") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("new_id"), col("old_id"), col("jac"))
+  }
+
+  private[operators] lazy val x30Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s)
+       |SELECT d.doc_id AS new_id, i.doc_id AS old_id,
+       |  CAST(count(*) AS DOUBLE) / (d.n + i.n - count(*)) AS jac
+       |FROM t d JOIN t i ON d.s = i.s
+       |WHERE d.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+       |GROUP BY d.doc_id, i.doc_id, d.n, i.n
+       |HAVING CAST(count(*) AS DOUBLE) / (d.n + i.n - count(*)) >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- X34
+  /** Cross-document SPAN duplication — the span-level memorization signal
+    * (the exact-substring-dedup family à la "Deduplicating Training Data
+    * Makes Language Models Better", at 8-token granularity): for each
+    * document, what fraction of its distinct 8-gram spans also occurs in
+    * some OTHER document. Distinct from x2 (whole-doc similarity), x19
+    * (intra-doc repetition), and x9 (corpus-vs-benchmark): this is
+    * corpus-vs-itself at span granularity, the signal behind span-level
+    * filtering/redaction decisions. Shape: one shingle-kernel pass (8-byte
+    * hashes, never span strings, through the shuffle), one df aggregation,
+    * one join-back, one per-doc aggregation — all equi, all linear. */
+  private[operators] def x34(spark: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("graft_shingle_hashes(split(text, ' '), 8)")).as("s"))
+    // shingle sets are distinct per doc, so count(*) IS the doc frequency
+    val dfs = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    posts.join(dfs, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast(DoubleType) / col("n_spans"), 6))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"), col("shared_ratio"))
+  }
+
+  private[operators] lazy val x34Sql =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+      |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+      |                tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      |t AS (SELECT doc_id, unnest(sh) AS s FROM s),
+      |dfs AS (SELECT s, count(*) AS df FROM t GROUP BY s)
+      |SELECT t.doc_id, count(*) AS n_spans,
+      |  CAST(sum(CASE WHEN dfs.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  round(CAST(sum(CASE WHEN dfs.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_ratio
+      |FROM t JOIN dfs USING (s)
+      |GROUP BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- X56
+  /** CROSS-SPLIT CONTAMINATION AUDIT — the check that makes x54's split
+    * manifest trustworthy: a val/test document whose near-duplicate (the
+    * x2 exact jac ≥ 0.5 contract) sits in TRAIN leaks training content
+    * into evaluation, silently inflating every metric computed on it.
+    * Output is the per-eval-split audit row: doc counts, contaminated
+    * counts, and an integer ppm share (exact across engines). Scale
+    * shape: split assignment is a map-side hash of the content (x54's
+    * bucketing); the pair set comes from the SAME bounded inverted-index
+    * engine as x2 (never all-pairs); the directional filter and the
+    * distinct are over the PAIR table, which is near-dup-rate sized, not
+    * corpus sized. x20 is the external-benchmark cousin; this one guards
+    * the pipeline's own split boundary. */
+  private[operators] def x56(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(spark, dir)
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType), lit(100L)))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val undirected = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val contaminated = pairEnds(undirected, split.withColumnRenamed("split", "v"))
+      .filter(col("va") =!= "train" && col("vb") === "train")
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("isc", lit(1L))
+    split.filter(col("split") =!= "train")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("isc"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_ppm", expr("(n_contaminated * 1000000L) div n_docs"))
+  }
+
+  private[operators] lazy val x56Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |cont AS (SELECT DISTINCT e.a AS doc_id
+       |  FROM e JOIN sp sa ON sa.doc_id = e.a JOIN sp sb ON sb.doc_id = e.b
+       |  WHERE sa.split != 'train' AND sb.split = 'train')
+       |SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(cont.doc_id) AS BIGINT) AS n_contaminated,
+       |  CAST((count(cont.doc_id) * 1000000) // count(*) AS BIGINT) AS contamination_ppm
+       |FROM sp LEFT JOIN cont ON sp.doc_id = cont.doc_id
+       |WHERE sp.split != 'train' GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- X59
+  /** CROSS-SOURCE DUPLICATION MATRIX — corpus provenance analysis: for
+    * every unordered source pair, how many near-duplicate document pairs
+    * (the x2 jac ≥ 0.5 contract) span them. Mirror-site detection, crawl
+    * overlap measurement, and per-source dedup-rate attribution all read
+    * off this matrix; `cross_source = false` rows measure intra-source
+    * redundancy. Scale shape: the pair set comes from the SAME bounded
+    * inverted-index engine as x2/x56 (never all-pairs), and both ends
+    * resolve their source through [[pairEnds]] — the corpus-sized
+    * doc→source side is scanned ONCE with the melted pair list broadcast
+    * onto it, never shuffled; the output is |sources|² at most. */
+  private[operators] def x59(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source").as("v"))
+    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    pairEnds(pairs, src)
+      .select(least(col("va"), col("vb")).as("src_lo"),
+        greatest(col("va"), col("vb")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("src_lo") =!= col("src_hi"))
+  }
+
+  private[operators] lazy val x59Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5)
+       |SELECT least(da.source, db.source) AS src_lo,
+       |  greatest(da.source, db.source) AS src_hi,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  least(da.source, db.source) != greatest(da.source, db.source) AS cross_source
+       |FROM p JOIN documents da ON da.doc_id = p.doc_a
+       |       JOIN documents db ON db.doc_id = p.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- X61
+  /** CROSS-DOCUMENT REPEATED-SPAN CATALOG — exact-substring dedup support
+    * (dedup at span rather than document granularity): every 8-token span
+    * appearing in ≥ 2 distinct documents, with its document frequency and
+    * first container. x34 measures per-DOC span sharing; this inverts the
+    * index to the span side, producing the catalog a span-removal pass
+    * would consume. Two-pass exact (the x57 recipe): pass 1 aggregates on
+    * the 8-byte span farmhash (graft_shingle_hashes — codegen, no span
+    * strings ever materialize) and keeps hashes seen ≥ 2 times;
+    * pass 2 recounts EXACTLY on the span STRING over only the surviving
+    * postings (catalog-sized, hash set broadcast as a semi join), so a
+    * hash collision can only ADD a candidate that the exact recount then
+    * drops — the output is provably the exact string-level catalog. For a
+    * corpus whose catalog outgrows the broadcast budget, drop the hint
+    * and the same plan runs as a shuffled semi join. */
+  private[operators] def x61(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+    // pass 1 is PURE CODEGEN: graft_shingle_hashes emits the farmhash64 of
+    // each distinct joined 8-token span directly — no span strings, no
+    // interpreted HOF, an 8-byte shuffle
+    // persisted: feeds both the df aggregation and the candidate-doc
+    // semi join; rows are (id, hash) = 16 B — narrow enough that
+    // MEMORY_AND_DISK is safe at any scale, and one scan is saved
+    val hashed = docs.select(col("doc_id"),
+      explode(expr("graft_shingle_hashes(tk, 8)")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rep = hashed.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    // only docs holding a candidate span need STRINGS — at corpus scale
+    // that is the near-dup-rate-sized subset, so the interpreted
+    // span-string transform never runs over the full corpus (the hash
+    // re-derivation below is the same codegen kernel, scan-cheap)
+    val candDocs = hashed.join(broadcast(rep), "h").select(col("doc_id")).distinct()
+    val posts = docs.join(broadcast(candDocs), Seq("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(tk) - 7), i -> concat_ws(' ', slice(tk, i, 8)))"))).as("span"))
+      .withColumn("h", expr("farmhash64(span)"))
+    posts.join(broadcast(rep), "h")
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  private[operators] lazy val x61Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+      |       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+      |            tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS span
+      |     FROM d WHERE len(tk) >= 8)
+      |SELECT span, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+      |FROM s GROUP BY span HAVING count(*) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------- X68
+  /** BOILERPLATE PREFIX DETECTION — the header/template sweep run before
+    * near-dup: documents sharing their first 12 tokens verbatim are
+    * grouped by the sha256 of that prefix, and every group with ≥2
+    * members is reported (site templates, license headers, crawl
+    * boilerplate). Complements x61 (which catalogs repeated spans at ANY
+    * offset) with the cheap anchored-prefix special case: one map-side
+    * hash per document + one hash aggregation — no postings, no
+    * positions, no second pass. At 100 TB this is the same plan: the
+    * shuffle carries one 32-byte key per document, nothing else. */
+  private[operators] def x68(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        sha2(array_join(expr("slice(split(text, ' '), 1, 12)"), " "), 256).as("prefix_hash"))
+      .groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= 2)
+
+  private[operators] lazy val x68Sql =
+    """SELECT sha256(array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')) AS prefix_hash,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  min(doc_id) AS first_doc_id
+      |FROM documents GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
+  // ---------------------------------------------------------------- X71
+  /** CONTENT-DEFINED CHUNKING — the LBFS/rsync/FastCDC discipline at token
+    * granularity, the OTHER half of the chunking story x66 starts: a token
+    * ENDS a chunk iff its own md5 lands in a fixed 1/32 residue class, so
+    * boundaries are decided by CONTENT alone. Insert or delete a token and
+    * only the chunk it sits in redraws — every other chunk keeps its
+    * content hash (x66's fixed stride shifts EVERY downstream chunk, which
+    * is why incremental dedup pipelines use CDC). Expected chunk length is
+    * the divisor (32 tokens); chunks are content-addressed by sha256 for
+    * cross-run/cross-engine identity. Scale shape: like x66 this is a PURE
+    * MAP-SIDE op — boundary scan, chunk cut, and content hash all inside
+    * ONE codegen'd kernel call (`graft_cdc_chunks`, FastOps.cdcChunks:
+    * boundary tested on md5 digest bytes, chunk sha256 fed incrementally,
+    * no joined strings; the HOF-lambda spelling of the same plan ran ~17×
+    * slower than DuckDB's C md5 loop) — ZERO shuffles (plan-gated), so CDC
+    * over 100 TB is embarrassingly parallel, each input split chunking its
+    * docs independently. */
+  private[operators] def x71(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr("graft_cdc_chunks(split(text, ' '), 32)")).as(Seq("ci", "c")))
+      .select(col("doc_id"),
+        col("ci").cast(IntegerType).as("chunk_idx"),
+        col("c.s").as("start_tok"),
+        col("c.len").as("chunk_len"),
+        col("c.hash").as("chunk_hash"))
+
+  private[operators] lazy val x71Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |p AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM d),
+      |b AS (SELECT doc_id, i AS e FROM p
+      |      WHERE ('0x' || substr(md5(tk[i]), 1, 4))::BIGINT % 32 = 0),
+      |ends AS (SELECT DISTINCT doc_id, e FROM
+      |  (SELECT doc_id, e FROM b UNION ALL SELECT doc_id, len(tk) AS e FROM d)),
+      |c AS (SELECT doc_id, e,
+      |        lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e) AS s FROM ends)
+      |SELECT c.doc_id,
+      |  CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.s) - 1 AS INT) AS chunk_idx,
+      |  CAST(s AS INT) AS start_tok, CAST(e - s AS INT) AS chunk_len,
+      |  sha256(array_to_string(list_slice(tk, s + 1, e), ' ')) AS chunk_hash
+      |FROM c JOIN d USING (doc_id) WHERE e > s""".stripMargin
+
+  // ---------------------------------------------------------------- X77
+  /** DUPLICATION-GRAPH PAGERANK — centrality over the near-dup graph: a
+    * document whose neighbors are themselves heavily duplicated scores
+    * higher than one with the same degree in a quiet corner, which is the
+    * ranking a dedup reviewer wants (worst offenders first — x62 counts
+    * exposure, this weighs it). Classic damped PageRank, FOUR fixed
+    * power-iteration rounds on the symmetric x2 pair graph, in pure
+    * integer micros: r₀ = 1e6; rᵢ₊₁ = 150 000 + (850 000 · Σᵢₙ r/deg) div
+    * 1e6 — every contribution an integer div, so the result is
+    * bit-identical across engines and partitionings (no float fixpoint to
+    * disagree on). Scale shape: per round ONE equi-join (edges × ranks) +
+    * one aggregation, both linear in |edges|; ranks re-enter each round
+    * through a persisted-RDD LEAF (the x17 lineage discipline — plan stays
+    * O(1) per round at ANY iteration count, no 2^rounds analyzed-plan
+    * blowup, and the gate below pins the leaf). The pair graph arrives via
+    * [[PipelineCache]] (x2's engine runs once per session/dir). */
+  private[operators] def x77(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").persist()
+    val nodes = edges.groupBy(col("u")).agg(count(lit(1)).as("deg")).persist()
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    var backing: org.apache.spark.rdd.RDD[Row] = null
+    for (_ <- 1 to 4) {
+      val contrib = edges
+        .join(ranks.select(col("u"), expr("r div deg").as("c")), "u")
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      // symmetric graph: every node has in-edges, but keep the left join +
+      // coalesce so an asymmetric edge list stays correct
+      val nextPlan = nodes
+        .join(contrib.withColumnRenamed("v", "u"), Seq("u"), "left")
+        .select(col("u"), col("deg"), (lit(150000L) +
+          expr("(cast(850000 as bigint) * coalesce(s, cast(0 as bigint))) div 1000000")).as("r"))
+      val rdd = nextPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(rdd, nextPlan.schema)
+      next.count() // materialize this round; the next one starts from a leaf
+      if (backing != null) backing.unpersist()
+      backing = rdd
+      ranks = next
+    }
+    edges.unpersist(); nodes.unpersist()
+    ranks.select(col("u").as("doc_id"), col("deg").as("degree"),
+      col("r").as("rank_micro"))
+  }
+
+  private[operators] lazy val x77Sql = {
+    val iter = (k: Int) =>
+      s"""r$k AS (SELECT n.u, n.deg,
+         |  CAST(150000 + (850000 * CAST(coalesce(x.s, 0) AS BIGINT)) // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.v AS u, CAST(sum(r.r // r.deg) AS BIGINT) AS s
+         |    FROM e JOIN r${k - 1} r ON r.u = e.u GROUP BY e.v) x ON n.u = x.u)"""
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |nodes AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY u),
+       |r0 AS (SELECT u, deg, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |${iter(4)}
+       |SELECT u AS doc_id, deg AS degree, r AS rank_micro FROM r4""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X89
+  /** DEDUP-CLUSTER SIZE PROFILE — the one-page duplication report a
+    * curator reads before choosing a retention policy: for every
+    * near-dup cluster size, how many clusters exist, how many documents
+    * they hold, and how many a keep-one policy would remove; singletons
+    * (documents in no cluster) appear as the size-1 row so the table
+    * partitions the corpus exactly (Σ n_docs = corpus size — the spec
+    * pins it). Composes x17's components via [[PipelineCache]] (the
+    * closure runs once per session/dir); everything here is a
+    * cluster-count-sized aggregation plus one pinned corpus-count
+    * literal. The removable column IS the headline number: expected
+    * corpus shrink under keep-longest (x36). */
+  private[operators] def x89(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = PipelineCache.shared(spark, "x17_labels", dir)(x17(spark, dir))
+    val nDocs = Tables.documents(spark, dir).count() // metadata-scale literal
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size")).persist()
+    val nClustered = sizes.agg(sum(col("cluster_size"))).collect()(0).getLong(0)
+    val multi = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("removable"))
+    sizes.unpersist()
+    import spark.implicits._
+    val singles = Seq((1L, nDocs - nClustered, nDocs - nClustered, 0L))
+      .toDF("cluster_size", "n_clusters", "n_docs", "removable")
+    multi.unionByName(singles)
+  }
+
+  private[operators] lazy val x89Sql =
+    s"""WITH RECURSIVE s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |c AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |      FROM reach GROUP BY src),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM c GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |cl AS (SELECT CAST(coalesce(sum(cluster_size), 0) AS BIGINT) AS n FROM sz)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS removable
+       |FROM sz GROUP BY cluster_size
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), tot.n - cl.n, tot.n - cl.n, CAST(0 AS BIGINT)
+       |FROM tot, cl""".stripMargin
+
+  // ---------------------------------------------------------------- X92
+  /** TRIANGLE COUNT + global clustering coefficient of the near-dup graph
+    * — the structural audit that tells a curator whether duplication is
+    * CLIQUE-like (template families: triangles everywhere, cc → 1) or
+    * CHAIN-like (near-dup drift: few triangles, cc → 0), which decides
+    * whether keep-one-per-cluster is safe or will over-delete. Engine
+    * algorithm is the degree-oriented count (the MapReduce-era standard):
+    * orient every edge from its (degree, id)-smaller endpoint, count
+    * directed wedges, close them with a semi join — every triangle
+    * counted EXACTLY once and out-degrees bounded by O(√m), so the wedge
+    * self-join never explodes on a hub node (THE failure mode of naive
+    * triangle counting at scale). The oracle counts the same triangles by
+    * canonical a<b<c enumeration — different algorithm, provably the same
+    * integer. Wedge total comes off the degree table (Σ d(d−1)/2), cc is
+    * integer-micro exact. */
+  private[operators] def x92(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).persist()
+    val deg = pairs.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d")).persist()
+    val nNodes = deg.count()
+    val nEdges = pairs.count()
+    val wedges = Option(deg.agg(sum(expr("(d * (d - 1)) div 2"))).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    // orient each edge low→high by (degree, id); carry the dst's key so
+    // the wedge legs can be ordered without re-joining the degree table
+    val e = pairs
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .persist()
+    // wedge (u; v, w) with v before w in orientation order closes iff the
+    // oriented edge v→w exists — each triangle appears as exactly one wedge
+    val nTri = e.as("e1").join(e.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (struct(col("e1.dd"), col("e1.dst")) < struct(col("e2.dd"), col("e2.dst"))))
+      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+      .join(e.select(col("src"), col("dst")), Seq("src", "dst"), "left_semi")
+      .count()
+    pairs.unpersist(); deg.unpersist(); e.unpersist()
+    val cc = if (wedges > 0) (3L * nTri * 1000000L) / wedges else 0L
+    import spark.implicits._
+    Seq((nNodes, nEdges, nTri, wedges, cc))
+      .toDF("n_nodes", "n_edges", "n_triangles", "n_wedges", "global_cc_micro")
+  }
+
+  private[operators] lazy val x92Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p),
+       |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) u GROUP BY v),
+       |tri AS (SELECT CAST(count(*) AS BIGINT) AS nt
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       |       JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |wed AS (SELECT CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS w FROM deg)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       |  tri.nt AS n_triangles, wed.w AS n_wedges,
+       |  CASE WHEN wed.w > 0 THEN (3 * tri.nt * 1000000) // wed.w
+       |       ELSE CAST(0 AS BIGINT) END AS global_cc_micro
+       |FROM tri, wed""".stripMargin
+
+  // ---------------------------------------------------------------- X93
+  /** PREFIX-FILTERED exact similarity self-join (AllPairs/PPJoin family)
+    * — the third scale path to the SAME exact near-dup contract as x2
+    * (inverted index) and x3 (MinHash-LSH), and the only one of the three
+    * whose candidate bound is provable rather than probabilistic: order
+    * every document's shingles rarest-first (global (df, hash) order); a
+    * pair at Jaccard ≥ 0.5 must share ≥ ⌈n/2⌉ shingles, so it MUST
+    * collide inside each side's first n − ⌈n/2⌉ + 1 — postings outside
+    * the prefix never enter the join at all (~n/2 of them), and because
+    * prefixes are rarest-first the hot shingles that dominate x2's
+    * posting lists are exactly the ones excluded. Candidates are then
+    * verified exactly on the full sets. Oracle = x2's SQL: the output
+    * contract is the exact pair set, completeness is structural, and any
+    * miss fails the hash gate. */
+  private[operators] def x93(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir).persist()
+    // prefix under the GLOBAL HASH ORDER, map-side: any total order on
+    // shingles preserves the completeness theorem, and ordering by the
+    // hash itself turns prefix extraction into array_sort + slice on the
+    // already-materialized set — ZERO shuffles before the candidate join
+    // (the first draft ranked rarest-first via a global-df join + per-doc
+    // window: three extra shuffles, measured ~4× this plan at sf0.1).
+    // Rarest-first only prunes better when hot shingles exist; at corpus
+    // scale with real stop-shingles, swap the comparator to (df, hash) by
+    // joining a broadcast df-rank onto the postings — same contract.
+    val prefix = docs.select(col("doc_id"),
+      explode(expr(
+        "slice(array_sort(sh), 1, size(sh) - ((size(sh) + 1) div 2) + 1)")).as("s"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("s"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  // ---------------------------------------------------------------- X94
+  /** PERCEPTUAL IMAGE NEAR-DUP — the multimodal leg of the dedup family
+    * (x1–x5 are text, x5/x88 embeddings): every image payload reduces to
+    * its 64-bit aHash (REAL raster work — BT.601 integer luma over the
+    * decoded P6 bytes, 8×8 grid, cross-multiplied integer bit rule:
+    * [[MediaCodecs.ahashPpm]]), then near-dups surface through the x4
+    * SimHash machinery — 4×16-bit bands bucket the candidates, exact
+    * Hamming ≤ 3 verifies them. The band decomposition is COMPLETE at
+    * this threshold by pigeonhole (≤ 3 differing bits over 4 bands leave
+    * one band identical), so the contract is exact: ALL image pairs
+    * within Hamming 3, found without any pairwise pixel comparison. The
+    * oracle recomputes the same hash from the same synthesized raster
+    * bytes in SQL (the x51 trick) and takes all-pairs Hamming directly —
+    * different algorithm, same exact pair set. Scale: hashing is one
+    * map-side pass over payload bytes; the bucket join moves 16-bit keys
+    * + ids; within-bucket cost is bounded by duplicate-family sizes (the
+    * x4 analysis). */
+  /** Banded Hamming near-dup over a (doc_id, ahash) frame: 4×16-bit band
+    * buckets generate candidates, exact Hamming ≤ maxDist verifies —
+    * COMPLETE for maxDist ≤ 3 by pigeonhole. Shared by the image (x94)
+    * and audio (x95) perceptual dedup legs. */
+  private[operators] def bandedHammingPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      // arithmetic >> then mask ≡ logical shift within the 16-bit window
+      .withColumn("bv", expr("(ahash >> (band * 16)) & 65535"))
+    val cands = bands
+      .select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("ahash").as("ha"))
+      .join(bands.select(col("band"), col("bv"),
+        col("doc_id").as("doc_b"), col("ahash").as("hb")), Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+    cands
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as bigint)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  private[operators] def x94(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(
+      Multimodal.imageHashes(Multimodal.fromDocuments(spark, dir)).toDF(), 3)
+
+  private[operators] lazy val x94Sql = {
+    // pixel p of the synthesized raster reads text bytes (3p, 3p+1, 3p+2)
+    // mod L — the x51/x13 synthesis contract
+    def byte(k: String) = s"ord(substr(text, CAST(($k) % L AS INT) + 1, 1))"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS L,
+       |    CAST(4 + n_chars % 12 AS INT) AS w,
+       |    CAST(4 + (n_chars // 3) % 8 AS INT) AS h
+       |  FROM documents WHERE n_chars % 3 = 0),
+       |px AS (
+       |  SELECT doc_id,
+       |    ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS cell,
+       |    299 * ${byte("3*p")} + 587 * ${byte("3*p + 1")} + 114 * ${byte("3*p + 2")} AS lum
+       |  FROM (SELECT doc_id, text, L, w, h, CAST(unnest(range(w * h)) AS INT) AS p FROM d)),
+       |cells AS (SELECT doc_id, cell, CAST(sum(lum) AS BIGINT) AS cs,
+       |    CAST(count(*) AS BIGINT) AS cc FROM px GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts,
+       |    CAST(sum(cc) AS BIGINT) AS tc FROM cells GROUP BY 1),
+       |grid AS (SELECT d.doc_id, g.cell
+       |  FROM d, (SELECT CAST(unnest(range(64)) AS INT) AS cell) g),
+       |bits AS (SELECT g.doc_id, g.cell,
+       |    coalesce(c.cs * t.tc > t.ts * c.cc, FALSE) AS bit
+       |  FROM grid g
+       |  JOIN tot t ON t.doc_id = g.doc_id
+       |  LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.cell = g.cell),
+       |hsh AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit AND cell < 32
+       |      THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN bit AND cell >= 32
+       |      THEN (CAST(1 AS BIGINT) << (cell - 32)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+       |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id) q
+       |WHERE hamming <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X95
+  /** PERCEPTUAL AUDIO NEAR-DUP — x94's audio twin, closing the multimodal
+    * dedup family (text x1–x5, embeddings x5/x88, image x94): every PCM16
+    * clip reduces map-side to a 64-bit time-frame energy fingerprint
+    * ([[MediaCodecs.ahashWav]] — real RIFF walking, integer sums of
+    * squares, cross-multiplied bit rule, zero floats), then the SAME
+    * banded-bucket machinery surfaces candidates and exact Hamming ≤ 3
+    * verifies them (pigeonhole-complete — see [[bandedHammingPairs]]).
+    * The oracle resynthesizes the samples from the doc text (the WAV
+    * encode contract), recomputes the fingerprint in SQL, and takes
+    * all-pairs Hamming — same exact pair set by a different route. */
+  private[operators] def x95(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(
+      Multimodal.audioHashes(Multimodal.fromDocuments(spark, dir)).toDF(), 3)
+
+  private[operators] lazy val x95Sql = {
+    // sample i of the synthesized clip: ((ord(text[i % L]) - 96) * 256)²
+    // energy, mapped onto frame i·64/ns (ns = 200 + n_chars % 800 ≥ 200,
+    // so every frame holds ≥ 3 samples — no empty-frame grid needed)
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS L,
+       |    CAST(200 + n_chars % 800 AS INT) AS ns
+       |  FROM documents WHERE n_chars % 3 = 1),
+       |sm AS (
+       |  SELECT doc_id, CAST(i * 64 // ns AS INT) AS f,
+       |    CAST((ord(substr(text, CAST(i % L AS INT) + 1, 1)) - 96) * 256 AS BIGINT) AS v
+       |  FROM (SELECT doc_id, text, L, ns, CAST(unnest(range(ns)) AS INT) AS i FROM d)),
+       |fr AS (SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS es,
+       |    CAST(count(*) AS BIGINT) AS ec FROM sm GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(es) AS BIGINT) AS ts,
+       |    CAST(sum(ec) AS BIGINT) AS tc FROM fr GROUP BY 1),
+       |bits AS (SELECT f.doc_id, f.f, (f.es * t.tc > t.ts * f.ec) AS bit
+       |  FROM fr f JOIN tot t ON t.doc_id = f.doc_id),
+       |hsh AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit AND f < 32
+       |      THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN bit AND f >= 32
+       |      THEN (CAST(1 AS BIGINT) << (f - 32)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+       |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id) q
+       |WHERE hamming <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X103
+  /** SKETCH QUALITY SCORECARD — the audit run before trusting a
+    * perceptual-hash dedup path at 100 TB, where exact verification of
+    * every candidate is unaffordable and the sketch's error profile IS
+    * the dedup contract. Two empirical curves against exact truth:
+    * `recall` rows bin the exact near-dup pairs (x2's jac ≥ 0.5 engine)
+    * by Jaccard decile and count how many the 64-bit SimHash keeps within
+    * hamming ≤ 3 — the measured S-curve to hold against the banding
+    * theory; `precision` rows bin the sketch's own candidates (x4's
+    * banded pairs) by hamming distance and count how many are true
+    * near-dups by exact Jaccard. Engine shape: truth pairs come from the
+    * bounded inverted-index engine, candidates from the linear banded
+    * self-join — NOTHING quadratic; the audit joins are pairs-sized frames
+    * against id-keyed signature/shingle lookups, and the output is ≤ ~14
+    * rows. Counts and ppm shares are exact integers. (The ORACLE replays
+    * hamming over all pairs quadratically — the oracle may be quadratic,
+    * the engine may not: x4's documented asymmetry.) */
+  private[operators] def x103(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).persist() // truth pairs + candidate re-score
+    // hashed ONCE: the recall lookup and the banded candidate generation
+    // both read this frame (x4's standalone query hashes its own)
+    val sigs = simhashSigs(spark, dir).persist()
+    val recall = nearDupPairs(sh)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .groupBy(floor(col("jac") * 10).cast(IntegerType).as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("hamming") <= 3).cast(LongType)).as("n_true"))
+      .withColumn("part", lit("recall"))
+    val prec = simhashPairs(sigs)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .groupBy(col("hamming").cast(IntegerType).as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("jac") >= 0.5).cast(LongType)).as("n_true"))
+      .withColumn("part", lit("precision"))
+    recall.unionByName(prec)
+      .select(col("part"), col("bin"), col("n_pairs"), col("n_true"),
+        expr("(n_true * 1000000) div n_pairs").as("true_ppm"))
+  }
+
+  private[operators] lazy val x103Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS sg FROM s),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |      FROM t a JOIN t b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |      GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tkn FROM documents),
+       |th AS (SELECT doc_id, substr(sha256(tkn), 1, 16) AS hx FROM tok),
+       |tbb AS (
+       |  SELECT doc_id, i,
+       |    ((strpos('0123456789abcdef', substr(hx, CAST(15 - i // 4 AS INT) + 1, 1)) - 1)
+       |      // (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 AS bit
+       |  FROM th, (SELECT unnest(range(64)) AS i)),
+       |bits AS (SELECT doc_id, i, (sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) > 0) AS sb
+       |         FROM tbb GROUP BY doc_id, i),
+       |shs AS (SELECT doc_id, list(CASE WHEN sb THEN 1 ELSE 0 END ORDER BY i) AS bv
+       |        FROM bits GROUP BY doc_id),
+       |ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(range(64), j -> a.bv[j + 1] != b.bv[j + 1])) AS INT) AS hamming
+       |  FROM shs a, shs b WHERE a.doc_id < b.doc_id),
+       |recall AS (
+       |  SELECT 'recall' AS part, CAST(floor(p.jac * 10) AS INT) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN h.hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+       |  FROM p JOIN ham h ON h.doc_a = p.doc_a AND h.doc_b = p.doc_b
+       |  WHERE p.jac >= 0.5 GROUP BY 2),
+       |prec AS (
+       |  SELECT 'precision' AS part, h.hamming AS bin,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN coalesce(p.jac, 0) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+       |  FROM ham h LEFT JOIN p ON p.doc_a = h.doc_a AND p.doc_b = h.doc_b
+       |  WHERE h.hamming <= 3 GROUP BY 2)
+       |SELECT part, bin, n_pairs, n_true, (n_true * 1000000) // n_pairs AS true_ppm
+       |FROM (SELECT * FROM recall UNION ALL SELECT * FROM prec) u""".stripMargin
+
+  // ---------------------------------------------------------------- X110
+  /** INCREMENTAL VIEW MAINTENANCE OF THE DEDUP INDEX — keep x1's
+    * content-hash index current under a CDC delta WITHOUT rebuilding it:
+    * the problem every standing 100 TB index has when the corpus churns
+    * daily. Counts are distributive, but `keep_id = min(doc_id)` is NOT —
+    * deleting the minimum forces a recompute — so the maintenance
+    * strategy is the real one (Materialize/DBSP-style): mark the DIRTY
+    * groups (content hashes touched by adds or removes — churn-sized),
+    * pass every untouched index row through a BROADCAST anti join, and
+    * recompute ONLY the dirty groups from the new generation's rows
+    * (a broadcast semi join narrows that scan to dirty content). Work is
+    * |index| pass-through + O(dirty) recompute — never a full
+    * re-aggregation of the corpus. A dirty hash whose copies all vanished
+    * drops out of the index naturally. The oracle rebuilds the index from
+    * the target generation directly, so the hash equality is the IVM
+    * theorem: maintain(index(A), delta) = index(B). Generations mirror
+    * q38's arithmetic (base = id%97≠0; adds = id%97=0 ∧ id%89≠0; removes
+    * = id%89=0 ⇒ generation B is exactly id%89≠0). */
+  private[operators] def x110(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h")).persist()
+    val base = docs.filter(col("doc_id") % 97 =!= 0)
+    val added = docs.filter(col("doc_id") % 97 === 0 && col("doc_id") % 89 =!= 0)
+    val removed = base.filter(col("doc_id") % 89 === 0)
+    // the standing index over generation A (in production: the stored artifact)
+    val baseIdx = base.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val dirty = added.select(col("h")).unionByName(removed.select(col("h"))).distinct()
+    val clean = baseIdx.join(broadcast(dirty), Seq("h"), "left_anti")
+    val newGen = base.filter(col("doc_id") % 89 =!= 0).unionByName(added)
+    val rebuilt = newGen.join(broadcast(dirty), "h") // inner on distinct = semi
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    clean.unionByName(rebuilt)
+  }
+
+  /** Full rebuild over generation B — equality is the IVM theorem. */
+  private[operators] lazy val x110Sql =
+    """SELECT sha256(text) AS h, min(doc_id) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents WHERE doc_id % 89 <> 0
+      |GROUP BY text""".stripMargin
+
+  // ---------------------------------------------------------------- X113
+  /** NORMALIZATION-UNLOCKED DEDUP — the canonicalization pass run BEFORE
+    * exact dedup in every real pipeline: lowercase, strip punctuation,
+    * squeeze whitespace, then group by the hash of the CANONICAL text.
+    * The synthetic corpus is already canonical (lowercase, single-spaced),
+    * so the casing/punctuation noise the pass exists for is PLANTED
+    * deterministically (the x94/x95 derived-layer discipline): every 10th
+    * document gains a variant with a capitalized first letter, doubled
+    * trailing whitespace and a period — invisible noise to a reader,
+    * a different byte string to x1. The audit then reports each canonical
+    * group with ≥ 2 members: total copies, how many RAW variants it
+    * collapses (n_variants > 1 IS the unlock — byte-exact dedup cannot
+    * see those), and the content-addressed keeper. Entirely map-side
+    * until ONE 32-byte-key aggregation: the canonicalizer is three string
+    * kernels riding the scan projection, the shuffle carries two hashes +
+    * an id per row — at 100 TB this costs exactly what x1 costs. The
+    * canonical rules are engine-portable by construction (character
+    * classes, no locale tables), so the oracle replays them glyph for
+    * glyph. */
+  private[operators] def x113(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val variants = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(upper(substring(col("text"), 1, 1)),
+          expr("substring(text, 2)"), lit("  .")).as("text"))
+    d.unionByName(variants)
+      .select(col("doc_id"), sha2(col("text"), 256).as("raw_hash"),
+        sha2(trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), 256).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_hash")).as("n_variants"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  private[operators] lazy val x113Sql =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, upper(substring(text, 1, 1)) ||
+      |         substring(text, 2) || '  .'
+      |  FROM documents WHERE doc_id % 10 = 0)
+      |SELECT sha256(trim(regexp_replace(regexp_replace(
+      |         lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_variants,
+      |  min(doc_id) AS keep_id
+      |FROM all_docs
+      |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
+}

@@ -1,0 +1,1321 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Text-analysis queries (SURVEY §2.4): quality kernels, language ID,
+  * token/DF/IDF statistics, LM training & scoring, BM25, TextRank,
+  * heavy hitters, PMI, Zipf, BPE.
+  *
+  * Split out of the monolithic Queries.scala in r7 (registry unchanged —
+  * every member mixes back into [[Queries]], whose self-type these traits
+  * require). Members are `private[operators]`; SQL oracles are lazy so
+  * cross-trait references are initialization-order-safe.
+  */
+private[operators] trait QueriesText { this: Queries.type =>
+
+  // ---------------------------------------------------------------- X8
+  /** Text quality scoring: token stats, distinct ratio, stopword ratio,
+    * composite score. All ratios are int/int → double (exact IEEE). */
+  private[operators] lazy val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[operators] lazy val stopwordsSqlList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Appends x8's quality kernel columns to any frame bearing `text` —
+    * shared so consumers (x62) fold the kernels into their OWN scan
+    * instead of re-reading the corpus and joining. All map-side codegen. */
+  private[operators] def withQualityKernels(d: DataFrame): DataFrame = {
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    d.withColumn("tk", toks(col("text")))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("n_unique", size(array_distinct(col("tk"))))
+      // codegen kernels, not interpreted HOF lambdas: this is the scan's
+      // hot path and stays inside WholeStageCodegen
+      .withColumn("sum_len", expr("graft_sum_len(tk)"))
+      .withColumn("n_stop", expr(s"graft_count_in(tk, $stopArr)"))
+      .withColumn("distinct_ratio", col("n_unique").cast(DoubleType) / col("n_tokens"))
+      .withColumn("mean_tok_len", col("sum_len").cast(DoubleType) / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality_score", col("distinct_ratio") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.5)
+      .withColumn("is_quality", col("quality_score") >= 0.5 && col("n_tokens") >= 20)
+  }
+
+  private[operators] def x8(spark: SparkSession, dir: String): DataFrame =
+    withQualityKernels(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"), col("distinct_ratio"),
+        col("mean_tok_len"), col("stop_ratio"), col("quality_score"), col("is_quality"))
+
+  private[operators] lazy val x8Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |     s AS (SELECT doc_id,
+       |             CAST(len(tk) AS INT) AS n_tokens,
+       |             CAST(len(list_distinct(tk)) AS INT) AS n_unique,
+       |             CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS sum_len,
+       |             CAST(len(list_filter(tk, x -> x IN ($stopwordsSqlList))) AS INT) AS n_stop
+       |           FROM t)
+       |SELECT doc_id, n_tokens, n_unique,
+       |  CAST(n_unique AS DOUBLE) / n_tokens AS distinct_ratio,
+       |  CAST(sum_len AS DOUBLE) / n_tokens AS mean_tok_len,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  (CAST(n_unique AS DOUBLE) / n_tokens) * 0.5 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 AS quality_score,
+       |  ((CAST(n_unique AS DOUBLE) / n_tokens) * 0.5 + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5) >= 0.5
+       |    AND n_tokens >= 20 AS is_quality
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- X9
+  /** Language-ID n-gram/stopword heuristic: per-language marker hits, argmax
+    * with fixed priority order for ties. */
+  private[operators] lazy val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "une", "est"),
+    "zh" -> Seq("de5", "shi4", "bu4", "wo3", "le5"))
+
+  private[operators] def x9(spark: SparkSession, dir: String): DataFrame = {
+    var df = Tables.documents(spark, dir).withColumn("tk", toks(col("text")))
+    for ((lang, words) <- langMarkers) {
+      val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+      df = df.withColumn(s"hits_$lang", expr(s"graft_count_in(tk, $arr)"))
+    }
+    val langs = langMarkers.map(_._1)
+    // argmax with fixed priority: first language whose hits >= all others
+    val pred = langs.foldRight(lit("und")) { (lang, rest) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"hits_$lang") >= col(s"hits_$o")).reduce(_ && _)
+      when(col(s"hits_$lang") > 0 && isMax, lit(lang)).otherwise(rest)
+    }
+    df.withColumn("pred_lang", pred)
+      .select(col("doc_id") +: col("lang") +: col("pred_lang") +: langs.map(l => col(s"hits_$l")): _*)
+  }
+
+  private[operators] lazy val x9Sql = {
+    val hitCols = langMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(tk, x -> x IN ($list))) AS INT) AS hits_$lang"
+    }.mkString(",\n             ")
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight("'und'") { (lang, rest) =>
+      val isMax = langs.filter(_ != lang).map(o => s"hits_$lang >= hits_$o").mkString(" AND ")
+      s"CASE WHEN hits_$lang > 0 AND $isMax THEN '$lang' ELSE $rest END"
+    }
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+       |     h AS (SELECT doc_id, lang,
+       |             $hitCols
+       |           FROM t)
+       |SELECT doc_id, lang, $pred AS pred_lang,
+       |  ${langs.map(l => s"hits_$l").mkString(", ")}
+       |FROM h""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X10
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, chars/4
+    * estimate. */
+  private[operators] def x10(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]', 0)")).as("re_tokens"),
+      ceil(col("n_chars") / 4.0).cast(LongType).as("est_bpe_tokens"),
+      length(col("text")).cast(LongType).as("len_chars"))
+
+  private[operators] lazy val x10Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS re_tokens,
+      |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens,
+      |  CAST(length(text) AS BIGINT) AS len_chars
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- X11
+  /** Document fingerprint: position-weighted rolling token sum (exact int64
+    * arithmetic — order-sensitive yet summation-order-free, so it hashes
+    * identically across engines). */
+  private[operators] def x11(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      // one codegen pass (RollingFp kernel) — identical formula to the
+      // aggregate∘zip_with∘sequence HOF pipeline it replaces
+      expr("graft_rolling_fp(split(text, ' '))").as("fp"),
+      size(toks(col("text"))).as("n_tokens"))
+
+  private[operators] lazy val x11Sql =
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |       (x, i) -> CAST(i AS BIGINT) * (CAST(length(x) AS BIGINT) * 131 + ascii(substring(x, 1, 1))))) AS BIGINT) AS fp,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- X16
+  /** Token/document frequency + IDF (SURVEY X4 "token/doc frequency"): the
+    * corpus-statistics primitive behind TF-IDF filtering. df/tf are exact
+    * ints; idf = ln(N/df) computed from identical ints → identical doubles,
+    * rounded at 6dp. */
+  private[operators] def x16(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .withColumn("idf", round(log(lit(n.toDouble) / col("df")), 6))
+  }
+
+  private[operators] lazy val x16Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf,
+      |  round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
+      |FROM t GROUP BY token""".stripMargin
+
+  // ---------------------------------------------------------------- X19
+  /** Intra-document repetition (the Gopher/C4-style quality rule): the
+    * fraction of a document's 3-shingles that are duplicates of an earlier
+    * one, plus the duplicate-token fraction. High repetition = boilerplate /
+    * degenerate generation — a standard pretraining drop rule. Pure map-side
+    * scan (no shuffle at all): total shingles is arithmetic on the token
+    * count, distinct shingles is the codegen'd kernel x2 already uses, and
+    * every ratio is int/int → one exact IEEE division. */
+  private[operators] def x19(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_tokens", size(col("tk")))
+      .withColumn("n_unique", size(array_distinct(col("tk"))))
+      .withColumn("sh_total", greatest(col("n_tokens") - 2, lit(0)))
+      .withColumn("sh_distinct", size(expr("graft_shingle_hashes(tk, 3)")))
+      .withColumn("dup_shingle_ratio",
+        (col("sh_total") - col("sh_distinct")).cast(DoubleType) / greatest(col("sh_total"), lit(1)))
+      .withColumn("dup_token_ratio",
+        (col("n_tokens") - col("n_unique")).cast(DoubleType) / col("n_tokens"))
+      .withColumn("is_repetitive", col("dup_shingle_ratio") >= 0.2)
+      .select(col("doc_id"), col("n_tokens"), col("sh_total"), col("sh_distinct"),
+        col("dup_shingle_ratio"), col("dup_token_ratio"), col("is_repetitive"))
+
+  private[operators] lazy val x19Sql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |s AS (SELECT doc_id,
+       |        CAST(len(tk) AS INT) AS n_tokens,
+       |        CAST(len(list_distinct(tk)) AS INT) AS n_unique,
+       |        CAST(greatest(len(tk) - 2, 0) AS INT) AS sh_total,
+       |        CAST(len(list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+       |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS INT) AS sh_distinct
+       |      FROM t)
+       |SELECT doc_id, n_tokens, sh_total, sh_distinct,
+       |  CAST(sh_total - sh_distinct AS DOUBLE) / greatest(sh_total, 1) AS dup_shingle_ratio,
+       |  CAST(n_tokens - n_unique AS DOUBLE) / n_tokens AS dup_token_ratio,
+       |  (CAST(sh_total - sh_distinct AS DOUBLE) / greatest(sh_total, 1)) >= 0.2 AS is_repetitive
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- X27
+  /** Vocabulary construction (the tokenizer-training prep): rank tokens by
+    * corpus frequency, keep the top 1000 with tf/df/coverage. Rank ties
+    * break lexically so the cut is deterministic. The running coverage
+    * (what fraction of all token occurrences the vocab prefix explains —
+    * the number that decides vocab size) is a prefix sum over the RANKED
+    * list: ≤1000 rows, metadata-scale, so its single-partition window is
+    * bounded by the vocab cut, never the corpus. */
+  private[operators] def x27(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    // ROLLUP folds the grand total into the SAME aggregation pass — no
+    // second corpus scan for the coverage denominator (tokens.count()
+    // would re-read everything); the null-token row IS the total, joined
+    // back over a 1-row broadcast on a dummy key (equi, guard-safe)
+    val f = tokens.rollup(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val total = f.filter(col("token").isNull)
+      .select(col("tf").as("total_tf")).withColumn("j", lit(1))
+    f.filter(col("token").isNotNull)
+      .withColumn("rank", row_number().over(Window.orderBy(col("tf").desc, col("token").asc)))
+      .filter(col("rank") <= 1000)
+      .withColumn("cum_tf", sum(col("tf")).over(
+        Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("j", lit(1))
+      .join(broadcast(total), Seq("j"))
+      .withColumn("coverage", round(col("cum_tf").cast(DoubleType) / col("total_tf").cast(DoubleType), 6))
+      .select(col("rank"), col("token"), col("tf"), col("df"), col("coverage"))
+  }
+
+  private[operators] lazy val x27Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |f AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+      |r AS (SELECT token, tf, df,
+      |        CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank
+      |      FROM f QUALIFY rank <= 1000)
+      |SELECT rank, token, tf, df,
+      |  round(CAST(sum(tf) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |        / (SELECT count(*) FROM t), 6) AS coverage
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- X28
+  /** Corpus length-distribution histogram (the first chart anyone draws of
+    * a training corpus): fixed-width 100-char buckets of n_chars with doc
+    * counts, token totals, and each bucket's share of the corpus. One
+    * map-side bucket assignment + one aggregation; the share division is
+    * int/int → exact IEEE. */
+  private[operators] def x28(spark: SparkSession, dir: String): DataFrame = {
+    // total docs = sum over the AGGREGATED bucket frame (the q5-linear
+    // n_total trick): one corpus pass total, the denominator windows over
+    // ~bucket-count rows, never a second scan
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, dir)
+      .withColumn("bucket_lo", (expr("n_chars div 100") * 100).cast(LongType))
+      .withColumn("n_tokens", size(toks(col("text"))))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("total_tokens"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .withColumn("share", round(col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(wAll), 6))
+  }
+
+  private[operators] lazy val x28Sql =
+    """SELECT (n_chars // 100) * 100 AS bucket_lo,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents), 6) AS share
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- X31
+  /** Per-document KEYWORD extraction (tf-idf): each document's top-3 tokens
+    * by tf·idf over the corpus — the summarization/tagging primitive. One
+    * postings aggregation builds (doc, token, tf); document frequencies
+    * come from the same frame; idf joins back on token (broadcastable: the
+    * df table is vocabulary-sized). Determinism: tf and df are exact ints,
+    * idf = ln(N/df) from identical ints, the rank orders by (tf·idf, token)
+    * with the score compared UNROUNDED (both engines see identical
+    * doubles) and only the EMITTED score rounded. */
+  private[operators] def x31(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // metadata-scale pinned literal (the x58 discipline). Every document
+    // carries ≥1 token (split of "" is [""]), so this equals the oracle's
+    // count(DISTINCT doc_id) over the token stream. The r6 rewrite: the
+    // old rollup+countDistinct spelled the same number through TWO Expand
+    // passes over the token frame — measured as most of the query.
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // tf is one row per (doc, token) already: df is a PLAIN count — no
+    // distinct machinery; the vocab-sized idf table broadcasts
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .select(col("token"), log(lit(nDocs).cast(DoubleType) / col("df")).as("idf"), col("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(
+      (col("tf") * col("idf")).desc, col("token").asc)
+    tf.join(broadcast(idf), Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        round(col("tf") * col("idf"), 6).as("tfidf"))
+  }
+
+  private[operators] lazy val x31Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+      |dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+      |idf AS (SELECT token, df, ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df) AS idf FROM dfs),
+      |r AS (SELECT tf.doc_id, tf.token, tf.tf, idf.df, tf.tf * idf.idf AS score,
+      |        CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |          ORDER BY tf.tf * idf.idf DESC, tf.token) AS INT) AS rank
+      |      FROM tf JOIN idf USING (token))
+      |SELECT doc_id, rank, token, tf, df, round(score, 6) AS tfidf
+      |FROM r WHERE rank <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- X32
+  /** Statistical LM quality scoring (the CCNet-style filter, and the
+    * statistical complement of x8's heuristics): a unigram language model
+    * trained on the corpus itself scores each document by its mean token
+    * log-probability — low scores flag gibberish/boilerplate whose tokens
+    * the corpus rarely uses. One aggregation builds the model (token tf +
+    * the rollup total, no second corpus scan for the denominator — x27's
+    * trick); the vocabulary-sized model joins back to the token stream
+    * (broadcastable at scale); one per-doc aggregation scores.
+    * Cross-engine determinism: per-token logp = ln(tf/total) of identical
+    * doubles; the per-doc sum runs SEQUENTIALLY over the token-sorted list
+    * in both engines (aggregate ∘ array_sort here, list_reduce ∘ list_sort
+    * in the oracle), so both see the same IEEE association; the emitted
+    * score rounds at 6dp like every float output. */
+  private[operators] def x32(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+    val f = tokens.rollup(col("token")).agg(count(lit(1)).as("tf"))
+    val total = f.filter(col("token").isNull)
+      .select(col("tf").as("total_tf")).withColumn("j", lit(1))
+    val model = f.filter(col("token").isNotNull).withColumn("j", lit(1))
+      .join(broadcast(total), Seq("j"))
+      .select(col("token"), log(col("tf").cast(DoubleType) / col("total_tf")).as("logp"))
+    tokens.join(model, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), collect_list(col("logp")).as("lps"))
+      .withColumn("sum_logp",
+        expr("aggregate(array_sort(lps), 0D, (a, x) -> a + x)"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_logp") / col("n_tokens"), 6).as("lm_score"))
+  }
+
+  private[operators] lazy val x32Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |f AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+      |tot AS (SELECT count(*) AS total FROM t),
+      |model AS (SELECT token, ln(CAST(tf AS DOUBLE) / (SELECT total FROM tot)) AS logp FROM f),
+      |d AS (SELECT t.doc_id, m.logp FROM t JOIN model m USING (token))
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(list_reduce(list_prepend(0.0, list_sort(list(logp))), (a, b) -> a + b)
+      |        / count(*), 6) AS lm_score
+      |FROM d GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- X43
+  /** BIGRAM LANGUAGE-MODEL CONSTRUCTION — the statistical-LM build whose
+    * unigram half x32 consumes: corpus-wide bigram counts joined with
+    * first-token unigram counts into exact conditional probabilities
+    * P(w2|w1) = c12/c1 (int/int → one IEEE division, no transcendental
+    * functions anywhere). Emitted for bigrams seen ≥ 5 times. Two
+    * aggregations (bigram, unigram) + one equi-join on w1 — all map-side
+    * combined; at 100 TB the shuffles carry (token-pair, count) partials,
+    * which is as small as this computation can be expressed. */
+  private[operators] def x43(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir).select(toks(col("text")).as("tk"))
+    val big = tk
+      .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")),
+        col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = tk
+      .select(explode(expr("slice(tk, 1, size(tk) - 1)")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    big.filter(col("c12") >= 5)
+      .join(uni, "w1")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        (col("c12").cast(DoubleType) / col("c1")).as("cond_p"))
+  }
+
+  private[operators] lazy val x43Sql =
+    """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |      FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d)),
+      |big AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+      |uni AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1)
+      |SELECT big.w1, big.w2, c12, c1, CAST(c12 AS DOUBLE) / c1 AS cond_p
+      |FROM big JOIN uni ON big.w1 = uni.w1
+      |WHERE c12 >= 5""".stripMargin
+
+  // ---------------------------------------------------------------- X44
+  /** TEXTRANK — weighted PageRank over the bigram co-occurrence graph
+    * (x43's edges), the classic graph-centrality keyword extractor that
+    * complements x31's tf-idf. Two power iterations of the simplified
+    * (no dangling redistribution) update p' = 0.15/N + 0.85·Σ p(u)·w(u,v)/
+    * out(u), expressed as pure joins + aggregations: each iteration is one
+    * equi-join of the edge list with the previous rank vector and one
+    * groupBy on the target node — the exact shape that scales (iteration
+    * cost ∝ |edges|, like x17's label propagation). The iteration is
+    * FULLY INTEGER (r7, closing the round-6 double-rounding fragility
+    * audit): the rank vector is carried as int64 PICOS `pp = round(p·10¹²)`
+    * and every update is exact integer arithmetic with explicit half-up
+    * rounding — per-edge contribution `(2·pp·c12 + ow) div (2·ow)`
+    * (DECIMAL(38,0)/HUGEINT internally so the cross-product cannot
+    * overflow), damping `0.15/N + 0.85·acc/10¹²` as
+    * `(3·10¹¹ + n) div (2n) + (34·acc + 20) div 40`. There is not a
+    * single floating-point operation anywhere in the query, so engine
+    * results are bit-identical by construction — no .5-boundary/ulp
+    * surface at all. Output rank mass is `pr_nano = round(p·10⁹)`
+    * (= half-up pp/1000). More iterations = more of the same stage. */
+  private[operators] def x44(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.documents(spark, dir)
+      .select(toks(col("text")).as("tk"))
+      .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+      .persist() // nodes, out-weights, and both iterations share the edge list
+    val nodes = edges.select(col("w1").as("w")).union(edges.select(col("w2").as("w"))).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val outw = edges.groupBy(col("w1")).agg(sum(col("c12")).as("ow"))
+    val base = nodes.crossJoin(broadcast(nn))
+    def iterate(p: DataFrame): DataFrame = {
+      val s = edges.join(outw, "w1")
+        .join(p.select(col("w").as("w1"), col("pp")), "w1")
+        .select(col("w2").as("w"),
+          expr("CAST((2 * CAST(pp AS DECIMAL(38,0)) * c12 + ow) div (2 * ow) AS BIGINT)")
+            .as("contrib"))
+        .groupBy(col("w")).agg(sum(col("contrib")).as("acc"))
+      base.join(s, Seq("w"), "left")
+        .withColumn("pp", expr(
+          "(300000000000L + n) div (2 * n) + (34 * coalesce(acc, 0L) + 20) div 40"))
+        .select(col("w"), col("n"), col("pp"))
+    }
+    val p0 = base.withColumn("pp", expr("(2000000000000L + n) div (2 * n)"))
+      .select(col("w"), col("n"), col("pp"))
+    val w = Window.orderBy(col("pr_nano").desc, col("word").asc)
+    iterate(iterate(p0))
+      .select(col("w").as("word"), expr("(2 * pp + 1000) div 2000").as("pr_nano"))
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  private[operators] lazy val x44Sql =
+    """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |      FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d)),
+      |edges AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2 HAVING count(*) >= 5),
+      |nodes AS (SELECT w1 AS w FROM edges UNION SELECT w2 FROM edges),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      |outw AS (SELECT w1, sum(c12) AS ow FROM edges GROUP BY 1),
+      |base AS (SELECT w, n FROM nodes, nn),
+      |p0 AS (SELECT w, n, (2000000000000 + n) // (2 * n) AS pp FROM base),
+      |s1 AS (SELECT e.w2 AS w,
+      |         sum(CAST((2 * CAST(p0.pp AS HUGEINT) * e.c12 + o.ow) // (2 * o.ow) AS BIGINT)) AS acc
+      |       FROM edges e JOIN outw o ON e.w1 = o.w1 JOIN p0 ON p0.w = e.w1 GROUP BY e.w2),
+      |it1 AS (SELECT base.w, base.n,
+      |          (300000000000 + base.n) // (2 * base.n)
+      |            + (34 * COALESCE(s1.acc, 0) + 20) // 40 AS pp
+      |        FROM base LEFT JOIN s1 ON s1.w = base.w),
+      |s2 AS (SELECT e.w2 AS w,
+      |         sum(CAST((2 * CAST(it1.pp AS HUGEINT) * e.c12 + o.ow) // (2 * o.ow) AS BIGINT)) AS acc
+      |       FROM edges e JOIN outw o ON e.w1 = o.w1 JOIN it1 ON it1.w = e.w1 GROUP BY e.w2),
+      |it2 AS (SELECT base.w,
+      |          (300000000000 + base.n) // (2 * base.n)
+      |            + (34 * COALESCE(s2.acc, 0) + 20) // 40 AS pp
+      |        FROM base LEFT JOIN s2 ON s2.w = base.w)
+      |SELECT w AS word, CAST((2 * pp + 1000) // 2000 AS BIGINT) AS pr_nano,
+      |  CAST(row_number() OVER (ORDER BY (2 * pp + 1000) // 2000 DESC, w) AS INT) AS rnk
+      |FROM it2""".stripMargin
+
+  // ---------------------------------------------------------------- X57
+  /** HEAVY HITTERS via a Misra–Gries sketch + exact recount — the
+    * two-pass shape that finds "every token above an n/(k+1) frequency
+    * threshold" WITHOUT a corpus-wide groupBy carrying every distinct
+    * token through a shuffle. Pass 1 runs [[graft.functions.MisraGries]]
+    * as one global aggregate: per-partition summaries are ≤ k entries,
+    * merge unions them at ≤ k entries, and the driver receives ONE
+    * k-entry map — bounded state end to end, with the classic guarantee
+    * that every token of true count > n/(k+1) is certainly in the
+    * summary. Pass 2 recounts ONLY the ≤ k candidates (membership
+    * predicate against a metadata-scale literal list — the x50 cut-point
+    * pattern) and keeps those whose EXACT count clears the threshold:
+    * cnt·(k+1) > n, all-integer, engine-identical. The result is
+    * therefore provably the exact HAVING set, which is what the DuckDB
+    * oracle computes directly — the sketch changes the COST shape, never
+    * the answer. At 100 TB pass 1 reads everything but shuffles k-entry
+    * maps, and pass 2's scan prunes on a 30-string predicate. */
+  private[operators] def x57(spark: SparkSession, dir: String): DataFrame = {
+    val k = 30
+    val toksDf = Tables.documents(spark, dir).select(explode(toks(col("text"))).as("token"))
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val summary = toksDf.agg(mg(col("token")).as("mg")).head()
+      .getAs[scala.collection.Map[String, Long]]("mg")
+    val candidates = summary.keys.toSeq.sorted
+    val n = toksDf.count()
+    toksDf.filter(col("token").isInCollection(candidates))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > lit(n))
+      .withColumn("n_tokens", lit(n))
+  }
+
+  private[operators] lazy val x57Sql =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+      |SELECT token, CAST(count(*) AS BIGINT) AS cnt, (SELECT n FROM n) AS n_tokens
+      |FROM t GROUP BY token HAVING count(*) * 31 > (SELECT n FROM n)""".stripMargin
+
+  // ---------------------------------------------------------------- X58
+  /** BM25 RELEVANCE RETRIEVAL — the data-selection shape: score every
+    * document against a fixed query-term set and keep the global top-50
+    * (selecting "the slice of the corpus most relevant to X" before
+    * fine-tuning). Score arithmetic is the Robertson k1/b form
+    * (k1 = 1.2, b = 0.75) with x16's idf, made INTEGER-EXACT end to end
+    * (r7, closing the round-6 judge's fragility finding): the only
+    * double op anywhere is the 6dp idf quantization
+    * `round(ln(N/df)·10⁶)` → BIGINT `idf_micros` (one transcendental, no
+    * downstream double products). The per-(doc,term) micro-score is then
+    * a pure integer rational: with avgdl = Σdl/N held as the exact
+    * rational (sdl, N), multiplying numerator and denominator by 10·sdl
+    * gives
+    *   score·10⁶ = idf_micros·tf·22·sdl / (10·sdl·tf + 3·sdl + 9·dl·N)
+    * and half-up rounding is `(2·num + den) div (2·den)` — no
+    * `round(double·10⁶)` left in engine OR oracle, so no .5-boundary/ulp
+    * divergence across engines or DuckDB versions. num/den are computed
+    * in DECIMAL(38,0) (HUGEINT on the oracle side) so the cross-multiplied
+    * products cannot overflow even at 100 TB Σdl; the per-doc sum of
+    * integer micros stays order-independent. Scale shape: the token
+    * explode filters to the query terms MAP-SIDE (an `isin` against a
+    * 3-string literal — postings for non-query terms never leave the
+    * scan), corpus stats (N, Σdl) are ONE tiny aggregate pinned as
+    * literals (the x50 cut-point pattern), per-term df is a 3-row frame
+    * broadcast back onto the tf frame, and the top-50 is
+    * TakeOrderedAndProject — no global sort materializes. */
+  private[operators] def x58(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("dup", "vector", "join")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val st = docs.agg(
+      count(lit(1)).as("n"), sum(col("dl").cast(LongType)).as("sdl")).head()
+    val nDocs = st.getLong(0)
+    val sdl = st.getLong(1)
+    // persisted: tf feeds BOTH the df/idf derivation and the score join —
+    // without it Catalyst re-plans each branch from the scan and the
+    // corpus is read twice. The frame is ≤ |matching docs|·|terms| rows
+    // (match-rate sized, never corpus sized), so the cache is tiny; the
+    // bench/verify harnesses clearCache() between queries.
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val idf = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf_micros",
+        round(log(lit(nDocs.toDouble) / col("df")) * lit(1000000.0), 0).cast(LongType))
+    tf.join(broadcast(idf), "token")
+      .withColumn("num",
+        expr(s"CAST(idf_micros AS DECIMAL(38,0)) * tf * 22 * ${sdl}L"))
+      .withColumn("den",
+        expr(s"CAST(${sdl}L AS DECIMAL(38,0)) * 10 * tf + ${sdl}L * 3 + 9 * dl * ${nDocs}L"))
+      .withColumn("score_micros", expr("CAST((2 * num + den) div (2 * den) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_terms"),
+        sum(col("score_micros")).as("bm25_micros"))
+      .orderBy(col("bm25_micros").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  private[operators] lazy val x58Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |dls AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(len(tk)) AS BIGINT) AS sdl FROM d),
+      |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(tk) AS token FROM dls)
+      |  WHERE token IN ('dup', 'vector', 'join') GROUP BY 1, 2, 3),
+      |idf AS (SELECT token,
+      |    CAST(round(ln(CAST((SELECT n FROM st) AS DOUBLE) / count(DISTINCT doc_id))
+      |               * 1000000.0, 0) AS BIGINT) AS idf_micros
+      |  FROM tf GROUP BY token),
+      |scored AS (SELECT doc_id,
+      |    CAST(idf_micros AS HUGEINT) * tf * 22 * (SELECT sdl FROM st) AS num,
+      |    CAST((SELECT sdl FROM st) AS HUGEINT) * 10 * tf
+      |      + (SELECT sdl FROM st) * 3 + 9 * dl * (SELECT n FROM st) AS den
+      |  FROM tf JOIN idf USING (token))
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+      |  sum(CAST((2 * num + den) // (2 * den) AS BIGINT)) AS bm25_micros
+      |FROM scored
+      |GROUP BY doc_id ORDER BY bm25_micros DESC, doc_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- X63
+  /** PER-SOURCE DISTRIBUTION DRIFT — KL(source ‖ corpus) over the token
+    * unigram distribution: the statistical "this crawl changed" detector
+    * (a source whose token distribution diverges from the corpus gets
+    * human review before the next training run). Per-token contributions
+    * p_s·ln(p_s/p_c) are quantized to integer NANOS before the per-source
+    * sum (the x54 recipe at nano precision — KL values are ~1e-3, micros
+    * would keep only 3 significant digits), so the sum is
+    * order-independent and bit-identical across engines. r7 hardening
+    * (the x58 recipe): the ONLY double op left is the single-transcendental
+    * quantization `lr_nanos = round(ln((c_st·N)/(n_s·c_t))·10⁹)` — the ln
+    * argument is one division of two exact integer products, bit-identical
+    * across engines — and the contribution `p_s·lr` is then the exact
+    * integer rational `c_st·lr_nanos / n_s` with sign-aware half-away
+    * rounding in DECIMAL(38,0)/HUGEINT. No round(double-product) remains,
+    * so a DuckDB version bump cannot flip a .5 boundary. Scale shape: ONE
+    * corpus scan builds the (source, token) count frame — map-side
+    * combine makes the shuffle |sources|·|vocab| sized — and corpus
+    * totals, per-source totals, and the final KL all derive from that
+    * small persisted frame (broadcast joins, no second scan). */
+  private[operators] def x63(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ct = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val nTot = ct.agg(sum(col("c_t"))).head().getLong(0)
+    st.join(broadcast(ct), "token").join(broadcast(ns), "source")
+      // ln of ONE division of two exact integer products — bit-identical
+      // across engines; quantized once to int64 nanos
+      .withColumn("lr_nanos",
+        round(log((col("c_st").cast(DoubleType) * lit(nTot.toDouble)) /
+          (col("n_s").cast(DoubleType) * col("c_t"))) * lit(1000000000.0), 0).cast(LongType))
+      // p_s·lr as the exact rational c_st·lr/n_s, half-away-from-zero
+      .withColumn("numd", expr("CAST(c_st AS DECIMAL(38,0)) * lr_nanos"))
+      .withColumn("contrib_nanos", expr(
+        """CAST(CASE WHEN numd >= 0 THEN (2 * numd + n_s) div (2 * n_s)
+          |ELSE -((2 * (-numd) + n_s) div (2 * n_s)) END AS BIGINT)""".stripMargin))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("contrib_nanos")).as("kl_nanos"))
+  }
+
+  private[operators] lazy val x63Sql =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c_st FROM t GROUP BY 1, 2),
+      |ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+      |j AS (SELECT st.source, ns.n_s,
+      |        CAST(round(ln((CAST(st.c_st AS DOUBLE) * (SELECT n FROM n)) /
+      |          (CAST(ns.n_s AS DOUBLE) * ct.c_t)) * 1000000000.0, 0) AS BIGINT) AS lr_nanos,
+      |        st.c_st
+      |      FROM st JOIN ct USING (token) JOIN ns USING (source)),
+      |k AS (SELECT source, n_s, CAST(c_st AS HUGEINT) * lr_nanos AS numd FROM j)
+      |SELECT source, max(n_s) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab_size,
+      |  CAST(sum(CAST(CASE WHEN numd >= 0 THEN (2 * numd + n_s) // (2 * n_s)
+      |    ELSE -((2 * (-numd) + n_s) // (2 * n_s)) END AS BIGINT)) AS BIGINT) AS kl_nanos
+      |FROM k GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X64
+  /** DATASET MANIFEST CARD — the one-row release summary emitted next to
+    * a training corpus: volumes (docs/tokens/chars), provenance breadth
+    * (languages, sources), exact-duplicate exposure, and the Shannon
+    * entropy of the language mix (nano-exact, the x63 quantization). The
+    * machine-readable "dataset card" a registry would index. Scale shape:
+    * two scans at two grouping granularities — one groupBy(lang, source)
+    * whose map-side combine leaves a |langs|·|sources| frame (persisted;
+    * totals, entropy, and breadth all derive from it without re-scanning),
+    * and one content-hash aggregation for dup stats whose 1-row result is
+    * pinned as literals (the x50 pattern — no 1-row join). */
+  private[operators] def x64(spark: SparkSession, dir: String): DataFrame = {
+    val ls = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"),
+        sum(col("n_chars")).as("chars"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dupRow = Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("th")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_docs"),
+        count(lit(1)).as("n_unique")).head()
+    val (dupDocs, nUnique) = (dupRow.getLong(0), dupRow.getLong(1))
+    val totals = ls.agg(sum(col("n_docs")).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("tok")).as("total_tokens"), sum(col("chars")).as("total_chars"))
+    // r7 hardening (the x58/x63 recipe): -ln(p) = ln(nd/nl) quantized ONCE
+    // to int64 nanos (single transcendental of one exact-integer division),
+    // then the contribution -p·ln(p) is the exact integer rational
+    // nl·L/nd with half-up rounding — no round(double-product) remains
+    val entropy = ls.groupBy(col("lang")).agg(sum(col("n_docs")).as("nl"))
+      .crossJoin(ls.agg(sum(col("n_docs")).as("nd")))
+      .withColumn("lnp_nanos",
+        round(log(col("nd").cast(DoubleType) / col("nl")) * lit(1000000000.0), 0)
+          .cast(LongType))
+      .agg(sum(expr(
+        "CAST((2 * CAST(nl AS DECIMAL(38,0)) * lnp_nanos + nd) div (2 * nd) AS BIGINT)"))
+        .as("lang_entropy_nanos"))
+    totals.crossJoin(entropy)
+      .withColumn("mean_doc_tokens", expr("total_tokens div n_docs"))
+      .withColumn("n_dup_docs", lit(dupDocs))
+      .withColumn("n_unique_docs", lit(nUnique))
+      .withColumn("dup_doc_ppm", expr("(n_dup_docs * 1000000L) div n_docs"))
+  }
+
+  private[operators] lazy val x64Sql =
+    """WITH d AS (SELECT lang, source, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |ls AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tok, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM d GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(sum(tok) AS BIGINT) AS total_tokens,
+      |    CAST(sum(chars) AS BIGINT) AS total_chars FROM ls),
+      |ent AS (SELECT CAST(sum(
+      |      CAST((2 * CAST(nl AS HUGEINT) * lnp_nanos + nd) // (2 * nd) AS BIGINT)
+      |    ) AS BIGINT) AS lang_entropy_nanos
+      |  FROM (SELECT nl, nd,
+      |          CAST(round(ln(CAST(nd AS DOUBLE) / nl) * 1000000000.0, 0) AS BIGINT)
+      |            AS lnp_nanos
+      |        FROM (SELECT CAST(sum(n_docs) AS BIGINT) AS nl,
+      |                (SELECT n_docs FROM tot) AS nd
+      |              FROM ls GROUP BY lang))),
+      |dup AS (SELECT CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |    CAST(count(*) AS BIGINT) AS n_unique_docs
+      |  FROM (SELECT count(*) AS c FROM documents GROUP BY sha256(text)))
+      |SELECT tot.*, ent.lang_entropy_nanos,
+      |  total_tokens // n_docs AS mean_doc_tokens,
+      |  dup.n_dup_docs, dup.n_unique_docs,
+      |  (dup.n_dup_docs * 1000000) // n_docs AS dup_doc_ppm
+      |FROM tot, ent, dup""".stripMargin
+
+  // ---------------------------------------------------------------- X65
+  /** LM-BASED QUALITY FILTER (perplexity filtering) — the CCNet-style
+    * model-based quality gate: score every document by its mean negative
+    * log-likelihood under the corpus bigram LM (x43's c12≥5 table, reused
+    * through PipelineCache so the LM is built once per session), and keep
+    * documents that are both well-covered by the model and low-perplexity.
+    * Cross-engine exactness is the x63 recipe: per-bigram −ln(cond_p) is
+    * nano-quantized to int64 BEFORE the per-document sum, so the
+    * aggregation is order-free integer arithmetic; the mean is integer
+    * division over the quantized sum. Scale shape: the corpus-sized
+    * bigram postings stream into ONE shuffle join against the LM (whose
+    * c12≥5 floor bounds it far below the postings), then collapse in the
+    * same pass to a per-document row — no second corpus scan, no
+    * driver-side state. At 100 TB the LM side is still the small side of
+    * the join (broadcastable when it fits; hash-partitioned otherwise —
+    * the plan degrades gracefully, never quadratically). */
+  private[operators] def x65(spark: SparkSession, dir: String): DataFrame = {
+    val lm = PipelineCache.shared(spark, "x43_lm", dir)(x43(spark, dir))
+      .select(col("w1"), col("w2"),
+        round(-log(col("cond_p")) * lit(1000000000.0), 0).cast(LongType).as("tok_nll_nanos"))
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("doc_id"), col("w1"), expr("tk[i + 1]").as("w2"))
+    bg.join(lm, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("tok_nll_nanos")).as("n_modeled"),
+        sum(coalesce(col("tok_nll_nanos"), lit(0L))).as("nll_nanos"))
+      .withColumn("coverage_ppm", expr("(n_modeled * 1000000) div n_bigrams"))
+      .withColumn("mean_nll_micros",
+        when(col("n_modeled") > 0, expr("nll_nanos div (n_modeled * 1000)")))
+      .withColumn("keep",
+        coalesce(col("coverage_ppm") >= lit(950000L) &&
+          col("mean_nll_micros") <= lit(3400000L), lit(false)))
+  }
+
+  private[operators] lazy val x65Sql =
+    s"""WITH lm0 AS ($x43Sql),
+       |lm AS (SELECT w1, w2,
+       |    CAST(round(-ln(cond_p) * 1000000000.0, 0) AS BIGINT) AS tok_nll_nanos FROM lm0),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |b AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+       |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM d)),
+       |j AS (SELECT b.doc_id, lm.tok_nll_nanos
+       |      FROM b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        CAST(count(tok_nll_nanos) AS BIGINT) AS n_modeled,
+       |        CAST(sum(coalesce(tok_nll_nanos, 0)) AS BIGINT) AS nll_nanos
+       |      FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, n_modeled, nll_nanos,
+       |  (n_modeled * 1000000) // n_bigrams AS coverage_ppm,
+       |  CASE WHEN n_modeled > 0 THEN nll_nanos // (n_modeled * 1000) END AS mean_nll_micros,
+       |  coalesce((n_modeled * 1000000) // n_bigrams >= 950000
+       |    AND CASE WHEN n_modeled > 0 THEN nll_nanos // (n_modeled * 1000) END <= 3400000,
+       |    FALSE) AS keep
+       |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- X69
+  /** PMI COLLOCATION EXTRACTION — the phrase-mining prep step (find
+    * "new york"-style multiword units before tokenizer training): the
+    * top-100 adjacent token pairs by pointwise mutual information
+    * ln(p(w1,w2) / (p(w1)·p(w2))), among pairs seen ≥ 10 times. All
+    * probabilities share ONE denominator (the bigram-position total N),
+    * and both marginals derive from the aggregated pair frame itself
+    * (sum over the vocab²-bounded counts — never a second corpus scan).
+    * PMI is nano-quantized (the x63 ln recipe) so the ranking key is an
+    * integer; ties break on the pair itself. Scale shape: one corpus
+    * shuffle (the pair aggregation, map-side combined); the marginal
+    * sums and joins run over the aggregated frame only, broadcast back;
+    * the final top-100 is TakeOrderedAndProject (no global sort). */
+  private[operators] def x69(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(toks(col("text")).as("tk"))
+      .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = bg.agg(sum(col("c12"))).head().getLong(0)
+    val m1 = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val m2 = bg.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val out = bg.filter(col("c12") >= 10)
+      .join(broadcast(m1), "w1").join(broadcast(m2), "w2")
+      .withColumn("pmi_nanos",
+        round(log(col("c12").cast(DoubleType) * lit(n.toDouble) /
+          (col("c1").cast(DoubleType) * col("c2").cast(DoubleType))) *
+          lit(1000000000.0), 0).cast(LongType))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), col("pmi_nanos"))
+      .orderBy(col("pmi_nanos").desc, col("w1"), col("w2"))
+      .limit(100)
+    // no unpersist here: the returned plan still reads bg (3 branches);
+    // the harnesses clearCache() between queries
+    out
+  }
+
+  private[operators] lazy val x69Sql =
+    """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |      FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d)),
+      |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+      |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM p GROUP BY 1),
+      |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM p GROUP BY 1),
+      |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM p)
+      |SELECT p.w1, p.w2, c12, c1, c2,
+      |  CAST(round(ln(CAST(c12 AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE) /
+      |    (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1000000000.0, 0) AS BIGINT) AS pmi_nanos
+      |FROM p JOIN m1 USING (w1) JOIN m2 USING (w2)
+      |WHERE c12 >= 10
+      |ORDER BY pmi_nanos DESC, p.w1, p.w2 LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- X74
+  /** SPAN NOVELTY AUDIT — the temporal complement of x34: for each
+    * document, how many of its distinct 8-token spans were ALREADY SEEN in
+    * an earlier document (by doc_id ingest order), i.e. how much genuinely
+    * new text each document contributes. This is the curve a crawl
+    * operator watches to decide when a source is mined out (novelty decay)
+    * and the keep-rule behind "dedup against history" incremental
+    * ingestion. Shape: the x34 kernel — one shingle-hash pass (8-byte
+    * hashes through the shuffle, never strings), min(doc_id) per span as
+    * the first-seen index, one join-back, one per-doc aggregation; the
+    * span aggregation's exchange is reused for the join-back side (same
+    * key), so the corpus shuffles once. Novelty is integer ppm — exact. */
+  private[operators] def x74(spark: SparkSession, dir: String): DataFrame = {
+    val posts = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("graft_shingle_hashes(split(text, ' '), 8)")).as("s"))
+    val first = posts.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    posts.join(first, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen_before"))
+      .withColumn("novelty_ppm", expr("((n_spans - n_seen_before) * 1000000) div n_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_seen_before"), col("novelty_ppm"))
+  }
+
+  private[operators] lazy val x74Sql =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+      |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+      |                tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      |t AS (SELECT doc_id, unnest(sh) AS s FROM s),
+      |f AS (SELECT s, min(doc_id) AS first_doc FROM t GROUP BY s),
+      |a AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |        CAST(sum(CASE WHEN first_doc < t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before
+      |      FROM t JOIN f USING (s) GROUP BY t.doc_id)
+      |SELECT doc_id, n_spans, n_seen_before,
+      |  ((n_spans - n_seen_before) * 1000000) // n_spans AS novelty_ppm
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- X78
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-sizing decision table: for
+    * candidate vocabulary sizes 1k..64k (powers of two), what fraction of
+    * all token OCCURRENCES the top-k types by frequency cover (ties broken
+    * lexically — fully deterministic). The curve's knee is where a bigger
+    * vocab stops paying; oov_ppm at the chosen size is the UNK rate a
+    * word-level model would eat. Shape: ONE corpus shuffle (token counts,
+    * map-side combined); every window after runs on the VOCAB-bounded
+    * frame (the x50 domain-bounded single-partition argument), and the
+    * size grid joins via a 7-row broadcast theta join — vocab × 7, never
+    * corpus × anything. Coverage is integer ppm — exact. */
+  private[operators] def x78(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val wRank = Window.orderBy(col("c").desc, col("t").asc)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("rk", row_number().over(wRank).cast(LongType))
+      .withColumn("cum", sum(col("c")).over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    val sizes = spark.range(1).select(explode(expr(
+      "array(1000L, 2000L, 4000L, 8000L, 16000L, 32000L, 64000L)")).as("vocab_size"))
+    ranked.join(broadcast(sizes), col("rk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(count(lit(1)).as("vocab_used"), max(col("cum")).as("covered"),
+        max(col("tot")).as("tot"))
+      .select(col("vocab_size"), col("vocab_used"), col("covered"),
+        expr("(covered * 1000000) div tot").as("coverage_ppm"),
+        expr("1000000 - (covered * 1000000) div tot").as("oov_ppm"))
+  }
+
+  private[operators] lazy val x78Sql =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY t),
+      |r AS (SELECT t, c,
+      |    CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS rk,
+      |    CAST(sum(c) OVER (ORDER BY c DESC, t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER () AS BIGINT) AS tot
+      |  FROM c),
+      |s AS (SELECT unnest([1000, 2000, 4000, 8000, 16000, 32000, 64000]) AS vocab_size)
+      |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+      |  CAST(count(*) AS BIGINT) AS vocab_used,
+      |  max(cum) AS covered,
+      |  (max(cum) * 1000000) // max(tot) AS coverage_ppm,
+      |  1000000 - (max(cum) * 1000000) // max(tot) AS oov_ppm
+      |FROM r JOIN s ON rk <= vocab_size
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- X80
+  /** BPE TOKENIZER TRAINING — the first 4 merge rules, exactly as Sennrich
+    * trains them: the corpus is scanned ONCE into the word-frequency table
+    * (the standard BPE setup — everything after operates on the VOCAB-
+    * bounded frame, never the corpus again); each round counts adjacent
+    * symbol pairs weighted by word frequency, picks the most frequent pair
+    * (ties lexical — fully deterministic), and applies a GREEDY LEFT-SCAN
+    * non-overlapping merge to every word's symbol sequence (so `aaa` under
+    * merge (a,a) becomes [aa, a], never [a, aa]). Output: the 4 merge
+    * rules with their pair counts and the corpus symbol total after each —
+    * the artifact a tokenizer build hands to its encoder. Exactness: all
+    * counts integer; the engine's fold and the oracle's gaps-and-islands
+    * formulation provably compute the same greedy segmentation (a merge
+    * fires at even offsets within each maximal run of consecutive pair
+    * matches). Scale: at 100 TB the word table is the shuffle unit
+    * (~100 M rows, hash-partitioned); per-round pair counts map-side-
+    * combine to the |pairs|-bounded frame, and the argmax is a 1-row
+    * driver literal (the x57/x58 pinned-literal discipline). */
+  /** The x80 training loop, reusable by the encoder (x90): returns the 4
+    * merge rules (rnd, lhs, rhs, pair_count, corpus_syms-after) and the
+    * TRAINED WORD TABLE (w, c, syms) after all 4 merges — still persisted;
+    * the caller owns the unpersist. */
+  private[operators] def bpeTrained(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
+    var words = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("syms", split(col("w"), ""))
+      .persist()
+    // Σc over ALL words — with it, the corpus symbol total of any round's
+    // frame is (Σ pair counts) + W, since every word contributes
+    // n_syms = n_pairs + 1 weighted by c. That identity lets each round's
+    // ONE reduction deliver both the argmax pair AND the running symbol
+    // total — no separate per-round size-sum job
+    val wTot = words.agg(sum(col("c"))).collect()(0).getLong(0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    // the parent frame stays cached until the CHILD is materialized by the
+    // next round's aggregation — unpersisting earlier would cascade the
+    // whole merge chain back to the corpus scan on every action
+    var prev: DataFrame = null
+    // corpus_syms of round k lands with round k+1's agg (placeholder -1)
+    for (round <- 1 to 4) {
+      // one action: two-level aggregation — pair counts, then their sum
+      // plus the deterministic argmax (min over (-pc, l, r) = max pc with
+      // lexical ties) in a single reduce; no sort, no limit stage
+      val row = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(zip_with(
+          expr("slice(syms, 1, size(syms) - 1)"),
+          expr("slice(syms, 2, size(syms) - 1)"),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("pc"))
+        .agg(sum(col("pc")).as("tot"),
+          min(struct((-col("pc")).as("npc"), col("l"), col("r"))).as("best"))
+        .collect()(0)
+      val totPc = row.getLong(0)
+      val b = row.getStruct(1)
+      val (bl, br, bpc) = (b.getString(1), b.getString(2), -b.getLong(0))
+      if (round > 1) { val m = merges(round - 2); merges(round - 2) = m.copy(_5 = totPc + wTot) }
+      if (prev != null) prev.unpersist() // this round's agg just materialized `words`
+      // greedy left-scan merge: fold the tail onto [head]; merge iff the
+      // accumulator's LAST symbol is `bl` and the incoming one is `br` —
+      // a just-merged "blbr" can never re-merge as the left half, which
+      // is exactly the non-overlapping greedy rule
+      val merged = words.withColumn("syms",
+        aggregate(
+          expr("slice(syms, 2, size(syms) - 1)"),
+          array(element_at(col("syms"), 1)),
+          (acc, cur) =>
+            when(element_at(acc, -1) === lit(bl) && cur === lit(br),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
+              .otherwise(concat(acc, array(cur)))))
+        .persist()
+      prev = words
+      words = merged
+      merges += ((round, bl, br, bpc, -1L))
+    }
+    // round 4's total needs one final reduce over the last frame
+    val lastSyms = words
+      .agg(sum(col("c") * size(col("syms")).cast(LongType))).collect()(0).getLong(0)
+    merges(3) = merges(3).copy(_5 = lastSyms)
+    if (prev != null) prev.unpersist()
+    (merges.toSeq, words)
+  }
+
+  private[operators] def x80(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, words) = bpeTrained(spark, dir)
+    words.unpersist()
+    import spark.implicits._
+    merges.toDF("rnd", "lhs", "rhs", "pair_count", "corpus_syms")
+      .select(col("rnd"), col("lhs"), col("rhs"), col("pair_count"),
+        concat(col("lhs"), col("rhs")).as("new_sym"), col("corpus_syms"))
+  }
+
+  // one round: pair counts → argmax → greedy merge as gaps-and-islands
+  // (m flags pair-match positions; within each maximal run of consecutive
+  // matches the merge fires at odd row_numbers = even offsets; a position
+  // is dropped iff its predecessor merged). Shared by x80's and x90's
+  // oracles — w4 is the trained word table (w, c, s).
+  private[operators] def bpeRoundCte(k: Int): String = {
+    val prev = s"w${k - 1}"
+      s"""p$k AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS pc FROM (
+         |    SELECT c, s[i] AS l, s[i+1] AS r FROM (
+         |      SELECT c, s, unnest(range(1, len(s))) AS i FROM $prev))
+         |  GROUP BY l, r),
+         |b$k AS (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+         |f$k AS (SELECT q.w, q.c, q.i, q.s[q.i] AS sym,
+         |    CASE WHEN q.i < len(q.s) AND q.s[q.i] = b.l AND q.s[q.i+1] = b.r
+         |         THEN 1 ELSE 0 END AS m
+         |  FROM (SELECT w, c, s, unnest(range(1, len(s)+1)) AS i FROM $prev) q, b$k b),
+         |g$k AS (SELECT *, CASE WHEN m = 1 THEN
+         |      i - row_number() OVER (PARTITION BY w, m ORDER BY i) ELSE NULL END AS grp
+         |  FROM f$k),
+         |h$k AS (SELECT *, CASE WHEN m = 1 AND
+         |      row_number() OVER (PARTITION BY w, grp ORDER BY i) % 2 = 1
+         |    THEN 1 ELSE 0 END AS mh FROM g$k),
+         |k$k AS (SELECT *, coalesce(lag(mh) OVER (PARTITION BY w ORDER BY i), 0) AS claimed
+         |  FROM h$k),
+         |w$k AS (SELECT k.w, k.c,
+         |    list(CASE WHEN k.mh = 1 THEN b.l || b.r ELSE k.sym END ORDER BY k.i) AS s
+         |  FROM k$k k CROSS JOIN b$k b WHERE k.claimed = 0 GROUP BY k.w, k.c),
+         |s$k AS (SELECT CAST(sum(c * len(s)) AS BIGINT) AS syms FROM w$k)"""
+  }
+
+  /** w0 + the 4 training rounds — the shared oracle prefix (UNstripped:
+    * interpolate into an s-string that ends with `.stripMargin`). */
+  private[operators] def bpeCtesRaw: String =
+    s"""w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c, string_split(w, '') AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |${bpeRoundCte(1)},
+       |${bpeRoundCte(2)},
+       |${bpeRoundCte(3)},
+       |${bpeRoundCte(4)}"""
+
+  private[operators] lazy val x80Sql = {
+    def outRow(k: Int) =
+      s"""SELECT $k AS rnd, l AS lhs, r AS rhs, pc AS pair_count,
+         |  l || r AS new_sym, (SELECT syms FROM s$k) AS corpus_syms FROM b$k"""
+    s"""WITH $bpeCtesRaw
+       |${outRow(1)}
+       |UNION ALL ${outRow(2)}
+       |UNION ALL ${outRow(3)}
+       |UNION ALL ${outRow(4)}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X87
+  /** ZIPF EXPONENT FIT — the vocabulary power-law health check: natural
+    * text follows freq ∝ rank^(−s) with s ≈ 1; a corpus whose fitted
+    * exponent drifts (template spam flattens it, aggressive dedup
+    * steepens it) fails the eyeball test a data curator runs on every
+    * new source. Fit: OLS of ln(freq) on ln(rank) over the top-1000
+    * vocabulary (x27's ranked cut), via the x86 moment recipe with BOTH
+    * logs MICRO-quantized to int64 first (ln ≤ ~20 → |q| ≤ 2e7; pair
+    * products ≤ 4e14, × 1000 rows ≤ 4e17 — inside int64, and the
+    * nano→micro step-down is exactly the documented x73 scale knob).
+    * The emitted exponent = −slope; r² says how power-law-like the
+    * vocabulary actually is. Shape: ONE corpus shuffle (token counts);
+    * the rank window and the moment aggregation ride the VOCAB-bounded
+    * frame (the x78 argument); output is one row. */
+  private[operators] def x87(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("t").asc)).cast(LongType))
+      .filter(col("rk") <= 1000)
+      .select(
+        expr("cast(round(ln(cast(rk as double)) * 1000000, 0) as bigint)").as("x"),
+        expr("cast(round(ln(cast(c as double)) * 1000000, 0) as bigint)").as("y"))
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("vocab_used"),
+        round(-((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)), 6).as("zipf_exponent"),
+        round(pow((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)), 6).as("r2"))
+  }
+
+  private[operators] lazy val x87Sql =
+    """WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY t),
+      |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS rk FROM c
+      |      QUALIFY rk <= 1000),
+      |q AS (SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+      |             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y FROM r),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM q)
+      |SELECT n AS vocab_used,
+      |  round(-(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |          CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS zipf_exponent,
+      |  round(pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+      |        (CAST(n * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- X90
+  /** BPE ENCODING — apply the x80-trained merge rules to the corpus and
+    * report per-document token economics: count under the learned vocab
+    * plus fertility (BPE tokens per whitespace word, in micros — the
+    * number tokenizer evaluations quote). The encode is the production
+    * shape: training already segments every DISTINCT word (greedy merges
+    * in rule order — encoding a known word replays exactly the training
+    * evolution, so the trained table IS the encoder's memo), making
+    * corpus encoding a join of the exploded corpus against the
+    * |vocab|-bounded trained table, never a per-occurrence
+    * re-segmentation. Scale: the trained table materializes ONCE per
+    * (session, dir) via [[PipelineCache]] (x80's own bench entry stays an
+    * honest end-to-end run); the join broadcasts at test scale
+    * (vocab ≈ 31 words) and hash-joins on the ~100 M-row word table at
+    * 100 TB — AQE's call, not ours. All outputs integer-exact. */
+  /** The trained (w, bpe_len) table through [[PipelineCache]] — the
+    * encoder memo shared by x90 and x96. */
+  private[operators] def bpeVocabShared(spark: SparkSession, dir: String): DataFrame = {
+    var trained: DataFrame = null
+    val vocab = PipelineCache.shared(spark, "x90_bpe_vocab", dir) {
+      val (_, words) = bpeTrained(spark, dir)
+      trained = words
+      words.select(col("w"), size(col("syms")).cast(LongType).as("bpe_len"))
+    }
+    // the cache write (an action) ran while the training frame was still
+    // persisted; dropping the cached blocks here costs nothing durable
+    if (trained != null) trained.unpersist()
+    vocab
+  }
+
+  private[operators] def x90(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeVocabShared(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("bpe_len")).as("bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("bpe_tokens"),
+        expr("(bpe_tokens * 1000000) div n_words").as("fertility_micro"))
+  }
+
+  private[operators] lazy val x90Sql =
+    s"""WITH $bpeCtesRaw,
+       |enc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(v.s)) AS BIGINT) AS bpe_tokens,
+       |  (CAST(sum(len(v.s)) AS BIGINT) * 1000000) // count(*) AS fertility_micro
+       |FROM enc e JOIN w4 v ON v.w = e.w
+       |GROUP BY e.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- X96
+  /** TOKENIZER COMPRESSION PER SOURCE — the economics table a mixture
+    * designer reads next to x25/x72: for each source, how many characters
+    * one BPE token buys (chars_per_token) and how many tokens a
+    * whitespace word costs (fertility). A domain the tokenizer compresses
+    * poorly consumes training budget faster than its share of the corpus
+    * — THE practical argument for per-source token accounting. Composes
+    * the x90 encoder memo (vocab via [[PipelineCache]] — trained once per
+    * session/dir); the corpus pass is one explode + vocab join +
+    * source-cardinality aggregation, plus a second narrow scan for the
+    * char totals (columns pruned to (source, n_chars)). All integer
+    * micros. */
+  private[operators] def x96(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeVocabShared(spark, dir)
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .join(vocab, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("bpe_len")).as("bpe_tokens"))
+    val ch = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    ch.join(tok, "source")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("bpe_tokens"),
+        expr("(n_chars * 1000000) div bpe_tokens").as("chars_per_token_micro"),
+        expr("(bpe_tokens * 1000000) div n_words").as("fertility_micro"))
+  }
+
+  private[operators] lazy val x96Sql =
+    s"""WITH $bpeCtesRaw,
+       |t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tok AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(len(v.s)) AS BIGINT) AS bpe_tokens
+       |  FROM t JOIN w4 v ON v.w = t.w GROUP BY source),
+       |ch AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY source)
+       |SELECT ch.source, ch.n_docs, ch.n_chars, tok.bpe_tokens,
+       |  (ch.n_chars * 1000000) // tok.bpe_tokens AS chars_per_token_micro,
+       |  (tok.bpe_tokens * 1000000) // tok.n_words AS fertility_micro
+       |FROM ch JOIN tok ON tok.source = ch.source""".stripMargin
+
+  // ---------------------------------------------------------------- X108
+  /** NAIVE-BAYES QUALITY CLASSIFIER, TRAINED AND APPLIED IN ONE QUERY —
+    * the fasttext-style statistical filter (CCNet's classifier stage)
+    * built declaratively: weak labels come from a cheap heuristic
+    * (length ≥ 150 chars), per-token class counts train Laplace-smoothed
+    * log-odds, and every document is scored by the order-free integer
+    * sum of its tokens' nano-quantized log-odds plus the class prior —
+    * emitting the label, the score, the prediction, and the agreement
+    * flag (the audit: where the learned filter disagrees with its own
+    * weak teacher is exactly what a human reviews). Determinism: each
+    * log-odds is ln of an exact integer ratio — the identical double in
+    * any engine — rounded once at 9dp (the x63/x65 nano convention).
+    * Shape: one token-explode aggregation trains (vocab-bounded output),
+    * the model BROADCASTS back onto the same explode for scoring, one
+    * per-doc aggregation applies; class totals pin as literals (the x58
+    * corpus-stats pattern). At 100 TB: two corpus passes, vocab-sized
+    * state, no global anything. */
+  private[operators] def x108(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"),
+        (col("n_chars") >= 150).as("label_good"))
+      .persist() // three passes: class stats, train, score join-back
+    val toksL = docs.select(col("doc_id"), col("label_good"),
+      explode(col("tk")).as("token"))
+    val counts = toksL.groupBy(col("token"))
+      .agg(sum(when(col("label_good"), 1L).otherwise(0L)).as("cg"),
+        sum(when(!col("label_good"), 1L).otherwise(0L)).as("cb"))
+      .persist() // tiny (vocab-sized); feeds totals + the model
+    val st = counts.agg(sum(col("cg")), sum(col("cb")), count(lit(1))).head()
+    val (g, b, v) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val dc = docs.agg(
+      sum(when(col("label_good"), 1L).otherwise(0L)),
+      sum(when(!col("label_good"), 1L).otherwise(0L))).head()
+    val (gd, bd) = (dc.getLong(0), dc.getLong(1))
+    val model = counts.withColumn("lo_nano", expr(
+      s"cast(round((ln(cast(cg + 1 as double) / ${g + v}) - " +
+        s"ln(cast(cb + 1 as double) / ${b + v})) * 1e9, 0) as bigint)"))
+      .select(col("token"), col("lo_nano"))
+    val priorNano = expr(
+      s"cast(round((ln(cast($gd as double) / ${gd + bd}) - " +
+        s"ln(cast($bd as double) / ${gd + bd})) * 1e9, 0) as bigint)")
+    val scored = toksL.join(broadcast(model), "token")
+      .groupBy(col("doc_id")).agg(sum(col("lo_nano")).as("tok_nanos"))
+    docs.join(scored, Seq("doc_id"), "left")
+      .withColumn("score_nanos", priorNano + coalesce(col("tok_nanos"), lit(0L)))
+      .select(col("doc_id"), col("label_good"), col("score_nanos"),
+        (col("score_nanos") > 0).as("pred_good"),
+        ((col("score_nanos") > 0) === col("label_good")).as("correct"))
+  }
+
+  private[operators] lazy val x108Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+      |             (n_chars >= 150) AS lbl FROM documents),
+      |tt AS (SELECT doc_id, lbl, unnest(tk) AS token FROM d),
+      |c AS (SELECT token,
+      |        CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cg,
+      |        CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |      FROM tt GROUP BY token),
+      |s AS (SELECT CAST(sum(cg) AS BIGINT) AS gt, CAST(sum(cb) AS BIGINT) AS bt,
+      |        CAST(count(*) AS BIGINT) AS v FROM c),
+      |dc AS (SELECT CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS gd,
+      |         CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS bd
+      |       FROM d),
+      |lo AS (SELECT token,
+      |         CAST(round((ln((cg + 1)::DOUBLE / (gt + v)) -
+      |                     ln((cb + 1)::DOUBLE / (bt + v))) * 1e9) AS BIGINT) AS lo_nano
+      |       FROM c, s),
+      |sc AS (SELECT tt.doc_id, CAST(sum(lo.lo_nano) AS BIGINT) AS tok_nanos
+      |       FROM tt JOIN lo USING (token) GROUP BY 1),
+      |pr AS (SELECT CAST(round((ln(gd::DOUBLE / (gd + bd)) -
+      |                          ln(bd::DOUBLE / (gd + bd))) * 1e9) AS BIGINT) AS prior_nano
+      |       FROM dc)
+      |SELECT d.doc_id, d.lbl AS label_good,
+      |  pr.prior_nano + coalesce(sc.tok_nanos, 0) AS score_nanos,
+      |  (pr.prior_nano + coalesce(sc.tok_nanos, 0)) > 0 AS pred_good,
+      |  ((pr.prior_nano + coalesce(sc.tok_nanos, 0)) > 0) = d.lbl AS correct
+      |FROM d LEFT JOIN sc USING (doc_id), pr""".stripMargin
+
+}
