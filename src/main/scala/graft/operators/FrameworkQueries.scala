@@ -543,7 +543,12 @@ object FrameworkQueries {
       })
     val serveP = Producer("serve_topk", build = (_, ins) => {
       val (emb, cb, cds) = (ins(0), ins(1), ins(2))
-      val qsubs = Queries.pqSubspaces(emb.filter(col("vec_id") < 10))
+      // one quantize+explode pass over the vector artifact: the query
+      // side, the ADC LUT, and the re-rank all derive from this persisted
+      // frame instead of re-reading/re-deriving the artifact three times
+      val vsubs = Queries.pqSubspaces(emb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qsubs = vsubs.filter(col("vec_id") < 10)
         .withColumnRenamed("vec_id", "qid")
       val lut = qsubs
         .join(broadcast(cb), "s")
@@ -563,7 +568,7 @@ object FrameworkQueries {
       // stage 2: exact quantized L2 over the shortlist only (≤ 32/query)
       val wEx = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("exact_micro2").asc, col("vec_id").asc)
-      Seq(Queries.pqSubspaces(emb)
+      Seq(vsubs
         .join(broadcast(shortlist), "vec_id")
         .join(broadcast(qsubs.select(col("qid"), col("s"), col("sub").as("qsub"))),
           Seq("qid", "s"))

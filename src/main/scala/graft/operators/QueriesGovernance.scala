@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-governance & experimentation queries (r7, SURVEY §2.4 X104–X106):
+  * the release-side operations a training-data platform runs BEFORE data
+  * leaves the house — privacy audits (k-anonymity/l-diversity), an
+  * ε-differential-privacy release pipeline shape, and deterministic A/B
+  * significance testing on the event stream. Split from the corpus-prep
+  * family because the consumer is a release/compliance gate, not a
+  * training run.
+  *
+  * Members are `private[operators]` and mix into [[Queries]] (self-typed);
+  * SQL oracles are lazy (initialization-order-safe across traits).
+  */
+private[operators] trait QueriesGovernance { this: Queries.type =>
+
+  // ---------------------------------------------------------------- X116
+  /** K-ANONYMITY / L-DIVERSITY RELEASE AUDIT — the privacy scorecard run
+    * before a corpus (or its metadata) is shared: treat (lang,
+    * 100-char length bucket) as the QUASI-IDENTIFIER — the attributes an
+    * adversary can observe externally — and `source` as the sensitive
+    * attribute. A QI equivalence class of size < k re-identifies its
+    * members by intersection (k-anonymity, Sweeney 2002); a class whose
+    * members all share one sensitive value leaks it even at size ≥ k
+    * (l-diversity, Machanavajjhala 2007). Output is the class-size
+    * HISTOGRAM — one row per class size with how many classes/documents
+    * sit there, the worst l-diversity at that size, and the k=5 flag —
+    * the shape a release checklist reads directly ("how much of the
+    * corpus sits in classes smaller than 5?"). Scale: two map-side-
+    * combined aggregations, the second over |classes| rows (bounded by
+    * the QI domain, never the corpus); no windows, no joins. */
+  private[operators] def x116(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), expr("n_chars div 100").as("len_bucket"), col("source"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("source")).as("l_div"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"), min(col("l_div")).as("min_l_diversity"))
+      .withColumn("n_docs", col("class_size") * col("n_classes"))
+      .withColumn("meets_k5", col("class_size") >= 5)
+      .select(col("class_size"), col("n_classes"), col("n_docs"),
+        col("min_l_diversity"), col("meets_k5"))
+
+  private[operators] lazy val x116Sql =
+    """WITH c AS (SELECT lang, n_chars // 100 AS len_bucket,
+      |    CAST(count(*) AS BIGINT) AS class_size,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS l_div
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(class_size * count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+      |  class_size >= 5 AS meets_k5
+      |FROM c GROUP BY class_size""".stripMargin
+
+  // ---------------------------------------------------------------- X117
+  /** DETERMINISTIC A/B TEST (Welch's t) — the experimentation readout
+    * over the event stream: units (users) are assigned to arms by a
+    * CONTENT-ADDRESSED hash (md5(user_id) % 2 — the x54 split
+    * discipline: the same user lands in the same arm on every run,
+    * every engine, and assignment is independent of row order), and per
+    * event type the two arms' `value` distributions are compared with
+    * Welch's unequal-variance t statistic. Exactness discipline: values
+    * quantize to integer cents ONCE; n/Σ/Σ² per arm are EXACT int64
+    * sums (order-free); means are exposed as exact integer micro-cents
+    * (half-up rationals); t² and the Welch–Satterthwaite df are then
+    * ONE fixed IEEE expression tree over those exact integers, micro-
+    * quantized at the end — a double round, so x117 is enrolled in
+    * RoundBoundarySpec's ulp audit (the r7 rule for any new
+    * `round(double·10⁶)`). Scale: one corpus scan, one |event_types|-row
+    * aggregation with 6 conditional sums riding it map-side — the
+    * moment algebra never shuffles more than k rows. */
+  private[operators] def x117(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType), lit(2L)).as("arm"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    ev.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s_a"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s_b"),
+        sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L)).as("ss_a"),
+        sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L)).as("ss_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("va", expr(
+        "(cast(ss_a as double) - cast(s_a as double) * s_a / n_a) / (n_a - 1)"))
+      .withColumn("vb", expr(
+        "(cast(ss_b as double) - cast(s_b as double) * s_b / n_b) / (n_b - 1)"))
+      .withColumn("se2", expr("va / n_a + vb / n_b"))
+      .withColumn("md", expr("cast(s_a as double) / n_a - cast(s_b as double) / n_b"))
+      .withColumn("t2_micros",
+        round(expr("md * md / se2") * lit(1000000.0), 0).cast(LongType))
+      .withColumn("df_micros", round(expr(
+        """se2 * se2 / ((va / n_a) * (va / n_a) / (n_a - 1)
+          | + (vb / n_b) * (vb / n_b) / (n_b - 1))""".stripMargin)
+        * lit(1000000.0), 0).cast(LongType))
+      .withColumn("mean_a_microcents", expr("(2 * s_a * 1000000 + n_a) div (2 * n_a)"))
+      .withColumn("mean_b_microcents", expr("(2 * s_b * 1000000 + n_b) div (2 * n_b)"))
+      .withColumn("significant", expr("md * md / se2 > 3.841459"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("mean_a_microcents"), col("mean_b_microcents"),
+        col("t2_micros"), col("df_micros"), col("significant"))
+  }
+
+  private[operators] lazy val x117Sql =
+    """WITH e AS (SELECT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT event_type,
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_b
+      |  FROM e GROUP BY event_type),
+      |v AS (SELECT *,
+      |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) AS va,
+      |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) AS vb,
+      |    CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS md
+      |  FROM m WHERE n_a > 1 AND n_b > 1),
+      |w AS (SELECT *, va / n_a + vb / n_b AS se2 FROM v)
+      |SELECT event_type, n_a, n_b,
+      |  (2 * s_a * 1000000 + n_a) // (2 * n_a) AS mean_a_microcents,
+      |  (2 * s_b * 1000000 + n_b) // (2 * n_b) AS mean_b_microcents,
+      |  CAST(round(md * md / se2 * 1000000.0, 0) AS BIGINT) AS t2_micros,
+      |  CAST(round(se2 * se2 / ((va / n_a) * (va / n_a) / (n_a - 1)
+      |    + (vb / n_b) * (vb / n_b) / (n_b - 1)) * 1000000.0, 0) AS BIGINT) AS df_micros,
+      |  md * md / se2 > 3.841459 AS significant
+      |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------- X118
+  /** ε-DIFFERENTIAL-PRIVACY RELEASE PIPELINE (Laplace mechanism) — the
+    * noisy-histogram release shape (Dwork 2006): per-event-type counts
+    * get Laplace(Δ/ε) noise (Δ = 1, ε = 1) before publication. The noise
+    * draw is CONTENT-ADDRESSED — u = md5(event_type ‖ release-tag) as a
+    * uniform in (0,1), inverse-CDF'd to Laplace — so the release is
+    * reproducible and oracle-checkable. HONESTY NOTE (the x13/x51
+    * stub-discipline): deriving noise from the data's own key is NOT
+    * differentially private (the draw must be secret and fresh per
+    * release); what this query demonstrates — and what the engine is
+    * responsible for at 100 TB — is the release PIPELINE: exact counts,
+    * a per-class noise column, integer-quantized publication values, and
+    * the ε accounting column a privacy-budget ledger would ingest.
+    * Swapping `u` for a secure RNG changes one expression. Exactness:
+    * the inverse-CDF is ONE ln-bearing expression quantized once to
+    * int64 micros (the x63 single-transcendental recipe); the published
+    * value is then pure integer arithmetic. Scale: one aggregation,
+    * |event_types| rows, noise map-side on the k-row result. */
+  private[operators] def x118(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("true_count"))
+      // u in (0,1): 48-bit hash + half-bit offset (the x47 skey recipe —
+      // never exactly 0 or 1, so ln(1-2|u-1/2|) is finite)
+      .withColumn("u", expr(
+        "(conv(substring(md5(concat(event_type, ':release1')), 1, 12), 16, 10)" +
+          " + 0.5) / 281474976710656.0"))
+      .withColumn("noise_micros", round(expr(
+        "(case when u >= 0.5 then -1.0 else 1.0 end) * ln(1.0 - 2.0 * abs(u - 0.5))")
+        * lit(1000000.0), 0).cast(LongType))
+      .withColumn("noisy_count_micros", col("true_count") * lit(1000000L) + col("noise_micros"))
+      .withColumn("epsilon_micros", lit(1000000L))
+      .select(col("event_type"), col("true_count"), col("noise_micros"),
+        col("noisy_count_micros"), col("epsilon_micros"))
+
+  private[operators] lazy val x118Sql =
+    """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+      |  FROM events GROUP BY 1),
+      |u AS (SELECT *,
+      |    (('0x' || substr(md5(event_type || ':release1'), 1, 12))::BIGINT + 0.5)
+      |      / 281474976710656.0 AS u
+      |  FROM c)
+      |SELECT event_type, true_count,
+      |  CAST(round((CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+      |    * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0, 0) AS BIGINT) AS noise_micros,
+      |  true_count * 1000000 +
+      |    CAST(round((CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+      |      * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0, 0) AS BIGINT)
+      |    AS noisy_count_micros,
+      |  CAST(1000000 AS BIGINT) AS epsilon_micros
+      |FROM u""".stripMargin
+}

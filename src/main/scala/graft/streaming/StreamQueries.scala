@@ -898,6 +898,66 @@ object StreamQueries {
        |FROM r WHERE rnk <= 5
        |  AND window_start + INTERVAL 1 HOUR <= $wmSql""".stripMargin
 
+  // --------------------------------------------------------------- QS23
+  /** STREAMING K-ANONYMITY RELEASE GATE (r7) — x116's privacy audit run
+    * continuously: per finalized event-time hour, treat
+    * (event_type, value-bin) as the quasi-identifier and emit the
+    * window's class count, MINIMUM class size, and the k=5 release flag
+    * — the gate a privacy-budgeted real-time export checks before
+    * shipping an hour of analytics. Shape: the qs18/qs20 WIDE-FORM
+    * discipline — the 5×8 QI grid rides the ONE windowed aggregation as
+    * 40 conditional sums (no second stateful operator, no per-(window,
+    * class) shuffle rows), and min/count over present classes are a
+    * stateless expression over the finalized row (absent classes don't
+    * count: an empty class re-identifies nobody). State at 100 TB: one
+    * open hour × 41 longs per shuffle partition — constant; a wider QI
+    * domain turns the wide form back into the chained-agg shape (qs16)
+    * at |classes|-bounded state. Append emission is exact under the
+    * availableNow drain (the qs1a watermark derivation), so the oracle
+    * replays the batch QI histogram on finalized windows only. */
+  private def qs23(spark: SparkSession, dir: String): DataFrame = {
+    val names = for (t <- trendTypes; b <- 0 until 8) yield s"c_${t}_$b"
+    val cells = for (t <- trendTypes; b <- 0 until 8)
+      yield sum(when(col("event_type") === t && col("bin") === b, 1L).otherwise(0L))
+        .as(s"c_${t}_$b")
+    val windowed = eventsStream(spark, dir, nFiles = 3)
+      .filter(col("value").isNotNull)
+      .withColumn("bin", expr(driftBinExpr))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), cells: _*)
+    val minCls = s"least(${names.map(n =>
+      s"case when $n = 0 then 9223372036854775807L else $n end").mkString(", ")})"
+    val nCls = names.map(n => s"case when $n > 0 then 1 else 0 end").mkString(" + ")
+    runToTable(spark, windowed, OutputMode.Append())
+      .select(
+        col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("window.end").cast(TimestampNTZType).as("window_end"),
+        col("n_events"),
+        expr(s"cast(($nCls) as bigint)").as("n_classes"),
+        expr(minCls).as("min_class_size"),
+        expr(s"$minCls >= 5").as("k5_ok"))
+  }
+
+  private val qs23Sql =
+    s"""WITH e AS (SELECT
+       |    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       |    CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       |    event_type,
+       |    least(7, greatest(0, CAST(floor(value / 15.0) AS BIGINT))) AS bin
+       |  FROM events WHERE value IS NOT NULL),
+       |cls AS (SELECT window_start, window_end, event_type, bin,
+       |          CAST(count(*) AS BIGINT) AS cs
+       |        FROM e GROUP BY 1, 2, 3, 4)
+       |SELECT window_start, window_end,
+       |  CAST(sum(cs) AS BIGINT) AS n_events,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(cs) AS BIGINT) AS min_class_size,
+       |  min(cs) >= 5 AS k5_ok
+       |FROM cls
+       |WHERE window_end <= $wmSql
+       |GROUP BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- QS16
   /** Streaming EXACT UNIQUE VISITORS per hour — the metric a naive
     * streaming `count(distinct)` cannot give you (unsupported on
@@ -1308,5 +1368,7 @@ object StreamQueries {
     Q("qs21_stream_quota_admit", qs21, Some(qs21Sql),
       "streaming ingest quota: first-5 events per (type, hour) via a mergeable bounded FirstK aggregation, append-finalized"),
     Q("qs22_stream_leaderboard", qs22, Some(qs22Sql),
-      "streaming top-5-by-value per finalized hour: FirstK under the negated-cents order, same bounded-state contract"))
+      "streaming top-5-by-value per finalized hour: FirstK under the negated-cents order, same bounded-state contract"),
+    Q("qs23_stream_k_anonymity", qs23, Some(qs23Sql),
+      "streaming k-anonymity release gate: per finalized hour, QI-class count/min/k5 flag via the wide-form single stateful agg"))
 }

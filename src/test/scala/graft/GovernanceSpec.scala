@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Queries
+
+/** Semantic invariants of the r7 governance/experimentation family
+  * (x116 k-anonymity, x117 A/B Welch, x118 DP release, qs23 streaming
+  * release gate) — the laws that must hold at any scale factor. The
+  * oracle gate proves engine-vs-DuckDB equality; these prove the
+  * operators mean what they claim. */
+class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .appName("governance-spec")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(name: String) = Queries.byName(name).run(spark, sf)
+
+  test("x116: the histogram partitions the corpus and flags are consistent") {
+    val df = run("x116_k_anonymity").cache()
+    // every document sits in exactly one QI class → doc counts conserve
+    val total = df.agg(sum("n_docs")).head.getLong(0)
+    assert(total === graft.operators.Tables.documents(spark, sf).count(),
+      "QI classes must partition the corpus")
+    assert(df.filter(col("n_docs") =!= col("class_size") * col("n_classes")).isEmpty)
+    // l-diversity can never exceed the class size (each distinct sensitive
+    // value needs at least one member) and is at least 1
+    assert(df.filter(col("min_l_diversity") < 1 ||
+      col("min_l_diversity") > col("class_size")).isEmpty)
+    assert(df.filter(col("meets_k5") =!= (col("class_size") >= 5)).isEmpty)
+    // the audit is non-vacuous on this corpus: some classes violate k=5
+    assert(df.filter(!col("meets_k5")).count() > 0, "no k<5 classes — vacuous audit")
+    df.unpersist()
+  }
+
+  test("x117: arms partition the population; t2/df live in their legal ranges") {
+    val df = run("x117_ab_welch").cache()
+    val ev = graft.operators.Tables.events(spark, sf).filter(col("value").isNotNull)
+    val perType = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.collect().foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(na + nb === perType(r.getAs[String]("event_type")),
+        "arms must partition the non-null events of the type")
+      // the content-addressed split should be roughly balanced — but the
+      // randomization UNIT is the user, not the event, so the effective
+      // sample is |users touching the type| (tens at sf0.001): allow the
+      // wide band a per-user cluster assignment implies at that n
+      assert(na > 0 && nb > 0 && math.abs(na - nb).toDouble / (na + nb) < 0.35,
+        s"arm imbalance: $na vs $nb")
+      assert(r.getAs[Long]("t2_micros") >= 0L)
+      // Welch–Satterthwaite df ∈ [min(n_a, n_b) − 1, n_a + n_b − 2]
+      val df6 = r.getAs[Long]("df_micros")
+      assert(df6 >= (math.min(na, nb) - 1) * 1000000L - 1000000L &&
+        df6 <= (na + nb - 2) * 1000000L + 1000000L, s"df out of range: $df6")
+      // flag consistent with the quantized statistic (1 micro slack at the
+      // threshold — the flag compares the raw double, the column its round)
+      val sig = r.getAs[Boolean]("significant")
+      val t2 = r.getAs[Long]("t2_micros")
+      assert(if (sig) t2 >= 3841458L else t2 <= 3841460L,
+        s"significance flag inconsistent with t2_micros=$t2")
+    }
+    // the same user must land in the same arm for every event type: global
+    // assignment is per-user, so re-deriving it twice is identical
+    val arm1 = ev.select(col("user_id")).distinct()
+      .withColumn("arm", pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(2L)))
+    assert(arm1.groupBy("user_id").agg(countDistinct("arm").as("k"))
+      .filter(col("k") > 1).isEmpty)
+    df.unpersist()
+  }
+
+  test("x118: publication arithmetic is exact and noise is Laplace-plausible") {
+    val df = run("x118_dp_release").cache()
+    assert(df.filter(col("noisy_count_micros") =!=
+      col("true_count") * 1000000L + col("noise_micros")).isEmpty,
+      "published value must be exact integer arithmetic over count + noise")
+    assert(df.filter(col("epsilon_micros") =!= 1000000L).isEmpty)
+    // Laplace(b=1) noise: P(|X| > 20) = e^-20 — any larger value means the
+    // inverse-CDF is wrong, not that we got unlucky
+    assert(df.filter(abs(col("noise_micros")) > 20000000L).isEmpty,
+      "noise magnitude outside any plausible Laplace(1) draw")
+    // the draws are content-addressed: re-running is byte-identical
+    assert(run("x118_dp_release").exceptAll(df).isEmpty)
+    df.unpersist()
+  }
+
+  test("qs23: the streamed gate equals the batch QI histogram on finalized windows") {
+    val df = run("qs23_stream_k_anonymity").cache()
+    assert(df.count() > 0)
+    // wide-form bounds: at most 5 types × 8 bins classes; min ≤ mean
+    assert(df.filter(col("n_classes") < 1 || col("n_classes") > 40).isEmpty)
+    assert(df.filter(col("min_class_size") * col("n_classes") > col("n_events")).isEmpty)
+    assert(df.filter(col("k5_ok") =!= (col("min_class_size") >= 5)).isEmpty)
+    // batch replay equality on the emitted windows (the qs22 discipline)
+    val ev = graft.operators.Tables.events(spark, sf).filter(col("value").isNotNull)
+      .withColumn("window_start", date_trunc("hour", col("ts")))
+      .withColumn("bin", expr("least(7, greatest(0, cast(floor(value / 15.0) as bigint)))"))
+    val batch = ev.groupBy(col("window_start"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cs"))
+      .groupBy(col("window_start"))
+      .agg(sum("cs").as("n_events"), count(lit(1)).as("n_classes"),
+        min("cs").as("min_class_size"))
+    val joined = df.join(batch.withColumnRenamed("n_events", "be")
+      .withColumnRenamed("n_classes", "bc").withColumnRenamed("min_class_size", "bm"),
+      "window_start")
+    assert(joined.filter(col("n_events") =!= col("be") ||
+      col("n_classes") =!= col("bc") || col("min_class_size") =!= col("bm")).isEmpty,
+      "streamed finalized windows diverge from the batch QI histogram")
+    df.unpersist()
+  }
+}

@@ -102,7 +102,9 @@ class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x65_lm_quality_filter", "x69_pmi_collocations", "x70_label_cohesion",
     "x73_embedding_audit", "x75_session_stats", "x81_principal_direction",
     "x84_whitened_ann", "x87_zipf_fit", "x88_semdedup",
-    "x107_temperature_mixture", "x109_fps_coreset")
+    "x107_temperature_mixture", "x109_fps_coreset",
+    // r7 governance family: any NEW round(double·10⁶) enrolls here by rule
+    "x117_ab_welch", "x118_dp_release")
 
   for (name <- auditedQueries)
     test(s"$name: no double-round value within 4 ulps of a .5 boundary") {
