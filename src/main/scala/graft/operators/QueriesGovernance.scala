@@ -171,6 +171,57 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
       .select(col("event_type"), col("true_count"), col("noise_micros"),
         col("noisy_count_micros"), col("epsilon_micros"))
 
+  // ---------------------------------------------------------------- X119
+  /** RIGHT-TO-ERASURE AUDIT (GDPR art. 17 / CCPA deletion) — given a
+    * data-subject tombstone set, measure what a deletion job must touch
+    * across the WAREHOUSE, not one table: rows carrying the subject id
+    * directly (customer, orders, events) plus the REFERENTIAL CASCADE
+    * (lineitem rows reachable only through an erased customer's orders —
+    * the rows a naive per-table delete misses). Output is the per-table
+    * deletion plan: row count, distinct subjects present, and whether
+    * the path is direct or a cascade. The tombstone set here is the
+    * deterministic fixture `user_id % 97 = 0` — in production it is a
+    * broadcast tombstone artifact and nothing else changes. Scale shape:
+    * each table contributes ONE filtered aggregation (tombstones
+    * broadcast as a semi-join predicate); the cascade joins lineitem
+    * against only the ERASED customers' orders (delta-sized, broadcast),
+    * never orders×lineitem at large; the result is 4 rows. */
+  private[operators] def x119(spark: SparkSession, dir: String): DataFrame = {
+    def plan(df: DataFrame, tbl: String, id: String, cascade: Boolean): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(id)).as("n_subjects"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("n_subjects"),
+          lit(cascade).as("cascade"))
+    val cust = Tables.customer(spark, dir).filter(col("c_custkey") % 97 === 0)
+    val ords = Tables.orders(spark, dir).filter(col("o_custkey") % 97 === 0)
+    val evts = Tables.events(spark, dir).filter(col("user_id") % 97 === 0)
+    val casc = Tables.lineitem(spark, dir)
+      .join(broadcast(ords.select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey"))), "l_orderkey")
+    plan(cust, "customer", "c_custkey", cascade = false)
+      .unionByName(plan(ords, "orders", "o_custkey", cascade = false))
+      .unionByName(plan(evts, "events", "user_id", cascade = false))
+      .unionByName(plan(casc, "lineitem", "o_custkey", cascade = true))
+  }
+
+  private[operators] lazy val x119Sql =
+    """SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_subjects, FALSE AS cascade
+      |FROM customer WHERE c_custkey % 97 = 0
+      |UNION ALL
+      |SELECT 'orders', CAST(count(*) AS BIGINT),
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT), FALSE
+      |FROM orders WHERE o_custkey % 97 = 0
+      |UNION ALL
+      |SELECT 'events', CAST(count(*) AS BIGINT),
+      |  CAST(count(DISTINCT user_id) AS BIGINT), FALSE
+      |FROM events WHERE user_id % 97 = 0
+      |UNION ALL
+      |SELECT 'lineitem', CAST(count(*) AS BIGINT),
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey % 97 = 0""".stripMargin
+
   private[operators] lazy val x118Sql =
     """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
       |  FROM events GROUP BY 1),

@@ -102,6 +102,27 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x119: the deletion plan re-derives from the tombstone rule exactly") {
+    val df = run("x119_erasure_audit").cache()
+    assert(df.count() === 4)
+    val rows = df.collect().map(r => r.getAs[String]("tbl") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("n_subjects"), r.getAs[Boolean]("cascade"))).toMap
+    // per-table re-derivation (independent of the query's own plan)
+    val cust = graft.operators.Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 97 === 0).count()
+    assert(rows("customer") === ((cust, cust, false)), "customer PK: subjects == rows")
+    val ev = graft.operators.Tables.events(spark, sf).filter(col("user_id") % 97 === 0)
+    assert(rows("events")._1 === ev.count())
+    // the cascade only reaches lineitems of erased customers' orders
+    val ords = graft.operators.Tables.orders(spark, sf).filter(col("o_custkey") % 97 === 0)
+    val casc = graft.operators.Tables.lineitem(spark, sf)
+      .join(ords.select(col("o_orderkey").as("l_orderkey")), "l_orderkey").count()
+    assert(rows("lineitem")._1 === casc && rows("lineitem")._3,
+      "lineitem must be flagged as a referential cascade")
+    assert(df.filter(col("n_subjects") > col("n_rows")).isEmpty)
+    df.unpersist()
+  }
+
   test("qs23: the streamed gate equals the batch QI histogram on finalized windows") {
     val df = run("qs23_stream_k_anonymity").cache()
     assert(df.count() > 0)

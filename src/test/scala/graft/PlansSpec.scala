@@ -576,4 +576,31 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_min") || p.contains("partial_max"),
       s"the struct extremes must combine map-side:\n$p")
   }
+
+  test("x116: the privacy audit is two aggregations over ONE corpus scan — no joins, no windows") {
+    val df = Queries.byName("x116_k_anonymity").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, s"one scan:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), s"aggregation-only plan:\n$p")
+  }
+
+  test("x117: the A/B readout is ONE corpus scan with map-side-combined moments") {
+    val df = Queries.byName("x117_ab_welch").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, s"one scan:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), s"aggregation-only plan:\n$p")
+    assert(p.contains("partial_sum"), s"the six conditional moments combine map-side:\n$p")
+  }
+
+  test("x119: the erasure cascade joins lineitem via BROADCAST of the erased-order delta") {
+    val df = Queries.byName("x119_erasure_audit").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the delta-sized erased-order set must broadcast against lineitem:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-vs-corpus shuffle join in the deletion plan:\n$p")
+  }
 }
