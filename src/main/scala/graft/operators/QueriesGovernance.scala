@@ -171,6 +171,89 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
       .select(col("event_type"), col("true_count"), col("noise_micros"),
         col("noisy_count_micros"), col("epsilon_micros"))
 
+  // ---------------------------------------------------------------- X120
+  /** DATA-CONTRACT EXPECTATION SUITE — the Great-Expectations shape as
+    * ONE declarative query: a battery of named column expectations over
+    * the fact table (non-null, domain range, value-set membership,
+    * compound-key uniqueness, referential integrity), each reported as
+    * (expectation, n_checked, n_violations, pass). This is the contract
+    * a producer would wire into `validateOutputs` (F13) — the query form
+    * exists so the SAME battery can audit tables the engine didn't
+    * write. Scale shape: the five row-local expectations ride ONE corpus
+    * scan as conditional sums (map-side combined, zero extra passes);
+    * uniqueness is one keyed aggregation counting duplicate key groups;
+    * the FK check is a broadcast-able anti-join against the distinct
+    * parent keys. Nothing is corpus² and nothing lands on the driver. */
+  private[operators] def x120(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val n = li.count()
+    def row(name: String, violations: org.apache.spark.sql.Column): DataFrame =
+      li.agg(violations.cast(LongType).as("n_violations"))
+        .select(lit(name).as("expectation"), lit(n).as("n_checked"),
+          col("n_violations"), (col("n_violations") === 0L).as("pass"))
+    val rowLocal = row("quantity_in_1_50",
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)))
+      .unionByName(row("shipdate_not_null",
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))))
+      .unionByName(row("discount_in_0_01",
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L))))
+      .unionByName(row("returnflag_in_set",
+        sum(when(!col("l_returnflag").isInCollection(Seq("A", "N", "R")), 1L).otherwise(0L))))
+      .unionByName(row("price_positive",
+        sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L))))
+    val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_violations"))
+      .select(lit("orderkey_linenumber_unique").as("expectation"),
+        lit(n).as("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+    val orphan = li.join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey")).distinct(),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orderkey_references_orders").as("expectation"),
+        lit(n).as("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+    rowLocal.unionByName(dupKeys).unionByName(orphan)
+  }
+
+  private[operators] lazy val x120Sql =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+      |SELECT 'quantity_in_1_50' AS expectation, (SELECT n FROM n) AS n_checked,
+      |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violations,
+      |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 AS pass
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'shipdate_not_null', (SELECT n FROM n),
+      |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'discount_in_0_01', (SELECT n FROM n),
+      |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'returnflag_in_set', (SELECT n FROM n),
+      |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'price_positive', (SELECT n FROM n),
+      |  CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orderkey_linenumber_unique', (SELECT n FROM n),
+      |  CAST(coalesce(sum(c), 0) AS BIGINT), coalesce(sum(c), 0) = 0
+      |FROM (SELECT count(*) AS c FROM lineitem
+      |      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'orderkey_references_orders', (SELECT n FROM n),
+      |  CAST(count(*) AS BIGINT), count(*) = 0
+      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin
+
   // ---------------------------------------------------------------- X119
   /** RIGHT-TO-ERASURE AUDIT (GDPR art. 17 / CCPA deletion) — given a
     * data-subject tombstone set, measure what a deletion job must touch

@@ -958,6 +958,62 @@ object StreamQueries {
        |WHERE window_end <= $wmSql
        |GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- QS24
+  /** STREAMING DATA-CONTRACT GATE (r7) — the row-local half of x120's
+    * expectation battery run continuously: per finalized event-time
+    * hour, each streamable expectation (value present, value in its
+    * contracted (0, 500] domain, event_type in the declared set,
+    * user_id present) reports its violation count and the window's
+    * overall pass flag — the per-batch contract report an ingest SLA
+    * dashboard consumes, emitted once when the watermark closes the
+    * hour. Only ROW-LOCAL expectations stream here (they ride the ONE
+    * windowed aggregation as conditional sums, the qs18 wide-form
+    * discipline — 5 longs of state per open hour); the corpus-state
+    * expectations (key uniqueness, FK integrity) stay batch in x120,
+    * which is the honest split — streaming them exactly would need
+    * unbounded state. Oracle: the batch battery over finalized windows
+    * (the qs1a watermark derivation). */
+  private def qs24(spark: SparkSession, dir: String): DataFrame = {
+    val types = trendTypes.map(t => s"'$t'").mkString(", ")
+    val windowed = eventsStream(spark, dir, nFiles = 3)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("v_value_null"),
+        sum(when(col("value").isNotNull &&
+          (col("value") <= 0.0 || col("value") > 500.0), 1L).otherwise(0L))
+          .as("v_value_domain"),
+        sum(when(!expr(s"event_type in ($types)"), 1L).otherwise(0L)).as("v_type_set"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_user_null"))
+    runToTable(spark, windowed, OutputMode.Append())
+      .select(
+        col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("window.end").cast(TimestampNTZType).as("window_end"),
+        col("n_events"), col("v_value_null"), col("v_value_domain"),
+        col("v_type_set"), col("v_user_null"),
+        (col("v_value_null") + col("v_value_domain") + col("v_type_set") +
+          col("v_user_null") === 0L).as("contract_pass"))
+  }
+
+  private val qs24Sql = {
+    val types = trendTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH agg AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       |         CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       |         CAST(count(*) AS BIGINT) AS n_events,
+       |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_value_null,
+       |         CAST(sum(CASE WHEN value IS NOT NULL AND (value <= 0.0 OR value > 500.0)
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS v_value_domain,
+       |         CAST(sum(CASE WHEN event_type NOT IN ($types) THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS v_type_set,
+       |         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_user_null
+       |  FROM events GROUP BY 1, 2)
+       |SELECT *, v_value_null + v_value_domain + v_type_set + v_user_null = 0
+       |  AS contract_pass
+       |FROM agg WHERE window_end <= $wmSql""".stripMargin
+  }
+
   // --------------------------------------------------------------- QS16
   /** Streaming EXACT UNIQUE VISITORS per hour — the metric a naive
     * streaming `count(distinct)` cannot give you (unsupported on
@@ -1370,5 +1426,7 @@ object StreamQueries {
     Q("qs22_stream_leaderboard", qs22, Some(qs22Sql),
       "streaming top-5-by-value per finalized hour: FirstK under the negated-cents order, same bounded-state contract"),
     Q("qs23_stream_k_anonymity", qs23, Some(qs23Sql),
-      "streaming k-anonymity release gate: per finalized hour, QI-class count/min/k5 flag via the wide-form single stateful agg"))
+      "streaming k-anonymity release gate: per finalized hour, QI-class count/min/k5 flag via the wide-form single stateful agg"),
+    Q("qs24_stream_contract", qs24, Some(qs24Sql),
+      "streaming data-contract gate: x120's row-local expectations per finalized hour as wide-form conditional sums + pass flag"))
 }

@@ -123,6 +123,44 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x120: the expectation report is conserved, consistent, and non-vacuous") {
+    val df = run("x120_expectation_suite").cache()
+    assert(df.count() === 7)
+    val n = graft.operators.Tables.lineitem(spark, sf).count()
+    assert(df.filter(col("n_checked") =!= n).isEmpty, "every check covers the table")
+    assert(df.filter(col("pass") =!= (col("n_violations") === 0L)).isEmpty)
+    assert(df.filter(col("n_violations") < 0 || col("n_violations") > col("n_checked")).isEmpty)
+    // independent re-derivation of the uniqueness check — the fixture's
+    // lineitem genuinely repeats (orderkey, linenumber), so the suite is
+    // non-vacuous: a broken battery returning all-pass would fail here
+    val dup = graft.operators.Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey", "l_linenumber").count().filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).head.getLong(0)
+    val reported = df.filter(col("expectation") === "orderkey_linenumber_unique")
+      .head.getAs[Long]("n_violations")
+    assert(reported === dup && dup > 0, s"uniqueness: reported $reported, derived $dup")
+    df.unpersist()
+  }
+
+  test("qs24: the streamed contract report equals the batch battery per emitted hour") {
+    val df = run("qs24_stream_contract").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("contract_pass") =!= (col("v_value_null") + col("v_value_domain") +
+      col("v_type_set") + col("v_user_null") === 0L)).isEmpty)
+    val batch = graft.operators.Tables.events(spark, sf)
+      .withColumn("window_start", date_trunc("hour", col("ts")))
+      .groupBy("window_start")
+      .agg(count(lit(1)).as("be"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("b1"),
+        sum(when(col("value").isNotNull &&
+          (col("value") <= 0.0 || col("value") > 500.0), 1L).otherwise(0L)).as("b2"))
+    val j = df.join(batch, "window_start")
+    assert(j.filter(col("n_events") =!= col("be") ||
+      col("v_value_null") =!= col("b1") || col("v_value_domain") =!= col("b2")).isEmpty,
+      "streamed expectation counts diverge from the batch battery")
+    df.unpersist()
+  }
+
   test("qs23: the streamed gate equals the batch QI histogram on finalized windows") {
     val df = run("qs23_stream_k_anonymity").cache()
     assert(df.count() > 0)
