@@ -324,4 +324,82 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(straddled.count() > 0 && spark.read.parquet(sink).count() > emittedRun1,
       "no admission straddled the restart — the recovery assertion would be vacuous")
   }
+
+  test("qs23's wide-form QI partial sums restart from checkpoint: the release gate survives the death") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery23")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    val raw = graft.operators.Tables.eventsRawNs(spark, sf)
+    def ns(day: String): Long =
+      java.time.LocalDate.parse(day).atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    val cuts = Seq(
+      col("ts") < ns("2024-01-05"),
+      col("ts") >= ns("2024-01-05") && col("ts") < ns("2024-01-10"),
+      col("ts") >= ns("2024-01-10"))
+    def writeWave(i: Int): Unit = {
+      raw.filter(cuts(i)).coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val trendTypes = Seq("click", "error", "purchase", "signup", "view")
+    val names = for (t <- trendTypes; b <- 0 until 8) yield s"c_${t}_$b"
+    val cells = for (t <- trendTypes; b <- 0 until 8)
+      yield sum(when(col("event_type") === t && col("bin") === b, 1L).otherwise(0L))
+        .as(s"c_${t}_$b")
+
+    def runOnce(): Long = {
+      val agged = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("value").isNotNull)
+        .withColumn("bin", expr("least(7, greatest(0, cast(floor(value / 15.0) as bigint)))"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"), cells: _*)
+      val q = agged.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce()
+    val emittedRun1 = spark.read.parquet(sink).count()
+
+    writeWave(2)
+    val wave2Rows = raw.filter(cuts(2)).count()
+    val run2Input = runOnce()
+
+    // (a) the checkpoint remembered the ingested file set
+    assert(run2Input === wave2Rows,
+      s"restart re-read old waves: run 2 input $run2Input, wave 2 has $wave2Rows")
+
+    // (b) the report over the recovered sink equals the single-run qs23
+    // registry output — only possible if the 41 partial sums of the
+    // window straddling the death were recovered: a fresh buffer would
+    // under-count its classes and flip min/k5 on that window
+    val minCls = s"least(${names.map(n =>
+      s"case when $n = 0 then 9223372036854775807L else $n end").mkString(", ")})"
+    val nCls = names.map(n => s"case when $n > 0 then 1 else 0 end").mkString(" + ")
+    val recovered = spark.read.parquet(sink).select(
+      col("window.start").cast(TimestampNTZType).as("window_start"),
+      col("window.end").cast(TimestampNTZType).as("window_end"),
+      col("n_events"),
+      expr(s"cast(($nCls) as bigint)").as("n_classes"),
+      expr(minCls).as("min_class_size"),
+      expr(s"$minCls >= 5").as("k5_ok"))
+    val oneShot = graft.operators.Queries.byName("qs23_stream_k_anonymity").run(spark, sf)
+    assert(recovered.exceptAll(oneShot).isEmpty && oneShot.exceptAll(recovered).isEmpty,
+      "restarted release-gate report differs from the single-run pipeline")
+    assert(spark.read.parquet(sink).count() > emittedRun1,
+      "wave 2 finalized no windows — the recovery assertion would be vacuous")
+  }
 }
