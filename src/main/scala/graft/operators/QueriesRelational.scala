@@ -1212,4 +1212,57 @@ private[operators] trait QueriesRelational { this: Queries.type =>
       |  CAST(n AS INT) AS n_days
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- X121
+  /** INCREMENTAL AGGREGATE MAINTENANCE (IVM for SUM/COUNT) — the other
+    * half of x110's theorem: a standing per-key aggregate over
+    * generation A is brought to generation B by applying ONLY the CDC
+    * delta — count' = count + Σinserts − Σdeletes, cents' likewise —
+    * never rescanning the base. The delta here is the x110 fixture
+    * convention on events: every (event_id % 89 = 0) row is DELETED and
+    * every (event_id % 97 = 0, % 89 ≠ 0) row re-arrives as an INSERT
+    * with a shifted id (a correction feed). SUM/COUNT are
+    * self-maintainable (no per-key history needed — unlike MIN/MAX,
+    * which revert to x110's rebuild-the-dirty-keys shape on deletes);
+    * the maintenance cost is one aggregation over the DELTA plus a
+    * |keys|-row outer merge against the standing aggregate. The oracle
+    * is the FULL REBUILD over generation B — equality is the IVM
+    * theorem. At 100 TB: the standing aggregate is the stored artifact,
+    * the delta is the day's CDC feed, and this query touches only the
+    * latter. */
+  private[operators] def x121(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    // the standing aggregate over generation A (in production: the artifact)
+    val standing = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    // the CDC delta: deletes carry weight -1, inserts +1 — one frame, so
+    // the delta aggregation is a single pass over the feed
+    val deletes = base.filter(col("event_id") % 89 === 0)
+      .select(col("event_type"), col("cents"), lit(-1L).as("w"))
+    val inserts = base.filter(col("event_id") % 97 === 0 && col("event_id") % 89 =!= 0)
+      .select(col("event_type"), col("cents"), lit(1L).as("w"))
+    val deltaAgg = deletes.unionByName(inserts)
+      .groupBy(col("event_type"))
+      .agg(sum(col("w")).as("dn"), sum(col("w") * col("cents")).as("dcents"))
+    standing.join(deltaAgg, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dcents"), lit(0L)))
+          .as("sum_cents"))
+      .filter(col("n") > 0)
+  }
+
+  /** Full rebuild over generation B — equality is the IVM theorem. */
+  private[operators] lazy val x121Sql =
+    """WITH b AS (SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |genB AS (
+      |  SELECT event_type, cents FROM b WHERE event_id % 89 <> 0
+      |  UNION ALL
+      |  SELECT event_type, cents FROM b WHERE event_id % 97 = 0 AND event_id % 89 <> 0)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM genB GROUP BY event_type HAVING count(*) > 0""".stripMargin
+
 }

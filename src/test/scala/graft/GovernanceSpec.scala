@@ -142,6 +142,27 @@ class GovernanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x121: the delta-maintained aggregate equals an independent full rebuild") {
+    val df = run("x121_ivm_aggregate").cache()
+    // independent generation-B rebuild in Spark (the oracle does it in
+    // DuckDB; this pins the same theorem engine-side)
+    val b = graft.operators.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val genB = b.filter(col("event_id") % 89 =!= 0)
+      .unionByName(b.filter(col("event_id") % 97 === 0 && col("event_id") % 89 =!= 0))
+    val rebuild = genB.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    assert(df.exceptAll(rebuild).isEmpty && rebuild.exceptAll(df).isEmpty,
+      "IVM maintenance diverged from the full rebuild")
+    // the fixture delta is non-trivial: generation B differs from A
+    val a = b.groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(df.join(a.withColumnRenamed("n", "na"), "event_type")
+      .filter(col("n") =!= col("na")).count() > 0,
+      "delta changed nothing — the IVM assertion would be vacuous")
+    df.unpersist()
+  }
+
   test("qs24: the streamed contract report equals the batch battery per emitted hour") {
     val df = run("qs24_stream_contract").cache()
     assert(df.count() > 0)
