@@ -36,7 +36,9 @@ import graft.operators.Queries
   */
 class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private val sf = "/root/testdata/sf0.01"
+  // default = the driver's correctness-gate SF; override for an evidence
+  // run at another scale: sbt -Dgraft.rbs.sf=/root/testdata/sf0.1 ...
+  private val sf = sys.props.getOrElse("graft.rbs.sf", "/root/testdata/sf0.01")
 
   private lazy val spark: SparkSession = {
     val s = SparkSession.builder()
