@@ -18,9 +18,13 @@ object ScaleCurve {
     val dirs = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // at large factors partitions must scale with the DATA (as a cluster's
+    // would), or per-partition shuffle blocks outgrow memory and the curve
+    // measures spill, not the algorithm — override for the 100× point
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.files.maxPartitionBytes", "4m")
@@ -34,6 +38,10 @@ object ScaleCurve {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
+        // catalog.clearCache() misses RDD-level persists (x17/x77's
+        // per-round leaves) — drop those too or a multi-query probe at
+        // large factors accumulates rounds × queries of cached blocks
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         ((System.nanoTime() - t0) / 1e9, n)

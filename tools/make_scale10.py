@@ -21,7 +21,9 @@ prefix letter:
   - naive cloning makes every clone a near-dup of its 9 siblings and
     inflates pair volume ~45x — a data artifact, not engine scaling.
 
-Usage: python3 tools/make_scale10.py [outdir=/tmp/scale10]
+Usage: python3 tools/make_scale10.py [outdir=/tmp/scale10] [factor=10]
+(factor = number of vocabulary-disjoint shards; 10 and 100 are the
+round-7 evidence points)
 """
 import hashlib
 import shutil
@@ -45,10 +47,10 @@ def remap(token, k, cache):
     return t
 
 
-def main(out):
+def main(out, factor=10):
     docs = pq.read_table(f"{SRC}/documents.parquet").to_pylist()
     rows, cache = [], {}
-    for k in range(10):
+    for k in range(factor):
         for d in docs:
             text = " ".join(remap(t, k, cache) for t in d["text"].split(" "))
             rows.append({"doc_id": d["doc_id"] + k * 100000, "text": text,
@@ -59,8 +61,8 @@ def main(out):
 
     emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pylist()
     rows = []
-    for k in range(10):
-        r = 8 * k
+    for k in range(factor):
+        r = (8 * k) % 64  # distinct rotations cycle; vec_id offsets keep shards disjoint
         for e in emb:
             v = e["embedding"]
             rows.append({"vec_id": e["vec_id"] + k * 100000,
@@ -74,4 +76,5 @@ def main(out):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10",
+         int(sys.argv[2]) if len(sys.argv) > 2 else 10)
