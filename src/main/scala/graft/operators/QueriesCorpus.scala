@@ -2107,4 +2107,247 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
        |       JOIN documents db ON db.doc_id = p.doc_b
        |WHERE da.lang <> db.lang""".stripMargin
 
+  // ---------------------------------------------------------------- X123
+  /** BRADLEY–TERRY PREFERENCE RANKING — the pairwise-comparison MLE
+    * behind RLHF reward-model data curation and judge-panel
+    * aggregation: items (suppliers) are compared head-to-head (within
+    * each order, the supplier shipping the larger quantity "wins"; ties
+    * contribute nothing), and 4 rounds of the minorize–maximize update
+    *   θ'_i = w_i / Σ_j n_ij/(θ_i+θ_j),  then mean-normalize
+    * recover latent strengths. INTEGER-EXACT throughout (the r7
+    * discipline): θ lives as ppm BIGINT, every division is the half-up
+    * rational `(2n+d) div (2d)` over DECIMAL(38,0)/HUGEINT, every sum is
+    * an order-free integer sum — no floating point anywhere, so no
+    * RoundBoundarySpec surface. Items enter the model only with ≥1 win
+    * AND ≥1 loss (the standard connectivity precondition, applied once);
+    * a 1-ppm floor keeps the recursion total even for items whose wins
+    * all involve dropped counterparts.
+    *
+    * Scale shape: comparisons come from an ORDER-KEYED self-join (per-key
+    * fan-out ≤ lines², bounded by the ~7-line order size — the x92 wedge
+    * argument, never corpus²); the symmetric pair matrix aggregates to
+    * ≤ |items|² rows and each MM round is two keyed joins + one keyed
+    * aggregation on it (θ is |items| rows); the normalizer is a 1-row
+    * broadcast scalar attach. 4 rounds = 4 such stages, plan depth fixed. */
+  private[operators] def x123(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        col("l_quantity").as("qty"))
+    // The ONLY corpus-scale pass: the order-keyed shuffle-hash self-join
+    // (per-key fan-out ≤ lines², the x92 wedge bound) explodes each
+    // comparison into BOTH orientations and collapses map-side into the
+    // directed+symmetric matrix sym0(a, b, n, wa) — n = comparisons of
+    // the unordered pair, wa = a's wins — in ONE partial-aggregated
+    // shuffle. Everything downstream (item filter, per-item win/loss
+    // totals, 4 MM rounds) rides this ≤ |items|²-bounded frame; the
+    // comparison stream itself is never materialized or re-shuffled.
+    val symAll = li.as("a").hint("shuffle_hash").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk") &&
+          col("a.qty") > col("b.qty"))
+      .select(explode(array(
+        struct(col("a.sk").as("a"), col("b.sk").as("b"), lit(1L).as("win")),
+        struct(col("b.sk").as("a"), col("a.sk").as("b"), lit(0L).as("win")))).as("e"))
+      .select(col("e.a"), col("e.b"), col("e.win"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"), sum(col("win")).as("wa"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val per = symAll.groupBy(col("a").as("s"))
+      .agg(sum(col("wa")).as("w"), sum(col("n") - col("wa")).as("l"))
+    val items = per.filter(col("w") > 0 && col("l") > 0).select(col("s"))
+    // items broadcasts into both endpoint filters; sym lands partitioned
+    // by `a` so every MM round's per-item aggregation is exchange-free
+    val sym = symAll
+      .join(broadcast(items.select(col("s").as("a"))), Seq("a"), "left_semi")
+      .join(broadcast(items.select(col("s").as("b"))), Seq("b"), "left_semi")
+      .repartition(col("a")).persist(StorageLevel.MEMORY_AND_DISK)
+    val base = sym.groupBy(col("a").as("s"))
+      .agg(sum(col("wa")).as("w"), sum(col("n") - col("wa")).as("l"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val items2 = base.select(col("s"))
+    // Each MM round exits through a persisted-RDD LEAF (the x17/x77
+    // iterative discipline): θ appears twice per round (both pair
+    // endpoints) and `raw` twice more (normalizer + carry), so without a
+    // lineage cut the unrolled logical plan grows ~3^rounds — measured
+    // 166 s at sf0.001, and the plan STRING alone OOMs AQE's explain.
+    // persist() is not enough (it caches rows, not the analyzed plan);
+    // re-entering SQL via LogicalRDD keeps round N's plan O(1).
+    // θ is |items| rows (16 B each) and BROADCASTS into both endpoint
+    // joins — the items²-bounded sym frame never reshuffles for them.
+    // Past broadcast reach (≳10⁸ items) both joins degrade gracefully to
+    // keyed shuffles by dropping the hint; sym stays the only big frame.
+    var prevRdd: org.apache.spark.rdd.RDD[Row] = null
+    def mmRound(theta: DataFrame): DataFrame = {
+      val denom = sym
+        .join(broadcast(theta.select(col("s").as("a"), col("th").as("tha"))), "a")
+        .join(broadcast(theta.select(col("s").as("b"), col("th").as("thb"))), "b")
+        .select(col("a").as("s"), expr(
+          """CAST((2 * CAST(n AS DECIMAL(38,0)) * 1000000000000 + (tha + thb))
+            |  div (2 * (tha + thb)) AS DECIMAL(38,0))""".stripMargin).as("term"))
+        .groupBy(col("s")).agg(sum(col("term")).as("denom"))
+      val raw = base.join(denom, "s")
+        .withColumn("thp", expr(
+          """greatest(CAST((2 * CAST(w AS DECIMAL(38,0)) * 1000000000000 + denom)
+            |  div (2 * denom) AS DECIMAL(38,0)), CAST(1 AS DECIMAL(38,0)))""".stripMargin))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sc = raw.agg(sum(col("thp")).as("ssum"), count(lit(1)).as("kk"))
+      val outPlan = raw.crossJoin(broadcast(sc))
+        .select(col("s"), expr(
+          """greatest(CAST((2 * thp * kk * 1000000 + ssum)
+            |  div (2 * ssum) AS BIGINT), 1L)""".stripMargin).as("th"))
+      val rdd = outPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = spark.createDataFrame(rdd, outPlan.schema)
+      out.count() // materialize the leaf; O(items) rows
+      raw.unpersist()
+      if (prevRdd != null) prevRdd.unpersist() // round N-1's leaf is consumed
+      prevRdd = rdd // the LAST round's leaf backs the returned frame — kept
+      out
+    }
+    val t0 = items2.withColumn("th", lit(1000000L))
+    val tN = mmRound(mmRound(mmRound(mmRound(t0))))
+    val wr = Window.orderBy(col("theta_ppm").desc, col("supplier").asc)
+    base.join(tN, "s")
+      .select(col("s").as("supplier"), col("w").as("wins"), col("l").as("losses"),
+        (col("w") + col("l")).as("n_comp"), col("th").as("theta_ppm"))
+      .withColumn("rnk", row_number().over(wr))
+  }
+
+  private[operators] lazy val x123Sql =
+    """WITH li AS MATERIALIZED (SELECT l_orderkey AS ok, l_suppkey AS sk, l_quantity AS qty
+      |            FROM lineitem),
+      |pr AS MATERIALIZED (SELECT a.sk AS wi, b.sk AS lo FROM li a JOIN li b
+      |       ON a.ok = b.ok AND a.sk <> b.sk AND a.qty > b.qty),
+      |w1 AS MATERIALIZED (SELECT wi AS s FROM pr GROUP BY 1),
+      |l1 AS MATERIALIZED (SELECT lo AS s FROM pr GROUP BY 1),
+      |items AS MATERIALIZED (SELECT s FROM w1 JOIN l1 USING (s)),
+      |pr2 AS MATERIALIZED (SELECT wi, lo FROM pr WHERE wi IN (SELECT s FROM items)
+      |                                AND lo IN (SELECT s FROM items)),
+      |sym AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT wi AS a, lo AS b FROM pr2
+      |    UNION ALL SELECT lo AS a, wi AS b FROM pr2) u GROUP BY 1, 2),
+      |items2 AS MATERIALIZED (SELECT DISTINCT a AS s FROM sym),
+      |k AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS kk FROM items2),
+      |base AS MATERIALIZED (SELECT i.s,
+      |    coalesce(w.w, 0) AS w, coalesce(lx.l, 0) AS l FROM items2 i
+      |  LEFT JOIN (SELECT wi AS s, CAST(count(*) AS BIGINT) AS w
+      |             FROM pr2 GROUP BY 1) w ON w.s = i.s
+      |  LEFT JOIN (SELECT lo AS s, CAST(count(*) AS BIGINT) AS l
+      |             FROM pr2 GROUP BY 1) lx ON lx.s = i.s),
+      |t0 AS MATERIALIZED (SELECT s, CAST(1000000 AS HUGEINT) AS th FROM items2),
+      |d1 AS MATERIALIZED (SELECT sym.a AS s, sum((2 * CAST(n AS HUGEINT) * 1000000000000
+      |         + (ta.th + tb.th)) // (2 * (ta.th + tb.th))) AS denom
+      |       FROM sym JOIN t0 ta ON ta.s = sym.a JOIN t0 tb ON tb.s = sym.b
+      |       GROUP BY 1),
+      |r1 AS MATERIALIZED (SELECT base.s, greatest((2 * CAST(w AS HUGEINT) * 1000000000000
+      |         + denom) // (2 * denom), 1) AS thp
+      |       FROM base JOIN d1 USING (s)),
+      |t1 AS MATERIALIZED (SELECT s, greatest((2 * thp * (SELECT kk FROM k) * 1000000
+      |         + (SELECT sum(thp) FROM r1)) // (2 * (SELECT sum(thp) FROM r1)), 1)
+      |         AS th FROM r1),
+      |d2 AS MATERIALIZED (SELECT sym.a AS s, sum((2 * CAST(n AS HUGEINT) * 1000000000000
+      |         + (ta.th + tb.th)) // (2 * (ta.th + tb.th))) AS denom
+      |       FROM sym JOIN t1 ta ON ta.s = sym.a JOIN t1 tb ON tb.s = sym.b
+      |       GROUP BY 1),
+      |r2 AS MATERIALIZED (SELECT base.s, greatest((2 * CAST(w AS HUGEINT) * 1000000000000
+      |         + denom) // (2 * denom), 1) AS thp
+      |       FROM base JOIN d2 USING (s)),
+      |t2 AS MATERIALIZED (SELECT s, greatest((2 * thp * (SELECT kk FROM k) * 1000000
+      |         + (SELECT sum(thp) FROM r2)) // (2 * (SELECT sum(thp) FROM r2)), 1)
+      |         AS th FROM r2),
+      |d3 AS MATERIALIZED (SELECT sym.a AS s, sum((2 * CAST(n AS HUGEINT) * 1000000000000
+      |         + (ta.th + tb.th)) // (2 * (ta.th + tb.th))) AS denom
+      |       FROM sym JOIN t2 ta ON ta.s = sym.a JOIN t2 tb ON tb.s = sym.b
+      |       GROUP BY 1),
+      |r3 AS MATERIALIZED (SELECT base.s, greatest((2 * CAST(w AS HUGEINT) * 1000000000000
+      |         + denom) // (2 * denom), 1) AS thp
+      |       FROM base JOIN d3 USING (s)),
+      |t3 AS MATERIALIZED (SELECT s, greatest((2 * thp * (SELECT kk FROM k) * 1000000
+      |         + (SELECT sum(thp) FROM r3)) // (2 * (SELECT sum(thp) FROM r3)), 1)
+      |         AS th FROM r3),
+      |d4 AS MATERIALIZED (SELECT sym.a AS s, sum((2 * CAST(n AS HUGEINT) * 1000000000000
+      |         + (ta.th + tb.th)) // (2 * (ta.th + tb.th))) AS denom
+      |       FROM sym JOIN t3 ta ON ta.s = sym.a JOIN t3 tb ON tb.s = sym.b
+      |       GROUP BY 1),
+      |r4 AS MATERIALIZED (SELECT base.s, greatest((2 * CAST(w AS HUGEINT) * 1000000000000
+      |         + denom) // (2 * denom), 1) AS thp
+      |       FROM base JOIN d4 USING (s)),
+      |t4 AS MATERIALIZED (SELECT s, greatest((2 * thp * (SELECT kk FROM k) * 1000000
+      |         + (SELECT sum(thp) FROM r4)) // (2 * (SELECT sum(thp) FROM r4)), 1)
+      |         AS th FROM r4)
+      |SELECT base.s AS supplier, base.w AS wins, base.l AS losses,
+      |  base.w + base.l AS n_comp, CAST(t4.th AS BIGINT) AS theta_ppm,
+      |  CAST(row_number() OVER (ORDER BY t4.th DESC, base.s) AS INT) AS rnk
+      |FROM base JOIN t4 ON t4.s = base.s""".stripMargin
+
+  // ---------------------------------------------------------------- X124
+  /** NEXT-EVENT PREDICTION EVAL — the temporal-holdout evaluation of the
+    * x114 Markov matrix, i.e. the "does yesterday's behavior model
+    * predict tomorrow" check run before shipping a behavioral model:
+    * events split by the GLOBAL event_id midpoint (train = first half,
+    * test = second half — a pure integer predicate both engines apply
+    * identically), the transition matrix trains on the train half, each
+    * from-state's argmax successor (count desc, successor asc — a total
+    * order) becomes the predictor, and accuracy is measured on
+    * transitions wholly inside the test half. Accuracy is the half-up
+    * integer `(2·correct·10⁶ + n) div (2n)` ppm — no doubles. From-states
+    * never seen in train predict NULL (counted wrong), so coverage gaps
+    * are visible, not silently dropped.
+    *
+    * Scale shape: both halves ride ONE user-keyed exchange each for
+    * their successor windows (the x114/x75 sessionization cost); the
+    * matrix and the predictor are |types|²-bounded and broadcast back
+    * onto the |types|-keyed test aggregate. Nothing corpus-quadratic;
+    * the midpoint pins as a literal (the x58 stats discipline). */
+  private[operators] def x124(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def transitions(half: DataFrame): DataFrame = half
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    // half-point as a LITERAL bound on the bare column (not `id*2 <= m`):
+    // the predicate reaches the parquet scan as a pushed filter, so each
+    // half reads only its row groups at scale
+    val mid = maxId / 2
+    val train = transitions(ev.filter(col("event_id") <= mid))
+    val test = transitions(ev.filter(col("event_id") > mid))
+    val wp = Window.partitionBy(col("from_type"))
+      .orderBy(col("n").desc, col("to_type").asc)
+    val pred = train.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(wp))
+      .filter(col("r") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    test.join(broadcast(pred), Seq("from_type"), "left")
+      .groupBy(col("from_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm",
+        expr("CAST((2 * n_correct * 1000000 + n_test) div (2 * n_test) AS BIGINT)"))
+  }
+
+  private[operators] lazy val x124Sql =
+    """WITH me AS (SELECT max(event_id) // 2 AS mid FROM events),
+      |tr AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events WHERE event_id <= (SELECT mid FROM me)),
+      |te AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events WHERE event_id > (SELECT mid FROM me)),
+      |mx AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |       FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |pred AS (SELECT from_type, to_type AS predicted FROM (
+      |    SELECT from_type, to_type,
+      |      row_number() OVER (PARTITION BY from_type
+      |        ORDER BY n DESC, to_type) AS r FROM mx) q WHERE r = 1)
+      |SELECT from_type, predicted,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  CAST((2 * sum(CASE WHEN to_type = predicted THEN 1 ELSE 0 END) * 1000000
+      |        + count(*)) // (2 * count(*)) AS BIGINT) AS acc_ppm
+      |FROM te LEFT JOIN pred USING (from_type)
+      |WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
 }

@@ -1318,4 +1318,126 @@ private[operators] trait QueriesText { this: Queries.type =>
       |  ((pr.prior_nano + coalesce(sc.tok_nanos, 0)) > 0) = d.lbl AS correct
       |FROM d LEFT JOIN sc USING (doc_id), pr""".stripMargin
 
+  // ---------------------------------------------------------------- X122
+  /** HYBRID RETRIEVAL FUSION (RRF) — the modern RAG / training-data
+    * selection shape: a LEXICAL ranker (x58's integer-exact BM25 over a
+    * fixed term query) and a SEMANTIC ranker (cosine against a query
+    * embedding — vec_id 0 stands in for the encoded query; the corpus is
+    * docs 1..N, doc_id ≡ vec_id) each produce a top-100 list, fused by
+    * reciprocal-rank fusion. The RRF contribution 10⁶/(60+rank) is
+    * quantized HALF-UP as the pure integer `(2·10⁶ + (60+r)) div
+    * (2·(60+r))` — per the r7 exactness discipline there is NO
+    * `round(double·10⁶)` anywhere; the fused score is a sum of two
+    * integers, so no RoundBoundarySpec enrollment is needed. Cosine
+    * ORDERING happens on raw doubles (never emitted): graft_dot sums
+    * sequentially, exactly DuckDB's list_dot_product, so both engines
+    * rank identical IEEE values (the x7 contract), with vec_id as the
+    * total-order tiebreak.
+    *
+    * Scale shape: each side is the already-audited retrieval pass —
+    * BM25's token explode filters to query terms MAP-SIDE and its stats
+    * pin as literals (x58); the semantic side is one corpus scan against
+    * a broadcast 1-row query. Both top-100s land via
+    * TakeOrderedAndProject (no global sort), the two 100-row lists fuse
+    * with a broadcast-trivial full outer join, and the final top-20 is
+    * again TakeOrdered. At 100 TB the fusion cost is the two rankers;
+    * the RRF join never sees more than 2·k rows. */
+  private[operators] def x122(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("dup", "vector", "join")
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 1)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val st = docs.agg(
+      count(lit(1)).as("n"), sum(col("dl").cast(LongType)).as("sdl")).head()
+    val nDocs = st.getLong(0)
+    val sdl = st.getLong(1)
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val idf = tf.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf_micros",
+        round(log(lit(nDocs.toDouble) / col("df")) * lit(1000000.0), 0).cast(LongType))
+    val bm = tf.join(broadcast(idf), "token")
+      .withColumn("num",
+        expr(s"CAST(idf_micros AS DECIMAL(38,0)) * tf * 22 * ${sdl}L"))
+      .withColumn("den",
+        expr(s"CAST(${sdl}L AS DECIMAL(38,0)) * 10 * tf + ${sdl}L * 3 + 9 * dl * ${nDocs}L"))
+      .withColumn("score_micros", expr("CAST((2 * num + den) div (2 * den) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_micros")).as("bm25_micros"))
+      .orderBy(col("bm25_micros").desc, col("doc_id").asc)
+      .limit(100)
+    val lex = bm.withColumn("lex_rank",
+      row_number().over(Window.orderBy(col("bm25_micros").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val sem = e.filter(col("vec_id") >= 1)
+      .join(broadcast(q)) // 1-row scalar attach
+      .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(100)
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        expr("""coalesce(CAST((2000000 + (60 + lex_rank)) div (2 * (60 + lex_rank)) AS BIGINT), 0L)
+               | + coalesce(CAST((2000000 + (60 + sem_rank)) div (2 * (60 + sem_rank)) AS BIGINT), 0L)""".stripMargin))
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).as("sem_rank"),
+        col("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  private[operators] lazy val x122Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |           WHERE doc_id >= 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(len(tk)) AS BIGINT) AS sdl FROM d),
+      |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM d)
+      |  WHERE token IN ('dup', 'vector', 'join') GROUP BY 1, 2, 3),
+      |idf AS (SELECT token,
+      |    CAST(round(ln(CAST((SELECT n FROM st) AS DOUBLE) / count(DISTINCT doc_id))
+      |               * 1000000.0, 0) AS BIGINT) AS idf_micros
+      |  FROM tf GROUP BY token),
+      |scored AS (SELECT doc_id,
+      |    CAST(idf_micros AS HUGEINT) * tf * 22 * (SELECT sdl FROM st) AS num,
+      |    CAST((SELECT sdl FROM st) AS HUGEINT) * 10 * tf
+      |      + (SELECT sdl FROM st) * 3 + 9 * dl * (SELECT n FROM st) AS den
+      |  FROM tf JOIN idf USING (token)),
+      |bm AS (SELECT doc_id,
+      |    sum(CAST((2 * num + den) // (2 * den) AS BIGINT)) AS bm25_micros
+      |  FROM scored GROUP BY doc_id ORDER BY bm25_micros DESC, doc_id LIMIT 100),
+      |lex AS (SELECT doc_id, CAST(row_number()
+      |    OVER (ORDER BY bm25_micros DESC, doc_id) AS INT) AS lex_rank FROM bm),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |      FROM embeddings),
+      |qv AS (SELECT v AS q, nrm AS qn FROM e WHERE vec_id = 0),
+      |semtop AS (SELECT vec_id AS doc_id,
+      |    list_dot_product(v, (SELECT q FROM qv)) / (nrm * (SELECT qn FROM qv)) AS cos
+      |  FROM e WHERE vec_id >= 1 ORDER BY cos DESC, vec_id LIMIT 100),
+      |sem AS (SELECT doc_id, CAST(row_number()
+      |    OVER (ORDER BY cos DESC, doc_id) AS INT) AS sem_rank FROM semtop),
+      |f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank
+      |      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
+      |SELECT doc_id, coalesce(lex_rank, 0) AS lex_rank,
+      |  coalesce(sem_rank, 0) AS sem_rank,
+      |  coalesce(CAST((2000000 + (60 + lex_rank)) // (2 * (60 + lex_rank)) AS BIGINT), 0)
+      |    + coalesce(CAST((2000000 + (60 + sem_rank)) // (2 * (60 + sem_rank)) AS BIGINT), 0)
+      |    AS rrf_ppm
+      |FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
+
 }

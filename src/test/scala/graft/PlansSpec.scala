@@ -603,4 +603,40 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-vs-corpus shuffle join in the deletion plan:\n$p")
   }
+
+  test("x122: both top-100s are TakeOrdered, the query vector attaches as a 1-row broadcast") {
+    val df = Queries.byName("x122_hybrid_rrf").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, never a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row query embedding must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the tf frame must be cached and reused by the df/idf and score branches:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("x123: comparisons come from an ORDER-KEYED join; pair matrix and wins are cached across MM rounds") {
+    val df = Queries.byName("x123_bradley_terry").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct"),
+      s"the lineitem self-join must stay keyed on l_orderkey:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"sym/base must be cached — each MM round re-reads them, not the corpus:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("x124: the midpoint split is PUSHED to the events scan; the predictor broadcasts") {
+    val df = Queries.byName("x124_markov_eval").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), GreaterThan(event_id")
+      || p.contains("PushedFilters: [GreaterThan(event_id"),
+      s"test-half bound must reach the parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|-bounded predictor must broadcast onto the test aggregate:\n$p")
+  }
 }

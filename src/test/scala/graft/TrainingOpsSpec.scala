@@ -1778,4 +1778,77 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === expect, s"mined ${df.count()} pairs, expected $expect cross-language near-dups")
     df.unpersist()
   }
+
+  test("x122: RRF fusion is the integer half-up sum of both reciprocal-rank contributions") {
+    val df = run("x122_hybrid_rrf").cache()
+    val rows = df.collect().toSeq
+    assert(rows.size === 20)
+    // ranks are within the top-100 window; 0 means "absent from that list"
+    assert(rows.forall { r =>
+      val lr = r.getAs[Int]("lex_rank"); val sr = r.getAs[Int]("sem_rank")
+      lr >= 0 && lr <= 100 && sr >= 0 && sr <= 100 && (lr > 0 || sr > 0)
+    })
+    // recompute the fused score from the emitted ranks
+    def contrib(r: Int): Long = if (r == 0) 0L else (2L * 1000000 + (60 + r)) / (2L * (60 + r))
+    assert(rows.forall { r =>
+      r.getAs[Long]("rrf_ppm") === contrib(r.getAs[Int]("lex_rank")) + contrib(r.getAs[Int]("sem_rank"))
+    }, "rrf_ppm != sum of half-up reciprocal-rank contributions")
+    // the output is the top-20 by fused score (desc, doc_id tiebreak)
+    val scores = rows.map(r => (r.getAs[Long]("rrf_ppm"), r.getAs[Long]("doc_id")))
+    assert(scores === scores.sortBy { case (s, d) => (-s, d) }, "top-20 not in fused order")
+    // genuine fusion: at least one emitted doc carries BOTH ranks
+    assert(rows.exists(r => r.getAs[Int]("lex_rank") > 0 && r.getAs[Int]("sem_rank") > 0),
+      "no doc appears in both rankers' top-100 — fusion is vacuous")
+    df.unpersist()
+  }
+
+  test("x123: Bradley-Terry strengths are mean-normalized, rank-consistent, and deterministic") {
+    val df = run("x123_bradley_terry").cache()
+    val rows = df.collect().toSeq
+    val k = rows.size
+    assert(k > 0)
+    // model precondition: every item entered with >=1 win and >=1 loss
+    assert(rows.forall(r => r.getAs[Long]("wins") > 0 || r.getAs[Long]("losses") > 0))
+    assert(rows.forall(r => r.getAs[Long]("n_comp") ===
+      r.getAs[Long]("wins") + r.getAs[Long]("losses")))
+    // theta is ppm-normalized: mean within integer floor loss of 1e6
+    val mean = rows.map(_.getAs[Long]("theta_ppm")).sum / k
+    assert(math.abs(mean - 1000000L) <= k.toLong,
+      s"theta mean $mean drifted from 1e6 (floor loss bound $k)")
+    assert(rows.forall { r =>
+      val t = r.getAs[Long]("theta_ppm"); t >= 1 && t <= k.toLong * 1000000
+    })
+    // rnk is the exact permutation ordered by (theta desc, supplier asc)
+    val byRank = rows.sortBy(_.getAs[Int]("rnk"))
+    assert(byRank.map(_.getAs[Int]("rnk")) === (1 to k).toSeq)
+    val pairs = byRank.map(r => (r.getAs[Long]("theta_ppm"), r.getAs[Long]("supplier")))
+    assert(pairs === pairs.sortBy { case (t, s) => (-t, s) })
+    // MM actually moves mass toward frequent winners: the top-ranked item's
+    // win RATE is at least the bottom-ranked item's
+    val top = byRank.head; val bot = byRank.last
+    def rate(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("wins").toDouble / r.getAs[Long]("n_comp")
+    assert(rate(top) >= rate(bot), "strength ordering inverted win rates at the extremes")
+    assert(run("x123_bradley_terry").collect().toSeq === rows, "rerun diverged")
+    df.unpersist()
+  }
+
+  test("x124: holdout accuracy is the exact ppm of argmax-correct test transitions") {
+    val df = run("x124_markov_eval").cache()
+    val rows = df.collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("from_type")).distinct.size === rows.size,
+      "from_type rows not unique")
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_test"); val c = r.getAs[Long]("n_correct")
+      n > 0 && c >= 0 && c <= n &&
+        r.getAs[Long]("acc_ppm") === (2 * c * 1000000 + n) / (2 * n)
+    }, "acc_ppm is not the half-up integer accuracy")
+    // the predictor must do strictly better than random SOMEWHERE if the
+    // matrix has signal; at minimum it must never predict an unseen type
+    val types = graft.operators.Tables.events(spark, sf)
+      .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => Option(r.getAs[String]("predicted")).forall(types.contains)))
+    df.unpersist()
+  }
 }
