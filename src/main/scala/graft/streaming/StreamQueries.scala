@@ -1014,6 +1014,46 @@ object StreamQueries {
        |FROM agg WHERE window_end <= $wmSql""".stripMargin
   }
 
+  // --------------------------------------------------------------- QS25
+  /** STREAMING HEAVY HITTERS — x57's Misra–Gries sketch maintained
+    * CONTINUOUSLY over arriving documents: tokens feed ONE global
+    * stateful aggregation whose state is the k-entry mergeable MG
+    * summary (≤ 30 counters per state row regardless of corpus size —
+    * the SKETCH, not the token distribution, bounds the state store; a
+    * token-level exact-count state would be vocabulary-sized). On drain,
+    * the summary's candidate set — which provably contains EVERY token
+    * with frequency > n/(k+1) under ANY merge order (the mergeable-
+    * summaries guarantee: cross-batch buffer merges only tighten the
+    * deficit bound) — is exact-recounted in one batch pass and
+    * thresholded, so the emitted rows are arrival-order-free and
+    * hash-equal to batch x57 even though the intermediate sketch
+    * contents are not. At 100 TB: the stream side shuffles k-entry maps
+    * (one per partition per batch), the recount is x57's map-side
+    * candidate filter. Oracle IS x57's (exact counts over the threshold). */
+  private def qs25(spark: SparkSession, dir: String): DataFrame = {
+    val k = 30
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val agged = docsStream(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy().agg(mg(col("token")).as("mg"))
+    val summary = runToTable(spark, agged, OutputMode.Complete())
+      .head().getAs[scala.collection.Map[String, Long]]("mg")
+    val candidates = summary.keys.toSeq.sorted
+    val toksDf = graft.operators.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = toksDf.count()
+    toksDf.filter(col("token").isInCollection(candidates))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > lit(n))
+      .withColumn("n_tokens", lit(n))
+  }
+
+  private val qs25Sql =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+      |SELECT token, CAST(count(*) AS BIGINT) AS cnt, (SELECT n FROM n) AS n_tokens
+      |FROM t GROUP BY token HAVING count(*) * 31 > (SELECT n FROM n)""".stripMargin
+
   // --------------------------------------------------------------- QS16
   /** Streaming EXACT UNIQUE VISITORS per hour — the metric a naive
     * streaming `count(distinct)` cannot give you (unsupported on
@@ -1428,5 +1468,7 @@ object StreamQueries {
     Q("qs23_stream_k_anonymity", qs23, Some(qs23Sql),
       "streaming k-anonymity release gate: per finalized hour, QI-class count/min/k5 flag via the wide-form single stateful agg"),
     Q("qs24_stream_contract", qs24, Some(qs24Sql),
-      "streaming data-contract gate: x120's row-local expectations per finalized hour as wide-form conditional sums + pass flag"))
+      "streaming data-contract gate: x120's row-local expectations per finalized hour as wide-form conditional sums + pass flag"),
+    Q("qs25_stream_heavy_hitters", qs25, Some(qs25Sql),
+      "streaming Misra-Gries heavy hitters: k-counter mergeable sketch state across arrival waves, exact recount on drain = batch x57"))
 }

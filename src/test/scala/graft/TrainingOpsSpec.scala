@@ -1779,6 +1779,20 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("qs25: the streamed MG heavy-hitter set equals batch x57 exactly") {
+    val streamed = Queries.byName("qs25_stream_heavy_hitters").run(spark, sf)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("n_tokens"))).toSet
+    val batch = run("x57_heavy_hitters")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("n_tokens"))).toSet
+    assert(streamed === batch,
+      "streaming sketch + exact recount diverged from the batch heavy hitters")
+    assert(streamed.nonEmpty, "vacuous: fixture has no heavy hitters")
+    // every emitted token really is above the n/(k+1) deficit threshold
+    assert(streamed.forall { case (_, cnt, n) => cnt * 31 > n })
+  }
+
   test("x122: RRF fusion is the integer half-up sum of both reciprocal-rank contributions") {
     val df = run("x122_hybrid_rrf").cache()
     val rows = df.collect().toSeq
