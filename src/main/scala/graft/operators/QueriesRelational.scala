@@ -910,6 +910,64 @@ private[operators] trait QueriesRelational { this: Queries.type =>
       |  min(mo) AS first_month, max(mo) AS last_month
       |FROM c GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- Q42
+  /** SNAPSHOT-EXPIRY (VACUUM) PLAN — q41's maintenance dual: which data
+    * files can be physically deleted once old table snapshots expire.
+    * Table model (derived deterministically from orders): one snapshot
+    * per order WEEK; week i's file lands as v1 at snapshot i and is
+    * REWRITTEN as v2 at snapshot i+1 (late-arrival reconciliation), so
+    * v1-of-i is referenced only by snapshot i while v2-of-i stays
+    * current; the newest week's v1 is still live. Retention keeps the
+    * last 4 snapshots, so a file is deletable iff EVERY snapshot
+    * referencing it has expired — the Iceberg expire-snapshots
+    * reachability rule, computed here as pure integer index algebra
+    * (dense week index via a domain-bounded window, the x50 argument:
+    * |weeks| rows, never |orders|). One corpus aggregation builds the
+    * per-week manifest; the plan itself is metadata in, metadata out —
+    * at 100 TB it reads the catalog's file listing, not the table. */
+  private[operators] def q42(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.orders(spark, dir)
+      .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wIdx = Window.orderBy(col("wk"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    weeks
+      .withColumn("snap", dense_rank().over(wIdx))
+      .withColumn("max_snap", max(col("snap")).over(wAll))
+      .select(col("wk"), col("n_rows"), col("snap"), col("max_snap"),
+        explode(array(lit(1), lit(2))).as("version"))
+      // v2 only exists once the rewrite snapshot happened
+      .filter(col("version") === 1 || col("snap") < col("max_snap"))
+      .withColumn("added_snap",
+        when(col("version") === 1, col("snap")).otherwise(col("snap") + 1))
+      .withColumn("retired_snap",
+        when(col("version") === 1 && col("snap") < col("max_snap"), col("snap") + 1))
+      .withColumn("deletable",
+        col("retired_snap").isNotNull && col("retired_snap") - 1 <= col("max_snap") - 4)
+      .select(col("wk").cast(TimestampNTZType).as("file_week"),
+        col("version"), col("n_rows"),
+        col("added_snap").cast(IntegerType).as("added_snap"),
+        col("retired_snap").cast(IntegerType).as("retired_snap"),
+        col("deletable"))
+  }
+
+  private[operators] lazy val q42Sql =
+    """WITH w AS (SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
+      |             CAST(count(*) AS BIGINT) AS n_rows
+      |           FROM orders GROUP BY 1),
+      |i AS (SELECT *, CAST(dense_rank() OVER (ORDER BY wk) AS INT) AS snap,
+      |        CAST(count(*) OVER () AS INT) AS max_snap FROM w),
+      |f AS (SELECT *, unnest([1, 2]) AS version FROM i)
+      |SELECT wk AS file_week, version, n_rows,
+      |  CAST(CASE WHEN version = 1 THEN snap ELSE snap + 1 END AS INT) AS added_snap,
+      |  CAST(CASE WHEN version = 1 AND snap < max_snap THEN snap + 1 END AS INT)
+      |    AS retired_snap,
+      |  (CASE WHEN version = 1 AND snap < max_snap THEN snap + 1 END) IS NOT NULL
+      |    AND (CASE WHEN version = 1 AND snap < max_snap THEN snap + 1 END) - 1
+      |        <= max_snap - 4 AS deletable
+      |FROM f WHERE version = 1 OR snap < max_snap""".stripMargin
+
   // ---------------------------------------------------------------- Q27
   /** The distribution-window family q8 leaves out: ntile quartiles,
     * percent_rank, cume_dist, and frame-bound first/last values, per
@@ -1264,5 +1322,74 @@ private[operators] trait QueriesRelational { this: Queries.type =>
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM genB GROUP BY event_type HAVING count(*) > 0""".stripMargin
+
+  // ---------------------------------------------------------------- X125
+  /** JOIN-CARDINALITY ESTIMATION SCORECARD — the CBO-statistics audit a
+    * warehouse runs before trusting its optimizer: for each core FK join,
+    * the textbook uniform-NDV estimate |R|·|S| / max(ndv_R, ndv_S)
+    * against the TRUE join size, with the error as exact integer ppm.
+    * The true size is computed the scale-correct way: as the dot product
+    * of the two per-key FREQUENCY tables (Σ f_R(k)·f_S(k)) — one keyed
+    * aggregation per side plus a key-domain-bounded join, so the joined
+    * rows themselves are never materialized (at 100 TB the whole point
+    * of estimating a join is not paying for it; the audit shouldn't
+    * either). All arithmetic is half-up integer rationals over
+    * DECIMAL(38,0)/HUGEINT — no doubles anywhere. */
+  private[operators] def x125(spark: SparkSession, dir: String): DataFrame = {
+    def score(name: String, l: DataFrame, r: DataFrame): DataFrame = {
+      val fl = l.groupBy(col("k")).agg(count(lit(1)).as("cl"))
+      val fr = r.groupBy(col("k")).agg(count(lit(1)).as("cr"))
+      val sl = fl.agg(sum(col("cl")).as("n_left"), count(lit(1)).as("ndv_left"))
+      val sr = fr.agg(sum(col("cr")).as("n_right"), count(lit(1)).as("ndv_right"))
+      val act = fl.join(fr, "k")
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("actual_rows"))
+      sl.crossJoin(sr).crossJoin(act) // three 1-row frames
+        .withColumn("join_name", lit(name))
+        .withColumn("est_rows", expr(
+          """CAST((2 * CAST(n_left AS DECIMAL(38,0)) * n_right
+            |  + greatest(ndv_left, ndv_right))
+            |  div (2 * greatest(ndv_left, ndv_right)) AS BIGINT)""".stripMargin))
+        .withColumn("err_ppm", expr(
+          """CAST((2 * CAST(est_rows AS DECIMAL(38,0)) * 1000000 + actual_rows)
+            |  div (2 * actual_rows) AS BIGINT)""".stripMargin))
+        .select(col("join_name"), col("n_left"), col("n_right"),
+          col("ndv_left"), col("ndv_right"), col("est_rows"),
+          col("actual_rows"), col("err_ppm"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    score("orders_customer",
+        Tables.orders(spark, dir).select(col("o_custkey").as("k")),
+        Tables.customer(spark, dir).select(col("c_custkey").as("k")))
+      .union(score("lineitem_orders",
+        li.select(col("l_orderkey").as("k")),
+        Tables.orders(spark, dir).select(col("o_orderkey").as("k"))))
+      .union(score("lineitem_part",
+        li.select(col("l_partkey").as("k")),
+        Tables.part(spark, dir).select(col("p_partkey").as("k"))))
+  }
+
+  private[operators] lazy val x125Sql = {
+    def one(name: String, lt: String, lk: String, rt: String, rk: String) =
+      s"""SELECT '$name' AS join_name, n_left, n_right, ndv_left, ndv_right,
+         |  CAST((2 * CAST(n_left AS HUGEINT) * n_right + greatest(ndv_left, ndv_right))
+         |       // (2 * greatest(ndv_left, ndv_right)) AS BIGINT) AS est_rows,
+         |  actual_rows,
+         |  CAST((2 * CAST((2 * CAST(n_left AS HUGEINT) * n_right + greatest(ndv_left, ndv_right))
+         |       // (2 * greatest(ndv_left, ndv_right)) AS HUGEINT) * 1000000 + actual_rows)
+         |       // (2 * actual_rows) AS BIGINT) AS err_ppm
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n_left,
+         |        CAST(count(DISTINCT $lk) AS BIGINT) AS ndv_left FROM $lt),
+         |     (SELECT CAST(count(*) AS BIGINT) AS n_right,
+         |        CAST(count(DISTINCT $rk) AS BIGINT) AS ndv_right FROM $rt),
+         |     (SELECT CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS actual_rows FROM
+         |        (SELECT $lk AS k, CAST(count(*) AS BIGINT) AS cl FROM $lt GROUP BY 1) fl
+         |        JOIN (SELECT $rk AS k, CAST(count(*) AS BIGINT) AS cr FROM $rt GROUP BY 1) fr
+         |        USING (k))""".stripMargin
+    Seq(
+      one("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"))
+      .mkString("", "\nUNION ALL\n", "")
+  }
 
 }

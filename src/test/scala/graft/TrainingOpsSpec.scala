@@ -1779,6 +1779,55 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("q42: vacuum plan obeys snapshot reachability — current files never deletable") {
+    val df = run("q42_vacuum_plan").cache()
+    val rows = df.collect().toSeq
+    val maxSnap = rows.map(_.getAs[Int]("added_snap")).max
+    // every deletable file is retired, and retired before the expiry horizon
+    assert(rows.forall { r =>
+      !r.getAs[Boolean]("deletable") ||
+        (r.getAs[Integer]("retired_snap") != null &&
+          r.getAs[Integer]("retired_snap") - 1 <= maxSnap - 4)
+    })
+    // live files (never retired) are exactly: every v2, plus the newest v1
+    val live = rows.filter(_.getAs[Integer]("retired_snap") == null)
+    assert(live.forall(r => !r.getAs[Boolean]("deletable")),
+      "a still-referenced file is marked deletable")
+    assert(live.count(_.getAs[Int]("version") === 1) === 1,
+      "exactly one v1 (the newest week) should still be live")
+    // each non-newest week carries both versions; vacuum reclaims all but
+    // the 3 retained pre-horizon v1s
+    val weeks = rows.map(_.getAs[java.time.LocalDateTime]("file_week")).distinct.size
+    assert(rows.size === 2 * weeks - 1)
+    assert(rows.count(_.getAs[Boolean]("deletable")) === weeks - 4,
+      "expiry horizon should free every v1 except the last 4 snapshots' references")
+    df.unpersist()
+  }
+
+  test("x125: the scorecard's true join sizes obey the FK laws; ppm recomputes") {
+    val df = run("x125_join_estimate").cache()
+    val rows = df.collect().map(r => r.getAs[String]("join_name") -> r).toMap
+    assert(rows.keySet === Set("orders_customer", "lineitem_orders", "lineitem_part"))
+    // FK joins: every child row matches exactly one parent → actual = |child|
+    assert(rows("lineitem_orders").getAs[Long]("actual_rows") ===
+      rows("lineitem_orders").getAs[Long]("n_left"))
+    assert(rows("lineitem_part").getAs[Long]("actual_rows") ===
+      rows("lineitem_part").getAs[Long]("n_left"))
+    // parent side of an FK has ndv = row count (keys unique)
+    assert(rows("lineitem_orders").getAs[Long]("ndv_right") ===
+      rows("lineitem_orders").getAs[Long]("n_right"))
+    // err_ppm is the half-up integer ratio of the emitted columns
+    assert(df.collect().forall { r =>
+      val est = BigInt(r.getAs[Long]("est_rows")); val act = BigInt(r.getAs[Long]("actual_rows"))
+      BigInt(r.getAs[Long]("err_ppm")) === (2 * est * 1000000 + act) / (2 * act)
+    })
+    // on the FK joins the uniform-NDV estimate should be nearly exact
+    // (est = |L|·|R|/|R| = |L|): within 1 row of actual
+    assert((rows("lineitem_orders").getAs[Long]("est_rows") -
+      rows("lineitem_orders").getAs[Long]("actual_rows")).abs <= 1)
+    df.unpersist()
+  }
+
   test("qs25: the streamed MG heavy-hitter set equals batch x57 exactly") {
     val streamed = Queries.byName("qs25_stream_heavy_hitters").run(spark, sf)
       .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"),
