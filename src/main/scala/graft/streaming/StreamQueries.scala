@@ -1030,12 +1030,25 @@ object StreamQueries {
     * contents are not. At 100 TB: the stream side shuffles k-entry maps
     * (one per partition per batch), the recount is x57's map-side
     * candidate filter. Oracle IS x57's (exact counts over the threshold). */
+  /** qs25's stream + aggregation, exposed for the recovery spec: a
+    * documents stream over an arbitrary wave dir, and the global
+    * Misra–Gries token aggregation whose ≤ k-entry buffer IS the
+    * streaming state (recoverable from checkpoint like any agg state). */
+  private[graft] def docsStreamFrom(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream.schema(docsRawSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+
+  private[graft] def mgTokenSummary(docs: DataFrame, k: Int = 30): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(k))
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy().agg(mg(col("token")).as("mg"))
+  }
+
   private def qs25(spark: SparkSession, dir: String): DataFrame = {
     val k = 30
-    val mg = udaf(new graft.functions.MisraGries(k))
-    val agged = docsStream(spark, dir)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy().agg(mg(col("token")).as("mg"))
+    val agged = mgTokenSummary(docsStream(spark, dir), k)
     val summary = runToTable(spark, agged, OutputMode.Complete())
       .head().getAs[scala.collection.Map[String, Long]]("mg")
     val candidates = summary.keys.toSeq.sorted

@@ -402,4 +402,63 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(sink).count() > emittedRun1,
       "wave 2 finalized no windows — the recovery assertion would be vacuous")
   }
+
+  test("qs25's Misra-Gries sketch state restarts from checkpoint: new wave only, recount equals batch") {
+    val root = graft.util.TempDirs.create("graft-recovery-mg")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): (Long, scala.collection.Map[String, Long]) = {
+      val q = StreamQueries.mgTokenSummary(StreamQueries.docsStreamFrom(spark, from))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val m = spark.table(name).head().getAs[scala.collection.Map[String, Long]]("mg")
+      (q.recentProgress.map(_.numInputRows).sum, m)
+    }
+
+    // ---- run 1: waves 0+1 arrive, the sketch absorbs them, query STOPS
+    writeWave(0); writeWave(1)
+    val (run1Input, _) = runOnce("mg_run1", ckpt)
+
+    // ---- wave 2 arrives while nothing is running; run 2 resumes from ckpt
+    writeWave(2)
+    val wave2Docs = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    val (run2Input, recoveredMg) = runOnce("mg_run2", ckpt)
+    assert(run2Input === wave2Docs,
+      s"restart re-read old waves: input $run2Input vs wave-2 $wave2Docs (run1 read $run1Input)")
+
+    // the recovered sketch's candidates must recount to EXACTLY the batch
+    // heavy hitters — only possible if the waves-0/1 counter state survived
+    // the death (a wave-2-only sketch has no waves-0/1 mass to protect the
+    // candidates' deficit bound corpus-wide)
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val n = toks.count()
+    val recount = toks
+      .filter(col("token").isInCollection(recoveredMg.keys.toSeq.sorted))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 31 > lit(n))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.operators.Queries.byName("x57_heavy_hitters").run(spark, sf)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toSet
+    assert(recount === batch,
+      "recovered-sketch recount differs from the batch heavy hitters")
+    assert(batch.nonEmpty, "no heavy hitters in the fixture — assertions vacuous")
+
+    // non-vacuity: a FRESH sketch fed only wave 2 carries visibly less
+    // count mass than the recovered one — the state really crossed the death
+    val (_, freshMg) = runOnce("mg_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    assert(recoveredMg.values.sum > freshMg.values.sum,
+      s"recovered sketch mass ${recoveredMg.values.sum} not above fresh wave-2-only mass ${freshMg.values.sum}")
+  }
 }
