@@ -1311,4 +1311,77 @@ private[operators] trait QueriesDedup { this: Queries.type =>
       |FROM all_docs
       |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  // ---------------------------------------------------------------- X126
+  /** MINHASH ESTIMATOR SCORECARD — x103's MinHash twin, completing the
+    * sketch-audit family: for every exact near-dup pair, the 32-component
+    * MinHash similarity estimate (matching components / 32) against the
+    * exact Jaccard, both as integers — est_ppm = matches·31250 exactly,
+    * jac_ppm the half-up rational of the exact intersection counts. The
+    * signed per-pair error prices the sketch before anyone trusts a
+    * banding threshold built on it (E[matches/32] = J; the scorecard
+    * shows the variance at 32 components on REAL near-dup pairs).
+    * Component hashes are md5-derived (`min over shingles of
+    * int48(md5(i || '_' || shingle))`) so BOTH engines compute the same
+    * signatures bit-for-bit — a full-algorithm oracle where x3's kernel
+    * minhash gets only a set-equality one. Shape: signatures are a pure
+    * map-side expression (32 nested array-min transforms per doc — no
+    * explode, no shuffle); the pair list is the shared x2 engine's; both
+    * per-pair reductions ride ONE pairEnds melt (struct-valued attach),
+    * so the corpus is scanned once and only pair-rate rows move. */
+  private[operators] def x126(spark: SparkSession, dir: String): DataFrame = {
+    val sh3 = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(tk) < 3 THEN array()
+          |ELSE array_distinct(transform(sequence(1, size(tk) - 2),
+          |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
+          |              ' ', element_at(tk, i + 2)))) END""".stripMargin).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", expr(
+        """transform(sequence(0, 31), i -> array_min(transform(sh,
+          |  s -> CAST(conv(substr(md5(concat(CAST(i AS STRING), '_', s)), 1, 12),
+          |                 16, 10) AS BIGINT))))""".stripMargin))
+      .select(col("doc_id"),
+        struct(col("sh"), size(col("sh")).as("n"), col("sig")).as("v"))
+    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    pairEnds(pairs, sh3)
+      .withColumn("inter", size(array_intersect(col("va.sh"), col("vb.sh"))))
+      .withColumn("u", col("va.n") + col("vb.n") - col("inter"))
+      .withColumn("jac_ppm",
+        expr("CAST((2 * inter * 1000000L + u) div (2 * u) AS BIGINT)"))
+      .withColumn("matches", expr(
+        "CAST(size(filter(zip_with(va.sig, vb.sig, (x, y) -> x = y), b -> b)) AS BIGINT)"))
+      .select(col("doc_a"), col("doc_b"), col("jac_ppm"), col("matches"),
+        (col("matches") * 31250).as("est_ppm"),
+        (col("matches") * 31250 - col("jac_ppm")).as("err_ppm"))
+  }
+
+  private[operators] lazy val x126Sql =
+    s"""WITH s AS MATERIALIZED ($duckShingleSql),
+       |sg AS MATERIALIZED (SELECT doc_id, sh, len(sh) AS n,
+       |    list_transform(range(32), i -> list_min(list_transform(sh,
+       |      x -> ('0x' || substr(md5(i::VARCHAR || '_' || x), 1, 12))::BIGINT)))
+       |      AS sig
+       |  FROM s WHERE len(sh) > 0),
+       |t AS MATERIALIZED (SELECT doc_id, n, unnest(sh) AS x FROM sg),
+       |pr AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS inter,
+       |    CAST(a.n + b.n - count(*) AS BIGINT) AS u
+       |  FROM t a JOIN t b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+       |  HAVING 2 * count(*) >= a.n + b.n - count(*))
+       |SELECT pr.doc_a, pr.doc_b,
+       |  CAST((2 * inter * 1000000 + u) // (2 * u) AS BIGINT) AS jac_ppm,
+       |  CAST(list_sum(list_transform(range(1, 33),
+       |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) AS BIGINT)
+       |    AS matches,
+       |  CAST(list_sum(list_transform(range(1, 33),
+       |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) * 31250 AS BIGINT)
+       |    AS est_ppm,
+       |  CAST(list_sum(list_transform(range(1, 33),
+       |    k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) * 31250
+       |    - (2 * inter * 1000000 + u) // (2 * u) AS BIGINT) AS err_ppm
+       |FROM pr JOIN sg sa ON sa.doc_id = pr.doc_a
+       |        JOIN sg sb ON sb.doc_id = pr.doc_b""".stripMargin
+
 }

@@ -1828,6 +1828,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x126: the MinHash scorecard's estimator laws hold on real near-dup pairs") {
+    val df = run("x126_minhash_scorecard").cache()
+    val rows = df.collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val m = r.getAs[Long]("matches")
+      m >= 0 && m <= 32 &&
+        r.getAs[Long]("est_ppm") === m * 31250 &&
+        r.getAs[Long]("err_ppm") === r.getAs[Long]("est_ppm") - r.getAs[Long]("jac_ppm") &&
+        r.getAs[Long]("jac_ppm") >= 500000 // the pair engine's threshold
+    })
+    // identical shingle sets hash to identical signatures: any jac = 1
+    // pair must score matches = 32 (none exist at sf0.001; sf0.01+ have them)
+    val exact = rows.filter(_.getAs[Long]("jac_ppm") === 1000000L)
+    assert(exact.forall(_.getAs[Long]("matches") === 32L))
+    // 32-component concentration: mean |err| across pairs well inside the
+    // one-sigma band sqrt(J(1-J)/32) <= 88k ppm (deterministic fixture)
+    val meanAbs = rows.map(r => math.abs(r.getAs[Long]("err_ppm"))).sum / rows.size
+    assert(meanAbs < 150000, s"mean |err| $meanAbs ppm — estimator badly calibrated")
+    df.unpersist()
+  }
+
   test("qs25: the streamed MG heavy-hitter set equals batch x57 exactly") {
     val streamed = Queries.byName("qs25_stream_heavy_hitters").run(spark, sf)
       .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"),
