@@ -1311,6 +1311,67 @@ private[operators] trait QueriesDedup { this: Queries.type =>
       |FROM all_docs
       |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  // ---------------------------------------------------------------- X127
+  /** CONTAINMENT (SUBSET) NEAR-DUP JOIN — the dup class Jaccard
+    * structurally misses: a short document embedded in a longer one
+    * (boilerplate-wrapped reposts, prompt+completion concatenations,
+    * augmented copies) can have jac ≈ |A|/|B| ≪ 0.5 while containment
+    * C = |A∩B| / min(|A|,|B|) ≈ 1. Emits every pair with C ≥ 0.8 plus
+    * which side is the contained one — the keep/drop decision differs
+    * from symmetric dedup (you keep the SUPERSET). Both metrics ride the
+    * same exact integer counts: cont/jac as half-up ppm rationals, the
+    * threshold as the pure integer `5·inter ≥ 4·min(na,nb)`. Shape:
+    * x2's inverted-index machinery (8-byte shingle-hash postings,
+    * sizes joined onto the pair-rate output, never through the posting
+    * shuffle). Honest df-cap note: the x2 cap's completeness argument is
+    * WEAKER for containment (a tiny doc of pure stop-shingles is exactly
+    * the pathological contained doc), so this query runs uncapped
+    * postings and a 100 TB deployment bounds the hot lists by sharding
+    * the contained-side candidates instead.
+    *
+    * Fixture honesty: the synthetic corpus plants only EXACT set-dups
+    * (every emitted pair has C = 1, jac = 1 — verified at all three
+    * SFs), so the registered query exercises the boundary; the
+    * distinctive sub-Jaccard catch (jac < 0.5, C ≥ 0.8) is proven in
+    * TrainingOpsSpec on a constructed wrapped-document corpus through
+    * the same [[x127Core]]. */
+  private[operators] def x127(spark: SparkSession, dir: String): DataFrame =
+    x127Core(shingled(spark, dir))
+
+  private[graft] def x127Core(shingledDocs: DataFrame): DataFrame = {
+    val docs = shingledDocs.filter(col("n") > 0).persist()
+    val sizes = docs.select(col("doc_id"), col("n"))
+    val posts = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    posts.select(col("doc_id").as("doc_a"), col("s"))
+      .join(posts.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(expr("5 * inter >= 4 * least(na, nb)"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((2 * inter * 1000000L + least(na, nb)) div (2 * least(na, nb)) AS BIGINT)")
+          .as("cont_ppm"),
+        expr("CAST((2 * inter * 1000000L + (na + nb - inter)) div (2 * (na + nb - inter)) AS BIGINT)")
+          .as("jac_ppm"),
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("subset_doc"))
+  }
+
+  private[operators] lazy val x127Sql =
+    s"""WITH s AS MATERIALIZED ($duckShingleSql),
+       |t AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS x FROM s
+       |                   WHERE len(sh) > 0)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST((2 * count(*) * 1000000 + least(a.n, b.n))
+       |       // (2 * least(a.n, b.n)) AS BIGINT) AS cont_ppm,
+       |  CAST((2 * count(*) * 1000000 + (a.n + b.n - count(*)))
+       |       // (2 * (a.n + b.n - count(*))) AS BIGINT) AS jac_ppm,
+       |  CASE WHEN a.n <= b.n THEN a.doc_id ELSE b.doc_id END AS subset_doc
+       |FROM t a JOIN t b ON a.x = b.x AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+       |HAVING 5 * count(*) >= 4 * least(a.n, b.n)""".stripMargin
+
   // ---------------------------------------------------------------- X126
   /** MINHASH ESTIMATOR SCORECARD — x103's MinHash twin, completing the
     * sketch-audit family: for every exact near-dup pair, the 32-component

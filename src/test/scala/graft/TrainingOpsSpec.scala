@@ -1828,6 +1828,38 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x127: containment pairs are exact; the sub-Jaccard catch is proven on a wrapped corpus") {
+    val df = run("x127_containment_dedup").cache()
+    val rows = df.collect().toSeq
+    assert(rows.nonEmpty)
+    // containment dominates jaccard; threshold and subset side hold
+    assert(rows.forall { r =>
+      r.getAs[Long]("cont_ppm") >= r.getAs[Long]("jac_ppm") &&
+        r.getAs[Long]("cont_ppm") >= 800000
+    })
+    // fixture honesty (documented): the synthetic corpus plants only exact
+    // set-dups, so every emitted pair sits at the C = 1 boundary
+    assert(rows.forall(r => r.getAs[Long]("cont_ppm") === 1000000L))
+    df.unpersist()
+
+    // the distinctive catch — a short doc wrapped in a long one has
+    // jac << 0.5 but C = 1 — proven through the same core on a
+    // constructed corpus the registered fixture lacks
+    val ss = spark
+    import ss.implicits._
+    val inner = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"pad$i").mkString(" ")
+    val wrapped = Seq((1L, inner), (2L, s"$filler $inner")).toDF("doc_id", "text")
+    val out = graft.operators.Queries.x127Core(
+      graft.operators.Queries.shingleSets(wrapped)).collect()
+    assert(out.length === 1)
+    val p = out.head
+    assert(p.getAs[Long]("cont_ppm") === 1000000L, "inner doc fully contained")
+    assert(p.getAs[Long]("jac_ppm") < 500000,
+      s"jac ${p.getAs[Long]("jac_ppm")} should be below the x2 threshold — this pair is invisible to Jaccard dedup")
+    assert(p.getAs[Long]("subset_doc") === 1L, "the short side must be named as contained")
+  }
+
   test("x126: the MinHash scorecard's estimator laws hold on real near-dup pairs") {
     val df = run("x126_minhash_scorecard").cache()
     val rows = df.collect().toSeq
