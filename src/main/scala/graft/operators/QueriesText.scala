@@ -1318,6 +1318,59 @@ private[operators] trait QueriesText { this: Queries.type =>
       |  ((pr.prior_nano + coalesce(sc.tok_nanos, 0)) > 0) = d.lbl AS correct
       |FROM d LEFT JOIN sc USING (doc_id), pr""".stripMargin
 
+  // ---------------------------------------------------------------- X128
+  /** CLASSIFIER RELIABILITY AUDIT — the score-stratified check run
+    * before anyone trusts x108's quality filter as a DATA-SELECTION
+    * gate: documents bucket into six fixed log-odds bands (an explicit
+    * CASE chain — no floor-division sign traps across engines), and each
+    * band reports its exact size, true-label rate, and classifier
+    * agreement as half-up integer ppm. A calibrated, useful scorer shows
+    * the true-good rate RISING with the score band (spec-pinned: the
+    * extreme bands must order correctly) — if it doesn't, the filter's
+    * threshold is noise and the corpus it selects is biased, not better.
+    * Composition, not duplication: the engine aggregates x108's OWN
+    * output frame; the oracle wraps x108's SQL as a CTE — scorer and
+    * audit can never drift apart. One extra |bins|-row aggregation on
+    * top of x108's single corpus pass. */
+  private[operators] def x128(spark: SparkSession, dir: String): DataFrame = {
+    val binExpr = expr(
+      """CASE WHEN score_nanos < -1000000000L THEN 0
+        |     WHEN score_nanos < 0L           THEN 1
+        |     WHEN score_nanos < 1000000000L  THEN 2
+        |     WHEN score_nanos < 2000000000L  THEN 3
+        |     WHEN score_nanos < 3000000000L  THEN 4
+        |     ELSE 5 END""".stripMargin)
+    x108(spark, dir)
+      .withColumn("bin", binExpr)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_good"), 1L).otherwise(0L)).as("n_label_good"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("bin"), col("n_docs"), col("n_label_good"),
+        expr("CAST((2 * n_label_good * 1000000 + n_docs) div (2 * n_docs) AS BIGINT)")
+          .as("good_rate_ppm"),
+        (col("bin") >= 2).as("pred_good"),
+        expr("CAST((2 * n_correct * 1000000 + n_docs) div (2 * n_docs) AS BIGINT)")
+          .as("agree_ppm"))
+  }
+
+  private[operators] lazy val x128Sql =
+    s"""WITH x108 AS MATERIALIZED ($x108Sql),
+       |b AS (SELECT *, CASE WHEN score_nanos < -1000000000 THEN 0
+       |                     WHEN score_nanos < 0           THEN 1
+       |                     WHEN score_nanos < 1000000000  THEN 2
+       |                     WHEN score_nanos < 2000000000  THEN 3
+       |                     WHEN score_nanos < 3000000000  THEN 4
+       |                     ELSE 5 END AS bin FROM x108)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT) AS n_label_good,
+       |  CAST((2 * sum(CASE WHEN label_good THEN 1 ELSE 0 END) * 1000000 + count(*))
+       |       // (2 * count(*)) AS BIGINT) AS good_rate_ppm,
+       |  bin >= 2 AS pred_good,
+       |  CAST((2 * sum(CASE WHEN correct THEN 1 ELSE 0 END) * 1000000 + count(*))
+       |       // (2 * count(*)) AS BIGINT) AS agree_ppm
+       |FROM b GROUP BY bin""".stripMargin
+
   // ---------------------------------------------------------------- X122
   /** HYBRID RETRIEVAL FUSION (RRF) — the modern RAG / training-data
     * selection shape: a LEXICAL ranker (x58's integer-exact BM25 over a

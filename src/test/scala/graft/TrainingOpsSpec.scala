@@ -1828,6 +1828,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x128: the reliability audit partitions the corpus and orders the extreme bands") {
+    val df = run("x128_reliability_audit").cache()
+    val rows = df.collect().toSeq.sortBy(_.getAs[Int]("bin"))
+    // the bands partition x108's scored corpus exactly
+    val scored = run("x108_nb_quality_classifier").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === scored)
+    // ppm columns recompute from the emitted counts
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_docs"); val g = r.getAs[Long]("n_label_good")
+      r.getAs[Long]("good_rate_ppm") === (2 * g * 1000000 + n) / (2 * n) &&
+        r.getAs[Boolean]("pred_good") === (r.getAs[Int]("bin") >= 2)
+    })
+    // the scorer must ORDER quality: the top band's true-good rate strictly
+    // above the bottom band's (else the filter threshold is noise)
+    assert(rows.last.getAs[Long]("good_rate_ppm") > rows.head.getAs[Long]("good_rate_ppm"),
+      s"top band ${rows.last.getAs[Long]("good_rate_ppm")} !> bottom ${rows.head.getAs[Long]("good_rate_ppm")}")
+    df.unpersist()
+  }
+
   test("x127: containment pairs are exact; the sub-Jaccard catch is proven on a wrapped corpus") {
     val df = run("x127_containment_dedup").cache()
     val rows = df.collect().toSeq
