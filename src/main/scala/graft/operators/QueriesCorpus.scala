@@ -2107,6 +2107,62 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
        |       JOIN documents db ON db.doc_id = p.doc_b
        |WHERE da.lang <> db.lang""".stripMargin
 
+  // ---------------------------------------------------------------- X129
+  /** RFM FEATURE TABLE — the classic recency/frequency/monetary customer
+    * featurization (segmentation, churn models, reward-weighting): per
+    * user, hours since last event (integer µs division against the
+    * corpus max pinned as a literal — the x58 stats discipline), exact
+    * event count, exact cents total (qs22's round-to-cents expression),
+    * each scored 1–5 by QUINTILE with the canonical orientations (5 =
+    * most recent / most frequent / highest spend) and composed into the
+    * three-digit RFM code. Quintiles are ntile(5) under a (metric,
+    * user_id) total order — identical ceil-split semantics in both
+    * engines, so scores hash-match. Scale note: the ntile windows run on
+    * the USER-feature table (one row per user — the q27/x67 cost class,
+    * |users| ≪ |events|); at extreme user cardinality the quintile cut
+    * swaps to x104's two-pass rank refinement, scores become map-side
+    * bucket lookups, and the rest is unchanged. */
+  private[operators] def x129(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val maxUs = ev.agg(max(expr("unix_micros(cast(ts as timestamp))"))).head().getLong(0)
+    val feats = ev.groupBy(col("user_id"))
+      .agg(max(expr("unix_micros(cast(ts as timestamp))")).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("monetary_cents"))
+      .withColumn("recency_hours",
+        expr(s"CAST((${maxUs}L - last_us) div 3600000000L AS BIGINT)"))
+    val r = Window.orderBy(col("recency_hours").desc, col("user_id").asc)
+    val f = Window.orderBy(col("frequency").asc, col("user_id").asc)
+    val m = Window.orderBy(col("monetary_cents").asc, col("user_id").asc)
+    feats
+      .withColumn("r_score", ntile(5).over(r))
+      .withColumn("f_score", ntile(5).over(f))
+      .withColumn("m_score", ntile(5).over(m))
+      .select(col("user_id"), col("recency_hours"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
+  }
+
+  private[operators] lazy val x129Sql =
+    """WITH mx AS (SELECT CAST(epoch_us(max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS m
+      |            FROM events),
+      |f AS (SELECT user_id,
+      |        CAST(epoch_us(max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us,
+      |        CAST(count(*) AS BIGINT) AS frequency,
+      |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |      FROM events GROUP BY 1),
+      |s AS (SELECT *,
+      |        CAST(((SELECT m FROM mx) - last_us) // 3600000000 AS BIGINT) AS recency_hours
+      |      FROM f)
+      |SELECT user_id, recency_hours, frequency, monetary_cents,
+      |  CAST(ntile(5) OVER (ORDER BY recency_hours DESC, user_id) AS INT) AS r_score,
+      |  CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_score,
+      |  CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT) AS m_score,
+      |  CAST(ntile(5) OVER (ORDER BY recency_hours DESC, user_id) AS INT) * 100
+      |    + CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) * 10
+      |    + CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT) AS rfm
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- X123
   /** BRADLEY–TERRY PREFERENCE RANKING — the pairwise-comparison MLE
     * behind RLHF reward-model data curation and judge-panel

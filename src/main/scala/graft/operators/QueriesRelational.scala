@@ -968,6 +968,46 @@ private[operators] trait QueriesRelational { this: Queries.type =>
       |        <= max_snap - 4 AS deletable
       |FROM f WHERE version = 1 OR snap < max_snap""".stripMargin
 
+  // ---------------------------------------------------------------- Q43
+  /** TIME-TRAVEL READ (AS OF snapshot) — the read-side dual of q42's
+    * expiry planner, on the same weekly commit+rewrite file model: query
+    * the table AS OF snapshot s = max_snap − 2. Snapshot isolation says
+    * the live file set at s is {v2 of weeks < s} ∪ {v1 of week s} — the
+    * manifest this query emits per week (version actually read, rows
+    * served) plus each week's exact row count. The SPEC proves the
+    * semantic theorem: the manifest's total equals the direct temporal
+    * filter (orders with week-index ≤ s) — time travel reconstructs
+    * history from metadata without rereading it. Same scale shape as
+    * q42: one corpus aggregation, then |weeks|-bounded index algebra. */
+  private[operators] def q43(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.orders(spark, dir)
+      .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wIdx = Window.orderBy(col("wk"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    weeks
+      .withColumn("snap", dense_rank().over(wIdx))
+      .withColumn("as_of", max(col("snap")).over(wAll) - 2)
+      .filter(col("snap") <= col("as_of"))
+      .select(col("wk").cast(TimestampNTZType).as("file_week"),
+        when(col("snap") < col("as_of"), 2).otherwise(1)
+          .cast(IntegerType).as("version_read"),
+        col("n_rows"),
+        col("as_of").cast(IntegerType).as("as_of_snap"))
+  }
+
+  private[operators] lazy val q43Sql =
+    """WITH w AS (SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
+      |             CAST(count(*) AS BIGINT) AS n_rows
+      |           FROM orders GROUP BY 1),
+      |i AS (SELECT *, CAST(dense_rank() OVER (ORDER BY wk) AS INT) AS snap,
+      |        CAST(count(*) OVER () AS INT) - 2 AS as_of FROM w)
+      |SELECT wk AS file_week,
+      |  CAST(CASE WHEN snap < as_of THEN 2 ELSE 1 END AS INT) AS version_read,
+      |  n_rows, CAST(as_of AS INT) AS as_of_snap
+      |FROM i WHERE snap <= as_of""".stripMargin
+
   // ---------------------------------------------------------------- Q27
   /** The distribution-window family q8 leaves out: ntile quartiles,
     * percent_rank, cume_dist, and frame-bound first/last values, per

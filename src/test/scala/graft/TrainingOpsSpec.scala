@@ -1828,6 +1828,52 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("q43: the as-of manifest reconstructs exactly the temporal prefix of the table") {
+    val df = run("q43_time_travel").cache()
+    val rows = df.collect().toSeq
+    assert(rows.nonEmpty)
+    val asOf = rows.head.getAs[Int]("as_of_snap")
+    assert(rows.forall(_.getAs[Int]("as_of_snap") === asOf))
+    // exactly one v1 file (the as-of week itself); all earlier weeks read v2
+    assert(rows.count(_.getAs[Int]("version_read") === 1) === 1)
+    // the semantic theorem: manifest total == direct temporal filter over orders
+    val maxWeek = rows.map(_.getAs[java.time.LocalDateTime]("file_week")).max(
+      Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _))
+    val direct = graft.operators.Tables.orders(spark, sf)
+      .filter(date_trunc("week", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType) <= lit(maxWeek))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === direct,
+      "time-travel manifest total diverges from the temporal prefix")
+    df.unpersist()
+  }
+
+  test("x129: RFM scores are balanced quintiles consistent with the raw features") {
+    val df = run("x129_rfm_features").cache()
+    val rows = df.collect().toSeq
+    val users = graft.operators.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.size.toLong === users, "one feature row per user")
+    // quintiles are balanced within 1 (ntile ceil-split law)
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val sizes = rows.groupBy(_.getAs[Int](c)).view.mapValues(_.size)
+      assert(sizes.keySet === Set(1, 2, 3, 4, 5), s"$c buckets")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$c unbalanced: $sizes")
+    }
+    // orientation: the best-frequency bucket's MIN count >= worst bucket's MAX
+    val f5 = rows.filter(_.getAs[Int]("f_score") === 5).map(_.getAs[Long]("frequency"))
+    val f1 = rows.filter(_.getAs[Int]("f_score") === 1).map(_.getAs[Long]("frequency"))
+    assert(f5.min >= f1.max, "f_score not monotone in frequency")
+    val r5 = rows.filter(_.getAs[Int]("r_score") === 5).map(_.getAs[Long]("recency_hours"))
+    val r1 = rows.filter(_.getAs[Int]("r_score") === 1).map(_.getAs[Long]("recency_hours"))
+    assert(r5.max <= r1.min, "r_score=5 must be the most recent users")
+    assert(rows.forall { r =>
+      r.getAs[Int]("rfm") === r.getAs[Int]("r_score") * 100 +
+        r.getAs[Int]("f_score") * 10 + r.getAs[Int]("m_score")
+    })
+    df.unpersist()
+  }
+
   test("x128: the reliability audit partitions the corpus and orders the extreme bands") {
     val df = run("x128_reliability_audit").cache()
     val rows = df.collect().toSeq.sortBy(_.getAs[Int]("bin"))
