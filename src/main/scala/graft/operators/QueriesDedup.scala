@@ -1311,6 +1311,77 @@ private[operators] trait QueriesDedup { this: Queries.type =>
       |FROM all_docs
       |GROUP BY 1 HAVING count(*) >= 2""".stripMargin
 
+  // ---------------------------------------------------------------- X130
+  /** INCREMENTAL DEDUP-CLUSTER MAINTENANCE — the graph member of the IVM
+    * family (x121 maintains aggregates, x110 the exact-dup index; THIS
+    * maintains x17's near-dup components when a delta of documents
+    * arrives): the standing base clustering is brought to the new
+    * generation by work proportional to the DELTA, and the oracle is
+    * x17's full recursive rebuild over base+delta — equality IS the
+    * theorem. Algorithm: (1) candidate pairs touching the delta come
+    * from postings(delta) ⋈ postings(corpus) — never base×base — and
+    * verify exactly on full shingle sets (the x3 discipline); (2) each
+    * verified pair lifts to an edge between LABELS (a base doc's
+    * component min-id, a new doc's own id), and the label graph —
+    * |affected components|-sized, not corpus-sized — runs the same
+    * minLabelComponents fixpoint; (3) the resulting old→new label map
+    * broadcasts back over the standing assignment. Because every base
+    * label is its component's min doc-id, the min over a merged label
+    * component is the true min over all merged docs — so the incremental
+    * labels are bit-identical to the rebuild's. At 100 TB: delta-sized
+    * posting join + affected-component label graph + one broadcast
+    * relabel; the base pair graph is never recomputed. */
+  private[operators] def x130(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir).filter(col("n") > 0).persist()
+    val isDelta = col("doc_id") % 10 === 0
+    // standing state (in production: the stored clustering artifact)
+    val basePairs = nearDupPairs(docs.filter(!isDelta))
+      .select(col("doc_a"), col("doc_b"))
+    val baseEdges = basePairs.unionByName(
+      basePairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val (baseLabels, _) = minLabelComponents(baseEdges)
+    val lbl = baseLabels.select(col("src").as("doc"), col("lbl")).persist()
+    // delta-proportional candidate generation + exact verify
+    val postsAll = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val postsDelta = docs.filter(isDelta).select(col("doc_id"), explode(col("sh")).as("s"))
+    val cand = postsDelta.select(col("doc_id").as("d"), col("s"))
+      .join(postsAll.select(col("doc_id").as("o"), col("s")), "s")
+      .filter(col("d") =!= col("o"))
+      .select(least(col("d"), col("o")).as("doc_a"),
+        greatest(col("d"), col("o")).as("doc_b"))
+      .distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    // label-graph merge: |affected components|-sized
+    val le = verified
+      .join(lbl.select(col("doc").as("doc_a"), col("lbl").as("la")), Seq("doc_a"), "left")
+      .join(lbl.select(col("doc").as("doc_b"), col("lbl").as("lb")), Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("u"),
+        coalesce(col("lb"), col("doc_b")).as("v"))
+    val lEdges = le.select(col("u").as("doc_a"), col("v").as("doc_b"))
+      .unionByName(le.select(col("v").as("doc_a"), col("u").as("doc_b")))
+    val (merged, _) = minLabelComponents(lEdges)
+    val lmap = merged.select(col("src").as("old"), col("lbl").as("nw"))
+    // broadcast relabel of the standing assignment + the touched/new docs
+    val relabeledBase = baseLabels
+      .join(broadcast(lmap.select(col("old").as("lbl"), col("nw"))), Seq("lbl"), "left")
+      .select(col("src").as("doc_id"), coalesce(col("nw"), col("lbl")).as("cluster_id"))
+    val touched = verified.select(col("doc_a").as("doc"))
+      .unionByName(verified.select(col("doc_b").as("doc"))).distinct()
+      .join(lbl, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("lbl"), col("doc")).as("l0"))
+      .join(broadcast(lmap.select(col("old").as("l0"), col("nw"))), Seq("l0"), "left")
+      .select(col("doc").as("doc_id"), coalesce(col("nw"), col("l0")).as("cluster_id"))
+    relabeledBase.unionByName(touched).distinct()
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- X127
   /** CONTAINMENT (SUBSET) NEAR-DUP JOIN — the dup class Jaccard
     * structurally misses: a short document embedded in a longer one

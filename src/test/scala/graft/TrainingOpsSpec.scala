@@ -1848,6 +1848,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x130: incremental cluster maintenance equals the full x17 rebuild, non-vacuously") {
+    val inc = run("x130_ivm_components")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    val full = run("x17_dedup_clusters")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    assert(inc === full, "incremental maintenance diverged from the full rebuild")
+    assert(inc.nonEmpty)
+    // non-vacuity: the delta really merges something — at least one cluster
+    // contains BOTH a delta doc (id % 10 == 0) and a base doc
+    val byCluster = inc.groupBy(_._2)
+    assert(byCluster.exists { case (_, ms) =>
+      ms.exists(_._1 % 10 == 0) && ms.exists(_._1 % 10 != 0)
+    }, "no cluster spans the base/delta boundary — the label-graph merge path is untested")
+  }
+
   test("x129: RFM scores are balanced quintiles consistent with the raw features") {
     val df = run("x129_rfm_features").cache()
     val rows = df.collect().toSeq
