@@ -1341,9 +1341,15 @@ private[operators] trait QueriesDedup { this: Queries.type =>
       basePairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val (baseLabels, _) = minLabelComponents(baseEdges)
     val lbl = baseLabels.select(col("src").as("doc"), col("lbl")).persist()
-    // delta-proportional candidate generation + exact verify
+    // delta-proportional candidate generation + exact verify. The corpus
+    // postings are SEMI-FILTERED map-side by the broadcast delta shingle
+    // set before the pair join — the corpus-side scan never shuffles
+    // (only postings matching a delta shingle enter the exchange), so the
+    // join's shuffle volume is delta-df-proportional, not corpus-sized
+    val postsDelta = docs.filter(isDelta)
+      .select(col("doc_id"), explode(col("sh")).as("s")).persist()
     val postsAll = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val postsDelta = docs.filter(isDelta).select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(postsDelta.select(col("s")).distinct()), Seq("s"), "left_semi")
     val cand = postsDelta.select(col("doc_id").as("d"), col("s"))
       .join(postsAll.select(col("doc_id").as("o"), col("s")), "s")
       .filter(col("d") =!= col("o"))
