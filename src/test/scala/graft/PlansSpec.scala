@@ -629,6 +629,36 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("x126: signatures stay map-side; the pair melt broadcasts; no cartesian anywhere") {
+    val df = Queries.byName("x126_minhash_scorecard").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastHashJoin"),
+      s"pairEnds must broadcast the pair-rate melt onto the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("x129: the corpus is scanned once; quintile windows ride the user-feature frame") {
+    val df = Queries.byName("x129_rfm_features").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"events must be read once, got $scans scans:\n$p")
+    assert(p.contains("Window"), s"the ntile windows must sit on the aggregated frame:\n$p")
+  }
+
+  test("x130: the corpus postings semi-filter by BROADCAST delta shingles; the relabel map broadcasts") {
+    val df = Queries.byName("x130_ivm_components").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"delta-shingle semi filter and the old→new label map must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   test("x124: the midpoint split is PUSHED to the events scan; the predictor broadcasts") {
     val df = Queries.byName("x124_markov_eval").run(spark, sf)
     df.collect()
