@@ -352,4 +352,29 @@ class PropertiesSpec extends AnyFunSuite {
           new java.util.Random(42)).shuffle(es))) == truth
     })
   }
+
+  test("half-up integer rational (2n+d) div (2d) IS round-half-up(n/d) — the r7 exactness core") {
+    // every integer-exact score in the registry (BM25 micros, RRF ppm,
+    // Bradley-Terry theta, jac/cont ppm, accuracy ppm...) leans on this
+    // identity; prove it against BigDecimal HALF_UP over the full range
+    val gen = Gen.zip(Gen.choose(0L, 1L << 40), Gen.choose(1L, 1L << 20))
+    check("half-up-div", Prop.forAll(gen) { case (n, d) =>
+      val viaFormula = (BigInt(2) * n + d) / (BigInt(2) * d)
+      val viaDecimal = BigInt(new java.math.BigDecimal(n)
+        .divide(new java.math.BigDecimal(d), 0, java.math.RoundingMode.HALF_UP)
+        .toBigIntegerExact)
+      viaFormula == viaDecimal
+    })
+    // and the scaled form used for ppm/micros quantization
+    val genScaled = Gen.zip(Gen.choose(0L, 1L << 30), Gen.choose(1L, 1L << 30))
+    check("half-up-ppm", Prop.forAll(genScaled) { case (n, d0) =>
+      val d = math.max(n, d0) // ratios <= 1, the ppm share shape
+      val viaFormula = (BigInt(2) * n * 1000000 + d) / (BigInt(2) * d)
+      val viaDecimal = BigInt(new java.math.BigDecimal(n).multiply(
+          new java.math.BigDecimal(1000000))
+        .divide(new java.math.BigDecimal(d), 0, java.math.RoundingMode.HALF_UP)
+        .toBigIntegerExact)
+      viaFormula == viaDecimal && viaFormula >= 0 && viaFormula <= 1000000
+    })
+  }
 }
