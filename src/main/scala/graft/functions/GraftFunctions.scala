@@ -562,5 +562,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // plan-time guard against accidental cartesian products (opt-in via
     // graft.guard.noCartesian — see CartesianGuard's scaladoc)
     ext.injectOptimizerRule(graft.plans.CartesianGuard.apply)
+    // the whole-operator seam: AsofJoinPlan → AsofJoinExec (q6b)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -231,6 +231,28 @@ private[operators] trait QueriesRelational { this: Queries.type =>
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin
 
+  // --------------------------------------------------------------- Q6B
+  /** q6's as-of semantics through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofJoinExec]] via the injected planner strategy) —
+    * the q5/q5b pattern: same answer, second physical path, each
+    * cross-checking the other against the same DuckDB ASOF oracle. The
+    * custom exec pays the identical exchange (hash on user, sort by
+    * (user, ts)) but replaces the union+range-window machinery with one
+    * streaming merge holding a single buffered right row. Ties in click
+    * ts are emission-safe: only the ts value is emitted (see the
+    * operator's determinism contract). */
+  private[operators] def q6b(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsofJoin.asof(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("c_ts").as("last_click_ts"))
+  }
+
   // ---------------------------------------------------------------- Q7
   /** Per-group top-k via ranking window with unique tiebreaker. */
   private[operators] def q7(spark: SparkSession, dir: String): DataFrame = {

@@ -659,6 +659,18 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
+  test("q6b: the planner strategy emits AsofJoinExec with stock exchanges+sorts beneath") {
+    val df = Queries.byName("q6b_asof_custom").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"),
+      s"the injected strategy must plan the custom exec:\n$p")
+    assert(p.contains("Sort "), s"EnsureRequirements must insert the (key, time) sorts:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"both sides must hash-cluster on the key:\n$p")
+    assert(!p.contains("Window"), s"no window machinery in the custom path:\n$p")
+  }
+
   test("x124: the midpoint split is PUSHED to the events scan; the predictor broadcasts") {
     val df = Queries.byName("x124_markov_eval").run(spark, sf)
     df.collect()

@@ -1828,6 +1828,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("q6b: the custom AsofJoinExec equals the window formulation row-for-row") {
+    val custom = run("q6b_asof_custom").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3))).toSet
+    val window = run("q6_asof_event_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3))).toSet
+    assert(custom === window, "custom physical operator diverged from the window formulation")
+    assert(custom.nonEmpty)
+    // the null-extension path is exercised: some purchase has no prior click
+    assert(custom.exists(_._4 == null), "no unmatched purchases — LEFT semantics untested")
+  }
+
   test("q43: the as-of manifest reconstructs exactly the temporal prefix of the table") {
     val df = run("q43_time_travel").cache()
     val rows = df.collect().toSeq
