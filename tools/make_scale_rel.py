@@ -30,15 +30,17 @@ SRC = "/root/testdata/sf0.1"
 def main(out: str, n: int) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "part"]:
+    for t in ["lineitem", "orders", "customer", "part", "events"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SRC}/{t}.parquet'")
-    ok, ck, pk, sk = [
+    ok, ck, pk, sk, ek, uk = [
         con.execute(q).fetchone()[0] + 1
         for q in (
             "SELECT max(o_orderkey) FROM orders",
             "SELECT max(c_custkey) FROM customer",
             "SELECT max(p_partkey) FROM part",
             "SELECT max(l_suppkey) FROM lineitem",
+            "SELECT max(event_id) FROM events",
+            "SELECT max(user_id) FROM events",
         )
     ]
     shards = f"(SELECT unnest(range({n})) AS sh)"
@@ -55,6 +57,12 @@ def main(out: str, n: int) -> None:
             * EXCLUDE (c_custkey, sh) FROM customer, {shards}""",
         "part": f"""SELECT p_partkey + sh*{pk} AS p_partkey,
             * EXCLUDE (p_partkey, sh) FROM part, {shards}""",
+        # per-user event streams (as-of joins, sessionization, RFM):
+        # user_id shifts per shard so per-key stream shapes are exactly
+        # sf0.1's; ts untouched (the time domain deliberately constant)
+        "events": f"""SELECT event_id + sh*{ek} AS event_id,
+            user_id + sh*{uk} AS user_id, * EXCLUDE (event_id, user_id, sh)
+          FROM events, {shards}""",
     }
     for t, q in jobs.items():
         con.execute(f"COPY ({q}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
