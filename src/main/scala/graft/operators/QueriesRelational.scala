@@ -1385,6 +1385,87 @@ private[operators] trait QueriesRelational { this: Queries.type =>
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM genB GROUP BY event_type HAVING count(*) > 0""".stripMargin
 
+  // ---------------------------------------------------------------- X131
+  /** SAMPLED-QUANTILE ESTIMATOR + EXACT SELF-AUDIT — the missing member
+    * of the approximate-algorithms family (HLL q10b, Misra–Gries
+    * x57/qs25, MinHash/SimHash/Bloom): estimate p50/p90/p99 from a
+    * CONTENT-ADDRESSED 1/64 sample (md5 of the integer row key — no RNG
+    * state, reproducible from the corpus alone, and both engines draw
+    * the IDENTICAL sample, so the FULL algorithm carries a DuckDB
+    * oracle), then audit each estimate exactly: its true rank in the
+    * corpus, the target rank, the error in ppm, and a 3σ acceptance
+    * flag computed as the pure integer comparison
+    *   err_ppm² · m ≤ 9 · p · (100 − p) · 10⁸
+    * (the binomial σ² = p(1−p)/m bound with no sqrt, no doubles).
+    * Scale shape: the sample predicate is map-side (one scan), the k-th
+    * order statistics are TakeOrdered over the ~n/64 sample, and all
+    * three true ranks ride ONE corpus aggregation of conditional sums —
+    * two bounded passes, the x104 discipline with an estimator in
+    * front. */
+  private[operators] def x131(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("v"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val n = li.count()
+    val sample = li.filter(expr(
+      """CAST(conv(substr(md5(concat(CAST(ok AS STRING), '_', CAST(ln AS STRING))), 1, 12),
+        |     16, 10) AS BIGINT) % 64 = 0""".stripMargin))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = sample.count()
+    val pcts = Seq(50, 90, 99)
+    val ests = pcts.map { p =>
+      val k = math.max(1L, (2L * p * m + 100) / 200)
+      val est = sample.orderBy(col("v").asc, col("ok").asc, col("ln").asc)
+        .limit(k.toInt).agg(max(col("v"))).head().getDouble(0)
+      (p, est)
+    }
+    val rankCols = ests.map { case (p, e) =>
+      sum(when(col("v") <= e, 1L).otherwise(0L)).as(s"r$p")
+    }
+    val ranks = li.agg(rankCols.head, rankCols.tail: _*).head()
+    val rows = ests.zipWithIndex.map { case ((p, e), i) =>
+      val trueRank = ranks.getLong(i)
+      val target = (2L * p * n + 100) / 200
+      val errPpm = (2 * math.abs(trueRank - target) * 1000000L + n) / (2 * n)
+      val within = BigInt(errPpm) * errPpm * m <= BigInt(9L) * p * (100 - p) * 100000000L
+      (p, e, m, trueRank, target, errPpm, within)
+    }
+    sample.unpersist()
+    import spark.implicits._
+    rows.toDF("pct", "est_price", "sample_size", "true_rank",
+      "target_rank", "err_ppm", "within_3sigma")
+  }
+
+  private[operators] lazy val x131Sql =
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+      |s AS MATERIALIZED (SELECT l_extendedprice AS v, l_orderkey AS ok,
+      |       l_linenumber AS ln FROM lineitem
+      |     WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR),
+      |            1, 12))::BIGINT % 64 = 0),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM s),
+      |r AS MATERIALIZED (SELECT v, CAST(row_number() OVER (ORDER BY v, ok, ln) AS BIGINT)
+      |       AS rn FROM s),
+      |p AS (SELECT unnest([50, 90, 99]) AS pct),
+      |k AS (SELECT pct, greatest(1, (2 * pct * (SELECT m FROM m) + 100) // 200) AS kk
+      |      FROM p),
+      |est AS MATERIALIZED (SELECT pct,
+      |        (SELECT v FROM r WHERE rn = k.kk) AS est_price FROM k),
+      |tr AS MATERIALIZED (SELECT pct, est_price,
+      |        (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+      |         WHERE l_extendedprice <= est_price) AS true_rank
+      |      FROM est),
+      |fin AS (SELECT pct, est_price, (SELECT m FROM m) AS sample_size, true_rank,
+      |        (2 * pct * (SELECT n FROM n) + 100) // 200 AS target_rank FROM tr)
+      |SELECT pct, est_price, sample_size, true_rank, target_rank,
+      |  (2 * abs(true_rank - target_rank) * 1000000 + (SELECT n FROM n))
+      |    // (2 * (SELECT n FROM n)) AS err_ppm,
+      |  CAST((2 * abs(true_rank - target_rank) * 1000000 + (SELECT n FROM n))
+      |    // (2 * (SELECT n FROM n)) AS HUGEINT)
+      |    * ((2 * abs(true_rank - target_rank) * 1000000 + (SELECT n FROM n))
+      |       // (2 * (SELECT n FROM n))) * sample_size
+      |    <= CAST(9 AS HUGEINT) * pct * (100 - pct) * 100000000 AS within_3sigma
+      |FROM fin""".stripMargin
+
   // ---------------------------------------------------------------- X125
   /** JOIN-CARDINALITY ESTIMATION SCORECARD — the CBO-statistics audit a
     * warehouse runs before trusting its optimizer: for each core FK join,

@@ -1828,6 +1828,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x131: the sampled estimator self-audit is exact and every estimate clears 3-sigma") {
+    val df = run("x131_sampled_quantiles").cache()
+    val rows = df.collect().toSeq
+    assert(rows.map(_.getAs[Int]("pct")).toSet === Set(50, 90, 99))
+    val li = graft.operators.Tables.lineitem(spark, sf)
+    val n = li.count()
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_price")
+      // the audit columns are EXACT corpus facts, re-derived independently
+      val trueRank = li.filter(col("l_extendedprice") <= est).count()
+      assert(r.getAs[Long]("true_rank") === trueRank)
+      val p = r.getAs[Int]("pct")
+      val target = (2L * p * n + 100) / 200
+      assert(r.getAs[Long]("target_rank") === target)
+      assert(r.getAs[Long]("err_ppm") ===
+        (2 * math.abs(trueRank - target) * 1000000L + n) / (2 * n))
+      assert(r.getAs[Boolean]("within_3sigma"),
+        s"p$p estimate missed its 3-sigma bound: err ${r.getAs[Long]("err_ppm")} ppm")
+    }
+    df.unpersist()
+  }
+
   test("q6b: the custom AsofJoinExec equals the window formulation row-for-row") {
     val custom = run("q6b_asof_custom").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3))).toSet
