@@ -105,6 +105,7 @@ class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x73_embedding_audit", "x75_session_stats", "x81_principal_direction",
     "x84_whitened_ann", "x87_zipf_fit", "x88_semdedup",
     "x107_temperature_mixture", "x109_fps_coreset",
+    "x122_hybrid_rrf", // r7b: shares x58's single-transcendental idf quantization
     // r7 governance family: any NEW round(double·10⁶) enrolls here by rule
     "x117_ab_welch", "x118_dp_release")
 
