@@ -106,6 +106,7 @@ class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x84_whitened_ann", "x87_zipf_fit", "x88_semdedup",
     "x107_temperature_mixture", "x109_fps_coreset",
     "x122_hybrid_rrf", // r7b: shares x58's single-transcendental idf quantization
+    "x129_rfm_features", // r7b: qs22's round(value*100) cents quantization
     // r7 governance family: any NEW round(double·10⁶) enrolls here by rule
     "x117_ab_welch", "x118_dp_release")
 
