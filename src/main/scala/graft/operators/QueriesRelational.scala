@@ -1412,6 +1412,8 @@ private[operators] trait QueriesRelational { this: Queries.type =>
         |     16, 10) AS BIGINT) % 64 = 0""".stripMargin))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = sample.count()
+    require(m > 0, s"x131: the 1/64 content-addressed sample is empty (n=$n) — " +
+      "the estimator needs at least one sampled row; lower the modulus for tiny corpora")
     val pcts = Seq(50, 90, 99)
     val ests = pcts.map { p =>
       val k = math.max(1L, (2L * p * m + 100) / 200)
