@@ -123,7 +123,11 @@ case class AsofJoinExec(
 
 object AsofJoin {
   /** Wrap two analyzed frames into the as-of logical node. Column names
-    * must be disambiguated by the caller (rename the right side). */
+    * must be disambiguated by the caller (rename the right side).
+    * Precondition: key and time columns are NON-NULL on both sides (the
+    * interpreted orderings the merge uses have no null ordering defined
+    * here — filter nulls first, as q6b's event projection does; an
+    * SQL-null as-of key has no meaningful match anyway). */
   def asof(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
