@@ -2258,7 +2258,11 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       out
     }
     val t0 = items2.withColumn("th", lit(1000000L))
-    val tN = mmRound(mmRound(mmRound(mmRound(t0))))
+    val t1 = mmRound(t0)
+    // round 1's materialization forced sym and base; the unfiltered
+    // matrix is dead weight from here (largest of the persisted frames)
+    symAll.unpersist()
+    val tN = mmRound(mmRound(mmRound(t1)))
     val wr = Window.orderBy(col("theta_ppm").desc, col("supplier").asc)
     base.join(tN, "s")
       .select(col("s").as("supplier"), col("w").as("wins"), col("l").as("losses"),

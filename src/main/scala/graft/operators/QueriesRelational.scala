@@ -947,7 +947,10 @@ private[operators] trait QueriesRelational { this: Queries.type =>
     * |weeks| rows, never |orders|). One corpus aggregation builds the
     * per-week manifest; the plan itself is metadata in, metadata out —
     * at 100 TB it reads the catalog's file listing, not the table. */
-  private[operators] def q42(spark: SparkSession, dir: String): DataFrame = {
+  /** The weekly commit+rewrite snapshot manifest q42 and q43 share (one
+    * model, two consumers — planner and reader cannot drift): per order
+    * week, row count, dense snapshot index, and the max index. */
+  private[operators] def weeklySnapshots(spark: SparkSession, dir: String): DataFrame = {
     val weeks = Tables.orders(spark, dir)
       .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
       .agg(count(lit(1)).as("n_rows"))
@@ -957,6 +960,18 @@ private[operators] trait QueriesRelational { this: Queries.type =>
     weeks
       .withColumn("snap", dense_rank().over(wIdx))
       .withColumn("max_snap", max(col("snap")).over(wAll))
+  }
+
+  /** The matching SQL CTE body (w, i) — one text, both oracles. */
+  private[operators] val weeklySnapshotsSqlBody =
+    """w AS (SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
+      |             CAST(count(*) AS BIGINT) AS n_rows
+      |           FROM orders GROUP BY 1),
+      |i AS (SELECT *, CAST(dense_rank() OVER (ORDER BY wk) AS INT) AS snap,
+      |        CAST(count(*) OVER () AS INT) AS max_snap FROM w)""".stripMargin
+
+  private[operators] def q42(spark: SparkSession, dir: String): DataFrame = {
+    weeklySnapshots(spark, dir)
       .select(col("wk"), col("n_rows"), col("snap"), col("max_snap"),
         explode(array(lit(1), lit(2))).as("version"))
       // v2 only exists once the rewrite snapshot happened
@@ -975,11 +990,7 @@ private[operators] trait QueriesRelational { this: Queries.type =>
   }
 
   private[operators] lazy val q42Sql =
-    """WITH w AS (SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
-      |             CAST(count(*) AS BIGINT) AS n_rows
-      |           FROM orders GROUP BY 1),
-      |i AS (SELECT *, CAST(dense_rank() OVER (ORDER BY wk) AS INT) AS snap,
-      |        CAST(count(*) OVER () AS INT) AS max_snap FROM w),
+    s"""WITH $weeklySnapshotsSqlBody,
       |f AS (SELECT *, unnest([1, 2]) AS version FROM i)
       |SELECT wk AS file_week, version, n_rows,
       |  CAST(CASE WHEN version = 1 THEN snap ELSE snap + 1 END AS INT) AS added_snap,
@@ -1002,15 +1013,8 @@ private[operators] trait QueriesRelational { this: Queries.type =>
     * history from metadata without rereading it. Same scale shape as
     * q42: one corpus aggregation, then |weeks|-bounded index algebra. */
   private[operators] def q43(spark: SparkSession, dir: String): DataFrame = {
-    val weeks = Tables.orders(spark, dir)
-      .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
-      .agg(count(lit(1)).as("n_rows"))
-    val wIdx = Window.orderBy(col("wk"))
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    weeks
-      .withColumn("snap", dense_rank().over(wIdx))
-      .withColumn("as_of", max(col("snap")).over(wAll) - 2)
+    weeklySnapshots(spark, dir) // the SHARED q42 file model
+      .withColumn("as_of", col("max_snap") - 2)
       .filter(col("snap") <= col("as_of"))
       .select(col("wk").cast(TimestampNTZType).as("file_week"),
         when(col("snap") < col("as_of"), 2).otherwise(1)
@@ -1020,15 +1024,12 @@ private[operators] trait QueriesRelational { this: Queries.type =>
   }
 
   private[operators] lazy val q43Sql =
-    """WITH w AS (SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk,
-      |             CAST(count(*) AS BIGINT) AS n_rows
-      |           FROM orders GROUP BY 1),
-      |i AS (SELECT *, CAST(dense_rank() OVER (ORDER BY wk) AS INT) AS snap,
-      |        CAST(count(*) OVER () AS INT) - 2 AS as_of FROM w)
+    s"""WITH $weeklySnapshotsSqlBody,
+      |a AS (SELECT *, max_snap - 2 AS as_of FROM i)
       |SELECT wk AS file_week,
       |  CAST(CASE WHEN snap < as_of THEN 2 ELSE 1 END AS INT) AS version_read,
       |  n_rows, CAST(as_of AS INT) AS as_of_snap
-      |FROM i WHERE snap <= as_of""".stripMargin
+      |FROM a WHERE snap <= as_of""".stripMargin
 
   // ---------------------------------------------------------------- Q27
   /** The distribution-window family q8 leaves out: ntile quartiles,
@@ -1417,6 +1418,12 @@ private[operators] trait QueriesRelational { this: Queries.type =>
     val pcts = Seq(50, 90, 99)
     val ests = pcts.map { p =>
       val k = math.max(1L, (2L * p * m + 100) / 200)
+      // limit() is Int-bounded; past ~1.4e11 corpus rows the 1/64 sample
+      // outgrows it and the k-th statistic must route through x104's
+      // histogram rank refinement instead of TakeOrdered (the x104
+      // Int-truncation lesson, failing loud rather than wrapping)
+      require(k <= Int.MaxValue,
+        s"x131: sample rank $k exceeds Int.MaxValue — route via x104's histogram refinement")
       val est = sample.orderBy(col("v").asc, col("ok").asc, col("ln").asc)
         .limit(k.toInt).agg(max(col("v"))).head().getDouble(0)
       (p, est)

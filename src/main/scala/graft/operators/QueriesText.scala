@@ -543,20 +543,18 @@ private[operators] trait QueriesText { this: Queries.type =>
     * literals (the x50 cut-point pattern), per-term df is a 3-row frame
     * broadcast back onto the tf frame, and the top-50 is
     * TakeOrderedAndProject — no global sort materializes. */
-  private[operators] def x58(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("dup", "vector", "join")
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .withColumn("dl", size(col("tk")))
+  /** The SHARED integer-exact BM25 scorer (x58's algorithm, factored so
+    * x122's lexical leg cannot drift from it): per-doc (doc_id, n_terms,
+    * bm25_micros) over a fixed term set. The tf frame is persisted — it
+    * feeds BOTH the df/idf derivation and the score join, and is
+    * match-rate sized (≤ |matching docs|·|terms| rows), never corpus
+    * sized; the bench/verify harnesses clearCache() between queries. */
+  private[operators] def bm25Scores(docs0: DataFrame, terms: Seq[String]): DataFrame = {
+    val docs = docs0.withColumn("dl", size(col("tk")))
     val st = docs.agg(
       count(lit(1)).as("n"), sum(col("dl").cast(LongType)).as("sdl")).head()
     val nDocs = st.getLong(0)
     val sdl = st.getLong(1)
-    // persisted: tf feeds BOTH the df/idf derivation and the score join —
-    // without it Catalyst re-plans each branch from the scan and the
-    // corpus is read twice. The frame is ≤ |matching docs|·|terms| rows
-    // (match-rate sized, never corpus sized), so the cache is tiny; the
-    // bench/verify harnesses clearCache() between queries.
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
       .filter(col("token").isInCollection(terms))
@@ -576,31 +574,41 @@ private[operators] trait QueriesText { this: Queries.type =>
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(IntegerType).as("n_terms"),
         sum(col("score_micros")).as("bm25_micros"))
-      .orderBy(col("bm25_micros").desc, col("doc_id").asc)
-      .limit(50)
   }
 
+  /** The matching SQL body (d/st/tf/idf/scored/bm CTEs) — one text, both
+    * oracles. `docWhere` narrows the corpus ('' or an SQL WHERE clause). */
+  private[operators] def bm25SqlBody(docWhere: String): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents$docWhere),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(len(tk)) AS BIGINT) AS sdl FROM d),
+       |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM d)
+       |  WHERE token IN ('dup', 'vector', 'join') GROUP BY 1, 2, 3),
+       |idf AS (SELECT token,
+       |    CAST(round(ln(CAST((SELECT n FROM st) AS DOUBLE) / count(DISTINCT doc_id))
+       |               * 1000000.0, 0) AS BIGINT) AS idf_micros
+       |  FROM tf GROUP BY token),
+       |scored AS (SELECT doc_id,
+       |    CAST(idf_micros AS HUGEINT) * tf * 22 * (SELECT sdl FROM st) AS num,
+       |    CAST((SELECT sdl FROM st) AS HUGEINT) * 10 * tf
+       |      + (SELECT sdl FROM st) * 3 + 9 * dl * (SELECT n FROM st) AS den
+       |  FROM tf JOIN idf USING (token)),
+       |bm AS (SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+       |    sum(CAST((2 * num + den) // (2 * den) AS BIGINT)) AS bm25_micros
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  private[operators] def x58(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(
+      Tables.documents(spark, dir).select(col("doc_id"), toks(col("text")).as("tk")),
+      Seq("dup", "vector", "join"))
+      .orderBy(col("bm25_micros").desc, col("doc_id").asc)
+      .limit(50)
+
   private[operators] lazy val x58Sql =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      |dls AS (SELECT doc_id, len(tk) AS dl, tk FROM d),
-      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-      |              CAST(sum(len(tk)) AS BIGINT) AS sdl FROM d),
-      |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
-      |  FROM (SELECT doc_id, dl, unnest(tk) AS token FROM dls)
-      |  WHERE token IN ('dup', 'vector', 'join') GROUP BY 1, 2, 3),
-      |idf AS (SELECT token,
-      |    CAST(round(ln(CAST((SELECT n FROM st) AS DOUBLE) / count(DISTINCT doc_id))
-      |               * 1000000.0, 0) AS BIGINT) AS idf_micros
-      |  FROM tf GROUP BY token),
-      |scored AS (SELECT doc_id,
-      |    CAST(idf_micros AS HUGEINT) * tf * 22 * (SELECT sdl FROM st) AS num,
-      |    CAST((SELECT sdl FROM st) AS HUGEINT) * 10 * tf
-      |      + (SELECT sdl FROM st) * 3 + 9 * dl * (SELECT n FROM st) AS den
-      |  FROM tf JOIN idf USING (token))
-      |SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
-      |  sum(CAST((2 * num + den) // (2 * den) AS BIGINT)) AS bm25_micros
-      |FROM scored
-      |GROUP BY doc_id ORDER BY bm25_micros DESC, doc_id LIMIT 50""".stripMargin
+    s"""WITH ${bm25SqlBody("")}
+       |SELECT doc_id, n_terms, bm25_micros
+       |FROM bm ORDER BY bm25_micros DESC, doc_id LIMIT 50""".stripMargin
 
   // ---------------------------------------------------------------- X63
   /** PER-SOURCE DISTRIBUTION DRIFT — KL(source ‖ corpus) over the token
@@ -1333,9 +1341,12 @@ private[operators] trait QueriesText { this: Queries.type =>
     * audit can never drift apart. One extra |bins|-row aggregation on
     * top of x108's single corpus pass. */
   private[operators] def x128(spark: SparkSession, dir: String): DataFrame = {
+    // bin 1's bound is <= 0 (not < 0) so that bin >= 2 is EXACTLY x108's
+    // prediction predicate score_nanos > 0 — a zero-score doc must land
+    // in a pred_good=false band or the flag misstates the classifier
     val binExpr = expr(
       """CASE WHEN score_nanos < -1000000000L THEN 0
-        |     WHEN score_nanos < 0L           THEN 1
+        |     WHEN score_nanos <= 0L          THEN 1
         |     WHEN score_nanos < 1000000000L  THEN 2
         |     WHEN score_nanos < 2000000000L  THEN 3
         |     WHEN score_nanos < 3000000000L  THEN 4
@@ -1357,7 +1368,7 @@ private[operators] trait QueriesText { this: Queries.type =>
   private[operators] lazy val x128Sql =
     s"""WITH x108 AS MATERIALIZED ($x108Sql),
        |b AS (SELECT *, CASE WHEN score_nanos < -1000000000 THEN 0
-       |                     WHEN score_nanos < 0           THEN 1
+       |                     WHEN score_nanos <= 0          THEN 1
        |                     WHEN score_nanos < 1000000000  THEN 2
        |                     WHEN score_nanos < 2000000000  THEN 3
        |                     WHEN score_nanos < 3000000000  THEN 4
@@ -1396,33 +1407,13 @@ private[operators] trait QueriesText { this: Queries.type =>
     * again TakeOrdered. At 100 TB the fusion cost is the two rankers;
     * the RRF join never sees more than 2·k rows. */
   private[operators] def x122(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("dup", "vector", "join")
-    val docs = Tables.documents(spark, dir)
-      .filter(col("doc_id") >= 1)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .withColumn("dl", size(col("tk")))
-    val st = docs.agg(
-      count(lit(1)).as("n"), sum(col("dl").cast(LongType)).as("sdl")).head()
-    val nDocs = st.getLong(0)
-    val sdl = st.getLong(1)
-    val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
-      .filter(col("token").isInCollection(terms))
-      .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val idf = tf.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .withColumn("idf_micros",
-        round(log(lit(nDocs.toDouble) / col("df")) * lit(1000000.0), 0).cast(LongType))
-    val bm = tf.join(broadcast(idf), "token")
-      .withColumn("num",
-        expr(s"CAST(idf_micros AS DECIMAL(38,0)) * tf * 22 * ${sdl}L"))
-      .withColumn("den",
-        expr(s"CAST(${sdl}L AS DECIMAL(38,0)) * 10 * tf + ${sdl}L * 3 + 9 * dl * ${nDocs}L"))
-      .withColumn("score_micros", expr("CAST((2 * num + den) div (2 * den) AS BIGINT)"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("score_micros")).as("bm25_micros"))
+    // lexical leg = the SHARED bm25Scores scorer (x58's exact pipeline —
+    // one implementation, two consumers)
+    val bm = bm25Scores(
+      Tables.documents(spark, dir).filter(col("doc_id") >= 1)
+        .select(col("doc_id"), toks(col("text")).as("tk")),
+      Seq("dup", "vector", "join"))
+      .select(col("doc_id"), col("bm25_micros"))
       .orderBy(col("bm25_micros").desc, col("doc_id").asc)
       .limit(100)
     val lex = bm.withColumn("lex_rank",
@@ -1454,27 +1445,11 @@ private[operators] trait QueriesText { this: Queries.type =>
   }
 
   private[operators] lazy val x122Sql =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-      |           WHERE doc_id >= 1),
-      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-      |              CAST(sum(len(tk)) AS BIGINT) AS sdl FROM d),
-      |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
-      |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM d)
-      |  WHERE token IN ('dup', 'vector', 'join') GROUP BY 1, 2, 3),
-      |idf AS (SELECT token,
-      |    CAST(round(ln(CAST((SELECT n FROM st) AS DOUBLE) / count(DISTINCT doc_id))
-      |               * 1000000.0, 0) AS BIGINT) AS idf_micros
-      |  FROM tf GROUP BY token),
-      |scored AS (SELECT doc_id,
-      |    CAST(idf_micros AS HUGEINT) * tf * 22 * (SELECT sdl FROM st) AS num,
-      |    CAST((SELECT sdl FROM st) AS HUGEINT) * 10 * tf
-      |      + (SELECT sdl FROM st) * 3 + 9 * dl * (SELECT n FROM st) AS den
-      |  FROM tf JOIN idf USING (token)),
-      |bm AS (SELECT doc_id,
-      |    sum(CAST((2 * num + den) // (2 * den) AS BIGINT)) AS bm25_micros
-      |  FROM scored GROUP BY doc_id ORDER BY bm25_micros DESC, doc_id LIMIT 100),
+    s"""WITH ${bm25SqlBody(" WHERE doc_id >= 1")},
+      |bmtop AS (SELECT doc_id, bm25_micros FROM bm
+      |          ORDER BY bm25_micros DESC, doc_id LIMIT 100),
       |lex AS (SELECT doc_id, CAST(row_number()
-      |    OVER (ORDER BY bm25_micros DESC, doc_id) AS INT) AS lex_rank FROM bm),
+      |    OVER (ORDER BY bm25_micros DESC, doc_id) AS INT) AS lex_rank FROM bmtop),
       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
       |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |      FROM embeddings),

@@ -104,11 +104,15 @@ case class AsofJoinExec(
         // skip right keys strictly before this left key
         while (rNext != null && keyOrd.compare(bRk.eval(rNext), k) < 0)
           rNext = if (ri.hasNext) ri.next() else null
-        // absorb right rows for THIS key with time <= t (last one wins)
+        // absorb right rows for THIS key with time <= t (last one wins).
+        // heldKey is evaluated on the COPIED row: for buffer-backed types
+        // (UTF8String, Decimal) a value evaluated on the iterator's reused
+        // row would alias memory that the next advance re-points, and the
+        // stale-key guard below would compare garbage
         while (rNext != null && keyOrd.compare(bRk.eval(rNext), k) == 0 &&
             timeOrd.compare(bRt.eval(rNext), t) <= 0) {
           held = rNext.copy()
-          heldKey = k
+          heldKey = bRk.eval(held)
           rNext = if (ri.hasNext) ri.next() else null
         }
         val matched = held != null && heldKey != null && keyOrd.compare(heldKey, k) == 0
@@ -144,8 +148,16 @@ object AsofJoin {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asof: no column '$name' in [${p.output.map(_.name).mkString(", ")}]"))
-    val node = AsofJoinPlan(lp, rp,
-      attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTime), attr(rp, rightTime))
+    val (lk, rk) = (attr(lp, leftKey), attr(rp, rightKey))
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    // same-type keys/times are load-bearing twice over: the interpreted
+    // orderings are built from the LEFT types, and hash partitioning of
+    // equal values only co-locates when the types (hence hashes) match
+    require(lk.dataType == rk.dataType,
+      s"asof: key types differ (${lk.dataType} vs ${rk.dataType})")
+    require(lt.dataType == rt.dataType,
+      s"asof: time types differ (${lt.dataType} vs ${rt.dataType})")
+    val node = AsofJoinPlan(lp, rp, lk, rk, lt, rt)
     ofRows(left.sparkSession, node)
   }
 

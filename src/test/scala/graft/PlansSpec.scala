@@ -627,6 +627,8 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("InMemoryTableScan"),
       s"sym/base must be cached — each MM round re-reads them, not the corpus:\n$p")
     spark.catalog.clearCache()
+    // the MM rounds' persisted-RDD leaves are NOT catalog-tracked
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
   test("x126: signatures stay map-side; the pair melt broadcasts; no cartesian anywhere") {

@@ -2037,10 +2037,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect().toSeq
     val k = rows.size
     assert(k > 0)
-    // model precondition: every item entered with >=1 win and >=1 loss
-    assert(rows.forall(r => r.getAs[Long]("wins") > 0 || r.getAs[Long]("losses") > 0))
     assert(rows.forall(r => r.getAs[Long]("n_comp") ===
       r.getAs[Long]("wins") + r.getAs[Long]("losses")))
+    // model precondition, recomputed INDEPENDENTLY from lineitem: the
+    // emitted item set must be exactly the suppliers with >=1 win AND
+    // >=1 loss over the full comparison stream, restricted to pairs
+    // whose both ends survive that filter
+    val li = graft.operators.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        col("l_quantity").as("qty"))
+    val pr = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk") &&
+          col("a.qty") > col("b.qty"))
+      .select(col("a.sk").as("wi"), col("b.sk").as("lo")).cache()
+    val winners = pr.select(col("wi")).distinct().collect().map(_.getLong(0)).toSet
+    val losers = pr.select(col("lo")).distinct().collect().map(_.getLong(0)).toSet
+    val items = winners intersect losers
+    val comp2 = pr.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (w2, l2) => items(w2) && items(l2) }
+    pr.unpersist()
+    val expected = comp2.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(rows.map(_.getAs[Long]("supplier")).toSet === expected,
+      "emitted item set != independently recomputed win-and-loss filter")
     // theta is ppm-normalized: mean within integer floor loss of 1e6
     val mean = rows.map(_.getAs[Long]("theta_ppm")).sum / k
     assert(math.abs(mean - 1000000L) <= k.toLong,
