@@ -525,8 +525,15 @@ object FrameworkQueries {
     val codes = art("codes", collectionOf[CodesRow]("codes"))
     val hits = art("hits", collectionOf[ServeRow]("hits"))
 
+    // persisted intermediates are handed to this buffer and released
+    // after the graph run materializes every artifact — a producer-local
+    // persist() would otherwise leak cache across the whole session
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val trainP = Producer("train_codebook", build = (_, ins) => Seq(
-      Queries.pqCodebook(Queries.pqSubspaces(ins.head).persist()).coalesce(1)))
+      Queries.pqCodebook({
+        val s = Queries.pqSubspaces(ins.head).persist()
+        pinned += s; s
+      }).coalesce(1)))
     val encodeP = Producer("encode_corpus",
       build = (_, ins) => Seq(
         Queries.pqEncode(Queries.pqSubspaces(ins.head), ins(1)).coalesce(4)),
@@ -548,6 +555,7 @@ object FrameworkQueries {
       // frame instead of re-reading/re-deriving the artifact three times
       val vsubs = Queries.pqSubspaces(emb)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += vsubs
       val qsubs = vsubs.filter(col("vec_id") < 10)
         .withColumnRenamed("vec_id", "qid")
       val lut = qsubs
@@ -558,14 +566,14 @@ object FrameworkQueries {
         (0 until 8).map(s => col(s"c$s")): _*)).as(Seq("s", "c")))
       val wAdc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("adc_micro2").asc, col("vec_id").asc)
-      // stage 1: codes-only ADC scan → top-32 shortlist per query
+      // stage 1: codes-only ADC scan → top-64 shortlist per query
       val shortlist = melted.join(broadcast(lut), Seq("s", "c"))
         .groupBy(col("qid"), col("vec_id"))
         .agg(sum(col("d")).as("adc_micro2"))
         .withColumn("rn", row_number().over(wAdc))
         .filter(col("rn") <= 64)
         .select(col("qid"), col("vec_id"), col("adc_micro2"))
-      // stage 2: exact quantized L2 over the shortlist only (≤ 32/query)
+      // stage 2: exact quantized L2 over the shortlist only (≤ 64/query)
       val wEx = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("exact_micro2").asc, col("vec_id").asc)
       Seq(vsubs
@@ -593,6 +601,9 @@ object FrameworkQueries {
     val backend = new MemoryBackend
     val snap = g.snapshot(spark, backend)
     new LocalExecutor(backend).build(spark, snap)
+    // every artifact is written (materialized) by build(); release the
+    // producer-local caches before handing the result out
+    pinned.foreach(_.unpersist(false))
     snap.read(spark, backend, "hits")
   }
 

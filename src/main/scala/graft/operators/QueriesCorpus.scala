@@ -632,40 +632,18 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     * here explicitly so the operator works on any bounded key set. */
   private[operators] def x41(spark: SparkSession, dir: String): DataFrame = {
     val mBits = 65536
-    val words = mBits / 64
-    def positions(key: Column): Seq[Column] = {
-      // reduce each hash mod m BEFORE combining: the raw h1 + j*h2 double-
-      // hash overflows Long under ANSI arithmetic; mod-first is the same
-      // position sequence in Z_m and stays tiny
-      val h1 = pmod(xxhash64(key), lit(mBits.toLong))
-      val h2 = pmod(xxhash64(key, lit("graft_bloom")), lit(mBits.toLong))
-      (0 until 4).map(j => pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong)))
-    }
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     // the filter is BUILT distributed (map-side bit_or partials over the
     // build side), then its 8 KB word array lands in the plan as ONE
     // literal — a metadata-scale scalar job at plan-build time (the same
-    // documented pattern as x2's df-cap). Embedding it as a literal is
-    // what pins the evaluation ORDER: expressed as a join, Catalyst
-    // legally reorders the semi join underneath it (observed via
-    // ExplainOne) and the pre-filter stops pre-filtering; as a scan-level
-    // predicate it provably runs before the join, which is exactly the
-    // plan Spark's own InjectRuntimeFilter produces for this shape.
-    val bloomArr: Array[Long] = urgent
-      .select(explode(array(positions(col("o_orderkey")): _*)).as("pos"))
-      .groupBy(expr("pos div 64").as("w"))
-      .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("bits"))
-      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("bits"))).as("mp"))
-      .select(expr(s"transform(sequence(0, ${words - 1}), w -> coalesce(mp[cast(w as bigint)], 0L))").as("bloom"))
-      .head().getSeq[Long](0).toArray
-    val bloomLit = typedLit(bloomArr)
-    // membership test: every one of the 4 bit positions is set
-    val test = positions(col("l_orderkey")).map { p =>
-      (element_at(bloomLit, (p / 64).cast(IntegerType) + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast(IntegerType)))) =!= 0L
-    }.reduce(_ && _)
+    // documented pattern as x2's df-cap). The build/test machinery is
+    // the shared bloomBuild/bloomTest (QueriesShared) — ONE copy, also
+    // the x130 big-delta path; see there for why a literal (not a join)
+    // is what pins the evaluation order.
+    val bloomArr = bloomBuild(urgent, "o_orderkey", mBits)
+    val test = bloomTest(bloomArr, mBits)(col("l_orderkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
       .filter(test)               // scan-level drop BEFORE the join shuffle
@@ -905,7 +883,18 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     * contract recipe) so the manifest is bit-identical across engines —
     * a 6dp-rounded double here differs by one ulp between Spark and
     * DuckDB rounding. Map-side bucket + one aggregation + a 3-row
-    * broadcast of split totals. */
+    * broadcast of split totals.
+    *
+    * r8 root cause of the r5–r7 driver-red streak: the oracle's
+    * `sum(n_docs)` is HUGEINT in DuckDB, and x54/x58 were the ONLY two
+    * of 202 oracles whose FINAL projection leaked one (audited
+    * in-sandbox: duckdb 1.0.0 `.df()` renders HUGEINT 5 as float64
+    * `5.000000`, `.arrow()` as Decimal — either diverges from Spark's
+    * LONG `5` under a pandas/arrow canon, while `fetchall()` matches,
+    * which is why every local replica run was green). Values were never
+    * wrong; the output TYPE was non-portable. Fixed by casting the
+    * oracle's n_split to BIGINT; tools/selfcheck.py now fails any
+    * oracle emitting HUGEINT/DECIMAL. */
   private[operators] def x54(spark: SparkSession, dir: String): DataFrame = {
     val bucketed = Tables.documents(spark, dir)
       .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType), lit(100L)))
@@ -925,7 +914,7 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |         ELSE 'test' END AS split
       |  FROM documents),
       |cell AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1, 2),
-      |tot AS (SELECT split, sum(n_docs) AS n_split FROM cell GROUP BY 1)
+      |tot AS (SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_split FROM cell GROUP BY 1)
       |SELECT cell.split, lang, n_docs, n_split,
       |  CAST((n_docs * 1000000) // n_split AS BIGINT) AS share_ppm
       |FROM cell JOIN tot ON cell.split = tot.split""".stripMargin

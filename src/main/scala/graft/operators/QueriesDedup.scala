@@ -1342,14 +1342,40 @@ private[operators] trait QueriesDedup { this: Queries.type =>
     val (baseLabels, _) = minLabelComponents(baseEdges)
     val lbl = baseLabels.select(col("src").as("doc"), col("lbl")).persist()
     // delta-proportional candidate generation + exact verify. The corpus
-    // postings are SEMI-FILTERED map-side by the broadcast delta shingle
-    // set before the pair join — the corpus-side scan never shuffles
-    // (only postings matching a delta shingle enter the exchange), so the
-    // join's shuffle volume is delta-df-proportional, not corpus-sized
+    // postings are pruned map-side by the delta shingle set before the
+    // pair join — the corpus-side scan never shuffles (only postings
+    // matching a delta shingle enter the exchange), so the join's
+    // shuffle volume is delta-df-proportional, not corpus-sized.
+    //
+    // SIZE-GATED prune (r8, closing the forced-broadcast scale flaw): a
+    // small delta broadcasts its exact distinct shingle set (zero false
+    // positives); past the cap — a 10% delta of a 100 TB corpus has a
+    // corpus-proportional shingle set, tens of GB, an OOM as a broadcast
+    // — the prune becomes the shared x41 distributed Bloom filter
+    // (O(mBits) to build and ship regardless of delta size). Bloom false
+    // positives are HARMLESS here: the candidate join on "s" against
+    // postsDelta below is itself the exact filter (an FP shingle matches
+    // no delta posting and yields zero candidates), so both paths are
+    // provably output-identical and FPs only cost bounded extra exchange
+    // rows (~1% at 10 bits/key, k=4).
     val postsDelta = docs.filter(isDelta)
       .select(col("doc_id"), explode(col("sh")).as("s")).persist()
-    val postsAll = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      .join(broadcast(postsDelta.select(col("s")).distinct()), Seq("s"), "left_semi")
+    val deltaShingles = postsDelta.select(col("s")).distinct()
+    val postsAllRaw = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val bcastCap = spark.conf.getOption("spark.graft.dedup.broadcastShingleCap")
+      .map(_.toLong).getOrElse(4000000L)
+    val nDelta = postsDelta.agg(approx_count_distinct(col("s")).as("n")).head().getLong(0)
+    val postsAll =
+      if (nDelta <= bcastCap)
+        postsAllRaw.join(broadcast(deltaShingles), Seq("s"), "left_semi")
+      else {
+        // ≥10 bits/key rounded to a power of two, clamped to [2^16, 2^27]
+        // (8 KB–16 MB literal; past 2^27 the fpp degrades gracefully —
+        // still correct, progressively less pruning)
+        val want = java.lang.Long.highestOneBit(math.max(1L, nDelta * 10L)) << 1
+        val mBits = math.min(1L << 27, math.max(1L << 16, want)).toInt
+        postsAllRaw.filter(bloomTest(bloomBuild(deltaShingles, "s", mBits), mBits)(col("s")))
+      }
     val cand = postsDelta.select(col("doc_id").as("d"), col("s"))
       .join(postsAll.select(col("doc_id").as("o"), col("s")), "s")
       .filter(col("d") =!= col("o"))

@@ -66,13 +66,20 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
     * Welch's unequal-variance t statistic. Exactness discipline: values
     * quantize to integer cents ONCE; n/Σ/Σ² per arm are EXACT int64
     * sums (order-free); means are exposed as exact integer micro-cents
-    * (half-up rationals); t² and the Welch–Satterthwaite df are then
-    * ONE fixed IEEE expression tree over those exact integers, micro-
-    * quantized at the end — a double round, so x117 is enrolled in
-    * RoundBoundarySpec's ulp audit (the r7 rule for any new
-    * `round(double·10⁶)`). Scale: one corpus scan, one |event_types|-row
-    * aggregation with 6 conditional sums riding it map-side — the
-    * moment algebra never shuffles more than k rows. */
+    * (half-up rationals); t² (r8) is the EXACT integer rational
+    * D²(m−1)(n−1) / [A·n²(n−1) + B·m²(m−1)] with A = m·Σx²−(Σx)²,
+    * B likewise, D = n·Σx_a − m·Σx_b — micro-quantized half-up in
+    * DECIMAL(38,0)/HUGEINT, and the significance flag is the pure
+    * integer comparison 10⁶·Num > 3841459·Den (χ²₁ at α=0.05), so
+    * neither can drift across engines. Headroom: 2·10⁶·Num must fit 38
+    * digits — Num ≈ (n·s̄·c)²·n² holds to ~10⁹ rows/arm at 10⁵ cents,
+    * far past any per-event-type A/B readout (measured ~10²⁸ at sf0.1).
+    * The Welch–Satterthwaite df is the one REMAINING double round (so
+    * x117 stays in RoundBoundarySpec): an exact df needs (P+Q)² with
+    * P ≈ 10²⁷·⁷ at sf0.1 — ~10⁵⁵, beyond ANY fixed 38-digit integer —
+    * so it is irreducible, not unmigrated. Scale: one corpus scan, one
+    * |event_types|-row aggregation with 6 conditional sums riding it
+    * map-side — the moment algebra never shuffles more than k rows. */
   private[operators] def x117(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
@@ -89,21 +96,27 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
         sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L)).as("ss_a"),
         sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L)).as("ss_b"))
       .filter(col("n_a") > 1 && col("n_b") > 1)
+      // exact integer moments (cast BEFORE squaring: s² overflows int64)
+      .withColumn("aa", expr("cast(n_a as decimal(38,0)) * ss_a - cast(s_a as decimal(38,0)) * s_a"))
+      .withColumn("bb", expr("cast(n_b as decimal(38,0)) * ss_b - cast(s_b as decimal(38,0)) * s_b"))
+      .withColumn("dd", expr("cast(n_b as decimal(38,0)) * s_a - cast(n_a as decimal(38,0)) * s_b"))
+      .withColumn("tnum", expr("dd * dd * (n_a - 1) * (n_b - 1)"))
+      .withColumn("tden", expr("aa * n_b * n_b * (n_b - 1) + bb * n_a * n_a * (n_a - 1)"))
+      .withColumn("t2_micros",
+        expr("cast((2 * tnum * 1000000 + tden) div (2 * tden) as bigint)"))
+      // df keeps the audited double round (exactness infeasible, see doc)
       .withColumn("va", expr(
         "(cast(ss_a as double) - cast(s_a as double) * s_a / n_a) / (n_a - 1)"))
       .withColumn("vb", expr(
         "(cast(ss_b as double) - cast(s_b as double) * s_b / n_b) / (n_b - 1)"))
       .withColumn("se2", expr("va / n_a + vb / n_b"))
-      .withColumn("md", expr("cast(s_a as double) / n_a - cast(s_b as double) / n_b"))
-      .withColumn("t2_micros",
-        round(expr("md * md / se2") * lit(1000000.0), 0).cast(LongType))
       .withColumn("df_micros", round(expr(
         """se2 * se2 / ((va / n_a) * (va / n_a) / (n_a - 1)
           | + (vb / n_b) * (vb / n_b) / (n_b - 1))""".stripMargin)
         * lit(1000000.0), 0).cast(LongType))
       .withColumn("mean_a_microcents", expr("(2 * s_a * 1000000 + n_a) div (2 * n_a)"))
       .withColumn("mean_b_microcents", expr("(2 * s_b * 1000000 + n_b) div (2 * n_b)"))
-      .withColumn("significant", expr("md * md / se2 > 3.841459"))
+      .withColumn("significant", expr("tnum * 1000000 > 3841459 * tden"))
       .select(col("event_type"), col("n_a"), col("n_b"),
         col("mean_a_microcents"), col("mean_b_microcents"),
         col("t2_micros"), col("df_micros"), col("significant"))
@@ -123,18 +136,23 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
       |    CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_b
       |  FROM e GROUP BY event_type),
       |v AS (SELECT *,
+      |    CAST(n_a AS HUGEINT) * ss_a - CAST(s_a AS HUGEINT) * s_a AS aa,
+      |    CAST(n_b AS HUGEINT) * ss_b - CAST(s_b AS HUGEINT) * s_b AS bb,
+      |    CAST(n_b AS HUGEINT) * s_a - CAST(n_a AS HUGEINT) * s_b AS dd,
       |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) AS va,
-      |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) AS vb,
-      |    CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS md
+      |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) AS vb
       |  FROM m WHERE n_a > 1 AND n_b > 1),
-      |w AS (SELECT *, va / n_a + vb / n_b AS se2 FROM v)
+      |w AS (SELECT *,
+      |    dd * dd * (n_a - 1) * (n_b - 1) AS tnum,
+      |    aa * n_b * n_b * (n_b - 1) + bb * n_a * n_a * (n_a - 1) AS tden,
+      |    va / n_a + vb / n_b AS se2 FROM v)
       |SELECT event_type, n_a, n_b,
       |  (2 * s_a * 1000000 + n_a) // (2 * n_a) AS mean_a_microcents,
       |  (2 * s_b * 1000000 + n_b) // (2 * n_b) AS mean_b_microcents,
-      |  CAST(round(md * md / se2 * 1000000.0, 0) AS BIGINT) AS t2_micros,
+      |  CAST((2 * tnum * 1000000 + tden) // (2 * tden) AS BIGINT) AS t2_micros,
       |  CAST(round(se2 * se2 / ((va / n_a) * (va / n_a) / (n_a - 1)
       |    + (vb / n_b) * (vb / n_b) / (n_b - 1)) * 1000000.0, 0) AS BIGINT) AS df_micros,
-      |  md * md / se2 > 3.841459 AS significant
+      |  tnum * 1000000 > 3841459 * tden AS significant
       |FROM w""".stripMargin
 
   // ---------------------------------------------------------------- X118

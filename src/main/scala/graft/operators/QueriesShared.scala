@@ -13,4 +13,47 @@ private[operators] trait QueriesShared { this: Queries.type =>
   private[operators] def tsNtz(s: String): Column = lit(s).cast(TimestampNTZType)
   private[operators] def toks(c: Column): Column = split(c, " ")
 
+  // ------------------------------------------------ distributed Bloom
+  // x41's shape, factored so x130 (and any future runtime-filter user)
+  // shares ONE copy: k=4 double-hashed positions per key, map-side
+  // bit_or partials, the ≤(mBits/64)-row word table densified into a
+  // single Long-array row at plan-build time. Embedding the array as a
+  // LITERAL is what pins evaluation order — as a join, Catalyst legally
+  // reorders the semi join underneath it and the pre-filter stops
+  // pre-filtering; as a scan-level predicate it provably runs before
+  // any join (the plan Spark's own InjectRuntimeFilter produces).
+
+  /** The k=4 double-hashed bit positions of `key` in Z_mBits. Each hash
+    * is reduced mod m BEFORE combining: the raw h1 + j·h2 overflows
+    * Long under ANSI arithmetic; mod-first is the same position
+    * sequence and stays tiny. */
+  private[operators] def bloomPositions(key: Column, mBits: Int): Seq[Column] = {
+    val h1 = pmod(xxhash64(key), lit(mBits.toLong))
+    val h2 = pmod(xxhash64(key, lit("graft_bloom")), lit(mBits.toLong))
+    (0 until 4).map(j => pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong)))
+  }
+
+  /** Builds the mBits filter over `keys(keyCol)` as a DISTRIBUTED
+    * aggregation (map-side bit_or partials); only the densified
+    * mBits/64-Long word array ever reaches the driver. */
+  private[operators] def bloomBuild(keys: DataFrame, keyCol: String, mBits: Int): Array[Long] = {
+    val words = mBits / 64
+    keys
+      .select(explode(array(bloomPositions(col(keyCol), mBits): _*)).as("pos"))
+      .groupBy(expr("pos div 64").as("w"))
+      .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("bits"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("bits"))).as("mp"))
+      .select(expr(s"transform(sequence(0, ${words - 1}), w -> coalesce(mp[cast(w as bigint)], 0L))").as("bloom"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  /** Membership predicate: every one of the 4 bit positions is set. */
+  private[operators] def bloomTest(bloomArr: Array[Long], mBits: Int)(probe: Column): Column = {
+    val bloomLit = typedLit(bloomArr)
+    bloomPositions(probe, mBits).map { p =>
+      (element_at(bloomLit, (p / 64).cast(IntegerType) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast(IntegerType)))) =!= 0L
+    }.reduce(_ && _)
+  }
+
 }

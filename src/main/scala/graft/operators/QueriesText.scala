@@ -545,7 +545,14 @@ private[operators] trait QueriesText { this: Queries.type =>
     * TakeOrderedAndProject — no global sort materializes. */
   /** The SHARED integer-exact BM25 scorer (x58's algorithm, factored so
     * x122's lexical leg cannot drift from it): per-doc (doc_id, n_terms,
-    * bm25_micros) over a fixed term set. The tf frame is persisted — it
+    * bm25_micros) over a fixed term set. r8 root cause of the r6–r7
+    * driver-red: the oracle's `sum(...)` made bm25_micros HUGEINT —
+    * x54/x58 were the only two of 202 oracles leaking that type to the
+    * final projection, and HUGEINT canonicalizes as float64/Decimal
+    * under a pandas/arrow driver canon vs Spark's LONG (fetchall
+    * matches, hence three rounds of green local replicas). The bm CTE
+    * now casts the sum to BIGINT; tools/selfcheck.py gates the whole
+    * registry against wide oracle output types. The tf frame is persisted — it
     * feeds BOTH the df/idf derivation and the score join, and is
     * match-rate sized (≤ |matching docs|·|terms| rows), never corpus
     * sized; the bench/verify harnesses clearCache() between queries. */
@@ -595,7 +602,7 @@ private[operators] trait QueriesText { this: Queries.type =>
        |      + (SELECT sdl FROM st) * 3 + 9 * dl * (SELECT n FROM st) AS den
        |  FROM tf JOIN idf USING (token)),
        |bm AS (SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
-       |    sum(CAST((2 * num + den) // (2 * den) AS BIGINT)) AS bm25_micros
+       |    CAST(sum(CAST((2 * num + den) // (2 * den) AS BIGINT)) AS BIGINT) AS bm25_micros
        |  FROM scored GROUP BY doc_id)""".stripMargin
 
   private[operators] def x58(spark: SparkSession, dir: String): DataFrame =

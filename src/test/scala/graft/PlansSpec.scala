@@ -661,6 +661,35 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
+  test("x130: past the broadcast cap the delta prune degrades to the x41 Bloom filter, output-identical") {
+    // the r8 size gate: a production-sized delta cannot broadcast its
+    // exact distinct shingle set (corpus-proportional, tens of GB at a
+    // 10% delta of 100 TB) — the prune must fall back to the shared
+    // distributed Bloom filter (O(mBits) to ship) and, because the
+    // candidate join on "s" is itself the exact filter, the OUTPUT must
+    // be bit-identical to the broadcast path's.
+    val expected = Queries.byName("x130_ivm_components").run(spark, sf).collect().toSeq
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.conf.set("spark.graft.dedup.broadcastShingleCap", "0")
+    try {
+      val df = Queries.byName("x130_ivm_components").run(spark, sf)
+      val got = df.collect().toSeq
+      assert(got === expected, "Bloom path must be output-identical to the broadcast path")
+      val p = df.queryExecution.executedPlan.toString
+      val lines = p.linesIterator.toIndexedSeq
+      // the membership test (element_at over the literal word array) must
+      // sit in a Filter on the corpus-postings side — scan-level, pre-join
+      assert(lines.exists(l => l.contains("Filter") && l.contains("element_at")),
+        s"bloom membership filter missing from the fallback plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.broadcastShingleCap")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("q6b: the planner strategy emits AsofJoinExec with stock exchanges+sorts beneath") {
     val df = Queries.byName("q6b_asof_custom").run(spark, sf)
     df.collect()

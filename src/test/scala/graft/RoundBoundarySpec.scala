@@ -107,7 +107,10 @@ class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x107_temperature_mixture", "x109_fps_coreset",
     "x122_hybrid_rrf", // r7b: shares x58's single-transcendental idf quantization
     "x129_rfm_features", // r7b: qs22's round(value*100) cents quantization
-    // r7 governance family: any NEW round(double·10⁶) enrolls here by rule
+    // r7 governance family: any NEW round(double·10⁶) enrolls here by rule.
+    // x117's t²/significance migrated to exact integer rationals in r8;
+    // only the Welch–Satterthwaite df round remains (proven irreducible —
+    // an exact df needs ~10⁵⁵-wide integers, see the x117 scaladoc)
     "x117_ab_welch", "x118_dp_release")
 
   for (name <- auditedQueries)

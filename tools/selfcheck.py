@@ -57,6 +57,20 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
+            # TYPE GATE (r8, root cause of the x54/x58 driver-reds): an
+            # oracle whose FINAL projection emits HUGEINT/UHUGEINT (e.g.
+            # an uncast sum(BIGINT)) hash-matches under fetchall (Python
+            # int) but diverges under any pandas/arrow canon (float64 /
+            # Decimal vs Spark's LONG). Fail loud here so it never
+            # reaches the driver.
+            wide = [f"{c}:{t}" for c, t in
+                    zip(con.sql(sql).columns, map(str, con.sql(sql).types))
+                    if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")]
+            if wide:
+                print(f"FAIL {name}: oracle emits non-portable wide type(s) {wide} "
+                      "— CAST the final projection to BIGINT/DOUBLE")
+                n_fail += 1
+                continue
             res = con.execute(sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
