@@ -42,7 +42,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results: Seq[(String, Double, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // dev-only subset knob for targeted perf work (the driver never sets
+    // it): SPARK_GRAFT_BENCH_QUERIES=x93_prefix_join,x2_neardup_pairs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.toSeq.filter(q => names(q._1))
+      case None => SparkEntry.queries.toSeq
+    }
+    val results: Seq[(String, Double, Double)] = selected.map { case (name, fn) =>
       val times = (1 to reps).map(_ => once(fn)).sorted
       val median = times(times.size / 2)
       (name, median, times.last - times.head)

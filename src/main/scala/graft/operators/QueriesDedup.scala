@@ -985,7 +985,14 @@ private[operators] trait QueriesDedup { this: Queries.type =>
     * contract is the exact pair set, completeness is structural, and any
     * miss fails the hash gate. */
   private[operators] def x93(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(spark, dir).persist()
+    // the sorted prefix is a PERSISTED column (r8): array_sort is n·log n
+    // per doc and the self-join's two sides would otherwise each
+    // recompute it over the cached shingle sets — sorting once at
+    // materialization halves the map-side CPU of the candidate stage
+    val docs = shingled(spark, dir)
+      .withColumn("pf", expr(
+        "slice(array_sort(sh), 1, size(sh) - ((size(sh) + 1) div 2) + 1)"))
+      .persist()
     // prefix under the GLOBAL HASH ORDER, map-side: any total order on
     // shingles preserves the completeness theorem, and ordering by the
     // hash itself turns prefix extraction into array_sort + slice on the
@@ -995,9 +1002,10 @@ private[operators] trait QueriesDedup { this: Queries.type =>
     // Rarest-first only prunes better when hot shingles exist; at corpus
     // scale with real stop-shingles, swap the comparator to (df, hash) by
     // joining a broadcast df-rank onto the postings — same contract.
-    val prefix = docs.select(col("doc_id"),
-      explode(expr(
-        "slice(array_sort(sh), 1, size(sh) - ((size(sh) + 1) div 2) + 1)")).as("s"))
+    // postings carry ONLY (doc_id, 8-byte hash) — the x2 lesson: sizes
+    // join onto the pair-rate output afterwards, never through the
+    // posting shuffle (postings outnumber docs ~n/2 ×)
+    val prefix = docs.select(col("doc_id"), explode(col("pf")).as("s"))
     val cands = prefix.select(col("doc_id").as("doc_a"), col("s"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("s")), "s")
       .filter(col("doc_a") < col("doc_b"))
@@ -1005,6 +1013,10 @@ private[operators] trait QueriesDedup { this: Queries.type =>
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("ta"), col("n").as("na")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("tb"), col("n").as("nb")), "doc_b")
+      // AllPairs LENGTH filter: jac ≥ 0.5 forces ⌈n_a/2⌉ ≤ n_b ≤ 2·n_a —
+      // provably output-neutral, prunes size-incompatible candidates
+      // BEFORE the array intersection (one integer compare per pair)
+      .filter(col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jac", col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.5)
