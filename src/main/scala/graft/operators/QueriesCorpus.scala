@@ -2108,9 +2108,13 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     * user_id) total order — identical ceil-split semantics in both
     * engines, so scores hash-match. Scale note: the ntile windows run on
     * the USER-feature table (one row per user — the q27/x67 cost class,
-    * |users| ≪ |events|); at extreme user cardinality the quintile cut
-    * swaps to x104's two-pass rank refinement, scores become map-side
-    * bucket lookups, and the rest is unchanged. */
+    * |users| ≪ |events|); above `spark.graft.rfm.twoPassThreshold`
+    * users (default 5·10⁷ — past what one task should sort) the cut
+    * SWAPS IN CODE to [[quintileTwoPass]]: a distinct-value cumsum (the
+    * window shrinks to |distinct metric values| narrow rows) plus a
+    * per-value distributed row_number, composed into the identical
+    * ntile rank arithmetic — proven row-identical to the window path in
+    * TrainingOpsSpec on a tie-heavy fixture and on the registered query. */
   private[operators] def x129(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val maxUs = ev.agg(max(expr("unix_micros(cast(ts as timestamp))"))).head().getLong(0)
@@ -2120,16 +2124,64 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
         sum(expr("cast(round(value * 100, 0) as bigint)")).as("monetary_cents"))
       .withColumn("recency_hours",
         expr(s"CAST((${maxUs}L - last_us) div 3600000000L AS BIGINT)"))
-    val r = Window.orderBy(col("recency_hours").desc, col("user_id").asc)
-    val f = Window.orderBy(col("frequency").asc, col("user_id").asc)
-    val m = Window.orderBy(col("monetary_cents").asc, col("user_id").asc)
-    feats
-      .withColumn("r_score", ntile(5).over(r))
-      .withColumn("f_score", ntile(5).over(f))
-      .withColumn("m_score", ntile(5).over(m))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nUsers = feats.count()
+    val swapAt = spark.conf.getOption("spark.graft.rfm.twoPassThreshold")
+      .map(_.toLong).getOrElse(50000000L)
+    val scored =
+      if (nUsers <= swapAt) {
+        val r = Window.orderBy(col("recency_hours").desc, col("user_id").asc)
+        val f = Window.orderBy(col("frequency").asc, col("user_id").asc)
+        val m = Window.orderBy(col("monetary_cents").asc, col("user_id").asc)
+        feats
+          .withColumn("r_score", ntile(5).over(r))
+          .withColumn("f_score", ntile(5).over(f))
+          .withColumn("m_score", ntile(5).over(m))
+      } else {
+        val s1 = quintileTwoPass(feats, "recency_hours", descOrder = true, nUsers, "r_score")
+        val s2 = quintileTwoPass(s1, "frequency", descOrder = false, nUsers, "f_score")
+        quintileTwoPass(s2, "monetary_cents", descOrder = false, nUsers, "m_score")
+      }
+    scored
       .select(col("user_id"), col("recency_hours"), col("frequency"),
         col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
+  }
+
+  /** The big-cardinality quintile: EXACT ntile(5) under the total order
+    * (value[, user_id]) without a single-partition sort of the user
+    * frame. Pass 1 groups to (value, count) and cumsums over the
+    * DISTINCT-value table (the only remaining unpartitioned window —
+    * |distinct values| narrow rows, not |users| full rows; for a truly
+    * continuous metric quantize first, the x104 histogram argument).
+    * Pass 2 joins the cum table back on value (value-keyed, AQE picks
+    * broadcast vs shuffle) and ranks within each value group by user_id
+    * — a DISTRIBUTED window. Global rank = below(value) + within-rank,
+    * and the tile is Spark's exact ntile split in integer arithmetic:
+    * with q = n div 5, rem = n mod 5, the first rem tiles hold q+1 rows,
+    * so rank r ≤ rem·(q+1) → tile (r+q) div (q+1), else
+    * rem + ceil((r − rem·(q+1))/q). Identical output to ntile(5) OVER
+    * (ORDER BY value, user_id) by construction. */
+  private[graft] def quintileTwoPass(df: DataFrame, value: String,
+      descOrder: Boolean, n: Long, out: String): DataFrame = {
+    val ord = if (descOrder) col(value).desc else col(value).asc
+    val counts = df.groupBy(col(value)).agg(count(lit(1)).as("_c"))
+    val cum = counts
+      .withColumn("_below", coalesce(
+        sum(col("_c")).over(Window.orderBy(ord)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(value), col("_below"))
+    val q = n / 5
+    val rem = n % 5
+    val t = rem * (q + 1)
+    df.join(cum, Seq(value))
+      .withColumn("_rnk", col("_below") +
+        row_number().over(Window.partitionBy(col(value)).orderBy(col("user_id").asc)))
+      .withColumn(out, expr(
+        s"""cast(case when _rnk <= ${t}L then (_rnk + ${q}L) div ${q + 1}L
+           |  else ${rem}L + (_rnk - ${t}L + ${math.max(q, 1L) - 1}L) div ${math.max(q, 1L)}L
+           |end as int)""".stripMargin))
+      .drop("_below", "_rnk")
   }
 
   private[operators] lazy val x129Sql =

@@ -1416,16 +1416,25 @@ private[operators] trait QueriesRelational { this: Queries.type =>
     require(m > 0, s"x131: the 1/64 content-addressed sample is empty (n=$n) — " +
       "the estimator needs at least one sampled row; lower the modulus for tiny corpora")
     val pcts = Seq(50, 90, 99)
+    // r8: the k-th statistic routes by SIZE — TakeOrdered materializes k
+    // rows on one task, fine for small ranks, an OOM long before the
+    // Int.MaxValue guard at a 100 TB sample; past the cap the rank goes
+    // through the shared histogram refinement (x104's recipe: one
+    // 1024-bucket pass names the bucket holding rank k, TakeOrdered then
+    // runs on the ~m/1024-row bucket only). Both paths return the same
+    // order statistic by construction (ties in v need no tie-break: the
+    // k-th v under (v, ok, ln) order IS the k-th smallest v).
+    val toCap = spark.conf.getOption("spark.graft.quantile.takeOrderedCap")
+      .map(_.toLong).getOrElse(100000000L)
     val ests = pcts.map { p =>
       val k = math.max(1L, (2L * p * m + 100) / 200)
-      // limit() is Int-bounded; past ~1.4e11 corpus rows the 1/64 sample
-      // outgrows it and the k-th statistic must route through x104's
-      // histogram rank refinement instead of TakeOrdered (the x104
-      // Int-truncation lesson, failing loud rather than wrapping)
-      require(k <= Int.MaxValue,
-        s"x131: sample rank $k exceeds Int.MaxValue — route via x104's histogram refinement")
-      val est = sample.orderBy(col("v").asc, col("ok").asc, col("ln").asc)
-        .limit(k.toInt).agg(max(col("v"))).head().getDouble(0)
+      val est =
+        if (k <= toCap) {
+          require(k <= Int.MaxValue,
+            s"x131: sample rank $k exceeds Int.MaxValue — lower the takeOrderedCap")
+          sample.orderBy(col("v").asc, col("ok").asc, col("ln").asc)
+            .limit(k.toInt).agg(max(col("v"))).head().getDouble(0)
+        } else kthSmallestByHistogram(sample, "v", k)
       (p, est)
     }
     val rankCols = ests.map { case (p, e) =>

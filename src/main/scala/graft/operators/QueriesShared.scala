@@ -47,6 +47,39 @@ private[operators] trait QueriesShared { this: Queries.type =>
       .head().getSeq[Long](0).toArray
   }
 
+  /** k-th smallest value of `valueCol` (1-based) via x104's histogram
+    * rank refinement — the big-rank replacement for orderBy().limit(k)
+    * (TakeOrdered materializes k rows on ONE task; this materializes
+    * ~n/1024). Pass 1 histograms the value domain into 1024 equi-width
+    * buckets (map-side combined; the 1024-row cumulative table is a
+    * metadata-scale driver action) and names the single bucket holding
+    * rank k; pass 2 TakeOrders only inside that bucket at the residual
+    * rank. Bucket boundaries only ROUTE the search — the answer is rank
+    * arithmetic, never boundary comparison. */
+  private[graft] def kthSmallestByHistogram(vals0: DataFrame, valueCol: String,
+      k: Long): Double = {
+    val nb = 1024
+    val vals = vals0.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+    val stats = vals.agg(min(col("v")), max(col("v"))).head()
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    val span = if (hi > lo) hi - lo else 1.0
+    val bucket = least(floor((col("v") - lo) / span * nb), lit(nb - 1)).cast(IntegerType)
+    val hist = vals.groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = (0 until nb).scanLeft(0L)((acc, b) => acc + hist.getOrElse(b, 0L))
+    require(k >= 1 && k <= cum.last, s"rank $k out of range 1..${cum.last}")
+    val b = cum.indexWhere(_ >= k) - 1 // cum(b) < k <= cum(b + 1)
+    val below = cum(b)
+    // a pathological near-constant bucket can still exceed the Int bound:
+    // the fix is a recursive refinement of that bucket — fail loud, the
+    // x104 discipline, rather than truncate the rank
+    require(k - below <= Int.MaxValue,
+      s"bucket $b holds ${k - below} candidate ranks (> Int.MaxValue); " +
+        "refine the histogram recursively")
+    vals.filter(bucket === b).orderBy(col("v")).limit((k - below).toInt)
+      .agg(max(col("v"))).head().getDouble(0)
+  }
+
   /** Membership predicate: every one of the 4 bit positions is set. */
   private[operators] def bloomTest(bloomArr: Array[Long], mBits: Int)(probe: Column): Column = {
     val bloomLit = typedLit(bloomArr)

@@ -2099,4 +2099,66 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => Option(r.getAs[String]("predicted")).forall(types.contains)))
     df.unpersist()
   }
+
+  // ---- r8: the documented big-cardinality swaps now exist in CODE, and
+  // both paths must be row-identical on the registered queries
+
+  test("x129: the two-pass quintile path (forced via threshold=0) equals the ntile path") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val viaNtile = canon(run("x129_rfm_features"))
+    spark.conf.set("spark.graft.rfm.twoPassThreshold", "0")
+    try {
+      val viaTwoPass = canon(run("x129_rfm_features"))
+      assert(viaTwoPass === viaNtile,
+        "distinct-value-cumsum quintiles diverged from ntile(5)")
+    } finally {
+      spark.conf.unset("spark.graft.rfm.twoPassThreshold")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("quintileTwoPass: exact ntile(5) semantics on a tie-heavy, non-divisible fixture") {
+    // 23 rows (23 % 5 = 3: first three tiles hold 5 rows, last two hold 4)
+    // over only 4 distinct values — heavy ties exercise the per-value
+    // row_number + cumsum composition; user_id breaks ties as registered
+    val s = spark; import s.implicits._
+    val fixture = (1 to 23).map(i => (i.toLong, (i % 4).toLong)).toDF("user_id", "v")
+    for (desc <- Seq(true, false)) {
+      val ord = if (desc) Seq(col("v").desc, col("user_id").asc)
+                else Seq(col("v").asc, col("user_id").asc)
+      val expected = fixture
+        .withColumn("s", ntile(5).over(Window.orderBy(ord: _*)))
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+      val got = Queries.quintileTwoPass(fixture, "v", desc, 23L, "s")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("s"))).toMap
+      assert(got === expected, s"desc=$desc")
+    }
+  }
+
+  test("x131: the histogram-refinement path (forced via cap=0) equals the TakeOrdered path") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val viaTakeOrdered = canon(run("x131_sampled_quantiles"))
+    spark.conf.set("spark.graft.quantile.takeOrderedCap", "0")
+    try {
+      val viaHistogram = canon(run("x131_sampled_quantiles"))
+      assert(viaHistogram === viaTakeOrdered,
+        "histogram rank refinement diverged from TakeOrdered")
+    } finally {
+      spark.conf.unset("spark.graft.quantile.takeOrderedCap")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
+    val s = spark; import s.implicits._
+    // skewed values (80% mass on one value) — exercises the oversized
+    // bucket routing and residual-rank arithmetic
+    val vs = ((1 to 80).map(_ => 42.0) ++ (1 to 20).map(i => i * 1.7)).toDF("x")
+    for (k <- Seq(1L, 5L, 20L, 50L, 80L, 100L)) {
+      val expected = vs.orderBy(col("x")).limit(k.toInt).agg(max(col("x"))).head().getDouble(0)
+      assert(Queries.kthSmallestByHistogram(vs, "x", k) === expected, s"k=$k")
+    }
+  }
 }
