@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, IsNotNull, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -128,10 +128,17 @@ case class AsofJoinExec(
 object AsofJoin {
   /** Wrap two analyzed frames into the as-of logical node. Column names
     * must be disambiguated by the caller (rename the right side).
-    * Precondition: key and time columns are NON-NULL on both sides (the
-    * interpreted orderings the merge uses have no null ordering defined
-    * here — filter nulls first, as q6b's event projection does; an
-    * SQL-null as-of key has no meaningful match anyway). */
+    *
+    * Null contract (ENFORCED at analysis time, r8): the merge loop's
+    * interpreted orderings define no null ordering, so rows with an
+    * SQL-null key or time are EXCLUDED from both sides — asof() inserts
+    * IsNotNull filters under the node whenever an attribute is nullable
+    * (a filter rather than a rejection because Spark keeps attributes
+    * nullable even below an explicit IsNotNull filter, so rejecting
+    * nullable types would ban every nullable-typed column outright).
+    * Note this drops null-key LEFT rows too — a null as-of key has no
+    * meaningful match, and silently null-extending it would hide data
+    * quality problems the caller should see. */
   def asof(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
@@ -157,7 +164,15 @@ object AsofJoin {
       s"asof: key types differ (${lk.dataType} vs ${rk.dataType})")
     require(lt.dataType == rt.dataType,
       s"asof: time types differ (${lt.dataType} vs ${rt.dataType})")
-    val node = AsofJoinPlan(lp, rp, lk, rk, lt, rt)
+    // enforce the non-null contract in the PLAN: nullable key/time
+    // attributes get an IsNotNull filter beneath the node, so a null can
+    // never reach the merge loop's interpreted comparisons at runtime
+    def guarded(p: LogicalPlan, k: Attribute, t: Attribute): LogicalPlan = {
+      val conds = Seq(k, t).filter(_.nullable).map(IsNotNull)
+      if (conds.isEmpty) p else Filter(conds.reduce(And), p)
+    }
+    val node = AsofJoinPlan(
+      guarded(lp, lk, lt), guarded(rp, rk, rt), lk, rk, lt, rt)
     ofRows(left.sparkSession, node)
   }
 

@@ -702,6 +702,49 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), s"no window machinery in the custom path:\n$p")
   }
 
+  test("asof: EnsureRequirements co-partitions a mispartitioned right side onto the key") {
+    // the operator's correctness depends on stock Spark reacting to the
+    // declared requiredChildDistribution: hand it a right side that
+    // arrives hash-partitioned on the WRONG column and prove the planner
+    // inserts key-clustered exchanges on both sides (plus the (key,
+    // time) sorts), and that the merged output is still the as-of answer
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 15L), (3L, 9L))
+      .toDF("k", "t")
+    val r = Seq((1L, 5L, "a"), (1L, 12L, "b"), (2L, 15L, "c"), (2L, 99L, "d"))
+      .toDF("rk", "rt", "v")
+      .repartition(3, col("v")) // deliberately mispartitioned
+    val df = graft.plans.AsofJoin.asof(l, r, "k", "rk", "t", "rt")
+    val got = df.collect().map(x =>
+      (x.getLong(0), x.getLong(1), Option(x.get(4)).map(_.toString).orNull)).toSet
+    assert(got === Set((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"), (3L, 9L, null)),
+      s"merge result wrong under mispartitioned input: $got")
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.contains("AsofJoin"), s"custom exec missing:\n$p")
+    val exchanges = p.linesIterator.count(l0 =>
+      l0.contains("Exchange hashpartitioning(k#") || l0.contains("Exchange hashpartitioning(rk#"))
+    assert(exchanges === 2,
+      s"both sides must re-cluster on the key (got $exchanges key exchanges):\n$p")
+  }
+
+  test("asof: nullable key/time attributes get IsNotNull filters at analysis time") {
+    val s = spark; import s.implicits._
+    // Option-typed columns make nullable attributes; null key/time rows
+    // must be EXCLUDED (both sides), never reach the merge comparisons
+    val l = Seq((Option(1L), Option(10L)), (None: Option[Long], Option(20L)),
+      (Option(2L), None: Option[Long])).toDF("k", "t")
+    val r = Seq((Option(1L), Option(5L), "a"), (None: Option[Long], Option(1L), "x"),
+      (Option(1L), None: Option[Long], "y")).toDF("rk", "rt", "v")
+    val df = graft.plans.AsofJoin.asof(l, r, "k", "rk", "t", "rt")
+    val got = df.collect().map(x =>
+      (x.getLong(0), x.getLong(1), Option(x.get(4)).map(_.toString).orNull)).toSet
+    assert(got === Set((1L, 10L, "a")),
+      s"null key/time rows must drop on both sides: $got")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("isnotnull(k#") && analyzed.contains("isnotnull(rk#"),
+      s"IsNotNull guards missing from the analyzed plan:\n$analyzed")
+  }
+
   test("x124: the midpoint split is PUSHED to the events scan; the predictor broadcasts") {
     val df = Queries.byName("x124_markov_eval").run(spark, sf)
     df.collect()
