@@ -1501,4 +1501,69 @@ private[operators] trait QueriesAnn { this: Queries.type =>
        |$out""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X135
+  /** SEMANTIC SPLIT-LEAKAGE AUDIT — the embedding-space complement of
+    * x56's lexical split contamination: for EVERY test-split document,
+    * its nearest train-split neighbor by exact cosine and a leak flag at
+    * the x5 near-dup threshold (0.45). Lexical decontamination misses
+    * paraphrases and near-copies that share no n-grams; this is the
+    * audit run before an eval score is trusted. Splits are the x54
+    * content-addressed buckets (md5(text) mod 100 — the SAME manifest
+    * the training job uses, so the audit checks the real split, not a
+    * re-draw). The argmax is an order-free max(struct(cos, −train_id))
+    * aggregation — no global window, map-side partial merge — and
+    * cosines round at 6dp (the x5 contract) so the argmax is
+    * engine-stable. Scale note: this is the exact leg (|test|·|train|
+    * dots, embarrassingly parallel after broadcasting the 10% test
+    * side); at corpus scale the same audit routes the train side through
+    * the x7/x14 ANN indexes and re-ranks exactly, the x29 discipline —
+    * the output contract is unchanged. */
+  private[operators] def x135(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(spark, dir).select(col("doc_id"),
+        pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType), lit(100L)).as("b"))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .join(split, col("vec_id") === col("doc_id"))
+    val test = e.filter(col("split") === "test")
+      .select(col("vec_id").as("test_id"), col("v").as("vt"), col("nrm").as("nt"))
+    val train = e.filter(col("split") === "train")
+      .select(col("vec_id").as("train_id"), col("v").as("vr"), col("nrm").as("nr"))
+    // stream the big (train) side against the broadcast 10% test side;
+    // repartition first or the pair loop inherits the scan's file count
+    train.repartition(32).crossJoin(broadcast(test))
+      .withColumn("cos_sim", round(expr("graft_dot(vr, vt)") / (col("nr") * col("nt")), 6))
+      .groupBy(col("test_id"))
+      .agg(max(struct(col("cos_sim"), (-col("train_id")).as("neg"),
+        col("train_id"))).as("best"))
+      .select(col("test_id"), col("best.train_id").as("train_id"),
+        col("best.cos_sim").as("cos_sim"),
+        (col("best.cos_sim") >= 0.45).as("leaked"))
+  }
+
+  private[operators] lazy val x135Sql =
+    """WITH sp AS (SELECT doc_id,
+      |    CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+      |         WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |t AS (SELECT e.vec_id, e.v, e.nrm FROM e JOIN sp
+      |      ON sp.doc_id = e.vec_id AND sp.split = 'test'),
+      |r AS (SELECT e.vec_id, e.v, e.nrm FROM e JOIN sp
+      |      ON sp.doc_id = e.vec_id AND sp.split = 'train'),
+      |p AS (SELECT t.vec_id AS test_id, r.vec_id AS train_id,
+      |    round(list_dot_product(t.v, r.v) / (t.nrm * r.nrm), 6) AS cos_sim
+      |  FROM t, r),
+      |b AS (SELECT test_id, train_id, cos_sim,
+      |    row_number() OVER (PARTITION BY test_id
+      |      ORDER BY cos_sim DESC, train_id) AS rn FROM p)
+      |SELECT test_id, train_id, cos_sim, cos_sim >= 0.45 AS leaked
+      |FROM b WHERE rn = 1""".stripMargin
+
 }

@@ -2204,6 +2204,54 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |    + CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT) AS rfm
       |FROM s""".stripMargin
 
+
+  // ---------------------------------------------------------------- X133
+  /** LEAKAGE-SAFE TARGET ENCODING — the supervised featurization that
+    * turns a categorical into its out-of-fold target mean (CTR-style
+    * models, GBDT pipelines): encoding a category WITH a row's own fold
+    * included leaks the label into the feature, so fold f's encoding for
+    * category e uses ONLY the other folds' mass:
+    *   enc(e, f) = (S_e − s_{e,f}) / (N_e − n_{e,f})
+    * with folds assigned deterministically by user (user_id mod 5 — the
+    * same unit-level discipline as x117's arms: a user's rows never
+    * straddle folds, so the fold is a unit split, not a row split).
+    * Integer-exact throughout: cents quantize once, the per-(category,
+    * fold) moments are exact int64 conditional sums, and the encoding is
+    * the half-up microcent rational — no double anywhere, no
+    * RoundBoundarySpec surface. Scale shape: ONE corpus aggregation to
+    * the |categories|·|folds| moment frame (map-side combined), totals
+    * derive from that tiny frame, the encoding is arithmetic on a
+    * broadcast join of the two — the corpus is scanned once and never
+    * joined row-level. */
+  private[operators] def x133(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), pmod(col("user_id"), lit(5L)).as("fold"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val perFold = ev.groupBy(col("event_type"), col("fold"))
+      .agg(count(lit(1)).as("n_f"), sum(col("cents")).as("s_f"))
+    val totals = perFold.groupBy(col("event_type"))
+      .agg(sum(col("n_f")).as("n"), sum(col("s_f")).as("s"))
+    perFold.join(broadcast(totals), "event_type")
+      .filter(col("n") > col("n_f")) // out-of-fold mass must exist
+      .select(col("event_type"), col("fold"),
+        (col("n") - col("n_f")).as("n_oof"),
+        expr("(2 * (s - s_f) * 1000000 + (n - n_f)) div (2 * (n - n_f))")
+          .as("enc_microcents"))
+  }
+
+  private[operators] lazy val x133Sql =
+    """WITH e AS (SELECT event_type, user_id % 5 AS fold,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |pf AS (SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n_f,
+      |    CAST(sum(cents) AS BIGINT) AS s_f FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n_f) AS BIGINT) AS n,
+      |    CAST(sum(s_f) AS BIGINT) AS s FROM pf GROUP BY 1)
+      |SELECT event_type, fold, n - n_f AS n_oof,
+      |  (2 * (s - s_f) * 1000000 + (n - n_f)) // (2 * (n - n_f)) AS enc_microcents
+      |FROM pf JOIN t USING (event_type)
+      |WHERE n > n_f""".stripMargin
+
   // ---------------------------------------------------------------- X123
   /** BRADLEY–TERRY PREFERENCE RANKING — the pairwise-comparison MLE
     * behind RLHF reward-model data curation and judge-panel

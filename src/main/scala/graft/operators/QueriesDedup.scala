@@ -1023,6 +1023,55 @@ private[operators] trait QueriesDedup { this: Queries.type =>
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+
+  // ---------------------------------------------------------------- X132
+  /** ENTITY-RESOLUTION BLOCKING + EDIT-DISTANCE MATCH — the record-linkage
+    * leg of the dedup family (x1–x5 and x113/x127 dedup DOCUMENTS; this
+    * dedups ENTITIES): candidate identity pairs come from an equi-join on
+    * a blocking key (nation), are pruned by the length lower bound
+    * (|len(a)−len(b)| > d implies levenshtein > d — a scan-level integer
+    * compare, the x93 length-filter discipline), and survivors pay the
+    * exact edit distance, computed with Spark's THRESHOLDED levenshtein
+    * (the 3-arg form early-exits at d+1, O(len·d) per pair instead of
+    * O(len²)). Output is the per-block match profile ((block, n_checked,
+    * per-distance counts) — bounded by |blocks| rows), not the raw pair
+    * dump. Scale shape: one self-join keyed by block (per-task work is
+    * block²-bounded — real deployments pick blocks for that property),
+    * everything after the join is map-side classification into a
+    * map-side-combined aggregation; no global sort, no second shuffle.
+    * Oracle: DuckDB's plain levenshtein under the same blocking and
+    * length bound — different evaluation (full DP matrix vs banded), the
+    * same exact distances. */
+  private[operators] def x132(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val pairs = c.select(col("c_nationkey").as("block"),
+        col("c_custkey").as("ka"), col("c_name").as("na"))
+      .join(c.select(col("c_nationkey").as("block"),
+        col("c_custkey").as("kb"), col("c_name").as("nb")), Seq("block"))
+      .filter(col("ka") < col("kb"))
+      .filter(abs(length(col("na")) - length(col("nb"))) <= 2)
+      .withColumn("d", expr("levenshtein(na, nb, 2)"))  // -1 encodes "> 2"
+    pairs.groupBy(col("block").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_dist0"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_dist1"),
+        sum(when(col("d") === 2, 1L).otherwise(0L)).as("n_dist2"))
+  }
+
+  private[operators] lazy val x132Sql =
+    """SELECT block AS c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_checked,
+      |  CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist0,
+      |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist1,
+      |  CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist2
+      |FROM (
+      |  SELECT a.c_nationkey AS block, levenshtein(a.c_name, b.c_name) AS d
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |  WHERE abs(len(a.c_name) - len(b.c_name)) <= 2)
+      |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- X94
   /** PERCEPTUAL IMAGE NEAR-DUP — the multimodal leg of the dedup family
     * (x1–x5 are text, x5/x88 embeddings): every image payload reduces to

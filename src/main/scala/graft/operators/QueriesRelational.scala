@@ -1553,4 +1553,161 @@ private[operators] trait QueriesRelational { this: Queries.type =>
       .mkString("", "\nUNION ALL\n", "")
   }
 
+  // ---------------------------------------------------------------- Q44
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE — the join leg of the IVM family
+    * (x121 maintains an aggregate, x130 a clustering; this maintains an
+    * equi-JOIN view): the standing view V = A ⨝ B absorbs deltas on BOTH
+    * sides via the delta algebra
+    *   ΔV = ΔA ⨝ B  ∪  A ⨝ ΔB  ∪  ΔA ⨝ ΔB
+    * (A, B are the PRE-delta states — the cross term appears exactly
+    * once). Deltas here are the o_orderkey%10 / c_custkey%17 residue
+    * classes; the oracle is the FULL recomputed join — equality is the
+    * IVM theorem, the x130 discipline. Scale shape: the base join is the
+    * standing artifact (rebuilt in-query only because the registry is
+    * stateless; production reads it), and every delta leg BROADCASTS its
+    * delta side — maintenance cost is delta-proportional, the base
+    * tables are never re-shuffled against each other. Output folds the
+    * maintained view to per-segment exact counts/cents so the theorem is
+    * hash-gated, not row-dumped. */
+  private[operators] def q44(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val dOrd = col("o_orderkey") % 10 === 0
+    val dCust = col("c_custkey") % 17 === 0
+    val a = ord.filter(!dOrd); val da = ord.filter(dOrd)
+    val b = cust.filter(!dCust); val db = cust.filter(dCust)
+    val key = col("o_custkey") === col("c_custkey")
+    val base = a.join(b, key)                      // the standing view
+    val leg1 = broadcast(da).join(b, key)          // dA join B
+    val leg2 = a.join(broadcast(db), key)          // A join dB
+    val leg3 = broadcast(da).join(db, key)         // dA join dB
+    base.unionByName(leg1).unionByName(leg2).unionByName(leg3)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+  }
+
+  private[operators] lazy val q44Sql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- Q45
+  /** INCLUSION-DEPENDENCY (FK-candidate) PROFILER — the schema-discovery
+    * pass a warehouse runs before trusting joins: for each candidate
+    * child.col -> parent.key, the exact containment coefficient
+    * |distinct(child) ∩ distinct(parent)| / |distinct(child)| as a
+    * half-up ppm, and an is_fk flag at containment = 1. The five real
+    * TPC-H dependencies must score 10^6; a deliberate negative control
+    * (o_orderkey -> c_custkey) shows the profiler rejects. Scale shape:
+    * each candidate is ONE distinct-aggregate on the child column
+    * (map-side combined) plus a left join against the parent's distinct
+    * keys — never a row-level join, so cost is keyed by NDV, not table
+    * size; dimension-side distinct sets broadcast. */
+  private[operators] def q45(spark: SparkSession, dir: String): DataFrame = {
+    def dep(label: String, child: DataFrame, cc: String,
+        parent: DataFrame, pc: String): DataFrame = {
+      val cd = child.select(col(cc).cast(LongType).as("k")).filter(col("k").isNotNull).distinct()
+      val pd = parent.select(col(pc).cast(LongType).as("k")).filter(col("k").isNotNull).distinct()
+        .withColumn("hit", lit(1L))
+      cd.join(pd, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child_keys"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contained"))
+        .select(lit(label).as("dependency"), col("n_child_keys"), col("n_contained"),
+          expr("(2 * n_contained * 1000000 + n_child_keys) div (2 * n_child_keys)")
+            .as("containment_ppm"),
+          (col("n_contained") === col("n_child_keys")).as("is_fk"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    Seq(
+      dep("orders.o_custkey->customer.c_custkey", ord, "o_custkey", cust, "c_custkey"),
+      dep("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey", ord, "o_orderkey"),
+      dep("lineitem.l_partkey->part.p_partkey", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      dep("lineitem.l_suppkey->supplier.s_suppkey", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      dep("customer.c_nationkey->nation.n_nationkey", cust, "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      dep("orders.o_orderkey->customer.c_custkey", ord, "o_orderkey", cust, "c_custkey"))
+      .reduce(_ unionByName _)
+  }
+
+  private[operators] lazy val q45Sql = {
+    def one(label: String, ct: String, cc: String, pt: String, pc: String) =
+      s"""SELECT '$label' AS dependency,
+         |  CAST(count(*) AS BIGINT) AS n_child_keys,
+         |  CAST(sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+         |  CAST((2 * CAST(sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+         |        + count(*)) // (2 * count(*)) AS BIGINT) AS containment_ppm,
+         |  sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) = count(*) AS is_fk
+         |FROM (SELECT DISTINCT CAST($cc AS BIGINT) AS k FROM $ct WHERE $cc IS NOT NULL) c
+         |LEFT JOIN (SELECT DISTINCT CAST($pc AS BIGINT) AS k FROM $pt WHERE $pc IS NOT NULL) p
+         |  USING (k)""".stripMargin
+    Seq(
+      one("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      one("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      one("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      one("orders.o_orderkey->customer.c_custkey", "orders", "o_orderkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "")
+  }
+
+  // ---------------------------------------------------------------- X134
+  /** JOIN-KEY SKEW AUDIT — the planner-side diagnosis every 100 TB
+    * shuffle needs BEFORE it runs: per candidate join key, the exact key
+    * count, top-1 key share, skew ratio (top-1 count over the mean key
+    * count), and the salt factor a skew-mitigating rewrite would use
+    * (ceil(top1/mean) — 1 means "no salting needed"). All integer-exact:
+    * shares/ratios are half-up ppm rationals in DECIMAL(38,0)/HUGEINT
+    * (top1·n_keys·10^6 outgrows int64 at corpus scale). Scale shape: one
+    * map-side-combined count per key column, then a 3-scalar fold — the
+    * audit costs one aggregation per key, never a join; this is the
+    * measurement x24's salted aggregation and AQE's skew-join handling
+    * consume as configuration. */
+  private[operators] def x134(spark: SparkSession, dir: String): DataFrame = {
+    def audit(label: String, df: DataFrame, c: String): DataFrame =
+      df.filter(col(c).isNotNull).groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("top1_cnt"))
+        .select(lit(label).as("join_key"), col("n_rows"), col("n_keys"), col("top1_cnt"),
+          expr("cast((2 * cast(top1_cnt as decimal(38,0)) * 1000000 + n_rows) div (2 * n_rows) as bigint)")
+            .as("top1_share_ppm"),
+          expr("cast((2 * cast(top1_cnt as decimal(38,0)) * n_keys * 1000000 + n_rows) div (2 * n_rows) as bigint)")
+            .as("skew_ratio_ppm"),
+          expr("cast((cast(top1_cnt as decimal(38,0)) * n_keys + n_rows - 1) div n_rows as bigint)")
+            .as("recommended_salt"))
+    Seq(
+      audit("events.user_id", Tables.events(spark, dir), "user_id"),
+      audit("lineitem.l_orderkey", Tables.lineitem(spark, dir), "l_orderkey"),
+      audit("lineitem.l_partkey", Tables.lineitem(spark, dir), "l_partkey"),
+      audit("orders.o_custkey", Tables.orders(spark, dir), "o_custkey"))
+      .reduce(_ unionByName _)
+  }
+
+  private[operators] lazy val x134Sql = {
+    def one(label: String, t: String, c: String) =
+      s"""SELECT '$label' AS join_key, n_rows, n_keys, top1_cnt,
+         |  CAST((2 * CAST(top1_cnt AS HUGEINT) * 1000000 + n_rows)
+         |       // (2 * n_rows) AS BIGINT) AS top1_share_ppm,
+         |  CAST((2 * CAST(top1_cnt AS HUGEINT) * n_keys * 1000000 + n_rows)
+         |       // (2 * n_rows) AS BIGINT) AS skew_ratio_ppm,
+         |  CAST((CAST(top1_cnt AS HUGEINT) * n_keys + n_rows - 1)
+         |       // n_rows AS BIGINT) AS recommended_salt
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |        CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |        CAST(max(cnt) AS BIGINT) AS top1_cnt
+         |      FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM $t
+         |            WHERE $c IS NOT NULL GROUP BY $c))""".stripMargin
+    Seq(
+      one("events.user_id", "events", "user_id"),
+      one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      one("lineitem.l_partkey", "lineitem", "l_partkey"),
+      one("orders.o_custkey", "orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "")
+  }
+
 }

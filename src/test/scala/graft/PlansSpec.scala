@@ -702,6 +702,42 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), s"no window machinery in the custom path:\n$p")
   }
 
+  test("q44: every delta leg broadcasts; the base tables never re-shuffle against a delta") {
+    val df = Queries.byName("q44_ivm_join").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    // 3 delta legs, each a BroadcastHashJoin (the base join may also
+    // broadcast at this SF — require at least the 3 delta broadcasts)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"delta legs must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("x133: one corpus scan; totals join back via broadcast") {
+    val df = Queries.byName("x133_target_encoding").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"events must be scanned once:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |categories|-row totals frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-level shuffle join:\n$p")
+  }
+
+  test("x134: the skew audit is aggregation-only — no join operator anywhere") {
+    val p = plan("x134_skew_audit")
+    assert(!p.contains("Join"), s"the audit must never join:\n$p")
+  }
+
+  test("x132: candidate pairs come from the block equi-join; the length bound prunes before levenshtein") {
+    val df = Queries.byName("x132_entity_blocking").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must be an equi join:\n$p")
+    assert(p.contains("levenshtein"), s"thresholded levenshtein missing:\n$p")
+  }
+
   test("asof: EnsureRequirements co-partitions a mispartitioned right side onto the key") {
     // the operator's correctness depends on stock Spark reacting to the
     // declared requiredChildDistribution: hand it a right side that
