@@ -98,6 +98,56 @@ object StreamQueries {
     spark.table(name)
   }
 
+
+  // ---------------------------------------------------------------- QS26
+  /** STREAMING LEAKAGE-SAFE TARGET ENCODING — x133's online twin: the
+    * out-of-fold categorical encodings refresh continuously as events
+    * arrive, so a serving feature store reads a current, never-leaky
+    * encoding table instead of waiting on a nightly batch. Streaming
+    * supports ONE aggregation, so the trick is wide-form per-fold
+    * conditional sums (folds are the fixed unit split user_id mod 5 —
+    * x133's discipline) in a single groupBy(event_type): the totals and
+    * every fold's complement derive from the same 10-column state row
+    * MAP-SIDE after the agg, no second shuffle, no disallowed chained
+    * aggregation. Complete mode + commutative integer sums →
+    * arrival-order-free → the oracle is x133's own SQL (the streaming
+    * drain and the batch featurizer must agree bit-for-bit). State:
+    * |event_types| rows × 10 longs. */
+  private def qs26(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), pmod(col("user_id"), lit(5L)).as("fold"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val foldCols = (0 until 5).flatMap(f => Seq(
+      sum(when(col("fold") === f, 1L).otherwise(0L)).as(s"n_$f"),
+      sum(when(col("fold") === f, col("cents")).otherwise(0L)).as(s"s_$f")))
+    val folded = ev.groupBy(col("event_type")).agg(foldCols.head, foldCols.tail: _*)
+    val wide = runToTable(spark, folded, OutputMode.Complete())
+      .withColumn("n", (0 until 5).map(f => col(s"n_$f")).reduce(_ + _))
+      .withColumn("s", (0 until 5).map(f => col(s"s_$f")).reduce(_ + _))
+    (0 until 5).map { f =>
+      wide.filter(col("n") > col(s"n_$f"))
+        .select(col("event_type"), lit(f.toLong).as("fold"),
+          (col("n") - col(s"n_$f")).as("n_oof"),
+          expr(s"(2 * (s - s_$f) * 1000000 + (n - n_$f)) div (2 * (n - n_$f))")
+            .as("enc_microcents"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Oracle = x133's batch SQL verbatim: stream drain == batch featurizer. */
+  private val qs26Sql =
+    """WITH e AS (SELECT event_type, user_id % 5 AS fold,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |pf AS (SELECT event_type, fold, CAST(count(*) AS BIGINT) AS n_f,
+      |    CAST(sum(cents) AS BIGINT) AS s_f FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n_f) AS BIGINT) AS n,
+      |    CAST(sum(s_f) AS BIGINT) AS s FROM pf GROUP BY 1)
+      |SELECT event_type, fold, n - n_f AS n_oof,
+      |  (2 * (s - s_f) * 1000000 + (n - n_f)) // (2 * (n - n_f)) AS enc_microcents
+      |FROM pf JOIN t USING (event_type)
+      |WHERE n > n_f""".stripMargin
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -1483,5 +1533,7 @@ object StreamQueries {
     Q("qs24_stream_contract", qs24, Some(qs24Sql),
       "streaming data-contract gate: x120's row-local expectations per finalized hour as wide-form conditional sums + pass flag"),
     Q("qs25_stream_heavy_hitters", qs25, Some(qs25Sql),
-      "streaming Misra-Gries heavy hitters: k-counter mergeable sketch state across arrival waves, exact recount on drain = batch x57"))
+      "streaming Misra-Gries heavy hitters: k-counter mergeable sketch state across arrival waves, exact recount on drain = batch x57"),
+    Q("qs26_stream_target_encoding", qs26, Some(qs26Sql),
+      "streaming leakage-safe target encoding: wide-form per-fold sums in ONE stateful agg, drain == x133's batch featurizer"))
 }
