@@ -236,4 +236,38 @@ object MediaCodecs {
     val n = java.nio.ByteBuffer.wrap(b, 4, 4).order(java.nio.ByteOrder.BIG_ENDIAN).getInt
     VideoInfo(n, decodePpm(java.util.Arrays.copyOfRange(b, 8, b.length)), n * 40L)
   }
+  /** Per-frame integer WEIGHTED luma sums for a GFV0 video — the
+    * deterministic stand-in for "decode frame f": frame f is the
+    * keyframe ROTATED by 7 pixels per frame, measured under a FIXED
+    * spatial weight mask w_p = 1 + (p mod 3) —
+    *   luma(f) = Σ_p (1 + p mod 3) · lum((p + 7f) mod px)
+    * with lum(q) the pixel's integer BT.601 sum (299r+587g+114b). The
+    * mask is load-bearing: a plain rotated SUM permutes the same byte
+    * multiset and every frame measures identical (scene cuts would be
+    * structurally impossible); weighting by position makes consecutive
+    * frames differ by a content-derived amount, emulating motion under
+    * a fixed attention mask. A real MP4 codec would decode the actual
+    * frame bytes through this same seam. */
+  def frameLumaSums(b: Array[Byte]): Array[Long] = {
+    require(b.length >= 8 && new String(b, 0, 4, "US-ASCII") == "GFV0", "not a GFV0 container")
+    val nFrames = java.nio.ByteBuffer.wrap(b, 4, 4).order(java.nio.ByteOrder.BIG_ENDIAN).getInt
+    val ppm = java.util.Arrays.copyOfRange(b, 8, b.length)
+    val (w, h, off) = parsePpmHeader(ppm)
+    val px = w * h
+    val lum = Array.tabulate(px) { q =>
+      299L * (ppm(off + 3 * q) & 0xff) +
+        587L * (ppm(off + 3 * q + 1) & 0xff) +
+        114L * (ppm(off + 3 * q + 2) & 0xff)
+    }
+    Array.tabulate(nFrames) { f =>
+      var s = 0L
+      var p = 0
+      while (p < px) {
+        s += (1L + p % 3) * lum((p + 7 * f) % px)
+        p += 1
+      }
+      s
+    }
+  }
+
 }

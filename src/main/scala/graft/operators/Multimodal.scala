@@ -185,6 +185,48 @@ object Multimodal {
       }
     }
   }
+
+  /** Per-video scene-cut summary (x138's engine). */
+  case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Long,
+      max_delta: Long, cut_frame: Int)
+
+  /** SCENE-CUT DETECTION as a partition-batched typed transform: each
+    * video's per-frame integer luma sums ([[MediaCodecs.frameLumaSums]] —
+    * the deterministic stand-in for per-frame decode) yield consecutive
+    * deltas; a frame is a CUT when its delta clears 2% of the video's
+    * mean frame luma (the self-normalized integer rule
+    * 50·n_frames·Δ ≥ Σ luma — no corpus-dependent threshold, no
+    * floats; 2% splits the synthetic corpus ~70/164 videos-with-cuts at
+    * sf0.01, i.e. the rule discriminates instead of firing always or
+    * never). Entirely map-side: the whole summary reduces inside the
+    * decode pass, zero shuffles. Videos need ≥ 2 frames; poison
+    * payloads drop (the opaque-degrade contract). */
+  def sceneCuts(media: Dataset[MediaRecord]): Dataset[SceneCuts] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.filter(_.modality == "video").flatMap { r =>
+        try {
+          val sums = MediaCodecs.frameLumaSums(r.payload)
+          if (sums.length < 2) None
+          else {
+            val tot = sums.sum
+            val nf = sums.length
+            var nCuts = 0L
+            var maxDelta = -1L
+            var cutFrame = -1
+            var f = 1
+            while (f < nf) {
+              val d = math.abs(sums(f) - sums(f - 1))
+              if (50L * d * nf >= tot) nCuts += 1
+              if (d > maxDelta) { maxDelta = d; cutFrame = f }
+              f += 1
+            }
+            Some(SceneCuts(r.doc_id, nf, nCuts, maxDelta, cutFrame))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
 }
 
 /** Skew-handling utility (SURVEY "salting for skew"): explode the build side

@@ -827,6 +827,61 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |    / (1000.0 * 48) AS luma
       |FROM s""".stripMargin
 
+
+  // ---------------------------------------------------------------- X138
+  /** VIDEO SCENE-CUT DETECTION — the temporal-segmentation member of the
+    * multimodal family (x51 resize, x52 frame sample, x94/x95 perceptual
+    * dedup are spatial; this is the first operator over the TIME axis):
+    * per video, consecutive-frame luma deltas flag cuts under the
+    * self-normalized integer rule 50·n_frames·Δ ≥ Σ luma (2% of the
+    * video's own mean frame luma — corpus-independent, no floats; at
+    * sf0.01 it flags cuts in 70 of 164 videos, so the rule
+    * discriminates), plus the strongest cut's frame index. Frame f's
+    * luma is the keyframe rotated 7 px/frame under a FIXED spatial
+    * weight mask ([[MediaCodecs.frameLumaSums]] — the weights are
+    * load-bearing: an unweighted rotated sum permutes the same byte
+    * multiset and every delta is identically zero, measured before this
+    * design; a real codec decodes the actual frame through the same
+    * seam). Scale shape: the ENTIRE
+    * summary reduces inside the partition-batched decode pass — zero
+    * shuffles, zero joins; at 100 TB this is one embarrassingly-parallel
+    * scan of the video column. The oracle recomputes the same rotated
+    * luma algebra from the synthesis contract's text bytes (the
+    * x94/x51/x52 trick) and window-lags in SQL — different machinery,
+    * identical integers. */
+  private[operators] def x138(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneCuts(Multimodal.fromDocuments(spark, dir)).toDF()
+
+  private[operators] lazy val x138Sql = {
+    def byte(k: String) = s"ord(substr(text, (($k) % 144) % L + 1, 1))"
+    def lum(q: String) =
+      s"""(299 * ${byte(s"3 * ($q)")}
+         | + 587 * ${byte(s"3 * ($q) + 1")}
+         | + 114 * ${byte(s"3 * ($q) + 2")})""".stripMargin
+    s"""WITH v AS (
+       |  SELECT doc_id, text, length(text) AS L,
+       |    CAST(1 + n_chars % 30 AS INT) AS nf
+       |  FROM documents WHERE n_chars % 3 = 2 AND 1 + n_chars % 30 >= 2),
+       |fl AS (
+       |  SELECT doc_id, nf, f,
+       |    CAST(list_sum(list_transform(range(48), p ->
+       |      (1 + p % 3) * ${lum("(p + 7 * f) % 48")})) AS BIGINT) AS s
+       |  FROM (SELECT doc_id, text, L, nf, CAST(unnest(range(nf)) AS INT) AS f FROM v)),
+       |d AS (SELECT doc_id, nf, f, s,
+       |    abs(s - lag(s) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+       |  FROM fl),
+       |t AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS tot FROM fl GROUP BY 1),
+       |mx AS (SELECT doc_id, CAST(max(delta) AS BIGINT) AS max_delta
+       |       FROM d WHERE delta IS NOT NULL GROUP BY 1)
+       |SELECT d.doc_id, d.nf AS n_frames,
+       |  CAST(sum(CASE WHEN 50 * d.delta * d.nf >= t.tot THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |  mx.max_delta,
+       |  CAST(min(CASE WHEN d.delta = mx.max_delta THEN d.f END) AS INT) AS cut_frame
+       |FROM d JOIN t USING (doc_id) JOIN mx USING (doc_id)
+       |WHERE d.delta IS NOT NULL
+       |GROUP BY d.doc_id, d.nf, mx.max_delta""".stripMargin
+  }
+
   // ---------------------------------------------------------------- X53
   /** NULL IMPUTATION by group statistic — the feature-cleaning step before
     * any numeric feature reaches training: values knocked out by a

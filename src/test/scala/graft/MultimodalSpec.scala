@@ -238,4 +238,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "an exact image dup pair is missing from the hamming-0 set")
     imgs.unpersist(); df.unpersist()
   }
+
+  test("sceneCuts: the cut rule re-derives from frameLumaSums and frames really differ") {
+    val media = Multimodal.fromDocuments(spark, sf)
+    val cuts = Multimodal.sceneCuts(media).collect().map(c => c.doc_id -> c).toMap
+    assert(cuts.nonEmpty)
+    // re-derive the summary independently from the codec helper on the
+    // raw payloads for every multi-frame video
+    val payloads = media.collect().filter(_.modality == "video")
+      .map(r => r.doc_id -> graft.operators.MediaCodecs.frameLumaSums(r.payload))
+      .filter(_._2.length >= 2).toMap
+    assert(payloads.keySet === cuts.keySet, "one row per >=2-frame video")
+    payloads.foreach { case (id, sums) =>
+      val tot = sums.sum
+      val deltas = sums.sliding(2).map(w => math.abs(w(1) - w(0))).toSeq
+      val c = cuts(id)
+      assert(c.n_frames === sums.length)
+      assert(c.max_delta === deltas.max, s"doc $id max_delta")
+      assert(c.cut_frame === deltas.indexOf(deltas.max) + 1, s"doc $id cut_frame (first argmax)")
+      assert(c.n_cuts === deltas.count(d => 50L * d * sums.length >= tot), s"doc $id n_cuts")
+    }
+    // the weight mask is load-bearing: rotated frames must NOT all
+    // measure equal (the failure mode of an unweighted rotated sum)
+    assert(payloads.values.exists(_.distinct.length > 1),
+      "every video's frames measure identical - the mask degenerated")
+    // and the threshold discriminates: some videos cut, some don't
+    val withCuts = cuts.values.count(_.n_cuts > 0)
+    assert(withCuts > 0 && withCuts < cuts.size,
+      s"2% rule fires on $withCuts/${cuts.size} videos - not discriminative")
+  }
 }

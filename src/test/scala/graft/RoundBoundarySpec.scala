@@ -111,7 +111,10 @@ class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     // x117's t²/significance migrated to exact integer rationals in r8;
     // only the Welch–Satterthwaite df round remains (proven irreducible —
     // an exact df needs ~10⁵⁵-wide integers, see the x117 scaladoc)
-    "x117_ab_welch", "x118_dp_release")
+    "x117_ab_welch", "x118_dp_release",
+    // r8: x136's single ln quantization (the x63 pattern) + x137 via its
+    // x108 composition (prior/log-odds nano rounds)
+    "x136_lm_holdout_ppl", "x137_conformal_gate")
 
   for (name <- auditedQueries)
     test(s"$name: no double-round value within 4 ulps of a .5 boundary") {

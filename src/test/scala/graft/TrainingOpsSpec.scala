@@ -2151,6 +2151,40 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x137: the conformal threshold IS the k-th nonconformity and coverage sits in the binomial band") {
+    val r = run("x137_conformal_gate").head()
+    val (nCal, k) = (r.getAs[Long]("n_cal"), r.getAs[Long]("k_rank"))
+    assert(k === (9L * (nCal + 1) + 9) / 10, "rank arithmetic drifted")
+    // re-derive the threshold independently: the (n-k+1)-th smallest
+    // calibration-good score under the same x108 frame
+    val scored = Queries.byName("x108_nb_quality_classifier").run(spark, sf)
+      .filter(col("doc_id") % 2 === 0 && col("label_good"))
+      .select(col("score_nanos")).collect().map(_.getLong(0)).sorted
+    assert(scored.length.toLong === nCal)
+    assert(r.getAs[Long]("thr_nanos") === scored((nCal - k).toInt),
+      "threshold is not the defining order statistic")
+    // coverage: exact ppm law + a generous 4-sigma binomial band around 90%
+    val (g, ga) = (r.getAs[Long]("n_good"), r.getAs[Long]("n_good_accepted"))
+    assert(r.getAs[Long]("coverage_ppm") === (2 * ga * 1000000L + g) / (2 * g))
+    val sigma = math.sqrt(0.9 * 0.1 / g)
+    assert(math.abs(ga.toDouble / g - 0.9) <= 4 * sigma + 1.0 / g,
+      s"coverage ${ga.toDouble / g} outside the 4-sigma band around 0.9")
+  }
+
+  test("x136: held-out cross-entropy is the exact weighted mean of per-bigram nanos") {
+    val rows = run("x136_lm_holdout_ppl").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, tot, x) = (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("total_nll_nanos"), r.getAs[Long]("xent_nanos"))
+      assert(n > 0 && tot > 0, "degenerate test fold")
+      assert(x === (2 * tot + n) / (2 * n), "xent is not the half-up mean")
+      // add-one smoothing bounds: every bigram nll is in (0, ln((c1+V)/1)]
+      // so the mean sits strictly inside (0, ln(2V)*1e9) for any corpus
+      assert(x > 0 && x < math.log(2e12) * 1e9, "xent outside smoothing bounds")
+    }
+  }
+
   test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
     val s = spark; import s.implicits._
     // skewed values (80% mass on one value) — exercises the oversized
