@@ -113,16 +113,24 @@ object StreamQueries {
     * arrival-order-free → the oracle is x133's own SQL (the streaming
     * drain and the batch featurizer must agree bit-for-bit). State:
     * |event_types| rows × 10 longs. */
-  private def qs26(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsStream(spark, dir)
-      .filter(col("value").isNotNull)
+  /** qs26's stateful core, factored for StreamRecoverySpec (the
+    * mgTokenSummary pattern): one streaming aggregation holding the
+    * wide-form per-fold moments — 10 longs of state per category. */
+  private[graft] def foldMomentsWide(ev: DataFrame): DataFrame = {
+    val proj = ev.filter(col("value").isNotNull)
       .select(col("event_type"), pmod(col("user_id"), lit(5L)).as("fold"),
         expr("cast(round(value * 100, 0) as bigint)").as("cents"))
     val foldCols = (0 until 5).flatMap(f => Seq(
       sum(when(col("fold") === f, 1L).otherwise(0L)).as(s"n_$f"),
       sum(when(col("fold") === f, col("cents")).otherwise(0L)).as(s"s_$f")))
-    val folded = ev.groupBy(col("event_type")).agg(foldCols.head, foldCols.tail: _*)
-    val wide = runToTable(spark, folded, OutputMode.Complete())
+    proj.groupBy(col("event_type")).agg(foldCols.head, foldCols.tail: _*)
+  }
+
+  /** The stateless complement algebra over the drained moment frame —
+    * shared by the registry query and the recovery proof so the
+    * "drain == batch featurizer" claim is checked through ONE code path. */
+  private[graft] def foldEncodings(wide0: DataFrame): DataFrame = {
+    val wide = wide0
       .withColumn("n", (0 until 5).map(f => col(s"n_$f")).reduce(_ + _))
       .withColumn("s", (0 until 5).map(f => col(s"s_$f")).reduce(_ + _))
     (0 until 5).map { f =>
@@ -133,6 +141,10 @@ object StreamQueries {
             .as("enc_microcents"))
     }.reduce(_ unionByName _)
   }
+
+  private def qs26(spark: SparkSession, dir: String): DataFrame =
+    foldEncodings(runToTable(spark, foldMomentsWide(eventsStream(spark, dir)),
+      OutputMode.Complete()))
 
   /** Oracle = x133's batch SQL verbatim: stream drain == batch featurizer. */
   private val qs26Sql =

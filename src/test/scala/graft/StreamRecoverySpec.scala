@@ -461,4 +461,60 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recoveredMg.values.sum > freshMg.values.sum,
       s"recovered sketch mass ${recoveredMg.values.sum} not above fresh wave-2-only mass ${freshMg.values.sum}")
   }
+
+  test("qs26's per-fold moment state restarts from checkpoint: drained encodings equal batch x133") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery26")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val raw = graft.operators.Tables.eventsRawNs(spark, sf)
+    def writeWave(i: Int): Unit = {
+      raw.filter(pmod(xxhash64(col("event_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val stream = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true").parquet(from)
+      val q = StreamQueries.foldMomentsWide(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("enc_run1", ckpt)
+
+    writeWave(2)
+    val wave2Rows = raw.filter(pmod(xxhash64(col("event_id")), lit(3)) === 2).count()
+    val run2Input = runOnce("enc_run2", ckpt)
+    // (a) the checkpoint remembered the ingested file set
+    assert(run2Input === wave2Rows,
+      s"restart re-read old waves: run 2 input $run2Input vs wave-2 $wave2Rows")
+
+    // (b) the encodings derived from the RECOVERED moment state equal the
+    // batch featurizer — only possible if waves 0/1's 10-long moment rows
+    // crossed the death (a fresh state would shift every out-of-fold mean)
+    val recovered = StreamQueries.foldEncodings(spark.table("enc_run2"))
+    val batch = graft.operators.Queries.byName("x133_target_encoding").run(spark, sf)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted encodings differ from batch x133")
+
+    // non-vacuity: a fresh wave-2-only run carries visibly less mass
+    runOnce("enc_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val massOf = (t: String) => spark.table(t)
+      .select((0 until 5).map(f => sum(col(s"n_$f"))).reduce(_ + _)).head().getLong(0)
+    assert(massOf("enc_run2") > massOf("enc_fresh"),
+      "recovered moment mass not above the fresh wave-2-only mass")
+  }
 }
