@@ -28,6 +28,38 @@ object FastOps {
     s
   }
 
+
+  /** farmhash64 of every DISTINCT variant of `s` with at most k characters
+    * deleted (k in {0,1,2}) - the FastSS/SymSpell deletion neighborhood
+    * (Bocek et al. 2007) as 8-byte join keys, never materializing a
+    * variant string in the plan: lev(a,b) <= k implies the neighborhoods
+    * intersect, so equality on these hashes is a COMPLETE candidate
+    * generator for banded edit-distance joins (64-bit collisions are
+    * killed by the exact verify). Byte-level deletion (ASCII names; a
+    * multi-byte corpus would index codepoints). One pass, one reused
+    * buffer - ~(1 + L + L^2/2) hashes of <= L bytes per call. */
+  def deletionHashes(s: UTF8String, k: Int): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val seen = new java.util.HashSet[java.lang.Long](4 + n * n)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](1 + n + n * n / 2)
+    val buf = new Array[Byte](math.max(n, 1))
+    def add(i: Int, j: Int): Unit = {
+      var m = 0
+      var p = 0
+      while (p < n) { if (p != i && p != j) { buf(m) = b(p); m += 1 }; p += 1 }
+      val h = Hashing.farmHashFingerprint64().hashBytes(buf, 0, m).asLong()
+      if (seen.add(h)) out += h
+    }
+    add(-1, -1)
+    if (k >= 1) { var i = 0; while (i < n) { add(i, -1); i += 1 } }
+    if (k >= 2) {
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { add(i, j); j += 1 }; i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def farmhash64(s: UTF8String): Long =
     Hashing.farmHashFingerprint64().hashBytes(s.getBytes).asLong()
 
@@ -355,6 +387,17 @@ case class FarmHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+
+/** ≤k-deletion neighborhood hashes of a string → array<long> (FastSS). */
+case class DeletionHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.deletionHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.deletionHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** farmhash64 of each element of array<string> → array<long>. */
 case class HashStrings(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -528,6 +571,7 @@ object GraftFunctions {
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "farmhash64" -> (es => FarmHash64(es.head)),
     "graft_hash_strings" -> (es => HashStrings(es.head)),
+    "graft_del_hashes" -> (es => DeletionHashes(es.head, if (es.size > 1) intArg(es(1)) else 2)),
     "graft_sha64" -> (es => ShaHash64(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, if (es.size > 1) intArg(es(1)) else 3)),
     "graft_bigram_buckets" -> (es => BigramBuckets(es.head, if (es.size > 1) intArg(es(1)) else 10000)),

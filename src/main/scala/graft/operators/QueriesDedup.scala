@@ -1025,35 +1025,55 @@ private[operators] trait QueriesDedup { this: Queries.type =>
 
 
   // ---------------------------------------------------------------- X132
-  /** ENTITY-RESOLUTION BLOCKING + EDIT-DISTANCE MATCH — the record-linkage
-    * leg of the dedup family (x1–x5 and x113/x127 dedup DOCUMENTS; this
-    * dedups ENTITIES): candidate identity pairs come from an equi-join on
-    * a blocking key (nation), are pruned by the length lower bound
-    * (|len(a)−len(b)| > d implies levenshtein > d — a scan-level integer
-    * compare, the x93 length-filter discipline), and survivors pay the
-    * exact edit distance, computed with Spark's THRESHOLDED levenshtein
-    * (the 3-arg form early-exits at d+1, O(len·d) per pair instead of
-    * O(len²)). Output is the per-block match profile ((block, n_checked,
-    * per-distance counts) — bounded by |blocks| rows), not the raw pair
-    * dump. Scale shape: one self-join keyed by block (per-task work is
-    * block²-bounded — real deployments pick blocks for that property),
-    * everything after the join is map-side classification into a
-    * map-side-combined aggregation; no global sort, no second shuffle.
-    * Oracle: DuckDB's plain levenshtein under the same blocking and
-    * length bound — different evaluation (full DP matrix vs banded), the
-    * same exact distances. */
+  /** ENTITY-RESOLUTION VIA DELETION-NEIGHBORHOOD BANDING — the
+    * record-linkage leg of the dedup family (x1–x5 and x113/x127 dedup
+    * DOCUMENTS; this dedups ENTITIES), candidate-generated the FastSS /
+    * SymSpell way (Bocek et al. 2007): two strings are within
+    * levenshtein ≤ 2 IFF they share a variant obtainable by ≤ 2
+    * character deletions from each, so every name explodes into its
+    * ≤ 2-deletion neighborhood (1 + L + C(L,2) variants, a CONSTANT
+    * ~170× expansion at L = 18) and candidates are pairs sharing a
+    * (nation, variant) bucket — the x2 inverted-index shape with a
+    * provable candidate bound. This replaces the first-draft
+    * nation-block self-join, whose per-block pair count grows
+    * QUADRATICALLY with the data (measured 0.97 s → 72 s at 10×, an
+    * ~88× blow-up — the blocking-key anti-pattern); deletion banding's
+    * candidate volume is proportional to the TRUE near-match volume
+    * (measured on the linear-match ER corpus, tools/make_scale_er.py:
+    * 4.9 s → 38.6 s at 10× = 7.9×, sublinear). Survivors pay the exact banded
+    * 3-arg levenshtein (O(len·d), early exit at 3) after the length
+    * lower bound. Output is the per-nation match profile — counts at
+    * distance 0/1/2 — which is ALGORITHM-INDEPENDENT (any complete
+    * candidate scheme yields identical numbers), so the oracle uses
+    * the straightforward quadratic within-nation join: the oracle may
+    * be quadratic, the engine may not (the x4/x92 discipline). At
+    * 100 TB the variant strings hash to 8 bytes before the exchange
+    * and names join back pair-rate (the x2 narrowing); at this SF the
+    * strings ride the postings directly. */
   private[operators] def x132(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-    val pairs = c.select(col("c_nationkey").as("block"),
-        col("c_custkey").as("ka"), col("c_name").as("na"))
-      .join(c.select(col("c_nationkey").as("block"),
-        col("c_custkey").as("kb"), col("c_name").as("nb")), Seq("block"))
-      .filter(col("ka") < col("kb"))
-      .filter(abs(length(col("na")) - length(col("nb"))) <= 2)
-      .withColumn("d", expr("levenshtein(na, nb, 2)"))  // -1 encodes "> 2"
-    pairs.groupBy(col("block").as("c_nationkey"))
-      .agg(count(lit(1)).as("n_checked"),
+    // ≤2-deletion neighborhood as 8-byte hashes: the graft_del_hashes
+    // kernel (codegen'd, one reused buffer — the first draft's nested
+    // interpreted HOF string generation was ~20× slower) keeps the
+    // postings (blk, hash, key)-narrow; names join back PAIR-RATE after
+    // the distinct (the x2 sizes-never-ride-postings lesson)
+    val variants = c
+      .withColumn("vh", explode(expr("graft_del_hashes(c_name, 2)")))
+      .select(col("c_nationkey").as("blk"), col("vh"), col("c_custkey").as("k"))
+    val cands = variants
+      .join(variants.select(col("blk"), col("vh"), col("k").as("kb")), Seq("blk", "vh"))
+      .filter(col("k") < col("kb"))
+      .select(col("blk"), col("k"), col("kb"))
+      .distinct()
+    cands
+      .join(c.select(col("c_custkey").as("k"), col("c_name").as("nm")), "k")
+      .join(c.select(col("c_custkey").as("kb"), col("c_name").as("nb")), "kb")
+      .filter(abs(length(col("nm")) - length(col("nb"))) <= 2)
+      .withColumn("d", expr("levenshtein(nm, nb, 2)")) // -1 encodes "> 2"
+      .filter(col("d") >= 0)
+      .groupBy(col("blk").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_matches"),
         sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_dist0"),
         sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_dist1"),
         sum(when(col("d") === 2, 1L).otherwise(0L)).as("n_dist2"))
@@ -1061,7 +1081,7 @@ private[operators] trait QueriesDedup { this: Queries.type =>
 
   private[operators] lazy val x132Sql =
     """SELECT block AS c_nationkey,
-      |  CAST(count(*) AS BIGINT) AS n_checked,
+      |  CAST(count(*) AS BIGINT) AS n_matches,
       |  CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist0,
       |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist1,
       |  CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist2
@@ -1070,6 +1090,7 @@ private[operators] trait QueriesDedup { this: Queries.type =>
       |  FROM customer a JOIN customer b
       |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
       |  WHERE abs(len(a.c_name) - len(b.c_name)) <= 2)
+      |WHERE d <= 2
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- X94
