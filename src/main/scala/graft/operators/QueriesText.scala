@@ -20,8 +20,8 @@ private[operators] trait QueriesText { this: Queries.type =>
   // ---------------------------------------------------------------- X8
   /** Text quality scoring: token stats, distinct ratio, stopword ratio,
     * composite score. All ratios are int/int → double (exact IEEE). */
-  private[operators] lazy val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-  private[operators] lazy val stopwordsSqlList = stopwords.map(s => s"'$s'").mkString(", ")
+  private[graft] lazy val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[graft] lazy val stopwordsSqlList = stopwords.map(s => s"'$s'").mkString(", ")
 
   /** Appends x8's quality kernel columns to any frame bearing `text` —
     * shared so consumers (x62) fold the kernels into their OWN scan
@@ -1631,5 +1631,230 @@ private[operators] trait QueriesText { this: Queries.type =>
       |    + coalesce(CAST((2000000 + (60 + sem_rank)) // (2 * (60 + sem_rank)) AS BIGINT), 0)
       |    AS rrf_ppm
       |FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- X139
+  /** GRADED-RELEVANCE nDCG AUDIT of the BM25 ranker — the IR-eval leg
+    * the retrieval family (x58 scorer, x122 fusion, x128 reliability)
+    * was missing: before a ranker gates training-data selection, its
+    * ORDERING quality gets a number, not just its scores. Relevance is
+    * the standard graded-containment proxy when no human qrels exist:
+    * rel(doc) = #distinct query terms present (0–3 — exactly the
+    * n_terms the shared bm25Scores frame already carries, so the judge
+    * and the judged ranker read ONE frame and cannot drift). nDCG@k for
+    * k ∈ {5,10,20}: DCG = Σ rel_r·w_r over the BM25 top-20, IDCG over
+    * the ideal (rel-sorted) top-20, ndcg_ppm the half-up integer
+    * rational. Exactness: the discount table w_r = round(10⁹/log₂(r+1))
+    * is a UNIVERSAL constant (like π's digits) pinned as the same
+    * 20-entry literal in engine and oracle — zero runtime
+    * transcendentals, nothing for RoundBoundarySpec. Scale shape: both
+    * top-20s are TakeOrderedAndProject over the match-rate-sized bm
+    * frame (never corpus-sorted), ranks come from a window over a
+    * 20-row frame, the k fan-out is a broadcast 3-row range join, and
+    * every sum is conditional on that ≤60-row frame. At 100 TB the cost
+    * is the ranker itself; the audit is free. */
+  private[operators] lazy val dcgWeights: Seq[Long] = Seq(
+    1000000000L, 630929754L, 500000000L, 430676558L, 386852807L,
+    356207187L, 333333333L, 315464877L, 301029996L, 289064826L,
+    278942946L, 270238154L, 262649535L, 255958025L, 250000000L,
+    244650542L, 239812467L, 235408913L, 231378213L, 227670249L)
+
+  private[operators] def x139(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bm = bm25Scores(
+      Tables.documents(spark, dir).select(col("doc_id"), toks(col("text")).as("tk")),
+      Seq("dup", "vector", "join"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // two TakeOrdered passes
+    val w = dcgWeights.zipWithIndex
+      .map { case (wt, i) => (i + 1, wt) }.toDF("rn", "w")
+    val ranked = bm.orderBy(col("bm25_micros").desc, col("doc_id").asc).limit(20)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("bm25_micros").desc, col("doc_id").asc)))
+      .join(broadcast(w), "rn")
+      .select(col("rn"), (col("n_terms").cast(LongType) * col("w")).as("gain"))
+    val ideal = bm.orderBy(col("n_terms").desc, col("doc_id").asc).limit(20)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("n_terms").desc, col("doc_id").asc)))
+      .join(broadcast(w), "rn")
+      .select(col("rn"), (col("n_terms").cast(LongType) * col("w")).as("igain"))
+    val ks = Seq(5, 10, 20).toDF("k")
+    val dcg = broadcast(ks).join(ranked, col("rn") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_ranked"), sum(col("gain")).as("dcg"))
+    val idcg = broadcast(ks).join(ideal, col("rn") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("igain")).as("idcg"))
+    dcg.join(idcg, "k")
+      .select(col("k"), col("n_ranked"), col("dcg"), col("idcg"),
+        expr("CAST((2 * dcg * 1000000 + idcg) div (2 * idcg) AS BIGINT)").as("ndcg_ppm"))
+  }
+
+  private[operators] lazy val x139Sql = {
+    val wRows = dcgWeights.zipWithIndex
+      .map { case (wt, i) => s"(${i + 1}, ${wt})" }.mkString(", ")
+    s"""WITH ${bm25SqlBody("")},
+       |w(rn, w) AS (VALUES $wRows),
+       |top AS (SELECT doc_id, n_terms, bm25_micros FROM bm
+       |        ORDER BY bm25_micros DESC, doc_id LIMIT 20),
+       |rk AS (SELECT n_terms, CAST(row_number()
+       |    OVER (ORDER BY bm25_micros DESC, doc_id) AS INT) AS rn FROM top),
+       |itop AS (SELECT doc_id, n_terms FROM bm
+       |         ORDER BY n_terms DESC, doc_id LIMIT 20),
+       |irk AS (SELECT n_terms, CAST(row_number()
+       |    OVER (ORDER BY n_terms DESC, doc_id) AS INT) AS rn FROM itop),
+       |ks(k) AS (VALUES (5), (10), (20)),
+       |dg AS (SELECT k, CAST(count(*) AS BIGINT) AS n_ranked,
+       |        CAST(sum(CAST(n_terms AS BIGINT) * w.w) AS BIGINT) AS dcg
+       |      FROM ks JOIN rk ON rk.rn <= ks.k JOIN w USING (rn) GROUP BY k),
+       |ig AS (SELECT k, CAST(sum(CAST(n_terms AS BIGINT) * w.w) AS BIGINT) AS idcg
+       |      FROM ks JOIN irk ON irk.rn <= ks.k JOIN w USING (rn) GROUP BY k)
+       |SELECT k, n_ranked, dcg, idcg,
+       |  CAST((2 * dcg * 1000000 + idcg) // (2 * idcg) AS BIGINT) AS ndcg_ppm
+       |FROM dg JOIN ig USING (k)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X140
+  /** FOLD-COMPLEMENT CROSS-VALIDATED MODEL SELECTION — the x133
+    * leakage-safe algebra applied to a MODEL instead of a feature: all
+    * five out-of-fold naive-Bayes models (x108's algorithm) and both
+    * Laplace strengths α ∈ {1,5} train from ONE corpus aggregation,
+    * because NB sufficient statistics are additive — fold f's training
+    * counts are the wide-form totals minus fold f's own column
+    * (cg_c = Σcg − cg_f), exactly qs26's complement trick. Every doc is
+    * then scored by the model that never saw it, giving honest
+    * out-of-fold accuracy per (α, fold) — the generalization number
+    * in-sample x108 accuracy overstates, and the grid that picks α.
+    * Exactness: each log-odds quantizes ONCE per (token, fold, α) —
+    * two lns of exact integer ratios, x108's own convention — and
+    * every accuracy is a half-up integer ppm; fold-complement priors
+    * are literal per-fold constants pinned from the 5-row doc-count
+    * frame (the x58 stats pattern). Shape at 100 TB: one token-explode
+    * aggregation (vocab-bounded wide rows, map-side combined), the
+    * model frame is vocab×5 and BROADCASTS back onto the same explode
+    * for scoring (the x108 contract — past broadcast reach this join
+    * falls back to sort-merge on token, still vocab-keyed), one per-doc
+    * aggregation, one 5-row final roll-up. V is the full-corpus vocab
+    * (constant across folds — documented choice, standard for CV on a
+    * fixed corpus). */
+  private[operators] def x140(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"),
+        (col("n_chars") >= 150).as("lbl"), pmod(col("doc_id"), lit(5L)).as("fold"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val toksL = docs.select(col("doc_id"), col("lbl"), col("fold"),
+      explode(col("tk")).as("token"))
+    // ONE aggregation: wide-form per-fold class counts per token
+    val wideCols = (0 until 5).flatMap(f => Seq(
+      sum(when(col("lbl") && col("fold") === f, 1L).otherwise(0L)).as(s"cg_$f"),
+      sum(when(!col("lbl") && col("fold") === f, 1L).otherwise(0L)).as(s"cb_$f")))
+    val wide = toksL.groupBy(col("token")).agg(wideCols.head, wideCols.tail: _*)
+      .withColumn("cg", (0 until 5).map(f => col(s"cg_$f")).reduce(_ + _))
+      .withColumn("cb", (0 until 5).map(f => col(s"cb_$f")).reduce(_ + _))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds totals AND the model
+    val v = wide.count() // full-corpus vocab (constant across folds)
+    val totCols = (0 until 5).map(f => sum(col(s"cg_$f")).as(s"g_$f")) ++
+      (0 until 5).map(f => sum(col(s"cb_$f")).as(s"b_$f"))
+    val tots = wide.agg(totCols.head, totCols.tail: _*).head()
+    val gf = (0 until 5).map(f => tots.getLong(f))
+    val bf = (0 until 5).map(f => tots.getLong(5 + f))
+    val (g, b) = (gf.sum, bf.sum)
+    val dcRows = docs.groupBy(col("fold")).agg(
+      sum(when(col("lbl"), 1L).otherwise(0L)).as("gd_f"),
+      sum(when(!col("lbl"), 1L).otherwise(0L)).as("bd_f")).collect()
+    val gdf = dcRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bdf = dcRows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (gd, bd) = (gdf.values.sum, bdf.values.sum)
+    // model: (token, fold) rows with one log-odds column per alpha —
+    // complements are map-side column arithmetic, never a join
+    val model = (0 until 5).map { f =>
+      val (gc, bc) = (g - gf(f), b - bf(f))
+      wide.select(col("token"), lit(f.toLong).as("fold"),
+        expr(s"cast(round((ln(cast(cg - cg_$f + 1 as double) / ${gc + v}) - " +
+          s"ln(cast(cb - cb_$f + 1 as double) / ${bc + v})) * 1e9, 0) as bigint)")
+          .as("lo1"),
+        expr(s"cast(round((ln(cast(cg - cg_$f + 5 as double) / ${gc + 5 * v}) - " +
+          s"ln(cast(cb - cb_$f + 5 as double) / ${bc + 5 * v})) * 1e9, 0) as bigint)")
+          .as("lo5"))
+    }.reduce(_ unionByName _)
+    // out-of-fold prior per fold, pinned as a literal CASE chain
+    def priorExpr(alias: String): Column = {
+      val cases = (0 until 5).map { f =>
+        val (gdc, bdc) = (gd - gdf(f.toLong), bd - bdf(f.toLong))
+        s"WHEN fold = $f THEN cast(round((ln(cast($gdc as double) / ${gdc + bdc}) - " +
+          s"ln(cast($bdc as double) / ${gdc + bdc})) * 1e9, 0) as bigint)"
+      }.mkString(" ")
+      expr(s"CASE $cases END").as(alias)
+    }
+    val scored = toksL.join(broadcast(model), Seq("token", "fold"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lo1")).as("t1"), sum(col("lo5")).as("t5"))
+    val perFold = docs.join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("t1", "t5"))
+      .withColumn("p", priorExpr("p"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when((col("p") + col("t1") > 0) === col("lbl"), 1L).otherwise(0L)).as("c1"),
+        sum(when((col("p") + col("t5") > 0) === col("lbl"), 1L).otherwise(0L)).as("c5"))
+    Seq(1, 5).map { a =>
+      perFold.select(lit(a).as("alpha"), col("fold"), col("n_docs"),
+        col(s"c$a").as("n_correct"),
+        expr(s"CAST((2 * c$a * 1000000 + n_docs) div (2 * n_docs) AS BIGINT)")
+          .as("acc_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  private[operators] lazy val x140Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+      |             (n_chars >= 150) AS lbl, doc_id % 5 AS fold FROM documents),
+      |tt AS (SELECT doc_id, lbl, fold, unnest(tk) AS token FROM d),
+      |c AS (SELECT token, fold,
+      |        CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cgf,
+      |        CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS cbf
+      |      FROM tt GROUP BY 1, 2),
+      |ct AS (SELECT token, CAST(sum(cgf) AS BIGINT) AS cg,
+      |         CAST(sum(cbf) AS BIGINT) AS cb FROM c GROUP BY 1),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ct),
+      |ft AS (SELECT fold, CAST(sum(cgf) AS BIGINT) AS g_f,
+      |         CAST(sum(cbf) AS BIGINT) AS b_f FROM c GROUP BY 1),
+      |gt AS (SELECT CAST(sum(g_f) AS BIGINT) AS g,
+      |         CAST(sum(b_f) AS BIGINT) AS b FROM ft),
+      |folds(fold) AS (VALUES (CAST(0 AS BIGINT)), (1), (2), (3), (4)),
+      |m AS (SELECT ct.token, folds.fold,
+      |        cg - coalesce(c.cgf, 0) AS cgc, cb - coalesce(c.cbf, 0) AS cbc
+      |      FROM ct CROSS JOIN folds
+      |      LEFT JOIN c ON c.token = ct.token AND c.fold = folds.fold),
+      |lo AS (SELECT token, m.fold,
+      |    CAST(round((ln((cgc + 1)::DOUBLE / ((SELECT g FROM gt) - ft.g_f + (SELECT v FROM v)))
+      |              - ln((cbc + 1)::DOUBLE / ((SELECT b FROM gt) - ft.b_f + (SELECT v FROM v))))
+      |               * 1e9) AS BIGINT) AS lo1,
+      |    CAST(round((ln((cgc + 5)::DOUBLE / ((SELECT g FROM gt) - ft.g_f + 5 * (SELECT v FROM v)))
+      |              - ln((cbc + 5)::DOUBLE / ((SELECT b FROM gt) - ft.b_f + 5 * (SELECT v FROM v))))
+      |               * 1e9) AS BIGINT) AS lo5
+      |  FROM m JOIN ft ON ft.fold = m.fold),
+      |dcf AS (SELECT fold, CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS gd_f,
+      |          CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS bd_f
+      |        FROM d GROUP BY 1),
+      |dct AS (SELECT CAST(sum(gd_f) AS BIGINT) AS gd,
+      |          CAST(sum(bd_f) AS BIGINT) AS bd FROM dcf),
+      |pr AS (SELECT fold,
+      |    CAST(round((ln(((SELECT gd FROM dct) - gd_f)::DOUBLE
+      |                   / ((SELECT gd FROM dct) - gd_f + (SELECT bd FROM dct) - bd_f))
+      |              - ln(((SELECT bd FROM dct) - bd_f)::DOUBLE
+      |                   / ((SELECT gd FROM dct) - gd_f + (SELECT bd FROM dct) - bd_f)))
+      |               * 1e9) AS BIGINT) AS p
+      |  FROM dcf),
+      |sc AS (SELECT tt.doc_id, CAST(sum(lo.lo1) AS BIGINT) AS t1,
+      |         CAST(sum(lo.lo5) AS BIGINT) AS t5
+      |       FROM tt JOIN lo ON lo.token = tt.token AND lo.fold = tt.fold
+      |       GROUP BY 1),
+      |pf AS (SELECT d.fold, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN ((pr.p + coalesce(sc.t1, 0)) > 0) = d.lbl
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN ((pr.p + coalesce(sc.t5, 0)) > 0) = d.lbl
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS c5
+      |  FROM d LEFT JOIN sc USING (doc_id) JOIN pr ON pr.fold = d.fold
+      |  GROUP BY 1)
+      |SELECT 1 AS alpha, fold, n_docs, c1 AS n_correct,
+      |  CAST((2 * c1 * 1000000 + n_docs) // (2 * n_docs) AS BIGINT) AS acc_ppm FROM pf
+      |UNION ALL
+      |SELECT 5 AS alpha, fold, n_docs, c5 AS n_correct,
+      |  CAST((2 * c5 * 1000000 + n_docs) // (2 * n_docs) AS BIGINT) AS acc_ppm FROM pf""".stripMargin
 
 }

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -159,6 +160,117 @@ object StreamQueries {
       |  (2 * (s - s_f) * 1000000 + (n - n_f)) // (2 * (n - n_f)) AS enc_microcents
       |FROM pf JOIN t USING (event_type)
       |WHERE n > n_f""".stripMargin
+
+  // ---------------------------------------------------------------- QS27
+  /** STREAMING SPLIT-CONFORMAL ADMISSION GATE — x137's online twin: the
+    * coverage-guaranteed quality threshold refreshes continuously as
+    * documents arrive, so an ingest gate always holds a CURRENT
+    * conformal threshold instead of last night's. The scorer must be
+    * per-doc deterministic to stream (x137's corpus-trained x108 NB is
+    * not), so the score is x8's quality composite made integer-exact:
+    * score_ppm = half-up((n_unique + n_tokens − n_stop)·10⁶ / 2·n_tokens)
+    * — algebraically x8's 0.5·distinct_ratio + 0.5·(1−stop_ratio), map-
+    * side codegen kernels. ONE streaming aggregation holds the state: a
+    * count histogram keyed by (score_ppm, is_cal, label_good) — and the
+    * key insight is that this state is bounded by the FIXED ppm grid
+    * (≤10⁶ distinct scores), corpus-size-INDEPENDENT: the conformal
+    * rank statistic over a million-cell exact histogram is the
+    * scale-path x137's kthSmallestByHistogram approximates in one shot.
+    * On drain, the bounded frame yields nCal, the ⌈0.9(n+1)⌉ rank
+    * threshold by cumulative count (pure rank arithmetic, no doubles),
+    * and the exact coverage audit. Complete mode + commutative counts →
+    * arrival-order-free → oracle is the batch conformal SQL over the
+    * same documents, bit-for-bit. */
+  private[graft] def conformalHistogram(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n", size(col("tk")).cast(LongType))
+      .withColumn("u", size(array_distinct(col("tk"))).cast(LongType))
+      .withColumn("st", expr(
+        s"graft_count_in(tk, ${graft.operators.Queries.stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")})").cast(LongType))
+      .select(
+        expr("((u + n - st) * 2000000 + 2 * n) div (4 * n)").as("score_ppm"),
+        (pmod(col("doc_id"), lit(2L)) === 0).as("is_cal"),
+        (col("n_chars") >= 150).as("label_good"))
+      .groupBy(col("score_ppm"), col("is_cal"), col("label_good"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The stateless conformal finisher over the drained histogram —
+    * shared so a recovery proof and the registry query exercise ONE
+    * code path (the qs26 discipline). */
+  private[graft] def conformalAudit(h0: DataFrame): DataFrame = {
+    val h = h0.persist()
+    val calGood = h.filter(col("is_cal") && col("label_good"))
+    val nCal = calGood.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    require(nCal > 0, "qs27: empty calibration fold - the conformal gate needs true-good calibration docs")
+    val k = (9L * (nCal + 1) + 9) / 10
+    val thr: Long =
+      if (k > nCal) -1L // scores live in [0, 1e6]; -1 = accept-all regime
+      else {
+        // (nCal-k+1)-th smallest calibration score, exactly, from the
+        // bounded histogram: first score whose cumulative count reaches
+        // the rank (the window orders <=1e6 cells, never documents)
+        val r = nCal - k + 1
+        calGood
+          .withColumn("cum",
+            sum(col("cnt")).over(Window.orderBy(col("score_ppm"))))
+          .filter(col("cum") >= r)
+          .agg(min(col("score_ppm"))).head().getLong(0)
+      }
+    h.filter(!col("is_cal"))
+      .agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("n_test"),
+        coalesce(sum(when(col("label_good"), col("cnt")).otherwise(0L)), lit(0L)).as("n_good"),
+        coalesce(sum(when(col("label_good") && col("score_ppm") >= thr, col("cnt"))
+          .otherwise(0L)), lit(0L)).as("n_good_accepted"),
+        coalesce(sum(when(!col("label_good"), col("cnt")).otherwise(0L)), lit(0L)).as("n_bad"),
+        coalesce(sum(when(!col("label_good") && col("score_ppm") >= thr, col("cnt"))
+          .otherwise(0L)), lit(0L)).as("n_bad_accepted"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k_rank"), lit(thr).as("thr_ppm"),
+        col("n_test"), col("n_good"), col("n_good_accepted"),
+        expr("(2 * n_good_accepted * 1000000 + n_good) div (2 * n_good)").as("coverage_ppm"),
+        col("n_bad"), col("n_bad_accepted"))
+  }
+
+  private def qs27(spark: SparkSession, dir: String): DataFrame =
+    conformalAudit(runToTable(spark, conformalHistogram(docsStream(spark, dir)),
+      OutputMode.Complete()))
+
+  /** Oracle = the batch conformal SQL over the same documents (the x137
+    * shape with the integer x8 score): drain == batch gate. */
+  private val qs27Sql = {
+    val stop = graft.operators.Queries.stopwordsSqlList
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+       |             doc_id % 2 = 0 AS is_cal, n_chars >= 150 AS label_good
+       |           FROM documents),
+       |s AS (SELECT is_cal, label_good,
+       |        ((CAST(len(list_distinct(tk)) AS BIGINT) + len(tk)
+       |          - len(list_filter(tk, x -> x IN ($stop)))) * 2000000
+       |         + 2 * len(tk)) // (4 * len(tk)) AS score_ppm
+       |      FROM d),
+       |cal AS (SELECT score_ppm FROM s WHERE is_cal AND label_good),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+       |         (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10 AS k FROM cal),
+       |r AS (SELECT score_ppm,
+       |        CAST(row_number() OVER (ORDER BY score_ppm) AS BIGINT) AS rn FROM cal),
+       |thr AS (SELECT coalesce(
+       |          max(CASE WHEN rn = (SELECT n_cal - k + 1 FROM kk) THEN score_ppm END),
+       |          -1) AS thr_ppm FROM r)
+       |SELECT (SELECT n_cal FROM kk) AS n_cal, (SELECT k FROM kk) AS k_rank,
+       |  (SELECT thr_ppm FROM thr) AS thr_ppm,
+       |  CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(sum(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       |  CAST(sum(CASE WHEN label_good AND score_ppm >= (SELECT thr_ppm FROM thr)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_good_accepted,
+       |  CAST((2 * sum(CASE WHEN label_good AND score_ppm >= (SELECT thr_ppm FROM thr)
+       |                THEN 1 ELSE 0 END) * 1000000
+       |        + sum(CASE WHEN label_good THEN 1 ELSE 0 END))
+       |       // (2 * sum(CASE WHEN label_good THEN 1 ELSE 0 END)) AS BIGINT) AS coverage_ppm,
+       |  CAST(sum(CASE WHEN NOT label_good THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       |  CAST(sum(CASE WHEN NOT label_good AND score_ppm >= (SELECT thr_ppm FROM thr)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_accepted
+       |FROM s WHERE NOT is_cal""".stripMargin
+  }
 
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
@@ -1547,5 +1659,7 @@ object StreamQueries {
     Q("qs25_stream_heavy_hitters", qs25, Some(qs25Sql),
       "streaming Misra-Gries heavy hitters: k-counter mergeable sketch state across arrival waves, exact recount on drain = batch x57"),
     Q("qs26_stream_target_encoding", qs26, Some(qs26Sql),
-      "streaming leakage-safe target encoding: wide-form per-fold sums in ONE stateful agg, drain == x133's batch featurizer"))
+      "streaming leakage-safe target encoding: wide-form per-fold sums in ONE stateful agg, drain == x133's batch featurizer"),
+    Q("qs27_stream_conformal", qs27, Some(qs27Sql),
+      "streaming split-conformal admission gate: ppm-grid score histogram as bounded state, rank-arithmetic threshold on drain == batch gate"))
 }

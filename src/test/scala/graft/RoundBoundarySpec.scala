@@ -113,8 +113,9 @@ class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     // an exact df needs ~10⁵⁵-wide integers, see the x117 scaladoc)
     "x117_ab_welch", "x118_dp_release",
     // r8: x136's single ln quantization (the x63 pattern) + x137 via its
-    // x108 composition (prior/log-odds nano rounds)
-    "x136_lm_holdout_ppl", "x137_conformal_gate")
+    // x108 composition (prior/log-odds nano rounds); x140's per-(token,
+    // fold, alpha) log-odds nano rounds (x108's convention, 10 models)
+    "x136_lm_holdout_ppl", "x137_conformal_gate", "x140_cv_model_select")
 
   for (name <- auditedQueries)
     test(s"$name: no double-round value within 4 ulps of a .5 boundary") {

@@ -2185,6 +2185,104 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x139: nDCG@10 re-derived from x58's ranking and raw term containment") {
+    val rows = run("x139_retrieval_ndcg").collect().map(r =>
+      r.getAs[Int]("k") -> r).toMap
+    // monotone laws: dcg and idcg grow with k, ndcg stays in (0, 1e6]
+    assert(rows(5).getAs[Long]("dcg") <= rows(10).getAs[Long]("dcg"))
+    assert(rows(10).getAs[Long]("dcg") <= rows(20).getAs[Long]("dcg"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("dcg") <= r.getAs[Long]("idcg"), "DCG exceeds ideal")
+      val n = r.getAs[Long]("ndcg_ppm")
+      assert(n > 0 && n <= 1000000L, s"ndcg_ppm $n outside (0, 1e6]")
+    }
+    // full independent recomputation of nDCG@10: ranking from x58 (the
+    // separately-registered top-50 of the same scorer), relevance from a
+    // spec-local scan of raw token containment, weights re-typed here
+    val w = Seq(1000000000L, 630929754L, 500000000L, 430676558L, 386852807L,
+      356207187L, 333333333L, 315464877L, 301029996L, 289064826L)
+    val terms = Set("dup", "vector", "join")
+    val rel = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").toSet.count(terms.contains).toLong).toMap
+    val top10 = run("x58_bm25_retrieval").collect()
+      .sortBy(r => (-r.getAs[Long]("bm25_micros"), r.getAs[Long]("doc_id")))
+      .take(10).map(_.getAs[Long]("doc_id"))
+    val dcg = top10.zip(w).map { case (d, wt) => rel(d) * wt }.sum
+    val idcg = rel.values.toSeq.sortBy(-_).take(10).zip(w)
+      .map { case (g, wt) => g * wt }.sum
+    assert(rows(10).getAs[Long]("dcg") === dcg, "DCG@10 diverges from the re-derivation")
+    assert(rows(10).getAs[Long]("idcg") === idcg, "IDCG@10 diverges from the re-derivation")
+    assert(rows(10).getAs[Long]("ndcg_ppm") === (2 * dcg * 1000000L + idcg) / (2 * idcg))
+  }
+
+  test("x140: fold-0/alpha-1 out-of-fold accuracy matches a from-scratch Scala NB") {
+    val out = run("x140_cv_model_select").collect()
+    assert(out.length === 10, "2 alphas x 5 folds expected")
+    out.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"))
+      assert(c <= n && n > 0)
+      assert(r.getAs[Long]("acc_ppm") === (2 * c * 1000000L + n) / (2 * n))
+    }
+    // independent recomputation, pure Scala (no Spark SQL anywhere):
+    // train NB on folds 1-4, score fold 0, alpha = 1
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq, r.getLong(2) >= 150))
+    def nano(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vocab = docs.flatMap(_._2).toSet.size.toLong
+    val train = docs.filter(d => d._1 % 5 != 0)
+    val cg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cb = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    train.foreach { case (_, tk, lbl) =>
+      tk.foreach(t => if (lbl) cg(t) += 1 else cb(t) += 1) }
+    val (g, b) = (cg.values.sum, cb.values.sum)
+    val (gd, bd) = (train.count(_._3).toLong, train.count(!_._3).toLong)
+    val prior = nano(math.log(gd.toDouble / (gd + bd)) - math.log(bd.toDouble / (gd + bd)))
+    // score ALL corpus tokens through the fold-complement model (vocab is
+    // full-corpus, matching the documented V choice)
+    val allVocab = docs.flatMap(_._2).toSet
+    val lo = allVocab.iterator.map(t => t ->
+      nano(math.log((cg(t) + 1).toDouble / (g + vocab)) -
+        math.log((cb(t) + 1).toDouble / (b + vocab)))).toMap
+    val fold0 = docs.filter(_._1 % 5 == 0)
+    val correct = fold0.count { case (_, tk, lbl) =>
+      ((prior + tk.map(lo).sum) > 0) == lbl }.toLong
+    val row = out.find(r => r.getAs[Int]("alpha") == 1 && r.getAs[Long]("fold") == 0L).get
+    assert(row.getAs[Long]("n_docs") === fold0.length.toLong)
+    assert(row.getAs[Long]("n_correct") === correct,
+      "engine OOF accuracy diverges from the from-scratch NB")
+  }
+
+  test("qs27: the streamed conformal threshold IS the defining order statistic (x137 law, ppm grid)") {
+    val r = run("qs27_stream_conformal").head()
+    val (nCal, k) = (r.getAs[Long]("n_cal"), r.getAs[Long]("k_rank"))
+    assert(k === (9L * (nCal + 1) + 9) / 10, "rank arithmetic drifted")
+    // independent batch recomputation: per-doc scores via a spec-local
+    // expression (no histogram, no streaming), sorted on the driver
+    val stop = graft.operators.Queries.stopwords.toSet
+    val scored = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map { row =>
+        val tk = row.getString(1).split(" ", -1)
+        val (n, u, st) = (tk.length.toLong, tk.toSet.size.toLong,
+          tk.count(stop.contains).toLong)
+        val score = ((u + n - st) * 2000000L + 2 * n) / (4 * n)
+        (row.getLong(0), score, row.getLong(2) >= 150)
+      }
+    val calGood = scored.filter(d => d._1 % 2 == 0 && d._3).map(_._2).sorted
+    assert(calGood.length.toLong === nCal)
+    val expThr = if (k > nCal) -1L else calGood((nCal - k).toInt)
+    assert(r.getAs[Long]("thr_ppm") === expThr, "threshold is not the defining order statistic")
+    val test0 = scored.filter(d => d._1 % 2 != 0)
+    assert(r.getAs[Long]("n_good_accepted") ===
+      test0.count(d => d._3 && d._2 >= expThr).toLong)
+    assert(r.getAs[Long]("n_bad_accepted") ===
+      test0.count(d => !d._3 && d._2 >= expThr).toLong)
+  }
+
   test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
     val s = spark; import s.implicits._
     // skewed values (80% mass on one value) — exercises the oversized
