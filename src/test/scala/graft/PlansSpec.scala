@@ -791,4 +791,22 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"),
       s"the |types|-bounded predictor must broadcast onto the test aggregate:\n$p")
   }
+
+  test("x139: both top-20s are TakeOrdered; the corpus is never globally sorted") {
+    val p = plan("x139_retrieval_ndcg")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ranked/ideal top-20s must be TakeOrderedAndProject, not sort+limit:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"a range-partitioned Exchange means a global corpus sort leaked in:\n$p")
+  }
+
+  test("x140: the vocab-x5 model broadcasts onto the token explode; no nested-loop anywhere") {
+    val df = Queries.byName("x140_cv_model_select").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (token, fold) model join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join belongs in the CV pipeline:\n$p")
+  }
 }
