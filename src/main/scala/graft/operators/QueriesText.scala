@@ -20,8 +20,8 @@ private[operators] trait QueriesText { this: Queries.type =>
   // ---------------------------------------------------------------- X8
   /** Text quality scoring: token stats, distinct ratio, stopword ratio,
     * composite score. All ratios are int/int → double (exact IEEE). */
-  private[graft] lazy val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-  private[graft] lazy val stopwordsSqlList = stopwords.map(s => s"'$s'").mkString(", ")
+  private[graft] lazy val stopwords = TextConstants.stopwords
+  private[graft] lazy val stopwordsSqlList = TextConstants.stopwordsSqlList
 
   /** Appends x8's quality kernel columns to any frame bearing `text` —
     * shared so consumers (x62) fold the kernels into their OWN scan

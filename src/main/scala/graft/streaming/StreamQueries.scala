@@ -187,7 +187,7 @@ object StreamQueries {
       .withColumn("n", size(col("tk")).cast(LongType))
       .withColumn("u", size(array_distinct(col("tk"))).cast(LongType))
       .withColumn("st", expr(
-        s"graft_count_in(tk, ${graft.operators.Queries.stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")})").cast(LongType))
+        s"graft_count_in(tk, ${graft.operators.TextConstants.stopwordsArrayExpr})").cast(LongType))
       .select(
         expr("((u + n - st) * 2000000 + 2 * n) div (4 * n)").as("score_ppm"),
         (pmod(col("doc_id"), lit(2L)) === 0).as("is_cal"),
@@ -239,7 +239,7 @@ object StreamQueries {
   /** Oracle = the batch conformal SQL over the same documents (the x137
     * shape with the integer x8 score): drain == batch gate. */
   private val qs27Sql = {
-    val stop = graft.operators.Queries.stopwordsSqlList
+    val stop = graft.operators.TextConstants.stopwordsSqlList
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
        |             doc_id % 2 = 0 AS is_cal, n_chars >= 150 AS label_good
        |           FROM documents),

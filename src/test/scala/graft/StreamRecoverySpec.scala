@@ -517,4 +517,64 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(massOf("enc_run2") > massOf("enc_fresh"),
       "recovered moment mass not above the fresh wave-2-only mass")
   }
+
+  test("qs27's conformal score histogram restarts from checkpoint: drained audit equals the batch gate") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery27")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val stream = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true").parquet(from)
+      val q = StreamQueries.conformalHistogram(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("cf_run1", ckpt)
+
+    writeWave(2)
+    val wave2Rows = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    val run2Input = runOnce("cf_run2", ckpt)
+    // (a) the checkpoint remembered the ingested file set
+    assert(run2Input === wave2Rows,
+      s"restart re-read old waves: run 2 input $run2Input vs wave-2 $wave2Rows")
+
+    // (b) the RECOVERED histogram equals the batch histogram cell-for-cell
+    // — only possible if waves 0/1's count cells crossed the death; the
+    // conformal audit over it then equals the batch gate by construction
+    val batchHist = StreamQueries.conformalHistogram(docs)
+    val recovered = spark.table("cf_run2")
+    assert(recovered.exceptAll(batchHist).isEmpty && batchHist.exceptAll(recovered).isEmpty,
+      "restarted score histogram differs from the batch histogram")
+    val audit = StreamQueries.conformalAudit(recovered).head()
+    val registry = graft.operators.Queries.byName("qs27_stream_conformal").run(spark, sf).head()
+    assert(audit === registry, "recovered audit differs from the registry drain")
+
+    // non-vacuity: a fresh wave-2-only histogram carries visibly less mass
+    runOnce("cf_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val massOf27 = (t: String) =>
+      spark.table(t).agg(sum(col("cnt"))).head().getLong(0)
+    assert(massOf27("cf_run2") > massOf27("cf_fresh"),
+      "recovered histogram mass not above the fresh wave-2-only mass")
+  }
 }

@@ -2262,7 +2262,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(k === (9L * (nCal + 1) + 9) / 10, "rank arithmetic drifted")
     // independent batch recomputation: per-doc scores via a spec-local
     // expression (no histogram, no streaming), sorted on the driver
-    val stop = graft.operators.Queries.stopwords.toSet
+    val stop = graft.operators.TextConstants.stopwords.toSet
     val scored = graft.operators.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"), col("n_chars")).collect()
       .map { row =>
