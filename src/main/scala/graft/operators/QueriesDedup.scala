@@ -1630,4 +1630,80 @@ private[operators] trait QueriesDedup { this: Queries.type =>
        |FROM pr JOIN sg sa ON sa.doc_id = pr.doc_a
        |        JOIN sg sb ON sb.doc_id = pr.doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- X141
+  /** EXACT SUBSTRING-CONTAMINATION LADDER — the span-LENGTH signal the
+    * fixed-L shingle profile (x34, L=8) cannot give: per document, the
+    * longest contiguous token span (dyadic ladder L ∈ {8,16,…,256})
+    * shared verbatim with ANY other document. This is the substring-
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499) at power-of-two
+    * resolution: a doc whose max shared span is 8 tokens shares an
+    * idiom; one sharing 128 tokens embeds a copied passage and is
+    * flagged. Why a LADDER, not a suffix array: spans never cross
+    * document boundaries, so every candidate key is DOC-LOCAL — all six
+    * levels' span keys generate map-side inside the corpus scan (one
+    * nested HOF, no doubling joins, no global suffix sort — the
+    * suffix-array machinery exists to share work ACROSS overlapping
+    * spans, and at 16-byte hashed keys the rescan is cheaper than 8
+    * rounds of corpus-wide sort it replaces). Keys are md5 of the exact
+    * span text (the x34 hash discipline — the oracle builds the
+    * identical string, so both engines agree glyph-for-glyph).
+    * Exactness: all-integer output (span lengths, counts, a flag).
+    * Scale shape: ONE explode shuffle of (L, key, doc_id) postings —
+    * 16B-hash-narrow, ~6× the token count before the map-side distinct
+    * — one (L,key)-grouped doc-frequency count (distinct-per-doc makes
+    * count(*) the df, x34's trick), the dup set semi-joins back, and
+    * the per-doc roll-up is doc-keyed. At 100 TB: the same postings
+    * class as x2/x34; no stage holds more than (ladder × corpus
+    * tokens) narrow rows, and the dup-hit frame is overlap-rate-sized. */
+  private[operators] def x141(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+    // all ladder keys generated doc-locally in one pass; distinct per
+    // (doc, L, key) so the (L,key) group count IS the doc frequency
+    val keys = docs
+      .select(col("doc_id"), explode(expr(
+        """flatten(transform(
+          |  filter(array(8, 16, 32, 64, 128, 256), l -> size(tk) >= l),
+          |  l -> transform(sequence(1, size(tk) - l + 1),
+          |         i -> struct(l AS lvl, md5(concat_ws(' ', slice(tk, i, l))) AS k))))""".stripMargin)).as("s"))
+      .select(col("doc_id"), col("s.lvl").as("lvl"), col("s.k").as("k"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the df count AND the hit join
+    val dup = keys.groupBy(col("lvl"), col("k"))
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    val hits = keys.join(dup, Seq("lvl", "k"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK) // overlap-rate-sized
+    val perDoc = hits.groupBy(col("doc_id")).agg(max(col("lvl")).as("max_dup_span"))
+    val atMax = hits.join(perDoc, "doc_id")
+      .filter(col("lvl") === col("max_dup_span"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans_at_max"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(atMax, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("max_dup_span", "n_spans_at_max"))
+      .select(col("doc_id"), col("max_dup_span"), col("n_spans_at_max"),
+        (col("max_dup_span") >= 64).as("is_contaminated"))
+  }
+
+  private[operators] lazy val x141Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |lv(lvl) AS (VALUES (8), (16), (32), (64), (128), (256)),
+      |pos AS (SELECT doc_id, lvl, tk,
+      |          unnest(range(1, len(tk) - lvl + 2)) AS i
+      |        FROM d CROSS JOIN lv WHERE len(tk) >= lvl),
+      |k AS (SELECT DISTINCT doc_id, lvl,
+      |        md5(array_to_string(tk[i:i + lvl - 1], ' ')) AS key
+      |      FROM pos),
+      |dup AS (SELECT lvl, key FROM k GROUP BY 1, 2 HAVING count(*) >= 2),
+      |h AS (SELECT k.doc_id, k.lvl FROM k JOIN dup USING (lvl, key)),
+      |pd AS (SELECT doc_id, CAST(max(lvl) AS INT) AS max_dup_span FROM h GROUP BY 1),
+      |nm AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_spans_at_max
+      |       FROM h JOIN pd ON pd.doc_id = h.doc_id AND h.lvl = pd.max_dup_span
+      |       GROUP BY 1)
+      |SELECT d.doc_id, coalesce(pd.max_dup_span, 0) AS max_dup_span,
+      |  coalesce(nm.n_spans_at_max, 0) AS n_spans_at_max,
+      |  coalesce(pd.max_dup_span, 0) >= 64 AS is_contaminated
+      |FROM d LEFT JOIN pd USING (doc_id) LEFT JOIN nm USING (doc_id)""".stripMargin
+
 }

@@ -800,6 +800,15 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a range-partitioned Exchange means a global corpus sort leaked in:\n$p")
   }
 
+  test("x141: dup spans reach docs via a semi join; no cartesian, no nested loop") {
+    val df = Queries.byName("x141_span_ladder").run(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.contains("LeftSemi"), s"the dup-key prune must be a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pair materialization belongs in the ladder:\n$p")
+  }
+
   test("x140: the vocab-x5 model broadcasts onto the token explode; no nested-loop anywhere") {
     val df = Queries.byName("x140_cv_model_select").run(spark, sf)
     df.collect()

@@ -2283,6 +2283,35 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       test0.count(d => !d._3 && d._2 >= expThr).toLong)
   }
 
+  test("x141: the whole ladder re-derived with EXACT span strings (no hashes) matches every row") {
+    val out = run("x141_span_ladder").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("max_dup_span"), r.getAs[Long]("n_spans_at_max"))).toMap
+    // independent recomputation in pure Scala over the RAW strings — the
+    // engine's md5 keys are an implementation detail; true substring
+    // equality is the semantics, and this is where it gets checked
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val expected = scala.collection.mutable.Map.empty[Long, (Int, Long)]
+      .withDefaultValue((0, 0L))
+    for (l <- Seq(8, 16, 32, 64, 128, 256)) {
+      val byDoc = docs.map { case (id, tk) =>
+        id -> tk.sliding(l).filter(_.length == l).map(_.mkString(" ")).toSet }
+      val df = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      byDoc.foreach { case (_, ks) => ks.foreach(k => df(k) += 1) }
+      byDoc.foreach { case (id, ks) =>
+        val hits = ks.count(k => df(k) >= 2)
+        if (hits > 0) expected(id) = (l, hits.toLong) // ladder ascends: last wins
+      }
+    }
+    assert(out.size === docs.length)
+    val mismatches = docs.map(_._1).filter(id => out(id) != expected(id))
+    assert(mismatches.isEmpty,
+      s"ladder diverges for docs ${mismatches.take(5).map(id => s"$id: engine=${out(id)} expected=${expected(id)}")}")
+    assert(expected.values.exists(_._1 > 0), "no shared spans in the fixture — assertions vacuous")
+  }
+
   test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
     val s = spark; import s.implicits._
     // skewed values (80% mass on one value) — exercises the oversized
