@@ -536,12 +536,14 @@ private[operators] trait QueriesText { this: Queries.type =>
     * divergence across engines or DuckDB versions. num/den are computed
     * in DECIMAL(38,0) (HUGEINT on the oracle side) so the cross-multiplied
     * products cannot overflow even at 100 TB Σdl; the per-doc sum of
-    * integer micros stays order-independent. Scale shape: the token
-    * explode filters to the query terms MAP-SIDE (an `isin` against a
-    * 3-string literal — postings for non-query terms never leave the
-    * scan), corpus stats (N, Σdl) are ONE tiny aggregate pinned as
-    * literals (the x50 cut-point pattern), per-term df is a 3-row frame
-    * broadcast back onto the tf frame, and the top-50 is
+    * integer micros stays order-independent. Scale shape (r8 rewrite):
+    * per-term tf computes MAP-SIDE via the graft_count_in codegen kernel
+    * — each doc scans its own token array, only matching (doc, term)
+    * rows materialize, and the corpus-wide token explode (plus its
+    * positions shuffle) is gone entirely (100× wall-clock −40%,
+    * BASELINE.md); corpus stats (N, Σdl) are ONE tiny aggregate pinned
+    * as literals (the x50 cut-point pattern), per-term df is a 3-row
+    * frame broadcast back onto the tf frame, and the top-50 is
     * TakeOrderedAndProject — no global sort materializes. */
   /** The SHARED integer-exact BM25 scorer (x58's algorithm, factored so
     * x122's lexical leg cannot drift from it): per-doc (doc_id, n_terms,
@@ -562,11 +564,19 @@ private[operators] trait QueriesText { this: Queries.type =>
       count(lit(1)).as("n"), sum(col("dl").cast(LongType)).as("sdl")).head()
     val nDocs = st.getLong(0)
     val sdl = st.getLong(1)
+    // r8: tf per (doc, term) via the graft_count_in codegen kernel — the
+    // corpus-wide token explode (and its positions-shuffle into a
+    // groupBy(doc_id, dl, token)) is gone; each doc scans its own token
+    // array once per term MAP-SIDE and only matching (doc, term) rows
+    // materialize. Same exact counts, zero corpus-scale exchange: the
+    // first shuffle anywhere is now the |matches|-sized df aggregate.
+    val termStructs = terms.map(t =>
+      s"struct('$t' AS token, graft_count_in(tk, array('$t')) AS tf)").mkString(", ")
     val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
-      .filter(col("token").isInCollection(terms))
-      .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("dl"),
+        explode(expr(s"filter(array($termStructs), s -> s.tf > 0)")).as("s"))
+      .select(col("doc_id"), col("dl"), col("s.token").as("token"),
+        col("s.tf").cast(LongType).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idf = tf.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -1563,8 +1573,8 @@ private[operators] trait QueriesText { this: Queries.type =>
     * total-order tiebreak.
     *
     * Scale shape: each side is the already-audited retrieval pass —
-    * BM25's token explode filters to query terms MAP-SIDE and its stats
-    * pin as literals (x58); the semantic side is one corpus scan against
+    * BM25's per-term tf computes map-side via the graft_count_in kernel
+    * and its stats pin as literals (x58); the semantic side is one corpus scan against
     * a broadcast 1-row query. Both top-100s land via
     * TakeOrderedAndProject (no global sort), the two 100-row lists fuse
     * with a broadcast-trivial full outer join, and the final top-20 is
