@@ -1630,6 +1630,110 @@ private[operators] trait QueriesDedup { this: Queries.type =>
        |FROM pr JOIN sg sa ON sa.doc_id = pr.doc_a
        |        JOIN sg sb ON sb.doc_id = pr.doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- X142
+  /** DEDUP IMPACT REPORT — the governance artifact a dedup run ships
+    * with: per SOURCE, what did the near-dup pipeline actually delete,
+    * and was it the right material? Composes the family's own decisions
+    * (x17 clusters via PipelineCache, x36's keep-longest canon rule) —
+    * the report audits the REAL pipeline, not a re-derivation — and
+    * joins them against per-doc token counts and the integer quality
+    * score (qs27's exact-ppm form of x8's composite). Per source:
+    * doc/removal counts, exact removed-token share, and mean quality of
+    * kept vs removed docs as half-up ppm — a healthy dedup removes
+    * lower-quality-or-equal copies; a source whose removals are
+    * HIGHER-quality than its keepers signals a truncation-biased corpus
+    * (x36 keeps longest — this report is where that policy gets
+    * checked). All-integer output. Scale shape: the removed set is
+    * cluster-volume-sized and joins doc-keyed WITHOUT a broadcast hint —
+    * dup volume is corpus-proportional at 100 TB (the x130 lesson), so
+    * AQE picks the join side; everything else is one map-side scored
+    * scan + one |sources|-row aggregation. */
+  private[operators] def x142(spark: SparkSession, dir: String): DataFrame = {
+    val keep = x36(spark, dir).select(col("cluster_id"), col("keep_id"))
+    val clusters = PipelineCache.shared(spark, "x17_labels", dir)(x17(spark, dir))
+    val removed = clusters.join(keep, "cluster_id")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(true).as("removed"))
+    val scored = Tables.documents(spark, dir)
+      .withColumn("tk", toks(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast(LongType).as("n_tok"),
+        size(array_distinct(col("tk"))).cast(LongType).as("u"),
+        expr(s"graft_count_in(tk, ${TextConstants.stopwordsArrayExpr})")
+          .cast(LongType).as("st"))
+      .withColumn("score_ppm",
+        expr("((u + n_tok - st) * 2000000 + 2 * n_tok) div (4 * n_tok)"))
+    scored.join(removed, Seq("doc_id"), "left")
+      .na.fill(false, Seq("removed"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("removed"), col("n_tok")).otherwise(0L)).as("tokens_removed"),
+        sum(when(!col("removed"), col("score_ppm")).otherwise(0L)).as("kq"),
+        sum(when(col("removed"), col("score_ppm")).otherwise(0L)).as("rq"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("tokens_total"), col("tokens_removed"),
+        expr("(2 * tokens_removed * 1000000 + tokens_total) div (2 * tokens_total)")
+          .as("removed_share_ppm"),
+        expr("""CASE WHEN n_docs > n_removed
+               |THEN (2 * kq + (n_docs - n_removed)) div (2 * (n_docs - n_removed))
+               |ELSE 0L END""".stripMargin).as("kept_quality_ppm"),
+        expr("""CASE WHEN n_removed > 0
+               |THEN (2 * rq + n_removed) div (2 * n_removed)
+               |ELSE 0L END""".stripMargin).as("removed_quality_ppm"))
+  }
+
+  private[operators] lazy val x142Sql =
+    s"""WITH RECURSIVE s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |c AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |      FROM reach GROUP BY src),
+       |m AS (SELECT c.cluster_id, c.doc_id,
+       |        row_number() OVER (PARTITION BY c.cluster_id
+       |          ORDER BY d.n_chars DESC, c.doc_id) AS rn
+       |      FROM c JOIN documents d USING (doc_id)),
+       |rm AS (SELECT doc_id FROM m WHERE rn > 1),
+       |q AS (SELECT doc_id, source,
+       |        CAST(len(tk) AS BIGINT) AS n_tok,
+       |        ((CAST(len(list_distinct(tk)) AS BIGINT) + len(tk)
+       |          - len(list_filter(tk, x -> x IN (${graft.operators.TextConstants.stopwordsSqlList})))) * 2000000
+       |         + 2 * len(tk)) // (4 * len(tk)) AS score_ppm
+       |      FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents)),
+       |j AS (SELECT q.*, (rm.doc_id IS NOT NULL) AS removed
+       |      FROM q LEFT JOIN rm USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       |  CAST(sum(CASE WHEN removed THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_removed,
+       |  CAST((2 * sum(CASE WHEN removed THEN n_tok ELSE 0 END) * 1000000 + sum(n_tok))
+       |       // (2 * sum(n_tok)) AS BIGINT) AS removed_share_ppm,
+       |  CAST(CASE WHEN count(*) > sum(CASE WHEN removed THEN 1 ELSE 0 END)
+       |       THEN (2 * sum(CASE WHEN NOT removed THEN score_ppm ELSE 0 END)
+       |             + (count(*) - sum(CASE WHEN removed THEN 1 ELSE 0 END)))
+       |            // (2 * (count(*) - sum(CASE WHEN removed THEN 1 ELSE 0 END)))
+       |       ELSE 0 END AS BIGINT) AS kept_quality_ppm,
+       |  CAST(CASE WHEN sum(CASE WHEN removed THEN 1 ELSE 0 END) > 0
+       |       THEN (2 * sum(CASE WHEN removed THEN score_ppm ELSE 0 END)
+       |             + sum(CASE WHEN removed THEN 1 ELSE 0 END))
+       |            // (2 * sum(CASE WHEN removed THEN 1 ELSE 0 END))
+       |       ELSE 0 END AS BIGINT) AS removed_quality_ppm
+       |FROM j GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------------- X141
   /** EXACT SUBSTRING-CONTAMINATION LADDER — the span-LENGTH signal the
     * fixed-L shingle profile (x34, L=8) cannot give: per document, the

@@ -2312,6 +2312,45 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.values.exists(_._1 > 0), "no shared spans in the fixture — assertions vacuous")
   }
 
+  test("x142: removal counts equal the x17/x36 decisions; token shares and quality means re-derive") {
+    val out = run("x142_dedup_impact").collect()
+    val clusters = run("x17_dedup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val keepers = run("x36_cluster_canon").collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("keep_id")).toMap
+    val removedIds = clusters.filter { case (d, c) => keepers(c) != d }.map(_._1).toSet
+    // the report's total removals ARE the pipeline's decisions
+    assert(out.map(_.getAs[Long]("n_removed")).sum === removedIds.size.toLong,
+      "report removals diverge from the x17/x36 decision set")
+    assert(removedIds.nonEmpty, "no removals in the fixture — assertions vacuous")
+    // per-source laws: share and means re-derive from the raw docs
+    val stop = graft.operators.TextConstants.stopwords.toSet
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val tk = r.getString(2).split(" ", -1)
+        val (n, u, st) = (tk.length.toLong, tk.toSet.size.toLong,
+          tk.count(stop.contains).toLong)
+        (r.getLong(0), r.getString(1), n, ((u + n - st) * 2000000L + 2 * n) / (4 * n))
+      }
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = docs.filter(_._2 == src)
+      val rm = mine.filter(d => removedIds(d._1))
+      val kept = mine.filterNot(d => removedIds(d._1))
+      assert(r.getAs[Long]("n_docs") === mine.length.toLong)
+      assert(r.getAs[Long]("tokens_removed") === rm.map(_._3).sum)
+      val tt = mine.map(_._3).sum
+      assert(r.getAs[Long]("removed_share_ppm") === (2 * rm.map(_._3).sum * 1000000L + tt) / (2 * tt))
+      if (kept.nonEmpty)
+        assert(r.getAs[Long]("kept_quality_ppm") ===
+          (2 * kept.map(_._4).sum + kept.length) / (2L * kept.length))
+      if (rm.nonEmpty)
+        assert(r.getAs[Long]("removed_quality_ppm") ===
+          (2 * rm.map(_._4).sum + rm.length) / (2L * rm.length))
+    }
+  }
+
   test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
     val s = spark; import s.implicits._
     // skewed values (80% mass on one value) — exercises the oversized
