@@ -184,15 +184,18 @@ private[operators] trait QueriesAnn { this: Queries.type =>
     x14On(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
 
-  /** id-layout-independent core, exposed for the non-sequential-id spec */
-  private[graft] def x14On(emb: DataFrame): DataFrame = {
-    val e = emb.withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-    val k = 16
-    val cents = e.filter(col("vec_id") >= 5)
+  /** The IVF seed-centroid contract (md5-ordered top-k of the corpus ids)
+    * and nearest-centroid assignment, factored so x143's probe audit
+    * audits EXACTLY the index x14 builds — one construction, two
+    * consumers (the x36/PipelineCache discipline). */
+  private[graft] def ivfSeedCentroids(e: DataFrame, k: Int): DataFrame =
+    e.filter(col("vec_id") >= 5)
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assigned = e.filter(col("vec_id") >= 5)
+
+  private[graft] def ivfAssigned(e: DataFrame, cents: DataFrame): DataFrame =
+    e.filter(col("vec_id") >= 5)
       .join(broadcast(cents))
       .withColumn("cent_sim", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
       .groupBy(col("vec_id"))
@@ -200,6 +203,13 @@ private[operators] trait QueriesAnn { this: Queries.type =>
         // ties break to the lowest centroid id (max of (sim, -cent_id))
         max_by(col("cent_id"), struct(col("cent_sim"), (lit(0L) - col("cent_id")).as("nid"))).as("cent_id"),
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
+  /** id-layout-independent core, exposed for the non-sequential-id spec */
+  private[graft] def x14On(emb: DataFrame): DataFrame = {
+    val e = emb.withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val k = 16
+    val cents = ivfSeedCentroids(e, k)
+    val assigned = ivfAssigned(e, cents)
     // int8 residual codes: r = v − centroid, scale = 127/max|r| (x29's
     // explicit floor(x·s + 0.5) so both engines round identically)
     val codes = assigned
@@ -282,6 +292,104 @@ private[operators] trait QueriesAnn { this: Queries.type =>
       |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
       |            JOIN e ce ON ce.vec_id = cand.vec_id) t
       |WHERE rnk <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- X143
+  /** IVF nprobe-LADDER RECALL AUDIT — the knob-sweep eval every IVF
+    * deployment runs before fixing its probe count (x97 sweeps the
+    * DIMENSION knob; this sweeps the PROBE knob): for nprobe ∈
+    * {1,2,4,8} over x14's OWN index (the shared ivfSeedCentroids/
+    * ivfAssigned construction — the audit measures the deployed index,
+    * not a re-derivation), exact-cosine top-10 within the probed cells
+    * vs the brute-force top-10 ground truth, plus the exact candidate
+    * scan share the probes buy. The output IS the recall-vs-cost curve
+    * an operator reads to pick nprobe. Exactness: ordering happens on
+    * raw IEEE cosines (graft_dot's sequential sum ≡ DuckDB's
+    * list_dot_product — the x7 contract) with vec_id tiebreaks; every
+    * EMITTED value is an integer (counts, half-up ppm shares/recalls).
+    * Scale shape: the scored frame is |queries|×|corpus| because the
+    * GROUND TRUTH demands a brute-force pass — production IVF scans
+    * only the probed cells (x14's serving path); the audit runs on an
+    * eval slice. Centroid ranks are a |q|×k broadcast; the 4 ladder
+    * rungs reuse ONE persisted scored frame (4 query-partitioned
+    * top-10 windows, never a global sort). */
+  private[operators] def x143(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val cents = ivfSeedCentroids(e, 16)
+    val assigned = ivfAssigned(e, cents)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val nQ = queries.count()
+    val nC = assigned.count()
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id").asc)
+    val crank = queries.join(broadcast(cents))
+      .withColumn("csim", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("crank", row_number().over(wq))
+      .select(col("query_id"), col("cent_id"), col("crank"))
+    val scored = assigned.join(broadcast(queries)) // |q| = 5 broadcast cross
+      .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
+      .join(broadcast(crank), Seq("query_id", "cent_id"))
+      .select(col("query_id"), col("vec_id"), col("cos"), col("crank"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // one brute pass, 5 consumers
+    val wv = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val truth = scored.withColumn("rn", row_number().over(wv)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"), lit(true).as("is_true"))
+    Seq(1, 2, 4, 8).map { p =>
+      val cand = scored.filter(col("crank") <= p)
+      val hits = cand.withColumn("rn", row_number().over(wv)).filter(col("rn") <= 10)
+        .join(truth, Seq("query_id", "vec_id"), "left")
+        .agg(coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L)).as("hits"))
+      cand.agg(count(lit(1)).as("cand_rows")).crossJoin(hits) // 1-row x 1-row
+        .select(lit(p).as("nprobe"), lit(nQ).as("n_queries"), col("cand_rows"),
+          expr(s"(2 * cand_rows * 1000000 + ${nQ}L * ${nC}L) div (2 * ${nQ}L * ${nC}L)")
+            .as("cand_share_ppm"),
+          col("hits"),
+          expr(s"(2 * hits * 1000000 + 10 * ${nQ}L) div (2 * 10 * ${nQ}L)").as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  private[operators] lazy val x143Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+      |          WHERE vec_id >= 5 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (SELECT vec_id, cent_id FROM (
+      |  SELECT e.vec_id, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
+      |  FROM e, cents c WHERE e.vec_id >= 5) a WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+      |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM assign),
+      |cr AS (SELECT query_id, cent_id, CAST(row_number() OVER (PARTITION BY query_id
+      |         ORDER BY list_dot_product(qv, cv) / (qn * cn) DESC, cent_id) AS INT) AS crank
+      |       FROM q, cents),
+      |sc AS (SELECT q.query_id, a.vec_id,
+      |         list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS cos, cr.crank
+      |       FROM assign a
+      |       JOIN e ON e.vec_id = a.vec_id
+      |       CROSS JOIN q
+      |       JOIN cr ON cr.query_id = q.query_id AND cr.cent_id = a.cent_id),
+      |tr AS (SELECT query_id, vec_id FROM (
+      |         SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos DESC, vec_id) AS rn FROM sc) z WHERE rn <= 10),
+      |probes(p) AS (VALUES (1), (2), (4), (8)),
+      |cand AS (SELECT p, query_id, vec_id, cos FROM sc JOIN probes ON sc.crank <= probes.p),
+      |top AS (SELECT p, query_id, vec_id FROM (
+      |          SELECT p, query_id, vec_id, row_number() OVER (PARTITION BY p, query_id
+      |            ORDER BY cos DESC, vec_id) AS rn FROM cand) z WHERE rn <= 10),
+      |cagg AS (SELECT p, CAST(count(*) AS BIGINT) AS cand_rows FROM cand GROUP BY p),
+      |hagg AS (SELECT p, CAST(count(*) AS BIGINT) AS hits
+      |         FROM top JOIN tr USING (query_id, vec_id) GROUP BY p)
+      |SELECT p AS nprobe, (SELECT n FROM nq) AS n_queries, cand_rows,
+      |  CAST((2 * cand_rows * 1000000 + (SELECT n FROM nq) * (SELECT n FROM nc))
+      |       // (2 * (SELECT n FROM nq) * (SELECT n FROM nc)) AS BIGINT) AS cand_share_ppm,
+      |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+      |  CAST((2 * coalesce(hits, 0) * 1000000 + 10 * (SELECT n FROM nq))
+      |       // (2 * 10 * (SELECT n FROM nq)) AS BIGINT) AS recall_ppm
+      |FROM cagg LEFT JOIN hagg USING (p)""".stripMargin
 
   // ---------------------------------------------------------------- X23
   /** Symmetric int8 embedding quantization (the storage/serving compression

@@ -2351,6 +2351,51 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x143: the probe ladder re-derived from scratch in pure Scala (index, probes, recall)") {
+    val out = run("x143_ivf_probe_ladder").collect()
+      .map(r => r.getAs[Int]("nprobe") -> r).toMap
+    assert(out.keySet === Set(1, 2, 4, 8))
+    // monotone laws: candidates and recall never shrink as probes grow
+    for (Seq(a, b) <- Seq(1, 2, 4, 8).sliding(2)) {
+      assert(out(a).getAs[Long]("cand_rows") <= out(b).getAs[Long]("cand_rows"))
+      assert(out(a).getAs[Long]("hits") <= out(b).getAs[Long]("hits"))
+    }
+    // from-scratch recomputation: same md5-seeded centroids, nearest-
+    // centroid assignment, probe ranking, exact top-10s — no Spark SQL
+    val emb = graft.operators.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i)) // sequential = graft_dot
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = emb.keys.filter(_ >= 5).toSeq
+    val cents = corpus.sortBy(id => (md5hex(id.toString), id)).take(16)
+    def cos(a: Long, b: Long): Double = dot(emb(a), emb(b)) / (nrm(a) * nrm(b))
+    val assign = corpus.map(v =>
+      v -> cents.map(c => (cos(v, c), c)).minBy { case (s, c) => (-s, c) }._2).toMap
+    val queries = emb.keys.filter(_ < 5).toSeq
+    val crank = queries.map(q =>
+      q -> cents.sortBy(c => (-cos(q, c), c)).zipWithIndex
+        .map { case (c, i) => c -> (i + 1) }.toMap).toMap
+    def top10(q: Long, pool: Seq[Long]): Seq[Long] =
+      pool.sortBy(v => (-cos(q, v), v)).take(10)
+    val truth = queries.map(q => q -> top10(q, corpus).toSet).toMap
+    for (p <- Seq(1, 2, 4, 8)) {
+      val cand = queries.map(q => q -> corpus.filter(v => crank(q)(assign(v)) <= p)).toMap
+      val expCand = cand.values.map(_.size.toLong).sum
+      val expHits = queries.map(q => top10(q, cand(q)).count(truth(q))).sum.toLong
+      assert(out(p).getAs[Long]("cand_rows") === expCand, s"cand_rows diverge at p=$p")
+      assert(out(p).getAs[Long]("hits") === expHits, s"hits diverge at p=$p")
+      val (nq, nc) = (queries.size.toLong, corpus.size.toLong)
+      assert(out(p).getAs[Long]("cand_share_ppm") ===
+        (2 * expCand * 1000000L + nq * nc) / (2 * nq * nc))
+      assert(out(p).getAs[Long]("recall_ppm") ===
+        (2 * expHits * 1000000L + 10 * nq) / (2 * 10 * nq))
+    }
+  }
+
   test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
     val s = spark; import s.implicits._
     // skewed values (80% mass on one value) — exercises the oversized
