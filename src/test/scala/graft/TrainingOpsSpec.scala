@@ -2396,6 +2396,46 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x144: the Mann-Whitney test re-derived from scratch (midranks, ties, exact 49/25 gate)") {
+    val out = run("x144_rank_sum_drift").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val stop = graft.operators.TextConstants.stopwords.toSet
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        val (n, u, st) = (tk.length.toLong, tk.toSet.size.toLong,
+          tk.count(stop.contains).toLong)
+        (r.getString(0), ((u + n - st) * 2000000L + 2 * n) / (4 * n))
+      }
+    val bigN = docs.length.toLong
+    val pooled = docs.groupBy(_._2).map { case (v, xs) => v -> xs.length.toLong }
+    val sortedVals = pooled.keys.toSeq.sorted
+    val cum = sortedVals.scanLeft(0L)((acc, v) => acc + pooled(v)).init
+    val mid2 = sortedVals.zip(cum).map { case (v, c) => v -> (2 * c + pooled(v) + 1) }.toMap
+    val ties = pooled.values.map(t => BigInt(t) * t * t - t).sum
+    val k = (BigInt(bigN) + 1) * BigInt(bigN) * (BigInt(bigN) - 1) - ties
+    assert(k > 0, "degenerate fixture: all scores tied")
+    var anySig = false
+    for ((src, rows) <- docs.groupBy(_._1)) {
+      val ns = rows.length.toLong
+      val r2 = rows.map(d => BigInt(mid2(d._2))).sum
+      val u2d = r2 - BigInt(ns) * (ns + 1)
+      val nsnr = BigInt(ns) * (bigN - ns)
+      val dev = u2d - nsnr
+      val num = dev * dev * 3 * bigN * (bigN - 1)
+      val z2ppm = (2 * num * 1000000 + nsnr * k) / (2 * nsnr * k)
+      val sig = 625 * num >= 2401 * nsnr * k
+      anySig ||= sig
+      val row = out(src)
+      assert(row.getAs[Long]("n_docs") === ns)
+      assert(BigInt(row.getAs[Long]("u2")) === u2d, s"$src: u2 diverges")
+      assert(BigInt(row.getAs[Long]("z2_ppm")) === z2ppm, s"$src: z2_ppm diverges")
+      assert(row.getAs[Boolean]("significant") === sig, s"$src: gate diverges")
+    }
+    assert(out.size === docs.map(_._1).distinct.length)
+  }
+
   test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
     val s = spark; import s.implicits._
     // skewed values (80% mass on one value) — exercises the oversized
