@@ -272,6 +272,42 @@ object StreamQueries {
        |FROM s WHERE NOT is_cal""".stripMargin
   }
 
+  // ---------------------------------------------------------------- QS28
+  /** STREAMING RANK-SUM DRIFT MONITOR — x144's online twin: the
+    * per-source Mann–Whitney quality-drift test refreshes continuously
+    * as documents arrive, so a crawl operator watches sources go
+    * significant in near-real-time instead of at the nightly batch. The
+    * state is qs27's insight widened by one key: ONE streaming
+    * aggregation holds the (source, score_ppm) count histogram — still
+    * bounded by |sources| × the fixed ppm grid, corpus-size-INDEPENDENT
+    * — and the ENTIRE tie-corrected test (doubled midranks from pooled
+    * cumulative counts, U, the exact 625/2401 integer gate) is
+    * stateless post-drain algebra over that bounded frame, shared with
+    * the batch path's shape. Complete mode + commutative counts →
+    * arrival-order-free → oracle IS x144's batch SQL, bit-for-bit. */
+  private[graft] def rankSumHistogram(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n", size(col("tk")).cast(LongType))
+      .withColumn("u", size(array_distinct(col("tk"))).cast(LongType))
+      .withColumn("st", expr(
+        s"graft_count_in(tk, ${graft.operators.TextConstants.stopwordsArrayExpr})").cast(LongType))
+      .select(col("source"),
+        expr("((u + n - st) * 2000000 + 2 * n) div (4 * n)").as("score"))
+      .groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("c"))
+
+  private def qs28(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.RankSum.audit(
+      runToTable(spark, rankSumHistogram(docsStream(spark, dir)),
+        OutputMode.Complete()))
+
+  /** Oracle = x144's batch SQL (both read RankSum.oracleSql — ONE
+    * text): stream drain == batch test. RankSum carries no reference
+    * to either registry, so this init-time read is cycle-safe (the
+    * TextConstants rule). */
+  private val qs28Sql = graft.operators.RankSum.oracleSql
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -1661,5 +1697,7 @@ object StreamQueries {
     Q("qs26_stream_target_encoding", qs26, Some(qs26Sql),
       "streaming leakage-safe target encoding: wide-form per-fold sums in ONE stateful agg, drain == x133's batch featurizer"),
     Q("qs27_stream_conformal", qs27, Some(qs27Sql),
-      "streaming split-conformal admission gate: ppm-grid score histogram as bounded state, rank-arithmetic threshold on drain == batch gate"))
+      "streaming split-conformal admission gate: ppm-grid score histogram as bounded state, rank-arithmetic threshold on drain == batch gate"),
+    Q("qs28_stream_rank_drift", qs28, Some(qs28Sql),
+      "streaming Mann-Whitney drift monitor: (source, score) histogram state, the fully-integer x144 test on drain == batch"))
 }

@@ -577,4 +577,60 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(massOf27("cf_run2") > massOf27("cf_fresh"),
       "recovered histogram mass not above the fresh wave-2-only mass")
   }
+
+  test("qs28's (source, score) histogram restarts from checkpoint: drained test equals batch x144") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery28")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val stream = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true").parquet(from)
+      val q = StreamQueries.rankSumHistogram(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("rs_run1", ckpt)
+    writeWave(2)
+    val wave2Rows = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    assert(runOnce("rs_run2", ckpt) === wave2Rows, "restart re-read old waves")
+
+    // the RECOVERED histogram must equal the batch histogram cell-for-cell,
+    // and the shared finisher over it must equal the batch registry test —
+    // only possible if waves 0/1's count cells crossed the death
+    val batchHist = StreamQueries.rankSumHistogram(docs)
+    val recovered = spark.table("rs_run2")
+    assert(recovered.exceptAll(batchHist).isEmpty && batchHist.exceptAll(recovered).isEmpty,
+      "restarted (source, score) histogram differs from the batch histogram")
+    val audit = graft.operators.RankSum.audit(recovered).collect().toSet
+    val registry = graft.operators.Queries.byName("x144_rank_sum_drift")
+      .run(spark, sf).collect().toSet
+    assert(audit === registry, "recovered drift test differs from batch x144")
+
+    runOnce("rs_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val massOf28 = (t: String) =>
+      spark.table(t).agg(sum(col("c"))).head().getLong(0)
+    assert(massOf28("rs_run2") > massOf28("rs_fresh"),
+      "recovered histogram mass not above the fresh wave-2-only mass")
+  }
 }
