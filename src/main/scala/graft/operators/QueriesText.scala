@@ -558,7 +558,7 @@ private[operators] trait QueriesText { this: Queries.type =>
     * feeds BOTH the df/idf derivation and the score join, and is
     * match-rate sized (≤ |matching docs|·|terms| rows), never corpus
     * sized; the bench/verify harnesses clearCache() between queries. */
-  private[operators] def bm25Scores(docs0: DataFrame, terms: Seq[String]): DataFrame = {
+  private[graft] def bm25Scores(docs0: DataFrame, terms: Seq[String]): DataFrame = {
     val docs = docs0.withColumn("dl", size(col("tk")))
     val st = docs.agg(
       count(lit(1)).as("n"), sum(col("dl").cast(LongType)).as("sdl")).head()
@@ -1641,6 +1641,97 @@ private[operators] trait QueriesText { this: Queries.type =>
       |    + coalesce(CAST((2000000 + (60 + sem_rank)) // (2 * (60 + sem_rank)) AS BIGINT), 0)
       |    AS rrf_ppm
       |FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- X145
+  /** RANKER-AGREEMENT KENDALL τ — the pairwise-order complement
+    * completing the retrieval-eval set (x139 judges a ranker against
+    * RELEVANCE, x128 judges score CALIBRATION, x122 FUSES; this judges
+    * two rankers against EACH OTHER): exact Kendall τ-a between x122's
+    * two legs — the BM25 lexical top-100 and the query-cosine semantic
+    * top-100 — over their common documents. Low τ is the signal that
+    * fusion (RRF) has something to add; τ ≈ 1 means the second ranker
+    * is redundant. Exactness: ranks are strict integers (both legs
+    * tiebreak on doc_id), so τ-a = (C−D) / (n(n−1)/2) with NO tie
+    * terms; emitted as sign-aware half-away-from-zero ppm (the x63
+    * rounding discipline — τ is signed). Scale shape: each leg is the
+    * already-audited retrieval pass (the ranker is the cost); the τ
+    * computation is a ≤100-row join + a ≤(100·99/2)-pair self-join —
+    * bounded by k², never by the corpus. */
+  private[operators] def x145(spark: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Scores(
+      Tables.documents(spark, dir).filter(col("doc_id") >= 1)
+        .select(col("doc_id"), toks(col("text")).as("tk")),
+      Seq("dup", "vector", "join"))
+      .orderBy(col("bm25_micros").desc, col("doc_id").asc).limit(100)
+    val lex = bm.withColumn("lex_rank",
+      row_number().over(Window.orderBy(col("bm25_micros").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val sem = e.filter(col("vec_id") >= 1)
+      .join(broadcast(q)) // 1-row scalar attach
+      .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(100)
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    val common = lex.join(sem, "doc_id") // <=100 rows
+    val a = common.select(col("doc_id").as("da"),
+      col("lex_rank").as("la"), col("sem_rank").as("sa"))
+    val b = common.select(col("doc_id").as("db"),
+      col("lex_rank").as("lb"), col("sem_rank").as("sb"))
+    val pairs = a.join(broadcast(b), col("da") < col("db"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when((col("la") - col("lb")) * (col("sa") - col("sb")) > 0, 1L)
+          .otherwise(0L)), lit(0L)).as("concordant"),
+        coalesce(sum(when((col("la") - col("lb")) * (col("sa") - col("sb")) < 0, 1L)
+          .otherwise(0L)), lit(0L)).as("discordant"))
+    val nCommon = common.count()
+    pairs.select(lit(nCommon).as("n_common"), col("n_pairs"),
+      col("concordant"), col("discordant"),
+      expr("""CASE WHEN n_pairs = 0 THEN 0L
+             |WHEN concordant >= discordant
+             |THEN (2 * (concordant - discordant) * 1000000 + n_pairs) div (2 * n_pairs)
+             |ELSE -((2 * (discordant - concordant) * 1000000 + n_pairs) div (2 * n_pairs))
+             |END""".stripMargin).as("tau_ppm"))
+  }
+
+  private[operators] lazy val x145Sql =
+    s"""WITH ${bm25SqlBody(" WHERE doc_id >= 1")},
+       |bmtop AS (SELECT doc_id, bm25_micros FROM bm
+       |          ORDER BY bm25_micros DESC, doc_id LIMIT 100),
+       |lex AS (SELECT doc_id, CAST(row_number()
+       |    OVER (ORDER BY bm25_micros DESC, doc_id) AS INT) AS lex_rank FROM bmtop),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |      FROM embeddings),
+       |qv AS (SELECT v AS q, nrm AS qn FROM e WHERE vec_id = 0),
+       |semtop AS (SELECT vec_id AS doc_id,
+       |    list_dot_product(v, (SELECT q FROM qv)) / (nrm * (SELECT qn FROM qv)) AS cos
+       |  FROM e WHERE vec_id >= 1 ORDER BY cos DESC, vec_id LIMIT 100),
+       |sem AS (SELECT doc_id, CAST(row_number()
+       |    OVER (ORDER BY cos DESC, doc_id) AS INT) AS sem_rank FROM semtop),
+       |cm AS MATERIALIZED (SELECT lex.doc_id, lex_rank, sem_rank
+       |                    FROM lex JOIN sem USING (doc_id)),
+       |pr AS (SELECT
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(coalesce(sum(CASE WHEN (a.lex_rank - b.lex_rank) * (a.sem_rank - b.sem_rank) > 0
+       |             THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+       |    CAST(coalesce(sum(CASE WHEN (a.lex_rank - b.lex_rank) * (a.sem_rank - b.sem_rank) < 0
+       |             THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant
+       |  FROM cm a JOIN cm b ON a.doc_id < b.doc_id),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM cm)
+       |SELECT (SELECT n_common FROM nc) AS n_common, n_pairs, concordant, discordant,
+       |  CAST(CASE WHEN n_pairs = 0 THEN 0
+       |    WHEN concordant >= discordant
+       |    THEN (2 * (concordant - discordant) * 1000000 + n_pairs) // (2 * n_pairs)
+       |    ELSE -((2 * (discordant - concordant) * 1000000 + n_pairs) // (2 * n_pairs))
+       |  END AS BIGINT) AS tau_ppm
+       |FROM pr""".stripMargin
 
   // ---------------------------------------------------------------- X139
   /** GRADED-RELEVANCE nDCG AUDIT of the BM25 ranker — the IR-eval leg

@@ -2436,6 +2436,51 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size === docs.map(_._1).distinct.length)
   }
 
+  test("x145: tau laws hold and the pair counting re-derives in pure Scala from the two rankings") {
+    val r = run("x145_ranker_tau").head()
+    val (nc, np) = (r.getAs[Long]("n_common"), r.getAs[Long]("n_pairs"))
+    val (c, d) = (r.getAs[Long]("concordant"), r.getAs[Long]("discordant"))
+    assert(np === nc * (nc - 1) / 2, "pair count is not n-choose-2")
+    assert(c + d <= np && c >= 0 && d >= 0)
+    assert(nc >= 2, "degenerate fixture: rankers share fewer than 2 docs")
+    val num = c - d
+    val expTau = if (np == 0) 0L
+      else if (num >= 0) (2 * num * 1000000L + np) / (2 * np)
+      else -((2 * (-num) * 1000000L + np) / (2 * np))
+    assert(r.getAs[Long]("tau_ppm") === expTau, "tau is not the sign-aware half-away rational")
+    // pair counting re-derived driver-side: rebuild the SEMANTIC ranking
+    // from raw embeddings in pure Scala (sequential dot = graft_dot) and
+    // the lexical one from the hash-gated shared scorer, then count
+    // concordant/discordant pairs with plain loops
+    val emb = graft.operators.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val qv = emb(0L); val qn = math.sqrt(dot(qv, qv))
+    val semRank = emb.keys.filter(_ >= 1).toSeq
+      .map(id => id -> dot(qv, emb(id)) / (qn * math.sqrt(dot(emb(id), emb(id)))))
+      .sortBy { case (id, cs) => (-cs, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 1)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val lexRank = graft.operators.Queries.bm25Scores(docs,
+      Seq("dup", "vector", "join"))
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("bm25_micros")))
+      .sortBy { case (id, s) => (-s, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val common = lexRank.keySet.intersect(semRank.keySet).toSeq.sorted
+    assert(common.length.toLong === nc, "common-set size diverges")
+    var (ec, ed) = (0L, 0L)
+    for (i <- common.indices; j <- (i + 1) until common.length) {
+      val p = (lexRank(common(i)) - lexRank(common(j))).toLong *
+        (semRank(common(i)) - semRank(common(j)))
+      if (p > 0) ec += 1 else if (p < 0) ed += 1
+    }
+    assert(c === ec && d === ed, s"pair counts diverge: engine ($c,$d) vs spec ($ec,$ed)")
+  }
+
   test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
     val s = spark; import s.implicits._
     // skewed values (80% mass on one value) — exercises the oversized
