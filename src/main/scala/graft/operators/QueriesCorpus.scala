@@ -2554,4 +2554,155 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |WHERE to_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- X146
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the model-based alternative to
+    * x111's positional (first/last-touch) credit: journeys are
+    * first-order Markov chains over channel states (event types,
+    * truncated at the FIRST purchase → CONV; journeys without one end
+    * at NULL), conversion probability from START is the chain's
+    * absorption probability, and each channel's credit is its REMOVAL
+    * EFFECT — how much P(CONV) drops when every edge into that channel
+    * is redirected to NULL (Anderl et al.'s framework, the standard
+    * "Markov attribution" of marketing analytics). All |channels|+1
+    * removal chains (including the 'none' baseline) evaluate in ONE
+    * relational fixed-point: the iteration frame is keyed
+    * (removed_channel, state) and each of the 6 fixed rounds is one
+    * aggregation over (removals × matrix) — bounded by |types|²·
+    * |types|, corpus-independent. Exactness: probabilities are integer
+    * PICOS with ONE half-up rational per (cell, round) —
+    * p_k(rc,s) = ⌈Σ_t n(s,t)·val_k₋₁(rc,t) / n_s⌋ where val is 10¹²
+    * for CONV, 0 for NULL and the removed channel — no doubles
+    * anywhere; 6 rounds truncate long paths IDENTICALLY in engine and
+    * oracle (the number is a defined 6-step absorption, documented).
+    * Scale shape: ONE user-keyed exchange builds the transition matrix
+    * (the x114/x124 cost class); the matrix is |types|²-bounded
+    * metadata, so the chain solve runs driver-side in exact BigInt (the
+    * accepted metadata-scale .collect() class — the corpus never
+    * re-enters). Removal effects and shares are half-up ppm off the
+    * final picos. */
+  private[operators] def x146(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withRn = ev.withColumn("rn", row_number().over(w))
+    val firstP = withRn.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+    val kept = withRn.join(firstP, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+      .withColumn("state", when(col("event_type") === "purchase", lit("CONV"))
+        .otherwise(col("event_type")))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val trans = kept
+      .withColumn("to_s", coalesce(lead(col("state"), 1).over(w2),
+        when(col("state") =!= "CONV", lit("NULL"))))
+      .filter(col("to_s").isNotNull)
+      .select(col("state").as("s"), col("to_s"))
+      .unionByName(kept.filter(col("rn") === 1)
+        .select(lit("START").as("s"), col("state").as("to_s")))
+    val m = trans.groupBy(col("s"), col("to_s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // driver-side exact BigInt chain solve over the metadata-scale matrix
+    val totOut = m.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val channels = m.keysIterator.map(_._2).filter(t => t != "CONV" && t != "NULL")
+      .toSeq.distinct.sorted
+    val states = totOut.keys.toSeq.sorted // channels + START
+    val pico = BigInt(1000000000000L)
+    def solve(rc: String): Map[String, BigInt] = {
+      var p = states.map(_ -> BigInt(0)).toMap
+      for (_ <- 1 to 6) {
+        p = states.map { s =>
+          val den = BigInt(totOut(s))
+          val num = m.collect {
+            case ((`s`, t), n) =>
+              val v = if (t == "CONV") pico
+                else if (t == "NULL" || t == rc) BigInt(0)
+                else p.getOrElse(t, BigInt(0))
+              BigInt(n) * v
+          }.sum
+          s -> (if (s == rc) BigInt(0) else (2 * num + den) / (2 * den))
+        }.toMap
+      }
+      p
+    }
+    val pBase = solve("none")("START")
+    def ppmOfPicos(x: BigInt): Long = ((2 * x + 1000000) / 2000000).toLong
+    val res = channels.map { c =>
+      val pc = solve(c)("START")
+      val re = if (pBase == 0) BigInt(0)
+        else (2 * (pBase - pc) * 1000000 + pBase) / (2 * pBase)
+      (c, pc, re)
+    }
+    val totRe = res.map(_._3).sum
+    val rows = res.map { case (c, pc, re) =>
+      val attr = if (totRe == 0) 0L
+        else ((2 * re * 1000000 + totRe) / (2 * totRe)).toLong
+      (c, ppmOfPicos(pBase), ppmOfPicos(pc), re.toLong, attr)
+    }
+    import ev.sparkSession.implicits._
+    rows.toDF("channel", "base_conv_ppm", "removed_conv_ppm",
+      "removal_effect_ppm", "attribution_ppm")
+  }
+
+  /** The oracle evaluates the SAME 6-round fixed point relationally:
+    * the (removed, state) frame iterates through 6 generated
+    * MATERIALIZED CTEs (the x123/x124 unrolled-iteration discipline —
+    * DuckDB would otherwise inline the recursion exponentially). */
+  private[operators] lazy val x146Sql = {
+    val rounds = (1 to 6).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT g.rc, g.s, CASE WHEN g.s = g.rc THEN 0 ELSE g.p END AS p FROM (
+         |    SELECT r.rc, m.s,
+         |      (2 * sum(CAST(m.n AS HUGEINT) *
+         |           (CASE WHEN m.to_s = 'CONV' THEN 1000000000000
+         |                 WHEN m.to_s = 'NULL' OR m.to_s = r.rc THEN 0
+         |                 ELSE coalesce(pp.p, 0) END))
+         |       + max(ns.tot)) // (2 * max(ns.tot)) AS p
+         |    FROM rcs r
+         |    CROSS JOIN m
+         |    LEFT JOIN p${k - 1} pp ON pp.rc = r.rc AND pp.s = m.to_s
+         |    JOIN ns ON ns.s = m.s
+         |    GROUP BY r.rc, m.s) g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, min(rn) AS prn FROM e
+       |       WHERE event_type = 'purchase' GROUP BY 1),
+       |kept AS (SELECT e.user_id, e.rn,
+       |    CASE WHEN e.event_type = 'purchase' THEN 'CONV' ELSE e.event_type END AS state
+       |  FROM e LEFT JOIN fp USING (user_id)
+       |  WHERE fp.prn IS NULL OR e.rn <= fp.prn),
+       |tr AS (SELECT state AS s,
+       |    coalesce(lead(state) OVER (PARTITION BY user_id ORDER BY rn),
+       |             CASE WHEN state <> 'CONV' THEN 'NULL' END) AS to_s
+       |  FROM kept),
+       |alltr AS (SELECT s, to_s FROM tr WHERE to_s IS NOT NULL
+       |          UNION ALL
+       |          SELECT 'START' AS s, state AS to_s FROM kept WHERE rn = 1),
+       |m AS MATERIALIZED (SELECT s, to_s, CAST(count(*) AS BIGINT) AS n
+       |                   FROM alltr GROUP BY 1, 2),
+       |ns AS MATERIALIZED (SELECT s, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY 1),
+       |rcs AS MATERIALIZED (
+       |  SELECT DISTINCT to_s AS rc FROM m WHERE to_s NOT IN ('CONV', 'NULL')
+       |  UNION ALL SELECT 'none'),
+       |p0 AS MATERIALIZED (SELECT rcs.rc, ns.s, CAST(0 AS HUGEINT) AS p
+       |                    FROM rcs CROSS JOIN ns),
+       |$rounds,
+       |fin AS (SELECT rc, p FROM p6 WHERE s = 'START'),
+       |b AS (SELECT p AS pb FROM fin WHERE rc = 'none'),
+       |re AS MATERIALIZED (SELECT rc AS channel, p AS pc,
+       |        CASE WHEN (SELECT pb FROM b) = 0 THEN 0
+       |             ELSE (2 * ((SELECT pb FROM b) - p) * 1000000 + (SELECT pb FROM b))
+       |                  // (2 * (SELECT pb FROM b)) END AS re_ppm
+       |      FROM fin WHERE rc <> 'none'),
+       |t AS (SELECT sum(re_ppm) AS tot FROM re)
+       |SELECT channel,
+       |  CAST((2 * (SELECT pb FROM b) + 1000000) // 2000000 AS BIGINT) AS base_conv_ppm,
+       |  CAST((2 * pc + 1000000) // 2000000 AS BIGINT) AS removed_conv_ppm,
+       |  CAST(re_ppm AS BIGINT) AS removal_effect_ppm,
+       |  CAST(CASE WHEN (SELECT tot FROM t) = 0 THEN 0
+       |       ELSE (2 * re_ppm * 1000000 + (SELECT tot FROM t))
+       |            // (2 * (SELECT tot FROM t)) END AS BIGINT) AS attribution_ppm
+       |FROM re""".stripMargin
+  }
 }

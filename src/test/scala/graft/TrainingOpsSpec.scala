@@ -2481,6 +2481,58 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c === ec && d === ed, s"pair counts diverge: engine ($c,$d) vs spec ($ec,$ed)")
   }
 
+  test("x146: removal monotonicity, share normalization, and a float recompute of the fixed point") {
+    val out = run("x146_markov_attribution").collect()
+    assert(out.nonEmpty)
+    val pb = out.head.getAs[Long]("base_conv_ppm")
+    out.foreach { r =>
+      assert(r.getAs[Long]("base_conv_ppm") === pb, "base prob must be constant across rows")
+      assert(r.getAs[Long]("removed_conv_ppm") <= pb,
+        "removing a channel must not increase conversion probability")
+      assert(r.getAs[Long]("removal_effect_ppm") >= 0)
+    }
+    val shareSum = out.map(_.getAs[Long]("attribution_ppm")).sum
+    assert(math.abs(shareSum - 1000000L) <= out.length,
+      s"attribution shares must sum to ~1e6 (got $shareSum)")
+    // independent recomputation of the 6-round absorption in plain double
+    // arithmetic from raw events (journey build in Scala, no Spark SQL):
+    // validates the structure; the integer pipeline's exactness is the
+    // oracle's job
+    val evs = graft.operators.Tables.eventsRawNs(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val m = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    evs.groupBy(_._1).values.foreach { ue =>
+      val ordered = ue.sortBy(e => (e._2, e._3)).map(_._4)
+      val cut = ordered.indexOf("purchase")
+      val journey = (if (cut >= 0) ordered.take(cut + 1) else ordered)
+        .map(t => if (t == "purchase") "CONV" else t)
+      m(("START", journey.head)) += 1
+      for (w <- journey.sliding(2) if w.length == 2 && w(0) != "CONV")
+        m((w(0), w(1))) += 1
+      if (journey.last != "CONV") m((journey.last, "NULL")) += 1
+    }
+    val tot = m.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum.toDouble }
+    def solveF(rc: String): Double = {
+      val states = tot.keys.toSeq
+      var p = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to 6) p = states.map { s =>
+        s -> (if (s == rc) 0.0 else m.collect { case ((`s`, t), n) =>
+          n * (if (t == "CONV") 1.0
+               else if (t == "NULL" || t == rc) 0.0
+               else p.getOrElse(t, 0.0)) }.sum / tot(s))
+      }.toMap
+      p("START")
+    }
+    val fb = solveF("none")
+    assert(math.abs(pb - fb * 1e6) <= 2, s"base prob diverges: engine $pb vs float ${fb * 1e6}")
+    out.foreach { r =>
+      val fc = solveF(r.getAs[String]("channel"))
+      assert(math.abs(r.getAs[Long]("removed_conv_ppm") - fc * 1e6) <= 2,
+        s"${r.getAs[String]("channel")}: removed prob diverges from the float recompute")
+    }
+  }
+
   test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
     val s = spark; import s.implicits._
     // skewed values (80% mass on one value) — exercises the oversized
