@@ -2554,6 +2554,62 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |WHERE to_type IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- X147
+  /** SPLIT-BALANCE χ² AUDIT — the goodness-of-fit gate run on the x54
+    * content-addressed manifest before anyone trains on it: per
+    * language, does the realized train/val/test allocation match the
+    * designed 80/10/10, by Pearson χ² at the 5% level (df = 2)? A
+    * hash-based split is binomial, not exact, so small languages CAN
+    * land unbalanced — this audit is where that surfaces as a number
+    * instead of a training-run surprise. Exactness, fully integer (the
+    * x144 discipline): with n docs and observed (o_tr, o_va, o_te),
+    * χ² = [(10·o_tr−8n)² + 8·(10·o_va−n)² + 8·(10·o_te−n)²] / (80n)
+    * EXACTLY (clear the 0.8/0.1 denominators by 10²), emitted as
+    * half-up ppm; the 5% df-2 critical value is the universal constant
+    * 5.991465 pinned at 6dp as the same literal in both engines (the
+    * x139 discount-table trick — zero runtime transcendentals), and the
+    * flag compares EXACT integers (num·10⁶ vs crit·80n), immune to the
+    * ppm rounding. Scale shape: one corpus aggregation to the
+    * |langs|×3 cell frame (map-side combined), then arithmetic on
+    * |langs| rows — nothing else touches the corpus. */
+  private[operators] def x147(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast(LongType), lit(100L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("b") < 80, 1L).otherwise(0L)).as("o_train"),
+        sum(when(col("b") >= 80 && col("b") < 90, 1L).otherwise(0L)).as("o_val"),
+        sum(when(col("b") >= 90, 1L).otherwise(0L)).as("o_test"))
+      .withColumn("num", expr(
+        """CAST(10 * o_train - 8 * n_docs AS DECIMAL(38,0)) * (10 * o_train - 8 * n_docs)
+          | + 8 * CAST(10 * o_val - n_docs AS DECIMAL(38,0)) * (10 * o_val - n_docs)
+          | + 8 * CAST(10 * o_test - n_docs AS DECIMAL(38,0)) * (10 * o_test - n_docs)""".stripMargin))
+      .select(col("lang"), col("n_docs"), col("o_train"), col("o_val"), col("o_test"),
+        expr("CAST((2 * num * 1000000 + 80 * n_docs) div (2 * 80 * n_docs) AS BIGINT)")
+          .as("chi2_ppm"),
+        expr("num * 1000000 < CAST('5991465' AS DECIMAL(38,0)) * 80 * n_docs")
+          .as("balanced"))
+  }
+
+  private[operators] lazy val x147Sql =
+    """WITH b AS (SELECT lang,
+      |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b FROM documents),
+      |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS BIGINT) AS o_train,
+      |    CAST(sum(CASE WHEN b >= 80 AND b < 90 THEN 1 ELSE 0 END) AS BIGINT) AS o_val,
+      |    CAST(sum(CASE WHEN b >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS o_test
+      |  FROM b GROUP BY 1),
+      |n AS (SELECT *,
+      |    CAST(10 * o_train - 8 * n_docs AS HUGEINT) * (10 * o_train - 8 * n_docs)
+      |      + 8 * CAST(10 * o_val - n_docs AS HUGEINT) * (10 * o_val - n_docs)
+      |      + 8 * CAST(10 * o_test - n_docs AS HUGEINT) * (10 * o_test - n_docs) AS num
+      |  FROM c)
+      |SELECT lang, n_docs, o_train, o_val, o_test,
+      |  CAST((2 * num * 1000000 + 80 * n_docs) // (2 * 80 * n_docs) AS BIGINT) AS chi2_ppm,
+      |  num * 1000000 < CAST(5991465 AS HUGEINT) * 80 * n_docs AS balanced
+      |FROM n""".stripMargin
+
   // ---------------------------------------------------------------- X146
   /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the model-based alternative to
     * x111's positional (first/last-touch) credit: journeys are

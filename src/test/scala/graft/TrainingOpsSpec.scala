@@ -2533,6 +2533,40 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x147: the chi-square audit re-derives from a driver-side md5 bucket rebuild") {
+    val out = run("x147_split_balance").collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    def bucket(text: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16) % 100
+    }
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), bucket(r.getString(1))))
+    for ((lang, rows) <- docs.groupBy(_._1)) {
+      val n = rows.length.toLong
+      val tr = rows.count(_._2 < 80).toLong
+      val va = rows.count(d => d._2 >= 80 && d._2 < 90).toLong
+      val te = rows.count(_._2 >= 90).toLong
+      val r = out(lang)
+      assert(r.getAs[Long]("n_docs") === n && r.getAs[Long]("o_train") === tr &&
+        r.getAs[Long]("o_val") === va && r.getAs[Long]("o_test") === te,
+        s"$lang: cell counts diverge from the md5 rebuild")
+      val num = BigInt(10 * tr - 8 * n).pow(2) +
+        8 * BigInt(10 * va - n).pow(2) + 8 * BigInt(10 * te - n).pow(2)
+      assert(BigInt(r.getAs[Long]("chi2_ppm")) === (2 * num * 1000000 + 80 * n) / (2 * 80 * n))
+      assert(r.getAs[Boolean]("balanced") === (num * 1000000 < BigInt(5991465) * 80 * n))
+      // float cross-check of the algebra: the cleared-denominator form
+      // IS Pearson's chi-square
+      val chi = math.pow(tr - 0.8 * n, 2) / (0.8 * n) +
+        math.pow(va - 0.1 * n, 2) / (0.1 * n) + math.pow(te - 0.1 * n, 2) / (0.1 * n)
+      assert(math.abs(r.getAs[Long]("chi2_ppm") - chi * 1e6) <= 2,
+        s"$lang: integer statistic diverges from Pearson's formula")
+    }
+    assert(out.size === docs.map(_._1).distinct.length)
+  }
+
   test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
     val s = spark; import s.implicits._
     // skewed values (80% mass on one value) — exercises the oversized
