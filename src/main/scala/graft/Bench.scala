@@ -47,9 +47,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(',').map(_.trim).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.toSeq.filter(q => names(q._1))
+      case Some(names) =>
+        val unknown = names.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_QUERIES names no registered query: ${unknown.mkString(",")}")
+        SparkEntry.queries.toSeq.filter(q => names(q._1))
       case None => SparkEntry.queries.toSeq
     }
+    require(selected.nonEmpty, "no queries selected — empty bench would be silent")
     val results: Seq[(String, Double, Double)] = selected.map { case (name, fn) =>
       val times = (1 to reps).map(_ => once(fn)).sorted
       val median = times(times.size / 2)

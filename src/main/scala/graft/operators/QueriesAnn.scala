@@ -185,18 +185,18 @@ private[operators] trait QueriesAnn { this: Queries.type =>
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
 
   /** The IVF seed-centroid contract (md5-ordered top-k of the corpus ids)
-    * and nearest-centroid assignment, factored so x143's probe audit
-    * audits EXACTLY the index x14 builds — one construction, two
-    * consumers (the x36/PipelineCache discipline). */
+    * and nearest-centroid assignment, factored so x143's probe audit and
+    * x135's routed leg index EXACTLY what x14 builds — one construction,
+    * three consumers (the x36/PipelineCache discipline). Callers pass
+    * the already-scoped corpus frame (x14/x143 exclude the query ids;
+    * x135 passes the train split). */
   private[graft] def ivfSeedCentroids(e: DataFrame, k: Int): DataFrame =
-    e.filter(col("vec_id") >= 5)
-      .withColumn("h", md5(col("vec_id").cast("string")))
+    e.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h"), col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
 
   private[graft] def ivfAssigned(e: DataFrame, cents: DataFrame): DataFrame =
-    e.filter(col("vec_id") >= 5)
-      .join(broadcast(cents))
+    e.join(broadcast(cents))
       .withColumn("cent_sim", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
       .groupBy(col("vec_id"))
       .agg(
@@ -208,8 +208,9 @@ private[operators] trait QueriesAnn { this: Queries.type =>
   private[graft] def x14On(emb: DataFrame): DataFrame = {
     val e = emb.withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val k = 16
-    val cents = ivfSeedCentroids(e, k)
-    val assigned = ivfAssigned(e, cents)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val cents = ivfSeedCentroids(corpus, k)
+    val assigned = ivfAssigned(corpus, cents)
     // int8 residual codes: r = v − centroid, scale = 127/max|r| (x29's
     // explicit floor(x·s + 0.5) so both engines round identically)
     val codes = assigned
@@ -316,8 +317,9 @@ private[operators] trait QueriesAnn { this: Queries.type =>
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-    val cents = ivfSeedCentroids(e, 16)
-    val assigned = ivfAssigned(e, cents)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val cents = ivfSeedCentroids(corpus, 16)
+    val assigned = ivfAssigned(corpus, cents)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val nQ = queries.count()
@@ -335,7 +337,7 @@ private[operators] trait QueriesAnn { this: Queries.type =>
     val wv = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
     val truth = scored.withColumn("rn", row_number().over(wv)).filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id"), lit(true).as("is_true"))
-    Seq(1, 2, 4, 8).map { p =>
+    val ladder = Seq(1, 2, 4, 8).map { p =>
       val cand = scored.filter(col("crank") <= p)
       val hits = cand.withColumn("rn", row_number().over(wv)).filter(col("rn") <= 10)
         .join(truth, Seq("query_id", "vec_id"), "left")
@@ -347,6 +349,13 @@ private[operators] trait QueriesAnn { this: Queries.type =>
           col("hits"),
           expr(s"(2 * hits * 1000000 + 10 * ${nQ}L) div (2 * 10 * ${nQ}L)").as("recall_ppm"))
     }.reduce(_ unionByName _)
+      // eager: the 4-row curve is materialized so the persisted scored
+      // frame can be released before returning (advisor's persist-leak
+      // note — a long-lived session composing this must not accumulate
+      // the brute-force frame)
+      .localCheckpoint(true)
+    scored.unpersist()
+    ladder
   }
 
   private[operators] lazy val x143Sql =
@@ -1063,10 +1072,32 @@ private[operators] trait QueriesAnn { this: Queries.type =>
     * with its cluster, centroid similarity, ≥τ-neighbor count, and the
     * drop verdict. Determinism: pair cosines and centroid similarities
     * compare at the same 6dp rounding in both engines; the drop rule
-    * tie-breaks on vec_id. */
+    * tie-breaks on vec_id.
+    *
+    * k∝n PRODUCTION PATH (r9, the caveat-to-code conversion): the
+    * default seeds are the frozen 8 the oracle replays, fine at eval
+    * scale but Σ|cluster|² degrades toward corpus²/8 as n grows. Setting
+    * `spark.graft.semdedup.clusterCap` switches seeding to a
+    * CONTENT-ADDRESSED stride — every vector whose md5 lands ≡0 mod cap
+    * seeds a cluster — so k ≈ n/cap and expected cluster size ≈ cap at
+    * ANY corpus size, with zero extra passes (no count, no top-k; the
+    * seed set is a map-side predicate, the x54 hashing discipline).
+    * Spec-proven on the fixture: k scales with n and the output contract
+    * (schema, one row per vector, drop rule) is unchanged. */
   private[operators] def x88(spark: SparkSession, dir: String): DataFrame = {
     val e = embWithNorm(spark, dir).persist()
-    val assign = kmeansAssign(e, kmeansCentroids(e, col("vec_id") < 8))
+    val seedFilter = spark.conf.getOption("spark.graft.semdedup.clusterCap") match {
+      case Some(cap) =>
+        val f = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType), lit(cap.toLong)) === 0L
+        // fail loud, not empty: a cap far above the corpus size can draw
+        // zero seeds (the x104 discipline)
+        require(e.filter(f).limit(1).count() == 1L,
+          s"x88: clusterCap=$cap drew an empty seed set — lower the cap")
+        f
+      case None => col("vec_id") < 8 // the oracle-matching frozen seed set
+    }
+    val assign = kmeansAssign(e, kmeansCentroids(e, seedFilter))
     val m = assign.join(e, "vec_id")
       .select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
         col("cos_sim").as("cent_sim"))
@@ -1621,18 +1652,34 @@ private[operators] trait QueriesAnn { this: Queries.type =>
     * re-draw). The argmax is an order-free max(struct(cos, −train_id))
     * aggregation — no global window, map-side partial merge — and
     * cosines round at 6dp (the x5 contract) so the argmax is
-    * engine-stable. Scale note: this is the exact leg (|test|·|train|
-    * dots, embarrassingly parallel after broadcasting the 10% test
-    * side); at corpus scale the same audit routes the train side through
-    * the x7/x14 ANN indexes and re-ranks exactly, the x29 discipline —
-    * the output contract is unchanged. */
-  private[operators] def x135(spark: SparkSession, dir: String): DataFrame = {
-    val split = Tables.documents(spark, dir).select(col("doc_id"),
+    * engine-stable. Scale shape (SIZE-GATED, the x130/q44 recipe): the
+    * test side is 10% of the corpus — corpus-proportional, so it may
+    * NOT be broadcast unconditionally. Under
+    * `spark.graft.splitleak.broadcastTestCap` (rows) the exact leg runs
+    * (|test|·|train| dots, embarrassingly parallel past the bounded
+    * broadcast); past the cap the audit routes through x14's OWN IVF
+    * index (the shared ivfSeedCentroids/ivfAssigned construction) —
+    * each test vector probes its `spark.graft.splitleak.nprobe` nearest
+    * cells and re-ranks the probed candidates by EXACT cosine, the x29
+    * discipline — cost drops to the probed share of |train| per test
+    * vector and nothing corpus-proportional ever broadcasts (the only
+    * broadcast is the k-row centroid frame). Every probed cell is
+    * non-empty (each centroid is a train vector assigned to itself), so
+    * every test_id still emits; the routed argmax is exact over the
+    * probed candidates (recall < 1 only when the true NN lives outside
+    * the probed cells — the documented ANN contract, spec-checked
+    * against the exact leg on the fixture). */
+  private[operators] def x135(spark: SparkSession, dir: String): DataFrame =
+    x135On(spark, Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** fixture-injectable core: docs needs (doc_id, text), emb (vec_id, embedding) */
+  private[graft] def x135On(spark: SparkSession, docs: DataFrame, emb: DataFrame): DataFrame = {
+    val split = docs.select(col("doc_id"),
         pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType), lit(100L)).as("b"))
       .withColumn("split",
         when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
       .select(col("doc_id"), col("split"))
-    val e = Tables.embeddings(spark, dir)
+    val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       .join(split, col("vec_id") === col("doc_id"))
@@ -1640,9 +1687,37 @@ private[operators] trait QueriesAnn { this: Queries.type =>
       .select(col("vec_id").as("test_id"), col("v").as("vt"), col("nrm").as("nt"))
     val train = e.filter(col("split") === "train")
       .select(col("vec_id").as("train_id"), col("v").as("vr"), col("nrm").as("nr"))
-    // stream the big (train) side against the broadcast 10% test side;
-    // repartition first or the pair loop inherits the scan's file count
-    train.repartition(32).crossJoin(broadcast(test))
+    val testCap = spark.conf.getOption("spark.graft.splitleak.broadcastTestCap")
+      .map(_.toLong).getOrElse(2000000L)
+    val pairs =
+      if (test.count() <= testCap) {
+        // exact leg: stream the big (train) side against the broadcast
+        // bounded test side; spread to the session's shuffle width first
+        // or the pair loop inherits the scan's file count
+        train.repartition(spark.sessionState.conf.numShufflePartitions)
+          .crossJoin(broadcast(test))
+      } else {
+        // routed leg: probe x14's index, exact re-rank inside the cells
+        val nprobe = spark.conf.getOption("spark.graft.splitleak.nprobe")
+          .map(_.toInt).getOrElse(4)
+        val trainE = train.select(col("train_id").as("vec_id"),
+          col("vr").as("v"), col("nr").as("nrm"))
+        val cents = ivfSeedCentroids(trainE, 16)
+        val assigned = ivfAssigned(trainE, cents)
+          .select(col("vec_id").as("train_id"), col("cent_id"),
+            col("v").as("vr"), col("nrm").as("nr"))
+        val wq = Window.partitionBy(col("test_id"))
+          .orderBy(col("csim").desc, col("cent_id").asc)
+        val probes = test.join(broadcast(cents)) // k-row broadcast only
+          .withColumn("csim", expr("graft_dot(vt, cv)") / (col("nt") * col("cn")))
+          .withColumn("crank", row_number().over(wq))
+          .filter(col("crank") <= nprobe)
+          .select(col("test_id"), col("cent_id"), col("vt"), col("nt"))
+        assigned.join(probes, Seq("cent_id"))
+          .select(col("train_id"), col("vr"), col("nr"),
+            col("test_id"), col("vt"), col("nt"))
+      }
+    pairs
       .withColumn("cos_sim", round(expr("graft_dot(vr, vt)") / (col("nr") * col("nt")), 6))
       .groupBy(col("test_id"))
       .agg(max(struct(col("cos_sim"), (-col("train_id")).as("neg"),

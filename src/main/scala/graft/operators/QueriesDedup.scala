@@ -1326,10 +1326,14 @@ private[operators] trait QueriesDedup { this: Queries.type =>
     // the standing index over generation A (in production: the stored artifact)
     val baseIdx = base.groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-    val dirty = added.select(col("h")).unionByName(removed.select(col("h"))).distinct()
-    val clean = baseIdx.join(broadcast(dirty), Seq("h"), "left_anti")
+    // the dirty-hash set is delta-proportional = corpus-proportional at a
+    // %-sized delta, so its broadcast is SIZE-GATED (the q44/x130 recipe)
+    val dirty = gatedBroadcast(spark,
+      added.select(col("h")).unionByName(removed.select(col("h"))).distinct(),
+      "spark.graft.dedup.broadcastDirtyCap")
+    val clean = baseIdx.join(dirty, Seq("h"), "left_anti")
     val newGen = base.filter(col("doc_id") % 89 =!= 0).unionByName(added)
-    val rebuilt = newGen.join(broadcast(dirty), "h") // inner on distinct = semi
+    val rebuilt = newGen.join(dirty, "h") // inner on distinct = semi
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     clean.unionByName(rebuilt)
@@ -1773,11 +1777,16 @@ private[operators] trait QueriesDedup { this: Queries.type =>
           |         i -> struct(l AS lvl, md5(concat_ws(' ', slice(tk, i, l))) AS k))))""".stripMargin)).as("s"))
       .select(col("doc_id"), col("s.lvl").as("lvl"), col("s.k").as("k"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the df count AND the hit join
+      // feeds the df count AND the hit join. CACHE CONTRACT: the returned
+      // per-doc frame still reads both persisted intermediates (output is
+      // corpus-sized, so it cannot be eagerly materialized here the way
+      // x137/x143 release theirs); callers composing this in a long-lived
+      // session must clearCache() after consuming — Verify/Bench do.
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dup = keys.groupBy(col("lvl"), col("k"))
       .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
     val hits = keys.join(dup, Seq("lvl", "k"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK) // overlap-rate-sized
+      .persist(StorageLevel.MEMORY_AND_DISK) // overlap-rate-sized; same contract
     val perDoc = hits.groupBy(col("doc_id")).agg(max(col("lvl")).as("max_dup_span"))
     val atMax = hits.join(perDoc, "doc_id")
       .filter(col("lvl") === col("max_dup_span"))

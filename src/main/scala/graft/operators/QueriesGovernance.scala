@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -72,16 +72,26 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
     * B likewise, D = n·Σx_a − m·Σx_b — micro-quantized half-up in
     * DECIMAL(38,0)/HUGEINT, and the significance flag is the pure
     * integer comparison 10⁶·Num > 3841459·Den (χ²₁ at α=0.05), so
-    * neither can drift across engines. Headroom: 2·10⁶·Num must fit 38
-    * digits — Num ≈ (n·s̄·c)²·n² holds to ~10⁹ rows/arm at 10⁵ cents,
-    * far past any per-event-type A/B readout (measured ~10²⁸ at sf0.1).
-    * The Welch–Satterthwaite df is the one REMAINING double round (so
-    * x117 stays in RoundBoundarySpec): an exact df needs (P+Q)² with
-    * P ≈ 10²⁷·⁷ at sf0.1 — ~10⁵⁵, beyond ANY fixed 38-digit integer —
-    * so it is irreducible, not unmigrated. Scale: one corpus scan, one
-    * |event_types|-row aggregation with 6 conditional sums riding it
-    * map-side — the moment algebra never shuffles more than k rows. */
-  private[operators] def x117(spark: SparkSession, dir: String): DataFrame = {
+    * neither can drift across engines. The moment cross-products are
+    * finished DRIVER-SIDE in exact BigInt over the |event_types|-row
+    * frame (r9, the RankSum/x146 class): worst-case dd is RANGE-sized
+    * (≈ n²·cmax), so 2·10⁶·dd²·n²-class products clear 38 digits at a
+    * few thousand rows/arm — and Spark silently NULLs on decimal
+    * overflow where DuckDB HUGEINT raises, a silent engine/oracle
+    * divergence. BigInt has no ceiling; what stays distributed is the
+    * corpus scan and the int64-exact moment sums (safe while n·c² <
+    * 2⁶³, the documented contract). The Welch–Satterthwaite df is the
+    * one REMAINING double round (so x117 stays in RoundBoundarySpec):
+    * an exact df needs (P+Q)² ≈ 10⁵⁵-digit integers — irreducible, not
+    * unmigrated; the driver mirrors Spark's exact IEEE order and
+    * HALF_UP round so the migration is value-invisible. Scale: one
+    * corpus scan, one |event_types|-row aggregation with 6 conditional
+    * sums riding it map-side — the moment algebra never shuffles more
+    * than k rows. */
+  /** the distributed half of x117 — exposed so PlansSpec can keep gating
+    * the one-scan/map-side-combine property after the finisher moved
+    * driver-side */
+  private[graft] def x117Moments(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .select(col("event_type"),
@@ -97,30 +107,48 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
         sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L)).as("ss_a"),
         sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L)).as("ss_b"))
       .filter(col("n_a") > 1 && col("n_b") > 1)
-      // exact integer moments (cast BEFORE squaring: s² overflows int64)
-      .withColumn("aa", expr("cast(n_a as decimal(38,0)) * ss_a - cast(s_a as decimal(38,0)) * s_a"))
-      .withColumn("bb", expr("cast(n_b as decimal(38,0)) * ss_b - cast(s_b as decimal(38,0)) * s_b"))
-      .withColumn("dd", expr("cast(n_b as decimal(38,0)) * s_a - cast(n_a as decimal(38,0)) * s_b"))
-      .withColumn("tnum", expr("dd * dd * (n_a - 1) * (n_b - 1)"))
-      .withColumn("tden", expr("aa * n_b * n_b * (n_b - 1) + bb * n_a * n_a * (n_a - 1)"))
-      .withColumn("t2_micros",
-        expr("cast((2 * tnum * 1000000 + tden) div (2 * tden) as bigint)"))
-      // df keeps the audited double round (exactness infeasible, see doc)
-      .withColumn("va", expr(
-        "(cast(ss_a as double) - cast(s_a as double) * s_a / n_a) / (n_a - 1)"))
-      .withColumn("vb", expr(
-        "(cast(ss_b as double) - cast(s_b as double) * s_b / n_b) / (n_b - 1)"))
-      .withColumn("se2", expr("va / n_a + vb / n_b"))
-      .withColumn("df_micros", round(expr(
-        """se2 * se2 / ((va / n_a) * (va / n_a) / (n_a - 1)
-          | + (vb / n_b) * (vb / n_b) / (n_b - 1))""".stripMargin)
-        * lit(1000000.0), 0).cast(LongType))
-      .withColumn("mean_a_microcents", expr("(2 * s_a * 1000000 + n_a) div (2 * n_a)"))
-      .withColumn("mean_b_microcents", expr("(2 * s_b * 1000000 + n_b) div (2 * n_b)"))
-      .withColumn("significant", expr("tnum * 1000000 > 3841459 * tden"))
-      .select(col("event_type"), col("n_a"), col("n_b"),
-        col("mean_a_microcents"), col("mean_b_microcents"),
-        col("t2_micros"), col("df_micros"), col("significant"))
+  }
+
+  private[operators] def x117(spark: SparkSession, dir: String): DataFrame = {
+    val moments = x117Moments(spark, dir)
+    val rows = moments.collect().map { r =>
+      val et = r.getString(0)
+      val na = r.getLong(1); val nb = r.getLong(2)
+      val sa = r.getLong(3); val sb = r.getLong(4)
+      val ssa = r.getLong(5); val ssb = r.getLong(6)
+      val aa = BigInt(na) * ssa - BigInt(sa) * sa
+      val bb = BigInt(nb) * ssb - BigInt(sb) * sb
+      val dd = BigInt(nb) * sa - BigInt(na) * sb
+      val tnum = dd * dd * (na - 1) * (nb - 1)
+      val tden = aa * nb * nb * (nb - 1) + bb * na * na * (na - 1)
+      val t2: java.lang.Long =
+        if (tden == 0) null
+        else java.lang.Long.valueOf(((2 * tnum * 1000000 + tden) / (2 * tden)).toLong)
+      // the audited double round, in Spark's exact IEEE op order
+      val va = (ssa.toDouble - sa.toDouble * sa / na) / (na - 1)
+      val vb = (ssb.toDouble - sb.toDouble * sb / nb) / (nb - 1)
+      val se2 = va / na + vb / nb
+      val dfRaw = se2 * se2 / ((va / na) * (va / na) / (na - 1)
+        + (vb / nb) * (vb / nb) / (nb - 1)) * 1000000.0
+      val dfm: java.lang.Long =
+        if (dfRaw.isNaN || dfRaw.isInfinite) null
+        else java.lang.Long.valueOf(BigDecimal(dfRaw)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      Row(et, na, nb,
+        ((2 * BigInt(sa) * 1000000 + na) / (2 * BigInt(na))).toLong,
+        ((2 * BigInt(sb) * 1000000 + nb) / (2 * BigInt(nb))).toLong,
+        t2, dfm, tnum * 1000000 > 3841459 * tden)
+    }
+    val schema = StructType(Seq(
+      moments.schema.fields.head,
+      StructField("n_a", LongType, nullable = false),
+      StructField("n_b", LongType, nullable = false),
+      StructField("mean_a_microcents", LongType, nullable = false),
+      StructField("mean_b_microcents", LongType, nullable = false),
+      StructField("t2_micros", LongType, nullable = true),
+      StructField("df_micros", LongType, nullable = true),
+      StructField("significant", BooleanType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   private[operators] lazy val x117Sql =
@@ -297,9 +325,12 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
     val cust = Tables.customer(spark, dir).filter(col("c_custkey") % 97 === 0)
     val ords = Tables.orders(spark, dir).filter(col("o_custkey") % 97 === 0)
     val evts = Tables.events(spark, dir).filter(col("user_id") % 97 === 0)
+    // the erased-subject order set is residue-class here (request-scale in
+    // production, but nothing guarantees a bounded request) — SIZE-GATED
     val casc = Tables.lineitem(spark, dir)
-      .join(broadcast(ords.select(col("o_orderkey").as("l_orderkey"),
-        col("o_custkey"))), "l_orderkey")
+      .join(gatedBroadcast(spark,
+        ords.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        "spark.graft.erasure.broadcastSubjectCap"), "l_orderkey")
     plan(cust, "customer", "c_custkey", cascade = false)
       .unionByName(plan(ords, "orders", "o_custkey", cascade = false))
       .unionByName(plan(evts, "events", "user_id", cascade = false))

@@ -836,7 +836,11 @@ private[operators] trait QueriesRelational { this: Queries.type =>
       .select(col("o_orderkey"),
         expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
     val feed = q38(spark, dir).persist() // read twice: key set + upserts
-    val untouched = base.join(broadcast(feed.select(col("o_orderkey"))),
+    // the CDC key set is residue-class = corpus-proportional, so its
+    // broadcast is SIZE-GATED (the q44/x130 recipe; shuffle-hash past it)
+    val untouched = base.join(
+      gatedBroadcast(spark, feed.select(col("o_orderkey")),
+        "spark.graft.merge.broadcastFeedCap"),
       Seq("o_orderkey"), "left_anti")
     val upserts = feed.filter(col("change_type").isin("added", "changed"))
       .select(col("o_orderkey"), col("new_cents").as("cents"))
@@ -1564,11 +1568,16 @@ private[operators] trait QueriesRelational { this: Queries.type =>
     * classes; the oracle is the FULL recomputed join — equality is the
     * IVM theorem, the x130 discipline. Scale shape: the base join is the
     * standing artifact (rebuilt in-query only because the registry is
-    * stateless; production reads it), and every delta leg BROADCASTS its
-    * delta side — maintenance cost is delta-proportional, the base
-    * tables are never re-shuffled against each other. Output folds the
-    * maintained view to per-segment exact counts/cents so the theorem is
-    * hash-gated, not row-dumped. */
+    * stateless; production reads it), and each delta leg routes through
+    * a SIZE GATE (`spark.graft.ivm.broadcastDeltaCap`, rows — in
+    * production the manifest knows delta sizes for free): a bounded
+    * delta broadcasts; past the cap the leg becomes a SHUFFLE HASH join
+    * — still delta-proportional (the base never joins the base; the
+    * shuffle carries base rows keyed only where a delta key exists) and
+    * never an 8 GB-capped driver broadcast of a corpus-proportional
+    * residue class. Both paths are proven output-identical in PlansSpec
+    * at cap 0. Output folds the maintained view to per-segment exact
+    * counts/cents so the theorem is hash-gated, not row-dumped. */
   private[operators] def q44(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
       expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
@@ -1578,10 +1587,12 @@ private[operators] trait QueriesRelational { this: Queries.type =>
     val a = ord.filter(!dOrd); val da = ord.filter(dOrd)
     val b = cust.filter(!dCust); val db = cust.filter(dCust)
     val key = col("o_custkey") === col("c_custkey")
+    val gda = gatedBroadcast(spark, da, "spark.graft.ivm.broadcastDeltaCap")
+    val gdb = gatedBroadcast(spark, db, "spark.graft.ivm.broadcastDeltaCap")
     val base = a.join(b, key)                      // the standing view
-    val leg1 = broadcast(da).join(b, key)          // dA join B
-    val leg2 = a.join(broadcast(db), key)          // A join dB
-    val leg3 = broadcast(da).join(db, key)         // dA join dB
+    val leg1 = gda.join(b, key)                    // dA join B
+    val leg2 = a.join(gdb, key)                    // A join dB
+    val leg3 = gda.join(gdb, key)                  // dA join dB
     base.unionByName(leg1).unionByName(leg2).unionByName(leg3)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))

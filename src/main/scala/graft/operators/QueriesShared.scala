@@ -80,6 +80,22 @@ private[operators] trait QueriesShared { this: Queries.type =>
       .agg(max(col("v"))).head().getDouble(0)
   }
 
+  /** The x130/q44 bounded-broadcast recipe as ONE reusable gate (r9):
+    * broadcast `df` only while its row count sits within the registered
+    * `spark.graft.*Cap` conf; past the cap return it hinted for a
+    * SHUFFLE HASH join — still delta-proportional (the probe side hashes
+    * only against the delta's partitions), never an 8 GB-capped driver
+    * broadcast of a corpus-proportional frame. The count is an extra
+    * construction-time action here because the registry is stateless; a
+    * production maintenance job reads delta sizes from its manifest.
+    * Every consumer is enrolled in BroadcastInventorySpec as conf-gated
+    * and carries a cap-0 output-identity spec. */
+  private[graft] def gatedBroadcast(spark: SparkSession, df: DataFrame,
+      confKey: String, defaultCap: Long = 8000000L): DataFrame = {
+    val cap = spark.conf.getOption(confKey).map(_.toLong).getOrElse(defaultCap)
+    if (df.count() <= cap) broadcast(df) else df.hint("shuffle_hash")
+  }
+
   /** Membership predicate: every one of the 4 bit positions is set. */
   private[operators] def bloomTest(bloomArr: Array[Long], mBits: Int)(probe: Column): Column = {
     val bloomLit = typedLit(bloomArr)

@@ -1515,7 +1515,7 @@ private[operators] trait QueriesText { this: Queries.type =>
       if (k > nCal) Long.MinValue
       else kthSmallestByHistogram(
         cal.select(col("score_nanos").cast(DoubleType).as("s")), "s", nCal - k + 1).toLong
-    scored.filter(!col("is_cal"))
+    val out = scored.filter(!col("is_cal"))
       .agg(
         count(lit(1)).as("n_test"),
         sum(when(col("label_good"), 1L).otherwise(0L)).as("n_good"),
@@ -1528,6 +1528,9 @@ private[operators] trait QueriesText { this: Queries.type =>
         col("n_test"), col("n_good"), col("n_good_accepted"),
         expr("(2 * n_good_accepted * 1000000 + n_good) div (2 * n_good)").as("coverage_ppm"),
         col("n_bad"), col("n_bad_accepted"))
+      .localCheckpoint(true) // eager: the 1-row gate no longer needs `scored`
+    scored.unpersist()
+    out
   }
 
   private[operators] lazy val x137Sql =

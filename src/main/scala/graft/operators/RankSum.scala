@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** The tie-corrected Mann–Whitney machinery shared by batch x144 and
   * streaming qs28 — ONE implementation of the finisher and ONE oracle
@@ -15,7 +16,15 @@ import org.apache.spark.sql.functions._
   * midranks doubled (mid2 = 2·cum + t + 1), 2U = R2 − n_s(n_s+1),
   * K = (N+1)N(N−1) − Σ(t³−t), z² ≥ 1.96² decided as
   * 625·(2U−n_sn_r)²·3·N(N−1) ≥ 2401·n_sn_r·K (1.96 = 49/25 exactly).
-  */
+  *
+  * The z²/significance cross-products are finished DRIVER-SIDE in exact
+  * BigInt over the |sources|-bounded per-source frame (the x146 class):
+  * the r8 in-plan DECIMAL(38,0) form silently overflowed to NULL near
+  * N ~ 3·10⁵ under worst-case drift (dev² · 3N(N−1) · 10⁶ needs ~N⁶
+  * digits), and Spark nulls on decimal overflow where DuckDB raises —
+  * a silent engine/oracle divergence class. What stays distributed is
+  * everything corpus-sized (the histogram, midranks, per-source R2,
+  * whose DECIMAL(38,0) forms are safe through N ~ 10¹⁸). */
 object RankSum {
 
   /** Stateless finisher over a (source, score, c) count histogram —
@@ -41,26 +50,36 @@ object RankSum {
     // N³ outgrows a long well inside the documented eval-slice range
     val k = (BigInt(bigN) + 1) * BigInt(bigN) * (BigInt(bigN) - 1) -
       BigInt(gl.getDecimal(1).toBigInteger)
-    counts.join(broadcast(pooled.select(col("score"), col("mid2"))), "score")
+    // per-source totals stay distributed (R2 ≤ N(2N+1) — DECIMAL(38,0)-
+    // safe through N ~ 10¹⁸); the frame is |sources|-bounded by contract
+    val perSource = counts
+      .join(broadcast(pooled.select(col("score"), col("mid2"))), "score")
       .groupBy(col("source"))
       .agg(sum(col("c")).as("n_docs"),
         sum(expr("CAST(c AS DECIMAL(38,0)) * mid2")).as("r2"))
-      .select(col("source"), col("n_docs"),
-        expr(s"r2 - CAST(n_docs AS DECIMAL(38,0)) * (n_docs + 1)").as("u2d"),
-        expr(s"CAST(n_docs AS DECIMAL(38,0)) * (${bigN}L - n_docs)").as("nsnr"))
-      .select(col("source"), col("n_docs"),
-        expr("CAST(u2d AS BIGINT)").as("u2"),
-        expr(
-          s"""CASE WHEN nsnr > 0 AND CAST('$k' AS DECIMAL(38,0)) > 0 THEN
-             |CAST((2 * (u2d - nsnr) * (u2d - nsnr) * 3 * ${bigN}L * (${bigN}L - 1) * 1000000
-             |      + nsnr * CAST('$k' AS DECIMAL(38,0)))
-             |     div (2 * nsnr * CAST('$k' AS DECIMAL(38,0))) AS BIGINT)
-             |ELSE 0L END""".stripMargin).as("z2_ppm"),
-        expr(
-          s"""nsnr > 0 AND CAST('$k' AS DECIMAL(38,0)) > 0 AND
-             |625 * (u2d - nsnr) * (u2d - nsnr) * 3 * ${bigN}L * (${bigN}L - 1)
-             |  >= 2401 * nsnr * CAST('$k' AS DECIMAL(38,0))""".stripMargin)
-          .as("significant"))
+    val sourceField = perSource.schema.fields.head
+    val rows = perSource.collect().map { r =>
+      val n = r.getLong(1)
+      val r2 = BigInt(r.getDecimal(2).toBigInteger)
+      val u2d = r2 - BigInt(n) * (BigInt(n) + 1)
+      val nsnr = BigInt(n) * (BigInt(bigN) - n)
+      val dev = u2d - nsnr
+      val (z2ppm, signif) =
+        if (nsnr > 0 && k > 0) {
+          val num = dev * dev * 3 * BigInt(bigN) * (BigInt(bigN) - 1)
+          (((2 * num * 1000000 + nsnr * k) / (2 * nsnr * k)).toLong,
+            625 * num >= 2401 * nsnr * k)
+        } else (0L, false)
+      Row(r.get(0), n, u2d.toLong, z2ppm, signif)
+    }
+    val schema = StructType(Seq(
+      sourceField,
+      StructField("n_docs", LongType, nullable = false),
+      StructField("u2", LongType, nullable = false),
+      StructField("z2_ppm", LongType, nullable = false),
+      StructField("significant", BooleanType, nullable = false)))
+    counts0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** The one oracle text (batch documents), shared by x144 and qs28. */

@@ -197,7 +197,11 @@ object StreamQueries {
 
   /** The stateless conformal finisher over the drained histogram —
     * shared so a recovery proof and the registry query exercise ONE
-    * code path (the qs26 discipline). */
+    * code path (the qs26 discipline). The histogram cache is released
+    * before returning: the 1-row audit is eagerly materialized via
+    * localCheckpoint, so callers composing this in a long-lived session
+    * never accumulate the drained histogram (r9, closing the advisor's
+    * persist-leak note). */
   private[graft] def conformalAudit(h0: DataFrame): DataFrame = {
     val h = h0.persist()
     val calGood = h.filter(col("is_cal") && col("label_good"))
@@ -217,7 +221,7 @@ object StreamQueries {
           .filter(col("cum") >= r)
           .agg(min(col("score_ppm"))).head().getLong(0)
       }
-    h.filter(!col("is_cal"))
+    val out = h.filter(!col("is_cal"))
       .agg(
         coalesce(sum(col("cnt")), lit(0L)).as("n_test"),
         coalesce(sum(when(col("label_good"), col("cnt")).otherwise(0L)), lit(0L)).as("n_good"),
@@ -230,6 +234,9 @@ object StreamQueries {
         col("n_test"), col("n_good"), col("n_good_accepted"),
         expr("(2 * n_good_accepted * 1000000 + n_good) div (2 * n_good)").as("coverage_ppm"),
         col("n_bad"), col("n_bad_accepted"))
+      .localCheckpoint(true) // eager: the 1-row audit no longer needs h
+    h.unpersist()
+    out
   }
 
   private def qs27(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Queries
+
+/** The bounded-broadcast STRUCTURAL INVARIANT (r9, verdict item 4): every
+  * forced `broadcast(...)` hint in every registered batch query must be
+  * either (a) a declared bounded-domain frame — dimension tables, k-row
+  * stats/centroid/model frames, vocab tables — or (b) behind a registered
+  * `spark.graft.*Cap` size gate that swaps in a shuffle-side fallback past
+  * the cap. A broadcast of a corpus-proportional frame is an OOM at the
+  * 100 TB contract (Spark's 8 GB broadcast hard cap, driver memory), and
+  * this class of flaw reached two verdicts (x130 in r7, q44/x135 in r8)
+  * before becoming this CI gate.
+  *
+  * Mechanism: the sweep builds each query's DataFrame (construction only —
+  * no result materialization) and counts BROADCAST join-strategy hints in
+  * the OPTIMIZED logical plan. Forced hints survive optimization into the
+  * Join nodes' `JoinHint`; planner-chosen broadcasts (AQE/statistics-based)
+  * are size-evidenced at runtime and intentionally NOT counted — the
+  * invariant governs what the code FORCES regardless of size. Any query
+  * not in the inventory must force zero broadcasts; growing the inventory
+  * requires writing a bounded-domain justification here, in review.
+  */
+class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("broadcast-inventory-spec")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** name -> (max forced broadcast-hinted joins, bounded-domain rationale).
+    * "conf-gated" = the hint exists only under a spark.graft.*Cap size gate
+    * with a cap-0 output-identity spec proving the shuffle fallback.
+    * "dup-rate" = proportional to the duplicate/near-dup population, far
+    * below corpus rate by the pipelines' own contracts (gate candidates if
+    * a corpus ever approaches dup-rate ≈ corpus-rate). */
+  private val inventory: Map[String, (Int, String)] = Map(
+    "q3_star_revenue" -> (2, "nation(25)/region(5) dimension tables"),
+    "q5_theta_margin" -> (1, "k-row bucket order-statistics frame"),
+    "q37_cohort_retention" -> (1, "|cohort weeks|-row size frame (bounded time dimension)"),
+    "q39_merge_apply" -> (1, "conf-gated: spark.graft.merge.broadcastFeedCap"),
+    "q44_ivm_join" -> (4, "conf-gated: spark.graft.ivm.broadcastDeltaCap (3 delta legs, 4 hints)"),
+    "x7_ann_lsh" -> (1, "192-row hyperplane matrix"),
+    "x14_ann_ivf" -> (5, "k=16 centroid frames + 5-row query frame + 5x16 query-centroid dots"),
+    "x21_sequence_pack" -> (1, "|packs|-row boundary frame"),
+    "x27_vocabulary" -> (1, "bounded merge-rule vocabulary table"),
+    "x29_quantized_rerank" -> (1, "5-row query frame"),
+    "x31_doc_keywords" -> (1, "df-capped idf vocabulary"),
+    "x32_lm_quality" -> (1, "bounded LM probability table"),
+    "x38_kmeans_embed" -> (2, "k centroid frames (two assignment rounds)"),
+    "x39_zorder_layout" -> (1, "k-row quantile-boundary frame"),
+    "x44_textrank" -> (3, "bounded per-round rank frames over the sentence graph"),
+    "x46_random_projection" -> (1, "d x k projection matrix"),
+    "x48_semantic_outliers" -> (1, "k centroid frame"),
+    "x49_delta_cluster_assign" -> (2, "k centroid frames"),
+    "x53_imputation" -> (1, "per-column imputation-stats frame (k rows)"),
+    "x54_split_manifest" -> (1, "3-row per-split totals"),
+    "x56_split_contamination" -> (1, "dup-rate melted pair frame (pairEnds)"),
+    "x58_bm25_retrieval" -> (1, "query-term stats frame (|query terms| rows)"),
+    "x59_source_dup_matrix" -> (1, "dup-rate melted pair frame (pairEnds)"),
+    "x60_winsorize" -> (1, "per-key cutoff frame (k rows)"),
+    "x61_span_catalog" -> (3, "dup-rate span-hash and candidate-doc frames"),
+    "x63_source_drift" -> (2, "|sources|-row moment frames"),
+    "x67_shard_planner" -> (1, "|shards|-row boundary frame"),
+    "x69_pmi_collocations" -> (2, "df-capped vocabulary frames"),
+    "x70_label_cohesion" -> (2, "per-label centroid frames (|labels| rows)"),
+    "x76_pack_manifest" -> (1, "|packs|-row boundary frame"),
+    "x78_vocab_coverage" -> (1, "top-k vocabulary table"),
+    "x79_length_drift_ks" -> (2, "bounded per-source CDF grid frames"),
+    "x84_whitened_ann" -> (2, "d x d whitening matrix + query frame"),
+    "x88_semdedup" -> (14, "k-row centroid frames across the k-means rounds"),
+    "x98_contrastive_pairs" -> (1, "k-row sampled anchor frame"),
+    "x101_knn_classify" -> (1, "k-row labeled anchor frame"),
+    "x102_pq_codebook" -> (2, "k x d codebook frames"),
+    "x108_nb_quality_classifier" -> (1, "vocab-capped NB model frame"),
+    "x110_ivm_dedup_index" -> (2, "conf-gated: spark.graft.dedup.broadcastDirtyCap (both legs)"),
+    "x115_bitext_pairs" -> (1, "bounded language-pair table"),
+    "x119_erasure_audit" -> (1, "conf-gated: spark.graft.erasure.broadcastSubjectCap"),
+    "x122_hybrid_rrf" -> (2, "1-row query embedding + 100-row fused lists"),
+    "x124_markov_eval" -> (1, "|event types|^2 transition matrix"),
+    "x126_minhash_scorecard" -> (1, "32-row minhash parameter/stats frame"),
+    "x128_reliability_audit" -> (1, "bounded calibration-bin frame"),
+    "x130_ivm_components" -> (2, "conf-gated delta shingles (broadcastShingleCap) + affected-component relabel map"),
+    "x133_target_encoding" -> (1, "|categories|-row totals frame"),
+    "x135_semantic_split_leak" -> (1, "conf-gated: spark.graft.splitleak.broadcastTestCap"),
+    "x139_retrieval_ndcg" -> (4, "pinned 20-row DCG/rank tables + query-term stats"),
+    "x140_cv_model_select" -> (2, "5-row fold-total + model frames"),
+    "x145_ranker_tau" -> (5, "top-k ranker list frames (k rows each)"))
+
+  test("every forced broadcast in every batch query is a declared bounded frame or conf-gated") {
+    val violations = Queries.all.flatMap { q =>
+      val forced =
+        try {
+          val df = q.run(spark, sf)
+          df.queryExecution.optimizedPlan.collect {
+            case j: Join =>
+              Seq(j.hint.leftHint, j.hint.rightHint).flatten
+                .count(_.strategy.contains(BROADCAST))
+          }.sum
+        } finally {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        }
+      val cap = inventory.get(q.name).map(_._1).getOrElse(0)
+      if (forced > cap)
+        Some(s"${q.name}: $forced forced broadcast(s), declared $cap")
+      else None
+    }
+    assert(violations.isEmpty,
+      "undeclared forced broadcasts (enroll with a bounded-domain rationale, " +
+        "or size-gate them behind a spark.graft.*Cap):\n" + violations.mkString("\n"))
+  }
+}

@@ -586,7 +586,10 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("x117: the A/B readout is ONE corpus scan with map-side-combined moments") {
-    val df = Queries.byName("x117_ab_welch").run(spark, sf)
+    // the finisher moved driver-side (r9, exact BigInt over the k-row
+    // moment frame) — the distributed property to gate lives in
+    // x117Moments, the frame the finisher collects
+    val df = Queries.x117Moments(spark, sf)
     df.collect()
     val p = finalSection(df.queryExecution.executedPlan.toString)
     assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, s"one scan:\n$p")
@@ -702,7 +705,9 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), s"no window machinery in the custom path:\n$p")
   }
 
-  test("q44: every delta leg broadcasts; the base tables never re-shuffle against a delta") {
+  test("q44: under the delta cap every delta leg broadcasts; the base tables never re-shuffle against a delta") {
+    // this shape is CONDITIONAL on the size gate: it holds only while
+    // the deltas fit spark.graft.ivm.broadcastDeltaCap (the default here)
     val df = Queries.byName("q44_ivm_join").run(spark, sf)
     df.collect()
     val p = finalSection(df.queryExecution.executedPlan.toString)
@@ -711,6 +716,84 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
       s"delta legs must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q44: past the delta cap the legs degrade to shuffle hash joins, output-identical") {
+    // the r9 size gate (the x130 recipe applied to the IVM join): a 10%
+    // residue-class delta of a 100 TB corpus is terabytes — over Spark's
+    // 8 GB broadcast hard cap — so past spark.graft.ivm.broadcastDeltaCap
+    // each delta leg must become a shuffle hash join (still
+    // delta-proportional: the base never joins the base) and the
+    // maintained view must be bit-identical to the broadcast path's.
+    val expected = Queries.byName("q44_ivm_join").run(spark, sf)
+      .orderBy("c_mktsegment").collect().toSeq
+    spark.conf.set("spark.graft.ivm.broadcastDeltaCap", "0")
+    try {
+      val df = Queries.byName("q44_ivm_join").run(spark, sf)
+      val got = df.orderBy("c_mktsegment").collect().toSeq
+      assert(got === expected, "shuffle-hash path must be output-identical to the broadcast path")
+      val p = finalSection(df.queryExecution.executedPlan.toString)
+      assert(p.linesIterator.count(_.contains("ShuffledHashJoin")) >= 3,
+        s"all three delta legs must plan as shuffle hash joins past the cap:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"no cartesian/nested-loop:\n$p")
+    } finally spark.conf.unset("spark.graft.ivm.broadcastDeltaCap")
+  }
+
+  test("x135: past the test cap the audit routes through the IVF index — no corpus-proportional broadcast") {
+    // the r9 size gate: the test split is 10% of the corpus, so its
+    // broadcast is conf-bounded; past spark.graft.splitleak.broadcastTestCap
+    // the audit probes x14's own IVF cells and re-ranks exactly (the x29
+    // discipline). The routed plan must not nested-loop anything — the
+    // only broadcast allowed is the k-row centroid frame.
+    spark.conf.set("spark.graft.splitleak.broadcastTestCap", "0")
+    try {
+      val df = Queries.byName("x135_semantic_split_leak").run(spark, sf)
+      df.collect()
+      val p = finalSection(df.queryExecution.executedPlan.toString)
+      assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+      // the only nested-loop expansions allowed are the two k-row (16)
+      // centroid-frame broadcasts (train×cents in ivfAssigned, test×cents
+      // in the probe ranking) — the exact leg's test-side nested loop is gone
+      assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+        s"only the two bounded centroid expansions may nested-loop:\n$p")
+      // the pair frame must come from the probed-cell EQUI join on cent_id
+      assert(p.linesIterator.exists(l => l.contains("Join [cent_id")),
+        s"the probe equi-join on cent_id is missing:\n$p")
+      assert(p.contains("Window"), s"the centroid-rank probe window is missing:\n$p")
+    } finally {
+      spark.conf.unset("spark.graft.splitleak.broadcastTestCap")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("gatedBroadcast: q39/x110/x119 degrade to shuffle hash joins past their caps, output-identical") {
+    // the r9 sweep found three more forced broadcasts of residue-class
+    // (corpus-proportional) frames — the q44/x130 class. Each now routes
+    // through the shared gatedBroadcast; at cap 0 the delta side must
+    // plan as a shuffle hash join and the output must be bit-identical.
+    val cases = Seq(
+      ("q39_merge_apply", "spark.graft.merge.broadcastFeedCap", "o_orderkey"),
+      ("x110_ivm_dedup_index", "spark.graft.dedup.broadcastDirtyCap", "h"),
+      ("x119_erasure_audit", "spark.graft.erasure.broadcastSubjectCap", "tbl"))
+    cases.foreach { case (name, conf, sortCol) =>
+      val expected = Queries.byName(name).run(spark, sf).orderBy(sortCol).collect().toSeq
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.conf.set(conf, "0")
+      try {
+        val df = Queries.byName(name).run(spark, sf)
+        assert(df.orderBy(sortCol).collect().toSeq === expected,
+          s"$name: shuffle-hash path must be output-identical")
+        val p = finalSection(df.queryExecution.executedPlan.toString)
+        assert(p.contains("ShuffledHashJoin"),
+          s"$name: the gated side must plan as a shuffle hash join past the cap:\n$p")
+      } finally {
+        spark.conf.unset(conf)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    }
   }
 
   test("x133: one corpus scan; totals join back via broadcast") {

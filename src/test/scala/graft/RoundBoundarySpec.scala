@@ -108,14 +108,67 @@ class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x122_hybrid_rrf", // r7b: shares x58's single-transcendental idf quantization
     "x129_rfm_features", // r7b: qs22's round(value*100) cents quantization
     // r7 governance family: any NEW round(double·10⁶) enrolls here by rule.
-    // x117's t²/significance migrated to exact integer rationals in r8;
-    // only the Welch–Satterthwaite df round remains (proven irreducible —
-    // an exact df needs ~10⁵⁵-wide integers, see the x117 scaladoc)
-    "x117_ab_welch", "x118_dp_release",
-    // r8: x136's single ln quantization (the x63 pattern) + x137 via its
-    // x108 composition (prior/log-odds nano rounds); x140's per-(token,
-    // fold, alpha) log-odds nano rounds (x108's convention, 10 models)
+    // x117's t²/significance migrated to exact integer rationals in r8; in
+    // r9 its whole finisher moved DRIVER-SIDE (BigInt, closing the decimal
+    // overflow class) so its one remaining double round — the
+    // Welch–Satterthwaite df, proven irreducible (an exact df needs
+    // ~10⁵⁵-wide integers, see the x117 scaladoc) — no longer appears in
+    // any plan. The poison transform cannot see it; the dedicated
+    // driver-side boundary test below audits it instead.
+    "x118_dp_release",
+    // r8 — all three audited rounds are IRREDUCIBLE by the r7 rule (a
+    // SINGLE transcendental of an exact integer ratio, quantized once to
+    // int64, exact rationals after): x136's -ln((c12+1)/(c1+V)) nano
+    // round has a data-dependent ratio domain, so no pinned-constant
+    // table (the x139 trick) can replace it; x137 inherits x108's
+    // prior/log-odds nano rounds; x140's per-(token, fold, alpha)
+    // log-odds rounds are x108's convention across 10 fold-complement
+    // models. None can migrate further without a second rounding site,
+    // which would be worse.
     "x136_lm_holdout_ppl", "x137_conformal_gate", "x140_cv_model_select")
+
+  test("x117: the driver-side Welch df round is not within 4 ulps of a .5 boundary") {
+    // x117's df round now happens in driver code (BigDecimal HALF_UP over
+    // the same IEEE double Spark's Round would see), so the plan-poison
+    // audit above cannot reach it. Re-derive the df double per event type
+    // from the same exact moments and assert the scaled value keeps its
+    // distance from every half-integer boundary — the same guarantee the
+    // poison transform gives the in-plan rounds.
+    import org.apache.spark.sql.functions._
+    val ev = graft.operators.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast(LongType), lit(2L)).as("arm"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val rows = ev.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s_a"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s_b"),
+        sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L)).as("ss_a"),
+        sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L)).as("ss_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val na = r.getLong(1); val nb = r.getLong(2)
+      val sa = r.getLong(3); val sb = r.getLong(4)
+      val ssa = r.getLong(5); val ssb = r.getLong(6)
+      val va = (ssa.toDouble - sa.toDouble * sa / na) / (na - 1)
+      val vb = (ssb.toDouble - sb.toDouble * sb / nb) / (nb - 1)
+      val se2 = va / na + vb / nb
+      val scaled = se2 * se2 / ((va / na) * (va / na) / (na - 1)
+        + (vb / nb) * (vb / nb) / (nb - 1)) * 1000000.0
+      val frac = scaled - math.floor(scaled)
+      val dist = math.abs(frac - 0.5)
+      val tol = math.max(1e-13, math.abs(scaled) * 8.9e-16)
+      assert(dist >= tol,
+        s"${r.getString(0)}: df_micros pre-round value $scaled sits within " +
+          "the ulp band of a .5 boundary")
+    }
+  }
 
   for (name <- auditedQueries)
     test(s"$name: no double-round value within 4 ulps of a .5 boundary") {

@@ -2567,6 +2567,96 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size === docs.map(_._1).distinct.length)
   }
 
+  test("q45: the five real TPC-H dependencies score exactly 10^6; the negative control rejects") {
+    val rows = run("q45_inclusion_deps").collect()
+      .map(r => r.getAs[String]("dependency") -> r).toMap
+    val neg = "orders.o_orderkey->customer.c_custkey"
+    val fks = rows.keySet - neg
+    assert(fks.size === 5, s"expected 5 real dependencies, got: $fks")
+    fks.foreach { k =>
+      assert(rows(k).getAs[Long]("containment_ppm") === 1000000L, k)
+      assert(rows(k).getAs[Boolean]("is_fk"), k)
+    }
+    // the deliberate non-dependency must be rejected, and non-vacuously:
+    // the profiler really measured partial containment, not an empty set
+    val n = rows(neg)
+    assert(!n.getAs[Boolean]("is_fk"))
+    assert(n.getAs[Long]("containment_ppm") < 1000000L)
+    assert(n.getAs[Long]("n_contained") < n.getAs[Long]("n_child_keys"))
+  }
+
+  test("x135: a planted cross-split near-dup is flagged; the routed (ANN) leg's flags match the exact leg") {
+    val s = spark; import s.implicits._
+    // fixture: texts hash into the md5 split buckets exactly as production
+    // does; embeddings are mutually-orthogonal one-hots EXCEPT one test
+    // doc planted as a near-copy of one train doc (the x138 planted-cut
+    // model applied to the embedding space)
+    val texts = (0L until 60L).map(i => (i, s"document body number $i")).toDF("doc_id", "text")
+    val bucket = texts
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long"), lit(100L)))
+      .select("doc_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = bucket.filter(_._2 < 80).keys.toSeq.sorted
+    val testIds = bucket.filter(_._2 >= 90).keys.toSeq.sorted
+    assert(trainIds.size >= 20 && testIds.nonEmpty, s"fixture must cover both splits: $bucket")
+    val pTrain = trainIds.head
+    val pTest = testIds.head
+    val dim = 64
+    def oneHot(i: Long): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a((i % dim).toInt) = 1.0f; a
+    }
+    val emb = (0L until 60L).map { i =>
+      val v =
+        if (i == pTest) { val a = oneHot(pTrain); a((pTest % dim).toInt) = 0.01f; a }
+        else oneHot(i)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    def flags(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("test_id") -> r.getAs[Boolean]("leaked")).toMap
+    val exact = graft.operators.Queries.x135On(spark, texts, emb).collect()
+      .map(r => r.getAs[Long]("test_id") -> r).toMap
+    assert(exact(pTest).getAs[Boolean]("leaked"),
+      "the planted cross-split near-dup must raise the leak flag")
+    assert(exact(pTest).getAs[Long]("train_id") === pTrain,
+      "the flagged neighbor must be the planted train doc")
+    testIds.filterNot(_ == pTest).foreach { t =>
+      assert(!exact(t).getAs[Boolean]("leaked"), s"orthogonal test doc $t must not leak")
+    }
+    // threshold-0 contract: past the cap the IVF-routed leg must agree
+    // with the exact leg's verdicts on this fixture
+    spark.conf.set("spark.graft.splitleak.broadcastTestCap", "0")
+    try {
+      val routed = flags(graft.operators.Queries.x135On(spark, texts, emb))
+      assert(routed === exact.map { case (k, r) => k -> r.getAs[Boolean]("leaked") },
+        "routed leak flags must match the exact leg")
+    } finally spark.conf.unset("spark.graft.splitleak.broadcastTestCap")
+  }
+
+  test("x88: the clusterCap production path scales k with n; output contract unchanged") {
+    // the r9 caveat-to-code conversion: default x88 seeds the frozen 8
+    // clusters its oracle replays; spark.graft.semdedup.clusterCap
+    // switches to content-addressed stride seeding so k grows ~ n/cap
+    // and Sum(|cluster|^2) stays bounded at any corpus size
+    val base = run("x88_semdedup").collect()
+    val kDefault = base.map(_.getAs[Int]("cluster")).distinct.length
+    spark.conf.set("spark.graft.semdedup.clusterCap", "25")
+    try {
+      val scaled = run("x88_semdedup").collect()
+      assert(scaled.length === base.length, "one row per vector, either path")
+      val kScaled = scaled.map(_.getAs[Int]("cluster")).distinct.length
+      val n = scaled.length
+      assert(kScaled > kDefault, s"k must scale past the frozen 8 (got $kScaled)")
+      assert(kScaled >= n / 100 && kScaled <= n / 5,
+        s"k=$kScaled outside the ~n/cap band for n=$n, cap=25")
+      // the drop rule still holds: dropped vectors have at least one dup
+      scaled.filter(_.getAs[Boolean]("dropped"))
+        .foreach(r => assert(r.getAs[Long]("n_dups") >= 1L))
+    } finally {
+      spark.conf.unset("spark.graft.semdedup.clusterCap")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("kthSmallestByHistogram: every rank of a skewed fixture matches orderBy+limit") {
     val s = spark; import s.implicits._
     // skewed values (80% mass on one value) — exercises the oversized

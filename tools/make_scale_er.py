@@ -44,4 +44,8 @@ def main(outdir, n):
 
 
 if __name__ == "__main__":
+    # guard: a bare "--help" must never become an output directory
+    if len(sys.argv) < 3 or any(a in ("-h", "--help") for a in sys.argv[1:]):
+        print(__doc__)
+        sys.exit(0 if any(a in ("-h", "--help") for a in sys.argv[1:]) else 2)
     main(sys.argv[1], int(sys.argv[2]))

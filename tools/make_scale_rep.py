@@ -47,6 +47,10 @@ def main(outdir, factor):
 
 
 if __name__ == "__main__":
+    # guard: a bare "--help" must never become an output directory
+    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+        print(__doc__)
+        sys.exit(0)
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10_rep"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     main(outdir, factor)
