@@ -38,8 +38,17 @@ object Bench {
     } catch { case _: Throwable => () }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache() // previous rep's persist() outside the timer
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // FULL-MATERIALIZATION action (r9 instrument fix): count() lets the
+      // optimizer's distinct-key join elimination DROP whole pipeline legs
+      // — x141's entire span machinery vanished under count (its final
+      // frame left-joins per-doc aggregates whose keys Catalyst proves
+      // unique), timing a 280 MB scan instead of a 30 GB hash pass. The
+      // noop sink computes EVERY output column, exactly what the DuckDB
+      // oracle's fetch pays — symmetric, and un-prunable by construction.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     // dev-only subset knob for targeted perf work (the driver never sets

@@ -43,11 +43,14 @@ object ScaleCurve {
         // large factors accumulates rounds × queries of cached blocks
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        // full materialization (the Bench r9 instrument fix: count() lets
+        // distinct-key join elimination drop pipeline legs — see Bench)
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      val med = times.map(_._1).sorted.apply(times.size / 2)
-      println(f"""SCALECURVE {"dir":"$dir","query":"$name","sec":$med%.3f,"rows":${times.head._2}}""")
+      val med = times.sorted.apply(times.size / 2)
+      val rows = fn(spark, dir).count() // untimed; count may legally prune
+      println(f"""SCALECURVE {"dir":"$dir","query":"$name","sec":$med%.3f,"rows":$rows}""")
     }
     spark.stop()
   }

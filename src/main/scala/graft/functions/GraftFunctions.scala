@@ -102,6 +102,68 @@ object FastOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** x141's DYADIC span-ladder keys in ONE pass: level-8 span hashes are
+    * farmhash64 of the joined tokens (the only string work, ~1/15 of the
+    * ladder's total span bytes); every higher level L composes from the
+    * two overlapping L/2 hashes — h_L(i) = mix(h_{L/2}(i), h_{L/2}(i+L/2))
+    * — so equal spans hash equal BY CONSTRUCTION and the corpus text is
+    * hashed once instead of once per level. Emits the per-doc DISTINCT
+    * (lvl, key) set (array<struct<lvl:int, k:long>>). The honest
+    * noop-timed 100× ladder measured the per-level re-hash at 594 s; this
+    * trades it for ~n·log(levels) 64-bit mixes. */
+  def spanLadder(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 8) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[org.apache.spark.sql.catalyst.InternalRow]()
+    var m = n - 7
+    var cur = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < 8) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      cur(i) = Hashing.farmHashFingerprint64()
+        .hashString(sb, java.nio.charset.StandardCharsets.UTF_8).asLong()
+      i += 1
+    }
+    var lvl = 8
+    while (lvl <= 256 && n >= lvl) {
+      val seen = new java.util.HashSet[java.lang.Long](m * 2)
+      var p = 0
+      while (p < m) {
+        if (seen.add(cur(p)))
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](lvl, cur(p))))
+        p += 1
+      }
+      val nl = lvl * 2
+      if (nl <= 256 && n >= nl) {
+        val m2 = n - nl + 1
+        val nx = new Array[Long](m2)
+        var q = 0
+        while (q < m2) { nx(q) = mix2(cur(q), cur(q + lvl)); q += 1 }
+        cur = nx; m = m2
+      }
+      lvl = nl
+    }
+    new GenericArrayData(
+      out.toArray(new Array[org.apache.spark.sql.catalyst.InternalRow](out.size())))
+  }
+
+  /** murmur3-style finalizer over an ORDERED pair of 64-bit hashes. */
+  private def mix2(a: Long, b: Long): Long = {
+    var h = a * 0x9E3779B97F4A7C15L + java.lang.Long.rotateLeft(b, 31) * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33
+    h
+  }
+
   private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("SHA-256")
@@ -439,6 +501,18 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** x141's dyadic (lvl, key) span-ladder set of array<string> tokens. */
+case class SpanLadder(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lvl", IntegerType, nullable = false),
+    StructField("k", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.spanLadder(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.spanLadder($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** k-way minhash signature of array<long> element hashes. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -582,7 +656,8 @@ object GraftFunctions {
     "graft_count_in" -> (es => CountInSet(es(0), strArrayArg(es(1)))),
     "graft_sum_len" -> (es => SumCharLen(es.head)),
     "graft_cdc_chunks" -> (es => CdcChunks(es.head, if (es.size > 1) intArg(es(1)) else 32)),
-    "graft_rolling_fp" -> (es => RollingFp(es.head)))
+    "graft_rolling_fp" -> (es => RollingFp(es.head)),
+    "graft_span_ladder" -> (es => SpanLadder(es.head)))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>

@@ -1767,16 +1767,21 @@ private[operators] trait QueriesDedup { this: Queries.type =>
   private[operators] def x141(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
-    // all ladder keys generated doc-locally in one pass; distinct per
-    // (doc, L, key) so the (L,key) group count IS the doc frequency
+    // all ladder keys generated doc-locally in ONE codegen pass by the
+    // graft_span_ladder kernel: level-8 spans hash via farmhash64 (the
+    // only string work), every higher level COMPOSES dyadically from two
+    // overlapping half-level hashes — the corpus text is hashed once, not
+    // once per level — and the kernel dedups within the doc so the global
+    // distinct() shuffle is GONE. (r9 rewrite, driven by the honest
+    // noop-timed 100× ladder: the original md5-span-string pipeline
+    // measured 998 s, the per-level farmhash re-hash 594 s; dyadic
+    // composition removes the per-level re-hash entirely.) The hash is
+    // internal — output carries only doc-level spans and counts — so the
+    // md5-string oracle still matches; collisions at ~10⁸ keys are the
+    // accepted x2/x61 odds.
     val keys = docs
-      .select(col("doc_id"), explode(expr(
-        """flatten(transform(
-          |  filter(array(8, 16, 32, 64, 128, 256), l -> size(tk) >= l),
-          |  l -> transform(sequence(1, size(tk) - l + 1),
-          |         i -> struct(l AS lvl, md5(concat_ws(' ', slice(tk, i, l))) AS k))))""".stripMargin)).as("s"))
+      .select(col("doc_id"), explode(expr("graft_span_ladder(tk)")).as("s"))
       .select(col("doc_id"), col("s.lvl").as("lvl"), col("s.k").as("k"))
-      .distinct()
       // feeds the df count AND the hit join. CACHE CONTRACT: the returned
       // per-doc frame still reads both persisted intermediates (output is
       // corpus-sized, so it cannot be eagerly materialized here the way

@@ -1559,6 +1559,138 @@ private[operators] trait QueriesText { this: Queries.type =>
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_accepted
        |FROM s WHERE NOT is_cal""".stripMargin
 
+  // ---------------------------------------------------------------- X148
+  /** PROPER (INDUCTIVE) SPLIT-CONFORMAL GATE — closes x137's documented
+    * transductive caveat as a first-class operator: x137 calibrates on
+    * scores from x108, whose NB scorer TRAINS ON THE FULL CORPUS
+    * (calibration docs included), so calibration and test scores are
+    * exchangeable only under the transductive reading. Here the folds
+    * are disjoint BY CONSTRUCTION (doc_id % 4: {0,1} scorer-training,
+    * {2} calibration, {3} test): the scorer never sees a calibration or
+    * test document, so the split-conformal coverage guarantee holds in
+    * the standard inductive sense — this is the x140 fold-complement
+    * discipline applied to the conformal pipeline. Scorer conventions
+    * are x108's exactly (Laplace-smoothed per-token log-odds + class
+    * prior, each a SINGLE ln of an exact integer ratio nano-rounded
+    * once — RoundBoundarySpec-enrolled); threshold and audit are x137's
+    * exactly (rank arithmetic on the (nCal−k+1)-th smallest true-good
+    * calibration score via the shared histogram k-select, k =
+    * ⌈0.9(nCal+1)⌉). Scale shape: one train-fold token aggregation
+    * (vocab-bounded model, broadcast back), one eval-fold scoring pass,
+    * histogram rank select — no global sort, nothing corpus-sized ever
+    * broadcasts; the 1-row audit materializes eagerly so all persisted
+    * intermediates release before returning. */
+  private[operators] def x148(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"),
+        (col("n_chars") >= 150).as("label_good"),
+        pmod(col("doc_id"), lit(4L)).as("fold"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val train = docs.filter(col("fold") < 2)
+    val counts = train.select(col("label_good"), explode(col("tk")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("label_good"), 1L).otherwise(0L)).as("cg"),
+        sum(when(!col("label_good"), 1L).otherwise(0L)).as("cb"))
+      .persist() // vocab-sized; feeds totals + the model
+    val st = counts.agg(sum(col("cg")), sum(col("cb")), count(lit(1))).head()
+    val (g, b, v) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val dc = train.agg(
+      sum(when(col("label_good"), 1L).otherwise(0L)),
+      sum(when(!col("label_good"), 1L).otherwise(0L))).head()
+    val (gd, bd) = (dc.getLong(0), dc.getLong(1))
+    val model = counts.withColumn("lo_nano", expr(
+      s"cast(round((ln(cast(cg + 1 as double) / ${g + v}) - " +
+        s"ln(cast(cb + 1 as double) / ${b + v})) * 1e9, 0) as bigint)"))
+      .select(col("token"), col("lo_nano"))
+    val priorNano = expr(
+      s"cast(round((ln(cast($gd as double) / ${gd + bd}) - " +
+        s"ln(cast($bd as double) / ${gd + bd})) * 1e9, 0) as bigint)")
+    val eval = docs.filter(col("fold") >= 2)
+    val scored = eval.select(col("doc_id"), explode(col("tk")).as("token"))
+      .join(broadcast(model), "token")
+      .groupBy(col("doc_id")).agg(sum(col("lo_nano")).as("tok_nanos"))
+    val sdocs = eval.join(scored, Seq("doc_id"), "left")
+      .withColumn("score_nanos", priorNano + coalesce(col("tok_nanos"), lit(0L)))
+      .select(col("doc_id"), col("fold"), col("label_good"), col("score_nanos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cal = sdocs.filter(col("fold") === 2 && col("label_good"))
+    val nCal = cal.count()
+    require(nCal > 0,
+      "x148: empty calibration fold - the conformal gate needs true-good calibration docs")
+    val k = (9L * (nCal + 1) + 9) / 10
+    val thr: Long =
+      if (k > nCal) Long.MinValue // accept-all regime, the x137 contract
+      else kthSmallestByHistogram(
+        cal.select(col("score_nanos").cast(DoubleType).as("s")), "s", nCal - k + 1).toLong
+    val out = sdocs.filter(col("fold") === 3)
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("label_good"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("label_good") && col("score_nanos") >= thr, 1L).otherwise(0L))
+          .as("n_good_accepted"),
+        sum(when(!col("label_good"), 1L).otherwise(0L)).as("n_bad"),
+        sum(when(!col("label_good") && col("score_nanos") >= thr, 1L).otherwise(0L))
+          .as("n_bad_accepted"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k_rank"), lit(thr).as("thr_nanos"),
+        col("n_test"), col("n_good"), col("n_good_accepted"),
+        expr("(2 * n_good_accepted * 1000000 + n_good) div (2 * n_good)").as("coverage_ppm"),
+        col("n_bad"), col("n_bad_accepted"))
+      .localCheckpoint(true) // eager: release every persisted frame below
+    sdocs.unpersist(); counts.unpersist(); docs.unpersist()
+    out
+  }
+
+  private[operators] lazy val x148Sql =
+    """WITH d AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tk,
+      |             (n_chars >= 150) AS lbl, doc_id % 4 AS fold FROM documents),
+      |tr AS (SELECT * FROM d WHERE fold < 2),
+      |tt AS (SELECT lbl, unnest(tk) AS token FROM tr),
+      |c AS MATERIALIZED (SELECT token,
+      |        CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS cg,
+      |        CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |      FROM tt GROUP BY token),
+      |s AS (SELECT CAST(sum(cg) AS BIGINT) AS gt, CAST(sum(cb) AS BIGINT) AS bt,
+      |        CAST(count(*) AS BIGINT) AS v FROM c),
+      |dc AS (SELECT CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS gd,
+      |         CAST(sum(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS bd
+      |       FROM tr),
+      |lo AS MATERIALIZED (SELECT token,
+      |         CAST(round((ln((cg + 1)::DOUBLE / (gt + v)) -
+      |                     ln((cb + 1)::DOUBLE / (bt + v))) * 1e9) AS BIGINT) AS lo_nano
+      |       FROM c, s),
+      |ev AS (SELECT doc_id, fold, lbl, unnest(tk) AS token FROM d WHERE fold >= 2),
+      |sc AS (SELECT ev.doc_id, CAST(sum(lo.lo_nano) AS BIGINT) AS tok_nanos
+      |       FROM ev JOIN lo USING (token) GROUP BY 1),
+      |pr AS (SELECT CAST(round((ln(gd::DOUBLE / (gd + bd)) -
+      |                          ln(bd::DOUBLE / (gd + bd))) * 1e9) AS BIGINT) AS prior_nano
+      |       FROM dc),
+      |sd AS MATERIALIZED (SELECT e.doc_id, e.fold, e.lbl AS label_good,
+      |         pr.prior_nano + coalesce(sc.tok_nanos, 0) AS score_nanos
+      |       FROM (SELECT doc_id, fold, lbl FROM d WHERE fold >= 2) e
+      |       LEFT JOIN sc ON sc.doc_id = e.doc_id, pr),
+      |cal AS (SELECT score_nanos FROM sd WHERE fold = 2 AND label_good),
+      |kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+      |         (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10 AS k FROM cal),
+      |r AS (SELECT score_nanos,
+      |        CAST(row_number() OVER (ORDER BY score_nanos) AS BIGINT) AS rn FROM cal),
+      |thr AS (SELECT coalesce(
+      |          max(CASE WHEN rn = (SELECT n_cal - k + 1 FROM kk) THEN score_nanos END),
+      |          -9223372036854775807 - 1) AS thr_nanos FROM r)
+      |SELECT (SELECT n_cal FROM kk) AS n_cal, (SELECT k FROM kk) AS k_rank,
+      |  (SELECT thr_nanos FROM thr) AS thr_nanos,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN label_good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |  CAST(sum(CASE WHEN label_good AND score_nanos >= (SELECT thr_nanos FROM thr)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_good_accepted,
+      |  CAST((2 * sum(CASE WHEN label_good AND score_nanos >= (SELECT thr_nanos FROM thr)
+      |                THEN 1 ELSE 0 END) * 1000000
+      |        + sum(CASE WHEN label_good THEN 1 ELSE 0 END))
+      |       // (2 * sum(CASE WHEN label_good THEN 1 ELSE 0 END)) AS BIGINT) AS coverage_ppm,
+      |  CAST(sum(CASE WHEN NOT label_good THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+      |  CAST(sum(CASE WHEN NOT label_good AND score_nanos >= (SELECT thr_nanos FROM thr)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_accepted
+      |FROM sd WHERE fold = 3""".stripMargin
+
   // ---------------------------------------------------------------- X122
   /** HYBRID RETRIEVAL FUSION (RRF) — the modern RAG / training-data
     * selection shape: a LEXICAL ranker (x58's integer-exact BM25 over a

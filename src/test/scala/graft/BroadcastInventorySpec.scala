@@ -101,7 +101,8 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x135_semantic_split_leak" -> (1, "conf-gated: spark.graft.splitleak.broadcastTestCap"),
     "x139_retrieval_ndcg" -> (4, "pinned 20-row DCG/rank tables + query-term stats"),
     "x140_cv_model_select" -> (2, "5-row fold-total + model frames"),
-    "x145_ranker_tau" -> (5, "top-k ranker list frames (k rows each)"))
+    "x145_ranker_tau" -> (5, "top-k ranker list frames (k rows each)"),
+    "x148_conformal_proper" -> (1, "fold-trained NB model frame (vocab-sized, the x108 class)"))
 
   test("every forced broadcast in every batch query is a declared bounded frame or conf-gated") {
     val violations = Queries.all.flatMap { q =>

@@ -249,4 +249,26 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the retained weight never exceeds the true count (MG only decrements)
     assert(summary("hot") <= 1000L)
   }
+
+  test("graft_span_ladder: dyadic keys respect span identity at every level") {
+    val s = spark; import s.implicits._
+    // 48 tokens; positions 8..23 repeat positions 24..39 → the 16-token
+    // span (and its nested 8-spans) must collide; everything else unique
+    val base = (0 until 48).map(i => s"tok$i").toArray
+    for (i <- 0 until 16) base(24 + i) = base(8 + i)
+    val rows = Seq((1L, base.toSeq)).toDF("doc_id", "tk")
+      .select(col("doc_id"), explode(expr("graft_span_ladder(tk)")).as("s"))
+      .select(col("s.lvl").as("lvl"), col("s.k").as("k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byLvl = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // brute-force ground truth: distinct span STRINGS per level
+    def spans(l: Int) = (0 to 48 - l).map(i => base.slice(i, i + l).mkString(" ")).toSet
+    for (l <- Seq(8, 16, 32)) {
+      assert(byLvl(l).size === spans(l).size,
+        s"level $l: ${byLvl(l).size} keys vs ${spans(l).size} distinct spans")
+    }
+    // the planted repeat really collides: fewer keys than positions at 8/16
+    assert(byLvl(8).size < 41 && byLvl(16).size < 33)
+    assert(!byLvl.contains(64), "levels above the doc length must not emit")
+  }
 }

@@ -125,7 +125,11 @@ class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     // log-odds rounds are x108's convention across 10 fold-complement
     // models. None can migrate further without a second rounding site,
     // which would be worse.
-    "x136_lm_holdout_ppl", "x137_conformal_gate", "x140_cv_model_select")
+    "x136_lm_holdout_ppl", "x137_conformal_gate", "x140_cv_model_select",
+    // r9: x148 inherits x108's ln conventions on its OWN fold-trained
+    // model (same irreducible single-transcendental class); net RBS
+    // count stays at the r8 level — x117 left the plan-audit list
+    "x148_conformal_proper")
 
   test("x117: the driver-side Welch df round is not within 4 ulps of a .5 boundary") {
     // x117's df round now happens in driver code (BigDecimal HALF_UP over

@@ -2632,6 +2632,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.splitleak.broadcastTestCap")
   }
 
+  test("x148: rank arithmetic holds and the proper split really trains a different scorer than x137's") {
+    val r = run("x148_conformal_proper").head()
+    val nCal = r.getAs[Long]("n_cal"); val k = r.getAs[Long]("k_rank")
+    assert(nCal > 0)
+    assert(k === (9L * (nCal + 1) + 9) / 10, "k = ceil(0.9(n+1)) exactly")
+    assert(r.getAs[Long]("n_test") ===
+      r.getAs[Long]("n_good") + r.getAs[Long]("n_bad"))
+    assert(r.getAs[Long]("n_good_accepted") <= r.getAs[Long]("n_good"))
+    val (acc, good) = (r.getAs[Long]("n_good_accepted"), r.getAs[Long]("n_good"))
+    assert(r.getAs[Long]("coverage_ppm") === (2 * acc * 1000000 + good) / (2 * good))
+    // non-vacuity of the inductive split: the fold-trained scorer + its
+    // own calibration fold must produce a DIFFERENT threshold than
+    // x137's corpus-trained transductive gate on the same corpus —
+    // if they coincided, the caveat this operator closes would be moot
+    val transductive = run("x137_conformal_gate").head().getAs[Long]("thr_nanos")
+    assert(r.getAs[Long]("thr_nanos") !== transductive,
+      "proper-split threshold unexpectedly identical to the transductive gate's")
+  }
+
   test("x88: the clusterCap production path scales k with n; output contract unchanged") {
     // the r9 caveat-to-code conversion: default x88 seeds the frozen 8
     // clusters its oracle replays; spark.graft.semdedup.clusterCap
