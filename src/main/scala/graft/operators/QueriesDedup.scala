@@ -1579,8 +1579,19 @@ private[operators] trait QueriesDedup { this: Queries.type =>
     * per-pair reductions ride ONE pairEnds melt (struct-valued attach),
     * so the corpus is scanned once and only pair-rate rows move. */
   private[operators] def x126(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // the scorecard audits PAIRS, so the 32-way md5 minhash arithmetic —
+    // the query's whole cost, and the cross-engine contract the oracle
+    // replays md5-for-md5 — only ever needs the pair-MEMBER docs
+    // (dup-rate, the pairEnds class). r9: the corpus-wide sig pass was
+    // the bench's top honest row (11 s at sf0.1, ~160 M interpreted
+    // md5s); the member semi-filter drops it to the pair rate. Output
+    // values are unchanged — sigs of non-members were never read.
+    val members = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
     val sh3 = Tables.documents(spark, dir)
       .select(col("doc_id"), toks(col("text")).as("tk"))
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), expr(
         """CASE WHEN size(tk) < 3 THEN array()
           |ELSE array_distinct(transform(sequence(1, size(tk) - 2),
@@ -1593,7 +1604,6 @@ private[operators] trait QueriesDedup { this: Queries.type =>
           |                 16, 10) AS BIGINT))))""".stripMargin))
       .select(col("doc_id"),
         struct(col("sh"), size(col("sh")).as("n"), col("sig")).as("v"))
-    val pairs = sharedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     pairEnds(pairs, sh3)
       .withColumn("inter", size(array_intersect(col("va.sh"), col("vb.sh"))))
       .withColumn("u", col("va.n") + col("vb.n") - col("inter"))

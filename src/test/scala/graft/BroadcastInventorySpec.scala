@@ -94,7 +94,7 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x119_erasure_audit" -> (1, "conf-gated: spark.graft.erasure.broadcastSubjectCap"),
     "x122_hybrid_rrf" -> (2, "1-row query embedding + 100-row fused lists"),
     "x124_markov_eval" -> (1, "|event types|^2 transition matrix"),
-    "x126_minhash_scorecard" -> (1, "32-row minhash parameter/stats frame"),
+    "x126_minhash_scorecard" -> (2, "dup-rate pair-member id set + melted pair frame (pairEnds)"),
     "x128_reliability_audit" -> (1, "bounded calibration-bin frame"),
     "x130_ivm_components" -> (2, "conf-gated delta shingles (broadcastShingleCap) + affected-component relabel map"),
     "x133_target_encoding" -> (1, "|categories|-row totals frame"),
