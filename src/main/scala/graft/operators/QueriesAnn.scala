@@ -1640,6 +1640,98 @@ private[operators] trait QueriesAnn { this: Queries.type =>
        |$out""".stripMargin
   }
 
+  // ---------------------------------------------------------------- X149
+  /** IVF DELTA-ADD MAINTENANCE AUDIT — the ANN leg of the IVM family
+    * (x121 maintains an aggregate, q44 a join view, x130 a clustering,
+    * x110 a dedup index; this maintains the SERVING index): a new
+    * vector generation (vec_id % 10 == 0 plays the delta) is absorbed
+    * into the standing x14 IVF index by ASSIGNMENT ONLY — the centroids
+    * stay frozen at the base generation, so maintenance cost is
+    * delta-proportional (one k-row centroid broadcast over the delta;
+    * the base is never re-seeded, re-assigned, or re-shuffled). The
+    * audit then serves the 5 query vectors from the MAINTAINED index
+    * (nprobe = 4 of 16 cells, exact re-rank inside the probed cells —
+    * the x29 discipline) and scores top-10 recall against the
+    * brute-force ground truth over base ∪ delta: the number an operator
+    * reads to decide when frozen centroids have drifted enough to
+    * warrant a rebuild. Exactness: ordering on raw IEEE cosines with
+    * vec_id tiebreaks (the x7 contract); every emitted value is an
+    * integer (counts, half-up recall ppm). Scale shape: the scored
+    * frame is |q|×|corpus| because ground truth demands the brute pass
+    * (x143's honest note — production serving scans only probed cells);
+    * assignment itself is one map-side broadcast pass per generation;
+    * the 1-row-per-query audit materializes eagerly so the persisted
+    * brute frame releases before returning. */
+  private[operators] def x149(spark: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(spark, dir)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val base = corpus.filter(col("vec_id") % 10 =!= 0)
+    val delta = corpus.filter(col("vec_id") % 10 === 0)
+    val cents = ivfSeedCentroids(base, 16) // frozen at the base generation
+    val maintained = ivfAssigned(base, cents)
+      .unionByName(ivfAssigned(delta, cents)) // delta-proportional add
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = queries.join(broadcast(cents))
+      .withColumn("csim", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= 4)
+      .select(col("query_id"), col("cent_id"))
+    val scored = maintained.join(broadcast(queries)) // |q| = 5 broadcast cross
+      .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
+      .select(col("query_id"), col("vec_id"), col("cent_id"), col("cos"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // brute pass: truth + serving
+    val wv = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val truth = scored.withColumn("rn", row_number().over(wv)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"), lit(true).as("is_true"))
+    val out = scored.join(broadcast(probes), Seq("query_id", "cent_id"))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") <= 10)
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("served"),
+        coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L)).as("hits"))
+      .select(col("query_id"), col("served"), col("hits"),
+        expr("cast((2 * hits * 1000000 + 10) div 20 as bigint)").as("recall_ppm"))
+      .localCheckpoint(true) // eager: release the brute frame
+    scored.unpersist()
+    out
+  }
+
+  private[operators] lazy val x149Sql =
+    """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+      |          WHERE vec_id >= 5 AND vec_id % 10 <> 0
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (SELECT vec_id, cent_id FROM (
+      |  SELECT e.vec_id, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
+      |  FROM e, cents c WHERE e.vec_id >= 5) a WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+      |cr AS (SELECT query_id, cent_id FROM (
+      |  SELECT q.query_id, c.cent_id, row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY list_dot_product(qv, cv) / (qn * cn) DESC, cent_id) AS crank
+      |  FROM q, cents c) z WHERE crank <= 4),
+      |sc AS MATERIALIZED (SELECT q.query_id, a.vec_id, a.cent_id,
+      |    list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS cos
+      |  FROM assign a JOIN e ON e.vec_id = a.vec_id CROSS JOIN q),
+      |tr AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+      |  FROM sc) z WHERE rn <= 10),
+      |cand AS (SELECT sc.* FROM sc JOIN cr USING (query_id, cent_id)),
+      |top AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+      |  FROM cand) z WHERE rn <= 10)
+      |SELECT t.query_id, CAST(count(*) AS BIGINT) AS served,
+      |  CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |  CAST((2 * sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 + 10)
+      |       // 20 AS BIGINT) AS recall_ppm
+      |FROM top t LEFT JOIN tr ON tr.query_id = t.query_id AND tr.vec_id = t.vec_id
+      |GROUP BY t.query_id""".stripMargin
+
   // ---------------------------------------------------------------- X135
   /** SEMANTIC SPLIT-LEAKAGE AUDIT — the embedding-space complement of
     * x56's lexical split contamination: for EVERY test-split document,

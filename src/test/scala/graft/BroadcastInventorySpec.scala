@@ -102,7 +102,8 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x139_retrieval_ndcg" -> (4, "pinned 20-row DCG/rank tables + query-term stats"),
     "x140_cv_model_select" -> (2, "5-row fold-total + model frames"),
     "x145_ranker_tau" -> (5, "top-k ranker list frames (k rows each)"),
-    "x148_conformal_proper" -> (1, "fold-trained NB model frame (vocab-sized, the x108 class)"))
+    "x148_conformal_proper" -> (1, "fold-trained NB model frame (vocab-sized, the x108 class)"),
+    "x149_ivf_delta_add" -> (5, "k=16 centroid frames (base+delta assignment, probe rank) + 5-row query frame + |q|x4 probe set"))
 
   test("every forced broadcast in every batch query is a declared bounded frame or conf-gated") {
     val violations = Queries.all.flatMap { q =>

@@ -2651,6 +2651,36 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "proper-split threshold unexpectedly identical to the transductive gate's")
   }
 
+  test("x149: the maintained index serves full top-10s; recall arithmetic exact; truth covers both generations") {
+    val rows = run("x149_ivf_delta_add").collect()
+    assert(rows.length === 5, "one audit row per query vector")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("served") === 10L, "probed cells must fill the top-10 at this scale")
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0L && hits <= 10L)
+      assert(r.getAs[Long]("recall_ppm") === (2 * hits * 1000000 + 10) / 20)
+    }
+    // non-vacuity of the DELTA: the maintained index must contain (and
+    // the brute truth must be able to rank) delta-generation vectors —
+    // at least one query's exact top-10 over base+delta includes a
+    // vec_id % 10 == 0 member, else the fixture never exercises the add.
+    // Re-derive the exact top-10 from first principles on the raw table.
+    val s = spark; import s.implicits._
+    val e = graft.operators.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val top = e.filter(col("vec_id") >= 5).join(broadcast(q))
+      .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(top.exists(_ % 10 == 0),
+      "no delta vector in any exact top-10 — the fixture never exercises the delta add")
+  }
+
   test("x88: the clusterCap production path scales k with n; output contract unchanged") {
     // the r9 caveat-to-code conversion: default x88 seeds the frozen 8
     // clusters its oracle replays; spark.graft.semdedup.clusterCap
