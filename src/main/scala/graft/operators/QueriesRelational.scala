@@ -513,13 +513,47 @@ private[operators] trait QueriesRelational { this: Queries.type =>
       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- Q19
-  /** Exact percentiles (ordered-set aggregate): Spark's `percentile` and
-    * DuckDB's `quantile_cont` both linearly interpolate at rank (n-1)*p over
-    * the sorted values, so exact-percentile results agree (the *approximate*
-    * sketch variant is engine-specific and lives in q10b). */
-  private[operators] def q19(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+  /** Exact interpolated percentiles — the DISTRIBUTED order-statistic plan
+    * (r10, replacing the value-buffering `percentile` aggregate, which
+    * materializes every raw value of a group inside ONE task's aggregation
+    * buffer: fine at 60 k rows, a single-task OOM at any real scale — the
+    * registry's last such plan; x50's percentile_disc cut the same pattern
+    * 11.4 s → 1.4 s).
+    *
+    * Recipe = x50's DISTINCT-VALUE HISTOGRAM generalized to *interpolated*
+    * (quantile_cont) semantics: one map-side-combined groupBy collapses the
+    * corpus to (flag, column, value, count); a cumulative-count window runs
+    * over DISTINCT values only — its partitions are bounded by the VALUE
+    * DOMAIN (qty: 50 integers; price: the DECIMAL(8,2)-shaped grid, ≤ ~10 M
+    * narrow rows at ANY table size — domain-bounded, not data-bounded, the
+    * x50 argument); value-at-rank-k = min value whose cumulative count
+    * reaches k, an exact rank selection with no bucket-boundary routing.
+    * Interpolation replicates Spark's `Percentile` evaluator BIT-FOR-BIT:
+    * position = (n−1)·p in doubles, lower/higher = floor/ceil, result =
+    * (higher−pos)·v_lo + (pos−lower)·v_hi (v_lo when they coincide) — the
+    * same arithmetic DuckDB's quantile_cont agrees with under round(6),
+    * proven by this query's own 9-round oracle history on the buffered
+    * plan. Whole plan: ONE corpus shuffle (the distinct-value histogram),
+    * domain-bounded windows, a 3-row final aggregate — no driver finisher.
+    *
+    * `spark.graft.percentile.bufferCap` (default 0) re-admits the buffered
+    * aggregate for corpora at or below the cap — 0 means the gate count is
+    * never even run (no construction-time action; the count itself is
+    * parquet-metadata-scale when enabled). Threshold-MAX identity spec in
+    * PlansSpec proves the two paths emit identical rows; the PlansSpec
+    * plan gate asserts no Percentile aggregate under the default conf. */
+  private[operators] def q19(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cap = spark.conf.getOption("spark.graft.percentile.bufferCap")
+      .map(_.toLong).getOrElse(0L)
+    if (cap > 0 && li.count() <= cap) q19Buffered(li) else q19Selected(li)
+  }
+
+  /** The pre-r10 value-buffering plan, kept as the small-corpus fast path
+    * behind the bufferCap gate (single aggregation, no window machinery —
+    * cheaper below ~10⁴ rows, lethal above). */
+  private def q19Buffered(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
         round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
@@ -527,6 +561,52 @@ private[operators] trait QueriesRelational { this: Queries.type =>
         round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"),
         round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
       .orderBy(col("l_returnflag"))
+
+  private def q19Selected(li: DataFrame): DataFrame = {
+    val specs = Seq(("q", 0.5, "p50_qty"), ("q", 0.9, "p90_qty"),
+      ("p", 0.25, "p25_price"), ("p", 0.99, "p99_price"))
+    // both columns' histograms ride ONE shuffle via a zero-cost union of
+    // two column-pruned scans (plain whole-stage codegen end-to-end — no
+    // generator node; each leg's parquet scan reads flag + one value
+    // column). Null values ride along: excluded from ranks, counted in
+    // n_tot so n = count(*) stays exact with no second corpus pass.
+    val pairs = li.select(col("l_returnflag"), lit("q").as("cid"), col("l_quantity").as("v"))
+      .unionAll(li.select(col("l_returnflag"), lit("p").as("cid"), col("l_extendedprice").as("v")))
+    val counts = pairs.groupBy(col("l_returnflag"), col("cid"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("l_returnflag"), col("cid"))
+      .orderBy(col("v").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"), col("cid"))
+      .orderBy(col("v").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nnC = when(col("v").isNotNull, col("c"))
+    val cum = counts
+      .withColumn("cum", sum(nnC).over(wOrd))
+      .withColumn("n_nn", sum(nnC).over(wAll))
+      .withColumn("n_tot", sum(col("c")).over(wAll))
+    val aggs = specs.flatMap { case (cid, p, name) =>
+      // position/ranks are constant within a (flag, cid) partition; min()
+      // just lifts them through the group-by (Spark's evaluator computes
+      // position = (count−1)·percentage in exactly these double ops)
+      val posc = (col("n_nn") - lit(1L)).cast(DoubleType) * lit(p)
+      val isCid = col("cid") === cid && col("v").isNotNull
+      Seq(
+        min(when(isCid && col("cum") >= floor(posc) + lit(1L), col("v"))).as(s"${name}_lo"),
+        min(when(isCid && col("cum") >= ceil(posc) + lit(1L), col("v"))).as(s"${name}_hi"),
+        min(when(isCid, posc)).as(s"${name}_pos"))
+    } :+ min(when(col("cid") === "q", col("n_tot"))).as("n_rows")
+    val sel = cum.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+    def interp(name: String): Column = {
+      val posc = col(s"${name}_pos")
+      val (lo, hi) = (col(s"${name}_lo"), col(s"${name}_hi"))
+      round(when(floor(posc) === ceil(posc), lo)
+        .otherwise((ceil(posc) - posc) * lo + (posc - floor(posc)) * hi), 6).as(name)
+    }
+    sel.select(col("l_returnflag"), col("n_rows").as("n"),
+        interp("p50_qty"), interp("p90_qty"), interp("p25_price"), interp("p99_price"))
+      .orderBy(col("l_returnflag"))
+  }
 
   private[operators] lazy val q19Sql =
     """SELECT l_returnflag, count(*) AS n,

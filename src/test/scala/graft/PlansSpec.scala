@@ -796,6 +796,39 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q19: the default plan is the distinct-value order-statistic selection — no value-buffering Percentile aggregate") {
+    // the value-buffering `percentile` aggregate materializes every raw
+    // value of a group in ONE task's buffer — the r9 verdict's last
+    // single-task-memory scale-killer. Under the default conf the plan
+    // must be x50's distinct-value histogram shape instead: a Window
+    // cumulative rank over distinct values, zero Percentile aggregates.
+    val df = Queries.byName("q19_percentiles").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("percentile("),
+      s"no value-buffering Percentile aggregate may appear in the default plan:\n$p")
+    assert(p.contains("Window"),
+      s"the distinct-value cumulative-rank window is missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian/nested-loop:\n$p")
+  }
+
+  test("q19: the buffered path (cap = MAX) is output-identical to the selection path") {
+    // threshold-flip identity: the selection path replicates Spark's
+    // Percentile evaluator bit-for-bit (position = (n−1)·p, linear
+    // interpolation between the floor/ceil order statistics), so forcing
+    // the legacy buffered aggregate must reproduce the exact same rows.
+    val expected = Queries.byName("q19_percentiles").run(spark, sf).collect().toSeq
+    spark.conf.set("spark.graft.percentile.bufferCap", Long.MaxValue.toString)
+    try {
+      val df = Queries.byName("q19_percentiles").run(spark, sf)
+      assert(df.queryExecution.executedPlan.toString.contains("percentile("),
+        "above the cap the plan must use the buffered Percentile aggregate (the path under test)")
+      assert(df.collect().toSeq === expected,
+        "buffered and selection paths must emit identical rows")
+    } finally spark.conf.unset("spark.graft.percentile.bufferCap")
+  }
+
   test("x133: one corpus scan; totals join back via broadcast") {
     val df = Queries.byName("x133_target_encoding").run(spark, sf)
     df.collect()
