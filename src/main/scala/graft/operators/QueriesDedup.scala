@@ -290,8 +290,10 @@ private[operators] trait QueriesDedup { this: Queries.type =>
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     // repartition the stream side: a BNLJ inherits the scan's 1-2 file
-    // partitions, serializing the O(n^2) pair loop on one core
-    val l = e.repartition(32).select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    // partitions, serializing the O(n^2) pair loop on one core; width
+    // follows the session's shuffle parallelism, never a literal
+    val l = e.repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     l.join(r, col("vec_a") < col("vec_b"))
       .withColumn("dot", expr("graft_dot(va, vb)"))

@@ -135,8 +135,10 @@ private[operators] trait QueriesRelational { this: Queries.type =>
     val pmax = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey")).agg(max(col("l_extendedprice")).as("max_price"))
     // repartition: the filtered part scan is 1 file partition, which would
-    // serialize the nested-loop comparison on a single core
-    val p = Tables.part(spark, dir).filter(col("p_size") >= 46).repartition(32)
+    // serialize the nested-loop comparison on a single core; width follows
+    // the session's shuffle parallelism, never a literal
+    val p = Tables.part(spark, dir).filter(col("p_size") >= 46)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     // per-part partial agg first: the join output is ~|p|x|pmax| rows, and
     // map-side reduction to one row per part is what keeps the final
     // exchange tiny at any scale

@@ -46,6 +46,21 @@ object RankSum {
       sum(col("t")).as("nn"),
       sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("ties")).head()
     val bigN = gl.getLong(0)
+    // ORACLE-PARITY HEADROOM GUARD (r10, ADVICE): this finisher is exact
+    // BigInt at any N, but the shared DuckDB oracle computes the z²
+    // cross-products in 128-bit HUGEINT, whose worst case
+    //   2·dev²·3N(N−1)·10⁶ ≤ 2·(N²/4)²·3N²·10⁶ = 3.75·10⁵·N⁶
+    // crosses 2¹²⁷−1 ≈ 1.70·10³⁸ near N ≈ 2.7·10⁵ — DuckDB raises, but
+    // the failure would present as a confusing oracle error far from its
+    // cause. Fail HERE, loud and attributed, at a documented safe bound;
+    // engine-only runs on larger eval slices raise the conf knowingly.
+    val parityCap = counts0.sparkSession.conf
+      .getOption("spark.graft.ranksum.oracleParityN").map(_.toLong).getOrElse(250000L)
+    require(bigN <= parityCap,
+      s"rank-sum eval slice N=$bigN exceeds the DuckDB-oracle HUGEINT headroom bound " +
+        s"($parityCap; worst-case z² numerator 3.75e5·N⁶ reaches 2^127 near N≈2.7e5). " +
+        "Audit a bounded eval slice, or raise spark.graft.ranksum.oracleParityN for " +
+        "engine-only runs — the BigInt finisher itself is exact at any N.")
     // K pinned as a literal (the x58 stats pattern); BigInt because
     // N³ outgrows a long well inside the documented eval-slice range
     val k = (BigInt(bigN) + 1) * BigInt(bigN) * (BigInt(bigN) - 1) -

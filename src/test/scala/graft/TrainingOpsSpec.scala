@@ -2436,6 +2436,26 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size === docs.map(_._1).distinct.length)
   }
 
+  test("x144: the oracle-parity headroom guard fails loud past the configured N bound") {
+    // the DuckDB oracle's HUGEINT z² numerator overflows near N≈2.7e5;
+    // the engine must fail FIRST with an attributed message, not let the
+    // oracle raise a confusing arithmetic error (r10 ADVICE). Lower the
+    // conf so a tiny fixture crosses it.
+    val s = spark
+    import s.implicits._
+    val counts = Seq(("a", 10L, 3L), ("b", 11L, 4L)).toDF("source", "score", "c")
+    spark.conf.set("spark.graft.ranksum.oracleParityN", "5")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        graft.operators.RankSum.audit(counts).collect()
+      }
+      assert(ex.getMessage.contains("HUGEINT headroom"),
+        s"the guard must attribute the bound to the oracle: ${ex.getMessage}")
+    } finally spark.conf.unset("spark.graft.ranksum.oracleParityN")
+    // and at the default bound the same fixture audits fine
+    assert(graft.operators.RankSum.audit(counts).collect().length === 2)
+  }
+
   test("x145: tau laws hold and the pair counting re-derives in pure Scala from the two rankings") {
     val r = run("x145_ranker_tau").head()
     val (nc, np) = (r.getAs[Long]("n_common"), r.getAs[Long]("n_pairs"))
