@@ -1087,9 +1087,19 @@ private[operators] trait QueriesAnn { this: Queries.type =>
   private[operators] def x88(spark: SparkSession, dir: String): DataFrame = {
     val e = embWithNorm(spark, dir).persist()
     val seedFilter = spark.conf.getOption("spark.graft.semdedup.clusterCap") match {
-      case Some(cap) =>
+      case Some(capStr) =>
+        // validate up front (r10, ADVICE): cap=0 would make pmod(_, 0)
+        // NULL → a silently empty seed predicate whose failure message
+        // ("lower the cap") points the wrong way; a non-numeric value
+        // would surface as a raw NumberFormatException
+        val cap = try capStr.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"x88: spark.graft.semdedup.clusterCap must be a positive integer, got '$capStr'")
+        }
+        require(cap >= 1L,
+          s"x88: spark.graft.semdedup.clusterCap must be >= 1 (expected cluster size), got $cap")
         val f = pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-          .cast(LongType), lit(cap.toLong)) === 0L
+          .cast(LongType), lit(cap)) === 0L
         // fail loud, not empty: a cap far above the corpus size can draw
         // zero seeds (the x104 discipline)
         require(e.filter(f).limit(1).count() == 1L,
@@ -1760,7 +1770,13 @@ private[operators] trait QueriesAnn { this: Queries.type =>
     * every test_id still emits; the routed argmax is exact over the
     * probed candidates (recall < 1 only when the true NN lives outside
     * the probed cells — the documented ANN contract, spec-checked
-    * against the exact leg on the fixture). */
+    * against the exact leg on the fixture). UNLIKE the gatedBroadcast
+    * consumers (q39/q44/x110/x119), the two legs are NOT output-identical
+    * in general — the routed leg is certified-approximate — so every row
+    * carries a `mode` marker column ('exact' | 'ivf_routed', r10 ADVICE):
+    * a conf change can never silently turn a certified-exact audit
+    * approximate, because the approximation is visible in the output
+    * itself (and would fail the exact oracle's hash). */
   private[operators] def x135(spark: SparkSession, dir: String): DataFrame =
     x135On(spark, Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
@@ -1781,8 +1797,9 @@ private[operators] trait QueriesAnn { this: Queries.type =>
       .select(col("vec_id").as("train_id"), col("v").as("vr"), col("nrm").as("nr"))
     val testCap = spark.conf.getOption("spark.graft.splitleak.broadcastTestCap")
       .map(_.toLong).getOrElse(2000000L)
+    val routed = test.count() > testCap
     val pairs =
-      if (test.count() <= testCap) {
+      if (!routed) {
         // exact leg: stream the big (train) side against the broadcast
         // bounded test side; spread to the session's shuffle width first
         // or the pair loop inherits the scan's file count
@@ -1816,7 +1833,8 @@ private[operators] trait QueriesAnn { this: Queries.type =>
         col("train_id"))).as("best"))
       .select(col("test_id"), col("best.train_id").as("train_id"),
         col("best.cos_sim").as("cos_sim"),
-        (col("best.cos_sim") >= 0.45).as("leaked"))
+        (col("best.cos_sim") >= 0.45).as("leaked"),
+        lit(if (routed) "ivf_routed" else "exact").as("mode"))
   }
 
   private[operators] lazy val x135Sql =
@@ -1838,7 +1856,8 @@ private[operators] trait QueriesAnn { this: Queries.type =>
       |b AS (SELECT test_id, train_id, cos_sim,
       |    row_number() OVER (PARTITION BY test_id
       |      ORDER BY cos_sim DESC, train_id) AS rn FROM p)
-      |SELECT test_id, train_id, cos_sim, cos_sim >= 0.45 AS leaked
+      |SELECT test_id, train_id, cos_sim, cos_sim >= 0.45 AS leaked,
+      |  'exact' AS mode
       |FROM b WHERE rn = 1""".stripMargin
 
 }

@@ -85,15 +85,24 @@ private[operators] trait QueriesShared { this: Queries.type =>
     * `spark.graft.*Cap` conf; past the cap return it hinted for a
     * SHUFFLE HASH join — still delta-proportional (the probe side hashes
     * only against the delta's partitions), never an 8 GB-capped driver
-    * broadcast of a corpus-proportional frame. The count is an extra
+    * broadcast of a corpus-proportional frame. The sizing count is a
     * construction-time action here because the registry is stateless; a
-    * production maintenance job reads delta sizes from its manifest.
+    * production maintenance job reads delta sizes from its manifest. The
+    * frame is PERSISTED before the count (r10, ADVICE) so the sizing
+    * count and the downstream join share ONE scan — without it, every
+    * gated query paid an extra full delta scan the DuckDB oracle never
+    * pays, a one-sided asymmetry in the bench instrument. The cache is
+    * delta-scale by contract (that is what the gate certifies when it
+    * broadcasts; past the cap it spills to disk like any shuffle input)
+    * and is released by the standard between-queries cache clear — the
+    * returned plan pins it, so the callee cannot release it earlier.
     * Every consumer is enrolled in BroadcastInventorySpec as conf-gated
     * and carries a cap-0 output-identity spec. */
   private[graft] def gatedBroadcast(spark: SparkSession, df: DataFrame,
       confKey: String, defaultCap: Long = 8000000L): DataFrame = {
     val cap = spark.conf.getOption(confKey).map(_.toLong).getOrElse(defaultCap)
-    if (df.count() <= cap) broadcast(df) else df.hint("shuffle_hash")
+    val pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if (pinned.count() <= cap) broadcast(pinned) else pinned.hint("shuffle_hash")
   }
 
   /** Membership predicate: every one of the 4 bit positions is set. */

@@ -2631,10 +2631,10 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         else oneHot(i)
       (i, v.toSeq)
     }.toDF("vec_id", "embedding")
-    def flags(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => r.getAs[Long]("test_id") -> r.getAs[Boolean]("leaked")).toMap
     val exact = graft.operators.Queries.x135On(spark, texts, emb).collect()
       .map(r => r.getAs[Long]("test_id") -> r).toMap
+    assert(exact.values.forall(_.getAs[String]("mode") == "exact"),
+      "under the cap every row must carry the 'exact' routing marker")
     assert(exact(pTest).getAs[Boolean]("leaked"),
       "the planted cross-split near-dup must raise the leak flag")
     assert(exact(pTest).getAs[Long]("train_id") === pTrain,
@@ -2646,7 +2646,15 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // with the exact leg's verdicts on this fixture
     spark.conf.set("spark.graft.splitleak.broadcastTestCap", "0")
     try {
-      val routed = flags(graft.operators.Queries.x135On(spark, texts, emb))
+      val routedDf = graft.operators.Queries.x135On(spark, texts, emb)
+      val routedRows = routedDf.collect()
+      // the routing-mode marker makes the approximation VISIBLE in the
+      // output (r10 ADVICE): a conf flip can never silently pass for the
+      // certified-exact audit — it would fail the exact oracle's hash
+      assert(routedRows.forall(_.getAs[String]("mode") == "ivf_routed"),
+        "past the cap every row must carry the 'ivf_routed' marker")
+      val routed = routedRows
+        .map(r => r.getAs[Long]("test_id") -> r.getAs[Boolean]("leaked")).toMap
       assert(routed === exact.map { case (k, r) => k -> r.getAs[Boolean]("leaked") },
         "routed leak flags must match the exact leg")
     } finally spark.conf.unset("spark.graft.splitleak.broadcastTestCap")
@@ -2723,6 +2731,19 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally {
       spark.conf.unset("spark.graft.semdedup.clusterCap")
       spark.catalog.clearCache()
+    }
+    // conf validation (r10 ADVICE): cap=0 would null the pmod seed
+    // predicate with a wrong-direction failure message; non-numeric
+    // surfaced as a raw NumberFormatException — both now fail attributed
+    for (bad <- Seq("0", "-3", "eight")) {
+      spark.conf.set("spark.graft.semdedup.clusterCap", bad)
+      try {
+        val ex = intercept[IllegalArgumentException] { run("x88_semdedup").collect() }
+        assert(ex.getMessage.contains("clusterCap"), s"cap=$bad: ${ex.getMessage}")
+      } finally {
+        spark.conf.unset("spark.graft.semdedup.clusterCap")
+        spark.catalog.clearCache()
+      }
     }
   }
 
