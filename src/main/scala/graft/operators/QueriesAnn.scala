@@ -348,14 +348,12 @@ private[operators] trait QueriesAnn { this: Queries.type =>
             .as("cand_share_ppm"),
           col("hits"),
           expr(s"(2 * hits * 1000000 + 10 * ${nQ}L) div (2 * 10 * ${nQ}L)").as("recall_ppm"))
-    }.reduce(_ unionByName _)
+    }
       // eager: the 4-row curve is materialized so the persisted scored
       // frame can be released before returning (advisor's persist-leak
       // note — a long-lived session composing this must not accumulate
       // the brute-force frame)
-      .localCheckpoint(true)
-    scored.unpersist()
-    ladder
+    eagerFinish(ladder.reduce(_ unionByName _), scored)
   }
 
   private[operators] lazy val x143Sql =
@@ -1703,9 +1701,7 @@ private[operators] trait QueriesAnn { this: Queries.type =>
         coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L)).as("hits"))
       .select(col("query_id"), col("served"), col("hits"),
         expr("cast((2 * hits * 1000000 + 10) div 20 as bigint)").as("recall_ppm"))
-      .localCheckpoint(true) // eager: release the brute frame
-    scored.unpersist()
-    out
+    eagerFinish(out, scored) // release the brute frame
   }
 
   private[operators] lazy val x149Sql =

@@ -1794,26 +1794,26 @@ private[operators] trait QueriesDedup { this: Queries.type =>
     val keys = docs
       .select(col("doc_id"), explode(expr("graft_span_ladder(tk)")).as("s"))
       .select(col("doc_id"), col("s.lvl").as("lvl"), col("s.k").as("k"))
-      // feeds the df count AND the hit join. CACHE CONTRACT: the returned
-      // per-doc frame still reads both persisted intermediates (output is
-      // corpus-sized, so it cannot be eagerly materialized here the way
-      // x137/x143 release theirs); callers composing this in a long-lived
-      // session must clearCache() after consuming — Verify/Bench do.
+      // feeds the df count AND the hit join; released by the eagerFinish
+      // below (r10 — the output is corpus-sized but localCheckpoint
+      // blocks live on executors, so eager materialization is safe here
+      // too; the r9 "cannot release" contract note is obsolete)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dup = keys.groupBy(col("lvl"), col("k"))
       .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
     val hits = keys.join(dup, Seq("lvl", "k"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK) // overlap-rate-sized; same contract
+      .persist(StorageLevel.MEMORY_AND_DISK) // overlap-rate-sized; released below
     val perDoc = hits.groupBy(col("doc_id")).agg(max(col("lvl")).as("max_dup_span"))
     val atMax = hits.join(perDoc, "doc_id")
       .filter(col("lvl") === col("max_dup_span"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans_at_max"))
-    docs.select(col("doc_id"))
+    val out = docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .join(atMax, Seq("doc_id"), "left")
       .na.fill(0L, Seq("max_dup_span", "n_spans_at_max"))
       .select(col("doc_id"), col("max_dup_span"), col("n_spans_at_max"),
         (col("max_dup_span") >= 64).as("is_contaminated"))
+    eagerFinish(out, keys, hits)
   }
 
   private[operators] lazy val x141Sql =

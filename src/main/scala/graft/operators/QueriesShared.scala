@@ -105,6 +105,23 @@ private[operators] trait QueriesShared { this: Queries.type =>
     if (pinned.count() <= cap) broadcast(pinned) else pinned.hint("shuffle_hash")
   }
 
+  /** THE EAGER-RELEASE FINISH (r10, hoisted from the x137/x143/qs27
+    * conversions): materialize `out` ONCE via localCheckpoint(true) —
+    * partitions land in the EXECUTORS' block managers, never the driver,
+    * so this is safe for corpus-sized outputs, not just scalar audits —
+    * then release every `pinned` intermediate immediately. The returned
+    * frame reads its own checkpointed blocks, so no operator hands the
+    * caller a plan pinned to an unreleased corpus-scale cache; without
+    * this, the persist() lives until somebody else's clearCache().
+    * Cost contract: one materialization of `out`, which every consumer
+    * (Verify's parquet dump, Bench's noop sink, a production write) was
+    * about to pay anyway — the only extra work is a block re-read. */
+  private[graft] def eagerFinish(out: DataFrame, pinned: DataFrame*): DataFrame = {
+    val done = out.localCheckpoint(true)
+    pinned.foreach(_.unpersist(blocking = false))
+    done
+  }
+
   /** Membership predicate: every one of the 4 bit positions is set. */
   private[operators] def bloomTest(bloomArr: Array[Long], mBits: Int)(probe: Column): Column = {
     val bloomLit = typedLit(bloomArr)

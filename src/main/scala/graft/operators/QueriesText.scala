@@ -1308,11 +1308,12 @@ private[operators] trait QueriesText { this: Queries.type =>
         s"ln(cast($bd as double) / ${gd + bd})) * 1e9, 0) as bigint)")
     val scored = toksL.join(broadcast(model), "token")
       .groupBy(col("doc_id")).agg(sum(col("lo_nano")).as("tok_nanos"))
-    docs.join(scored, Seq("doc_id"), "left")
+    val out = docs.join(scored, Seq("doc_id"), "left")
       .withColumn("score_nanos", priorNano + coalesce(col("tok_nanos"), lit(0L)))
       .select(col("doc_id"), col("label_good"), col("score_nanos"),
         (col("score_nanos") > 0).as("pred_good"),
         ((col("score_nanos") > 0) === col("label_good")).as("correct"))
+    eagerFinish(out, docs, counts) // r10: composers (x128/x137) must not inherit pins
   }
 
   private[operators] lazy val x108Sql =
@@ -1528,9 +1529,7 @@ private[operators] trait QueriesText { this: Queries.type =>
         col("n_test"), col("n_good"), col("n_good_accepted"),
         expr("(2 * n_good_accepted * 1000000 + n_good) div (2 * n_good)").as("coverage_ppm"),
         col("n_bad"), col("n_bad_accepted"))
-      .localCheckpoint(true) // eager: the 1-row gate no longer needs `scored`
-    scored.unpersist()
-    out
+    eagerFinish(out, scored) // the 1-row gate no longer needs `scored`
   }
 
   private[operators] lazy val x137Sql =
@@ -1635,9 +1634,7 @@ private[operators] trait QueriesText { this: Queries.type =>
         col("n_test"), col("n_good"), col("n_good_accepted"),
         expr("(2 * n_good_accepted * 1000000 + n_good) div (2 * n_good)").as("coverage_ppm"),
         col("n_bad"), col("n_bad_accepted"))
-      .localCheckpoint(true) // eager: release every persisted frame below
-    sdocs.unpersist(); counts.unpersist(); docs.unpersist()
-    out
+    eagerFinish(out, sdocs, counts, docs) // release every persisted frame below
   }
 
   private[operators] lazy val x148Sql =

@@ -234,9 +234,7 @@ object StreamQueries {
         col("n_test"), col("n_good"), col("n_good_accepted"),
         expr("(2 * n_good_accepted * 1000000 + n_good) div (2 * n_good)").as("coverage_ppm"),
         col("n_bad"), col("n_bad_accepted"))
-      .localCheckpoint(true) // eager: the 1-row audit no longer needs h
-    h.unpersist()
-    out
+    graft.operators.Queries.eagerFinish(out, h) // the 1-row audit no longer needs h
   }
 
   private def qs27(spark: SparkSession, dir: String): DataFrame =

@@ -796,6 +796,28 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("eagerFinish: no converted operator returns a plan pinned to an unreleased cache") {
+    // the r10 structural form of the eager-release conversions: after a
+    // converted query materializes, the ONLY persisted RDDs allowed to
+    // remain are its own localCheckpoint blocks (which back the returned
+    // frame) — every operator-persisted intermediate must be gone.
+    // x141 is the r9 verdict's named holdout (two corpus-scale frames).
+    val converted = Seq("x141_span_ladder", "x137_conformal_gate",
+      "x143_ivf_probe_ladder", "x148_conformal_proper", "x149_ivf_delta_add")
+    for (name <- converted) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val df = Queries.byName(name).run(spark, sf)
+      df.collect()
+      val leaked = spark.sparkContext.getPersistentRDDs.values
+        .filterNot(org.apache.spark.GraftTestProbes.isLocallyCheckpointed)
+      assert(leaked.isEmpty,
+        s"$name leaves persisted intermediates: ${leaked.map(_.name).mkString(", ")}")
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   test("q19: the default plan is the distinct-value order-statistic selection — no value-buffering Percentile aggregate") {
     // the value-buffering `percentile` aggregate materializes every raw
     // value of a group in ONE task's buffer — the r9 verdict's last
