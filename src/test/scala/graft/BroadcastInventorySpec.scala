@@ -1,11 +1,33 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Queries
+
+/** Counts forced broadcast hints in EVERY plan the session optimizes,
+  * attributed to whichever query the sweep is currently driving. Hooked in
+  * via `experimental.extraOptimizations`, so it sees construction-time
+  * executions too — queries whose finishers collect driver-side (x117,
+  * x144/qs28 through RankSum.audit) return a local-rows LogicalRDD whose
+  * optimizedPlan is hint-free; their distributed halves run DURING
+  * construction, and before this hook those hints were invisible to the
+  * sweep (r10 ADVICE). Same for every eagerFinish query, whose returned
+  * frame is checkpointed blocks. */
+private object HintRecorder extends Rule[LogicalPlan] {
+  @volatile var current: String = ""
+  val counts = scala.collection.concurrent.TrieMap[String, Int]()
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val n = plan.collect { case j: Join =>
+      Seq(j.hint.leftHint, j.hint.rightHint).flatten.count(_.strategy.contains(BROADCAST))
+    }.sum
+    if (n > 0) counts.updateWith(current)(c => Some(c.getOrElse(0) + n))
+    plan
+  }
+}
 
 /** The bounded-broadcast STRUCTURAL INVARIANT (r9, verdict item 4): every
   * forced `broadcast(...)` hint in every registered batch query must be
@@ -17,14 +39,23 @@ import graft.operators.Queries
   * this class of flaw reached two verdicts (x130 in r7, q44/x135 in r8)
   * before becoming this CI gate.
   *
-  * Mechanism: the sweep builds each query's DataFrame (construction only —
-  * no result materialization) and counts BROADCAST join-strategy hints in
-  * the OPTIMIZED logical plan. Forced hints survive optimization into the
-  * Join nodes' `JoinHint`; planner-chosen broadcasts (AQE/statistics-based)
-  * are size-evidenced at runtime and intentionally NOT counted — the
-  * invariant governs what the code FORCES regardless of size. Any query
-  * not in the inventory must force zero broadcasts; growing the inventory
-  * requires writing a bounded-domain justification here, in review.
+  * Mechanism (r10 rework): the sweep builds each query's DataFrame and
+  * forces optimization of the returned plan, while the HintRecorder rule
+  * — registered through `experimental.extraOptimizations` — counts
+  * BROADCAST join-strategy hints in EVERY plan the session optimizes
+  * meanwhile. Construction is NOT execution-free for this registry:
+  * driver-side finishers (x117, x144 via RankSum), size-gate counts, and
+  * eagerFinish checkpoints all run distributed jobs during construction,
+  * and those executions carry forced hints the returned frame's own plan
+  * no longer shows (it may be a bare LogicalRDD). Forced hints survive
+  * optimization into the Join nodes' `JoinHint`; planner-chosen broadcasts
+  * (AQE/statistics-based) are size-evidenced at runtime and intentionally
+  * NOT counted — the invariant governs what the code FORCES regardless of
+  * size. Any query not in the inventory must force zero broadcasts;
+  * growing the inventory requires writing a bounded-domain justification
+  * here, in review. Counts are per-optimization totals: a frame optimized
+  * in two construction-time jobs contributes its hints twice, so ceilings
+  * are calibrated to the observed execution pattern, not the static plan.
   */
 class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -84,7 +115,7 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x78_vocab_coverage" -> (1, "top-k vocabulary table"),
     "x79_length_drift_ks" -> (2, "bounded per-source CDF grid frames"),
     "x84_whitened_ann" -> (2, "d x d whitening matrix + query frame"),
-    "x88_semdedup" -> (14, "k-row centroid frames across the k-means rounds"),
+    "x88_semdedup" -> (16, "k-row centroid frames across the k-means rounds (+2 subquery re-optimizations of the same frames)"),
     "x98_contrastive_pairs" -> (1, "k-row sampled anchor frame"),
     "x101_knn_classify" -> (1, "k-row labeled anchor frame"),
     "x102_pq_codebook" -> (2, "k x d codebook frames"),
@@ -96,29 +127,38 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x124_markov_eval" -> (1, "|event types|^2 transition matrix"),
     "x126_minhash_scorecard" -> (2, "dup-rate pair-member id set + melted pair frame (pairEnds)"),
     "x128_reliability_audit" -> (1, "bounded calibration-bin frame"),
-    "x130_ivm_components" -> (2, "conf-gated delta shingles (broadcastShingleCap) + affected-component relabel map"),
+    "x130_ivm_components" -> (3, "conf-gated delta shingles (broadcastShingleCap) + affected-component relabel map; +1 construction-time execution recorded by the r10 hook"),
     "x133_target_encoding" -> (1, "|categories|-row totals frame"),
     "x135_semantic_split_leak" -> (1, "conf-gated: spark.graft.splitleak.broadcastTestCap"),
-    "x139_retrieval_ndcg" -> (4, "pinned 20-row DCG/rank tables + query-term stats"),
+    "x139_retrieval_ndcg" -> (5, "pinned 20-row DCG/rank tables + query-term stats (one re-optimized in a construction-time stats job)"),
     "x140_cv_model_select" -> (2, "5-row fold-total + model frames"),
-    "x145_ranker_tau" -> (5, "top-k ranker list frames (k rows each)"),
+    "x145_ranker_tau" -> (7, "top-k ranker list frames (k rows each), re-counted across the construction-time scalar jobs"),
     "x148_conformal_proper" -> (1, "fold-trained NB model frame (vocab-sized, the x108 class)"),
+    // r10: counts below exist only through the extraOptimizations hook —
+    // these queries' distributed halves run at CONSTRUCTION (driver-side
+    // finishers, eagerFinish checkpoints, iteration rounds) and their
+    // returned frames are hint-free LogicalRDD/checkpoint plans
+    "x45_cluster_exemplars" -> (2, "k centroid frames (assignment + exemplar rank)"),
+    "x112_pq_index_serve" -> (6, "k x d codebook + 5-row query frames across the train->encode->publish->serve lifecycle executions"),
+    "x123_bradley_terry" -> (14, "per-round broadcasts of the |items|^2-bounded pair/strength frames across the 4 persisted-leaf MM rounds"),
+    "x137_conformal_gate" -> (1, "x108's vocab-capped NB model frame, executed at construction via eagerFinish"),
+    "x143_ivf_probe_ladder" -> (5, "k=16 centroid + 5-row query/crank frames, executed at construction via eagerFinish"),
+    "x144_rank_sum_drift" -> (1, "RankSum's ppm-grid-bounded pooled midrank table (the r10 ADVICE item)"),
+    "qs28_stream_rank_drift" -> (1, "RankSum's pooled midrank table, post-drain audit"),
     "x149_ivf_delta_add" -> (5, "k=16 centroid frames (base+delta assignment, probe rank) + 5-row query frame + |q|x4 probe set"))
 
   test("every forced broadcast in every batch query is a declared bounded frame or conf-gated") {
+    spark.experimental.extraOptimizations ++= Seq(HintRecorder)
     val violations = Queries.all.flatMap { q =>
-      val forced =
-        try {
-          val df = q.run(spark, sf)
-          df.queryExecution.optimizedPlan.collect {
-            case j: Join =>
-              Seq(j.hint.leftHint, j.hint.rightHint).flatten
-                .count(_.strategy.contains(BROADCAST))
-          }.sum
-        } finally {
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        }
+      HintRecorder.current = q.name
+      try {
+        val df = q.run(spark, sf)
+        df.queryExecution.optimizedPlan // returned plan counts too
+      } finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      val forced = HintRecorder.counts.getOrElse(q.name, 0)
       val cap = inventory.get(q.name).map(_._1).getOrElse(0)
       if (forced > cap)
         Some(s"${q.name}: $forced forced broadcast(s), declared $cap")
