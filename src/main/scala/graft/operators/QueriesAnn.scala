@@ -499,7 +499,7 @@ private[operators] trait QueriesAnn { this: Queries.type =>
     * stages; one round is enough to pin the algebra under the oracle. */
   /** embeddings as (vec_id, v: array<double>, nrm) — the shared entry of
     * the k-means family (x38/x45/x47/x48/x49). */
-  private[operators] def embWithNorm(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def embWithNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))

@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Queries
+
+/** Scale-evidence probes for the operator LEGS that registry-level timing
+  * can't separate (r10, verdict item 2):
+  *
+  *   - `x149_maint`  — the IVF delta-add MAINTENANCE leg alone: frozen
+  *     base centroids pinned as a local frame (production reads them from
+  *     the stored index), timing covers ONLY the delta assignment pass.
+  *     The registry query's own time is brute-ground-truth-dominated by
+  *     contract (the audit exists to measure recall), so the maintenance
+  *     claim needs its own number.
+  *   - `x149_serve`  — the production serving leg: rank the probed cells
+  *     of the maintained (base ∪ delta) assignment for the 5 queries —
+  *     no brute pass anywhere.
+  *   - `x135_routed` — the split-leak audit with
+  *     spark.graft.splitleak.broadcastTestCap=0, forcing the IVF-routed
+  *     leg at any size (the r9 verdict's unmeasured claim).
+  *   - `x135_exact`  — the same corpus through the default exact leg, for
+  *     the same-window cost ratio.
+  *
+  * Usage: runMain graft.tools.ScaleProbes <probe> <dir> [reps]
+  * Prints one JSON line; timing protocol matches Bench/ScaleCurve
+  * (median-of-N, noop-sink full materialization, cache clear per rep).
+  */
+object ScaleProbes {
+  def main(args: Array[String]): Unit = {
+    val probe = args(0)
+    val dir = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(build: () => DataFrame): Seq[Double] = (1 to reps).map { _ =>
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val t0 = System.nanoTime()
+      build().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // frozen centroids pinned OUTSIDE the timer: production maintenance
+    // reads them from the stored index artifact, never re-derives them
+    lazy val pinnedCents = {
+      val e = Queries.embWithNorm(spark, dir)
+      val base = e.filter(col("vec_id") >= 5 && col("vec_id") % 10 =!= 0)
+      val rows = Queries.ivfSeedCentroids(base, 16).collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        Queries.ivfSeedCentroids(base, 16).schema)
+    }
+
+    val times = probe match {
+      case "x149_maint" =>
+        val cents = pinnedCents
+        timed { () =>
+          val delta = Queries.embWithNorm(spark, dir)
+            .filter(col("vec_id") >= 5 && col("vec_id") % 10 === 0)
+          Queries.ivfAssigned(delta, cents)
+        }
+      case "x149_serve" =>
+        val cents = pinnedCents
+        timed { () =>
+          val e = Queries.embWithNorm(spark, dir)
+          val corpus = e.filter(col("vec_id") >= 5)
+          val maintained = Queries.ivfAssigned(corpus.filter(col("vec_id") % 10 =!= 0), cents)
+            .unionByName(Queries.ivfAssigned(corpus.filter(col("vec_id") % 10 === 0), cents))
+          val queries = e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+          val wq = Window.partitionBy(col("query_id"))
+            .orderBy(col("csim").desc, col("cent_id").asc)
+          val probes = queries.join(broadcast(cents))
+            .withColumn("csim", expr("graft_dot(qv, cv)") / (col("qn") * col("cn")))
+            .withColumn("crank", row_number().over(wq))
+            .filter(col("crank") <= 4)
+            .select(col("query_id"), col("cent_id"), col("qv"), col("qn"))
+          val wv = Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("vec_id").asc)
+          maintained.join(broadcast(probes), Seq("cent_id")) // probed cells only
+            .withColumn("cos", expr("graft_dot(qv, v)") / (col("qn") * col("nrm")))
+            .withColumn("rn", row_number().over(wv)).filter(col("rn") <= 10)
+            .select(col("query_id"), col("vec_id"), col("cos"))
+        }
+      case "x135_routed" =>
+        spark.conf.set("spark.graft.splitleak.broadcastTestCap", "0")
+        timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))
+      case "x135_exact" =>
+        timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))
+      case other => sys.error(s"unknown probe $other")
+    }
+    val sorted = times.sorted
+    val median = sorted(sorted.size / 2)
+    println(f"""{"probe":"$probe","dir":"$dir","median_sec":$median%.3f,"times":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -939,12 +939,26 @@ class PlansSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("x141: dup spans reach docs via a semi join; no cartesian, no nested loop") {
-    val df = Queries.byName("x141_span_ladder").run(spark, sf)
-    df.collect()
-    val p = finalSection(df.queryExecution.executedPlan.toString)
-    assert(p.contains("LeftSemi"), s"the dup-key prune must be a semi join:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"no pair materialization belongs in the ladder:\n$p")
+    // x141 eagerly finishes (r10): the returned frame is checkpointed
+    // blocks, so the pipeline's plans must be captured as they EXECUTE at
+    // construction — a QueryExecutionListener sees every construction job
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Queries.byName("x141_span_ladder").run(spark, sf).collect()
+      org.apache.spark.GraftTestProbes.flushListenerBus(spark.sparkContext)
+      val all = plans.synchronized(plans.mkString("\n===\n"))
+      assert(all.contains("LeftSemi"), s"the dup-key prune must be a semi join:\n$all")
+      assert(!all.contains("CartesianProduct") && !all.contains("BroadcastNestedLoopJoin"),
+        s"no pair materialization belongs in the ladder:\n$all")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("x140: the vocab-x5 model broadcasts onto the token explode; no nested-loop anywhere") {

@@ -11,4 +11,8 @@ object GraftTestProbes {
   private val probe = classOf[RDD[_]].getMethod("isLocallyCheckpointed")
   def isLocallyCheckpointed(r: RDD[_]): Boolean =
     probe.invoke(r).asInstanceOf[Boolean]
+
+  /** drain the async listener bus so a QueryExecutionListener's captures
+    * are complete before a spec asserts on them */
+  def flushListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
 }
