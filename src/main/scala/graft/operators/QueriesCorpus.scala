@@ -2761,4 +2761,115 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
        |            // (2 * (SELECT tot FROM t)) END AS BIGINT) AS attribution_ppm
        |FROM re""".stripMargin
   }
+  // ---------------------------------------------------------------- X150
+  /** CAPPED TEMPERATURE-MIXTURE ALLOCATION — the budgeted data-mixing
+    * plan a pretraining run executes, completing the mixture family:
+    * x107 computes temperature weights with no budget, x72 waterfills a
+    * budget with no weights; production mixing (UniMax-style, Chung et
+    * al. 2023) needs BOTH — allocate a token budget B across sources
+    * proportionally to temperature weights w_s ∝ n_s^(1/2), subject to a
+    * per-source repetition cap (2.1 epochs here: temperature upweights
+    * SMALL sources, so they hit the cap first and their surplus flows to
+    * the rest). This is weighted water-filling with upper bounds; the
+    * saturated set is a PREFIX of sources ordered by cap_s/w_s, so the
+    * whole solve is closed-form — no iteration:
+    * for each candidate boundary s, the capped set {r : cap_r·w_s ≤
+    * cap_s·w_r} (an exact integer cross-multiplication — no rational
+    * sort key, no division anywhere) yields level λ_s = (B−Σcap)/(W−Σw);
+    * s is FEASIBLE iff w_s·(B−Σcap) ≥ cap_s·(W−Σw), and the true
+    * boundary is the feasible candidate with maximal Σw (the sets are
+    * nested, so the argmax is a 1-row max(struct)). Uncapped sources get
+    * floor(w_r·λ*) — allocations never exceed the budget; the slack is
+    * the mixture runner's rounding dust. Equivalence with the iterative
+    * water-fill is fuzz-proven in the spec (20k random instances).
+    * EXACTNESS — zero transcendentals, zero double rounds: the weight is
+    * the EXACT integer square root w = isqrt(n·10¹²) via floor(sqrt) in
+    * doubles plus a ±1 integer-square correction (IEEE sqrt is within
+    * ulps, so floor is off by at most one; the correction compares
+    * m² and (m+1)² to n·10¹² in DECIMAL(38,0) and lands exactly) — both
+    * engines compute the identical integer with no Round node, so the
+    * operator never enters the round-boundary audit at all. All
+    * cross-products ride DECIMAL(38,0)/HUGEINT. Scale shape: ONE corpus
+    * aggregation to the |sources|-row frame; the |sources|² candidate
+    * self-join and the 1-row argmax are metadata-scale. */
+  private[operators] def x150(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    // exact isqrt(n·10^12): floor(sqrt(double)) then the +-1 correction
+    val m = ns
+      .withColumn("x", expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000000000"))
+      .withColumn("m0", expr("CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        """m0 + (CASE WHEN CAST(m0 + 1 AS DECIMAL(38,0)) * (m0 + 1) <= x THEN 1 ELSE 0 END)
+          |   - (CASE WHEN CAST(m0 AS DECIMAL(38,0)) * m0 > x THEN 1 ELSE 0 END)""".stripMargin))
+      .withColumn("cap", expr("(21 * n_tokens) div 10")) // 2.1-epoch repetition cap
+      .select(col("source"), col("n_tokens"), col("w"), col("cap"))
+    // budget and total weight pinned as literals (the x50/x58 pattern;
+    // ONE bounded driver action over the |sources|-row frame)
+    val g = m.agg(sum(col("n_tokens")), sum(col("w"))).head()
+    val budget = 2L * g.getLong(0)
+    val wTot = g.getLong(1)
+    // candidate boundaries: |sources|^2 exact cross-mult prefix sums
+    val cand = m.select(col("source").as("cs"), col("w").as("ws"), col("cap").as("caps"))
+      .join(m.select(col("w").as("wr"), col("cap").as("capr")),
+        expr("CAST(capr AS DECIMAL(38,0)) * ws <= CAST(caps AS DECIMAL(38,0)) * wr"))
+      .groupBy(col("cs"), col("ws"), col("caps"))
+      .agg(sum(col("capr")).as("cumcap"), sum(col("wr")).as("cumw"))
+      .filter(expr(
+        s"CAST(ws AS DECIMAL(38,0)) * (${budget}L - cumcap) >= CAST(caps AS DECIMAL(38,0)) * (${wTot}L - cumw)"))
+    // the true boundary: feasible candidate with maximal capped mass
+    // (sets are nested along the ratio order, so max cumw names the set)
+    val b = cand.agg(max(struct(col("cumw"), col("cumcap"), col("ws"), col("caps"))).as("b"))
+      .select(col("b.cumw").as("bcumw"), col("b.cumcap").as("bcumcap"),
+        col("b.ws").as("bws"), col("b.caps").as("bcaps"))
+    m.crossJoin(b) // 1-row boundary frame
+      .withColumn("capped", expr(
+        "bws IS NOT NULL AND CAST(cap AS DECIMAL(38,0)) * bws <= CAST(bcaps AS DECIMAL(38,0)) * w"))
+      .withColumn("alloc_tokens", when(col("capped"), col("cap")).otherwise(expr(
+        s"CAST(CAST(w AS DECIMAL(38,0)) * (${budget}L - coalesce(bcumcap, 0L)) div (${wTot}L - coalesce(bcumw, 0L)) AS BIGINT)")))
+      .select(col("source"), col("n_tokens"), col("w").as("weight_micro"),
+        col("cap").as("cap_tokens"), col("alloc_tokens"),
+        expr("CAST((2 * CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 + n_tokens) div (2 * n_tokens) AS BIGINT)")
+          .as("epochs_ppm"),
+        col("capped"))
+      .orderBy(col("source"))
+  }
+
+  private[operators] lazy val x150Sql =
+    """WITH ns AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |m AS (SELECT source, n_tokens,
+      |    CAST(n_tokens AS HUGEINT) * 1000000000000 AS x,
+      |    CAST(floor(sqrt(CAST(CAST(n_tokens AS HUGEINT) * 1000000000000 AS DOUBLE))) AS BIGINT) AS m0
+      |  FROM ns),
+      |mw AS (SELECT source, n_tokens,
+      |    m0 + (CASE WHEN CAST(m0 + 1 AS HUGEINT) * (m0 + 1) <= x THEN 1 ELSE 0 END)
+      |       - (CASE WHEN CAST(m0 AS HUGEINT) * m0 > x THEN 1 ELSE 0 END) AS w,
+      |    (21 * n_tokens) // 10 AS cap
+      |  FROM m),
+      |g AS (SELECT 2 * CAST(sum(n_tokens) AS BIGINT) AS budget,
+      |             CAST(sum(w) AS BIGINT) AS wtot FROM mw),
+      |cand AS (SELECT s.source AS cs, s.w AS ws, s.cap AS caps,
+      |    CAST(sum(r.cap) AS BIGINT) AS cumcap, CAST(sum(r.w) AS BIGINT) AS cumw
+      |  FROM mw s JOIN mw r ON CAST(r.cap AS HUGEINT) * s.w <= CAST(s.cap AS HUGEINT) * r.w
+      |  GROUP BY 1, 2, 3
+      |  HAVING CAST(s.w AS HUGEINT) * ((SELECT budget FROM g) - CAST(sum(r.cap) AS BIGINT))
+      |      >= CAST(s.cap AS HUGEINT) * ((SELECT wtot FROM g) - CAST(sum(r.w) AS BIGINT))),
+      |b AS (SELECT cumw AS bcumw, cumcap AS bcumcap, ws AS bws, caps AS bcaps
+      |  FROM cand ORDER BY cumw DESC, cumcap DESC, ws DESC, caps DESC LIMIT 1),
+      |f AS (SELECT mw.*, b.bcumw, b.bcumcap, b.bws, b.bcaps,
+      |    (b.bws IS NOT NULL AND CAST(mw.cap AS HUGEINT) * b.bws <= CAST(b.bcaps AS HUGEINT) * mw.w) AS capped
+      |  FROM mw LEFT JOIN b ON TRUE)
+      |SELECT source, n_tokens, w AS weight_micro, cap AS cap_tokens,
+      |  CASE WHEN capped THEN cap
+      |       ELSE CAST(CAST(w AS HUGEINT) * ((SELECT budget FROM g) - coalesce(bcumcap, 0))
+      |            // ((SELECT wtot FROM g) - coalesce(bcumw, 0)) AS BIGINT) END AS alloc_tokens,
+      |  CAST((2 * CAST((CASE WHEN capped THEN cap
+      |       ELSE CAST(CAST(w AS HUGEINT) * ((SELECT budget FROM g) - coalesce(bcumcap, 0))
+      |            // ((SELECT wtot FROM g) - coalesce(bcumw, 0)) AS BIGINT) END) AS HUGEINT) * 1000000
+      |       + n_tokens) // (2 * n_tokens) AS BIGINT) AS epochs_ppm,
+      |  capped
+      |FROM f ORDER BY source""".stripMargin
 }

@@ -2090,4 +2090,118 @@ private[operators] trait QueriesText { this: Queries.type =>
       |SELECT 5 AS alpha, fold, n_docs, c5 AS n_correct,
       |  CAST((2 * c5 * 1000000 + n_docs) // (2 * n_docs) AS BIGINT) AS acc_ppm FROM pf""".stripMargin
 
+
+  // ---------------------------------------------------------------- X151
+  /** BM25 INDEX MAINTENANCE AUDIT (IVM for the retrieval family) — the
+    * leg that completes the incremental-view-maintenance matrix begun in
+    * r8/r9 (aggregate x121, join q44, clustering x130, dedup index x110,
+    * ANN serving x149): a 10% delta of new documents (doc_id % 10 == 0
+    * plays the arrival) is absorbed into a standing BM25 index WITHOUT
+    * rescanning the base — maintenance touches only (a) the delta's own
+    * postings (one delta scan, map-side `graft_count_in` per term, only
+    * matching rows materialize), (b) a |query terms|-row df COMBINE
+    * (df_maintained = df_base ⊕ df_delta: the splits are disjoint, so
+    * per-term addition is exact), and (c) two scalar stat adds
+    * (N, Σdl). The audit then serves the pinned x58 query top-10 from
+    * the MAINTAINED index and from a FULL REBUILD, flagging per rank
+    * whether they agree — the regression gate an index-maintenance job
+    * gates its publish on (the rebuild is the ground-truth leg, the
+    * x143/x149 contract: production pays only the delta).
+    * EXACTNESS — deliberately integer end-to-end: the scoring convention
+    * is BM25 with LINEAR inverse document frequency, idf_ppm = half-up
+    * (N·10⁶ / df), not ln — chosen because this audit gates on
+    * BIT-IDENTITY between two independently-derived index states, and a
+    * transcendental would re-admit the .5-ulp divergence class the
+    * round-boundary audit exists to contain. Weights differ from x58's
+    * ln-idf ranking (documented; x58 remains the ranking-quality
+    * operator — this one audits index maintenance). All cross-products
+    * ride DECIMAL(38,0)/HUGEINT; ties break on doc_id (the x7 rule).
+    * Scale shape: maintenance cost = delta-postings-sized; serving joins
+    * the 3-row idf frame (broadcast) onto posting lists and TakeOrders
+    * the top-10; the only corpus-wide work is the rebuild leg the audit
+    * exists to compare against. */
+  private[operators] def x151(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("dup", "vector", "join")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), toks(col("text")).as("tk"))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val termStructs = terms.map(t =>
+      s"struct('$t' AS token, graft_count_in(tk, array('$t')) AS tf)").mkString(", ")
+    def postings(d: DataFrame): DataFrame = d
+      .withColumn("dl", size(col("tk")))
+      .select(col("doc_id"), col("dl"),
+        explode(expr(s"filter(array($termStructs), s -> s.tf > 0)")).as("s"))
+      .select(col("doc_id"), col("dl"), col("s.token").as("token"),
+        col("s.tf").cast(LongType).as("tf"))
+    def stats(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), sum(size(col("tk")).cast(LongType))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nB, sdlB) = stats(base) // production: read from the stored index manifest
+    val (nD, sdlD) = stats(delta)
+    val n = nB + nD
+    val sdl = sdlB + sdlD
+    val postB = postings(base).persist(StorageLevel.MEMORY_AND_DISK) // stored artifact stand-in
+    val postD = postings(delta).persist(StorageLevel.MEMORY_AND_DISK) // the one fresh scan
+    val dfB = postB.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("dfb"))
+    val dfD = postD.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("dfd"))
+    // the IVM combine: disjoint splits make per-term ADDITION exact
+    val dfM = dfB.join(dfD, Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("dfb"), lit(0L)) + coalesce(col("dfd"), lit(0L))).as("df"))
+    def withIdf(dfF: DataFrame): DataFrame =
+      dfF.withColumn("idf_ppm", expr(s"(2 * ${n}L * 1000000 + df) div (2 * df)"))
+    def serveTop10(posts: DataFrame, idfF: DataFrame): DataFrame =
+      posts.join(broadcast(idfF.select(col("token"), col("idf_ppm"))), "token")
+        .withColumn("num", expr(s"CAST(idf_ppm AS DECIMAL(38,0)) * tf * 22 * ${sdl}L"))
+        .withColumn("den",
+          expr(s"CAST(${sdl}L AS DECIMAL(38,0)) * 10 * tf + ${sdl}L * 3 + 9 * dl * ${n}L"))
+        .withColumn("sc", expr("CAST((2 * num + den) div (2 * den) AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(IntegerType).as("n_terms"), sum(col("sc")).as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id").asc).limit(10)
+    val maintained = serveTop10(postB.unionByName(postD), withIdf(dfM))
+    // ground-truth leg: full rebuild (df counted directly over a fresh
+    // corpus scan — shares NOTHING with the combine it audits)
+    val postF = postings(docs)
+    val rebuilt = serveTop10(postF,
+      withIdf(postF.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))))
+    val wr = Window.orderBy(col("score_ppm").desc, col("doc_id").asc) // 10-row frame
+    val mR = maintained.withColumn("rank", row_number().over(wr).cast(LongType))
+    val rR = rebuilt.withColumn("rank", row_number().over(wr).cast(LongType))
+      .select(col("rank").as("r_rank"), col("doc_id").as("r_doc"),
+        col("n_terms").as("r_nt"), col("score_ppm").as("r_score"))
+    val out = mR.join(rR, mR("rank") === rR("r_rank"), "left")
+      .select(col("rank"), mR("doc_id"), col("n_terms"), col("score_ppm"),
+        (col("r_doc").isNotNull && col("r_doc") === mR("doc_id") &&
+          col("r_nt") === col("n_terms") && col("r_score") === col("score_ppm"))
+          .as("matches_rebuild"))
+      .orderBy(col("rank"))
+    eagerFinish(out, postB, postD)
+  }
+
+  private[operators] lazy val x151Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(len(tk)) AS BIGINT) AS sdl FROM d),
+      |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM d)
+      |  WHERE token IN ('dup', 'vector', 'join') GROUP BY 1, 2, 3),
+      |idf AS (SELECT token,
+      |    (2 * (SELECT n FROM st) * 1000000 + CAST(count(DISTINCT doc_id) AS BIGINT))
+      |      // (2 * CAST(count(DISTINCT doc_id) AS BIGINT)) AS idf_ppm
+      |  FROM tf GROUP BY token),
+      |sc AS (SELECT doc_id,
+      |    CAST(idf_ppm AS HUGEINT) * tf * 22 * (SELECT sdl FROM st) AS num,
+      |    CAST((SELECT sdl FROM st) AS HUGEINT) * 10 * tf
+      |      + (SELECT sdl FROM st) * 3 + 9 * dl * (SELECT n FROM st) AS den
+      |  FROM tf JOIN idf USING (token)),
+      |bm AS (SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+      |    CAST(sum(CAST((2 * num + den) // (2 * den) AS BIGINT)) AS BIGINT) AS score_ppm
+      |  FROM sc GROUP BY doc_id),
+      |top AS (SELECT doc_id, n_terms, score_ppm FROM bm
+      |  ORDER BY score_ppm DESC, doc_id LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, n_terms, score_ppm, TRUE AS matches_rebuild
+      |FROM top ORDER BY rank""".stripMargin
 }

@@ -49,9 +49,10 @@ class CollectInventorySpec extends AnyFunSuite {
       "1-row scalar aggregates: the statistics gate's count/countDistinct audit rows"),
     "QueriesAnn.scala" -> (4,
       "IVF cell histogram (k=16-bounded), k-row exemplar id list, two 1-row query-vector probes"),
-    "QueriesCorpus.scala" -> (7,
-      "1-row corpus scalars (max ts / max event_id / x50 cut row / min-max-count), " +
-        "k-bucket quintile and x104 histogram maps, x146's |types|²-bounded transition matrix"),
+    "QueriesCorpus.scala" -> (8,
+      "1-row corpus scalars (max ts / max event_id / x50 cut row / min-max-count / " +
+        "x150's budget+weight totals), k-bucket quintile and x104 histogram maps, " +
+        "x146's |types|²-bounded transition matrix"),
     "QueriesDedup.scala" -> (4,
       "1-row scalars: max df, clustered-doc mass, wedge count, delta shingle NDV"),
     "QueriesGovernance.scala" -> (1,
@@ -62,10 +63,11 @@ class CollectInventorySpec extends AnyFunSuite {
     "QueriesShared.scala" -> (4,
       "bloom word table (mBits/64 longs), kthSmallestByHistogram's 1024-bucket grid map " +
         "+ two 1-row scalars (min/max, residual-rank max)"),
-    "QueriesText.scala" -> (15,
+    "QueriesText.scala" -> (16,
       "the x58 corpus-stats pattern: 1-row totals pinned as literals (bm25 dl stats, " +
         "PMI/token totals, NB class stats x2 folds, CV wide totals), vocab-bounded " +
-        "Misra-Gries summary row, x148/x137 fold scalars, |folds|-row CV priors"),
+        "Misra-Gries summary row, x148/x137 fold scalars, |folds|-row CV priors, " +
+        "x151's per-split (N, sum dl) stat row (one site, called per split)"),
     "RankSum.scala" -> (2,
       "1-row global (N, ties) + the |sources|-bounded per-source frame for the BigInt finisher"),
     "StreamQueries.scala" -> (4,

@@ -2757,4 +2757,111 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Queries.kthSmallestByHistogram(vs, "x", k) === expected, s"k=$k")
     }
   }
+
+  test("x150: the closed-form prefix boundary equals iterative water-filling (20k fuzz) and the plan re-derives from raw docs") {
+    // 1. the algorithmic claim, independent of Spark: for weighted
+    // water-filling with upper bounds, the saturated set is the prefix
+    // named by the max-feasible candidate (sets nested along cap/w order)
+    def iterative(w: Map[Int, BigInt], cap: Map[Int, BigInt], b: BigInt): Set[Int] = {
+      var capped = Set.empty[Int]
+      var changed = true
+      while (changed) {
+        val bRem = b - capped.toSeq.map(cap).sum
+        val wRem = w.keys.toSeq.filterNot(capped).map(w).sum
+        val newly = w.keys.filterNot(capped)
+          .filter(s => w(s) * bRem >= cap(s) * wRem).toSet
+        changed = newly.nonEmpty
+        capped ++= newly
+      }
+      capped
+    }
+    def prefix(w: Map[Int, BigInt], cap: Map[Int, BigInt], b: BigInt): Set[Int] = {
+      val wTot = w.values.sum
+      val feasible = w.keys.toSeq.flatMap { s =>
+        // toSeq before the sums: mapping a key SET through w/cap would
+        // collapse duplicate weight/cap values and corrupt the totals
+        val grp = w.keys.toSeq.filter(r => cap(r) * w(s) <= cap(s) * w(r))
+        val (cc, cw) = (grp.map(cap).sum, grp.map(w).sum)
+        if (w(s) * (b - cc) >= cap(s) * (wTot - cw)) Some((cw, s)) else None
+      }
+      if (feasible.isEmpty) Set.empty
+      else {
+        val s = feasible.maxBy(_._1)._2
+        w.keys.toSeq.filter(r => cap(r) * w(s) <= cap(s) * w(r)).toSet
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20000) {
+      val n = 1 + rnd.nextInt(8)
+      val w = (0 until n).map(i => i -> BigInt(1 + rnd.nextInt(50))).toMap
+      val cap = (0 until n).map(i => i -> BigInt(1 + rnd.nextInt(60))).toMap
+      val b = BigInt(1 + rnd.nextInt(300))
+      assert(iterative(w, cap, b) === prefix(w, cap, b), s"w=$w cap=$cap B=$b")
+    }
+    // 2. the registered plan re-derives from the raw documents in exact
+    // BigInt, including the isqrt weights — and the capping is
+    // NON-VACUOUS at this SF (both branches exercised)
+    val out = run("x150_capped_mixture").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val nTok = docs.groupBy(_._1).map { case (src, xs) => src -> xs.map(_._2).sum }
+    def isqrt(x: BigInt): BigInt = { // exact Newton
+      var g = BigInt(math.sqrt(x.toDouble).toLong max 1)
+      var prev = BigInt(-1)
+      while (g != prev) { prev = g; g = (g + x / g) / 2 }
+      while (g * g > x) g -= 1
+      while ((g + 1) * (g + 1) <= x) g += 1
+      g
+    }
+    val w = nTok.map { case (s, nt) => s -> isqrt(BigInt(nt) * BigInt(10).pow(12)) }
+    val cap = nTok.map { case (s, nt) => s -> BigInt(21 * nt) / 10 }
+    val b = 2 * nTok.values.map(BigInt(_)).sum
+    val wTot = w.values.sum
+    val capped = prefix(w.keys.zipWithIndex.map { case (s, i) => i -> w(s) }.toMap,
+      w.keys.zipWithIndex.map { case (s, i) => i -> cap(s) }.toMap, b)
+      .map(i => w.keys.toSeq(i))
+    // recompute boundary sums for allocations
+    val (bcc, bcw) =
+      (capped.toSeq.map(cap).sum, capped.toSeq.map(w).sum)
+    assert(capped.nonEmpty && capped.size < nTok.size,
+      s"fixture must exercise BOTH branches (capped: ${capped.size}/${nTok.size})")
+    nTok.keys.foreach { src =>
+      val r = out(src)
+      assert(BigInt(r.getAs[Long]("weight_micro")) === w(src), s"$src: isqrt weight")
+      assert(r.getAs[Boolean]("capped") === capped(src), s"$src: capped flag")
+      val expAlloc =
+        if (capped(src)) cap(src) else w(src) * (b - bcc) / (wTot - bcw)
+      assert(BigInt(r.getAs[Long]("alloc_tokens")) === expAlloc, s"$src: allocation")
+    }
+    val totalAlloc = out.values.map(r => BigInt(r.getAs[Long]("alloc_tokens"))).sum
+    assert(totalAlloc <= b, "allocations must never exceed the budget")
+  }
+
+  test("x151: maintained index serves identically to the rebuild, and the delta genuinely moves the stats") {
+    val out = run("x151_bm25_stats_ivm").collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to 10L),
+      "served top-10 carries ranks 1..10")
+    assert(out.forall(_.getAs[Boolean]("matches_rebuild")),
+      "maintained index must serve bit-identically to the full rebuild")
+    // non-vacuity: the combine isn't trivially equal — base-only stats
+    // would give DIFFERENT idf integers for every query term, so a
+    // combine that dropped the delta could not pass the flag
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val (base, delta) = docs.partition(_._1 % 10 != 0)
+    assert(delta.nonEmpty && base.nonEmpty)
+    for (term <- Seq("dup", "vector", "join")) {
+      def df(xs: Array[(Long, Array[String])]) =
+        xs.count(_._2.contains(term)).toLong
+      val (dfB, dfF) = (df(base), df(base) + df(delta))
+      val (nB, nF) = (base.length.toLong, docs.length.toLong)
+      assert(dfB > 0 && dfF > dfB, s"$term: delta must contribute documents")
+      def idf(n: Long, d: Long) = (2 * n * 1000000L + d) / (2 * d)
+      assert(idf(nB, dfB) !== idf(nF, dfF),
+        s"$term: base-only idf must differ from maintained idf")
+    }
+  }
 }
