@@ -2120,19 +2120,42 @@ private[operators] trait QueriesText { this: Queries.type =>
     * the 3-row idf frame (broadcast) onto posting lists and TakeOrders
     * the top-10; the only corpus-wide work is the rebuild leg the audit
     * exists to compare against. */
+  /** Shared linear-idf BM25 machinery (x151 + streaming qs29 — the
+    * RankSum/TextConstants discipline: ONE implementation so the batch
+    * audit and its online twin cannot drift). `bm25TermPostings` builds
+    * the (doc_id, dl, token, tf) posting rows map-side via graft_count_in
+    * (only matching rows materialize); `bm25LinearTop10` serves the
+    * top-10 under idf_ppm = half-up(N·10⁶/df) with DECIMAL(38,0)
+    * cross-products and doc_id tiebreaks. */
+  private[graft] def bm25TermPostings(d: DataFrame, terms: Seq[String]): DataFrame = {
+    val termStructs = terms.map(t =>
+      s"struct('$t' AS token, graft_count_in(tk, array('$t')) AS tf)").mkString(", ")
+    d.withColumn("dl", size(col("tk")))
+      .select(col("doc_id"), col("dl"),
+        explode(expr(s"filter(array($termStructs), s -> s.tf > 0)")).as("s"))
+      .select(col("doc_id"), col("dl"), col("s.token").as("token"),
+        col("s.tf").cast(LongType).as("tf"))
+  }
+
+  private[graft] def bm25LinearTop10(posts: DataFrame, dfF: DataFrame,
+      n: Long, sdl: Long): DataFrame =
+    posts.join(broadcast(dfF
+        .withColumn("idf_ppm", expr(s"(2 * ${n}L * 1000000 + df) div (2 * df)"))
+        .select(col("token"), col("idf_ppm"))), "token")
+      .withColumn("num", expr(s"CAST(idf_ppm AS DECIMAL(38,0)) * tf * 22 * ${sdl}L"))
+      .withColumn("den",
+        expr(s"CAST(${sdl}L AS DECIMAL(38,0)) * 10 * tf + ${sdl}L * 3 + 9 * dl * ${n}L"))
+      .withColumn("sc", expr("CAST((2 * num + den) div (2 * den) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_terms"), sum(col("sc")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc).limit(10)
+
   private[operators] def x151(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("dup", "vector", "join")
     val docs = Tables.documents(spark, dir).select(col("doc_id"), toks(col("text")).as("tk"))
     val base = docs.filter(col("doc_id") % 10 =!= 0)
     val delta = docs.filter(col("doc_id") % 10 === 0)
-    val termStructs = terms.map(t =>
-      s"struct('$t' AS token, graft_count_in(tk, array('$t')) AS tf)").mkString(", ")
-    def postings(d: DataFrame): DataFrame = d
-      .withColumn("dl", size(col("tk")))
-      .select(col("doc_id"), col("dl"),
-        explode(expr(s"filter(array($termStructs), s -> s.tf > 0)")).as("s"))
-      .select(col("doc_id"), col("dl"), col("s.token").as("token"),
-        col("s.tf").cast(LongType).as("tf"))
+    def postings(d: DataFrame): DataFrame = bm25TermPostings(d, terms)
     def stats(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)), sum(size(col("tk")).cast(LongType))).head()
       (r.getLong(0), r.getLong(1))
@@ -2149,23 +2172,12 @@ private[operators] trait QueriesText { this: Queries.type =>
     val dfM = dfB.join(dfD, Seq("token"), "full_outer")
       .select(col("token"),
         (coalesce(col("dfb"), lit(0L)) + coalesce(col("dfd"), lit(0L))).as("df"))
-    def withIdf(dfF: DataFrame): DataFrame =
-      dfF.withColumn("idf_ppm", expr(s"(2 * ${n}L * 1000000 + df) div (2 * df)"))
-    def serveTop10(posts: DataFrame, idfF: DataFrame): DataFrame =
-      posts.join(broadcast(idfF.select(col("token"), col("idf_ppm"))), "token")
-        .withColumn("num", expr(s"CAST(idf_ppm AS DECIMAL(38,0)) * tf * 22 * ${sdl}L"))
-        .withColumn("den",
-          expr(s"CAST(${sdl}L AS DECIMAL(38,0)) * 10 * tf + ${sdl}L * 3 + 9 * dl * ${n}L"))
-        .withColumn("sc", expr("CAST((2 * num + den) div (2 * den) AS BIGINT)"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast(IntegerType).as("n_terms"), sum(col("sc")).as("score_ppm"))
-        .orderBy(col("score_ppm").desc, col("doc_id").asc).limit(10)
-    val maintained = serveTop10(postB.unionByName(postD), withIdf(dfM))
+    val maintained = bm25LinearTop10(postB.unionByName(postD), dfM, n, sdl)
     // ground-truth leg: full rebuild (df counted directly over a fresh
     // corpus scan — shares NOTHING with the combine it audits)
     val postF = postings(docs)
-    val rebuilt = serveTop10(postF,
-      withIdf(postF.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))))
+    val rebuilt = bm25LinearTop10(postF,
+      postF.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df")), n, sdl)
     val wr = Window.orderBy(col("score_ppm").desc, col("doc_id").asc) // 10-row frame
     val mR = maintained.withColumn("rank", row_number().over(wr).cast(LongType))
     val rR = rebuilt.withColumn("rank", row_number().over(wr).cast(LongType))

@@ -313,6 +313,103 @@ object StreamQueries {
     * TextConstants rule). */
   private val qs28Sql = graft.operators.RankSum.oracleSql
 
+  // ---------------------------------------------------------------- QS29
+  /** STREAMING BM25 INDEX-STATS MAINTENANCE — x151's online twin and
+    * recovery proof #10: the index-level statistics a retrieval serving
+    * tier needs (N, Σdl, per-query-term df) maintain continuously as
+    * document waves arrive, in ONE keyless streaming aggregation whose
+    * state is a SINGLE wide row (2 + |terms| longs — the qs26 wide-form
+    * trick collapsed to its limit). Per-doc membership computes map-side
+    * via graft_count_in (df = docs containing the term — identical to
+    * x151's countDistinct over postings), and commutative integer sums
+    * make the drain arrival-order-free. On drain the audit serves the
+    * pinned query top-10 from the STREAMED stats and from a batch
+    * recomputation THROUGH THE SAME serve path (shared
+    * bm25TermPostings/bm25LinearTop10 — the RankSum one-implementation
+    * discipline), flagging per rank; the oracle is the full-corpus
+    * linear-idf serve, so drain == batch is hash-gated, not asserted.
+    * State: one row. Postings at serve time come from the stored corpus
+    * (production: the index's posting files), so the streaming job's
+    * state never grows with the corpus. */
+  private[graft] def bm25StatsWide(docs: DataFrame): DataFrame = {
+    val terms = Seq("dup", "vector", "join")
+    val withTk = docs.select(split(col("text"), " ").as("tk"))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(size(col("tk")).cast("long")).as("sdl")) ++
+      terms.map(t => sum(when(expr(s"graft_count_in(tk, array('$t')) > 0"), 1L)
+        .otherwise(0L)).as(s"df_$t"))
+    withTk.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Stateless serve from a drained stats row — shared by the registry
+    * query's streamed and batch legs (and the recovery proof). */
+  private[graft] def bm25ServeFromStats(spark: SparkSession, dir: String,
+      statsRow: org.apache.spark.sql.Row): DataFrame = {
+    val terms = Seq("dup", "vector", "join")
+    val n = statsRow.getAs[Long]("n")
+    val sdl = statsRow.getAs[Long]("sdl")
+    val dfRows = terms.map(t =>
+      org.apache.spark.sql.Row(t, statsRow.getAs[Long](s"df_$t")))
+    val dfF = spark.createDataFrame(java.util.Arrays.asList(dfRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.LongType))))
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    graft.operators.Queries.bm25LinearTop10(
+      graft.operators.Queries.bm25TermPostings(docs, terms), dfF, n, sdl)
+  }
+
+  private def qs29(spark: SparkSession, dir: String): DataFrame = {
+    val drained = runToTable(spark,
+      bm25StatsWide(docsStream(spark, dir)), OutputMode.Complete()).head()
+    val batch = bm25StatsWide(graft.operators.Tables.documents(spark, dir)).head()
+    val wr = Window.orderBy(col("score_ppm").desc, col("doc_id").asc) // 10-row frame
+    val sR = bm25ServeFromStats(spark, dir, drained)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+    val bR = bm25ServeFromStats(spark, dir, batch)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("rank").as("b_rank"), col("doc_id").as("b_doc"),
+        col("n_terms").as("b_nt"), col("score_ppm").as("b_score"))
+    sR.join(bR, sR("rank") === bR("b_rank"), "left")
+      .select(col("rank"), sR("doc_id"), col("n_terms"), col("score_ppm"),
+        (col("b_doc").isNotNull && col("b_doc") === sR("doc_id") &&
+          col("b_nt") === col("n_terms") && col("b_score") === col("score_ppm"))
+          .as("matches_batch"))
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle = the full-corpus linear-idf serve (x151's convention; text
+    * duplicated rather than referenced — the qs26 rule: a cross-registry
+    * init-time read would deadlock the mutual clinit). */
+  private val qs29Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(len(tk)) AS BIGINT) AS sdl FROM d),
+      |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM d)
+      |  WHERE token IN ('dup', 'vector', 'join') GROUP BY 1, 2, 3),
+      |idf AS (SELECT token,
+      |    (2 * (SELECT n FROM st) * 1000000 + CAST(count(DISTINCT doc_id) AS BIGINT))
+      |      // (2 * CAST(count(DISTINCT doc_id) AS BIGINT)) AS idf_ppm
+      |  FROM tf GROUP BY token),
+      |sc AS (SELECT doc_id,
+      |    CAST(idf_ppm AS HUGEINT) * tf * 22 * (SELECT sdl FROM st) AS num,
+      |    CAST((SELECT sdl FROM st) AS HUGEINT) * 10 * tf
+      |      + (SELECT sdl FROM st) * 3 + 9 * dl * (SELECT n FROM st) AS den
+      |  FROM tf JOIN idf USING (token)),
+      |bm AS (SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+      |    CAST(sum(CAST((2 * num + den) // (2 * den) AS BIGINT)) AS BIGINT) AS score_ppm
+      |  FROM sc GROUP BY doc_id),
+      |top AS (SELECT doc_id, n_terms, score_ppm FROM bm
+      |  ORDER BY score_ppm DESC, doc_id LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, n_terms, score_ppm, TRUE AS matches_batch
+      |FROM top ORDER BY rank""".stripMargin
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -1704,5 +1801,7 @@ object StreamQueries {
     Q("qs27_stream_conformal", qs27, Some(qs27Sql),
       "streaming split-conformal admission gate: ppm-grid score histogram as bounded state, rank-arithmetic threshold on drain == batch gate"),
     Q("qs28_stream_rank_drift", qs28, Some(qs28Sql),
-      "streaming Mann-Whitney drift monitor: (source, score) histogram state, the fully-integer x144 test on drain == batch"))
+      "streaming Mann-Whitney drift monitor: (source, score) histogram state, the fully-integer x144 test on drain == batch"),
+    Q("qs29_stream_bm25_stats", qs29, Some(qs29Sql),
+      "streaming BM25 index-stats maintenance: 1-row wide state (N, sum dl, per-term df), drained serve == batch serve via the shared linear-idf path"))
 }

@@ -146,6 +146,7 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x144_rank_sum_drift" -> (1, "RankSum's ppm-grid-bounded pooled midrank table (the r10 ADVICE item)"),
     "qs28_stream_rank_drift" -> (1, "RankSum's pooled midrank table, post-drain audit"),
     "x151_bm25_stats_ivm" -> (2, "|query terms|-row (3) idf frames: maintained + rebuilt legs"),
+    "qs29_stream_bm25_stats" -> (2, "|query terms|-row (3) idf frames: streamed-stats + batch-stats serve legs"),
     "x149_ivf_delta_add" -> (5, "k=16 centroid frames (base+delta assignment, probe rank) + 5-row query frame + |q|x4 probe set"))
 
   test("every forced broadcast in every batch query is a declared bounded frame or conf-gated") {

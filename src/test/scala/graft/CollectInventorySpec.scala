@@ -70,9 +70,10 @@ class CollectInventorySpec extends AnyFunSuite {
         "x151's per-split (N, sum dl) stat row (one site, called per split)"),
     "RankSum.scala" -> (2,
       "1-row global (N, ties) + the |sources|-bounded per-source frame for the BigInt finisher"),
-    "StreamQueries.scala" -> (4,
+    "StreamQueries.scala" -> (6,
       "post-drain audit scalars over k-/ppm-grid-bounded state tables " +
-        "(conformal nCal + threshold, drift histogram bins, MG summary map)"))
+        "(conformal nCal + threshold, drift histogram bins, MG summary map, " +
+        "qs29's two 1-row index-stats rows — streamed drain + batch leg)"))
 
   test("collect inventory: every driver-side action site is enrolled with a boundedness rationale") {
     val found = sourceFiles.map { p =>

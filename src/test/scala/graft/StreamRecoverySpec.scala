@@ -633,4 +633,58 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(massOf28("rs_run2") > massOf28("rs_fresh"),
       "recovered histogram mass not above the fresh wave-2-only mass")
   }
+
+  test("qs29's 1-row BM25 stats state restarts from checkpoint: drained serve equals batch serve (recovery proof #10)") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery29")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val stream = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true").parquet(from)
+      val q = StreamQueries.bm25StatsWide(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("bm_run1", ckpt)
+    writeWave(2)
+    val wave2Rows = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    assert(runOnce("bm_run2", ckpt) === wave2Rows, "restart re-read old waves")
+
+    // the recovered 1-row stats must equal the batch stats FIELD-FOR-FIELD
+    // (only possible if waves 0/1's sums crossed the death), and serving
+    // from them must equal serving from batch stats through the shared path
+    val recovered = spark.table("bm_run2").head()
+    val batch = StreamQueries.bm25StatsWide(docs).head()
+    assert(recovered === batch, "restarted index stats differ from batch stats")
+    val served = StreamQueries.bm25ServeFromStats(spark, sf, recovered).collect().toSeq
+    val batchServed = StreamQueries.bm25ServeFromStats(spark, sf, batch).collect().toSeq
+    assert(served === batchServed, "recovered serve differs from batch serve")
+
+    // non-vacuity: a fresh wave-2-only run carries visibly fewer docs
+    runOnce("bm_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    assert(spark.table("bm_run2").head().getAs[Long]("n")
+        > spark.table("bm_fresh").head().getAs[Long]("n"),
+      "recovered doc count not above the fresh wave-2-only count")
+  }
 }
