@@ -94,6 +94,35 @@ object ScaleProbes {
             .withColumn("rn", row_number().over(wv)).filter(col("rn") <= 10)
             .select(col("query_id"), col("vec_id"), col("cos"))
         }
+      case "x151_maint" =>
+        // the index-maintenance leg alone: base-side artifacts (df_base,
+        // N_base, Σdl_base) pinned OUTSIDE the timer — production reads
+        // them from the stored index manifest; timing covers the delta
+        // postings scan, the per-term df combine, and the stat adds
+        val terms = Seq("dup", "vector", "join")
+        val docsAll = graft.operators.Tables.documents(spark, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val baseRows = Queries.bm25TermPostings(
+            docsAll.filter(col("doc_id") % 10 =!= 0), terms)
+          .groupBy(col("token")).agg(count_distinct(col("doc_id")).as("dfb")).collect()
+        val dfBPinned = spark.createDataFrame(
+          java.util.Arrays.asList(baseRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("token",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("dfb",
+              org.apache.spark.sql.types.LongType))))
+        timed { () =>
+          val delta = docsAll.filter(col("doc_id") % 10 === 0)
+          val postD = Queries.bm25TermPostings(delta, terms)
+          val dfD = postD.groupBy(col("token")).agg(count_distinct(col("doc_id")).as("dfd"))
+          val stats = delta.agg(count(lit(1)).as("n_d"),
+            sum(size(col("tk")).cast("long")).as("sdl_d"))
+          dfBPinned.join(dfD, Seq("token"), "full_outer")
+            .select(col("token"),
+              (coalesce(col("dfb"), lit(0L)) + coalesce(col("dfd"), lit(0L))).as("df"))
+            .crossJoin(stats) // 3x1 rows: the maintained manifest update
+        }
       case "x135_routed" =>
         spark.conf.set("spark.graft.splitleak.broadcastTestCap", "0")
         timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))
