@@ -2872,4 +2872,124 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |       + n_tokens) // (2 * n_tokens) AS BIGINT) AS epochs_ppm,
       |  capped
       |FROM f ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X152
+  /** TRAINING-ORDER INTERLEAVE AUDIT ("shuffle quality") — per-source
+    * run-length statistics of the corpus under its content-addressed
+    * global training order (k = md5(doc_id): the deterministic, seedless
+    * shuffle a reproducible pretraining run uses). Long same-source runs
+    * are what a bad shuffle produces and what loss spikes trace back to;
+    * this audit is the number a data engineer checks before a run:
+    * per source, how many contiguous runs the order produces, the
+    * LONGEST run, and the half-up mean run length.
+    * Scale design — the global-window trap dodged: a run-length pass
+    * "needs" lag() over the total order, which in Spark is a
+    * single-task window (the x50 percentile trap at corpus scale).
+    * Instead the hex-prefix BUCKETS of k partition the total order into
+    * contiguous ranges (`spark.graft.shuffleaudit.hexChars`, default 2
+    * → 256 buckets; production raises it — 4 → 65 536 — so bucket
+    * partitions shrink with cluster width; the output is
+    * bucketing-INVARIANT, spec-proven at 1 vs 2): within-bucket runs
+    * come from bucket-partitioned windows (bounded partitions), and the
+    * ≤2·buckets boundary runs collect to the driver where a single
+    * ordered walk merges chains that cross bucket borders — including
+    * chains spanning ENTIRE single-run buckets — in exact longs (the
+    * x146 bounded-finisher class). Interior statistics stay distributed;
+    * only |sources| + ≤2·buckets rows ever reach the driver.
+    * Exactness: all integers (counts, lengths, half-up milli mean);
+    * md5 keys are unique per doc_id (the x2/x61 collision-odds
+    * contract), so the order is total and both engines walk the
+    * identical sequence — the oracle is the single global window DuckDB
+    * can afford. */
+  private[operators] def x152(spark: SparkSession, dir: String): DataFrame = {
+    val hexChars = spark.conf.getOption("spark.graft.shuffleaudit.hexChars")
+      .map(_.toInt).getOrElse(2)
+    require(hexChars >= 1 && hexChars <= 4,
+      s"x152: spark.graft.shuffleaudit.hexChars must be 1..4, got $hexChars")
+    val o = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("doc_id").cast(StringType)).as("k"))
+      .withColumn("bucket",
+        conv(substring(col("k"), 1, hexChars), 16, 10).cast(IntegerType))
+    val wOrd = Window.partitionBy(col("bucket")).orderBy(col("k"))
+    val rows = o
+      .withColumn("prev", lag(col("source"), 1).over(wOrd))
+      .withColumn("nr", when(col("prev").isNull || col("prev") =!= col("source"), 1L)
+        .otherwise(0L))
+      .withColumn("rid", sum(col("nr")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = rows.groupBy(col("bucket"), col("rid"), col("source"))
+      .agg(count(lit(1)).as("len"))
+      .withColumn("max_rid", max(col("rid")).over(Window.partitionBy(col("bucket"))))
+      .persist(StorageLevel.MEMORY_AND_DISK) // run-count-sized; released below
+    // interior runs (touching neither bucket border) aggregate distributed
+    val interior = runs.filter(col("rid") =!= 1L && col("rid") =!= col("max_rid"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_runs_i"), sum(col("len")).as("n_docs_i"),
+        max(col("len")).as("max_run_i"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // boundary runs: ≤ 2·buckets rows — the driver stitch walks the
+    // buckets in k-order and merges border-crossing chains exactly
+    val border = runs.filter(col("rid") === 1L || col("rid") === col("max_rid"))
+      .select(col("bucket"), col("rid"), col("source"), col("len"), col("max_rid"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(b => (b._1, b._2))
+    runs.unpersist()
+    val merged = scala.collection.mutable.Map[String, (Long, Long)]() // src -> (n_runs, max_run)
+    def emit(src: String, len: Long): Unit = {
+      val (n, m) = merged.getOrElse(src, (0L, 0L))
+      merged(src) = (n + 1, math.max(m, len))
+    }
+    var chain: Option[(String, Long)] = None
+    for (grp <- border.groupBy(_._1).toSeq.sortBy(_._1)) {
+      val bs = grp._2
+      val first = bs.head // rid == 1 (sort pinned it first)
+      val single = first._5 == 1L // the bucket is ONE run end to end
+      chain = chain match {
+        case Some((src, len)) if src == first._3 => Some((src, len + first._4))
+        case other =>
+          other.foreach { case (s, l) => emit(s, l) }
+          Some((first._3, first._4))
+      }
+      if (!single) {
+        chain.foreach { case (s, l) => emit(s, l) } // chain ends inside this bucket
+        val last = bs.last // rid == max_rid
+        chain = Some((last._3, last._4))
+      }
+    }
+    chain.foreach { case (s, l) => emit(s, l) }
+    val sources = (interior.keySet ++ merged.keySet).toSeq.sorted
+    val outRows = sources.map { src =>
+      val (nI, _, mI) = interior.getOrElse(src, (0L, 0L, 0L))
+      val (nB, mB) = merged.getOrElse(src, (0L, 0L))
+      (src, nI + nB, math.max(mI, mB))
+    }
+    // n_docs per source is a plain distributed count (independent of runs)
+    val nd = Tables.documents(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    outRows.map { case (src, nRuns, maxRun) =>
+      val nDocs = nd.getOrElse(src, 0L)
+      (src, nDocs, nRuns, maxRun,
+        (2 * nDocs * 1000 + nRuns) / (2 * nRuns))
+    }.toDF("source", "n_docs", "n_runs", "max_run", "mean_run_milli")
+      .orderBy(col("source"))
+  }
+
+  private[operators] lazy val x152Sql =
+    """WITH o AS (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents),
+      |r AS (SELECT source, k,
+      |    CASE WHEN lag(source) OVER (ORDER BY k) IS DISTINCT FROM source
+      |         THEN 1 ELSE 0 END AS nr
+      |  FROM o),
+      |g AS (SELECT source, sum(nr) OVER (ORDER BY k
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      |  FROM r),
+      |runs AS (SELECT source, rid, CAST(count(*) AS BIGINT) AS len
+      |  FROM g GROUP BY 1, 2)
+      |SELECT source, CAST(sum(len) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_runs,
+      |  CAST(max(len) AS BIGINT) AS max_run,
+      |  (2 * CAST(sum(len) AS BIGINT) * 1000 + count(*)) // (2 * count(*)) AS mean_run_milli
+      |FROM runs GROUP BY source ORDER BY source""".stripMargin
 }

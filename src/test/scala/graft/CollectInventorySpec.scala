@@ -49,10 +49,11 @@ class CollectInventorySpec extends AnyFunSuite {
       "1-row scalar aggregates: the statistics gate's count/countDistinct audit rows"),
     "QueriesAnn.scala" -> (4,
       "IVF cell histogram (k=16-bounded), k-row exemplar id list, two 1-row query-vector probes"),
-    "QueriesCorpus.scala" -> (8,
+    "QueriesCorpus.scala" -> (11,
       "1-row corpus scalars (max ts / max event_id / x50 cut row / min-max-count / " +
         "x150's budget+weight totals), k-bucket quintile and x104 histogram maps, " +
-        "x146's |types|²-bounded transition matrix"),
+        "x146's |types|²-bounded transition matrix, x152's |sources|-row interior " +
+        "stats + ≤2·buckets border runs + |sources|-row doc counts"),
     "QueriesDedup.scala" -> (4,
       "1-row scalars: max df, clustered-doc mass, wedge count, delta shingle NDV"),
     "QueriesGovernance.scala" -> (1,

@@ -2864,4 +2864,56 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$term: base-only idf must differ from maintained idf")
     }
   }
+
+  test("x152: runs re-derive from a pure-Scala global walk; output is bucketing-invariant (hexChars 1 == 2)") {
+    // 1. ground truth: sort the whole corpus by md5(doc_id) in memory and
+    // walk it once — the single-threaded run-length pass the distributed
+    // bucket-stitch plan must reproduce exactly
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def k(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      h.map(b => f"$b%02x").mkString
+    }
+    val ordered = docs.map { case (id, src) => (k(id), src) }.sortBy(_._1)
+    val runs = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    for ((_, src) <- ordered) {
+      if (runs.nonEmpty && runs.last._1 == src)
+        runs(runs.length - 1) = (src, runs.last._2 + 1)
+      else runs += ((src, 1L))
+    }
+    val expected = runs.groupBy(_._1).map { case (src, rs) =>
+      val lens = rs.map(_._2)
+      src -> (lens.sum, lens.size.toLong, lens.max,
+        (2 * lens.sum * 1000 + lens.size) / (2 * lens.size))
+    }
+    val out = run("x152_shuffle_quality").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("max_run"), r.getAs[Long]("mean_run_milli"))).toMap
+    assert(out === expected, "bucket-stitched runs must equal the global walk")
+    // 2. bucketing invariance: 16 buckets and 256 buckets give identical
+    // output — the partitioning is an implementation detail, not semantics
+    spark.conf.set("spark.graft.shuffleaudit.hexChars", "1")
+    try {
+      val out16 = run("x152_shuffle_quality").collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_runs"),
+            r.getAs[Long]("max_run"), r.getAs[Long]("mean_run_milli"))).toMap
+      assert(out16 === expected, "hexChars=1 (16 buckets) must emit identical rows")
+    } finally spark.conf.unset("spark.graft.shuffleaudit.hexChars")
+    // 3. the stitch is non-vacuous on this corpus: with 16 buckets there
+    // are 15 borders over >400 docs, so at least one same-source chain
+    // crosses a border unless every border splits sources — check the
+    // raw material: count borders whose two sides share a source
+    val byBucket = ordered.groupBy(_._1.substring(0, 1)).toSeq.sortBy(_._1)
+    val borderMerges = byBucket.sliding(2).count {
+      case Seq((_, a), (_, b)) => a.last._2 == b.head._2
+      case _ => false
+    }
+    assert(borderMerges >= 1,
+      "fixture must exercise the cross-border merge (no border chains at 16 buckets)")
+  }
 }
