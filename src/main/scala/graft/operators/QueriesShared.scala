@@ -108,18 +108,38 @@ private[operators] trait QueriesShared { this: Queries.type =>
   /** THE EAGER-RELEASE FINISH (r10, hoisted from the x137/x143/qs27
     * conversions): materialize `out` ONCE via localCheckpoint(true) —
     * partitions land in the EXECUTORS' block managers, never the driver,
-    * so this is safe for corpus-sized outputs, not just scalar audits —
-    * then release every `pinned` intermediate immediately. The returned
-    * frame reads its own checkpointed blocks, so no operator hands the
-    * caller a plan pinned to an unreleased corpus-scale cache; without
-    * this, the persist() lives until somebody else's clearCache().
-    * Cost contract: one materialization of `out`, which every consumer
-    * (Verify's parquet dump, Bench's noop sink, a production write) was
-    * about to pay anyway — the only extra work is a block re-read. */
+    * so driver memory is safe for corpus-sized outputs, not just scalar
+    * audits — then release every `pinned` intermediate immediately. The
+    * returned frame reads its own checkpointed blocks, so no operator
+    * hands the caller a plan pinned to an unreleased corpus-scale cache;
+    * without this, the persist() lives until somebody else's
+    * clearCache(). Cost contract: one materialization of `out`, which
+    * every consumer (Verify's parquet dump, Bench's noop sink, a
+    * production write) was about to pay anyway — the only extra work is
+    * a block re-read (A/B-priced per converted query, BASELINE.md r11:
+    * the ScaleProbes `eagerfinish_ab` probe).
+    *
+    * FAULT-TOLERANCE TRADE-OFF (r10 ADVICE, medium): localCheckpoint
+    * blocks are executor-local, NON-replicated and NON-recomputable —
+    * lineage is truncated, so losing any executor after construction
+    * makes the returned frame unrecoverable (Spark itself warns against
+    * local checkpoints under dynamic allocation). On a cluster with
+    * dynamic allocation or preemptible executors, either set
+    * `spark.graft.eagerFinish.enabled=false` (pins then live until the
+    * session's normal cache clear and the output keeps full lineage) or
+    * front a reliable `spark.checkpoint.dir` write in the consumer.
+    * Construction also transiently holds pins + the checkpointed copy;
+    * for the corpus-scale conversions (x141, x108) that peak is the
+    * price of not leaking the pins to composers. */
   private[graft] def eagerFinish(out: DataFrame, pinned: DataFrame*): DataFrame = {
-    val done = out.localCheckpoint(true)
-    pinned.foreach(_.unpersist(blocking = false))
-    done
+    val enabled = out.sparkSession.conf
+      .getOption("spark.graft.eagerFinish.enabled").forall(_.toBoolean)
+    if (!enabled) out // A/B + dynamic-allocation escape hatch: r9 lifecycle (pins stay until clearCache)
+    else {
+      val done = out.localCheckpoint(true)
+      pinned.foreach(_.unpersist(blocking = false))
+      done
+    }
   }
 
   /** Membership predicate: every one of the 4 bit positions is set. */

@@ -128,6 +128,46 @@ object ScaleProbes {
         timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))
       case "x135_exact" =>
         timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))
+      case "eagerfinish_ab" =>
+        // r11 verdict item 2: price the eager-release recipe. For each
+        // converted query, reps are INTERLEAVED on/off in one JVM so both
+        // arms share the same host window (the r10 x148 "tripling" was
+        // co-tenancy, not the conversion — this probe is built to never
+        // repeat that misread). Off = r9 lifecycle: pins live until the
+        // per-rep cache clear, output keeps lineage; the timed action
+        // still pays full materialization either way.
+        val converted = Seq("x141_span_ladder", "x137_conformal_gate",
+          "x143_ivf_probe_ladder", "x148_conformal_proper",
+          "x149_ivf_delta_add", "x108_nb_quality_classifier",
+          "qs27_stream_conformal")
+        val fns = graft.SparkEntry.queries // qs27 lives in the stream registry
+        def onceTimed(build: () => DataFrame): Double = {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          val t0 = System.nanoTime()
+          build().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        for (name <- converted) {
+          // untimed warmup so neither arm is charged first-run codegen,
+          // and per-rep arm-order alternation so residual drift within
+          // the window cancels instead of biasing whichever arm runs first
+          try onceTimed(() => fns(name)(spark, dir)) catch { case _: Throwable => () }
+          val arms = (1 to reps).flatMap { rep =>
+            (if (rep % 2 == 0) Seq(false, true) else Seq(true, false)).map { on =>
+              spark.conf.set("spark.graft.eagerFinish.enabled", on.toString)
+              on -> onceTimed(() => fns(name)(spark, dir))
+            }
+          }
+          spark.conf.set("spark.graft.eagerFinish.enabled", "true")
+          def med(on: Boolean) = {
+            val t = arms.filter(_._1 == on).map(_._2).sorted
+            t(t.size / 2)
+          }
+          println(f"""{"probe":"eagerfinish_ab","query":"$name","dir":"$dir","on_median_sec":${med(true)}%.3f,"off_median_sec":${med(false)}%.3f,"reps":$reps}""")
+        }
+        spark.stop()
+        return
       case other => sys.error(s"unknown probe $other")
     }
     val sorted = times.sorted

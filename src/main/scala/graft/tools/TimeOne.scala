@@ -24,9 +24,12 @@ object TimeOne {
     val q = Queries.byName(name)
     for (i <- 1 to reps) {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
-      val n = q.run(spark, sfDir).count()
-      println(f"[timeone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // noop-sink full materialization, same instrument as Bench — count()
+      // lets join elimination drop whole legs (the r9 x141 undercount)
+      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[timeone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
