@@ -19,6 +19,11 @@ object Verify {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // oracle-parity run marker: operators with oracle-headroom guards
+    // (RankSum's HUGEINT bound) fail loud HERE instead of letting DuckDB
+    // raise a confusing arithmetic error downstream; engine-only runs
+    // without this flag skip those guards (r10 ADVICE).
+    spark.conf.set("spark.graft.verifyMode", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -96,8 +96,13 @@ private[operators] trait QueriesShared { this: Queries.type =>
     * broadcasts; past the cap it spills to disk like any shuffle input)
     * and is released by the standard between-queries cache clear — the
     * returned plan pins it, so the callee cannot release it earlier.
-    * Every consumer is enrolled in BroadcastInventorySpec as conf-gated
-    * and carries a cap-0 output-identity spec. */
+    * ACCUMULATION CAVEAT (r10 ADVICE): a session composing several gated
+    * queries back-to-back holds one delta pin per query until that
+    * boundary; chain-heavy composers should eagerFinish the consuming
+    * query or clear between ops (rationale recorded in
+    * CacheInventorySpec's GATED class). Every consumer is enrolled in
+    * BroadcastInventorySpec as conf-gated and carries a cap-0
+    * output-identity spec. */
   private[graft] def gatedBroadcast(spark: SparkSession, df: DataFrame,
       confKey: String, defaultCap: Long = 8000000L): DataFrame = {
     val cap = spark.conf.getOption(confKey).map(_.toLong).getOrElse(defaultCap)

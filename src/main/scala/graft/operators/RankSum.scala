@@ -54,9 +54,17 @@ object RankSum {
     // the failure would present as a confusing oracle error far from its
     // cause. Fail HERE, loud and attributed, at a documented safe bound;
     // engine-only runs on larger eval slices raise the conf knowingly.
-    val parityCap = counts0.sparkSession.conf
-      .getOption("spark.graft.ranksum.oracleParityN").map(_.toLong).getOrElse(250000L)
-    require(bigN <= parityCap,
+    // r11 (ADVICE): the guard fires only when an oracle-parity run is
+    // actually in effect — Verify sets spark.graft.verifyMode=true, and
+    // setting the N conf explicitly opts in — so engine-only production
+    // runs on larger eval slices no longer throw for a bound that exists
+    // purely to pre-empt a confusing DuckDB-side error.
+    val conf = counts0.sparkSession.conf
+    val parityOpt = conf.getOption("spark.graft.ranksum.oracleParityN").map(_.toLong)
+    val parityRun = parityOpt.isDefined ||
+      conf.getOption("spark.graft.verifyMode").exists(_.toBoolean)
+    val parityCap = parityOpt.getOrElse(250000L)
+    require(!parityRun || bigN <= parityCap,
       s"rank-sum eval slice N=$bigN exceeds the DuckDB-oracle HUGEINT headroom bound " +
         s"($parityCap; worst-case z² numerator 3.75e5·N⁶ reaches 2^127 near N≈2.7e5). " +
         "Audit a bounded eval slice, or raise spark.graft.ranksum.oracleParityN for " +

@@ -410,6 +410,130 @@ object StreamQueries {
       |  doc_id, n_terms, score_ppm, TRUE AS matches_batch
       |FROM top ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- QS30
+  /** STREAMING IVF ASSIGNMENT MAINTENANCE — x149's online twin and the
+    * IVM matrix's last missing streaming leg (r10 verdict item 3):
+    * arriving delta vectors are absorbed into the standing x14/x149 IVF
+    * index CONTINUOUSLY instead of in a nightly batch. Assignment is
+    * computed MAP-SIDE against the frozen base centroids (the x49
+    * discipline): the k-row centroid manifest rides the plan as a
+    * literal array — k×dim doubles, ~8 KB — so no join, no shuffle, no
+    * per-vector state ever exists. The ONE streaming aggregation keys by
+    * cent_id: state is k rows × (count + dim quantized first-moment
+    * sums) longs — corpus-size-independent by construction, the number a
+    * rebuild trigger reads to decide when frozen centroids drifted.
+    * Exactness: each component is quantized ONCE to int64 ppm via the
+    * x29 floor(x·1e6 + 0.5) convention applied to the RAW stored
+    * component — both engines widen the identical parquet float to the
+    * identical double and run the identical IEEE mul/add/floor, so no
+    * cross-engine ulp band exists (the RoundBoundarySpec class covers
+    * rounds of COMPUTED doubles; a round of stored bits cannot diverge).
+    * Commutative integer sums make the drain arrival-order-free; the
+    * audit re-derives the cell moments from the batch corpus THROUGH THE
+    * SAME core and hash-gates agreement per cell (matches_batch), so
+    * stream == batch is verified, not asserted. */
+  private val embsRawSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Three deterministic arrival waves of the embeddings table
+    * (hash-split like [[docsWaves]] so cells accumulate across batches). */
+  private val embWaveCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def embWaves(spark: SparkSession, dir: String): String =
+    embWaveCache.getOrElseUpdate(dir, {
+      val src = graft.util.TempDirs.create("graft-stream-embs")
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      for (i <- 0 until 3) {
+        e.filter(pmod(xxhash64(col("vec_id")), lit(3)) === i)
+          .coalesce(1).write.parquet(src.resolve(s"wave-$i").toString)
+        Thread.sleep(5) // file mtime orders the waves
+      }
+      src.toString
+    })
+
+  private def embStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embsRawSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(embWaves(spark, dir))
+
+  /** qs30's stateful core, factored for StreamRecoverySpec (the
+    * bm25StatsWide pattern): map-side nearest-centroid assignment
+    * against the frozen manifest (ties to the LOWEST cent_id via
+    * max(sim, −id) — bit-identical to ivfAssigned's max_by contract),
+    * then one groupBy(cent_id) wide aggregation: count + per-dimension
+    * quantized component sums. Works identically on a stream (k-row
+    * state) and a batch frame (the audit's recompute leg). */
+  private[graft] def ivfCellMomentsWide(emb: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val dim = cents.head._2.size
+    val centArr = array(cents.map { case (id, cv, cn) =>
+      struct(lit(id).as("cent_id"), typedLit(cv).as("cv"), lit(cn).as("cn"))
+    }: _*)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("best", array_max(transform(centArr, c => struct(
+        (call_function("graft_dot", col("v"), c.getField("cv"))
+          / (col("nrm") * c.getField("cn"))).as("sim"),
+        (lit(0L) - c.getField("cent_id")).as("nid")))))
+      .withColumn("cent_id", lit(0L) - col("best.nid"))
+      .withColumn("q", expr("transform(v, x -> cast(floor(x * 1000000.0D + 0.5D) as bigint))"))
+    val aggs = count(lit(1)).as("delta_cnt") +:
+      (0 until dim).map(d => sum(expr(s"q[$d]")).as(s"m_$d"))
+    assigned.groupBy(col("cent_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def qs30(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.operators.Queries.embWithNorm(spark, dir)
+    val base = e.filter(col("vec_id") >= 5 && col("vec_id") % 10 =!= 0)
+    // the frozen index manifest: k=16 rows by contract (production reads
+    // the stored index artifact, never re-derives it) — bounded collect,
+    // enrolled in CollectInventorySpec
+    val cents = graft.operators.Queries.ivfSeedCentroids(base, 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2))).toSeq
+    val dim = cents.head._2.size
+    val isDelta = col("vec_id") >= 5 && col("vec_id") % 10 === 0
+    val drained = runToTable(spark,
+      ivfCellMomentsWide(embStream(spark, dir).filter(isDelta), cents),
+      OutputMode.Complete())
+    val batch = ivfCellMomentsWide(
+      spark.read.parquet(s"$dir/embeddings.parquet").filter(isDelta), cents)
+      .select(col("cent_id").as("b_cid") +: col("delta_cnt").as("b_cnt") +:
+        (0 until dim).map(d => col(s"m_$d").as(s"b_m_$d")): _*)
+    val m1 = (0 until dim).map(d => col(s"m_$d")).reduce(_ + _)
+    val eq = col("delta_cnt") === col("b_cnt") &&
+      (0 until dim).map(d => col(s"m_$d") === col(s"b_m_$d")).reduce(_ && _)
+    drained.join(batch, drained("cent_id") === col("b_cid"), "left") // two k-row frames
+      .select(drained("cent_id"), col("delta_cnt"), m1.as("m1_sum"),
+        (col("b_cid").isNotNull && eq).as("matches_batch"))
+      .orderBy(col("cent_id"))
+  }
+
+  /** Oracle = the batch maintenance leg: delta assignment against the
+    * frozen base centroids (x149's assign CTE restricted to the delta
+    * generation) + per-cell count and quantized first-moment total. */
+  private val qs30Sql =
+    """WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+      |          WHERE vec_id >= 5 AND vec_id % 10 <> 0
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (SELECT vec_id, cent_id FROM (
+      |  SELECT e.vec_id, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
+      |  FROM e, cents c WHERE e.vec_id >= 5 AND e.vec_id % 10 = 0) a WHERE rn = 1)
+      |SELECT a.cent_id, CAST(count(*) AS BIGINT) AS delta_cnt,
+      |  CAST(sum(CAST(list_sum(list_transform(e.v,
+      |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS BIGINT)) AS BIGINT) AS m1_sum,
+      |  TRUE AS matches_batch
+      |FROM assign a JOIN e ON e.vec_id = a.vec_id
+      |GROUP BY a.cent_id ORDER BY a.cent_id""".stripMargin
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -1803,5 +1927,7 @@ object StreamQueries {
     Q("qs28_stream_rank_drift", qs28, Some(qs28Sql),
       "streaming Mann-Whitney drift monitor: (source, score) histogram state, the fully-integer x144 test on drain == batch"),
     Q("qs29_stream_bm25_stats", qs29, Some(qs29Sql),
-      "streaming BM25 index-stats maintenance: 1-row wide state (N, sum dl, per-term df), drained serve == batch serve via the shared linear-idf path"))
+      "streaming BM25 index-stats maintenance: 1-row wide state (N, sum dl, per-term df), drained serve == batch serve via the shared linear-idf path"),
+    Q("qs30_stream_ivf_maintenance", qs30, Some(qs30Sql),
+      "streaming IVF assignment maintenance: map-side assign vs the frozen k-row centroid literal, k-row wide state (count + dim quantized moment sums), drain hash-gated against the batch leg"))
 }

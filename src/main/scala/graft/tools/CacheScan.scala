@@ -31,7 +31,9 @@ object CacheScan {
           println(s"[cachescan] ${q.name}: ${leaked.size} pinned — " +
             leaked.map(_.toString.replaceAll("\\s+", " ").take(80)).mkString(" | "))
       } catch {
-        case e: Throwable => println(s"[cachescan] ${q.name}: ERROR ${e.getClass.getSimpleName}")
+        case e: Throwable => // message needed to diagnose the failing query (r10 ADVICE)
+          println(s"[cachescan] ${q.name}: ERROR ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(160))
       }
     }
     println("[cachescan] done")

@@ -19,12 +19,27 @@ import graft.operators.Queries
   * frame is checkpointed blocks. */
 private object HintRecorder extends Rule[LogicalPlan] {
   @volatile var current: String = ""
-  val counts = scala.collection.concurrent.TrieMap[String, Int]()
+  /** query -> distinct forced-broadcast SITE keys (r11, ADVICE): a site is
+    * (side, join type, condition text with expr-ids stripped), so
+    * re-optimizing the same frame in a second construction-time job no
+    * longer double-counts it — ceilings stop being brittle to benign
+    * re-optimization, and a REMOVED forced hint can no longer hide behind
+    * an extra pass re-counting a surviving one. */
+  val sites = scala.collection.concurrent.TrieMap[String, Set[String]]()
+  private def condKey(j: Join): String =
+    j.joinType.sql + "|" +
+      j.condition.map(_.toString.replaceAll("#\\d+", "")).getOrElse("<none>")
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val n = plan.collect { case j: Join =>
-      Seq(j.hint.leftHint, j.hint.rightHint).flatten.count(_.strategy.contains(BROADCAST))
-    }.sum
-    if (n > 0) counts.updateWith(current)(c => Some(c.getOrElse(0) + n))
+    val found = plan.collect { case j: Join =>
+      Seq(("L", j.hint.leftHint, j.left), ("R", j.hint.rightHint, j.right)).collect {
+        case (side, Some(h), child) if h.strategy.contains(BROADCAST) =>
+          // the hinted child's output names disambiguate conditionless
+          // (cross) sites that a bare condition key would collapse
+          side + "|" + condKey(j) + "|" + child.output.map(_.name).mkString(",")
+      }
+    }.flatten
+    if (found.nonEmpty)
+      sites.updateWith(current)(s => Some(s.getOrElse(Set.empty) ++ found))
     plan
   }
 }
@@ -53,9 +68,11 @@ private object HintRecorder extends Rule[LogicalPlan] {
   * NOT counted — the invariant governs what the code FORCES regardless of
   * size. Any query not in the inventory must force zero broadcasts;
   * growing the inventory requires writing a bounded-domain justification
-  * here, in review. Counts are per-optimization totals: a frame optimized
-  * in two construction-time jobs contributes its hints twice, so ceilings
-  * are calibrated to the observed execution pattern, not the static plan.
+  * here, in review. Counts are DISTINCT HINT SITES (r11, ADVICE): keyed by
+  * (hinted side, join type, condition text sans expr-ids), so a frame
+  * re-optimized across two construction-time jobs counts once, and the
+  * inventory is an EXACT match — a site appearing OR disappearing both
+  * trip the sweep, so a removed hint cannot mask an added one.
   */
 class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -86,7 +103,7 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "q5_theta_margin" -> (1, "k-row bucket order-statistics frame"),
     "q37_cohort_retention" -> (1, "|cohort weeks|-row size frame (bounded time dimension)"),
     "q39_merge_apply" -> (1, "conf-gated: spark.graft.merge.broadcastFeedCap"),
-    "q44_ivm_join" -> (4, "conf-gated: spark.graft.ivm.broadcastDeltaCap (3 delta legs, 4 hints)"),
+    "q44_ivm_join" -> (2, "conf-gated: spark.graft.ivm.broadcastDeltaCap (2 distinct delta-leg sites)"),
     "x7_ann_lsh" -> (1, "192-row hyperplane matrix"),
     "x14_ann_ivf" -> (5, "k=16 centroid frames + 5-row query frame + 5x16 query-centroid dots"),
     "x21_sequence_pack" -> (1, "|packs|-row boundary frame"),
@@ -94,19 +111,19 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x29_quantized_rerank" -> (1, "5-row query frame"),
     "x31_doc_keywords" -> (1, "df-capped idf vocabulary"),
     "x32_lm_quality" -> (1, "bounded LM probability table"),
-    "x38_kmeans_embed" -> (2, "k centroid frames (two assignment rounds)"),
+    "x38_kmeans_embed" -> (1, "k centroid frame: one site re-executed across the assignment rounds"),
     "x39_zorder_layout" -> (1, "k-row quantile-boundary frame"),
-    "x44_textrank" -> (3, "bounded per-round rank frames over the sentence graph"),
+    "x44_textrank" -> (1, "bounded per-round rank frame: one site re-executed per round"),
     "x46_random_projection" -> (1, "d x k projection matrix"),
     "x48_semantic_outliers" -> (1, "k centroid frame"),
-    "x49_delta_cluster_assign" -> (2, "k centroid frames"),
+    "x49_delta_cluster_assign" -> (1, "k centroid frames"),
     "x53_imputation" -> (1, "per-column imputation-stats frame (k rows)"),
     "x54_split_manifest" -> (1, "3-row per-split totals"),
     "x56_split_contamination" -> (1, "dup-rate melted pair frame (pairEnds)"),
     "x58_bm25_retrieval" -> (1, "query-term stats frame (|query terms| rows)"),
     "x59_source_dup_matrix" -> (1, "dup-rate melted pair frame (pairEnds)"),
     "x60_winsorize" -> (1, "per-key cutoff frame (k rows)"),
-    "x61_span_catalog" -> (3, "dup-rate span-hash and candidate-doc frames"),
+    "x61_span_catalog" -> (2, "dup-rate span-hash and candidate-doc frames"),
     "x63_source_drift" -> (2, "|sources|-row moment frames"),
     "x67_shard_planner" -> (1, "|shards|-row boundary frame"),
     "x69_pmi_collocations" -> (2, "df-capped vocabulary frames"),
@@ -114,11 +131,11 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x76_pack_manifest" -> (1, "|packs|-row boundary frame"),
     "x78_vocab_coverage" -> (1, "top-k vocabulary table"),
     "x79_length_drift_ks" -> (2, "bounded per-source CDF grid frames"),
-    "x84_whitened_ann" -> (2, "d x d whitening matrix + query frame"),
-    "x88_semdedup" -> (16, "k-row centroid frames across the k-means rounds (+2 subquery re-optimizations of the same frames)"),
+    "x84_whitened_ann" -> (1, "d x d whitening matrix + query frame"),
+    "x88_semdedup" -> (1, "k-row centroid frame: ONE distinct site, re-executed across the k-means rounds (the r10 sum of 16 was re-optimization double-counting)"),
     "x98_contrastive_pairs" -> (1, "k-row sampled anchor frame"),
     "x101_knn_classify" -> (1, "k-row labeled anchor frame"),
-    "x102_pq_codebook" -> (2, "k x d codebook frames"),
+    "x102_pq_codebook" -> (1, "k x d codebook frames"),
     "x108_nb_quality_classifier" -> (1, "vocab-capped NB model frame"),
     "x110_ivm_dedup_index" -> (2, "conf-gated: spark.graft.dedup.broadcastDirtyCap (both legs)"),
     "x115_bitext_pairs" -> (1, "bounded language-pair table"),
@@ -130,24 +147,24 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x130_ivm_components" -> (3, "conf-gated delta shingles (broadcastShingleCap) + affected-component relabel map; +1 construction-time execution recorded by the r10 hook"),
     "x133_target_encoding" -> (1, "|categories|-row totals frame"),
     "x135_semantic_split_leak" -> (1, "conf-gated: spark.graft.splitleak.broadcastTestCap"),
-    "x139_retrieval_ndcg" -> (5, "pinned 20-row DCG/rank tables + query-term stats (one re-optimized in a construction-time stats job)"),
+    "x139_retrieval_ndcg" -> (3, "pinned 20-row DCG/rank tables + query-term stats (one re-optimized in a construction-time stats job)"),
     "x140_cv_model_select" -> (2, "5-row fold-total + model frames"),
-    "x145_ranker_tau" -> (7, "top-k ranker list frames (k rows each), re-counted across the construction-time scalar jobs"),
+    "x145_ranker_tau" -> (3, "top-k ranker list frames (k rows each): 3 distinct sites across the construction-time scalar jobs"),
     "x148_conformal_proper" -> (1, "fold-trained NB model frame (vocab-sized, the x108 class)"),
     // r10: counts below exist only through the extraOptimizations hook —
     // these queries' distributed halves run at CONSTRUCTION (driver-side
     // finishers, eagerFinish checkpoints, iteration rounds) and their
     // returned frames are hint-free LogicalRDD/checkpoint plans
-    "x45_cluster_exemplars" -> (2, "k centroid frames (assignment + exemplar rank)"),
-    "x112_pq_index_serve" -> (6, "k x d codebook + 5-row query frames across the train->encode->publish->serve lifecycle executions"),
-    "x123_bradley_terry" -> (14, "per-round broadcasts of the |items|^2-bounded pair/strength frames across the 4 persisted-leaf MM rounds"),
+    "x45_cluster_exemplars" -> (1, "k centroid frames (assignment + exemplar rank)"),
+    "x112_pq_index_serve" -> (4, "k x d codebook + 5-row query frames across the train->encode->publish->serve lifecycle executions"),
+    "x123_bradley_terry" -> (7, "per-round broadcasts of the |items|^2-bounded pair/strength frames: 7 distinct sites, re-executed across the 4 persisted-leaf MM rounds"),
     "x137_conformal_gate" -> (1, "x108's vocab-capped NB model frame, executed at construction via eagerFinish"),
-    "x143_ivf_probe_ladder" -> (5, "k=16 centroid + 5-row query/crank frames, executed at construction via eagerFinish"),
+    "x143_ivf_probe_ladder" -> (4, "k=16 centroid + 5-row query/crank frames, executed at construction via eagerFinish"),
     "x144_rank_sum_drift" -> (1, "RankSum's ppm-grid-bounded pooled midrank table (the r10 ADVICE item)"),
     "qs28_stream_rank_drift" -> (1, "RankSum's pooled midrank table, post-drain audit"),
-    "x151_bm25_stats_ivm" -> (2, "|query terms|-row (3) idf frames: maintained + rebuilt legs"),
-    "qs29_stream_bm25_stats" -> (2, "|query terms|-row (3) idf frames: streamed-stats + batch-stats serve legs"),
-    "x149_ivf_delta_add" -> (5, "k=16 centroid frames (base+delta assignment, probe rank) + 5-row query frame + |q|x4 probe set"))
+    "x151_bm25_stats_ivm" -> (1, "|query terms|-row (3) idf frame: one site shared by maintained + rebuilt legs"),
+    "qs29_stream_bm25_stats" -> (1, "|query terms|-row (3) idf frame: one site shared by the streamed-stats + batch-stats serve legs"),
+    "x149_ivf_delta_add" -> (3, "k=16 centroid frames (base+delta assignment, probe rank) + 5-row query frame + |q|x4 probe set"))
 
   test("every forced broadcast in every batch query is a declared bounded frame or conf-gated") {
     spark.experimental.extraOptimizations ++= Seq(HintRecorder)
@@ -160,10 +177,12 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
-      val forced = HintRecorder.counts.getOrElse(q.name, 0)
+      val forced = HintRecorder.sites.get(q.name).map(_.size).getOrElse(0)
       val cap = inventory.get(q.name).map(_._1).getOrElse(0)
-      if (forced > cap)
-        Some(s"${q.name}: $forced forced broadcast(s), declared $cap")
+      if (forced != cap)
+        Some(s"${q.name}: $forced distinct forced-broadcast site(s), declared $cap\n  " +
+          HintRecorder.sites.getOrElse(q.name, Set.empty)
+            .toSeq.sorted.map(_.take(120)).mkString("\n  "))
       else None
     }
     assert(violations.isEmpty,

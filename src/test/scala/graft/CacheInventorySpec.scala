@@ -52,7 +52,12 @@ class CacheInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
   private val EMB = "shared embedding+norm frame: multi-consumer scan; job-boundary release"
   private val TF = "shared per-doc tf/dl frame (bm25 machinery): multi-consumer; job-boundary release"
   private val LEAF = "persisted-RDD iteration leaf: exists to stop ~3^rounds plan growth"
-  private val GATED = "size-gated delta pinned by gatedBroadcast's single-scan contract (r10)"
+  private val GATED = "size-gated delta pinned by gatedBroadcast's single-scan contract (r10). " +
+    "ACCUMULATION NOTE (r10 ADVICE): the pin is delta-scale BY THE GATE'S OWN CERTIFICATE " +
+    "while broadcast (<= the registered cap) and disk-spillable past it, but a long-lived " +
+    "session composing SEVERAL gated queries accumulates one delta pin per query until its " +
+    "between-jobs clearCache boundary — a composition layer that chains gated maintenance " +
+    "ops back-to-back should eagerFinish its consumers (the x130 pattern) or clear between ops"
   private val STATS = "shared corpus/stats frame: multi-consumer scan; job-boundary release"
 
   /** name -> (max allowed non-checkpoint pins, rationale). */

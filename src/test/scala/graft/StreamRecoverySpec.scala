@@ -687,4 +687,64 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
         > spark.table("bm_fresh").head().getAs[Long]("n"),
       "recovered doc count not above the fresh wave-2-only count")
   }
+
+  test("qs30's k-row IVF cell-moment state restarts from checkpoint: drained cells equal the batch leg (recovery proof #11)") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery30")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    // the frozen manifest, exactly as qs30 derives it (k=16 rows)
+    val e = graft.operators.Queries.embWithNorm(spark, sf)
+    val cents = graft.operators.Queries.ivfSeedCentroids(
+        e.filter(col("vec_id") >= 5 && col("vec_id") % 10 =!= 0), 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2))).toSeq
+
+    val delta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") >= 5 && col("vec_id") % 10 === 0)
+    def writeWave(i: Int): Unit = {
+      delta.filter(pmod(xxhash64(col("vec_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val stream = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true").parquet(from)
+      val q = StreamQueries.ivfCellMomentsWide(stream, cents)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("ivf_run1", ckpt)
+    writeWave(2)
+    val wave2Rows = delta.filter(pmod(xxhash64(col("vec_id")), lit(3)) === 2).count()
+    assert(runOnce("ivf_run2", ckpt) === wave2Rows, "restart re-read old waves")
+
+    // the recovered cell table must equal the batch leg CELL-FOR-CELL
+    // through the same core — counts AND every quantized moment column —
+    // which is only possible if waves 0/1's sums crossed the death
+    val recovered = spark.table("ivf_run2")
+    val batch = StreamQueries.ivfCellMomentsWide(delta, cents)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted cell-moment table differs from the batch maintenance leg")
+    // state is provably k-row: cells are keyed by the 16-row manifest
+    assert(recovered.count() <= 16, "state rows exceed the centroid count")
+
+    // non-vacuity: a fresh wave-2-only run carries visibly less cell mass
+    runOnce("ivf_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass = (t: String) => spark.table(t).agg(sum(col("delta_cnt"))).head().getLong(0)
+    assert(mass("ivf_run2") > mass("ivf_fresh"),
+      "recovered cell mass not above the fresh wave-2-only mass")
+  }
 }
