@@ -2792,10 +2792,17 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     * cross-products ride DECIMAL(38,0)/HUGEINT. Scale shape: ONE corpus
     * aggregation to the |sources|-row frame; the |sources|² candidate
     * self-join and the 1-row argmax are metadata-scale. */
-  private[operators] def x150(spark: SparkSession, dir: String): DataFrame = {
-    val ns = Tables.documents(spark, dir)
-      .select(col("source"), size(toks(col("text"))).cast(LongType).as("nt"))
-      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+  private[operators] def x150(spark: SparkSession, dir: String): DataFrame =
+    cappedMixtureAlloc(
+      Tables.documents(spark, dir)
+        .select(col("source"), size(toks(col("text"))).cast(LongType).as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens")))
+
+  /** x150's closed-form solve factored over any (source, n_tokens) frame —
+    * shared with qs31's streamed per-source token state (the
+    * bm25StatsWide/ivfCellMomentsWide pattern: ONE implementation serves
+    * the batch leg, the streamed drain, and the recovery proof). */
+  private[graft] def cappedMixtureAlloc(ns: DataFrame): DataFrame = {
     // exact isqrt(n·10^12): floor(sqrt(double)) then the +-1 correction
     val m = ns
       .withColumn("x", expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000000000"))

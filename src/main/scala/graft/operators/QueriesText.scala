@@ -2216,4 +2216,117 @@ private[operators] trait QueriesText { this: Queries.type =>
       |SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank,
       |  doc_id, n_terms, score_ppm, TRUE AS matches_rebuild
       |FROM top ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- X153
+  /** QUALITY-FILTER ABLATION — the data-ablation harness every curation
+    * decision should pass before it ships: does filtering the training
+    * set by the x65 quality gate actually IMPROVE a proxy model's
+    * held-out loss, per language? Two bigram LMs train on the x54 train
+    * bucket — arm R on every train doc, arm F only on docs the REAL x65
+    * keep decisions admit (composition, not duplication: the engine
+    * consumes x65's own frame, the oracle wraps x65's SQL as a CTE — the
+    * x128/x142 discipline) — and both are scored on the SAME untouched
+    * test bucket with x136's add-one smoothing over each arm's own
+    * vocabulary. The wide-form trick (x140's "all models from ONE
+    * aggregation"): BOTH arms' bigram/unigram counts come from a single
+    * pass over the train bucket — count(*) beside sum(when(keep, 1)) —
+    * so the ablation pays ONE corpus-train aggregation, not one per arm;
+    * the eval join is distinct-bigram-keyed against that one wide model
+    * frame. Exactness is x136's recipe verbatim: per distinct test
+    * bigram ONE transcendental per arm — nll = round(−ln((c12+1)/(c1+V))
+    * ·10⁹), an ln of an exact integer ratio quantized once (enrolled in
+    * RoundBoundarySpec's irreducible single-transcendental class) — then
+    * exact DECIMAL(38,0) rationals to the per-lang cross-entropies and
+    * their delta (negative delta = the filter helps). Split hygiene
+    * note: the x65 gate scores with the session's corpus-trained LM
+    * (transductive — x137's documented caveat class); the leak path here
+    * is WEAK because the filter only selects TRAIN docs and the eval arm
+    * never sees test text, but a production ablation would gate on an
+    * x148-style fold-trained filter. Scale shape: one train-bucket
+    * aggregation (map-side combined, vocab²-bounded model frame), one
+    * test-bucket aggregation, one distinct-bigram join, a 1-row vocab
+    * scalar — no corpus-proportional state anywhere past the two
+    * aggregations, and the returned audit is |langs| rows. */
+  private[operators] def x153(spark: SparkSession, dir: String): DataFrame = {
+    val keep = x65(spark, dir).select(col("doc_id"), col("keep"))
+    val docs = Tables.documents(spark, dir)
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast(LongType), lit(100L)))
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"), col("b"))
+    // three passes (bigrams, unigrams, vocab) over the joined train bucket
+    val train = docs.filter(col("b") < 80).join(keep, "doc_id")
+      .select(col("tk"), col("keep")).persist(StorageLevel.MEMORY_AND_DISK)
+    val trainBig = train
+      .select(col("keep"),
+        posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("keep"), col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12_r"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("c12_f"))
+    val trainUni = train
+      .select(col("keep"), explode(expr("slice(tk, 1, size(tk) - 1)")).as("w1"))
+      .groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1_r"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("c1_f"))
+    // both arms' vocabulary sizes in ONE bounded driver action (1 row)
+    val x153Vocab = train.select(col("keep"), explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w")).as("vr"),
+        countDistinct(when(col("keep"), col("w"))).as("vf")).head()
+    val (vRaw, vFil) = (x153Vocab.getLong(0), x153Vocab.getLong(1))
+    val testBig = docs.filter(col("b") >= 90)
+      .select(col("lang"),
+        posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("lang"), col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
+    val out = testBig
+      .join(trainBig, Seq("w1", "w2"), "left").na.fill(0L, Seq("c12_r", "c12_f"))
+      .join(trainUni, Seq("w1"), "left").na.fill(0L, Seq("c1_r", "c1_f"))
+      .withColumn("nll_r", expr(
+        s"cast(round(-ln(cast(c12_r + 1 as double) / (c1_r + ${vRaw}L)) * 1e9, 0) as bigint)"))
+      .withColumn("nll_f", expr(
+        s"cast(round(-ln(cast(c12_f + 1 as double) / (c1_f + ${vFil}L)) * 1e9, 0) as bigint)"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ct")).as("n_bigrams"),
+        sum(expr("cast(ct as decimal(38,0)) * nll_r")).as("tr"),
+        sum(expr("cast(ct as decimal(38,0)) * nll_f")).as("tf"))
+      .select(col("lang"), col("n_bigrams"),
+        expr("cast((2 * tr + n_bigrams) div (2 * n_bigrams) as bigint)")
+          .as("xent_raw_nanos"),
+        expr("cast((2 * tf + n_bigrams) div (2 * n_bigrams) as bigint)")
+          .as("xent_filtered_nanos"))
+      .withColumn("delta_nanos",
+        col("xent_filtered_nanos") - col("xent_raw_nanos"))
+      .orderBy(col("lang"))
+    eagerFinish(out, train)
+  }
+
+  private[operators] lazy val x153Sql =
+    s"""WITH k AS ($x65Sql),
+       |d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk,
+       |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b FROM documents),
+       |tr AS (SELECT d.tk, k.keep FROM d JOIN k USING (doc_id) WHERE b < 80),
+       |trb AS (SELECT keep, tk[i] AS w1, tk[i + 1] AS w2
+       |  FROM (SELECT keep, tk, unnest(range(1, len(tk))) AS i FROM tr)),
+       |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12_r,
+       |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS c12_f FROM trb GROUP BY 1, 2),
+       |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1_r,
+       |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS c1_f FROM trb GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vr,
+       |    CAST(count(DISTINCT CASE WHEN keep THEN w END) AS BIGINT) AS vf
+       |  FROM (SELECT keep, unnest(tk) AS w FROM tr)),
+       |teb AS (SELECT lang, tk[i] AS w1, tk[i + 1] AS w2
+       |  FROM (SELECT lang, tk, unnest(range(1, len(tk))) AS i FROM d WHERE b >= 90)),
+       |tb AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS ct FROM teb GROUP BY 1, 2, 3),
+       |j AS (SELECT lang, ct,
+       |    CAST(round(-ln((coalesce(big.c12_r, 0) + 1)::DOUBLE
+       |      / (coalesce(uni.c1_r, 0) + (SELECT vr FROM v))) * 1e9) AS BIGINT) AS nll_r,
+       |    CAST(round(-ln((coalesce(big.c12_f, 0) + 1)::DOUBLE
+       |      / (coalesce(uni.c1_f, 0) + (SELECT vf FROM v))) * 1e9) AS BIGINT) AS nll_f
+       |  FROM tb LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1))
+       |SELECT lang, CAST(sum(ct) AS BIGINT) AS n_bigrams,
+       |  CAST((2 * sum(ct * nll_r) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS xent_raw_nanos,
+       |  CAST((2 * sum(ct * nll_f) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS xent_filtered_nanos,
+       |  CAST((2 * sum(ct * nll_f) + sum(ct)) // (2 * sum(ct)) AS BIGINT)
+       |    - CAST((2 * sum(ct * nll_r) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS delta_nanos
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -534,6 +534,86 @@ object StreamQueries {
       |FROM assign a JOIN e ON e.vec_id = a.vec_id
       |GROUP BY a.cent_id ORDER BY a.cent_id""".stripMargin
 
+  // ---------------------------------------------------------------- QS31
+  /** STREAMING CAPPED-MIXTURE MAINTENANCE — x150's online twin: the
+    * per-source token inventory a budgeted mixture plan reads maintains
+    * CONTINUOUSLY as document waves arrive, so the mixture runner always
+    * solves against current counts instead of a nightly recount. The
+    * ONE streaming aggregation keys by source: state is |sources| rows
+    * × one long (the commutative token-count sum — arrival-order-free,
+    * corpus-size-independent by construction). On drain the closed-form
+    * UniMax solve runs over the streamed counts and over a batch
+    * recount THROUGH THE SAME core
+    * ([[graft.operators.Queries.cappedMixtureAlloc]] — the
+    * bm25StatsWide/ivfCellMomentsWide one-implementation discipline),
+    * flagging per source; the oracle is x150's full closed-form SQL, so
+    * drain == batch is hash-gated, not asserted. The solve itself is
+    * |sources|²-metadata-scale and integer-exact (isqrt weights, zero
+    * Round nodes — the x150 RBS-free contract carries over verbatim). */
+  private[graft] def sourceTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), size(split(col("text"), " ")).cast(LongType).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+
+  private def qs31(spark: SparkSession, dir: String): DataFrame = {
+    val drained = runToTable(spark,
+      sourceTokenCounts(docsStream(spark, dir)), OutputMode.Complete())
+    val streamed = graft.operators.Queries.cappedMixtureAlloc(drained)
+    val batch = graft.operators.Queries.cappedMixtureAlloc(
+      sourceTokenCounts(graft.operators.Tables.documents(spark, dir)))
+      .select(col("source").as("b_src"), col("n_tokens").as("b_nt"),
+        col("weight_micro").as("b_w"), col("cap_tokens").as("b_cap"),
+        col("alloc_tokens").as("b_alloc"), col("epochs_ppm").as("b_ep"),
+        col("capped").as("b_capped"))
+    streamed.join(batch, streamed("source") === col("b_src"), "left") // |sources|-row frames
+      .select(streamed("source"), col("n_tokens"), col("weight_micro"),
+        col("cap_tokens"), col("alloc_tokens"), col("epochs_ppm"), col("capped"),
+        (col("b_src").isNotNull && col("n_tokens") === col("b_nt") &&
+          col("weight_micro") === col("b_w") && col("cap_tokens") === col("b_cap") &&
+          col("alloc_tokens") === col("b_alloc") && col("epochs_ppm") === col("b_ep") &&
+          col("capped") === col("b_capped")).as("matches_batch"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle = x150's closed-form solve over the full corpus (text
+    * duplicated rather than referenced — the qs26/qs29 rule: a
+    * cross-registry init-time read would deadlock the mutual clinit). */
+  private val qs31Sql =
+    """WITH ns AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |m AS (SELECT source, n_tokens,
+      |    CAST(n_tokens AS HUGEINT) * 1000000000000 AS x,
+      |    CAST(floor(sqrt(CAST(CAST(n_tokens AS HUGEINT) * 1000000000000 AS DOUBLE))) AS BIGINT) AS m0
+      |  FROM ns),
+      |mw AS (SELECT source, n_tokens,
+      |    m0 + (CASE WHEN CAST(m0 + 1 AS HUGEINT) * (m0 + 1) <= x THEN 1 ELSE 0 END)
+      |       - (CASE WHEN CAST(m0 AS HUGEINT) * m0 > x THEN 1 ELSE 0 END) AS w,
+      |    (21 * n_tokens) // 10 AS cap
+      |  FROM m),
+      |g AS (SELECT 2 * CAST(sum(n_tokens) AS BIGINT) AS budget,
+      |             CAST(sum(w) AS BIGINT) AS wtot FROM mw),
+      |cand AS (SELECT s.source AS cs, s.w AS ws, s.cap AS caps,
+      |    CAST(sum(r.cap) AS BIGINT) AS cumcap, CAST(sum(r.w) AS BIGINT) AS cumw
+      |  FROM mw s JOIN mw r ON CAST(r.cap AS HUGEINT) * s.w <= CAST(s.cap AS HUGEINT) * r.w
+      |  GROUP BY 1, 2, 3
+      |  HAVING CAST(s.w AS HUGEINT) * ((SELECT budget FROM g) - CAST(sum(r.cap) AS BIGINT))
+      |      >= CAST(s.cap AS HUGEINT) * ((SELECT wtot FROM g) - CAST(sum(r.w) AS BIGINT))),
+      |b AS (SELECT cumw AS bcumw, cumcap AS bcumcap, ws AS bws, caps AS bcaps
+      |  FROM cand ORDER BY cumw DESC, cumcap DESC, ws DESC, caps DESC LIMIT 1),
+      |f AS (SELECT mw.*, b.bcumw, b.bcumcap, b.bws, b.bcaps,
+      |    (b.bws IS NOT NULL AND CAST(mw.cap AS HUGEINT) * b.bws <= CAST(b.bcaps AS HUGEINT) * mw.w) AS capped
+      |  FROM mw LEFT JOIN b ON TRUE)
+      |SELECT source, n_tokens, w AS weight_micro, cap AS cap_tokens,
+      |  CASE WHEN capped THEN cap
+      |       ELSE CAST(CAST(w AS HUGEINT) * ((SELECT budget FROM g) - coalesce(bcumcap, 0))
+      |            // ((SELECT wtot FROM g) - coalesce(bcumw, 0)) AS BIGINT) END AS alloc_tokens,
+      |  CAST((2 * CAST((CASE WHEN capped THEN cap
+      |       ELSE CAST(CAST(w AS HUGEINT) * ((SELECT budget FROM g) - coalesce(bcumcap, 0))
+      |            // ((SELECT wtot FROM g) - coalesce(bcumw, 0)) AS BIGINT) END) AS HUGEINT) * 1000000
+      |       + n_tokens) // (2 * n_tokens) AS BIGINT) AS epochs_ppm,
+      |  capped, TRUE AS matches_batch
+      |FROM f ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -1929,5 +2009,7 @@ object StreamQueries {
     Q("qs29_stream_bm25_stats", qs29, Some(qs29Sql),
       "streaming BM25 index-stats maintenance: 1-row wide state (N, sum dl, per-term df), drained serve == batch serve via the shared linear-idf path"),
     Q("qs30_stream_ivf_maintenance", qs30, Some(qs30Sql),
-      "streaming IVF assignment maintenance: map-side assign vs the frozen k-row centroid literal, k-row wide state (count + dim quantized moment sums), drain hash-gated against the batch leg"))
+      "streaming IVF assignment maintenance: map-side assign vs the frozen k-row centroid literal, k-row wide state (count + dim quantized moment sums), drain hash-gated against the batch leg"),
+    Q("qs31_stream_mixture", qs31, Some(qs31Sql),
+      "streaming capped-mixture maintenance: |sources|-row token-count state, drained UniMax solve == batch x150 via the shared closed-form core"))
 }

@@ -123,6 +123,77 @@ object ScaleProbes {
               (coalesce(col("dfb"), lit(0L)) + coalesce(col("dfd"), lit(0L))).as("df"))
             .crossJoin(stats) // 3x1 rows: the maintained manifest update
         }
+      case "x112_train" =>
+        // the codebook-training leg alone: one seeded Lloyd round over the
+        // subspace decomposition (x102's trainer, exactly what x112's
+        // train_codebook producer runs)
+        timed { () =>
+          val subs = Queries.pqSubspaces(spark, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          Queries.pqCodebook(subs).coalesce(1)
+        }
+      case "x112_encode" =>
+        // the corpus-encode leg against a PUBLISHED codebook: the codebook
+        // artifact is written outside the timer (production re-encodes new
+        // slices against the stored artifact — x49's frozen-index
+        // discipline), so timing covers one corpus scan + the single
+        // map-side-combined encode shuffle
+        val cbDir = java.nio.file.Files.createTempDirectory("x112cb").toString
+        Queries.pqCodebook(Queries.pqSubspaces(spark, dir)).coalesce(1)
+          .write.mode("overwrite").parquet(cbDir)
+        timed { () =>
+          Queries.pqEncode(Queries.pqSubspaces(spark, dir),
+            spark.read.parquet(cbDir)).coalesce(4)
+        }
+      case "x112_serve" =>
+        // the two-stage serve leg alone, from PUBLISHED artifacts: codebook
+        // + codes parquet written outside the timer (the registry query's
+        // 4.3 s is lifecycle-dominated — train + encode + WAP audits + real
+        // artifact writes; this probe prices what a deployed index pays per
+        // query batch: the codes-only ADC scan, the ≤64/query shortlist
+        // broadcast, and the exact re-rank against the vector store)
+        val base = java.nio.file.Files.createTempDirectory("x112art").toString
+        val subsAll = Queries.pqSubspaces(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Queries.pqCodebook(subsAll).coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/cb")
+        Queries.pqEncode(subsAll, spark.read.parquet(s"$base/cb")).coalesce(4)
+          .write.mode("overwrite").parquet(s"$base/codes")
+        subsAll.unpersist(blocking = false)
+        timed { () =>
+          val cb = spark.read.parquet(s"$base/cb")
+          val cds = spark.read.parquet(s"$base/codes")
+          val vsubs = Queries.pqSubspaces(spark, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val qsubs = vsubs.filter(col("vec_id") < 10)
+            .withColumnRenamed("vec_id", "qid")
+          val lut = qsubs.join(broadcast(cb), "s")
+            .withColumn("d", Queries.pqDist2)
+            .select(col("qid"), col("s"), col("c"), col("d"))
+          val melted = cds.select(col("vec_id"), posexplode(array(
+            (0 until 8).map(s => col(s"c$s")): _*)).as(Seq("s", "c")))
+          val wAdc = Window.partitionBy(col("qid"))
+            .orderBy(col("adc_micro2").asc, col("vec_id").asc)
+          val shortlist = melted.join(broadcast(lut), Seq("s", "c"))
+            .groupBy(col("qid"), col("vec_id"))
+            .agg(sum(col("d")).as("adc_micro2"))
+            .withColumn("rn", row_number().over(wAdc))
+            .filter(col("rn") <= 64)
+            .select(col("qid"), col("vec_id"), col("adc_micro2"))
+          val wEx = Window.partitionBy(col("qid"))
+            .orderBy(col("exact_micro2").asc, col("vec_id").asc)
+          vsubs.join(broadcast(shortlist), "vec_id")
+            .join(broadcast(qsubs.select(col("qid"), col("s"), col("sub").as("qsub"))),
+              Seq("qid", "s"))
+            .withColumn("d2", expr(
+              "aggregate(zip_with(sub, qsub, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+            .groupBy(col("qid"), col("vec_id"), col("adc_micro2"))
+            .agg(sum(col("d2")).as("exact_micro2"))
+            .withColumn("rnk", row_number().over(wEx))
+            .filter(col("rnk") <= 3)
+            .select(col("qid"), col("rnk"), col("vec_id"),
+              col("adc_micro2"), col("exact_micro2"))
+        }
       case "x135_routed" =>
         spark.conf.set("spark.graft.splitleak.broadcastTestCap", "0")
         timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))

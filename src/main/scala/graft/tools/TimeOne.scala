@@ -5,13 +5,19 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.Queries
 
 /** Dev harness: time one named query N times on one session (args:
-  * <sfDir> <queryName> [reps]) — for isolating a regression from ambient
-  * machine noise without paying a full Bench sweep per sample. */
+  * <sfDir> <queryName> [reps] [key=value ...]) — for isolating a
+  * regression from ambient machine noise without paying a full Bench
+  * sweep per sample. Trailing key=value args become runtime confs
+  * (e.g. spark.graft.shuffleaudit.hexChars=4 for the x152
+  * production-bucket-width row). */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val name = args(1)
-    val reps = if (args.length > 2) args(2).toInt else 3
+    val reps = if (args.length > 2 && !args(2).contains('=')) args(2).toInt else 3
+    val confs = args.drop(2).filter(_.contains('=')).map { a =>
+      val Array(k, v) = a.split("=", 2); (k, v)
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -21,6 +27,7 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .appName("graft-timeone").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val q = Queries.byName(name)
     for (i <- 1 to reps) {
       spark.catalog.clearCache()

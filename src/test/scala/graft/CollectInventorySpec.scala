@@ -121,6 +121,7 @@ class CollectInventorySpec extends AnyFunSuite {
     "QueriesText.scala:tots" -> (1, "CV wide totals: 1 row"),
     "QueriesText.scala:dcRows" -> (1, "|folds|-row CV priors"),
     "QueriesText.scala:r" -> (1, "1-row PMI total"),
+    "QueriesText.scala:x153Vocab" -> (1, "1-row dual vocab-size scalar (both ablation arms from one agg)"),
     // RankSum
     "RankSum.scala:gl" -> (1, "1-row global (N, ties) scalars"),
     "RankSum.scala:rows" -> (1, "|sources|-bounded per-source frame for the BigInt finisher"),

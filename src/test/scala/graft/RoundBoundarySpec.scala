@@ -129,7 +129,13 @@ class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     // r9: x148 inherits x108's ln conventions on its OWN fold-trained
     // model (same irreducible single-transcendental class); net RBS
     // count stays at the r8 level — x117 left the plan-audit list
-    "x148_conformal_proper")
+    "x148_conformal_proper",
+    // r11: x153 is x136's −ln((c12+1)/(c1+V)) nano round applied once per
+    // arm of the ablation (two sites, same irreducible class — each is a
+    // SINGLE transcendental of an exact integer ratio quantized once; the
+    // arms cannot share a site because V and the counts differ by arm),
+    // plus the x65 gate's rounds inherited through the keep CTE
+    "x153_filter_ablation")
 
   test("x117: the driver-side Welch df round is not within 4 ulps of a .5 boundary") {
     // x117's df round now happens in driver code (BigDecimal HALF_UP over

@@ -747,4 +747,61 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mass("ivf_run2") > mass("ivf_fresh"),
       "recovered cell mass not above the fresh wave-2-only mass")
   }
+
+  test("qs31's |sources|-row token-count state restarts from checkpoint: drained solve equals batch x150 (recovery proof #12)") {
+    val root = graft.util.TempDirs.create("graft-recovery31")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val q = StreamQueries.sourceTokenCounts(
+          StreamQueries.docsStreamFrom(spark, from))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("mix_run1", ckpt)
+    writeWave(2)
+    val wave2Docs = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    assert(runOnce("mix_run2", ckpt) === wave2Docs, "restart re-read old waves")
+
+    // the recovered counts must equal the batch recount EXACTLY — the
+    // closed-form solve is deterministic in the counts, so drained-solve ==
+    // batch-x150 reduces to count equality across the death
+    val recovered = spark.table("mix_run2")
+    val batchCounts = StreamQueries.sourceTokenCounts(docs)
+    assert(recovered.exceptAll(batchCounts).isEmpty &&
+      batchCounts.exceptAll(recovered).isEmpty,
+      "restarted per-source token counts differ from the batch recount")
+    // state is provably |sources|-row
+    assert(recovered.count() === batchCounts.count(),
+      "state rows exceed the source count")
+
+    // the solve over the recovered counts must equal the registry's batch
+    // leg row-for-row (the qs31 audit's own contract)
+    val solved = graft.operators.Queries.cappedMixtureAlloc(recovered)
+    val batchSolve = graft.operators.Queries.cappedMixtureAlloc(batchCounts)
+    assert(solved.exceptAll(batchSolve).isEmpty &&
+      batchSolve.exceptAll(solved).isEmpty,
+      "solve over recovered counts differs from the batch solve")
+
+    // non-vacuity: a fresh wave-2-only run carries visibly less token mass
+    runOnce("mix_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass = (t: String) => spark.table(t).agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(mass("mix_run2") > mass("mix_fresh"),
+      "recovered token mass not above the fresh wave-2-only mass")
+  }
 }

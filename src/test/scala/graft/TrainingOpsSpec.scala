@@ -2916,4 +2916,41 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(borderMerges >= 1,
       "fixture must exercise the cross-border merge (no border chains at 16 buckets)")
   }
+
+  test("x153: the raw arm IS x136, the filter genuinely prunes, and delta is the exact xent difference") {
+    val rows = run("x153_filter_ablation").collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(rows.nonEmpty, "no languages in the test fold")
+    // 1. cross-query identity: the RAW arm trains on the same x54 train
+    // bucket and evals the same test bucket with the same add-one
+    // smoothing as x136 — per lang, xent_raw must equal x136's xent
+    // bit-for-bit (two independent code paths, one defined quantity)
+    val x136Rows = run("x136_lm_holdout_ppl").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("xent_nanos")).toMap
+    rows.foreach { case (lang, r) =>
+      assert(r.getAs[Long]("xent_raw_nanos") === x136Rows(lang),
+        s"$lang: raw-arm xent diverges from x136's")
+      assert(r.getAs[Long]("delta_nanos") ===
+        r.getAs[Long]("xent_filtered_nanos") - r.getAs[Long]("xent_raw_nanos"),
+        s"$lang: delta is not the exact difference")
+      // both arms inside x136's add-one smoothing bounds
+      Seq("xent_raw_nanos", "xent_filtered_nanos").foreach { c =>
+        val x = r.getAs[Long](c)
+        assert(x > 0 && x < math.log(2e12) * 1e9, s"$lang.$c outside smoothing bounds")
+      }
+    }
+    // 2. non-vacuity: the x65 gate must actually remove train-bucket docs
+    // (otherwise both arms are the same model and the ablation is a no-op)
+    val keep = Queries.byName("x65_lm_quality_filter").run(spark, sf)
+      .select(col("doc_id"), col("keep"))
+    val removed = graft.operators.Tables.documents(spark, sf)
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long"), lit(100L)))
+      .filter(col("b") < 80).join(keep, "doc_id")
+      .filter(!col("keep")).count()
+    assert(removed > 0, "fixture filter removes nothing - the ablation is vacuous")
+    // 3. and the pruning must move at least one lang's held-out xent
+    assert(rows.values.exists(_.getAs[Long]("delta_nanos") !== 0L),
+      "every delta is zero despite a non-trivial filter")
+  }
 }
