@@ -199,6 +199,37 @@ object ScaleProbes {
         timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))
       case "x135_exact" =>
         timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))
+      case "x152_width_ab" =>
+        // r11 verdict item 6: the interleave audit at PRODUCTION bucket
+        // width — hexChars=4 (65 536 buckets, the width a 1000-executor
+        // cluster would run so bucket partitions stay narrow) vs the
+        // default 2 (256), INTERLEAVED in one JVM with per-rep arm-order
+        // alternation (the eagerfinish_ab instrument: separate-JVM runs
+        // of this query measure JIT warmup, not the operator — observed
+        // 19→3 s decay across reps on the 100× corpus). The claim under
+        // test: the ≤2·buckets border stitch and the |sources|-row walk
+        // stay flat as buckets scale ×256.
+        val fn152 = Queries.byName("x152_shuffle_quality")
+        def once152(hex: String): Double = {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          spark.conf.set("spark.graft.shuffleaudit.hexChars", hex)
+          val t0 = System.nanoTime()
+          fn152.run(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        try once152("2") catch { case _: Throwable => () } // untimed warmup
+        val arms152 = (1 to reps).flatMap { rep =>
+          (if (rep % 2 == 0) Seq("2", "4") else Seq("4", "2")).map(h => h -> once152(h))
+        }
+        def med152(h: String) = {
+          val t = arms152.filter(_._1 == h).map(_._2).sorted
+          t(t.size / 2)
+        }
+        spark.conf.unset("spark.graft.shuffleaudit.hexChars")
+        println(f"""{"probe":"x152_width_ab","dir":"$dir","hex2_median_sec":${med152("2")}%.3f,"hex4_median_sec":${med152("4")}%.3f,"reps":$reps}""")
+        spark.stop()
+        return
       case "eagerfinish_ab" =>
         // r11 verdict item 2: price the eager-release recipe. For each
         // converted query, reps are INTERLEAVED on/off in one JVM so both
