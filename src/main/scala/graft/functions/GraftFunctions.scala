@@ -291,6 +291,21 @@ object FastOps {
     c
   }
 
+  /** count of array<long> elements ∈ the SORTED long array `set` — binary
+    * search per element, zero boxing, zero per-row set construction (the
+    * array_intersect trap: per-row hash-set rebuild of the constant side
+    * measured 27× at 10× corpus on qs32's gate). */
+  def countInLongs(arr: ArrayData, set: Array[Long]): Int = {
+    val n = arr.numElements()
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Σ length(t) over array<string> (char count, matching `length()`). */
   def sumCharLen(arr: ArrayData): Int = {
     val n = arr.numElements()
@@ -572,6 +587,25 @@ case class CountInSet(child: Expression, items: Seq[UTF8String]) extends UnaryEx
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** count of array<long> elements in a CONSTANT long set (qs32's
+  * benchmark-membership gate): the set resolves ONCE at plan time, sorts,
+  * and rides codegen as a reference object — per-row cost is
+  * |arr|·log|set|, never a per-row rebuild of the constant side. */
+case class CountInLongSet(child: Expression, items: Array[Long]) extends UnaryExpression {
+  @transient private lazy val sorted: Array[Long] = {
+    val a = items.clone(); java.util.Arrays.sort(a); a
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    FastOps.countInLongs(v.asInstanceOf[ArrayData], sorted)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCountLongSet", sorted, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.countInLongs($c, (long[]) $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Σ length per array<string> — the codegen twin of
   * `aggregate(tk, 0, (acc, t) -> acc + length(t))`. */
 case class SumCharLen(child: Expression) extends UnaryExpression {
@@ -633,6 +667,13 @@ object GraftFunctions {
     // kernel — fail at plan time instead
     else throw new IllegalArgumentException(s"parameter must be a constant integer, got: ${e.sql}")
 
+  private def longArrayArg(e: Expression): Array[Long] =
+    if (e.foldable) e.eval() match {
+      case a: ArrayData => a.toLongArray()
+      case _ => throw new IllegalArgumentException(s"parameter must be a constant array<long>, got: ${e.sql}")
+    }
+    else throw new IllegalArgumentException(s"parameter must be a constant array<long>, got: ${e.sql}")
+
   private def strArrayArg(e: Expression): Seq[UTF8String] =
     if (e.foldable) e.eval() match {
       case a: ArrayData =>
@@ -654,6 +695,7 @@ object GraftFunctions {
     "graft_hyperplane" -> (es => HyperplaneSig(es.head, if (es.size > 1) intArg(es(1)) else 8)),
     "graft_md5_planes192" -> (es => Md5PlaneSig192(es.head)),
     "graft_count_in" -> (es => CountInSet(es(0), strArrayArg(es(1)))),
+    "graft_count_in_longset" -> (es => CountInLongSet(es(0), longArrayArg(es(1)))),
     "graft_sum_len" -> (es => SumCharLen(es.head)),
     "graft_cdc_chunks" -> (es => CdcChunks(es.head, if (es.size > 1) intArg(es(1)) else 32)),
     "graft_rolling_fp" -> (es => RollingFp(es.head)),

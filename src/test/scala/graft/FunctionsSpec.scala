@@ -171,6 +171,20 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("count_in_longset matches its HOF equivalent (constant long set, qs32's gate kernel)") {
+    import spark.implicits._
+    // unsorted constant set (the expression sorts internally); duplicates
+    // in the probed ARRAY must each count (membership, not intersection)
+    val df = Seq(
+      Seq(5L, 3L, 5L, 99L), Seq.empty[Long], Seq(7L), Seq(-4L, 0L, Long.MaxValue))
+      .toDF("xs")
+    val cmp = df.select(
+      expr("graft_count_in_longset(xs, array(99L, -4L, 5L, 0L))").as("k"),
+      expr("size(filter(xs, x -> array_contains(array(99L, -4L, 5L, 0L), x)))").as("h"))
+      .collect()
+    for (r <- cmp) assert(r.getInt(0) === r.getInt(1), s"count_in_longset mismatch: $r")
+  }
+
   test("near-dup df-cap path agrees with the exact path when forced on") {
     // force the capped branch by setting the cap just under the hottest
     // shingle's df: the capped plan (bound + selective exact re-verify)

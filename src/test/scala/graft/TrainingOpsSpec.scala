@@ -2953,4 +2953,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.values.exists(_.getAs[Long]("delta_nanos") !== 0L),
       "every delta is zero despite a non-trivial filter")
   }
+
+  test("qs32: the streamed gate equals the per-source rollup of batch x20, flag rule included") {
+    val streamed = run("qs32_stream_contamination").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Boolean]("matches_batch"))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.values.forall(_._3), "a drained source row failed its batch cross-check")
+    // independent rollup from x20's own per-doc audit (double-ratio rule):
+    // the integer 5·shared ≥ max(n,1) spelling must reproduce it doc-for-doc
+    val src = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+    val x20Roll = Queries.byName("x20_contamination").run(spark, sf)
+      .join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("nc"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("nd"), r.getAs[Long]("nc"))).toMap
+    assert(streamed.view.mapValues(v => (v._1, v._2)).toMap === x20Roll,
+      "streamed per-source gate diverges from the x20 rollup")
+    // non-vacuity: the fixture must contain contaminated docs
+    assert(streamed.values.map(_._2).sum > 0, "no contaminated docs in the fixture")
+  }
 }
