@@ -1836,4 +1836,83 @@ private[operators] trait QueriesDedup { this: Queries.type =>
       |  coalesce(pd.max_dup_span, 0) >= 64 AS is_contaminated
       |FROM d LEFT JOIN pd USING (doc_id) LEFT JOIN nm USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- X154
+  /** DEDUP THRESHOLD-SELECTION CURVE — the number a data lead reads
+    * before pinning the near-dup Jaccard cutoff: for each candidate
+    * threshold on one ladder (0.5–0.9), how many pairs fire, how many
+    * docs are touched, and what the removal would cost in docs and
+    * tokens. One pass over the CACHED pair engine ([[sharedPairs]] — the
+    * x56/x59 composition discipline; the engine's ≥ 0.5 floor bounds the
+    * ladder below), ×5 threshold rows, three bounded aggregations — no
+    * per-rung re-run of the pair join and NO per-rung component
+    * iteration. Removal semantics are the documented PAIRWISE shadow
+    * rule: a doc is dropped iff it is the larger id of ANY surviving pair
+    * (doc_a < doc_b by the x2 contract) — the greedy bound a pair list
+    * supports without transitive closure; the true clustered removal at
+    * the deployed 0.5 cutoff is x17/x36's and x142 reports its cost.
+    * Thresholds ride as double literals spelled identically in both
+    * engines (jac itself is the x2-gated IEEE value, so ≥ compares
+    * bit-identically). Scale shape: everything downstream of the pair
+    * frame is pair-rate-sized; token costs join ONE corpus-side scan of
+    * (doc_id, n_tokens) against the distinct removed-doc list. */
+  private[operators] def x154(spark: SparkSession, dir: String): DataFrame = {
+    val thrF = spark.range(1).select(explode(expr(
+      """array(named_struct('thr_ppm', 500000L, 'thr', 0.5D),
+        |      named_struct('thr_ppm', 600000L, 'thr', 0.6D),
+        |      named_struct('thr_ppm', 700000L, 'thr', 0.7D),
+        |      named_struct('thr_ppm', 800000L, 'thr', 0.8D),
+        |      named_struct('thr_ppm', 900000L, 'thr', 0.9D))""".stripMargin)).as("z"))
+      .select(col("z.thr_ppm").as("thr_ppm"), col("z.thr").as("thr"))
+    val lad = sharedPairs(spark, dir).crossJoin(broadcast(thrF))
+      .filter(col("jac") >= col("thr"))
+    val pairStats = lad.groupBy(col("thr_ppm")).agg(count(lit(1)).as("n_pairs"))
+    val nAff = lad
+      .select(col("thr_ppm"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy(col("thr_ppm")).agg(count(lit(1)).as("n_docs_in_pairs"))
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast(LongType).as("nt"))
+    val remStats = lad.select(col("thr_ppm"), col("doc_b").as("doc_id")).distinct()
+      .join(tok, "doc_id")
+      .groupBy(col("thr_ppm"))
+      .agg(count(lit(1)).as("n_removed_pairwise"), sum(col("nt")).as("removed_tokens"))
+    thrF.select(col("thr_ppm"))
+      .join(pairStats, Seq("thr_ppm"), "left")
+      .join(nAff, Seq("thr_ppm"), "left")
+      .join(remStats, Seq("thr_ppm"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_in_pairs", "n_removed_pairwise", "removed_tokens"))
+      .orderBy(col("thr_ppm"))
+  }
+
+  private[operators] lazy val x154Sql =
+    s"""WITH s AS ($duckShingleSql),
+       |t AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+       |p AS (SELECT doc_a, doc_b, jac FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t a JOIN t b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |thr AS (SELECT CAST(thr_ppm AS BIGINT) AS thr_ppm, thr FROM (VALUES
+       |    (500000, 0.5), (600000, 0.6), (700000, 0.7),
+       |    (800000, 0.8), (900000, 0.9)) AS v(thr_ppm, thr)),
+       |lad AS (SELECT thr_ppm, doc_a, doc_b FROM p JOIN thr ON p.jac >= thr.thr),
+       |ps AS (SELECT thr_ppm, CAST(count(*) AS BIGINT) AS n_pairs FROM lad GROUP BY 1),
+       |aff AS (SELECT thr_ppm, CAST(count(*) AS BIGINT) AS n_docs_in_pairs FROM (
+       |    SELECT thr_ppm, doc_a AS d FROM lad UNION SELECT thr_ppm, doc_b FROM lad) u
+       |  GROUP BY 1),
+       |rem AS (SELECT r.thr_ppm, CAST(count(*) AS BIGINT) AS n_removed_pairwise,
+       |    CAST(sum(d.nt) AS BIGINT) AS removed_tokens
+       |  FROM (SELECT DISTINCT thr_ppm, doc_b FROM lad) r
+       |  JOIN (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |        FROM documents) d ON d.doc_id = r.doc_b
+       |  GROUP BY 1)
+       |SELECT thr.thr_ppm, coalesce(n_pairs, 0) AS n_pairs,
+       |  coalesce(n_docs_in_pairs, 0) AS n_docs_in_pairs,
+       |  coalesce(n_removed_pairwise, 0) AS n_removed_pairwise,
+       |  coalesce(removed_tokens, 0) AS removed_tokens
+       |FROM thr LEFT JOIN ps USING (thr_ppm) LEFT JOIN aff USING (thr_ppm)
+       |LEFT JOIN rem USING (thr_ppm)
+       |ORDER BY thr.thr_ppm""".stripMargin
+
 }

@@ -2977,4 +2977,30 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-vacuity: the fixture must contain contaminated docs
     assert(streamed.values.map(_._2).sum > 0, "no contaminated docs in the fixture")
   }
+
+  test("x154: the threshold curve is monotone, anchored to x2 at 0.5, and internally consistent") {
+    val rows = run("x154_dedup_threshold_curve").collect()
+      .sortBy(_.getAs[Long]("thr_ppm"))
+    assert(rows.map(_.getAs[Long]("thr_ppm")).toSeq ===
+      Seq(500000L, 600000L, 700000L, 800000L, 900000L))
+    // 1. every column is non-increasing in the threshold
+    for (c <- Seq("n_pairs", "n_docs_in_pairs", "n_removed_pairwise", "removed_tokens"))
+      rows.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getAs[Long](c) >= hi.getAs[Long](c), s"$c increases along the ladder")
+      }
+    // 2. the 0.5 rung IS x2's pair count (the engine's own floor)
+    val x2Pairs = run("x2_ngram_jaccard").count()
+    assert(rows.head.getAs[Long]("n_pairs") === x2Pairs,
+      "rung 0.5 diverges from the registered pair engine")
+    assert(x2Pairs > 0, "no pairs in the fixture - the curve is vacuous")
+    // 3. internal consistency per rung: removed docs are a subset of
+    // affected docs, and affected docs cannot exceed 2 pairs' worth
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_removed_pairwise") <= r.getAs[Long]("n_docs_in_pairs"))
+      assert(r.getAs[Long]("n_docs_in_pairs") <= 2 * r.getAs[Long]("n_pairs"))
+    }
+    // 4. the ladder genuinely separates: at least one rung differs from 0.5
+    assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length > 1,
+      "all rungs equal - the fixture's jac distribution never crosses the ladder")
+  }
 }
