@@ -2999,4 +2999,116 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |  CAST(max(len) AS BIGINT) AS max_run,
       |  (2 * CAST(sum(len) AS BIGINT) * 1000 + count(*)) // (2 * count(*)) AS mean_run_milli
       |FROM runs GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X155
+  /** EXCESS-LOSS MIXTURE REWEIGHTING — the loss-DRIVEN member the mixture
+    * family lacked: x25 takes weights as given, x72/x150 allocate a
+    * budget under fairness/cap rules, but none of them DERIVES the
+    * weights from a measured training signal. This is the DoReMi recipe
+    * (Xie et al. 2023, "Doremi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining") collapsed to its deterministic core:
+    * domains whose data the current model fits WORST get upweighted.
+    * The excess-loss proxy is x63's KL(source ‖ corpus) — per-source
+    * cross-entropy under the corpus unigram LM minus the source's own
+    * entropy, exactly the "how much worse does the shared model fit
+    * this domain" gap, already nano-exact and cross-engine
+    * bit-identical. DoReMi's exponentiated-gradient step exp(η·loss) is
+    * LINEARIZED to the exact rational tilt w = n_tokens·(10⁹ + η·kl_nanos)
+    * with η=4 (one documented first-order step — a static proxy loss
+    * makes iterating the update theater, so the engine does not
+    * pretend), and every share is then LARGEST-REMAINDER apportioned so
+    * baseline_ppm and tilted_ppm each sum to EXACTLY 10⁶ and
+    * alloc_tokens to exactly the 10⁹-token budget — floor shares plus
+    * +1 units to the largest remainders (ties by source), the
+    * apportionment a mixture executor can hand straight to x42's
+    * weighted sampler. Scale shape: x63's one corpus scan produces the
+    * |sources|-row KL frame; everything here is integer window math
+    * over that tiny frame (the x72 discipline — global windows on a
+    * metadata-scale frame, never a second corpus action). Exactness:
+    * DECIMAL(38,0)/HUGEINT products (n_tokens·(10⁹+4·kl)·10⁹ needs
+    * ~10³⁵ headroom at 100 TB), floor div + mod, no doubles beyond
+    * x63's single quantized ln. */
+  private[operators] def x155(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    x63(spark, dir)
+      .select(col("source"), col("n_tokens"), col("kl_nanos"))
+      // |sources|-row frame from here down — global windows are fine
+      .withColumn("w0", col("n_tokens").cast(DecimalType(38, 0)))
+      .withColumn("w1", expr(
+        "CAST(n_tokens AS DECIMAL(38,0)) * (1000000000 + 4 * kl_nanos)"))
+      .withColumn("tw0", sum(col("w0")).over(wAll))
+      .withColumn("tw1", sum(col("w1")).over(wAll))
+      .withColumn("q0", expr("CAST((w0 * 1000000) div tw0 AS BIGINT)"))
+      .withColumn("r0", expr("(w0 * 1000000) % tw0"))
+      .withColumn("q1", expr("CAST((w1 * 1000000) div tw1 AS BIGINT)"))
+      .withColumn("r1", expr("(w1 * 1000000) % tw1"))
+      .withColumn("qb", expr("CAST((w1 * 1000000000) div tw1 AS BIGINT)"))
+      .withColumn("rb", expr("(w1 * 1000000000) % tw1"))
+      .withColumn("l0", lit(1000000L) - sum(col("q0")).over(wAll))
+      .withColumn("l1", lit(1000000L) - sum(col("q1")).over(wAll))
+      .withColumn("lb", lit(1000000000L) - sum(col("qb")).over(wAll))
+      .withColumn("rk0", row_number()
+        .over(Window.orderBy(col("r0").desc, col("source").asc)).cast(LongType))
+      .withColumn("rk1", row_number()
+        .over(Window.orderBy(col("r1").desc, col("source").asc)).cast(LongType))
+      .withColumn("rkb", row_number()
+        .over(Window.orderBy(col("rb").desc, col("source").asc)).cast(LongType))
+      .withColumn("baseline_ppm",
+        col("q0") + when(col("rk0") <= col("l0"), 1L).otherwise(0L))
+      .withColumn("tilted_ppm",
+        col("q1") + when(col("rk1") <= col("l1"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("kl_nanos"),
+        col("baseline_ppm"), col("tilted_ppm"),
+        (col("tilted_ppm") - col("baseline_ppm")).as("delta_ppm"),
+        (col("qb") + when(col("rkb") <= col("lb"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle = x63's KL CTEs (text duplicated — the qs26 rule) + the same
+    * integer tilt/apportionment arithmetic in HUGEINT. */
+  private[operators] lazy val x155Sql =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c_st FROM t GROUP BY 1, 2),
+      |ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+      |j AS (SELECT st.source, ns.n_s,
+      |        CAST(round(ln((CAST(st.c_st AS DOUBLE) * (SELECT n FROM n)) /
+      |          (CAST(ns.n_s AS DOUBLE) * ct.c_t)) * 1000000000.0, 0) AS BIGINT) AS lr_nanos,
+      |        st.c_st
+      |      FROM st JOIN ct USING (token) JOIN ns USING (source)),
+      |k AS (SELECT source, n_s, CAST(c_st AS HUGEINT) * lr_nanos AS numd FROM j),
+      |kl AS (SELECT source, max(n_s) AS n_tokens,
+      |  CAST(sum(CAST(CASE WHEN numd >= 0 THEN (2 * numd + n_s) // (2 * n_s)
+      |    ELSE -((2 * (-numd) + n_s) // (2 * n_s)) END AS BIGINT)) AS BIGINT) AS kl_nanos
+      |FROM k GROUP BY source),
+      |w AS (SELECT source, n_tokens, kl_nanos,
+      |    CAST(n_tokens AS HUGEINT) AS w0,
+      |    CAST(n_tokens AS HUGEINT) * (1000000000 + 4 * kl_nanos) AS w1
+      |  FROM kl),
+      |q AS (SELECT source, n_tokens, kl_nanos,
+      |    CAST((w0 * 1000000) // (sum(w0) OVER ()) AS BIGINT) AS q0,
+      |    (w0 * 1000000) % (sum(w0) OVER ()) AS r0,
+      |    CAST((w1 * 1000000) // (sum(w1) OVER ()) AS BIGINT) AS q1,
+      |    (w1 * 1000000) % (sum(w1) OVER ()) AS r1,
+      |    CAST((w1 * 1000000000) // (sum(w1) OVER ()) AS BIGINT) AS qb,
+      |    (w1 * 1000000000) % (sum(w1) OVER ()) AS rb
+      |  FROM w),
+      |f AS (SELECT source, n_tokens, kl_nanos, q0, q1, qb,
+      |    1000000 - sum(q0) OVER () AS l0,
+      |    1000000 - sum(q1) OVER () AS l1,
+      |    1000000000 - sum(qb) OVER () AS lb,
+      |    CAST(row_number() OVER (ORDER BY r0 DESC, source) AS BIGINT) AS rk0,
+      |    CAST(row_number() OVER (ORDER BY r1 DESC, source) AS BIGINT) AS rk1,
+      |    CAST(row_number() OVER (ORDER BY rb DESC, source) AS BIGINT) AS rkb
+      |  FROM q)
+      |SELECT source, n_tokens, kl_nanos,
+      |  CAST(q0 + CASE WHEN rk0 <= l0 THEN 1 ELSE 0 END AS BIGINT) AS baseline_ppm,
+      |  CAST(q1 + CASE WHEN rk1 <= l1 THEN 1 ELSE 0 END AS BIGINT) AS tilted_ppm,
+      |  CAST((q1 + CASE WHEN rk1 <= l1 THEN 1 ELSE 0 END)
+      |     - (q0 + CASE WHEN rk0 <= l0 THEN 1 ELSE 0 END) AS BIGINT) AS delta_ppm,
+      |  CAST(qb + CASE WHEN rkb <= lb THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+      |FROM f ORDER BY source""".stripMargin
 }

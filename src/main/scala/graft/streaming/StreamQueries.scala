@@ -705,6 +705,178 @@ object StreamQueries {
       |  TRUE AS matches_batch
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- QS33
+  /** STREAMING CDC AGGREGATE WITH RETRACTIONS — x121's online twin and
+    * another cell of the IVM matrix (x110→qs7, x151→qs29, x149→qs30,
+    * x150→qs31, x20→qs32): the standing per-type COUNT/SUM view is
+    * maintained as the CDC feed arrives, deletes included. Plain
+    * streaming aggregation cannot retract (append state only grows),
+    * but the DBSP/differential-dataflow reading of x121's signed-weight
+    * trick dissolves the problem: each arriving row expands MAP-SIDE
+    * into its signed multiset weights (+1 base, −1 delete, +1 re-insert
+    * — same generation arithmetic as x121), and a SIGNED sum is just a
+    * sum, so the ONE streaming aggregation handles inserts and deletes
+    * identically and the drain is arrival-order-free by commutativity.
+    * That commutativity is precisely WHY this IVM member streams
+    * trivially while x130's component-merge (whose label propagation is
+    * order-sensitive) stays batch-delta. State: |event_types| rows × 2
+    * longs — corpus-size-independent. Exactness: cents are the same
+    * round(value·100) int64 both engines compute from the identical
+    * stored double; everything after is integer. Drain == x121's
+    * maintained view == the full generation-B rebuild (the oracle), and
+    * the batch leg through the SAME core is hash-gated per row
+    * (matches_batch). */
+  private[graft] def cdcSignedAgg(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"),
+        explode(expr(
+          """filter(array(
+            |  CAST(1 AS BIGINT),
+            |  IF(event_id % 89 = 0, CAST(-1 AS BIGINT), CAST(NULL AS BIGINT)),
+            |  IF(event_id % 97 = 0 AND event_id % 89 <> 0,
+            |     CAST(1 AS BIGINT), CAST(NULL AS BIGINT))),
+            |x -> x IS NOT NULL)""".stripMargin)).as("w"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("w")).as("n"), sum(col("w") * col("cents")).as("sum_cents"))
+
+  private def qs33(spark: SparkSession, dir: String): DataFrame = {
+    val drained = runToTable(spark,
+      cdcSignedAgg(eventsStream(spark, dir, nFiles = 3)), OutputMode.Complete())
+      .filter(col("n") > 0)
+    val batch = cdcSignedAgg(graft.operators.Tables.events(spark, dir))
+      .filter(col("n") > 0)
+      .select(col("event_type").as("b_et"), col("n").as("b_n"),
+        col("sum_cents").as("b_sc"))
+    drained.join(batch, drained("event_type") === col("b_et"), "left") // |event_types|-row frames
+      .select(drained("event_type"), col("n"), col("sum_cents"),
+        (col("b_et").isNotNull && col("n") === col("b_n") &&
+          col("sum_cents") === col("b_sc")).as("matches_batch"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle = x121's full generation-B rebuild (text duplicated — the
+    * qs26 rule: no cross-object init-time reads). */
+  private val qs33Sql =
+    """WITH b AS (SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |genB AS (
+      |  SELECT event_type, cents FROM b WHERE event_id % 89 <> 0
+      |  UNION ALL
+      |  SELECT event_type, cents FROM b WHERE event_id % 97 = 0 AND event_id % 89 <> 0)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents, TRUE AS matches_batch
+      |FROM genB GROUP BY event_type HAVING count(*) > 0
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- QS34
+  /** STREAMING JOIN-VIEW MAINTENANCE — q44's online twin, completing the
+    * IVM matrix's join leg: the per-segment revenue view over
+    * orders⋈customer is maintained as BOTH sides' CDC rows arrive, in
+    * any interleaving (the wave order deliberately lands a customer
+    * delta AFTER its orders, the case a stream-stream join would buffer
+    * the whole fact side for). The factorized-state trick makes that
+    * buffering unnecessary: a key-equi join aggregated per key needs
+    * only each side's per-key sufficient statistics, so state keyed by
+    * custkey holds (n_orders, sum_cents, segment) — fact rows COLLAPSE
+    * into two longs per key, and the dimension row fills the third slot
+    * whenever it arrives. State is DIMENSION-cardinality (|custkeys| ×
+    * 3 cols), never fact-cardinality — at 100 TB that is the difference
+    * between a customer table and a lineitem table held in the state
+    * store. One streaming aggregation (sums + the single-row max(seg)
+    * are commutative → arrival-order-free); the inner-join semantics
+    * (orders without a customer drop) apply on the drained key frame.
+    * Drain-folded view == q44's maintained view == the full join
+    * rebuild (the oracle); the batch leg through the SAME core is
+    * hash-gated per segment (matches_batch). */
+  private val joinCdcSchema = StructType(Seq(
+    StructField("side", StringType), StructField("k", LongType),
+    StructField("cents", LongType), StructField("seg", StringType)))
+
+  /** Four deterministic arrival waves of the tagged two-sided CDC feed:
+    * dim base, fact base, dim delta, fact delta (q44's generation
+    * split) — facts meet both earlier- AND later-arriving dimension
+    * rows. Memoized per dir like [[sourceCache]]. */
+  private val joinCdcWaveCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def joinCdcBatch(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(lit("O").as("side"), col("o_custkey").cast(LongType).as("k"),
+        expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"),
+        lit(null).cast(StringType).as("seg"),
+        col("o_orderkey").cast(LongType).as("src_key"))
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(lit("C").as("side"), col("c_custkey").cast(LongType).as("k"),
+        lit(null).cast(LongType).as("cents"), col("c_mktsegment").as("seg"),
+        col("c_custkey").cast(LongType).as("src_key"))
+    (ord, cust)
+  }
+
+  private def joinCdcWaves(spark: SparkSession, dir: String): String =
+    joinCdcWaveCache.getOrElseUpdate(dir, {
+      val src = graft.util.TempDirs.create("graft-stream-joincdc")
+      val (ord, cust) = joinCdcBatch(spark, dir)
+      val waves = Seq(
+        cust.filter(col("src_key") % 17 =!= 0), // b: the dim base
+        ord.filter(col("src_key") % 10 =!= 0),  // a: the fact base
+        cust.filter(col("src_key") % 17 === 0), // db: late dim rows
+        ord.filter(col("src_key") % 10 === 0))  // da: late fact rows
+      waves.zipWithIndex.foreach { case (w, i) =>
+        w.drop("src_key").coalesce(1).write.parquet(src.resolve(s"wave-$i").toString)
+        Thread.sleep(5) // file mtime orders the waves
+      }
+      src.toString
+    })
+
+  private def joinCdcStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(joinCdcSchema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(joinCdcWaves(spark, dir))
+
+  /** qs34's stateful core, factored for StreamRecoverySpec: per-custkey
+    * factorized join state — each side's sufficient statistics in one
+    * commutative aggregation. max(seg) is exact because q44's dim CDC is
+    * insert-only (≤1 segment row per key ever arrives); an
+    * update-capable dim feed would carry a (version, seg) pair and fold
+    * max_by. */
+  private[graft] def joinViewKeyState(cdc: DataFrame): DataFrame =
+    cdc.groupBy(col("k"))
+      .agg(sum(when(col("side") === "O", 1L).otherwise(0L)).as("n_orders"),
+        sum(when(col("side") === "O", col("cents")).otherwise(0L)).as("sum_cents"),
+        max(when(col("side") === "C", col("seg"))).as("seg"))
+
+  /** Inner-join fold over the key-state frame (shared by the streamed
+    * and batch legs): keys missing either side drop, exactly the join's
+    * semantics. */
+  private[graft] def joinViewFold(kv: DataFrame): DataFrame =
+    kv.filter(col("seg").isNotNull && col("n_orders") > 0)
+      .groupBy(col("seg").as("c_mktsegment"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("sum_cents")).as("sum_cents"))
+
+  private def qs34(spark: SparkSession, dir: String): DataFrame = {
+    val drained = joinViewFold(
+      runToTable(spark, joinViewKeyState(joinCdcStream(spark, dir)),
+        OutputMode.Complete()))
+    val (ord, cust) = joinCdcBatch(spark, dir)
+    val batch = joinViewFold(joinViewKeyState(
+        ord.drop("src_key").unionByName(cust.drop("src_key"))))
+      .select(col("c_mktsegment").as("b_seg"), col("n_orders").as("b_n"),
+        col("sum_cents").as("b_sc"))
+    drained.join(batch, drained("c_mktsegment") === col("b_seg"), "left") // |segments|-row frames
+      .select(drained("c_mktsegment"), col("n_orders"), col("sum_cents"),
+        (col("b_seg").isNotNull && col("n_orders") === col("b_n") &&
+          col("sum_cents") === col("b_sc")).as("matches_batch"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Oracle = q44's full join rebuild (the IVM theorem's right side). */
+  private val qs34Sql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  TRUE AS matches_batch
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -2104,5 +2276,9 @@ object StreamQueries {
     Q("qs31_stream_mixture", qs31, Some(qs31Sql),
       "streaming capped-mixture maintenance: |sources|-row token-count state, drained UniMax solve == batch x150 via the shared closed-form core"),
     Q("qs32_stream_contamination", qs32, Some(qs32Sql),
-      "streaming decontamination gate: map-side shared-shingle count vs the 1-row benchmark set, |sources|-row state, integer 0.2 flag, drain == batch"))
+      "streaming decontamination gate: map-side shared-shingle count vs the 1-row benchmark set, |sources|-row state, integer 0.2 flag, drain == batch"),
+    Q("qs33_stream_cdc_aggregate", qs33, Some(qs33Sql),
+      "streaming CDC aggregate with retractions: map-side signed-weight expansion makes deletes a SUM, |event_types|-row state, drain == x121's maintained view == full rebuild"),
+    Q("qs34_stream_join_view", qs34, Some(qs34Sql),
+      "streaming join-view maintenance: per-custkey factorized state (each side's sufficient stats, dim-cardinality never fact-cardinality), drain-fold == q44's view == full join rebuild"))
 }

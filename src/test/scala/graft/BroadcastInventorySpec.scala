@@ -125,6 +125,8 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x60_winsorize" -> (1, "per-key cutoff frame (k rows)"),
     "x61_span_catalog" -> (2, "dup-rate span-hash and candidate-doc frames"),
     "x63_source_drift" -> (2, "|sources|-row moment frames"),
+    "x155_loss_reweight" -> (2, "|sources|-row moment frames (inherited from the x63 core)"),
+    "x154_dedup_threshold_curve" -> (1, "literal 5-row threshold-ladder frame crossed against the bounded pair frame"),
     "x67_shard_planner" -> (1, "|shards|-row boundary frame"),
     "x69_pmi_collocations" -> (2, "df-capped vocabulary frames"),
     "x70_label_cohesion" -> (2, "per-label centroid frames (|labels| rows)"),

@@ -94,6 +94,7 @@ class CacheInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x123_bradley_terry" -> (3, LEAF),
     "x63_source_drift" -> (1, STATS),
     "x64_dataset_card" -> (1, STATS),
+    "x155_loss_reweight" -> (1, s"$STATS (inherited from the x63 core it tilts)"),
     "x69_pmi_collocations" -> (1, STATS),
     "x79_length_drift_ks" -> (1, STATS),
     "x104_quantile_refine" -> (1, STATS),

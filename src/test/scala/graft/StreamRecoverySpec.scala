@@ -804,4 +804,120 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mass("mix_run2") > mass("mix_fresh"),
       "recovered token mass not above the fresh wave-2-only mass")
   }
+
+  test("qs33's signed-CDC aggregate state restarts from checkpoint: drained view equals x121's rebuild (recovery proof #13)") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery33")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val raw = graft.operators.Tables.eventsRawNs(spark, sf)
+    def writeWave(i: Int): Unit = {
+      raw.filter(pmod(xxhash64(col("event_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val stream = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true").parquet(from)
+      val q = StreamQueries.cdcSignedAgg(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("cdc_run1", ckpt)
+    writeWave(2)
+    val wave2Rows = raw.filter(pmod(xxhash64(col("event_id")), lit(3)) === 2).count()
+    assert(runOnce("cdc_run2", ckpt) === wave2Rows, "restart re-read old waves")
+
+    // the recovered signed sums must equal the batch core exactly — only
+    // possible if waves 0/1's (n, sum_cents) state crossed the death,
+    // RETRACTIONS INCLUDED (a fresh state would miss their deletes)
+    val recovered = spark.table("cdc_run2").filter(col("n") > 0)
+    val batch = StreamQueries.cdcSignedAgg(
+      graft.operators.Tables.events(spark, sf)).filter(col("n") > 0)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted signed-CDC view differs from the batch core")
+    // deletes genuinely crossed the death
+    val earlyDeletes = raw.filter(pmod(xxhash64(col("event_id")), lit(3)) < 2 &&
+      col("event_id") % 89 === 0).count()
+    assert(earlyDeletes > 0, "no pre-death deletes - the retraction path is unexercised")
+
+    // non-vacuity: a fresh wave-2-only run carries visibly less mass
+    runOnce("cdc_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass = (t: String) => spark.table(t).agg(sum(col("n"))).head().getLong(0)
+    assert(mass("cdc_run2") > mass("cdc_fresh"),
+      "recovered row mass not above the fresh wave-2-only mass")
+  }
+
+  test("qs34's per-custkey factorized join state restarts from checkpoint: drained fold equals the join rebuild (recovery proof #14)") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery34")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val (ord, cust) = StreamQueries.joinCdcBatch(spark, sf)
+    def writeWave(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      df.drop("src_key").coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("side", StringType), StructField("k", LongType),
+      StructField("cents", LongType), StructField("seg", StringType)))
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val stream = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true").parquet(from)
+      val q = StreamQueries.joinViewKeyState(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    // pre-death: dim base + fact base (the registry query's wave order)
+    writeWave(cust.filter(col("src_key") % 17 =!= 0), 0)
+    writeWave(ord.filter(col("src_key") % 10 =!= 0), 1)
+    runOnce("jv_run1", ckpt)
+    // post-death: the LATE dim and fact deltas
+    writeWave(cust.filter(col("src_key") % 17 === 0), 2)
+    writeWave(ord.filter(col("src_key") % 10 === 0), 3)
+    val lateRows = cust.filter(col("src_key") % 17 === 0).count() +
+      ord.filter(col("src_key") % 10 === 0).count()
+    assert(runOnce("jv_run2", ckpt) === lateRows, "restart re-read old waves")
+
+    // the recovered fold equals the full join rebuild — only possible if
+    // the pre-death per-key fact sums survived: the late dim rows must
+    // CLAIM orders that arrived before the death (a fresh state drops them)
+    val recovered = StreamQueries.joinViewFold(spark.table("jv_run2"))
+    val batch = StreamQueries.joinViewFold(StreamQueries.joinViewKeyState(
+      ord.drop("src_key").unionByName(cust.drop("src_key"))))
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted join view differs from the full rebuild")
+    val claimedAcrossDeath = ord.filter(col("src_key") % 10 =!= 0)
+      .join(cust.filter(col("src_key") % 17 === 0).select(col("k")), "k").count()
+    assert(claimedAcrossDeath > 0,
+      "no pre-death orders claimed by late dim rows - the recovery claim is vacuous")
+
+    // non-vacuity: a fresh run over the fact delta alone has NO dim rows,
+    // so its inner-join fold is empty while the recovered fold is not
+    runOnce("jv_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-3").toString)
+    assert(recovered.count() > 0, "recovered fold is empty")
+    assert(StreamQueries.joinViewFold(spark.table("jv_fresh")).count() === 0,
+      "fact-only fold nonempty - the dim-dependency check is vacuous")
+  }
 }

@@ -3003,4 +3003,95 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length > 1,
       "all rungs equal - the fixture's jac distribution never crosses the ladder")
   }
+
+  test("qs33: the streamed signed-CDC view equals x121's maintained view, retractions included") {
+    val streamed = run("qs33_stream_cdc_aggregate").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(_.getAs[Boolean]("matches_batch")),
+      "a drained row failed its batch cross-check")
+    val sMap = streamed.map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("sum_cents"))).toMap
+    val x121Map = run("x121_ivm_aggregate").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_cents"))).toMap
+    assert(sMap === x121Map, "streamed view diverges from the batch IVM view")
+    // the signed sum genuinely retracted: maintained total == base − del + ins
+    val ev = graft.operators.Tables.events(spark, sf)
+    val base = ev.count()
+    val nDel = ev.filter(col("event_id") % 89 === 0).count()
+    val nIns = ev.filter(col("event_id") % 97 === 0 && col("event_id") % 89 =!= 0).count()
+    assert(nDel > 0, "no deletes in the fixture - the retraction path is unexercised")
+    assert(sMap.values.map(_._1).sum === base - nDel + nIns,
+      "maintained row total breaks the generation arithmetic")
+  }
+
+  test("qs34: the streamed factorized join view equals q44's maintained view") {
+    val streamed = run("qs34_stream_join_view").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(_.getAs[Boolean]("matches_batch")),
+      "a drained segment failed its batch cross-check")
+    val sMap = streamed.map(r => r.getAs[String]("c_mktsegment") ->
+      (r.getAs[Long]("n_orders"), r.getAs[Long]("sum_cents"))).toMap
+    val q44Map = run("q44_ivm_join").collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("sum_cents"))).toMap
+    assert(sMap === q44Map, "streamed fold diverges from q44's maintained view")
+    // the dim-after-fact interleaving is genuinely exercised: late customers
+    // (wave 2) must claim orders that arrived in wave 1
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") % 10 =!= 0)
+    val lateCust = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") % 17 === 0)
+    assert(ord.join(lateCust, ord("o_custkey") === lateCust("c_custkey")).count() > 0,
+      "no base orders reference a late customer - the interleaving is vacuous")
+  }
+
+  test("x155: exact apportionment, BigInt full-algorithm recheck, and a drift-following tilt") {
+    val rows = run("x155_loss_reweight").collect()
+    assert(rows.length > 1, "a single source makes the reweight vacuous")
+    // 1. shares sum EXACTLY to their units
+    assert(rows.map(_.getAs[Long]("baseline_ppm")).sum === 1000000L)
+    assert(rows.map(_.getAs[Long]("tilted_ppm")).sum === 1000000L)
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum === 1000000000L)
+    rows.foreach(r => assert(r.getAs[Long]("delta_ppm") ===
+      r.getAs[Long]("tilted_ppm") - r.getAs[Long]("baseline_ppm")))
+    // 2. full-algorithm recheck: recompute the tilt + largest-remainder
+    // apportionment from (n_tokens, kl_nanos) in BigInt and demand equality
+    def apportion(ws: Seq[(String, BigInt)], units: Long): Map[String, Long] = {
+      val tot = ws.map(_._2).sum
+      val floors = ws.map { case (s, w) => (s, w * units / tot, w * units % tot) }
+      val leftover = units - floors.map(_._2.toLong).sum
+      val bumped = floors.sortBy { case (s, _, r) => (-r, s) }
+        .zipWithIndex.map { case ((s, q, _), i) =>
+          s -> (q.toLong + (if (i < leftover) 1L else 0L)) }
+      bumped.toMap
+    }
+    val in = rows.map(r => (r.getAs[String]("source"),
+      BigInt(r.getAs[Long]("n_tokens")), r.getAs[Long]("kl_nanos"))).toSeq
+    val w0 = in.map { case (s, n, _) => (s, n) }
+    val w1 = in.map { case (s, n, kl) => (s, n * (BigInt(1000000000L) + 4 * BigInt(kl))) }
+    val expBase = apportion(w0, 1000000L)
+    val expTilt = apportion(w1, 1000000L)
+    val expAlloc = apportion(w1, 1000000000L)
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("baseline_ppm") === expBase(s), s"$s baseline diverges")
+      assert(r.getAs[Long]("tilted_ppm") === expTilt(s), s"$s tilt diverges")
+      assert(r.getAs[Long]("alloc_tokens") === expAlloc(s), s"$s alloc diverges")
+    }
+    // 3. the tilt follows the drift: tilted/baseline ratio ordering matches
+    // kl ordering (cross-multiplied in BigInt, ±1-unit apportionment slack)
+    val byKl = in.sortBy(_._3)
+    val (loS, hiS) = (byKl.head._1, byKl.last._1)
+    if (byKl.head._3 < byKl.last._3) {
+      val loB = rows.find(_.getString(0) == loS).get
+      val hiB = rows.find(_.getString(0) == hiS).get
+      assert(BigInt(hiB.getAs[Long]("tilted_ppm") + 1) * loB.getAs[Long]("baseline_ppm") >=
+        BigInt(hiB.getAs[Long]("baseline_ppm")) * (loB.getAs[Long]("tilted_ppm") - 1),
+        "max-KL source did not gain share relative to the min-KL source")
+    }
+    // 4. non-vacuity: the tilt moved at least one share
+    assert(rows.exists(_.getAs[Long]("delta_ppm") !== 0L),
+      "every delta is zero - the drift signal never moved a share")
+  }
 }
