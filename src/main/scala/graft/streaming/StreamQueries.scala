@@ -827,7 +827,7 @@ object StreamQueries {
       src.toString
     })
 
-  private def joinCdcStream(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def joinCdcStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(joinCdcSchema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "1")

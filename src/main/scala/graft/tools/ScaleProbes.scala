@@ -270,6 +270,26 @@ object ScaleProbes {
         }
         spark.stop()
         return
+      case "qs34_update" =>
+        // the PRODUCTION emission shape for qs34's join-view maintenance:
+        // update-mode (changed keys only) into a noop sink. The registry
+        // query's complete-mode drain re-emits the FULL |custkeys|-row
+        // state per micro-batch through the harness memory sink BY DESIGN
+        // (the exactness instrument needs the whole view to hash), so its
+        // scale reading is drain volume, not maintenance cost — this probe
+        // is the number a deployed update-mode view pays: state updates +
+        // per-batch delta emission, no driver materialization anywhere.
+        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+        (1 to reps).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val q = graft.streaming.StreamQueries.joinViewKeyState(
+              graft.streaming.StreamQueries.joinCdcStream(spark, dir))
+            .writeStream.format("noop").outputMode(OutputMode.Update())
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
       case other => sys.error(s"unknown probe $other")
     }
     val sorted = times.sorted
