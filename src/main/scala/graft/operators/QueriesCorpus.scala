@@ -3111,4 +3111,95 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |     - (q0 + CASE WHEN rk0 <= l0 THEN 1 ELSE 0 END) AS BIGINT) AS delta_ppm,
       |  CAST(qb + CASE WHEN rkb <= lb THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
       |FROM f ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X156
+  /** OFF-POLICY FILTER EVALUATION (IPS/SNIPS) — the evaluation family's
+    * counterfactual member: estimate what a CANDIDATE admission filter
+    * would keep, from the logs of the CURRENTLY-DEPLOYED stochastic
+    * admission policy, without re-running anything over the raw corpus —
+    * the data-pipeline A/B question ("if we deploy this filter, how many
+    * training tokens per source survive?") answered from logs alone.
+    * Estimators are the published ones: Horvitz–Thompson inverse
+    * propensity scoring for the admitted-token TOTAL, and the
+    * self-normalized variant (SNIPS — Swaminathan & Joachims 2015, "The
+    * Self-Normalized Estimator for Counterfactual Learning") for the
+    * mean-tokens-per-admitted-doc, which trades HT's unbiasedness for
+    * bounded variance under propensity skew. The fixture logger admits
+    * long docs at 0.9 and short docs at 0.1 (two-tier propensities), the
+    * logging coin is CONTENT-ADDRESSED (md5-uniform, the x42 discipline —
+    * no RNG state, both engines flip the identical coin), and the
+    * candidate filter is a deterministic length gate that DISAGREES with
+    * the logger's tiering on [150,200) chars, so the high-weight (×10)
+    * correction path is genuinely exercised. Because the policies are
+    * deterministic functions of the corpus, the on-policy TRUTH is
+    * computable in the same scan — the output carries its own audit
+    * (err_ppm of IPS vs truth), which is the point: the estimator's
+    * error is a measured number, not a hope. Exactness: propensities are
+    * exact ppm two-pointers, so every IPS weight is the exact rational
+    * 10/9 or 10 — sums are kept in integer NINTHS and divided once with
+    * half-up rounding; the logging flag is the DECIMAL(38,0)/HUGEINT
+    * cross-multiplication hv·10⁶ < p0·2⁴⁸ (hv·10⁶ overflows int64).
+    * Scale shape: ONE corpus scan, every per-doc column map-side, one
+    * groupBy(source) of conditional sums — |sources| output rows, no
+    * joins, no windows, no second action. */
+  private[operators] def x156(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tok", size(toks(col("text"))).cast(LongType))
+      .withColumn("hv", conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType))
+      .withColumn("p0_ppm", when(col("n_chars") >= 200, 900000L).otherwise(100000L))
+      .withColumn("logged", expr(
+        "CAST(hv AS DECIMAL(38,0)) * 1000000 < CAST(p0_ppm AS DECIMAL(38,0)) * 281474976710656"))
+      .withColumn("target", col("n_chars") >= 150)
+      .withColumn("wn", when(col("p0_ppm") === 900000L, 10L).otherwise(90L))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("logged"), 1L).otherwise(0L)).as("n_logged"),
+        sum(when(col("logged") && col("target"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("logged") && col("target"), col("tok") * col("wn"))
+          .otherwise(0L)).as("ips_ninths"),
+        sum(when(col("logged") && col("target"), col("wn")).otherwise(0L)).as("w_ninths"),
+        sum(when(col("target"), col("tok")).otherwise(0L)).as("truth_tokens"),
+        sum(when(col("target"), 1L).otherwise(0L)).as("truth_docs"))
+      .withColumn("ips_tokens", expr("(2 * ips_ninths + 9) div 18"))
+      .select(col("source"), col("n_logged"), col("n_match"), col("ips_tokens"),
+        col("truth_tokens"),
+        expr("""CAST((2 * CAST(abs(ips_tokens - truth_tokens) AS DECIMAL(38,0)) * 1000000
+                + greatest(truth_tokens, 1)) div (2 * greatest(truth_tokens, 1)) AS BIGINT)""")
+          .as("err_ppm"),
+        expr("""CAST((2000 * CAST(ips_ninths AS DECIMAL(38,0)) + greatest(w_ninths, 1))
+                div (2 * greatest(w_ninths, 1)) AS BIGINT)""").as("snips_mean_milli"),
+        expr("""CAST((2000 * CAST(truth_tokens AS DECIMAL(38,0)) + greatest(truth_docs, 1))
+                div (2 * greatest(truth_docs, 1)) AS BIGINT)""").as("truth_mean_milli"))
+      .orderBy(col("source"))
+
+  private[operators] lazy val x156Sql =
+    """WITH d AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv,
+      |    CASE WHEN n_chars >= 200 THEN 900000 ELSE 100000 END AS p0_ppm,
+      |    n_chars
+      |  FROM documents),
+      |f AS (SELECT source, tok,
+      |    (hv::HUGEINT * 1000000 < p0_ppm::HUGEINT * 281474976710656) AS logged,
+      |    (n_chars >= 150) AS target,
+      |    CASE WHEN p0_ppm = 900000 THEN 10 ELSE 90 END AS wn
+      |  FROM d),
+      |a AS (SELECT source,
+      |    CAST(count(*) FILTER (WHERE logged) AS BIGINT) AS n_logged,
+      |    CAST(count(*) FILTER (WHERE logged AND target) AS BIGINT) AS n_match,
+      |    CAST(coalesce(sum(tok * wn) FILTER (WHERE logged AND target), 0) AS BIGINT) AS ips_ninths,
+      |    CAST(coalesce(sum(wn) FILTER (WHERE logged AND target), 0) AS BIGINT) AS w_ninths,
+      |    CAST(coalesce(sum(tok) FILTER (WHERE target), 0) AS BIGINT) AS truth_tokens,
+      |    CAST(count(*) FILTER (WHERE target) AS BIGINT) AS truth_docs
+      |  FROM f GROUP BY source)
+      |SELECT source, n_logged, n_match,
+      |  CAST((2 * ips_ninths + 9) // 18 AS BIGINT) AS ips_tokens,
+      |  truth_tokens,
+      |  CAST((2 * CAST(abs((2 * ips_ninths + 9) // 18 - truth_tokens) AS HUGEINT) * 1000000
+      |        + greatest(truth_tokens, 1)) // (2 * greatest(truth_tokens, 1)) AS BIGINT) AS err_ppm,
+      |  CAST((2000 * CAST(ips_ninths AS HUGEINT) + greatest(w_ninths, 1))
+      |       // (2 * greatest(w_ninths, 1)) AS BIGINT) AS snips_mean_milli,
+      |  CAST((2000 * CAST(truth_tokens AS HUGEINT) + greatest(truth_docs, 1))
+      |       // (2 * greatest(truth_docs, 1)) AS BIGINT) AS truth_mean_milli
+      |FROM a ORDER BY source""".stripMargin
 }

@@ -3094,4 +3094,56 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getAs[Long]("delta_ppm") !== 0L),
       "every delta is zero - the drift signal never moved a share")
   }
+
+  test("x156: IPS/SNIPS off-policy estimates match a BigInt replay of the logs") {
+    val rows = run("x156_ips_filter_eval").collect()
+    assert(rows.nonEmpty)
+    // full-algorithm replay from the raw table: md5 coin, two-tier
+    // propensities, candidate gate, ninths-exact sums
+    case class A(var nl: Long = 0, var nm: Long = 0, var ips9: BigInt = 0,
+      var w9: Long = 0, var tt: Long = 0, var td: Long = 0)
+    val acc = scala.collection.mutable.Map.empty[String, A]
+    graft.operators.Tables.documents(spark, sf)
+      .select(col("source"), col("text"), col("n_chars")).collect().foreach { r =>
+        val (src, text, nc) = (r.getString(0), r.getString(1), r.getLong(2))
+        val tok = text.split(" ", -1).length.toLong
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8"))
+        val hv = md5.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+        val p0 = if (nc >= 200) 900000L else 100000L
+        val logged = BigInt(hv) * 1000000 < BigInt(p0) * BigInt(281474976710656L)
+        val target = nc >= 150
+        val wn = if (p0 == 900000L) 10L else 90L
+        val a = acc.getOrElseUpdate(src, A())
+        if (logged) a.nl += 1
+        if (logged && target) { a.nm += 1; a.ips9 += BigInt(tok) * wn; a.w9 += wn }
+        if (target) { a.tt += tok; a.td += 1 }
+      }
+    def halfUp(n: BigInt, d: BigInt): Long = ((2 * n + d) / (2 * d)).toLong
+    rows.foreach { r =>
+      val s = r.getAs[String]("source"); val a = acc(s)
+      assert(r.getAs[Long]("n_logged") === a.nl, s"$s n_logged")
+      assert(r.getAs[Long]("n_match") === a.nm, s"$s n_match")
+      val ips = halfUp(a.ips9, 9)
+      assert(r.getAs[Long]("ips_tokens") === ips, s"$s ips_tokens")
+      assert(r.getAs[Long]("truth_tokens") === a.tt, s"$s truth_tokens")
+      assert(r.getAs[Long]("err_ppm") ===
+        halfUp(BigInt((ips - a.tt).abs) * 1000000, BigInt(a.tt max 1)), s"$s err_ppm")
+      assert(r.getAs[Long]("snips_mean_milli") ===
+        halfUp(a.ips9 * 1000, BigInt(a.w9 max 1)), s"$s snips")
+      assert(r.getAs[Long]("truth_mean_milli") ===
+        halfUp(BigInt(a.tt) * 1000, BigInt(a.td max 1)), s"$s truth mean")
+    }
+    // the high-weight (x10 correction) path is genuinely exercised: some
+    // logged+target doc sits in the low-propensity tier
+    val lowTier = graft.operators.Tables.documents(spark, sf)
+      .filter(col("n_chars") >= 150 && col("n_chars") < 200).count()
+    assert(lowTier > 0, "no docs in the disagreement band [150,200) - the x10 path is vacuous")
+    // and the estimator is in the right ballpark where the log is dense
+    // (IPS is unbiased; with hundreds of logged docs the realized error
+    // should sit well under 100%)
+    val dense = rows.filter(_.getAs[Long]("n_match") >= 20)
+    assert(dense.nonEmpty && dense.forall(_.getAs[Long]("err_ppm") < 1000000L),
+      "a dense-log source shows >=100% IPS error - the estimator is broken")
+  }
 }
