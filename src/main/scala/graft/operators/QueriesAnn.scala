@@ -207,9 +207,18 @@ private[operators] trait QueriesAnn { this: Queries.type =>
   /** id-layout-independent core, exposed for the non-sequential-id spec */
   private[graft] def x14On(emb: DataFrame): DataFrame = {
     val e = emb.withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
-    val k = 16
     val corpus = e.filter(col("vec_id") >= 5)
-    val cents = ivfSeedCentroids(corpus, k)
+    ivfAdcServe(e, corpus, ivfSeedCentroids(corpus, 16))
+  }
+
+  /** The ADC code-build + two-stage serve, factored from x14On so x157's
+    * tombstone-masked serve runs the IDENTICAL path over a restricted
+    * corpus frame (codes/residuals are per-vector functions of (v,
+    * centroid) alone, so masking the corpus changes WHICH codes exist,
+    * never their bytes). `corpus` = the indexable frame; queries are the
+    * vec_id < 5 rows of `e` by the fixture contract. */
+  private[graft] def ivfAdcServe(e: DataFrame, corpus: DataFrame,
+      cents: DataFrame): DataFrame = {
     val assigned = ivfAssigned(corpus, cents)
     // int8 residual codes: r = v − centroid, scale = 127/max|r| (x29's
     // explicit floor(x·s + 0.5) so both engines round identically)
@@ -1855,5 +1864,132 @@ private[operators] trait QueriesAnn { this: Queries.type =>
       |SELECT test_id, train_id, cos_sim, cos_sim >= 0.45 AS leaked,
       |  'exact' AS mode
       |FROM b WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- X157
+  /** IVF TOMBSTONE-MASKED SERVE — the DELETE side of index maintenance
+    * (x149 is the add side): vectors leave a deployed index by TOMBSTONE,
+    * never by rewrite — erasure requests, license revocations, and dedup
+    * removals land as an id set, and the serving path must exclude them
+    * EXACTLY while the codes stay on disk until compaction. The theorem
+    * this query gates: masked-serve ≡ rebuilt-serve BIT-FOR-BIT, because
+    * under a FROZEN coarse quantizer (the x49/x149 discipline — rebuilds
+    * between retrains keep the base centroids) every surviving vector's
+    * cell assignment and int8 residual code are functions of (v,
+    * centroid) alone, so deleting neighbors changes WHICH codes exist,
+    * never their bytes, and the ADC candidate cut over the live count is
+    * the rebuilt index's cut. (Re-SEEDING centroids from the live corpus
+    * would break the identity — that is a retrain, not a delete.) The
+    * oracle IS the rebuild: x14's full-algorithm DuckDB pipeline with
+    * the tombstone predicate applied at the assignment scan. Scale
+    * shape: identical to x14's serving path (the one corpus-wide pass
+    * reads ~80-byte codes); the mask is a map-side predicate — in
+    * production a broadcast tombstone set or a bloom gate, here the
+    * id-residue stand-in. Fixture: vec_id % 13 tombstones ~7.7% of the
+    * base, queries (vec_id < 5) are never tombstoned. */
+  private[operators] def x157(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val base = e.filter(col("vec_id") >= 5)
+    val live = base.filter(col("vec_id") % 13 =!= 0) // the tombstone mask
+    ivfAdcServe(e, live, ivfSeedCentroids(base, 16)) // centroids FROZEN over the full base
+  }
+
+  /** x14Sql with the tombstone predicate at the assignment scan — the
+    * from-scratch rebuild over live vectors under the frozen centroids. */
+  private[operators] lazy val x157Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+      |          WHERE vec_id >= 5 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (SELECT vec_id, cent_id FROM (
+      |  SELECT e.vec_id, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
+      |  FROM e, cents c WHERE e.vec_id >= 5 AND e.vec_id % 13 <> 0) a WHERE rn = 1),
+      |codes AS (
+      |  SELECT e.vec_id, a.cent_id, e.nrm,
+      |    greatest(list_max(list_transform(
+      |      list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]), x -> abs(x))), 1e-12) AS mx,
+      |    list_transform(
+      |      list_transform(range(1, len(e.v) + 1), i -> e.v[i] - c.cv[i]),
+      |      x -> floor(x * (127.0 / greatest(list_max(list_transform(
+      |             list_transform(range(1, len(e.v) + 1), j -> e.v[j] - c.cv[j]), y -> abs(y))), 1e-12)) + 0.5)) AS code
+      |  FROM e JOIN assign a USING (vec_id) JOIN cents c USING (cent_id)),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+      |qc AS (SELECT q.query_id, c.cent_id, list_dot_product(q.qv, c.cv) AS qcdot FROM q, cents c),
+      |cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        (qc.qcdot + list_dot_product(q.qv, c.code) * (c.mx / 127.0)) / (q.qn * c.nrm) DESC,
+      |        c.vec_id) AS r1,
+      |      count(*) OVER (PARTITION BY q.query_id) AS csz
+      |    FROM codes c
+      |    JOIN qc ON qc.cent_id = c.cent_id
+      |    JOIN q ON q.query_id = qc.query_id) z
+      |  WHERE r1 <= ceil(CAST(csz AS DOUBLE) / 8))
+      |SELECT query_id, vec_id, rnk, cos_sim FROM (
+      |  SELECT cand.query_id, cand.vec_id,
+      |    round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) AS cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY cand.query_id
+      |      ORDER BY round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) DESC, cand.vec_id) AS INT) AS rnk
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+      |            JOIN e ce ON ce.vec_id = cand.vec_id) t
+      |WHERE rnk <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- X158
+  /** IVF COMPACTION AUDIT — the maintenance decision x157's tombstones
+    * accumulate toward: per cell, how many codes exist, how many are
+    * dead, the live fraction, and the rebuild flag (live < 80% — the
+    * FAISS-style "compact when tombstones pass a fifth" heuristic made
+    * an explicit half-up-ppm integer rule). The output is what a
+    * compaction scheduler reads to pick WHICH cells to rewrite — cells,
+    * not the whole index, are the rewrite unit, so the reclaim column
+    * (dead codes × ~80-byte ADC entries) prices each candidate rewrite.
+    * Scale shape: ONE assignment pass over the base (the same k-row
+    * broadcast + max_by x14 serves from), one groupBy(cent_id) of
+    * conditional sums — k output rows. Exactness: counts and half-up
+    * ppm rationals, integer end-to-end after the (deterministic)
+    * assignment. */
+  private[operators] def x158(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val base = e.filter(col("vec_id") >= 5)
+    ivfAssigned(base, ivfSeedCentroids(base, 16))
+      .withColumn("dead", (col("vec_id") % 13 === 0).cast(LongType))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_codes"), sum(col("dead")).as("n_tombstoned"))
+      .select(col("cent_id"), col("n_codes"), col("n_tombstoned"),
+        expr("""(2 * (n_codes - n_tombstoned) * 1000000 + n_codes)
+                div (2 * n_codes)""").as("live_ppm"),
+        (col("n_tombstoned") * 80L).as("reclaim_bytes"),
+        expr("""(2 * (n_codes - n_tombstoned) * 1000000 + n_codes)
+                div (2 * n_codes) < 800000""").as("rebuild"))
+      .orderBy(col("cent_id"))
+  }
+
+  private[operators] lazy val x158Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+      |          WHERE vec_id >= 5 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (SELECT vec_id, cent_id FROM (
+      |  SELECT e.vec_id, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
+      |  FROM e, cents c WHERE e.vec_id >= 5) a WHERE rn = 1),
+      |g AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_codes,
+      |        CAST(count(*) FILTER (WHERE vec_id % 13 = 0) AS BIGINT) AS n_tombstoned
+      |      FROM assign GROUP BY cent_id)
+      |SELECT cent_id, n_codes, n_tombstoned,
+      |  CAST((2 * (n_codes - n_tombstoned) * 1000000 + n_codes)
+      |       // (2 * n_codes) AS BIGINT) AS live_ppm,
+      |  CAST(n_tombstoned * 80 AS BIGINT) AS reclaim_bytes,
+      |  (2 * (n_codes - n_tombstoned) * 1000000 + n_codes) // (2 * n_codes) < 800000 AS rebuild
+      |FROM g ORDER BY cent_id""".stripMargin
 
 }

@@ -3142,8 +3142,12 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     * Scale shape: ONE corpus scan, every per-doc column map-side, one
     * groupBy(source) of conditional sums — |sources| output rows, no
     * joins, no windows, no second action. */
-  private[operators] def x156(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** x156's moment core, factored for the qs35 streaming twin (the
+    * cappedMixtureAlloc pattern): per-doc log replay map-side, ONE
+    * groupBy(source) of commutative conditional sums — works identically
+    * on a stream (|sources|-row state × 6 longs) and a batch frame. */
+  private[graft] def ipsMoments(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tok", size(toks(col("text"))).cast(LongType))
       .withColumn("hv", conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType))
       .withColumn("p0_ppm", when(col("n_chars") >= 200, 900000L).otherwise(100000L))
@@ -3160,6 +3164,11 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
         sum(when(col("logged") && col("target"), col("wn")).otherwise(0L)).as("w_ninths"),
         sum(when(col("target"), col("tok")).otherwise(0L)).as("truth_tokens"),
         sum(when(col("target"), 1L).otherwise(0L)).as("truth_docs"))
+
+  /** x156's estimator finish over a drained/batch moment frame: exact
+    * half-up rationals from the integer ninths. */
+  private[graft] def ipsFinish(moments: DataFrame): DataFrame =
+    moments
       .withColumn("ips_tokens", expr("(2 * ips_ninths + 9) div 18"))
       .select(col("source"), col("n_logged"), col("n_match"), col("ips_tokens"),
         col("truth_tokens"),
@@ -3171,6 +3180,9 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
         expr("""CAST((2000 * CAST(truth_tokens AS DECIMAL(38,0)) + greatest(truth_docs, 1))
                 div (2 * greatest(truth_docs, 1)) AS BIGINT)""").as("truth_mean_milli"))
       .orderBy(col("source"))
+
+  private[operators] def x156(spark: SparkSession, dir: String): DataFrame =
+    ipsFinish(ipsMoments(Tables.documents(spark, dir)))
 
   private[operators] lazy val x156Sql =
     """WITH d AS (SELECT source,

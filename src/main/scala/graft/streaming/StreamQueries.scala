@@ -877,6 +877,73 @@ object StreamQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- QS35
+  /** STREAMING OFF-POLICY EVALUATION AT INGEST — x156's online twin: the
+    * IPS/SNIPS estimate of the candidate filter's kept-token mass
+    * refreshes continuously as logged admission decisions arrive, so the
+    * filter A/B dashboard reads a LIVE counterfactual instead of waiting
+    * on a nightly batch (the decision "deploy the new gate?" tracks the
+    * corpus as it grows). Every per-doc column — the content-addressed
+    * logging coin, the two-tier propensity, the candidate gate, the
+    * exact ninths weight — is MAP-SIDE (x156's core, shared verbatim),
+    * and the ONE streaming aggregation keys by source: state is
+    * |sources| rows × 6 longs, corpus-size-independent. Commutative
+    * integer sums make the drain arrival-order-free; the estimator
+    * finish (half-up rationals from the drained ninths) runs on the
+    * |sources|-row drain, and the batch leg through the SAME cores is
+    * hash-gated per source (matches_batch). Oracle = x156's own SQL. */
+  private def qs35(spark: SparkSession, dir: String): DataFrame = {
+    val drained = graft.operators.Queries.ipsFinish(
+      runToTable(spark,
+        graft.operators.Queries.ipsMoments(docsStream(spark, dir)),
+        OutputMode.Complete()))
+    val batch = graft.operators.Queries.ipsFinish(graft.operators.Queries.ipsMoments(
+        graft.operators.Tables.documents(spark, dir)))
+      .select(col("source").as("b_src"), col("ips_tokens").as("b_ips"),
+        col("err_ppm").as("b_err"), col("snips_mean_milli").as("b_snips"))
+    drained.join(batch, drained("source") === col("b_src"), "left") // |sources|-row frames
+      .select(drained("source"), col("n_logged"), col("n_match"), col("ips_tokens"),
+        col("truth_tokens"), col("err_ppm"), col("snips_mean_milli"),
+        col("truth_mean_milli"),
+        (col("b_src").isNotNull && col("ips_tokens") === col("b_ips") &&
+          col("err_ppm") === col("b_err") &&
+          col("snips_mean_milli") === col("b_snips")).as("matches_batch"))
+      .orderBy(drained("source"))
+  }
+
+  /** Oracle = x156's full replay (text duplicated — the qs26 rule). */
+  private val qs35Sql =
+    """WITH d AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv,
+      |    CASE WHEN n_chars >= 200 THEN 900000 ELSE 100000 END AS p0_ppm,
+      |    n_chars
+      |  FROM documents),
+      |f AS (SELECT source, tok,
+      |    (hv::HUGEINT * 1000000 < p0_ppm::HUGEINT * 281474976710656) AS logged,
+      |    (n_chars >= 150) AS target,
+      |    CASE WHEN p0_ppm = 900000 THEN 10 ELSE 90 END AS wn
+      |  FROM d),
+      |a AS (SELECT source,
+      |    CAST(count(*) FILTER (WHERE logged) AS BIGINT) AS n_logged,
+      |    CAST(count(*) FILTER (WHERE logged AND target) AS BIGINT) AS n_match,
+      |    CAST(coalesce(sum(tok * wn) FILTER (WHERE logged AND target), 0) AS BIGINT) AS ips_ninths,
+      |    CAST(coalesce(sum(wn) FILTER (WHERE logged AND target), 0) AS BIGINT) AS w_ninths,
+      |    CAST(coalesce(sum(tok) FILTER (WHERE target), 0) AS BIGINT) AS truth_tokens,
+      |    CAST(count(*) FILTER (WHERE target) AS BIGINT) AS truth_docs
+      |  FROM f GROUP BY source)
+      |SELECT source, n_logged, n_match,
+      |  CAST((2 * ips_ninths + 9) // 18 AS BIGINT) AS ips_tokens,
+      |  truth_tokens,
+      |  CAST((2 * CAST(abs((2 * ips_ninths + 9) // 18 - truth_tokens) AS HUGEINT) * 1000000
+      |        + greatest(truth_tokens, 1)) // (2 * greatest(truth_tokens, 1)) AS BIGINT) AS err_ppm,
+      |  CAST((2000 * CAST(ips_ninths AS HUGEINT) + greatest(w_ninths, 1))
+      |       // (2 * greatest(w_ninths, 1)) AS BIGINT) AS snips_mean_milli,
+      |  CAST((2000 * CAST(truth_tokens AS HUGEINT) + greatest(truth_docs, 1))
+      |       // (2 * greatest(truth_docs, 1)) AS BIGINT) AS truth_mean_milli,
+      |  TRUE AS matches_batch
+      |FROM a ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -2280,5 +2347,7 @@ object StreamQueries {
     Q("qs33_stream_cdc_aggregate", qs33, Some(qs33Sql),
       "streaming CDC aggregate with retractions: map-side signed-weight expansion makes deletes a SUM, |event_types|-row state, drain == x121's maintained view == full rebuild"),
     Q("qs34_stream_join_view", qs34, Some(qs34Sql),
-      "streaming join-view maintenance: per-custkey factorized state (each side's sufficient stats, dim-cardinality never fact-cardinality), drain-fold == q44's view == full join rebuild"))
+      "streaming join-view maintenance: per-custkey factorized state (each side's sufficient stats, dim-cardinality never fact-cardinality), drain-fold == q44's view == full join rebuild"),
+    Q("qs35_stream_ips_eval", qs35, Some(qs35Sql),
+      "streaming off-policy evaluation at ingest: x156's IPS/SNIPS refreshed continuously, map-side log replay, |sources|-row 6-long state, drain == batch estimator"))
 }

@@ -106,6 +106,8 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "q44_ivm_join" -> (2, "conf-gated: spark.graft.ivm.broadcastDeltaCap (2 distinct delta-leg sites)"),
     "x7_ann_lsh" -> (1, "192-row hyperplane matrix"),
     "x14_ann_ivf" -> (5, "k=16 centroid frames + 5-row query frame + 5x16 query-centroid dots"),
+    "x157_ivf_tombstone_serve" -> (5, "the x14 serve path verbatim: k=16 centroid frames + 5-row query frame + 5x16 query-centroid dots"),
+    "x158_ivf_compaction_audit" -> (1, "k=16 centroid frame (the ivfAssigned broadcast)"),
     "x21_sequence_pack" -> (1, "|packs|-row boundary frame"),
     "x27_vocabulary" -> (1, "bounded merge-rule vocabulary table"),
     "x29_quantized_rerank" -> (1, "5-row query frame"),

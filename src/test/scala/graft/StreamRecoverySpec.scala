@@ -920,4 +920,49 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StreamQueries.joinViewFold(spark.table("jv_fresh")).count() === 0,
       "fact-only fold nonempty - the dim-dependency check is vacuous")
   }
+
+  test("qs35's |sources|-row IPS moment state restarts from checkpoint: drained estimator equals batch x156 (recovery proof #15)") {
+    val root = graft.util.TempDirs.create("graft-recovery35")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val q = graft.operators.Queries.ipsMoments(
+          StreamQueries.docsStreamFrom(spark, from))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("ips_run1", ckpt)
+    writeWave(2)
+    val wave2Docs = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    assert(runOnce("ips_run2", ckpt) === wave2Docs, "restart re-read old waves")
+
+    // the estimator over the RECOVERED moments must equal batch x156 —
+    // only possible if waves 0/1's 6-long rows crossed the death (a fresh
+    // state would shift every ninths sum and every truth total)
+    val recovered = graft.operators.Queries.ipsFinish(spark.table("ips_run2"))
+    val batch = graft.operators.Queries.byName("x156_ips_filter_eval").run(spark, sf)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted IPS estimator differs from batch x156")
+
+    // non-vacuity: a fresh wave-2-only run carries visibly less logged mass
+    runOnce("ips_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass = (t: String) => spark.table(t).agg(sum(col("n_logged"))).head().getLong(0)
+    assert(mass("ips_run2") > mass("ips_fresh"),
+      "recovered logged mass not above the fresh wave-2-only mass")
+  }
 }

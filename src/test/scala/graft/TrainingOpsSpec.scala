@@ -3139,11 +3139,74 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lowTier = graft.operators.Tables.documents(spark, sf)
       .filter(col("n_chars") >= 150 && col("n_chars") < 200).count()
     assert(lowTier > 0, "no docs in the disagreement band [150,200) - the x10 path is vacuous")
+    // the streaming twin drains to the identical estimator (its own
+    // matches_batch already gates the cores; this pins the registry rows)
+    val qs = run("qs35_stream_ips_eval").collect()
+    assert(qs.forall(_.getAs[Boolean]("matches_batch")),
+      "a drained source failed the batch estimator cross-check")
+    val qsMap = qs.map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("ips_tokens"), r.getAs[Long]("snips_mean_milli"))).toMap
+    rows.foreach { r =>
+      assert(qsMap(r.getAs[String]("source")) ===
+        (r.getAs[Long]("ips_tokens"), r.getAs[Long]("snips_mean_milli")),
+        s"${r.getString(0)}: streamed estimate diverges from batch x156")
+    }
     // and the estimator is in the right ballpark where the log is dense
     // (IPS is unbiased; with hundreds of logged docs the realized error
     // should sit well under 100%)
     val dense = rows.filter(_.getAs[Long]("n_match") >= 20)
     assert(dense.nonEmpty && dense.forall(_.getAs[Long]("err_ppm") < 1000000L),
       "a dense-log source shows >=100% IPS error - the estimator is broken")
+  }
+
+  test("x157: tombstone-masked serve equals the physically rebuilt index, and deletion genuinely changes results") {
+    import graft.operators.Queries
+    val masked = run("x157_ivf_tombstone_serve").collect()
+    assert(masked.nonEmpty)
+    // 1. no tombstoned id ever serves
+    assert(masked.forall(_.getAs[Long]("vec_id") % 13 != 0L),
+      "a tombstoned vector appeared in the masked top-10")
+    // 2. the bit-identity theorem, engine-side: rebuild the index over a
+    // PHYSICALLY restricted live frame (fresh scan, no mask expression
+    // anywhere) under the same frozen centroids — row-for-row equality
+    val e = graft.operators.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val base = e.filter(col("vec_id") >= 5)
+    val liveOnly = base.filter(col("vec_id") % 13 =!= 0)
+      .collect().toSeq // materialize: the rebuild must not share the mask plan
+    val liveFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(liveOnly, 4), base.schema)
+    val rebuilt = Queries.ivfAdcServe(e, liveFrame,
+      Queries.ivfSeedCentroids(base, 16)).collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"))
+    val mMap = masked.map(r => key(r) -> (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toMap
+    val rMap = rebuilt.map(r => key(r) -> (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toMap
+    assert(mMap === rMap, "masked serve diverges from the physical rebuild")
+    // 3. non-vacuity: the unmasked index (x14) serves at least one
+    // tombstoned vector in some top-10 — deletion visibly changes results
+    val unmasked = run("x14_ann_ivf").collect()
+    assert(unmasked.exists(_.getAs[Long]("vec_id") % 13 === 0L),
+      "no tombstoned id in the unmasked top-10s - the mask is unexercised")
+  }
+
+  test("x158: cells partition the base, ppm arithmetic is exact, the flag follows the rule") {
+    val rows = run("x158_ivf_compaction_audit").collect()
+    assert(rows.length > 1 && rows.length <= 16)
+    val nBase = graft.operators.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 5).count()
+    assert(rows.map(_.getAs[Long]("n_codes")).sum === nBase,
+      "cells do not partition the base corpus")
+    rows.foreach { r =>
+      val (n, t) = (r.getAs[Long]("n_codes"), r.getAs[Long]("n_tombstoned"))
+      assert(t >= 0 && t <= n)
+      val ppm = (2 * (n - t) * 1000000L + n) / (2 * n)
+      assert(r.getAs[Long]("live_ppm") === ppm, s"cell ${r.getLong(0)} ppm")
+      assert(r.getAs[Long]("reclaim_bytes") === t * 80L)
+      assert(r.getAs[Boolean]("rebuild") === (ppm < 800000L), s"cell ${r.getLong(0)} flag")
+    }
+    assert(rows.map(_.getAs[Long]("n_tombstoned")).sum > 0,
+      "no tombstones in the fixture - the audit is vacuous")
   }
 }
