@@ -3184,6 +3184,99 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
   private[operators] def x156(spark: SparkSession, dir: String): DataFrame =
     ipsFinish(ipsMoments(Tables.documents(spark, dir)))
 
+  // ---------------------------------------------------------------- X159
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVALS — the statistics-at-scale
+    * member the scorecards lacked: every per-source mean this engine
+    * emits (quality, tokens, drift) is a point estimate, and the
+    * question a release gate actually asks is "is the difference real or
+    * sampling noise?". The classical bootstrap resamples n-of-n WITH
+    * replacement — undistributable, because a resample needs global
+    * coordination. The POISSON bootstrap (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams" — the standard production
+    * form) replaces multinomial counts with independent Poisson(1)
+    * weights per row, so B=32 resamples ride ONE corpus scan: each row
+    * draws 32 weights map-side and contributes (w·tok, w) to 32 keyed
+    * sums. Determinism: the draws are CONTENT-ADDRESSED (md5(doc_id, b)
+    * uniform vs the Poisson(1) CDF), so both engines draw the identical
+    * weight table — the CI is an estimator (B=32, weights capped at 5:
+    * the cap bin holds 0.37% mass; nearest-rank 1/31 of 32 as the
+    * 2.5%/97.5% convention), but the OUTPUT is bit-reproducible, which
+    * is what a hash gate and a rerun audit need. CDF thresholds are
+    * pinned integer-ppb literals (e⁻¹-derived, comment below) — no
+    * transcendental evaluated at runtime, so no cross-engine ulp risk
+    * (the RBS discipline). Scale shape: one scan explodes ×32 but the
+    * groupBy(source, b) map-side combines to |sources|·32 rows; the
+    * rank selection is a window over that tiny frame. */
+  private[operators] def x159(spark: SparkSession, dir: String): DataFrame = {
+    // Poisson(1) CDF at k=0..4, round-nearest ppb: e^-1, 2e^-1, 2.5e^-1,
+    // 2.5e^-1 + e^-1/6, + e^-1/24
+    val cdf = Seq(367879441L, 735758882L, 919698603L, 981011843L, 996340153L)
+    val wExpr = cdf.zipWithIndex.foldRight("CAST(5 AS BIGINT)") { case ((t, k), rest) =>
+      s"IF(CAST(hv AS DECIMAL(38,0)) * 1000000000 < CAST($t AS DECIMAL(38,0)) * 281474976710656, CAST($k AS BIGINT), $rest)"
+    }
+    val perResample = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("tok"))
+      .withColumn("b", explode(sequence(lit(0), lit(31))))
+      .withColumn("hv", conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("_"), col("b").cast("string"))),
+        1, 12), 16, 10).cast(LongType))
+      .withColumn("w", expr(wExpr))
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w") * col("tok")).as("wt"), sum(col("w")).as("wn"))
+      .withColumn("bmean_milli",
+        expr("(2000 * wt + greatest(wn, 1)) div (2 * greatest(wn, 1))"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("bmean_milli").asc, col("b").asc)
+    val ci = perResample // |sources|x32 rows from here down
+      .withColumn("rk", row_number().over(wRank))
+      .groupBy(col("source"))
+      .agg(max(when(col("rk") === 1, col("bmean_milli"))).as("boot_lo_milli"),
+        max(when(col("rk") === 31, col("bmean_milli"))).as("boot_hi_milli"))
+    val point = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("(2000 * sum(tok) + count(1)) div (2 * count(1))").as("mean_milli"))
+    point.join(ci, Seq("source")) // |sources|-row frames
+      .select(col("source"), col("n_docs"), col("mean_milli"),
+        col("boot_lo_milli"), col("boot_hi_milli"),
+        (col("boot_hi_milli") - col("boot_lo_milli")).as("ci_width_milli"))
+      .orderBy(col("source"))
+  }
+
+  private[operators] lazy val x159Sql = {
+    val cdf = Seq(367879441L, 735758882L, 919698603L, 981011843L, 996340153L)
+    val wCase = cdf.zipWithIndex.map { case (t, k) =>
+      s"WHEN hv::HUGEINT * 1000000000 < ${t}::HUGEINT * 281474976710656 THEN $k"
+    }.mkString("CASE ", " ", " ELSE 5 END")
+    s"""WITH d AS (SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+       |r AS (SELECT source, doc_id, tok, unnest(range(32)) AS b FROM d),
+       |h AS (SELECT source, tok, b,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 12))::BIGINT AS hv
+       |  FROM r),
+       |w AS (SELECT source, tok, b, CAST($wCase AS BIGINT) AS w FROM h),
+       |g AS (SELECT source, b, CAST(sum(w * tok) AS BIGINT) AS wt,
+       |        CAST(sum(w) AS BIGINT) AS wn
+       |      FROM w GROUP BY 1, 2),
+       |m AS (SELECT source, b,
+       |    CAST((2000 * wt + greatest(wn, 1)) // (2 * greatest(wn, 1)) AS BIGINT) AS bmean_milli
+       |  FROM g),
+       |rk AS (SELECT source, bmean_milli,
+       |    row_number() OVER (PARTITION BY source ORDER BY bmean_milli, b) AS rk FROM m),
+       |ci AS (SELECT source,
+       |    max(CASE WHEN rk = 1 THEN bmean_milli END) AS boot_lo_milli,
+       |    max(CASE WHEN rk = 31 THEN bmean_milli END) AS boot_hi_milli
+       |  FROM rk GROUP BY source),
+       |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST((2000 * sum(tok) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_milli
+       |  FROM d GROUP BY source)
+       |SELECT source, n_docs, mean_milli, boot_lo_milli, boot_hi_milli,
+       |  CAST(boot_hi_milli - boot_lo_milli AS BIGINT) AS ci_width_milli
+       |FROM p JOIN ci USING (source) ORDER BY source""".stripMargin
+  }
+
   private[operators] lazy val x156Sql =
     """WITH d AS (SELECT source,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,

@@ -3209,4 +3209,47 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("n_tombstoned")).sum > 0,
       "no tombstones in the fixture - the audit is vacuous")
   }
+
+  test("x159: the bootstrap CI matches a full BigInt replay of the 32 Poisson resamples") {
+    val rows = run("x159_bootstrap_ci").collect()
+    assert(rows.nonEmpty)
+    val cdf = Seq(367879441L, 735758882L, 919698603L, 981011843L, 996340153L)
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+    // replay: per (source, b) weighted sums with the identical md5 draws
+    val sums = scala.collection.mutable.Map.empty[(String, Int), (BigInt, Long)]
+    val nTok = scala.collection.mutable.Map.empty[String, (Long, Long)] // (docs, tokens)
+    docs.foreach { r =>
+      val (src, id, text) = (r.getString(0), r.getLong(1), r.getString(2))
+      val tok = text.split(" ", -1).length.toLong
+      val (nd, nt) = nTok.getOrElse(src, (0L, 0L)); nTok(src) = (nd + 1, nt + tok)
+      for (b <- 0 until 32) {
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${id}_$b".getBytes("UTF-8"))
+        val hv = md5.take(6).foldLeft(0L)((a, x) => (a << 8) | (x & 0xffL))
+        val w = cdf.indexWhere(t =>
+          BigInt(hv) * 1000000000L < BigInt(t) * BigInt(281474976710656L)) match {
+          case -1 => 5L; case k => k.toLong
+        }
+        val (wt, wn) = sums.getOrElse((src, b), (BigInt(0), 0L))
+        sums((src, b)) = (wt + BigInt(tok) * w, wn + w)
+      }
+    }
+    def halfUp(n: BigInt, d: Long): Long = ((2 * n + d) / (2 * BigInt(d))).toLong
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val means = (0 until 32).map { b =>
+        val (wt, wn) = sums((s, b)); (halfUp(wt * 1000, wn max 1L), b)
+      }.sorted
+      assert(r.getAs[Long]("boot_lo_milli") === means(0)._1, s"$s lo")
+      assert(r.getAs[Long]("boot_hi_milli") === means(30)._1, s"$s hi")
+      val (nd, nt) = nTok(s)
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("mean_milli") === halfUp(BigInt(nt) * 1000, nd), s"$s mean")
+      assert(r.getAs[Long]("boot_lo_milli") <= r.getAs[Long]("boot_hi_milli"))
+    }
+    // non-vacuity: the resamples genuinely scatter somewhere
+    assert(rows.exists(_.getAs[Long]("ci_width_milli") > 0),
+      "every CI has zero width - the resampling is vacuous")
+  }
 }
