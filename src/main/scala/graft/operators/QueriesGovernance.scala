@@ -91,14 +91,16 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
   /** the distributed half of x117 — exposed so PlansSpec can keep gating
     * the one-scan/map-side-combine property after the finisher moved
     * driver-side */
-  private[graft] def x117Moments(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .filter(col("value").isNotNull)
+  /** the per-row prep + ONE wide aggregation, frame-based so the qs36
+    * streaming twin runs the identical core (the qs26/foldMomentsWide
+    * pattern): 6 commutative conditional sums, |event_types|-row state. */
+  private[graft] def abMoments(ev: DataFrame): DataFrame =
+    ev.filter(col("value").isNotNull)
       .select(col("event_type"),
         pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
           .cast(LongType), lit(2L)).as("arm"),
         expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-    ev.groupBy(col("event_type"))
+      .groupBy(col("event_type"))
       .agg(
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
@@ -107,10 +109,13 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
         sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L)).as("ss_a"),
         sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L)).as("ss_b"))
       .filter(col("n_a") > 1 && col("n_b") > 1)
-  }
 
-  private[operators] def x117(spark: SparkSession, dir: String): DataFrame = {
-    val moments = x117Moments(spark, dir)
+  private[graft] def x117Moments(spark: SparkSession, dir: String): DataFrame =
+    abMoments(Tables.events(spark, dir))
+
+  /** the driver-side BigInt finisher over a |event_types|-row moment
+    * frame (drained OR batch — qs36 feeds it the recovered stream state). */
+  private[graft] def x117Finish(spark: SparkSession, moments: DataFrame): DataFrame = {
     val rows = moments.collect().map { r =>
       val et = r.getString(0)
       val na = r.getLong(1); val nb = r.getLong(2)
@@ -150,6 +155,9 @@ private[operators] trait QueriesGovernance { this: Queries.type =>
       StructField("significant", BooleanType, nullable = false)))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  private[operators] def x117(spark: SparkSession, dir: String): DataFrame =
+    x117Finish(spark, x117Moments(spark, dir))
 
   private[operators] lazy val x117Sql =
     """WITH e AS (SELECT event_type,

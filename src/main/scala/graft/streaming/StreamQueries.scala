@@ -944,6 +944,75 @@ object StreamQueries {
       |  TRUE AS matches_batch
       |FROM a ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- QS36
+  /** STREAMING A/B SIGNIFICANCE DASHBOARD — x117's online twin: the
+    * Welch t² readout per event type refreshes as events arrive, so an
+    * experimenter watches significance emerge instead of polling a
+    * nightly batch. The moment algebra is BUILT for this: x117's six
+    * conditional sums (n/Σ/Σ² per arm) are commutative integers, the
+    * arm assignment is the content-addressed md5(user_id)%2 (map-side,
+    * no state), so the ONE streaming aggregation keys by event_type
+    * with |event_types| rows × 6 longs of state — and the drained
+    * moments feed the SAME driver-side BigInt finisher the batch query
+    * uses (t², df, the integer χ²₁ significance flag). Drain ==
+    * batch x117 is hash-gated per row (matches_batch, null-safe on the
+    * t²/df columns a degenerate arm can null). */
+  private def qs36(spark: SparkSession, dir: String): DataFrame = {
+    val drained = graft.operators.Queries.x117Finish(spark,
+      runToTable(spark,
+        graft.operators.Queries.abMoments(eventsStream(spark, dir, nFiles = 3)),
+        OutputMode.Complete()))
+    val batch = graft.operators.Queries.x117Finish(spark,
+        graft.operators.Queries.x117Moments(spark, dir))
+      .select(col("event_type").as("b_et"), col("n_a").as("b_na"),
+        col("n_b").as("b_nb"), col("t2_micros").as("b_t2"),
+        col("df_micros").as("b_df"), col("significant").as("b_sig"))
+    drained.join(batch, drained("event_type") === col("b_et"), "left") // |event_types|-row frames
+      .select(drained("event_type"), col("n_a"), col("n_b"),
+        col("mean_a_microcents"), col("mean_b_microcents"),
+        col("t2_micros"), col("df_micros"), col("significant"),
+        (col("b_et").isNotNull && col("n_a") === col("b_na") &&
+          col("n_b") === col("b_nb") && col("t2_micros") <=> col("b_t2") &&
+          col("df_micros") <=> col("b_df") && col("significant") === col("b_sig"))
+          .as("matches_batch"))
+      .orderBy(drained("event_type"))
+  }
+
+  /** Oracle = x117's full readout (text duplicated — the qs26 rule). */
+  private val qs36Sql =
+    """WITH e AS (SELECT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT event_type,
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_b
+      |  FROM e GROUP BY event_type),
+      |v AS (SELECT *,
+      |    CAST(n_a AS HUGEINT) * ss_a - CAST(s_a AS HUGEINT) * s_a AS aa,
+      |    CAST(n_b AS HUGEINT) * ss_b - CAST(s_b AS HUGEINT) * s_b AS bb,
+      |    CAST(n_b AS HUGEINT) * s_a - CAST(n_a AS HUGEINT) * s_b AS dd,
+      |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) AS va,
+      |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) AS vb
+      |  FROM m WHERE n_a > 1 AND n_b > 1),
+      |w AS (SELECT *,
+      |    dd * dd * (n_a - 1) * (n_b - 1) AS tnum,
+      |    aa * n_b * n_b * (n_b - 1) + bb * n_a * n_a * (n_a - 1) AS tden,
+      |    va / n_a + vb / n_b AS se2 FROM v)
+      |SELECT event_type, n_a, n_b,
+      |  (2 * s_a * 1000000 + n_a) // (2 * n_a) AS mean_a_microcents,
+      |  (2 * s_b * 1000000 + n_b) // (2 * n_b) AS mean_b_microcents,
+      |  CAST((2 * tnum * 1000000 + tden) // (2 * tden) AS BIGINT) AS t2_micros,
+      |  CAST(round(se2 * se2 / ((va / n_a) * (va / n_a) / (n_a - 1)
+      |    + (vb / n_b) * (vb / n_b) / (n_b - 1)) * 1000000.0, 0) AS BIGINT) AS df_micros,
+      |  tnum * 1000000 > 3841459 * tden AS significant,
+      |  TRUE AS matches_batch
+      |FROM w ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -2349,5 +2418,7 @@ object StreamQueries {
     Q("qs34_stream_join_view", qs34, Some(qs34Sql),
       "streaming join-view maintenance: per-custkey factorized state (each side's sufficient stats, dim-cardinality never fact-cardinality), drain-fold == q44's view == full join rebuild"),
     Q("qs35_stream_ips_eval", qs35, Some(qs35Sql),
-      "streaming off-policy evaluation at ingest: x156's IPS/SNIPS refreshed continuously, map-side log replay, |sources|-row 6-long state, drain == batch estimator"))
+      "streaming off-policy evaluation at ingest: x156's IPS/SNIPS refreshed continuously, map-side log replay, |sources|-row 6-long state, drain == batch estimator"),
+    Q("qs36_stream_ab_test", qs36, Some(qs36Sql),
+      "streaming A/B dashboard: x117's Welch moments as |event_types|-row 6-long state, drained into the same BigInt finisher, drain == batch t2/df/significance"))
 }

@@ -965,4 +965,56 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mass("ips_run2") > mass("ips_fresh"),
       "recovered logged mass not above the fresh wave-2-only mass")
   }
+
+  test("qs36's |event_types|-row Welch moment state restarts from checkpoint: drained dashboard equals batch x117 (recovery proof #16)") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery36")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val raw = graft.operators.Tables.eventsRawNs(spark, sf)
+    def writeWave(i: Int): Unit = {
+      raw.filter(pmod(xxhash64(col("event_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val stream = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true").parquet(from)
+      val q = graft.operators.Queries.abMoments(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("ab_run1", ckpt)
+    writeWave(2)
+    val wave2Rows = raw.filter(pmod(xxhash64(col("event_id")), lit(3)) === 2).count()
+    assert(runOnce("ab_run2", ckpt) === wave2Rows, "restart re-read old waves")
+
+    // the finisher over the RECOVERED moments must equal batch x117 —
+    // only possible if waves 0/1's 6-long rows crossed the death (a
+    // fresh state would shift every variance and flip marginal flags)
+    val recovered = graft.operators.Queries.x117Finish(spark, spark.table("ab_run2"))
+    val batch = graft.operators.Queries.byName("x117_ab_welch").run(spark, sf)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted A/B dashboard differs from batch x117")
+
+    // non-vacuity: a fresh wave-2-only run carries visibly fewer samples
+    runOnce("ab_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass = (t: String) => spark.table(t)
+      .agg(sum(col("n_a") + col("n_b"))).head().getLong(0)
+    assert(mass("ab_run2") > mass("ab_fresh"),
+      "recovered sample mass not above the fresh wave-2-only mass")
+  }
 }

@@ -3252,4 +3252,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getAs[Long]("ci_width_milli") > 0),
       "every CI has zero width - the resampling is vacuous")
   }
+
+  test("qs36: the streamed A/B dashboard equals batch x117 row-for-row") {
+    val streamed = run("qs36_stream_ab_test").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(_.getAs[Boolean]("matches_batch")),
+      "a drained event type failed its batch cross-check")
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[String]("event_type")
+    val pick = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("mean_a_microcents"), r.getAs[Long]("mean_b_microcents"),
+        Option(r.getAs[java.lang.Long]("t2_micros")),
+        Option(r.getAs[java.lang.Long]("df_micros")),
+        r.getAs[Boolean]("significant"))
+    val sMap = streamed.map(r => key(r) -> pick(r)).toMap
+    val bMap = run("x117_ab_welch").collect().map(r => key(r) -> pick(r)).toMap
+    assert(sMap === bMap, "streamed dashboard diverges from batch x117")
+    // non-vacuity: the t-statistic actually computed somewhere
+    assert(streamed.exists(r => Option(r.getAs[java.lang.Long]("t2_micros")).isDefined),
+      "every t2 is null - the test never ran")
+  }
 }
