@@ -2329,4 +2329,159 @@ private[operators] trait QueriesText { this: Queries.type =>
        |  CAST((2 * sum(ct * nll_f) + sum(ct)) // (2 * sum(ct)) AS BIGINT)
        |    - CAST((2 * sum(ct * nll_r) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS delta_nanos
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- X160
+  /** LEAVE-ONE-OUT SOURCE ATTRIBUTION (data valuation) — which sources
+    * actually BUY held-out quality? The influence question behind every
+    * "drop this crawl?" debate, answered exactly for the count-based
+    * proxy LM because such models UNTRAIN BY SUBTRACTION: the model
+    * trained without source s is (full counts − s's counts), so all
+    * |sources| leave-one-out retrains ride the ONE train aggregation the
+    * full model already pays — no per-source corpus pass exists (the
+    * property neural data-Shapley methods approximate, exact here by
+    * construction). Per source: held-out cross-entropy of the LOO bigram
+    * LM on the FIXED test bucket vs the full model's; delta > 0 means
+    * removing s hurts (s is valuable), delta < 0 means s is noise the
+    * model is better off without. LOO smoothing is honest: each LOO
+    * vocabulary drops s's EXCLUSIVE tokens (tokens seen in exactly one
+    * source — a |sources|-row frame from one token-level pass), so
+    * V_loo = V − excl(s). Exactness is x136/x153's recipe: per (distinct
+    * test bigram, source) ONE transcendental quantized once —
+    * nll = round(−ln((c12_loo+1)/(c1_loo+V_loo))·10⁹) of an exact
+    * integer ratio — then DECIMAL(38,0) rationals to the per-source
+    * xents. Scale shape: one train-bucket bigram aggregation (full +
+    * per-source counts in the same shuffle), one test aggregation, and
+    * the scoring join is |distinct test bigrams| × |sources| — the EVAL
+    * SET is constant in corpus scale (the qs32 contract), so the
+    * multiplier is a fixed small integer, not a corpus term. */
+  private[operators] def x160(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast(LongType), lit(100L)))
+      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"), col("b"))
+    val train = docs.filter(col("b") < 80)
+      .select(col("source"), col("tk")).persist(StorageLevel.MEMORY_AND_DISK)
+    val trainBig = train
+      .select(col("source"),
+        posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("source"), col("w1"), expr("tk[i + 1]").as("w2"))
+    // EVAL-KEYED PRUNE (the x58 map-side term-filter discipline): the
+    // scoring join only ever reads bigrams the TEST bucket contains, so
+    // the per-source count shuffle semi-filters against the eval pair
+    // set BEFORE aggregating — the (source, w1, w2) frame shrinks from
+    // every train bigram × its sources to eval-relevant rows only.
+    // Conf-gated broadcast (spark.graft.loo.broadcastEvalCap): the eval
+    // set is corpus-CONSTANT in production (the qs32 contract); past the
+    // cap the semi join falls back to a shuffle. Full counts for eval
+    // pairs stay exact: the prune keeps every source's rows for a kept
+    // pair, so the sums below are unchanged.
+    val evalPairs = gatedBroadcast(spark,
+      docs.filter(col("b") >= 90)
+        .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+        .select(col("w1"), expr("tk[i + 1]").as("w2")).distinct(),
+      "spark.graft.loo.broadcastEvalCap")
+    val prunedBig = trainBig.join(evalPairs, Seq("w1", "w2"), "left_semi")
+    val bigS = prunedBig.groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12_s"))
+    val bigF = bigS.groupBy(col("w1"), col("w2")).agg(sum(col("c12_s")).as("c12"))
+    val uniS = trainBig.join(evalPairs.select(col("w1")).distinct(),
+        Seq("w1"), "left_semi")
+      .groupBy(col("source"), col("w1")).agg(count(lit(1)).as("c1_s"))
+    val uniF = uniS.groupBy(col("w1")).agg(sum(col("c1_s")).as("c1"))
+    // vocab + per-source exclusive-token counts from one token-level pass
+    val tokOwners = train.select(col("source"), explode(col("tk")).as("w"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("source")).as("ns"), min(col("source")).as("one_src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vFull = tokOwners.count() // bounded driver action: |vocab| is domain-sized
+    val excl = tokOwners.filter(col("ns") === 1)
+      .groupBy(col("one_src").as("source")).agg(count(lit(1)).as("n_excl"))
+    val srcStats = train
+      .groupBy(col("source")).agg(sum(size(col("tk")).cast(LongType)).as("train_tokens"))
+      .join(excl, Seq("source"), "left").na.fill(0L, Seq("n_excl"))
+      .withColumn("v_loo", lit(vFull) - col("n_excl")) // |sources| rows
+    val testBig = docs.filter(col("b") >= 90)
+      .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
+      .join(bigF, Seq("w1", "w2"), "left").na.fill(0L, Seq("c12"))
+      .join(uniF, Seq("w1"), "left").na.fill(0L, Seq("c1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the full-model baseline: one xent over the same scored frame
+    val fullRow = testBig
+      .withColumn("nll", expr(
+        s"cast(round(-ln(cast(c12 + 1 as double) / (c1 + ${vFull}L)) * 1e9, 0) as bigint)"))
+      .agg(sum(col("ct")).as("nb"),
+        sum(expr("cast(ct as decimal(38,0)) * nll")).as("t")).head()
+    val xentFull = ((2 * BigInt(fullRow.getDecimal(1).toBigInteger) + fullRow.getLong(0))
+      / (2 * BigInt(fullRow.getLong(0)))).toLong
+    // LOO scoring: |distinct test bigrams| x |sources| rows, counts by
+    // subtraction, per-source smoothing constants from the tiny frame
+    val out = testBig
+      .crossJoin(broadcast(srcStats))
+      .join(bigS, Seq("source", "w1", "w2"), "left").na.fill(0L, Seq("c12_s"))
+      .join(uniS, Seq("source", "w1"), "left").na.fill(0L, Seq("c1_s"))
+      .withColumn("nll", expr(
+        """cast(round(-ln(cast(c12 - c12_s + 1 as double)
+          |  / (c1 - c1_s + v_loo)) * 1e9, 0) as bigint)""".stripMargin))
+      .groupBy(col("source"))
+      .agg(max(col("train_tokens")).as("train_tokens"),
+        sum(col("ct")).as("n_bigrams"),
+        sum(expr("cast(ct as decimal(38,0)) * nll")).as("t"))
+      .select(col("source"), col("train_tokens"), col("n_bigrams"),
+        lit(xentFull).as("xent_full_nanos"),
+        expr("cast((2 * t + n_bigrams) div (2 * n_bigrams) as bigint)")
+          .as("xent_loo_nanos"))
+      .withColumn("delta_nanos", col("xent_loo_nanos") - lit(xentFull))
+      .orderBy(col("source"))
+    eagerFinish(out, train, tokOwners, testBig, evalPairs)
+  }
+
+  private[operators] lazy val x160Sql =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk,
+      |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b FROM documents),
+      |tr AS (SELECT source, tk FROM d WHERE b < 80),
+      |trb AS (SELECT source, tk[i] AS w1, tk[i + 1] AS w2
+      |  FROM (SELECT source, tk, unnest(range(1, len(tk))) AS i FROM tr)),
+      |bigs AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c12_s
+      |  FROM trb GROUP BY 1, 2, 3),
+      |bigf AS (SELECT w1, w2, CAST(sum(c12_s) AS BIGINT) AS c12 FROM bigs GROUP BY 1, 2),
+      |unis AS (SELECT source, w1, CAST(count(*) AS BIGINT) AS c1_s FROM trb GROUP BY 1, 2),
+      |unif AS (SELECT w1, CAST(sum(c1_s) AS BIGINT) AS c1 FROM unis GROUP BY 1),
+      |town AS (SELECT w, CAST(count(DISTINCT source) AS BIGINT) AS ns,
+      |    min(source) AS one_src
+      |  FROM (SELECT source, unnest(tk) AS w FROM tr) GROUP BY w),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS vf FROM town),
+      |excl AS (SELECT one_src AS source, CAST(count(*) AS BIGINT) AS n_excl
+      |  FROM town WHERE ns = 1 GROUP BY 1),
+      |ss AS (SELECT tr2.source, tr2.train_tokens,
+      |    (SELECT vf FROM v) - coalesce(excl.n_excl, 0) AS v_loo
+      |  FROM (SELECT source, CAST(sum(len(tk)) AS BIGINT) AS train_tokens
+      |        FROM tr GROUP BY source) tr2
+      |  LEFT JOIN excl USING (source)),
+      |teb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS ct FROM (
+      |    SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |    FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d WHERE b >= 90)) z
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT teb.w1, teb.w2, teb.ct,
+      |    coalesce(bigf.c12, 0) AS c12, coalesce(unif.c1, 0) AS c1
+      |  FROM teb LEFT JOIN bigf USING (w1, w2) LEFT JOIN unif USING (w1)),
+      |fx AS (SELECT CAST((2 * sum(ct::HUGEINT * nll) + sum(ct)) // (2 * sum(ct)) AS BIGINT)
+      |    AS xent_full FROM (
+      |  SELECT ct, CAST(round(-ln((c12 + 1)::DOUBLE / (c1 + (SELECT vf FROM v))) * 1e9)
+      |    AS BIGINT) AS nll FROM sc) q),
+      |j AS (SELECT ss.source, ss.train_tokens, sc.ct,
+      |    CAST(round(-ln((sc.c12 - coalesce(bigs.c12_s, 0) + 1)::DOUBLE
+      |      / (sc.c1 - coalesce(unis.c1_s, 0) + ss.v_loo)) * 1e9) AS BIGINT) AS nll
+      |  FROM sc CROSS JOIN ss
+      |  LEFT JOIN bigs ON bigs.source = ss.source AND bigs.w1 = sc.w1 AND bigs.w2 = sc.w2
+      |  LEFT JOIN unis ON unis.source = ss.source AND unis.w1 = sc.w1)
+      |SELECT source, max(train_tokens) AS train_tokens,
+      |  CAST(sum(ct) AS BIGINT) AS n_bigrams,
+      |  (SELECT xent_full FROM fx) AS xent_full_nanos,
+      |  CAST((2 * sum(ct::HUGEINT * nll) + sum(ct)) // (2 * sum(ct)) AS BIGINT)
+      |    AS xent_loo_nanos,
+      |  CAST((2 * sum(ct::HUGEINT * nll) + sum(ct)) // (2 * sum(ct)) AS BIGINT)
+      |    - (SELECT xent_full FROM fx) AS delta_nanos
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
 }

@@ -3272,4 +3272,50 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exists(r => Option(r.getAs[java.lang.Long]("t2_micros")).isDefined),
       "every t2 is null - the test never ran")
   }
+
+  test("x160: count-subtraction LOO equals a physical retrain without the source") {
+    val rows = run("x160_loo_attribution").collect()
+    assert(rows.length > 1)
+    // structural: one shared eval set, one shared baseline, exact deltas
+    assert(rows.map(_.getAs[Long]("n_bigrams")).distinct.length === 1,
+      "eval set differs across sources")
+    assert(rows.map(_.getAs[Long]("xent_full_nanos")).distinct.length === 1)
+    rows.foreach(r => assert(r.getAs[Long]("delta_nanos") ===
+      r.getAs[Long]("xent_loo_nanos") - r.getAs[Long]("xent_full_nanos")))
+    // THE theorem: for the heaviest source, physically retrain the bigram
+    // LM on train-minus-s (fresh counts, fresh vocabulary, no subtraction
+    // anywhere) and demand the identical held-out xent
+    val s = rows.maxBy(_.getAs[Long]("train_tokens")).getAs[String]("source")
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long"), lit(100L)))
+      .select(col("source"), split(col("text"), " ").as("tk"), col("b"))
+    val trainLoo = docs.filter(col("b") < 80 && col("source") =!= s)
+    val big = trainLoo
+      .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = trainLoo
+      .select(explode(expr("slice(tk, 1, size(tk) - 1)")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = trainLoo.select(explode(col("tk")).as("w")).distinct().count()
+    val scored = docs.filter(col("b") >= 90)
+      .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
+      .join(big, Seq("w1", "w2"), "left").na.fill(0L, Seq("c12"))
+      .join(uni, Seq("w1"), "left").na.fill(0L, Seq("c1"))
+      .withColumn("nll", expr(
+        s"cast(round(-ln(cast(c12 + 1 as double) / (c1 + ${v}L)) * 1e9, 0) as bigint)"))
+      .agg(sum(col("ct")).as("nb"),
+        sum(expr("cast(ct as decimal(38,0)) * nll")).as("t")).head()
+    val xentRetrain = ((2 * BigInt(scored.getDecimal(1).toBigInteger) + scored.getLong(0))
+      / (2 * BigInt(scored.getLong(0)))).toLong
+    val looRow = rows.find(_.getString(0) == s).get
+    assert(looRow.getAs[Long]("xent_loo_nanos") === xentRetrain,
+      s"$s: subtraction LOO diverges from the physical retrain")
+    // non-vacuity: the attribution separates sources
+    assert(rows.map(_.getAs[Long]("delta_nanos")).distinct.length > 1,
+      "every source has the identical delta - the attribution is vacuous")
+  }
 }
