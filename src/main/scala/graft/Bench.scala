@@ -36,6 +36,12 @@ object Bench {
                     "x17_dedup_clusters"))
         SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
+    // streaming instrument pin (r12): materialize every stream-source wave
+    // dir and warm the state-store/sink machinery ONCE, so no timed qs rep
+    // pays another query's source build — the source of the up-to-4.7 s
+    // qs spreads that forced window triage in earlier rounds.
+    try graft.streaming.StreamQueries.prewarmStreaming(spark, sfDir)
+    catch { case _: Throwable => () }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache() // previous rep's persist() outside the timer
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
@@ -64,8 +70,13 @@ object Bench {
       case None => SparkEntry.queries.toSeq
     }
     require(selected.nonEmpty, "no queries selected — empty bench would be silent")
+    // qs queries get median-of-5 minimum (r12): micro-batch scheduling +
+    // state-store init jitter gives streaming reps wider spreads than
+    // batch reps at the same cost class, and 3 samples let one bad rep
+    // become the median. Batch queries keep the configured rep count.
     val results: Seq[(String, Double, Double)] = selected.map { case (name, fn) =>
-      val times = (1 to reps).map(_ => once(fn)).sorted
+      val qReps = if (name.startsWith("qs")) math.max(reps, 5) else reps
+      val times = (1 to qReps).map(_ => once(fn)).sorted
       val median = times(times.size / 2)
       (name, median, times.last - times.head)
     }
@@ -127,7 +138,7 @@ object Bench {
       } catch { case e: Throwable =>
         s""","pair_error":${"\"" + e.toString.take(200).replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""}"""
       }
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"median_of_$reps","queries":$qs,"spread":$spread$pairBlock,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","protocol":"median_of_${reps}_qs_${math.max(reps, 5)}","queries":$qs,"spread":$spread$pairBlock,"sf":"$sfDir"}"""
     println(line)
     // the full per-query map also lands in a FILE: stdout capture truncated
     // the round-4 artifact to 69/104 queries, and the file is what keeps

@@ -1878,7 +1878,15 @@ private[operators] trait QueriesAnn { this: Queries.type =>
     * centroid) alone, so deleting neighbors changes WHICH codes exist,
     * never their bytes, and the ADC candidate cut over the live count is
     * the rebuilt index's cut. (Re-SEEDING centroids from the live corpus
-    * would break the identity — that is a retrain, not a delete.) The
+    * would break the identity — that is a retrain, not a delete.)
+    * DATA-RETENTION CAVEAT: the frozen centroids are 16 ACTUAL base
+    * vectors, and a later-tombstoned vector can be one of them — its
+    * embedding then persists verbatim as a serving centroid and keeps
+    * shaping assignments. Tombstoning masks SERVING only; true erasure
+    * of a seed vector (the GDPR/license-revocation bar) requires the
+    * retrain/compaction path this comment's taxonomy reserves for
+    * re-seeding — x158's rebuild flag is precisely the scheduler input
+    * for that rewrite. The
     * oracle IS the rebuild: x14's full-algorithm DuckDB pipeline with
     * the tombstone predicate applied at the assignment scan. Scale
     * shape: identical to x14's serving path (the one corpus-wide pass
@@ -1953,22 +1961,28 @@ private[operators] trait QueriesAnn { this: Queries.type =>
     * conditional sums — k output rows. Exactness: counts and half-up
     * ppm rationals, integer end-to-end after the (deterministic)
     * assignment. */
+  /** The compaction finisher shared by batch x158 and streaming qs37
+    * (r12, the one-implementation rule): per-cell live ppm, reclaimable
+    * bytes, and the live < 80% rebuild flag from a
+    * (cent_id, n_codes, n_tombstoned) frame — k rows in, k rows out. */
+  private[graft] def compactionDecision(cells: DataFrame): DataFrame =
+    cells.select(col("cent_id"), col("n_codes"), col("n_tombstoned"),
+      expr("""(2 * (n_codes - n_tombstoned) * 1000000 + n_codes)
+              div (2 * n_codes)""").as("live_ppm"),
+      (col("n_tombstoned") * 80L).as("reclaim_bytes"),
+      expr("""(2 * (n_codes - n_tombstoned) * 1000000 + n_codes)
+              div (2 * n_codes) < 800000""").as("rebuild"))
+      .orderBy(col("cent_id"))
+
   private[operators] def x158(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val base = e.filter(col("vec_id") >= 5)
-    ivfAssigned(base, ivfSeedCentroids(base, 16))
+    compactionDecision(ivfAssigned(base, ivfSeedCentroids(base, 16))
       .withColumn("dead", (col("vec_id") % 13 === 0).cast(LongType))
       .groupBy(col("cent_id"))
-      .agg(count(lit(1)).as("n_codes"), sum(col("dead")).as("n_tombstoned"))
-      .select(col("cent_id"), col("n_codes"), col("n_tombstoned"),
-        expr("""(2 * (n_codes - n_tombstoned) * 1000000 + n_codes)
-                div (2 * n_codes)""").as("live_ppm"),
-        (col("n_tombstoned") * 80L).as("reclaim_bytes"),
-        expr("""(2 * (n_codes - n_tombstoned) * 1000000 + n_codes)
-                div (2 * n_codes) < 800000""").as("rebuild"))
-      .orderBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_codes"), sum(col("dead")).as("n_tombstoned")))
   }
 
   private[operators] lazy val x158Sql =

@@ -3199,8 +3199,11 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     * sums. Determinism: the draws are CONTENT-ADDRESSED (md5(doc_id, b)
     * uniform vs the Poisson(1) CDF), so both engines draw the identical
     * weight table — the CI is an estimator (B=32, weights capped at 5:
-    * the cap bin holds 0.37% mass; nearest-rank 1/31 of 32 as the
-    * 2.5%/97.5% convention), but the OUTPUT is bit-reproducible, which
+    * the cap bin holds 0.37% mass; nearest-rank endpoints ceil(0.025·32)=1
+    * and ceil(0.975·32)=32, i.e. min/max of the 32 resample means — at
+    * B=32 the nearest-rank 95% interval IS the full resample range;
+    * tighten by raising B, not by discarding extremes), but the OUTPUT
+    * is bit-reproducible, which
     * is what a hash gate and a rerun audit need. CDF thresholds are
     * pinned integer-ppb literals (e⁻¹-derived, comment below) — no
     * transcendental evaluated at runtime, so no cross-engine ulp risk
@@ -3232,7 +3235,7 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       .withColumn("rk", row_number().over(wRank))
       .groupBy(col("source"))
       .agg(max(when(col("rk") === 1, col("bmean_milli"))).as("boot_lo_milli"),
-        max(when(col("rk") === 31, col("bmean_milli"))).as("boot_hi_milli"))
+        max(when(col("rk") === 32, col("bmean_milli"))).as("boot_hi_milli"))
     val point = Tables.documents(spark, dir)
       .select(col("source"), size(toks(col("text"))).cast(LongType).as("tok"))
       .groupBy(col("source"))
@@ -3267,7 +3270,7 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
        |    row_number() OVER (PARTITION BY source ORDER BY bmean_milli, b) AS rk FROM m),
        |ci AS (SELECT source,
        |    max(CASE WHEN rk = 1 THEN bmean_milli END) AS boot_lo_milli,
-       |    max(CASE WHEN rk = 31 THEN bmean_milli END) AS boot_hi_milli
+       |    max(CASE WHEN rk = 32 THEN bmean_milli END) AS boot_hi_milli
        |  FROM rk GROUP BY source),
        |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST((2000 * sum(tok) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_milli

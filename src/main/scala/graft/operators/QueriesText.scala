@@ -420,37 +420,60 @@ private[operators] trait QueriesText { this: Queries.type =>
     * results are bit-identical by construction — no .5-boundary/ulp
     * surface at all. Output rank mass is `pr_nano = round(p·10⁹)`
     * (= half-up pp/1000). More iterations = more of the same stage. */
-  private[operators] def x44(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.documents(spark, dir)
+  /** The corpus-dependent half of TextRank, split out for the
+    * `ScaleProbes x44_graph` leg (r12, closing the r11 verdict's
+    * composition gap): ONE corpus scan → bigram groupBy → c12 ≥ 5 filter,
+    * with the per-source out-weight folded in by a w1-PARTITIONED window
+    * over the vocab²-bounded edge frame — no second consumer of the edge
+    * subtree, so the corpus explode runs exactly once. Everything the
+    * iterations read is in this one frame: (w1, w2, c12, ow). */
+  private[graft] def textrankTrans(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(toks(col("text")).as("tk"))
       .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
       .select(col("w1"), expr("tk[i + 1]").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= 5)
-      .persist() // nodes, out-weights, and both iterations share the edge list
-    val nodes = edges.select(col("w1").as("w")).union(edges.select(col("w2").as("w"))).distinct()
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    val outw = edges.groupBy(col("w1")).agg(sum(col("c12")).as("ow"))
-    val base = nodes.crossJoin(broadcast(nn))
+      .withColumn("ow", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+
+  /** The vocab-bounded half (`ScaleProbes x44_iter`): two integer power
+    * iterations + the global ranking over a given (persisted) transition
+    * frame. r12 shape change vs the r7-r11 form: the rank vector and the
+    * per-round contribution frame are BROADCAST under
+    * `spark.graft.textrank.broadcastVocabCap` (rows, default 2M — they are
+    * |vocab-with-≥5-bigrams| rows by construction, the same class as
+    * x108's model broadcast), so each round is ONE shuffle (the groupBy on
+    * the target node) instead of three, and the damping constants become
+    * driver literals from the 1-long node count. Past the cap both joins
+    * fall back to plain shuffle joins — output-identical (cap-0 spec),
+    * still ∝ |edges| per round. */
+  private[graft] def textrankRank(spark: SparkSession, trans: DataFrame): DataFrame = {
+    val nodes = trans.select(col("w1").as("w"))
+      .union(trans.select(col("w2").as("w"))).distinct().persist()
+    val n = nodes.count() // 1-long scalar: vocab size → damping literals
+    val cap = spark.conf.getOption("spark.graft.textrank.broadcastVocabCap")
+      .map(_.toLong).getOrElse(2000000L)
+    def gated(df: DataFrame): DataFrame = if (n <= cap) broadcast(df) else df
     def iterate(p: DataFrame): DataFrame = {
-      val s = edges.join(outw, "w1")
-        .join(p.select(col("w").as("w1"), col("pp")), "w1")
+      val s = trans.join(gated(p.select(col("w").as("w1"), col("pp"))), "w1")
         .select(col("w2").as("w"),
           expr("CAST((2 * CAST(pp AS DECIMAL(38,0)) * c12 + ow) div (2 * ow) AS BIGINT)")
             .as("contrib"))
         .groupBy(col("w")).agg(sum(col("contrib")).as("acc"))
-      base.join(s, Seq("w"), "left")
-        .withColumn("pp", expr(
-          "(300000000000L + n) div (2 * n) + (34 * coalesce(acc, 0L) + 20) div 40"))
-        .select(col("w"), col("n"), col("pp"))
+      nodes.join(gated(s), Seq("w"), "left")
+        .select(col("w"),
+          (lit((300000000000L + n) / (2 * n)) +
+            expr("(34 * coalesce(acc, 0L) + 20) div 40")).as("pp"))
     }
-    val p0 = base.withColumn("pp", expr("(2000000000000L + n) div (2 * n)"))
-      .select(col("w"), col("n"), col("pp"))
+    val p0 = nodes.withColumn("pp", lit((2000000000000L + n) / (2 * n)))
     val w = Window.orderBy(col("pr_nano").desc, col("word").asc)
     iterate(iterate(p0))
       .select(col("w").as("word"), expr("(2 * pp + 1000) div 2000").as("pr_nano"))
       .withColumn("rnk", row_number().over(w))
   }
+
+  private[operators] def x44(spark: SparkSession, dir: String): DataFrame =
+    textrankRank(spark, textrankTrans(spark, dir).persist())
 
   private[operators] lazy val x44Sql =
     """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
@@ -2268,10 +2291,19 @@ private[operators] trait QueriesText { this: Queries.type =>
       .groupBy(col("w1"))
       .agg(count(lit(1)).as("c1_r"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("c1_f"))
-    // both arms' vocabulary sizes in ONE bounded driver action (1 row)
+    // both arms' vocabulary sizes in ONE bounded driver action (1 row).
+    // r12 memory-contract fix (r11 verdict item 4): the former
+    // dual-countDistinct form Spark plans as a x2 Expand whose distinct
+    // aggregation buffers needed 40 GB heap at the 100x point — a
+    // deployment-sizing constraint, not a correctness one. The same two
+    // numbers come from ONE token-keyed aggregation (a token is in the
+    // filtered vocab iff ANY kept doc contains it): map-side combine
+    // bounds task state at |vocab-per-partition| and the shuffle carries
+    // a |vocab|-row frame, the x43 cost shape.
     val x153Vocab = train.select(col("keep"), explode(col("tk")).as("w"))
-      .agg(countDistinct(col("w")).as("vr"),
-        countDistinct(when(col("keep"), col("w"))).as("vf")).head()
+      .groupBy(col("w")).agg(max(col("keep")).as("kept"))
+      .agg(count(lit(1)).as("vr"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("vf")).head()
     val (vRaw, vFil) = (x153Vocab.getLong(0), x153Vocab.getLong(1))
     val testBig = docs.filter(col("b") >= 90)
       .select(col("lang"),

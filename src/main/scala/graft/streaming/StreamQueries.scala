@@ -466,25 +466,44 @@ object StreamQueries {
     * then one groupBy(cent_id) wide aggregation: count + per-dimension
     * quantized component sums. Works identically on a stream (k-row
     * state) and a batch frame (the audit's recompute leg). */
-  private[graft] def ivfCellMomentsWide(emb: DataFrame,
+  /** Shared map-side assignment against a k-row frozen centroid LITERAL —
+    * the common core of qs30's moment state and qs37's code/tombstone
+    * counts (the one-implementation rule): ties to the LOWEST cent_id via
+    * max(sim, −id), bit-identical to ivfAssigned's max_by contract. */
+  private[graft] def ivfAssignLiteral(emb: DataFrame,
       cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
-    val dim = cents.head._2.size
     val centArr = array(cents.map { case (id, cv, cn) =>
       struct(lit(id).as("cent_id"), typedLit(cv).as("cv"), lit(cn).as("cn"))
     }: _*)
-    val assigned = emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       .withColumn("best", array_max(transform(centArr, c => struct(
         (call_function("graft_dot", col("v"), c.getField("cv"))
           / (col("nrm") * c.getField("cn"))).as("sim"),
         (lit(0L) - c.getField("cent_id")).as("nid")))))
       .withColumn("cent_id", lit(0L) - col("best.nid"))
+  }
+
+  private[graft] def ivfCellMomentsWide(emb: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val dim = cents.head._2.size
+    val assigned = ivfAssignLiteral(emb, cents)
       .withColumn("q", expr("transform(v, x -> cast(floor(x * 1000000.0D + 0.5D) as bigint))"))
     val aggs = count(lit(1)).as("delta_cnt") +:
       (0 until dim).map(d => sum(expr(s"q[$d]")).as(s"m_$d"))
     assigned.groupBy(col("cent_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** qs37's stateful core, factored for StreamRecoverySpec: per-cell
+    * (codes, tombstones) counts from the same literal assignment —
+    * commutative integer sums, k-row state (2 longs per cell) by
+    * construction. The %13 tombstone rule is x157/x158's fixture. */
+  private[graft] def ivfCellCodeCounts(emb: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)]): DataFrame =
+    ivfAssignLiteral(emb, cents)
+      .select(col("cent_id"), (col("vec_id") % 13 === 0).cast(LongType).as("dead"))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_codes"), sum(col("dead")).as("n_tombstoned"))
 
   private def qs30(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.operators.Queries.embWithNorm(spark, dir)
@@ -788,7 +807,7 @@ object StreamQueries {
     * Drain-folded view == q44's maintained view == the full join
     * rebuild (the oracle); the batch leg through the SAME core is
     * hash-gated per segment (matches_batch). */
-  private val joinCdcSchema = StructType(Seq(
+  private[graft] val joinCdcSchema = StructType(Seq(
     StructField("side", StringType), StructField("k", LongType),
     StructField("cents", LongType), StructField("seg", StringType)))
 
@@ -1012,6 +1031,76 @@ object StreamQueries {
       |  tnum * 1000000 > 3841459 * tden AS significant,
       |  TRUE AS matches_batch
       |FROM w ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- QS37
+  /** STREAMING COMPACTION-AUDIT MAINTENANCE — the DELETE side of the ANN
+    * index goes live, closing the last open cell of the maintenance
+    * matrix (r11 verdict item 6): x157 proved tombstone-masked serving
+    * correct and x158 priced the rebuild decision as a batch audit; this
+    * query maintains that decision's INPUT continuously, so the
+    * compaction scheduler reads current per-cell live fractions instead
+    * of a nightly recount — the erasure-request SLA ("how stale is the
+    * index's dead mass?") becomes a micro-batch bound. Arriving vectors
+    * assign MAP-SIDE against the frozen k-row centroid literal (the qs30
+    * manifest, shared [[ivfAssignLiteral]] core), each carrying its
+    * code/tombstone contribution as commutative integer sums; the ONE
+    * streaming aggregation keys by cent_id, so state is k rows × 2 longs
+    * — index-width, never corpus-width, by construction. On drain the
+    * x158 finisher ([[graft.operators.Queries.compactionDecision]], the
+    * one-implementation rule) turns the streamed counts into live_ppm /
+    * reclaim_bytes / the rebuild flag, and a batch recount through the
+    * SAME cores is flagged per cell (matches_batch). Oracle = x158's
+    * full-rebuild SQL, so drain == batch == rebuild is hash-gated.
+    * Recovery proof #17: the k-row state crosses a process death and the
+    * recovered decision still equals the batch audit. */
+  private def qs37(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.operators.Queries.embWithNorm(spark, dir)
+      .filter(col("vec_id") >= 5)
+    // the frozen index manifest: k=16 rows by contract (production reads
+    // the stored index artifact) — bounded collect, enrolled in
+    // CollectInventorySpec
+    val qs37Cents = graft.operators.Queries.ivfSeedCentroids(base, 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2))).toSeq
+    val drained = runToTable(spark,
+      ivfCellCodeCounts(embStream(spark, dir).filter(col("vec_id") >= 5), qs37Cents),
+      OutputMode.Complete())
+    val dec = graft.operators.Queries.compactionDecision(drained)
+    val batch = graft.operators.Queries.compactionDecision(ivfCellCodeCounts(
+        spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") >= 5),
+        qs37Cents))
+      .select(col("cent_id").as("b_cid"), col("n_codes").as("b_nc"),
+        col("n_tombstoned").as("b_nt"), col("rebuild").as("b_rb"))
+    dec.join(batch, dec("cent_id") === col("b_cid"), "left") // two k-row frames
+      .select(dec("cent_id"), col("n_codes"), col("n_tombstoned"),
+        col("live_ppm"), col("reclaim_bytes"), col("rebuild"),
+        (col("b_cid").isNotNull && col("n_codes") === col("b_nc") &&
+          col("n_tombstoned") === col("b_nt") && col("rebuild") === col("b_rb"))
+          .as("matches_batch"))
+      .orderBy(dec("cent_id"))
+  }
+
+  /** Oracle = x158's full-rebuild audit (the IVM theorem's right side). */
+  private val qs37Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+      |          WHERE vec_id >= 5 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |assign AS (SELECT vec_id, cent_id FROM (
+      |  SELECT e.vec_id, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC, c.cent_id) AS rn
+      |  FROM e, cents c WHERE e.vec_id >= 5) a WHERE rn = 1),
+      |g AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_codes,
+      |        CAST(count(*) FILTER (WHERE vec_id % 13 = 0) AS BIGINT) AS n_tombstoned
+      |      FROM assign GROUP BY cent_id)
+      |SELECT cent_id, n_codes, n_tombstoned,
+      |  CAST((2 * (n_codes - n_tombstoned) * 1000000 + n_codes)
+      |       // (2 * n_codes) AS BIGINT) AS live_ppm,
+      |  CAST(n_tombstoned * 80 AS BIGINT) AS reclaim_bytes,
+      |  (2 * (n_codes - n_tombstoned) * 1000000 + n_codes) // (2 * n_codes) < 800000 AS rebuild,
+      |  TRUE AS matches_batch
+      |FROM g ORDER BY cent_id""".stripMargin
 
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
@@ -1364,6 +1453,27 @@ object StreamQueries {
   /** Three deterministic arrival waves of the documents table (hash-split,
     * not modulo, so waves mix duplicates — the state store has real
     * cross-batch work to do). Memoized per dir like [[sourceCache]]. */
+  /** Bench instrument hook (r12, r11 verdict item 5): make streaming
+    * timings pay only their own query. Forces every memoized wave
+    * directory to materialize (building each stream frame runs the
+    * getOrElseUpdate write) and drains one tiny stateful query so the
+    * state-store provider, streaming listeners, and memory-sink machinery
+    * are JVM-warm before the first timed qs rep — without this, rep 1 of
+    * whichever qs query ran first in a bench paid another family's
+    * source build on top of its own time, and the resulting micro-batch
+    * jitter forced repeated window triage across rounds. */
+  private[graft] def prewarmStreaming(spark: SparkSession, dir: String): Unit = {
+    eventsStream(spark, dir)
+    eventsStream(spark, dir, nFiles = 3)
+    embStream(spark, dir)
+    docsStream(spark, dir)
+    joinCdcStream(spark, dir)
+    ordersWaves(spark, dir)
+    runToTable(spark, joinViewKeyState(joinCdcStream(spark, dir)),
+      OutputMode.Complete()).count()
+    ()
+  }
+
   private val docWaveCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def docsWaves(spark: SparkSession, dir: String): String =
@@ -2420,5 +2530,7 @@ object StreamQueries {
     Q("qs35_stream_ips_eval", qs35, Some(qs35Sql),
       "streaming off-policy evaluation at ingest: x156's IPS/SNIPS refreshed continuously, map-side log replay, |sources|-row 6-long state, drain == batch estimator"),
     Q("qs36_stream_ab_test", qs36, Some(qs36Sql),
-      "streaming A/B dashboard: x117's Welch moments as |event_types|-row 6-long state, drained into the same BigInt finisher, drain == batch t2/df/significance"))
+      "streaming A/B dashboard: x117's Welch moments as |event_types|-row 6-long state, drained into the same BigInt finisher, drain == batch t2/df/significance"),
+    Q("qs37_stream_compaction", qs37, Some(qs37Sql),
+      "streaming compaction-audit maintenance: map-side assign vs the frozen k-row centroid literal, k-row (codes, tombstones) state, drained x158 rebuild decision == batch recount == full rebuild"))
 }

@@ -194,6 +194,23 @@ object ScaleProbes {
             .select(col("qid"), col("rnk"), col("vec_id"),
               col("adc_micro2"), col("exact_micro2"))
         }
+      case "x44_graph" =>
+        // the corpus-dependent TextRank leg alone: one scan -> bigram
+        // groupBy -> c12>=5 filter -> w1-window out-weights
+        timed(() => Queries.textrankTrans(spark, dir))
+      case "x44_iter" =>
+        // the vocab-bounded leg: two power iterations + global ranking
+        // against a transition frame pinned + materialized OUTSIDE the
+        // timer (production iterates over a stored edge artifact). No
+        // per-rep cache clear: that would evict the pinned leg itself.
+        val trans = Queries.textrankTrans(spark, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        trans.write.format("noop").mode("overwrite").save()
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          Queries.textrankRank(spark, trans).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
       case "x135_routed" =>
         spark.conf.set("spark.graft.splitleak.broadcastTestCap", "0")
         timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))
@@ -280,7 +297,7 @@ object ScaleProbes {
         // is the number a deployed update-mode view pays: state updates +
         // per-batch delta emission, no driver materialization anywhere.
         import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-        (1 to reps).map { _ =>
+        def onceQs34(): Double = {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           val q = graft.streaming.StreamQueries.joinViewKeyState(
@@ -290,6 +307,79 @@ object ScaleProbes {
           q.awaitTermination()
           (System.nanoTime() - t0) / 1e9
         }
+        // untimed warmup: pays the one-time joinCdcWaves materialization
+        // (memoized per dir) + codegen, matching the sibling probes'
+        // discipline so the timed median isn't skewed at low rep counts
+        try onceQs34() catch { case _: Throwable => () }
+        (1 to reps).map(_ => onceQs34())
+      case "qs34_delta" =>
+        // r11 verdict item 3: isolate qs34's MAINTENANCE cost from ingest.
+        // The qs34_update probe replays the ENTIRE feed as deltas (a cold
+        // start), so its scale slope reads ingest volume. This probe is
+        // the steady-state number: per rep, a FRESH checkpoint ingests the
+        // two base waves (untimed — that is the standing view's history),
+        // then the two delta waves (~10% of facts, ~6% of dims) land in
+        // the source dir and ONLY the restarted update-mode replay over
+        // the new files is timed — the file-source checkpoint skips the
+        // already-seen base files, so the timed run covers exactly: state
+        // reload + delta assignment into per-key factorized state +
+        // changed-key emission. A final no-new-files restart is timed too
+        // (the micro-batch floor), so delta cost above harness floor is
+        // explicit. Prediction under the factorized-state claim: delta_sec
+        // tracks DELTA volume, near-flat vs corpus scale.
+        import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+        import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+        val (ordCdc, custCdc) = graft.streaming.StreamQueries.joinCdcBatch(spark, dir)
+        val stash = Files.createTempDirectory("graft-qs34delta-stash")
+        def writeWave(df: DataFrame, p: Path): Unit =
+          df.drop("src_key").coalesce(1).write.parquet(p.toString)
+        writeWave(custCdc.filter(col("src_key") % 17 =!= 0), stash.resolve("wave-0"))
+        writeWave(ordCdc.filter(col("src_key") % 10 =!= 0), stash.resolve("wave-1"))
+        writeWave(custCdc.filter(col("src_key") % 17 === 0), stash.resolve("wave-2"))
+        writeWave(ordCdc.filter(col("src_key") % 10 === 0), stash.resolve("wave-3"))
+        def copyTree(from: Path, to: Path): Unit = {
+          Files.createDirectories(to)
+          Files.list(from).forEach(f =>
+            Files.copy(f, to.resolve(f.getFileName.toString),
+              StandardCopyOption.REPLACE_EXISTING))
+        }
+        def deleteTree(p: Path): Unit = if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        def drain(src: Path, ckpt: Path): Double = {
+          val schema = graft.streaming.StreamQueries.joinCdcSchema
+          val t0 = System.nanoTime()
+          val q = graft.streaming.StreamQueries.joinViewKeyState(
+              spark.readStream.schema(schema)
+                .option("recursiveFileLookup", "true")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src.toString))
+            .writeStream.format("noop").outputMode(OutputMode.Update())
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def oneCycle(): (Double, Double, Double) = {
+          val src = Files.createTempDirectory("graft-qs34delta-src")
+          val ckpt = Files.createTempDirectory("graft-qs34delta-ckpt")
+          copyTree(stash.resolve("wave-0"), src.resolve("wave-0"))
+          copyTree(stash.resolve("wave-1"), src.resolve("wave-1"))
+          val baseSec = drain(src, ckpt) // untimed in spirit: reported for context
+          copyTree(stash.resolve("wave-2"), src.resolve("wave-2"))
+          copyTree(stash.resolve("wave-3"), src.resolve("wave-3"))
+          val deltaSec = drain(src, ckpt) // ONLY the new files replay
+          val floorSec = drain(src, ckpt) // no new files: harness floor
+          deleteTree(src); deleteTree(ckpt)
+          (baseSec, deltaSec, floorSec)
+        }
+        try oneCycle() catch { case _: Throwable => () } // untimed warmup cycle
+        val cycles = (1 to reps).map(_ => oneCycle())
+        def medOf(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
+        println(f"""{"probe":"qs34_delta","dir":"$dir","base_median_sec":${medOf(cycles.map(_._1))}%.3f,"delta_median_sec":${medOf(cycles.map(_._2))}%.3f,"floor_median_sec":${medOf(cycles.map(_._3))}%.3f,"reps":$reps}""")
+        deleteTree(stash)
+        spark.stop()
+        return
       case other => sys.error(s"unknown probe $other")
     }
     val sorted = times.sorted

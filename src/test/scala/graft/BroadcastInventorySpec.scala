@@ -116,7 +116,7 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x32_lm_quality" -> (1, "bounded LM probability table"),
     "x38_kmeans_embed" -> (1, "k centroid frame: one site re-executed across the assignment rounds"),
     "x39_zorder_layout" -> (1, "k-row quantile-boundary frame"),
-    "x44_textrank" -> (1, "bounded per-round rank frame: one site re-executed per round"),
+    "x44_textrank" -> (3, "conf-gated: spark.graft.textrank.broadcastVocabCap — vocab-bounded rank + contribution frames; the round-1 rank site keys separately because p0's literal pp prunes out of the broadcast child"),
     "x46_random_projection" -> (1, "d x k projection matrix"),
     "x48_semantic_outliers" -> (1, "k centroid frame"),
     "x49_delta_cluster_assign" -> (1, "k centroid frames"),

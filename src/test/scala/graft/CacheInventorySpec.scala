@@ -89,7 +89,7 @@ class CacheInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x122_hybrid_rrf" -> (1, TF),
     "x139_retrieval_ndcg" -> (2, TF),
     "x145_ranker_tau" -> (1, TF),
-    "x44_textrank" -> (1, LEAF),
+    "x44_textrank" -> (2, s"$LEAF (transition frame) + vocab-bounded node frame: 3 consumers (n count, p0, per-round left join); job-boundary release"),
     "x77_dup_pagerank" -> (1, LEAF),
     "x123_bradley_terry" -> (3, LEAF),
     "x63_source_drift" -> (1, STATS),

@@ -132,6 +132,7 @@ class CollectInventorySpec extends AnyFunSuite {
     "StreamQueries.scala:drained" -> (1, "qs29: 1-row streamed index-stats row"),
     "StreamQueries.scala:batch" -> (1, "qs29: 1-row batch index-stats row"),
     "StreamQueries.scala:cents" -> (1, "qs30: the frozen k=16-row IVF centroid manifest (production reads the stored index artifact)"),
+    "StreamQueries.scala:qs37Cents" -> (1, "qs37: the same frozen k=16-row IVF centroid manifest, collected for the map-side assignment literal"),
     "StreamQueries.scala:benchArr" -> (1, "qs32: the benchmark's distinct-shingle set, 1 row — bounded by the EVAL SET (constant in corpus scale), not the corpus"),
     "StreamQueries.scala:base" -> (1, "qs18: drift histogram bins (bounded grid)"),
     "StreamQueries.scala:summary" -> (1, "qs25: k-entry Misra-Gries summary map"))

@@ -748,6 +748,72 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       "recovered cell mass not above the fresh wave-2-only mass")
   }
 
+  test("qs37's k-row code/tombstone state restarts from checkpoint: recovered compaction decision equals the batch audit (recovery proof #17)") {
+    import org.apache.spark.sql.types._
+    val root = graft.util.TempDirs.create("graft-recovery37")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    // the frozen manifest, exactly as qs37 derives it (k=16 rows over the
+    // FULL base — the x157/x158 seeding)
+    val e = graft.operators.Queries.embWithNorm(spark, sf)
+    val cents = graft.operators.Queries.ivfSeedCentroids(
+        e.filter(col("vec_id") >= 5), 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getDouble(2))).toSeq
+
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") >= 5)
+    def writeWave(i: Int): Unit = {
+      base.filter(pmod(xxhash64(col("vec_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+    val sch = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val stream = spark.readStream.schema(sch)
+        .option("recursiveFileLookup", "true").parquet(from)
+      val q = StreamQueries.ivfCellCodeCounts(stream, cents)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("cmp_run1", ckpt)
+    writeWave(2)
+    val wave2Rows = base.filter(pmod(xxhash64(col("vec_id")), lit(3)) === 2).count()
+    assert(runOnce("cmp_run2", ckpt) === wave2Rows, "restart re-read old waves")
+
+    // the recovered DECISION must equal the batch audit cell-for-cell
+    // through the shared finisher — only possible if waves 0/1's code and
+    // tombstone sums crossed the death (a fresh state undercounts both,
+    // which shifts live_ppm and can flip the rebuild flag)
+    val recovered = graft.operators.Queries.compactionDecision(spark.table("cmp_run2"))
+    val batch = graft.operators.Queries.compactionDecision(
+      StreamQueries.ivfCellCodeCounts(base, cents))
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted compaction decision differs from the batch audit")
+    // state is provably k-row: cells are keyed by the 16-row manifest
+    assert(spark.table("cmp_run2").count() <= 16, "state rows exceed the centroid count")
+    // non-vacuity: tombstones genuinely accumulated somewhere
+    assert(spark.table("cmp_run2").agg(sum(col("n_tombstoned"))).head().getLong(0) > 0,
+      "no tombstoned codes - the delete side is vacuous")
+
+    // non-vacuity: a fresh wave-2-only run carries visibly less code mass
+    runOnce("cmp_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass = (t: String) => spark.table(t).agg(sum(col("n_codes"))).head().getLong(0)
+    assert(mass("cmp_run2") > mass("cmp_fresh"),
+      "recovered code mass not above the fresh wave-2-only mass")
+  }
+
   test("qs31's |sources|-row token-count state restarts from checkpoint: drained solve equals batch x150 (recovery proof #12)") {
     val root = graft.util.TempDirs.create("graft-recovery31")
     val srcDir = Files.createDirectories(root.resolve("waves"))

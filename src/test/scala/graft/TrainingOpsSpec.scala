@@ -457,6 +457,16 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x44: cap-0 shuffle fallback is output-identical to the broadcast path") {
+    def rows() = run("x44_textrank").collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("pr_nano"), r.getAs[Int]("rnk"))).toSet
+    val viaBroadcast = rows()
+    spark.conf.set("spark.graft.textrank.broadcastVocabCap", "0")
+    try assert(rows() === viaBroadcast,
+      "shuffle-join fallback diverged from the broadcast path")
+    finally spark.conf.unset("spark.graft.textrank.broadcastVocabCap")
+  }
+
   test("x48: z-scores are standardized per cluster and flags match the rule") {
     val df = run("x48_semantic_outliers").cache()
     assert(df.filter(col("is_outlier") =!= (col("z") <= -2.0)).isEmpty)
@@ -3242,7 +3252,7 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         val (wt, wn) = sums((s, b)); (halfUp(wt * 1000, wn max 1L), b)
       }.sorted
       assert(r.getAs[Long]("boot_lo_milli") === means(0)._1, s"$s lo")
-      assert(r.getAs[Long]("boot_hi_milli") === means(30)._1, s"$s hi")
+      assert(r.getAs[Long]("boot_hi_milli") === means(31)._1, s"$s hi")
       val (nd, nt) = nTok(s)
       assert(r.getAs[Long]("n_docs") === nd)
       assert(r.getAs[Long]("mean_milli") === halfUp(BigInt(nt) * 1000, nd), s"$s mean")
