@@ -3310,4 +3310,72 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |  CAST((2000 * CAST(truth_tokens AS HUGEINT) + greatest(truth_docs, 1))
       |       // (2 * greatest(truth_docs, 1)) AS BIGINT) AS truth_mean_milli
       |FROM a ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X163
+  /** PACKING-STRATEGY EFFICIENCY A/B — the training-throughput decision
+    * x21's offsets feed: per lang, what does each packing strategy COST
+    * at seq_len 256? Strategy `concat_cut` (GPT-style concat-and-cut,
+    * x21's manifest): sequences = the lang's token total cut into 256s,
+    * padding only in the final sequence, but documents FRAGMENT across
+    * boundaries (attention bleed / document-mask cost — counted
+    * exactly as docs whose span crosses a cut). Strategy `pad_per_doc`
+    * (no fragmentation): every doc pads to its own 256-multiple —
+    * zero fragments, all waste explicit padding. The output is the
+    * decision table: sequences, pad tokens, half-up utilization ppm,
+    * fragmented docs — exact integers from ONE aggregation over x21's
+    * offset frame (the two strategies' sufficient statistics ride the
+    * same groupBy and melt into rows after; no second corpus pass).
+    * Scale shape: x21's own (per-stratum bucketed prefix windows — no
+    * global sort) plus a |langs|-row melt. */
+  private[operators] def x163(spark: SparkSession, dir: String): DataFrame = {
+    val agg = x21(spark, dir).groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+      (max(col("last_seq")) + 1L).as("seq_a"),
+      sum(expr("cast((n_tokens + 255) div 256 as bigint)")).as("seq_b"),
+      sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L)).as("frag_a"))
+    agg.select(col("lang"), col("n_docs"), col("total_tokens"), explode(array(
+        struct(lit("concat_cut").as("strategy"), col("seq_a").as("n_sequences"),
+          col("frag_a").as("frag_docs")),
+        struct(lit("pad_per_doc").as("strategy"), col("seq_b").as("n_sequences"),
+          lit(0L).as("frag_docs")))).as("e"))
+      .select(col("lang"), col("e.strategy").as("strategy"), col("n_docs"),
+        col("total_tokens"), col("e.n_sequences").as("n_sequences"),
+        col("e.frag_docs").as("frag_docs"))
+      .withColumn("pad_tokens", col("n_sequences") * 256L - col("total_tokens"))
+      .withColumn("util_ppm", expr(
+        "(2 * total_tokens * 1000000 + n_sequences * 256) div (2 * n_sequences * 256)"))
+      .select(col("lang"), col("strategy"), col("n_docs"), col("total_tokens"),
+        col("n_sequences"), col("pad_tokens"), col("util_ppm"), col("frag_docs"))
+      .orderBy(col("lang"), col("strategy"))
+  }
+
+  /** Oracle: x21's offset CTE (per-lang doc_id-ordered prefix) aggregated
+    * to both strategies' statistics, melted by UNION ALL. */
+  private[operators] lazy val x163Sql =
+    """WITH d AS (SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |o AS (SELECT doc_id, lang, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      |  FROM d),
+      |f AS (SELECT lang, n_tokens,
+      |    start_offset // 256 AS first_seq,
+      |    (start_offset + n_tokens - 1) // 256 AS last_seq FROM o),
+      |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(max(last_seq) + 1 AS BIGINT) AS seq_a,
+      |    CAST(sum((n_tokens + 255) // 256) AS BIGINT) AS seq_b,
+      |    CAST(count(*) FILTER (WHERE last_seq > first_seq) AS BIGINT) AS frag_a
+      |  FROM f GROUP BY lang),
+      |m AS (SELECT lang, 'concat_cut' AS strategy, n_docs, total_tokens,
+      |        seq_a AS n_sequences, frag_a AS frag_docs FROM g
+      |      UNION ALL
+      |      SELECT lang, 'pad_per_doc', n_docs, total_tokens,
+      |        seq_b, CAST(0 AS BIGINT) FROM g)
+      |SELECT lang, strategy, n_docs, total_tokens, n_sequences,
+      |  CAST(n_sequences * 256 - total_tokens AS BIGINT) AS pad_tokens,
+      |  CAST((2 * total_tokens * 1000000 + n_sequences * 256)
+      |    // (2 * n_sequences * 256) AS BIGINT) AS util_ppm,
+      |  frag_docs
+      |FROM m ORDER BY lang, strategy""".stripMargin
 }

@@ -126,6 +126,7 @@ class CollectInventorySpec extends AnyFunSuite {
     // RankSum
     "RankSum.scala:gl" -> (1, "1-row global (N, ties) scalars"),
     "RankSum.scala:rows" -> (1, "|sources|-bounded per-source frame for the BigInt finisher"),
+    "QueriesText.scala:x161Bench" -> (1, "x161: the benchmark's three distinct n-gram hash sets, bounded by the EVAL SET (constant in corpus scale), not the corpus"),
     // StreamQueries — post-drain audit scalars over bounded state tables
     "StreamQueries.scala:nCal" -> (1, "qs27: 1-row calibration count over the ppm-grid state"),
     "StreamQueries.scala:r" -> (1, "qs27: 1-row threshold scalar"),

@@ -3263,6 +3263,104 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every CI has zero width - the resampling is vacuous")
   }
 
+  test("x161: the curve matches a pure-Scala string-shingle replay; longer grams only narrow") {
+    val rows = run("x161_contamination_curve").collect()
+    assert(rows.nonEmpty && rows.length % 3 === 0)
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ns = Seq(3, 5, 8)
+    def shingles(text: String, n: Int): Set[String] = {
+      val tk = text.split(" ", -1)
+      if (tk.length < n) Set.empty[String] else tk.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val bench = ns.map(n =>
+      n -> docs.filter(_._1 % 97 == 0).flatMap(d => shingles(d._3, n)).toSet).toMap
+    val agg = scala.collection.mutable.Map.empty[(String, Int), (Long, Long, Long)]
+    var implicationChecked = 0
+    for ((id, src, text) <- docs if id % 97 != 0; n <- ns) {
+      val sh = shingles(text, n)
+      val shared = sh.count(bench(n)).toLong
+      // containment: a shared 8-gram contains shared 5- and 3-grams
+      if (n == 8 && shared > 0) {
+        assert(shingles(text, 5).count(bench(5)) > 0, s"doc $id: 8-gram match without a 5-gram match")
+        implicationChecked += 1
+      }
+      val flag = if (5L * shared >= math.max(sh.size.toLong, 1L)) 1L else 0L
+      val (d0, c0, s0) = agg.getOrElse((src, n), (0L, 0L, 0L))
+      agg((src, n)) = (d0 + 1, c0 + flag, s0 + shared)
+    }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Int]("n"))
+      val (nd, nc, st) = agg(k)
+      assert(r.getAs[Long]("n_docs") === nd, s"$k n_docs")
+      assert(r.getAs[Long]("n_contaminated") === nc, s"$k n_contaminated")
+      assert(r.getAs[Long]("shared_total") === st, s"$k shared_total")
+      assert(r.getAs[Long]("contaminated_ppm") === (2 * nc * 1000000L + nd) / (2 * nd), s"$k ppm")
+    }
+    // non-vacuity: the curve genuinely narrows somewhere and the
+    // implication branch actually fired
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.values.exists { rs =>
+      val m = rs.map(r => r.getAs[Int]("n") -> r.getAs[Long]("shared_total")).toMap
+      m(3) > m(8)
+    }, "no source shows a narrowing curve - the n axis is vacuous")
+    assert(implicationChecked > 0, "no 8-gram matches anywhere - containment check vacuous")
+  }
+
+  test("x162: fertility sums match a driver replay and ratios are exact half-up millis") {
+    val rows = run("x162_tokenizer_fertility").collect()
+    assert(rows.nonEmpty)
+    val re = "[a-zA-Z0-9]+|[^a-zA-Z0-9 ]".r
+    val agg = scala.collection.mutable.Map.empty[(String, String), (Long, Long, Long, Long, Long)]
+    graft.operators.Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), col("text")).collect().foreach { r =>
+        val (src, lang, text) = (r.getString(0), r.getString(1), r.getString(2))
+        val k = (src, lang)
+        val (n0, b0, c0, w0, r0) = agg.getOrElse(k, (0L, 0L, 0L, 0L, 0L))
+        agg(k) = (n0 + 1, b0 + text.getBytes("UTF-8").length,
+          c0 + text.length, w0 + text.split(" ", -1).length,
+          r0 + re.findAllIn(text).length)
+      }
+    def halfUp(n: Long, d: Long): Long = (2 * n + math.max(d, 1)) / (2 * math.max(d, 1))
+    rows.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      val (nd, nb, nc, ws, rt) = agg(k)
+      assert(r.getAs[Long]("n_docs") === nd && r.getAs[Long]("n_bytes") === nb &&
+        r.getAs[Long]("n_chars") === nc && r.getAs[Long]("ws_tokens") === ws &&
+        r.getAs[Long]("re_tokens") === rt, s"$k sums")
+      assert(r.getAs[Long]("fertility_re_per_kchar") === halfUp(rt * 1000, nc), s"$k fertility")
+      assert(r.getAs[Long]("bytes_per_re_token_milli") === halfUp(nb * 1000, rt), s"$k bytes/token")
+      assert(r.getAs[Long]("re_per_ws_milli") === halfUp(rt * 1000, ws), s"$k re/ws")
+    }
+  }
+
+  test("x163: packing accounting is exact and concat-cut dominates the sequence count") {
+    val rows = run("x163_packing_efficiency").collect()
+    assert(rows.nonEmpty && rows.length % 2 === 0)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byStrat = rs.map(r => r.getAs[String]("strategy") -> r).toMap
+      val a = byStrat("concat_cut"); val b = byStrat("pad_per_doc")
+      val total = a.getAs[Long]("total_tokens")
+      assert(b.getAs[Long]("total_tokens") === total, s"$lang totals diverge")
+      // concat-cut emits exactly ceil(total/256) sequences and can only
+      // beat-or-tie per-doc padding (it wastes pad only in the last seq)
+      assert(a.getAs[Long]("n_sequences") === (total + 255) / 256, s"$lang concat seqs")
+      assert(a.getAs[Long]("n_sequences") <= b.getAs[Long]("n_sequences"), s"$lang domination")
+      assert(b.getAs[Long]("frag_docs") === 0L, s"$lang pad strategy fragments")
+      Seq(a, b).foreach { r =>
+        val ns = r.getAs[Long]("n_sequences")
+        assert(r.getAs[Long]("pad_tokens") === ns * 256 - total, s"$lang pad accounting")
+        assert(r.getAs[Long]("util_ppm") === (2 * total * 1000000L + ns * 256) / (2 * ns * 256),
+          s"$lang util")
+      }
+      assert(a.getAs[Long]("util_ppm") >= b.getAs[Long]("util_ppm"), s"$lang util order")
+    }
+    // non-vacuity: fragmentation is the price concat-cut actually pays somewhere
+    assert(rows.exists(r => r.getAs[String]("strategy") == "concat_cut" &&
+      r.getAs[Long]("frag_docs") > 0), "no fragmented docs - the A/B trade-off is vacuous")
+  }
+
   test("qs36: the streamed A/B dashboard equals batch x117 row-for-row") {
     val streamed = run("qs36_stream_ab_test").collect()
     assert(streamed.nonEmpty)
