@@ -1965,11 +1965,12 @@ private[operators] trait QueriesAnn { this: Queries.type =>
     * (r12, the one-implementation rule): per-cell live ppm, reclaimable
     * bytes, and the live < 80% rebuild flag from a
     * (cent_id, n_codes, n_tombstoned) frame — k rows in, k rows out. */
-  private[graft] def compactionDecision(cells: DataFrame): DataFrame =
+  private[graft] def compactionDecision(cells: DataFrame,
+      entryBytes: Long = 80L): DataFrame =
     cells.select(col("cent_id"), col("n_codes"), col("n_tombstoned"),
       expr("""(2 * (n_codes - n_tombstoned) * 1000000 + n_codes)
               div (2 * n_codes)""").as("live_ppm"),
-      (col("n_tombstoned") * 80L).as("reclaim_bytes"),
+      (col("n_tombstoned") * entryBytes).as("reclaim_bytes"),
       expr("""(2 * (n_codes - n_tombstoned) * 1000000 + n_codes)
               div (2 * n_codes) < 800000""").as("rebuild"))
       .orderBy(col("cent_id"))

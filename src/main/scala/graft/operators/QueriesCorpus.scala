@@ -3349,6 +3349,48 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       .orderBy(col("lang"), col("strategy"))
   }
 
+  // ---------------------------------------------------------------- X165
+  /** WEIGHTED PRIORITY SAMPLE — the size-biased complement of x7's
+    * uniform-rate stratified sampler: pick k=50 docs per source with
+    * inclusion probability RISING with token weight (the priority /
+    * A-ES sampling shape, used to build eval slices that overweight the
+    * heavy documents a uniform draw almost never sees). Exact-integer
+    * form: priority = floor(hv·10⁶ / w) with hv the md5-derived 48-bit
+    * content-addressed coin and w the token count — heavier docs draw
+    * stochastically smaller priorities, and the k SMALLEST win. Fully
+    * deterministic across runs, partitionings, and engines (the x7
+    * reproducibility contract: a re-run of the eval-set builder must
+    * pick the SAME docs), zero floating point. One corpus scan + the q7
+    * per-stratum top-k window (partitioned by source, never global). */
+  private[operators] def x165(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("hv", conv(substring(
+          md5(concat(lit("x165_"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+        .cast(LongType))
+      .withColumn("pri", expr("hv div greatest(n_tokens, 1)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_tokens"), col("pri"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  private[operators] lazy val x165Sql =
+    """WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |h AS (SELECT *, ('0x' || substr(md5('x165_' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+      |  FROM d),
+      |p AS (SELECT *, CAST(hv // greatest(n_tokens, 1) AS BIGINT) AS pri
+      |  FROM h),
+      |r AS (SELECT source, doc_id, n_tokens, pri,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS INT) AS rnk
+      |  FROM p)
+      |SELECT source, rnk, doc_id, n_tokens, pri FROM r WHERE rnk <= 10
+      |ORDER BY source, rnk""".stripMargin
+
   /** Oracle: x21's offset CTE (per-lang doc_id-ordered prefix) aggregated
     * to both strategies' statistics, melted by UNION ALL. */
   private[operators] lazy val x163Sql =

@@ -1915,4 +1915,44 @@ private[operators] trait QueriesDedup { this: Queries.type =>
        |LEFT JOIN rem USING (thr_ppm)
        |ORDER BY thr.thr_ppm""".stripMargin
 
+  // ---------------------------------------------------------------- X164
+  /** DEDUP-INDEX COMPACTION AUDIT — the x158 compaction column extended to
+    * the SECOND standing index family: x110 maintains the exact-dedup
+    * index (hash → keep_id, n_copies) incrementally, and its removals
+    * (the %89 generation-B fixture) are tombstones that sit in the stored
+    * postings until a shard rewrites — exactly the ANN index's delete
+    * story, so the scheduler input is the same shape: per hash-prefix
+    * SHARD (two hex chars = 256 shards, how a content-addressed index
+    * physically partitions), live fraction, reclaimable bytes (~48-byte
+    * hash+id+count entries), and the rebuild flag at live < 80%, through
+    * the SAME [[graft.operators.Queries.compactionDecision]] finisher
+    * (the one-implementation rule; entry size is the one parameter).
+    * Scale shape: ONE map-side scan (sha2 + a 2-char substring bucket) →
+    * a 256-row aggregation; output 256 rows at any corpus size. */
+  private[operators] def x164(spark: SparkSession, dir: String): DataFrame =
+    compactionDecision(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 97 =!= 0) // x110's generation-A base
+        .select(conv(substring(sha2(col("text"), 256), 1, 2), 16, 10)
+            .cast(LongType).as("cent_id"),
+          (col("doc_id") % 89 === 0).cast(LongType).as("dead"))
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_codes"), sum(col("dead")).as("n_tombstoned")),
+      entryBytes = 48L)
+      .withColumnRenamed("cent_id", "shard")
+      .withColumnRenamed("n_codes", "n_postings")
+
+  private[operators] lazy val x164Sql =
+    """WITH g AS (SELECT ('0x' || substr(sha256(text), 1, 2))::BIGINT AS shard,
+      |    CAST(count(*) AS BIGINT) AS n_postings,
+      |    CAST(count(*) FILTER (WHERE doc_id % 89 = 0) AS BIGINT) AS n_tombstoned
+      |  FROM documents WHERE doc_id % 97 <> 0 GROUP BY 1)
+      |SELECT shard, n_postings, n_tombstoned,
+      |  CAST((2 * (n_postings - n_tombstoned) * 1000000 + n_postings)
+      |       // (2 * n_postings) AS BIGINT) AS live_ppm,
+      |  CAST(n_tombstoned * 48 AS BIGINT) AS reclaim_bytes,
+      |  (2 * (n_postings - n_tombstoned) * 1000000 + n_postings)
+      |    // (2 * n_postings) < 800000 AS rebuild
+      |FROM g ORDER BY shard""".stripMargin
+
 }

@@ -2621,9 +2621,12 @@ private[operators] trait QueriesText { this: Queries.type =>
     * 1000 chars (fertility), bytes per re-token, and the re/ws blowup.
     * ONE map-side scan into a |sources×langs|-row aggregation; no joins,
     * no windows. */
-  private[operators] def x162(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("source"), col("lang"),
+  /** x162's stateful core, shared with qs38 (the one-implementation
+    * rule): 5 commutative integer sums per (source, lang) — works
+    * identically on a batch frame and as a streaming aggregation whose
+    * state is |sources×langs| rows × 5 longs. */
+  private[graft] def fertilityMoments(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
         octet_length(col("text")).cast(LongType).as("nb"),
         length(col("text")).cast(LongType).as("nc"),
         size(toks(col("text"))).cast(LongType).as("ws"),
@@ -2633,7 +2636,10 @@ private[operators] trait QueriesText { this: Queries.type =>
       .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bytes"),
         sum(col("nc")).as("n_chars"), sum(col("ws")).as("ws_tokens"),
         sum(col("re")).as("re_tokens"))
-      .select(col("source"), col("lang"), col("n_docs"), col("n_bytes"),
+
+  /** The ratio finisher over the moment frame (metadata-scale). */
+  private[graft] def fertilityFinish(g: DataFrame): DataFrame =
+    g.select(col("source"), col("lang"), col("n_docs"), col("n_bytes"),
         col("n_chars"), col("ws_tokens"), col("re_tokens"),
         expr("(2 * re_tokens * 1000 + greatest(n_chars, 1)) div (2 * greatest(n_chars, 1))")
           .as("fertility_re_per_kchar"),
@@ -2643,7 +2649,10 @@ private[operators] trait QueriesText { this: Queries.type =>
           .as("re_per_ws_milli"))
       .orderBy(col("source"), col("lang"))
 
-  private[operators] lazy val x162Sql =
+  private[operators] def x162(spark: SparkSession, dir: String): DataFrame =
+    fertilityFinish(fertilityMoments(Tables.documents(spark, dir)))
+
+  private[graft] lazy val x162Sql =
     """WITH d AS (SELECT source, lang,
       |    CAST(strlen(text) AS BIGINT) AS nb,
       |    CAST(length(text) AS BIGINT) AS nc,

@@ -1102,6 +1102,46 @@ object StreamQueries {
       |  TRUE AS matches_batch
       |FROM g ORDER BY cent_id""".stripMargin
 
+  // ---------------------------------------------------------------- QS38
+  /** STREAMING FERTILITY DASHBOARD — x162's online twin: the tokenizer
+    * fertility/cost ratios a budget dashboard reads maintain continuously
+    * as document waves arrive (tokenizer regressions and source-mix
+    * shifts surface as the corpus grows, not at the nightly recount).
+    * Every per-doc column (bytes, chars, both tokenizers' counts) is
+    * MAP-SIDE via x162's shared core ([[graft.operators.Queries
+    * .fertilityMoments]], the one-implementation rule), and the ONE
+    * streaming aggregation keys by (source, lang): state is
+    * |sources×langs| rows × 5 longs — corpus-size-independent,
+    * commutative integer sums → arrival-order-free drain. The ratio
+    * finisher runs on the drained frame, and a batch recount through the
+    * SAME cores is flagged per row (matches_batch). Oracle = x162's own
+    * SQL, so drain == batch is hash-gated. Recovery proof #18. */
+  private def qs38(spark: SparkSession, dir: String): DataFrame = {
+    val drained = graft.operators.Queries.fertilityFinish(
+      runToTable(spark,
+        graft.operators.Queries.fertilityMoments(docsStream(spark, dir)),
+        OutputMode.Complete()))
+    val batch = graft.operators.Queries.fertilityFinish(
+        graft.operators.Queries.fertilityMoments(
+          graft.operators.Tables.documents(spark, dir)))
+      .select(col("source").as("b_s"), col("lang").as("b_l"),
+        col("re_tokens").as("b_re"), col("n_bytes").as("b_nb"))
+    drained.join(batch,
+        drained("source") === col("b_s") && drained("lang") === col("b_l"),
+        "left") // two |sources×langs|-row frames
+      .select(drained("source"), drained("lang"), col("n_docs"), col("n_bytes"),
+        col("n_chars"), col("ws_tokens"), col("re_tokens"),
+        col("fertility_re_per_kchar"), col("bytes_per_re_token_milli"),
+        col("re_per_ws_milli"),
+        (col("b_s").isNotNull && col("re_tokens") === col("b_re") &&
+          col("n_bytes") === col("b_nb")).as("matches_batch"))
+      .orderBy(drained("source"), drained("lang"))
+  }
+
+  /** Oracle = x162's batch SQL (drain == batch is the gate). */
+  private lazy val qs38Sql =
+    s"SELECT *, TRUE AS matches_batch FROM (${graft.operators.Queries.x162Sql}) t"
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -2532,5 +2572,7 @@ object StreamQueries {
     Q("qs36_stream_ab_test", qs36, Some(qs36Sql),
       "streaming A/B dashboard: x117's Welch moments as |event_types|-row 6-long state, drained into the same BigInt finisher, drain == batch t2/df/significance"),
     Q("qs37_stream_compaction", qs37, Some(qs37Sql),
-      "streaming compaction-audit maintenance: map-side assign vs the frozen k-row centroid literal, k-row (codes, tombstones) state, drained x158 rebuild decision == batch recount == full rebuild"))
+      "streaming compaction-audit maintenance: map-side assign vs the frozen k-row centroid literal, k-row (codes, tombstones) state, drained x158 rebuild decision == batch recount == full rebuild"),
+    Q("qs38_stream_fertility", qs38, Some(qs38Sql),
+      "streaming tokenizer-fertility dashboard: x162's 5 commutative sums as |sources x langs|-row state, drained ratio finisher == batch x162 via the shared cores"))
 }

@@ -814,6 +814,51 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       "recovered code mass not above the fresh wave-2-only mass")
   }
 
+  test("qs38's |sources x langs|-row fertility state restarts from checkpoint: drained ratios equal batch x162 (recovery proof #18)") {
+    val root = graft.util.TempDirs.create("graft-recovery38")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val q = graft.operators.Queries.fertilityMoments(
+          StreamQueries.docsStreamFrom(spark, from))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("fert_run1", ckpt)
+    writeWave(2)
+    val wave2Docs = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    assert(runOnce("fert_run2", ckpt) === wave2Docs, "restart re-read old waves")
+
+    // the recovered ratio table must equal batch x162 row-for-row — only
+    // possible if waves 0/1's 5-long sums crossed the death (a fresh
+    // state shifts every token and byte total)
+    val recovered = graft.operators.Queries.fertilityFinish(spark.table("fert_run2"))
+    val batch = graft.operators.Queries.byName("x162_tokenizer_fertility").run(spark, sf)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted fertility dashboard differs from batch x162")
+
+    // non-vacuity: a fresh wave-2-only run carries visibly fewer tokens
+    runOnce("fert_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass = (t: String) => spark.table(t).agg(sum(col("re_tokens"))).head().getLong(0)
+    assert(mass("fert_run2") > mass("fert_fresh"),
+      "recovered token mass not above the fresh wave-2-only mass")
+  }
+
   test("qs31's |sources|-row token-count state restarts from checkpoint: drained solve equals batch x150 (recovery proof #12)") {
     val root = graft.util.TempDirs.create("graft-recovery31")
     val srcDir = Files.createDirectories(root.resolve("waves"))

@@ -3361,6 +3361,67 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Long]("frag_docs") > 0), "no fragmented docs - the A/B trade-off is vacuous")
   }
 
+  test("x164: shard accounting matches a driver replay and the finisher algebra is exact") {
+    val rows = run("x164_dedup_index_compaction").collect()
+    assert(rows.nonEmpty)
+    val agg = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect().foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        if (id % 97 != 0) {
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(text.getBytes("UTF-8"))
+          val shard = ((sha(0) & 0xffL)) // first two hex chars = first byte
+          val (n0, d0) = agg.getOrElse(shard, (0L, 0L))
+          agg(shard) = (n0 + 1, d0 + (if (id % 89 == 0) 1L else 0L))
+        }
+      }
+    rows.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      val (np, nt) = agg(shard)
+      assert(r.getAs[Long]("n_postings") === np, s"shard $shard postings")
+      assert(r.getAs[Long]("n_tombstoned") === nt, s"shard $shard tombstones")
+      val live = (2 * (np - nt) * 1000000L + np) / (2 * np)
+      assert(r.getAs[Long]("live_ppm") === live, s"shard $shard live_ppm")
+      assert(r.getAs[Long]("reclaim_bytes") === nt * 48, s"shard $shard reclaim")
+      assert(r.getAs[Boolean]("rebuild") === (live < 800000L), s"shard $shard flag")
+    }
+    assert(rows.map(_.getAs[Long]("n_postings")).sum ===
+      agg.values.map(_._1).sum, "shards do not partition the postings")
+  }
+
+  test("x165: the sample is the exact deterministic top-k and is size-biased") {
+    val rows = run("x165_priority_sample").collect()
+    assert(rows.nonEmpty)
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+    def md5hv(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"x165_$id".getBytes("UTF-8"))
+      d.take(6).foldLeft(0L)((a, x) => (a << 8) | (x & 0xffL))
+    }
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.map { case (_, id, nt) =>
+        val pri = md5hv(id) / math.max(nt, 1L)
+        (pri, id, nt)
+      }.sorted.take(10)
+    }
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val got = rs.sortBy(_.getAs[Int]("rnk"))
+        .map(r => (r.getAs[Long]("pri"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens")))
+      assert(got.toSeq === expect(src).toSeq, s"$src sample diverges from the replay")
+    }
+    // size bias: some source's sampled mean tokens exceeds its corpus mean
+    val biased = rows.groupBy(_.getAs[String]("source")).exists { case (src, rs) =>
+      val all = docs.filter(_._1 == src)
+      val sMean = rs.map(_.getAs[Long]("n_tokens")).sum.toDouble / rs.length
+      val cMean = all.map(_._3).sum.toDouble / all.length
+      all.length > rs.length && sMean > cMean
+    }
+    assert(biased, "no source shows size bias - the weighting is vacuous")
+  }
+
   test("qs36: the streamed A/B dashboard equals batch x117 row-for-row") {
     val streamed = run("qs36_stream_ab_test").collect()
     assert(streamed.nonEmpty)
