@@ -116,7 +116,8 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x32_lm_quality" -> (1, "bounded LM probability table"),
     "x38_kmeans_embed" -> (1, "k centroid frame: one site re-executed across the assignment rounds"),
     "x39_zorder_layout" -> (1, "k-row quantile-boundary frame"),
-    "x44_textrank" -> (3, "conf-gated: spark.graft.textrank.broadcastVocabCap — vocab-bounded rank + contribution frames; the round-1 rank site keys separately because p0's literal pp prunes out of the broadcast child"),
+    "x44_textrank" -> (2, "conf-gated: spark.graft.textrank.broadcastVocabCap — vocab-bounded rank + contribution frames (round 1 needs no rank join at all: p0 is uniform, so only round 2's rank site and the shared damp site remain)"),
+    "x163_packing_efficiency" -> (1, "x21's |lang x buckets|-row bucket-prefix frame, inherited via the shared offset core"),
     "x46_random_projection" -> (1, "d x k projection matrix"),
     "x48_semantic_outliers" -> (1, "k centroid frame"),
     "x49_delta_cluster_assign" -> (1, "k centroid frames"),
