@@ -2329,19 +2329,15 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     * ≤ |items|² rows and each MM round is two keyed joins + one keyed
     * aggregation on it (θ is |items| rows); the normalizer is a 1-row
     * broadcast scalar attach. 4 rounds = 4 such stages, plan depth fixed. */
-  private[operators] def x123(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
-        col("l_quantity").as("qty"))
-    // The ONLY corpus-scale pass: the order-keyed shuffle-hash self-join
-    // (per-key fan-out ≤ lines², the x92 wedge bound) explodes each
-    // comparison into BOTH orientations and collapses map-side into the
-    // directed+symmetric matrix sym0(a, b, n, wa) — n = comparisons of
-    // the unordered pair, wa = a's wins — in ONE partial-aggregated
-    // shuffle. Everything downstream (item filter, per-item win/loss
-    // totals, 4 MM rounds) rides this ≤ |items|²-bounded frame; the
-    // comparison stream itself is never materialized or re-shuffled.
-    val symAll = li.as("a").hint("shuffle_hash").join(li.as("b"),
+  /** x123's corpus-scale leg, factored for `ScaleProbes x123_{matrix,mm}`
+    * (r12): the order-keyed shuffle-hash self-join (per-key fan-out ≤
+    * lines², the x92 wedge bound) explodes each comparison into BOTH
+    * orientations and collapses map-side into the directed+symmetric
+    * matrix sym0(a, b, n, wa) — n = comparisons of the unordered pair,
+    * wa = a's wins — in ONE partial-aggregated shuffle. The comparison
+    * stream itself is never materialized or re-shuffled. */
+  private[graft] def btMatrix(li: DataFrame): DataFrame =
+    li.as("a").hint("shuffle_hash").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk") &&
           col("a.qty") > col("b.qty"))
       .select(explode(array(
@@ -2349,7 +2345,21 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
         struct(col("b.sk").as("a"), col("a.sk").as("b"), lit(0L).as("win")))).as("e"))
       .select(col("e.a"), col("e.b"), col("e.win"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"), sum(col("win")).as("wa"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  private[operators] def x123(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        col("l_quantity").as("qty"))
+    // Everything downstream (item filter, per-item win/loss totals, 4 MM
+    // rounds) rides the ≤|items|²-bounded matrix frame.
+    btSolve(spark, btMatrix(li).persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The metadata-scale half: item filter + 4 MM rounds + ranking over a
+    * given persisted matrix frame. `releaseMatrix=false` lets the x123_mm
+    * probe re-run the solve against one pinned matrix. */
+  private[graft] def btSolve(spark: SparkSession, symAll: DataFrame,
+      releaseMatrix: Boolean = true): DataFrame = {
     val per = symAll.groupBy(col("a").as("s"))
       .agg(sum(col("wa")).as("w"), sum(col("n") - col("wa")).as("l"))
     val items = per.filter(col("w") > 0 && col("l") > 0).select(col("s"))
@@ -2405,7 +2415,7 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     val t1 = mmRound(t0)
     // round 1's materialization forced sym and base; the unfiltered
     // matrix is dead weight from here (largest of the persisted frames)
-    symAll.unpersist()
+    if (releaseMatrix) symAll.unpersist()
     val tN = mmRound(mmRound(mmRound(t1)))
     val wr = Window.orderBy(col("theta_ppm").desc, col("supplier").asc)
     base.join(tN, "s")

@@ -211,6 +211,30 @@ object ScaleProbes {
           Queries.textrankRank(spark, trans).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+      case "x123_matrix" =>
+        // the corpus-scale Bradley-Terry leg alone: the order-keyed
+        // self-join collapsed into the |items|²-bounded matrix
+        timed { () =>
+          Queries.btMatrix(graft.operators.Tables.lineitem(spark, dir)
+            .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+              col("l_quantity").as("qty")))
+        }
+      case "x123_mm" =>
+        // the solve alone: item filter + 4 MM rounds + ranking against a
+        // matrix pinned + materialized OUTSIDE the timer (production
+        // iterates over a stored matrix artifact). No per-rep cache
+        // clear: that would evict the pinned leg itself.
+        val mtx = Queries.btMatrix(graft.operators.Tables.lineitem(spark, dir)
+            .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+              col("l_quantity").as("qty")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mtx.write.format("noop").mode("overwrite").save()
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          Queries.btSolve(spark, mtx, releaseMatrix = false)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
       case "x135_routed" =>
         spark.conf.set("spark.graft.splitleak.broadcastTestCap", "0")
         timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))
