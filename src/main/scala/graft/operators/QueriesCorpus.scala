@@ -3388,7 +3388,7 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       .orderBy(col("source"), col("rnk"))
   }
 
-  private[operators] lazy val x165Sql =
+  private[graft] lazy val x165Sql = // private[graft]: qs39's oracle IS this SQL (drain == batch)
     """WITH d AS (SELECT source, doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
       |h AS (SELECT *, ('0x' || substr(md5('x165_' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hv
@@ -3430,4 +3430,93 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |    // (2 * n_sequences * 256) AS BIGINT) AS util_ppm,
       |  frag_docs
       |FROM m ORDER BY lang, strategy""".stripMargin
+
+  // ---------------------------------------------------------------- X168
+  /** DATA-CONSTRAINED EPOCH ALLOCATION — the "how many epochs is each
+    * source worth?" decision when the token budget EXCEEDS the corpus
+    * (the data-constrained regime of Muennighoff et al. 2023: repeated
+    * data decays in value, so spending the surplus budget is an
+    * allocation problem, not a tautology). Value model: epoch e of
+    * source s is worth quality_ppm(s) · decay_milli(e) per token, with
+    * the x65 gate's keep rate as the per-source quality weight and the
+    * exact halving ladder 1000/500/250/125 as the repetition decay (a
+    * milli-exact stand-in for the paper's exponential decay — integers,
+    * no transcendentals). Allocation is the GREEDY PREFIX rule over the
+    * |sources|×4 candidate frame: admit candidates in (marginal desc,
+    * source, epoch) order while the running token cost stays within
+    * budget = ⌊1.5 · total corpus tokens⌋. For a fixed source the
+    * marginal strictly decays in e, so each source's admitted epochs are
+    * a prefix of 1..4 by construction — "epochs per source" is
+    * well-defined. (Greedy-prefix, NOT knapsack: the first candidate
+    * that overflows blocks later smaller ones — documented, determinism
+    * over optimality; the gap is at most one candidate's tokens.)
+    * Exactness: keep rates are half-up ppm rationals, marginals and
+    * effective tokens are integer products — zero floating point.
+    * Scale shape: one corpus scan into a |sources|-row frame; the
+    * global window runs on |sources|×4 rows (the x72/x155 discipline —
+    * a deliberate single-partition window over an aggregated frame,
+    * never the corpus). */
+  private[operators] def x168(spark: SparkSession, dir: String): DataFrame = {
+    val keep = x65(spark, dir).select(col("doc_id"), col("keep"))
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .join(keep, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("quality_ppm",
+        expr("(2 * n_keep * 1000000 + n_docs) div (2 * n_docs)"))
+      .withColumn("budget", expr("(3 * sum(tokens) over ()) div 2"))
+    val cand = src.select(col("source"), col("n_docs"), col("tokens"),
+        col("quality_ppm"), col("budget"),
+        explode(expr("""array(
+          named_struct('epoch', 1, 'decay_milli', 1000L),
+          named_struct('epoch', 2, 'decay_milli',  500L),
+          named_struct('epoch', 3, 'decay_milli',  250L),
+          named_struct('epoch', 4, 'decay_milli',  125L))""")).as("e"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("quality_ppm"),
+        col("budget"), col("e.epoch").as("epoch"),
+        col("e.decay_milli").as("decay_milli"))
+      .withColumn("marginal", col("quality_ppm") * col("decay_milli"))
+    val w = Window.orderBy(col("marginal").desc, col("source").asc, col("epoch").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand.withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("admit", col("cum") <= col("budget"))
+      .groupBy(col("source"), col("n_docs"), col("tokens"), col("quality_ppm"),
+        col("budget"))
+      .agg(sum(when(col("admit"), 1L).otherwise(0L)).as("epochs"),
+        sum(when(col("admit"), col("decay_milli")).otherwise(0L)).as("dsum"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("quality_ppm"),
+        col("budget"), col("epochs"),
+        (col("tokens") * col("epochs")).as("tokens_consumed"),
+        (col("tokens") * col("dsum")).as("eff_tokens_milli"))
+      .orderBy(col("source"))
+  }
+
+  private[operators] lazy val x168Sql =
+    s"""WITH k AS ($x65Sql),
+       |d AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep
+       |  FROM d JOIN k USING (doc_id) GROUP BY source),
+       |q AS (SELECT *,
+       |    CAST((2 * n_keep * 1000000 + n_docs) // (2 * n_docs) AS BIGINT) AS quality_ppm,
+       |    CAST((3 * sum(tokens) OVER ()) // 2 AS BIGINT) AS budget FROM s),
+       |c AS (SELECT q.*, e.epoch, e.decay_milli,
+       |    quality_ppm * e.decay_milli AS marginal
+       |  FROM q CROSS JOIN (VALUES (1, 1000), (2, 500), (3, 250), (4, 125))
+       |    AS e(epoch, decay_milli)),
+       |w AS (SELECT *, CAST(sum(tokens) OVER (ORDER BY marginal DESC, source, epoch
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c),
+       |a AS (SELECT *, cum <= budget AS admit FROM w)
+       |SELECT source, n_docs, tokens, quality_ppm, budget,
+       |  CAST(count(*) FILTER (WHERE admit) AS BIGINT) AS epochs,
+       |  CAST(tokens * count(*) FILTER (WHERE admit) AS BIGINT) AS tokens_consumed,
+       |  CAST(tokens * coalesce(sum(decay_milli) FILTER (WHERE admit), 0) AS BIGINT)
+       |    AS eff_tokens_milli
+       |FROM a GROUP BY source, n_docs, tokens, quality_ppm, budget
+       |ORDER BY source""".stripMargin
 }

@@ -2277,7 +2277,18 @@ private[operators] trait QueriesText { this: Queries.type =>
     * test-bucket aggregation, one distinct-bigram join, a 1-row vocab
     * scalar — no corpus-proportional state anywhere past the two
     * aggregations, and the returned audit is |langs| rows. */
-  private[operators] def x153(spark: SparkSession, dir: String): DataFrame = {
+  /** The two ablation arms' wide-form sufficient statistics, factored as
+    * ONE shared core (the fertilityMoments one-implementation rule) so
+    * x153 (per-lang held-out ablation) and x166 (per-doc Moore–Lewis
+    * selection over the pool bucket) train the IDENTICAL pair of models:
+    * raw-arm and filtered-arm bigram/unigram counts ride a single
+    * aggregation over the train bucket (count(*) beside sum(when(keep))),
+    * and both vocabulary sizes come from one token-keyed pass. */
+  private[operators] final case class AblationArms(
+      docs: DataFrame, train: DataFrame, trainBig: DataFrame,
+      trainUni: DataFrame, vRaw: Long, vFil: Long)
+
+  private[operators] def ablationArms(spark: SparkSession, dir: String): AblationArms = {
     val keep = x65(spark, dir).select(col("doc_id"), col("keep"))
     val docs = Tables.documents(spark, dir)
       .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
@@ -2311,7 +2322,15 @@ private[operators] trait QueriesText { this: Queries.type =>
       .groupBy(col("w")).agg(max(col("keep")).as("kept"))
       .agg(count(lit(1)).as("vr"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("vf")).head()
-    val (vRaw, vFil) = (x153Vocab.getLong(0), x153Vocab.getLong(1))
+    AblationArms(docs, train, trainBig, trainUni,
+      x153Vocab.getLong(0), x153Vocab.getLong(1))
+  }
+
+  private[operators] def x153(spark: SparkSession, dir: String): DataFrame = {
+    val arms = ablationArms(spark, dir)
+    val (docs, train, trainBig, trainUni) =
+      (arms.docs, arms.train, arms.trainBig, arms.trainUni)
+    val (vRaw, vFil) = (arms.vRaw, arms.vFil)
     val testBig = docs.filter(col("b") >= 90)
       .select(col("lang"),
         posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
@@ -2368,6 +2387,283 @@ private[operators] trait QueriesText { this: Queries.type =>
        |  CAST((2 * sum(ct * nll_f) + sum(ct)) // (2 * sum(ct)) AS BIGINT)
        |    - CAST((2 * sum(ct * nll_r) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS delta_nanos
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- X166
+  /** MOORE–LEWIS CROSS-ENTROPY-DIFFERENCE SELECTION — the loss-based
+    * data-selection complement of x82's DSIR importance weights (Moore &
+    * Lewis 2010: score each candidate by H_indomain(d) − H_general(d)
+    * and keep the lowest — documents the in-domain model finds EASY
+    * relative to the general model are the in-domain-like ones). Here
+    * the "in-domain" model is the FILTERED ablation arm (trained only on
+    * x65-admitted train docs) and the "general" model is the raw arm —
+    * both from [[ablationArms]]' ONE wide-form train aggregation, so the
+    * selector pays the same single model-build x153's ablation pays. The
+    * scoring target is the POOL bucket (md5(text) mod 100 ∈ [80, 90) —
+    * the slice neither arm trained on nor x153 evaluates on, so selection
+    * is honest out-of-sample): per pool doc, both arms' add-one-smoothed
+    * cross-entropies and their difference, then the 10 most in-domain
+    * docs per lang (score asc, doc_id tiebreak). Exactness is the
+    * x136/x153 recipe: per DISTINCT pool bigram ONE transcendental per
+    * arm — nll = round(−ln((c12+1)/(c1+V))·10⁹) of an exact integer
+    * ratio — computed on the distinct-pair frame (the x65 shape: the
+    * per-doc join carries quantized integers, never doubles), then exact
+    * DECIMAL(38,0) rationals to the per-doc xents. Single-token docs
+    * have no bigram and drop from the pool by construction (both
+    * engines). Scale shape: one train aggregation (vocab²-bounded model
+    * frame), one pool aggregation (map-side combined), the nll scoring
+    * join is distinct-pair-keyed, and the final top-k is a per-lang
+    * window — no global sort, no corpus-proportional driver state. */
+  private[operators] def x166(spark: SparkSession, dir: String): DataFrame = {
+    val arms = ablationArms(spark, dir)
+    val poolBig = arms.docs.filter(col("b") >= 80 && col("b") < 90)
+      .select(col("doc_id"), col("lang"),
+        posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("doc_id"), col("lang"), col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("ct"))
+    val scored = poolBig.select(col("w1"), col("w2")).distinct()
+      .join(arms.trainBig, Seq("w1", "w2"), "left").na.fill(0L, Seq("c12_r", "c12_f"))
+      .join(arms.trainUni, Seq("w1"), "left").na.fill(0L, Seq("c1_r", "c1_f"))
+      .withColumn("nll_r", expr(
+        s"cast(round(-ln(cast(c12_r + 1 as double) / (c1_r + ${arms.vRaw}L)) * 1e9, 0) as bigint)"))
+      .withColumn("nll_f", expr(
+        s"cast(round(-ln(cast(c12_f + 1 as double) / (c1_f + ${arms.vFil}L)) * 1e9, 0) as bigint)"))
+      .select(col("w1"), col("w2"), col("nll_r"), col("nll_f"))
+    val perDoc = poolBig.join(scored, Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("ct")).as("n_bigrams"),
+        sum(expr("cast(ct as decimal(38,0)) * nll_r")).as("tr"),
+        sum(expr("cast(ct as decimal(38,0)) * nll_f")).as("tf"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        expr("cast((2 * tr + n_bigrams) div (2 * n_bigrams) as bigint)")
+          .as("xent_raw_nanos"),
+        expr("cast((2 * tf + n_bigrams) div (2 * n_bigrams) as bigint)")
+          .as("xent_filtered_nanos"))
+      .withColumn("score_nanos",
+        col("xent_filtered_nanos") - col("xent_raw_nanos"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score_nanos").asc, col("doc_id").asc)
+    val out = perDoc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_bigrams"),
+        col("xent_raw_nanos"), col("xent_filtered_nanos"), col("score_nanos"))
+      .orderBy(col("lang"), col("rnk"))
+    eagerFinish(out, arms.train)
+  }
+
+  private[operators] lazy val x166Sql =
+    s"""WITH k AS ($x65Sql),
+       |d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk,
+       |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b FROM documents),
+       |tr AS (SELECT d.tk, k.keep FROM d JOIN k USING (doc_id) WHERE b < 80),
+       |trb AS (SELECT keep, tk[i] AS w1, tk[i + 1] AS w2
+       |  FROM (SELECT keep, tk, unnest(range(1, len(tk))) AS i FROM tr)),
+       |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12_r,
+       |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS c12_f FROM trb GROUP BY 1, 2),
+       |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1_r,
+       |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS c1_f FROM trb GROUP BY 1),
+       |v AS (SELECT CAST(count(*) AS BIGINT) AS vr,
+       |    CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS vf
+       |  FROM (SELECT w, max(keep) AS kept
+       |        FROM (SELECT keep, unnest(tk) AS w FROM tr) GROUP BY w)),
+       |pb AS (SELECT doc_id, lang, tk[i] AS w1, tk[i + 1] AS w2
+       |  FROM (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i
+       |        FROM d WHERE b >= 80 AND b < 90)),
+       |pc AS (SELECT doc_id, lang, w1, w2, CAST(count(*) AS BIGINT) AS ct
+       |  FROM pb GROUP BY 1, 2, 3, 4),
+       |dp AS (SELECT DISTINCT w1, w2 FROM pc),
+       |sc AS (SELECT dp.w1, dp.w2,
+       |    CAST(round(-ln((coalesce(big.c12_r, 0) + 1)::DOUBLE
+       |      / (coalesce(uni.c1_r, 0) + (SELECT vr FROM v))) * 1e9) AS BIGINT) AS nll_r,
+       |    CAST(round(-ln((coalesce(big.c12_f, 0) + 1)::DOUBLE
+       |      / (coalesce(uni.c1_f, 0) + (SELECT vf FROM v))) * 1e9) AS BIGINT) AS nll_f
+       |  FROM dp LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)),
+       |a AS (SELECT doc_id, lang, CAST(sum(ct) AS BIGINT) AS n_bigrams,
+       |    CAST((2 * sum(ct * nll_r) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS xent_raw_nanos,
+       |    CAST((2 * sum(ct * nll_f) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS xent_filtered_nanos
+       |  FROM pc JOIN sc USING (w1, w2) GROUP BY doc_id, lang),
+       |r AS (SELECT *, xent_filtered_nanos - xent_raw_nanos AS score_nanos FROM a)
+       |SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY score_nanos, doc_id) AS INT) AS rnk,
+       |  doc_id, n_bigrams, xent_raw_nanos, xent_filtered_nanos, score_nanos
+       |FROM r QUALIFY rnk <= 10 ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- X167
+  /** SCALING-CURVE FIT — the data-budgeting decision operator: how much
+    * does held-out loss improve per decade of training data, and what
+    * loss should a 10× corpus buy? Four nested proxy models train on
+    * content-addressed prefixes of the train bucket (md5 buckets b<10/
+    * 20/40/80 — nested BY CONSTRUCTION, the x153 wide-form trick taken
+    * to four arms: all four bigram/unigram count columns ride ONE train
+    * aggregation, all four vocabularies ride one token-keyed pass), each
+    * is scored on the SAME untouched test bucket (x136's add-one recipe,
+    * one quantized ln per distinct test bigram PER ARM), and the four
+    * (ln tokens, ln xent) points get a closed-form log-log OLS — the
+    * classic power-law form loss ≈ c·N^(−α) with the irreducible term
+    * ignored (defensible over a 8× N range; a three-parameter fit needs
+    * nonlinear iteration and buys nothing at 4 points). Exactness: each
+    * ln is quantized to int64 BEFORE the regression (round(ln(·)·10⁹) of
+    * an exact integer — the single-transcendental rule applied to the
+    * fit INPUTS), then slope/intercept/prediction are EXACT integer
+    * rationals of those quantized values, finished driver-side in BigInt
+    * (the x117 precedent) from a 1-row frame: no floating-point
+    * accumulation anywhere, and DuckDB re-derives the identical algebra
+    * in HUGEINT. The 10× forecast is emitted in LOG space
+    * (pred_ln_xent_10x_nanos — exp is monotone, the x136 argument, so
+    * the oracle stays transcendental-free past the quantized lns).
+    * Scale shape: one train aggregation (vocab²-bounded wide model
+    * frame), one test aggregation, a distinct-bigram scoring join, three
+    * 1-row driver actions; the regression itself is O(1). */
+  private[operators] def x167(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("b", pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast(LongType), lit(100L)))
+      .select(toks(col("text")).as("tk"), col("b"))
+    val train = docs.filter(col("b") < 80).persist(StorageLevel.MEMORY_AND_DISK)
+    def tierSums(c: Column): Seq[Column] = Seq(
+      sum(when(col("b") < 10, c).otherwise(0L)),
+      sum(when(col("b") < 20, c).otherwise(0L)),
+      sum(when(col("b") < 40, c).otherwise(0L)), sum(c))
+    def tierCols(prefix: String, c: Column): Seq[Column] =
+      tierSums(c).zipWithIndex.map { case (s, i) => s.as(s"$prefix${i + 1}") }
+    val trainBig = train
+      .select(col("b"),
+        posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("b"), col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(tierCols("c12_", lit(1L)).head, tierCols("c12_", lit(1L)).tail: _*)
+    val trainUni = train
+      .select(col("b"), explode(expr("slice(tk, 1, size(tk) - 1)")).as("w1"))
+      .groupBy(col("w1"))
+      .agg(tierCols("c1_", lit(1L)).head, tierCols("c1_", lit(1L)).tail: _*)
+    // per-tier vocabulary: a token is in tier t's vocab iff its FIRST
+    // bucket (min b) falls inside the tier — one token-keyed pass, the
+    // x153 memory-contract shape (never a per-tier countDistinct Expand)
+    val x167Vocab = train.select(col("b"), explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(min(col("b")).as("mb"))
+      .agg(
+        sum(when(col("mb") < 10, 1L).otherwise(0L)),
+        sum(when(col("mb") < 20, 1L).otherwise(0L)),
+        sum(when(col("mb") < 40, 1L).otherwise(0L)), count(lit(1))).head()
+    val vs = (0 to 3).map(x167Vocab.getLong)
+    val x167Tok = train
+      .agg(tierCols("n", size(col("tk")).cast(LongType)).head,
+        tierCols("n", size(col("tk")).cast(LongType)).tail: _*).head()
+    val ns = (0 to 3).map(x167Tok.getLong)
+    val testBig = docs.filter(col("b") >= 90)
+      .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
+      .select(col("w1"), expr("tk[i + 1]").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
+    val scored = testBig
+      .join(trainBig, Seq("w1", "w2"), "left")
+      .na.fill(0L, (1 to 4).map(t => s"c12_$t"))
+      .join(trainUni, Seq("w1"), "left")
+      .na.fill(0L, (1 to 4).map(t => s"c1_$t"))
+    val withNll = (1 to 4).foldLeft(scored) { (df, t) =>
+      df.withColumn(s"l$t", expr(
+        s"cast(round(-ln(cast(c12_$t + 1 as double) / (c1_$t + ${vs(t - 1)}L)) * 1e9, 0) as bigint)"))
+    }
+    val x167Fit = withNll.agg(sum(col("ct")).as("nb"),
+      (1 to 4).map(t =>
+        sum(expr(s"cast(ct as decimal(38,0)) * l$t")).as(s"s$t")): _*).head()
+    train.unpersist(blocking = false)
+    val nb = BigInt(x167Fit.getLong(0))
+    val xe = (1 to 4).map(t => (2 * BigInt(x167Fit.getDecimal(t).toBigInteger) + nb) / (2 * nb))
+    // quantized-ln fit inputs (positive domain: math.round == SQL half-up)
+    def qln(v: BigInt): BigInt = BigInt(math.round(math.log(v.toDouble) * 1e9))
+    val xs = ns.map(n => qln(BigInt(n)))
+    val ys = xe.map(qln)
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, c) => a * c }.sum
+    val sxx = xs.map(a => a * a).sum
+    val num = 4 * sxy - sx * sy
+    val den = 4 * sxx - sx * sx
+    require(den > 0, "x167: degenerate tier sizes - the fit needs 4 distinct token counts")
+    def halfUp(p: BigInt, q: BigInt): BigInt = (2 * p + q) / (2 * q)
+    val alphaMicro = // alpha = -slope; sign-split so both engines floor the POSITIVE ratio
+      if (num <= 0) halfUp(-num * 1000000, den) else -halfUp(num * 1000000, den)
+    val xp = qln(BigInt(10) * BigInt(ns(3)))
+    val p = sy * den + num * (4 * xp - sx)
+    require(p > 0, "x167: non-positive log-space forecast - inputs out of the operator's domain")
+    val predLn = halfUp(p, 4 * den)
+    val schema = StructType((Seq("n_bigrams") ++ (1 to 4).map(t => s"n_tok_t$t") ++
+      (1 to 4).map(t => s"xent_t${t}_nanos") ++
+      Seq("alpha_micro", "pred_ln_xent_10x_nanos")).map(StructField(_, LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row.fromSeq(
+        Seq(nb.toLong) ++ ns ++ xe.map(_.toLong) ++
+          Seq(alphaMicro.toLong, predLn.toLong))), schema)
+  }
+
+  private[operators] lazy val x167Sql =
+    """WITH d AS (SELECT string_split(text, ' ') AS tk,
+      |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b FROM documents),
+      |tr AS (SELECT tk, b FROM d WHERE b < 80),
+      |trb AS (SELECT b, tk[i] AS w1, tk[i + 1] AS w2
+      |  FROM (SELECT b, tk, unnest(range(1, len(tk))) AS i FROM tr)),
+      |big AS (SELECT w1, w2,
+      |    CAST(count(*) FILTER (WHERE b < 10) AS BIGINT) AS c12_1,
+      |    CAST(count(*) FILTER (WHERE b < 20) AS BIGINT) AS c12_2,
+      |    CAST(count(*) FILTER (WHERE b < 40) AS BIGINT) AS c12_3,
+      |    CAST(count(*) AS BIGINT) AS c12_4 FROM trb GROUP BY 1, 2),
+      |uni AS (SELECT w1,
+      |    CAST(count(*) FILTER (WHERE b < 10) AS BIGINT) AS c1_1,
+      |    CAST(count(*) FILTER (WHERE b < 20) AS BIGINT) AS c1_2,
+      |    CAST(count(*) FILTER (WHERE b < 40) AS BIGINT) AS c1_3,
+      |    CAST(count(*) AS BIGINT) AS c1_4 FROM trb GROUP BY 1),
+      |v AS (SELECT CAST(count(*) FILTER (WHERE mb < 10) AS BIGINT) AS v1,
+      |    CAST(count(*) FILTER (WHERE mb < 20) AS BIGINT) AS v2,
+      |    CAST(count(*) FILTER (WHERE mb < 40) AS BIGINT) AS v3,
+      |    CAST(count(*) AS BIGINT) AS v4
+      |  FROM (SELECT w, min(b) AS mb
+      |        FROM (SELECT b, unnest(tk) AS w FROM tr) GROUP BY w)),
+      |n AS (SELECT CAST(sum(CASE WHEN b < 10 THEN len(tk) ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN b < 20 THEN len(tk) ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN b < 40 THEN len(tk) ELSE 0 END) AS BIGINT) AS n3,
+      |    CAST(sum(len(tk)) AS BIGINT) AS n4 FROM tr),
+      |teb AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d WHERE b >= 90)),
+      |tb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS ct FROM teb GROUP BY 1, 2),
+      |j AS (SELECT ct,
+      |    CAST(round(-ln((coalesce(big.c12_1, 0) + 1)::DOUBLE
+      |      / (coalesce(uni.c1_1, 0) + (SELECT v1 FROM v))) * 1e9) AS BIGINT) AS l1,
+      |    CAST(round(-ln((coalesce(big.c12_2, 0) + 1)::DOUBLE
+      |      / (coalesce(uni.c1_2, 0) + (SELECT v2 FROM v))) * 1e9) AS BIGINT) AS l2,
+      |    CAST(round(-ln((coalesce(big.c12_3, 0) + 1)::DOUBLE
+      |      / (coalesce(uni.c1_3, 0) + (SELECT v3 FROM v))) * 1e9) AS BIGINT) AS l3,
+      |    CAST(round(-ln((coalesce(big.c12_4, 0) + 1)::DOUBLE
+      |      / (coalesce(uni.c1_4, 0) + (SELECT v4 FROM v))) * 1e9) AS BIGINT) AS l4
+      |  FROM tb LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)),
+      |g AS (SELECT CAST(sum(ct) AS BIGINT) AS nb,
+      |    CAST((2 * sum(ct * l1) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS xe1,
+      |    CAST((2 * sum(ct * l2) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS xe2,
+      |    CAST((2 * sum(ct * l3) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS xe3,
+      |    CAST((2 * sum(ct * l4) + sum(ct)) // (2 * sum(ct)) AS BIGINT) AS xe4 FROM j),
+      |q AS (SELECT nb, xe1, xe2, xe3, xe4,
+      |    CAST(round(ln((SELECT n1 FROM n)::DOUBLE) * 1e9) AS HUGEINT) AS x1,
+      |    CAST(round(ln((SELECT n2 FROM n)::DOUBLE) * 1e9) AS HUGEINT) AS x2,
+      |    CAST(round(ln((SELECT n3 FROM n)::DOUBLE) * 1e9) AS HUGEINT) AS x3,
+      |    CAST(round(ln((SELECT n4 FROM n)::DOUBLE) * 1e9) AS HUGEINT) AS x4,
+      |    CAST(round(ln(xe1::DOUBLE) * 1e9) AS HUGEINT) AS y1,
+      |    CAST(round(ln(xe2::DOUBLE) * 1e9) AS HUGEINT) AS y2,
+      |    CAST(round(ln(xe3::DOUBLE) * 1e9) AS HUGEINT) AS y3,
+      |    CAST(round(ln(xe4::DOUBLE) * 1e9) AS HUGEINT) AS y4,
+      |    CAST(round(ln((10 * (SELECT n4 FROM n))::DOUBLE) * 1e9) AS HUGEINT) AS xp
+      |  FROM g),
+      |f AS (SELECT *,
+      |    4 * (x1*y1 + x2*y2 + x3*y3 + x4*y4) - (x1+x2+x3+x4) * (y1+y2+y3+y4) AS num,
+      |    4 * (x1*x1 + x2*x2 + x3*x3 + x4*x4) - (x1+x2+x3+x4) * (x1+x2+x3+x4) AS den
+      |  FROM q)
+      |SELECT nb AS n_bigrams,
+      |  (SELECT n1 FROM n) AS n_tok_t1, (SELECT n2 FROM n) AS n_tok_t2,
+      |  (SELECT n3 FROM n) AS n_tok_t3, (SELECT n4 FROM n) AS n_tok_t4,
+      |  xe1 AS xent_t1_nanos, xe2 AS xent_t2_nanos,
+      |  xe3 AS xent_t3_nanos, xe4 AS xent_t4_nanos,
+      |  CAST(CASE WHEN num <= 0 THEN (2 * (-num) * 1000000 + den) // (2 * den)
+      |            ELSE -((2 * num * 1000000 + den) // (2 * den)) END AS BIGINT) AS alpha_micro,
+      |  CAST((2 * ((y1+y2+y3+y4) * den + num * (4 * xp - (x1+x2+x3+x4))) + 4 * den)
+      |    // (2 * (4 * den)) AS BIGINT) AS pred_ln_xent_10x_nanos
+      |FROM f""".stripMargin
 
   // ---------------------------------------------------------------- X160
   /** LEAVE-ONE-OUT SOURCE ATTRIBUTION (data valuation) — which sources

@@ -1142,6 +1142,48 @@ object StreamQueries {
   private lazy val qs38Sql =
     s"SELECT *, TRUE AS matches_batch FROM (${graft.operators.Queries.x162Sql}) t"
 
+  // ---------------------------------------------------------------- QS39
+  /** STREAMING WEIGHTED PRIORITY SAMPLE — x165's online twin, closing the
+    * sampling family's live side next to qs14's uniform-key reservoir:
+    * the size-biased eval-slice builder maintains continuously as
+    * document waves arrive. Each doc computes its content-addressed
+    * integer priority MAP-SIDE (floor(hv / tokens), exactly x165's coin),
+    * and a [[graft.functions.PriorityK]] aggregation keeps AT MOST k=10
+    * entries of state per source across micro-batches — k·|sources| rows
+    * forever, the bounded-state property that lets the sampler run
+    * unbounded at 100 TB. Because the k-smallest merge is associative/
+    * commutative under the exact (pri, doc_id) integer order, the drained
+    * sample equals batch x165's per-stratum window EXACTLY — the oracle
+    * IS x165's SQL, so drain == batch is hash-gated. Pure int64 keys: no
+    * rounding surface anywhere (qs14's 8dp-rounded double key note does
+    * not arise). Recovery proof #19. */
+  private[graft] def prioritySampleAgg(docs: DataFrame): DataFrame = {
+    val pk = udaf(new graft.functions.PriorityK(10))
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("hv", conv(substring(
+          md5(concat(lit("x165_"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+        .cast(LongType))
+      .withColumn("pri", expr("hv div greatest(n_tokens, 1)"))
+      .groupBy(col("source"))
+      .agg(pk(col("pri"), col("doc_id"), col("n_tokens")).as("sample"))
+  }
+
+  private[graft] def prioritySampleFinish(drained: DataFrame): DataFrame =
+    drained
+      .select(col("source"), posexplode(col("sample")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast(IntegerType).as("rnk"),
+        col("e.doc_id").as("doc_id"), col("e.n_tokens").as("n_tokens"),
+        col("e.pri").as("pri"))
+      .orderBy(col("source"), col("rnk"))
+
+  private def qs39(spark: SparkSession, dir: String): DataFrame =
+    prioritySampleFinish(runToTable(spark,
+      prioritySampleAgg(docsStream(spark, dir)), OutputMode.Complete()))
+
+  /** Same oracle as x165 — the equality IS the contract. */
+  private lazy val qs39Sql = graft.operators.Queries.x165Sql
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -2574,5 +2616,7 @@ object StreamQueries {
     Q("qs37_stream_compaction", qs37, Some(qs37Sql),
       "streaming compaction-audit maintenance: map-side assign vs the frozen k-row centroid literal, k-row (codes, tombstones) state, drained x158 rebuild decision == batch recount == full rebuild"),
     Q("qs38_stream_fertility", qs38, Some(qs38Sql),
-      "streaming tokenizer-fertility dashboard: x162's 5 commutative sums as |sources x langs|-row state, drained ratio finisher == batch x162 via the shared cores"))
+      "streaming tokenizer-fertility dashboard: x162's 5 commutative sums as |sources x langs|-row state, drained ratio finisher == batch x162 via the shared cores"),
+    Q("qs39_stream_priority_sample", qs39, Some(qs39Sql),
+      "streaming weighted priority sample: PriorityK keeps k=10 integer-keyed entries per source across waves, drain == batch x165 exactly (the oracle IS x165's SQL)"))
 }

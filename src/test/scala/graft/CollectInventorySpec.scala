@@ -122,7 +122,10 @@ class CollectInventorySpec extends AnyFunSuite {
     "QueriesText.scala:tots" -> (1, "CV wide totals: 1 row"),
     "QueriesText.scala:dcRows" -> (1, "|folds|-row CV priors"),
     "QueriesText.scala:r" -> (1, "1-row PMI total"),
-    "QueriesText.scala:x153Vocab" -> (1, "1-row dual vocab-size scalar (both ablation arms from one agg)"),
+    "QueriesText.scala:x153Vocab" -> (1, "1-row dual vocab-size scalar (both ablation arms from one agg; shared ablationArms core)"),
+    "QueriesText.scala:x167Vocab" -> (1, "x167: 1-row four-tier vocab scalars from one token-keyed agg"),
+    "QueriesText.scala:x167Tok" -> (1, "x167: 1-row four-tier train token totals"),
+    "QueriesText.scala:x167Fit" -> (1, "x167: 1-row fit inputs (n_bigrams + four xent rationals) for the driver-side BigInt OLS"),
     // RankSum
     "RankSum.scala:gl" -> (1, "1-row global (N, ties) scalars"),
     "RankSum.scala:rows" -> (1, "|sources|-bounded per-source frame for the BigInt finisher"),

@@ -135,7 +135,17 @@ class RoundBoundarySpec extends AnyFunSuite with BeforeAndAfterAll {
     // SINGLE transcendental of an exact integer ratio quantized once; the
     // arms cannot share a site because V and the counts differ by arm),
     // plus the x65 gate's rounds inherited through the keep CTE
-    "x153_filter_ablation")
+    "x153_filter_ablation",
+    // r12b: x166 scores the pool bucket against the SAME two ablation-arm
+    // models (shared ablationArms core) — its two nll rounds are x153's
+    // sites applied to the distinct pool-pair frame, same irreducible
+    // single-transcendental class, plus the inherited x65 rounds
+    "x166_moore_lewis_select",
+    // r12b: x167's four per-tier nll rounds are x136's site across four
+    // nested arms (irreducible, one transcendental per arm); its NINE
+    // driver-side quantized-ln fit inputs are audited by the dedicated
+    // boundary test in TrainingOpsSpec (the x117 driver-side pattern)
+    "x167_scaling_curve")
 
   test("x117: the driver-side Welch df round is not within 4 ulps of a .5 boundary") {
     // x117's df round now happens in driver code (BigDecimal HALF_UP over

@@ -1128,4 +1128,61 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mass("ab_run2") > mass("ab_fresh"),
       "recovered sample mass not above the fresh wave-2-only mass")
   }
+
+  test("qs39's k-per-source priority-sample state restarts from checkpoint: drained sample equals batch x165 (recovery proof #19)") {
+    // initialize the Queries registry BEFORE first touching StreamQueries:
+    // StreamQueries.all strictly references Queries' oracle SQL and
+    // Queries.all references StreamQueries.all, so the only safe clinit
+    // order is Queries-first (every other recovery test gets this for free
+    // by calling a graft.operators.Queries core before the stream run)
+    val batchQ = graft.operators.Queries.byName("x165_priority_sample")
+    val root = graft.util.TempDirs.create("graft-recovery39")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val q = StreamQueries.prioritySampleAgg(
+          StreamQueries.docsStreamFrom(spark, from))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("pri_run1", ckpt)
+    writeWave(2)
+    val wave2Docs = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    assert(runOnce("pri_run2", ckpt) === wave2Docs, "restart re-read old waves")
+
+    // the recovered winner set must equal batch x165 row-for-row — only
+    // possible if waves 0/1's per-source reservoirs crossed the death (a
+    // fresh k-sample over wave 2 alone picks different winners)
+    val recovered = StreamQueries.prioritySampleFinish(spark.table("pri_run2"))
+    val batch = batchQ.run(spark, sf)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted priority sample differs from batch x165")
+
+    // state is provably k-bounded: at most 10 entries per source
+    val maxLen = spark.table("pri_run2")
+      .agg(max(size(col("sample")))).head().getInt(0)
+    assert(maxLen <= 10, s"a source's reservoir holds $maxLen > k entries")
+
+    // non-vacuity: the fresh wave-2-only sample genuinely differs (the
+    // recovered state changed the winner set)
+    runOnce("pri_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val fresh = StreamQueries.prioritySampleFinish(spark.table("pri_fresh"))
+    assert(!recovered.exceptAll(fresh).isEmpty,
+      "wave-2-only sample equals the full sample - the recovery proved nothing")
+  }
 }

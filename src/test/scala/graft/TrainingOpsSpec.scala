@@ -3487,4 +3487,109 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("delta_nanos")).distinct.length > 1,
       "every source has the identical delta - the attribution is vacuous")
   }
+
+  test("x166: Moore-Lewis selection is a lawful per-lang top-k over honest pool docs") {
+    val rows = run("x166_moore_lewis_select").collect()
+    assert(rows.nonEmpty)
+    // score identity + per-lang rank law: contiguous from 1, ordered by
+    // (score asc, doc_id asc)
+    rows.foreach(r => assert(r.getAs[Long]("score_nanos") ===
+      r.getAs[Long]("xent_filtered_nanos") - r.getAs[Long]("xent_raw_nanos")))
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq === (1 to rs.length),
+        s"$lang ranks not contiguous")
+      assert(rs.length <= 10, s"$lang returned more than k")
+      val keys = sorted.map(r => (r.getAs[Long]("score_nanos"), r.getAs[Long]("doc_id")))
+      assert(keys.toSeq === keys.sortBy(identity).toSeq, s"$lang not in (score, doc_id) order")
+    }
+    // pool-bucket honesty: every selected doc sits in md5(text) mod 100 in
+    // [80, 90) — the slice neither arm trained on
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val pool = graft.operators.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"), pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long"), lit(100L)).as("b")).collect()
+    assert(pool.length === ids.size)
+    pool.foreach(r => assert(r.getAs[Long]("b") >= 80 && r.getAs[Long]("b") < 90,
+      s"doc ${r.getAs[Long]("doc_id")} not in the pool bucket"))
+    // non-vacuity: the filtered model genuinely PREFERS some docs (negative
+    // scores exist), i.e. the two arms are not the same model
+    assert(rows.exists(_.getAs[Long]("score_nanos") < 0),
+      "no pool doc scores negative - the selection never separates the arms")
+  }
+
+  test("x167: the OLS finisher replays exactly in BigInt and the curve is a real scaling law") {
+    val r = run("x167_scaling_curve").head()
+    val ns = (1 to 4).map(t => r.getAs[Long](s"n_tok_t$t"))
+    assert(ns === ns.sorted && ns.distinct.length === 4, "tiers not strictly nested")
+    val xe = (1 to 4).map(t => r.getAs[Long](s"xent_t${t}_nanos"))
+    assert(xe.head > xe.last, "8x the data did not reduce held-out xent")
+    // full driver replay of the quantized-ln OLS from the emitted inputs
+    def qln(v: BigInt): BigInt = BigInt(math.round(math.log(v.toDouble) * 1e9))
+    def halfUp(p: BigInt, q: BigInt): BigInt = (2 * p + q) / (2 * q)
+    val xs = ns.map(n => qln(BigInt(n)))
+    val ys = xe.map(x => qln(BigInt(x)))
+    val sx = xs.sum; val sy = ys.sum
+    val num = 4 * xs.zip(ys).map { case (a, c) => a * c }.sum - sx * sy
+    val den = 4 * xs.map(a => a * a).sum - sx * sx
+    val alpha = if (num <= 0) halfUp(-num * 1000000, den) else -halfUp(num * 1000000, den)
+    assert(BigInt(r.getAs[Long]("alpha_micro")) === alpha, "alpha does not replay")
+    val xp = qln(BigInt(10) * BigInt(ns(3)))
+    val pred = halfUp(sy * den + num * (4 * xp - sx), 4 * den)
+    assert(BigInt(r.getAs[Long]("pred_ln_xent_10x_nanos")) === pred, "forecast does not replay")
+    // the law is non-vacuous: positive decay rate and a forecast below the
+    // smallest tier's log-xent
+    assert(alpha > 0, "fitted decay rate is non-positive")
+    assert(pred < ys.head, "10x forecast not below the smallest tier")
+    // x117-style driver-side round-boundary audit: none of the 9 quantized
+    // lns sits within 4 ulps of a .5 boundary, so a 1-ulp libm divergence
+    // cannot flip any fit input cross-engine
+    for (v <- ns.map(BigInt(_)) ++ xe.map(BigInt(_)) :+ (BigInt(10) * BigInt(ns(3)))) {
+      val s = math.log(v.toDouble) * 1e9
+      val fr = s - math.floor(s)
+      assert(math.abs(fr - 0.5) > 4 * math.ulp(s),
+        s"quantized ln($v) is boundary-adjacent: scaled=$s")
+    }
+  }
+
+  test("x168: the greedy-prefix epoch allocation replays exactly and respects the budget") {
+    val rows = run("x168_epoch_allocation").collect()
+    assert(rows.length > 1)
+    val budget = rows.head.getAs[Long]("budget")
+    assert(rows.forall(_.getAs[Long]("budget") === budget))
+    assert(budget === 3 * rows.map(_.getAs[Long]("tokens")).sum / 2, "budget identity")
+    // exact greedy replay from the emitted per-source stats
+    val decays = Seq(1000L, 500L, 250L, 125L)
+    val cands = rows.flatMap { r =>
+      decays.zipWithIndex.map { case (d, i) =>
+        (r.getAs[Long]("quality_ppm") * d, r.getAs[String]("source"), i + 1,
+          r.getAs[Long]("tokens"))
+      }
+    }.sortBy { case (m, s, e, _) => (-m, s, e) }
+    var cum = 0L
+    val admitted = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val effMilli = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    cands.foreach { case (_, s, e, t) =>
+      cum += t
+      if (cum <= budget) { admitted(s) += 1; effMilli(s) += t * decays(e - 1) }
+    }
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("epochs") === admitted(s), s"$s epochs diverge from greedy replay")
+      assert(r.getAs[Long]("tokens_consumed") === r.getAs[Long]("tokens") * admitted(s))
+      assert(r.getAs[Long]("eff_tokens_milli") === effMilli(s), s"$s effective tokens diverge")
+    }
+    // the regime is genuinely data-constrained: the 1.5x budget forces
+    // SOME source into repeat epochs, the budget binds (some source is cut
+    // short of the full ladder), and spend never exceeds the budget.
+    // (epochs >= 1 for every source is NOT a law: a high-quality source's
+    // epoch-2 marginal can out-rank a low-quality source's epoch-1.)
+    assert(rows.forall(r => r.getAs[Long]("epochs") >= 0 && r.getAs[Long]("epochs") <= 4))
+    assert(rows.map(_.getAs[Long]("tokens_consumed")).sum <= budget)
+    assert(rows.exists(_.getAs[Long]("epochs") >= 2),
+      "no source repeats - the surplus budget was never spent")
+    assert(rows.exists(_.getAs[Long]("epochs") < 4),
+      "no source was cut - the budget never binds and the allocation is vacuous")
+  }
 }
