@@ -1955,4 +1955,73 @@ private[operators] trait QueriesDedup { this: Queries.type =>
       |    // (2 * n_postings) < 800000 AS rebuild
       |FROM g ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------- X169
+  /** SOFT-DEDUP POLICY A/B — remove duplicates or DOWN-WEIGHT them? The
+    * dedup-strategy complement of x154's threshold curve (x154 tunes the
+    * near-dup cutoff; this prices what you DO with the clusters): per
+    * source, the token economics of three retention policies over x17's
+    * near-dup components — `none` (train on everything), `hard` (keep
+    * one min-id representative per cluster, x1's convention — mass drops
+    * to the representative's tokens and doc diversity drops with it),
+    * and `soft` (keep EVERY member at weight 1/|cluster| — the
+    * SoftDeDup-style reweighting that preserves doc diversity while
+    * flattening the duplicated mass; near-dup members have DIFFERENT
+    * texts, so soft mass is genuinely distinct from hard's). Exact
+    * integers: weights are half-up milli rationals 1000/size, retention
+    * ratios half-up ppm. Composition, not duplication: the cluster
+    * table is x17's own labels through [[PipelineCache]] (the x36
+    * consumer discipline — one materialization per session), and the
+    * oracle wraps x17's recursive-closure SQL as a CTE. Scale shape:
+    * one corpus scan for doc tokens, a |clustered-docs|-row left join
+    * (clusters are the small side — broadcastable, degrades to shuffle
+    * hash), a |sources|-row output; no new pair work anywhere. */
+  private[operators] def x169(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = PipelineCache.shared(spark, "x17_labels", dir)(x17(spark, dir))
+    // cluster size + representative on the |clustered-docs|-row frame ONLY
+    // — singletons never enter a window, so no corpus-wide shuffle-by-
+    // cluster exists (the window in the oracle's form would be one; the
+    // engine pays a small-side left join instead)
+    val cstats = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"), min(col("doc_id")).as("rep_id"))
+    val cmem = clusters.join(cstats, "cluster_id")
+      .select(col("doc_id"), col("size"), (col("doc_id") === col("rep_id")).as("is_rep"))
+    val sized = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .join(cmem, Seq("doc_id"), "left")
+      .withColumn("size", coalesce(col("size"), lit(1L)))
+      .withColumn("is_rep", coalesce(col("is_rep"), lit(true)))
+    sized.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_none"),
+        sum(when(col("is_rep"), 1L).otherwise(0L)).as("docs_hard"),
+        sum(when(col("is_rep"), col("n_tokens")).otherwise(0L)).as("tokens_hard"),
+        sum(col("n_tokens") * expr("(2000 + size) div (2 * size)")).as("eff_soft_milli"))
+      .select(col("source"), col("n_docs"), col("tokens_none"), col("docs_hard"),
+        col("tokens_hard"), col("eff_soft_milli"),
+        expr("(2 * tokens_hard * 1000000 + tokens_none) div (2 * tokens_none)")
+          .as("hard_ppm"),
+        expr("(2 * eff_soft_milli * 1000 + tokens_none) div (2 * tokens_none)")
+          .as("soft_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private[operators] lazy val x169Sql =
+    s"""WITH cl0 AS ($x17Sql),
+       |d AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |j AS (SELECT d.*, coalesce(cl0.cluster_id, d.doc_id) AS cl
+       |  FROM d LEFT JOIN cl0 USING (doc_id)),
+       |z AS (SELECT *, CAST(count(*) OVER (PARTITION BY cl) AS BIGINT) AS size,
+       |    doc_id = min(doc_id) OVER (PARTITION BY cl) AS is_rep FROM j)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_none,
+       |  CAST(count(*) FILTER (WHERE is_rep) AS BIGINT) AS docs_hard,
+       |  CAST(coalesce(sum(n_tokens) FILTER (WHERE is_rep), 0) AS BIGINT) AS tokens_hard,
+       |  CAST(sum(n_tokens * ((2000 + size) // (2 * size))) AS BIGINT) AS eff_soft_milli,
+       |  CAST((2 * coalesce(sum(n_tokens) FILTER (WHERE is_rep), 0) * 1000000
+       |    + sum(n_tokens)) // (2 * sum(n_tokens)) AS BIGINT) AS hard_ppm,
+       |  CAST((2 * sum(n_tokens * ((2000 + size) // (2 * size))) * 1000
+       |    + sum(n_tokens)) // (2 * sum(n_tokens)) AS BIGINT) AS soft_ppm
+       |FROM z GROUP BY source ORDER BY source""".stripMargin
 }

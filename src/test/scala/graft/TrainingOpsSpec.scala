@@ -3592,4 +3592,43 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getAs[Long]("epochs") < 4),
       "no source was cut - the budget never binds and the allocation is vacuous")
   }
+
+  test("x169: soft-dedup economics replay exactly from x17's clusters and the policies separate") {
+    val rows = run("x169_soft_dedup").collect()
+    assert(rows.length > 1)
+    // exact replay: cluster sizes + min-id reps from x17's own labels
+    val labels = run("x17_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bySize = labels.values.groupBy(identity).map { case (c, m) => c -> m.size.toLong }
+    val reps = labels.groupBy(_._2).map { case (c, m) => c -> m.keys.min }.values.toSet
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+    def halfUp(p: Long, q: Long) = (2 * p + q) / (2 * q)
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val z = ds.map { case (_, id, t) =>
+        val size = labels.get(id).map(bySize).getOrElse(1L)
+        val isRep = !labels.contains(id) || reps.contains(id)
+        (t, size, isRep)
+      }
+      src -> (ds.length.toLong, z.map(_._1).sum,
+        z.count(_._3).toLong, z.filter(_._3).map(_._1).sum,
+        z.map { case (t, s, _) => t * halfUp(1000L, s) }.sum)
+    }
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val (nd, tn, dh, th, es) = expect(s)
+      assert(r.getAs[Long]("n_docs") === nd && r.getAs[Long]("tokens_none") === tn &&
+        r.getAs[Long]("docs_hard") === dh && r.getAs[Long]("tokens_hard") === th &&
+        r.getAs[Long]("eff_soft_milli") === es, s"$s economics diverge from the replay")
+      assert(r.getAs[Long]("hard_ppm") === halfUp(th * 1000000, tn))
+      assert(r.getAs[Long]("soft_ppm") === halfUp(es * 1000, tn))
+    }
+    // non-vacuity: clusters exist (hard removes docs somewhere) and the two
+    // policies genuinely price differently somewhere
+    assert(rows.exists(r => r.getAs[Long]("docs_hard") < r.getAs[Long]("n_docs")),
+      "no source lost a doc to hard dedup - the cluster engine found nothing")
+    assert(rows.exists(r => r.getAs[Long]("soft_ppm") !== r.getAs[Long]("hard_ppm")),
+      "soft and hard price identically everywhere - the A/B is vacuous")
+  }
 }
