@@ -3519,4 +3519,108 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
        |    AS eff_tokens_milli
        |FROM a GROUP BY source, n_docs, tokens, quality_ppm, budget
        |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X172
+  /** CONTAMINATION-HANDLING A/B: DROP OR EXCISE — what to DO with a
+    * contaminated document, the decision x20's gate and x161's n-curve
+    * leave open: dropping the whole doc (the x20 0.2-rule policy) loses
+    * every clean token it carries, while excising only the matched spans
+    * (the n-gram-overlap scrub production pipelines run) keeps the rest —
+    * but excision also touches BELOW-threshold docs the drop policy
+    * ignores, so the trade is genuinely two-sided and the sign of the
+    * gain is per-source empirical, not an identity. Per training doc:
+    * distinct-shingle overlap (x20's gate numbers, integer 5·shared ≥
+    * max(shingles,1) rule) and the EXACT positional token coverage of
+    * matched 3-shingles (union of [i, i+2] over matched positions i —
+    * overlapping matches never double-count a token). Per source: kept
+    * tokens under `drop` vs `excise`, the signed gain in raw tokens (a
+    * ppm of a signed quantity would floor-divide differently across
+    * engines), and the excised share. Scale shape: ONE corpus-scan
+    * positional explode (~n_tokens rows, the x20 postings shape) joined
+    * to the benchmark's distinct-shingle frame (constant-size in corpus
+    * scale by the qs32 boundedness contract), two doc-grain reductions,
+    * |sources|-row output. String shingles both sides — no hash step,
+    * the oracle replays glyph for glyph. */
+  private[operators] def x172(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+      .withColumn("nt", size(col("tk")).cast(LongType))
+      .withColumn("shp", expr(
+        """CASE WHEN size(tk) < 3 THEN array()
+          |ELSE transform(sequence(1, size(tk) - 2), i -> named_struct('i', i,
+          |  's', concat(element_at(tk, i), ' ', element_at(tk, i + 1),
+          |              ' ', element_at(tk, i + 2)))) END""".stripMargin))
+    val bench = base.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("shp")).as("p")).select(col("p.s").as("s")).distinct()
+    // two consumers (postings explode + doc stats) — pin the positional
+    // frame so the tokenize+shingle expression runs once; job-boundary
+    // release (enrolled in CacheInventorySpec)
+    val train = base.filter(col("doc_id") % 97 =!= 0).persist()
+    val matched = train.select(col("doc_id"), explode(col("shp")).as("p"))
+      .join(bench, col("p.s") === col("s"))
+    val shared = matched.groupBy(col("doc_id"))
+      .agg(countDistinct(col("p.s")).as("n_shared"))
+    val covered = matched
+      .select(col("doc_id"),
+        explode(array(col("p.i"), col("p.i") + 1, col("p.i") + 2)).as("ti"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+    train
+      .select(col("doc_id"), col("source"), col("nt"),
+        size(array_distinct(expr("transform(shp, x -> x.s)"))).cast(LongType)
+          .as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared", "covered"))
+      .withColumn("flagged", col("n_shared") * 5 >= greatest(col("n_shingles"), lit(1L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("tokens_total"),
+        sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("contaminated_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("flagged_docs"),
+        sum(col("covered")).as("covered_tokens"),
+        sum(when(col("flagged"), 0L).otherwise(col("nt"))).as("tokens_drop"),
+        sum(col("nt") - col("covered")).as("tokens_excise"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("contaminated_docs"), col("flagged_docs"), col("covered_tokens"),
+        col("tokens_drop"), col("tokens_excise"),
+        (col("tokens_excise") - col("tokens_drop")).as("excise_gain_tokens"),
+        expr("(2 * covered_tokens * 1000000 + tokens_total) div (2 * tokens_total)")
+          .as("excised_share_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private[operators] lazy val x172Sql =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+      |ds AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS nt FROM d),
+      |pos AS (SELECT doc_id, i, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+      |  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 1, 1))) AS i FROM d)),
+      |bench AS (SELECT DISTINCT s FROM pos WHERE doc_id % 97 = 0),
+      |tr AS (SELECT * FROM pos WHERE doc_id % 97 <> 0),
+      |nsh AS (SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shingles
+      |  FROM tr GROUP BY 1),
+      |m AS (SELECT tr.doc_id, tr.i, tr.s FROM tr JOIN bench USING (s)),
+      |sh2 AS (SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared
+      |  FROM m GROUP BY 1),
+      |cov AS (SELECT doc_id, CAST(count(DISTINCT ti) AS BIGINT) AS covered FROM (
+      |    SELECT doc_id, unnest([i, i + 1, i + 2]) AS ti FROM m) GROUP BY 1),
+      |per AS (SELECT ds.doc_id, ds.source, ds.nt,
+      |    coalesce(n_shingles, 0) AS n_shingles, coalesce(n_shared, 0) AS n_shared,
+      |    coalesce(covered, 0) AS covered,
+      |    coalesce(n_shared, 0) * 5 >= greatest(coalesce(n_shingles, 0), 1) AS flagged
+      |  FROM ds LEFT JOIN nsh USING (doc_id) LEFT JOIN sh2 USING (doc_id)
+      |    LEFT JOIN cov USING (doc_id)
+      |  WHERE ds.doc_id % 97 <> 0)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS tokens_total,
+      |  CAST(count(*) FILTER (WHERE n_shared > 0) AS BIGINT) AS contaminated_docs,
+      |  CAST(count(*) FILTER (WHERE flagged) AS BIGINT) AS flagged_docs,
+      |  CAST(sum(covered) AS BIGINT) AS covered_tokens,
+      |  CAST(coalesce(sum(nt) FILTER (WHERE NOT flagged), 0) AS BIGINT) AS tokens_drop,
+      |  CAST(sum(nt - covered) AS BIGINT) AS tokens_excise,
+      |  CAST(sum(nt - covered) - coalesce(sum(nt) FILTER (WHERE NOT flagged), 0)
+      |    AS BIGINT) AS excise_gain_tokens,
+      |  CAST((2 * sum(covered) * 1000000 + sum(nt)) // (2 * sum(nt)) AS BIGINT)
+      |    AS excised_share_ppm
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
 }

@@ -1929,20 +1929,26 @@ private[operators] trait QueriesDedup { this: Queries.type =>
     * (the one-implementation rule; entry size is the one parameter).
     * Scale shape: ONE map-side scan (sha2 + a 2-char substring bucket) →
     * a 256-row aggregation; output 256 rows at any corpus size. */
+  /** x164's map-side shard counts, factored (r12b) for qs40 — per
+    * 2-hex-char sha-256 prefix shard, (n_codes, n_tombstoned) as
+    * commutative integer sums over x110's %97 generation-A base with the
+    * %89 tombstone fixture. Works identically on a stream (256-row ×
+    * 2-long state) and a batch frame (the recount leg). */
+  private[graft] def dedupShardCounts(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 97 =!= 0) // x110's generation-A base
+      .select(conv(substring(sha2(col("text"), 256), 1, 2), 16, 10)
+          .cast(LongType).as("cent_id"),
+        (col("doc_id") % 89 === 0).cast(LongType).as("dead"))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_codes"), sum(col("dead")).as("n_tombstoned"))
+
   private[operators] def x164(spark: SparkSession, dir: String): DataFrame =
-    compactionDecision(
-      Tables.documents(spark, dir)
-        .filter(col("doc_id") % 97 =!= 0) // x110's generation-A base
-        .select(conv(substring(sha2(col("text"), 256), 1, 2), 16, 10)
-            .cast(LongType).as("cent_id"),
-          (col("doc_id") % 89 === 0).cast(LongType).as("dead"))
-        .groupBy(col("cent_id"))
-        .agg(count(lit(1)).as("n_codes"), sum(col("dead")).as("n_tombstoned")),
+    compactionDecision(dedupShardCounts(Tables.documents(spark, dir)),
       entryBytes = 48L)
       .withColumnRenamed("cent_id", "shard")
       .withColumnRenamed("n_codes", "n_postings")
 
-  private[operators] lazy val x164Sql =
+  private[graft] lazy val x164Sql =
     """WITH g AS (SELECT ('0x' || substr(sha256(text), 1, 2))::BIGINT AS shard,
       |    CAST(count(*) AS BIGINT) AS n_postings,
       |    CAST(count(*) FILTER (WHERE doc_id % 89 = 0) AS BIGINT) AS n_tombstoned
@@ -2024,4 +2030,225 @@ private[operators] trait QueriesDedup { this: Queries.type =>
        |  CAST((2 * sum(n_tokens * ((2000 + size) // (2 * size))) * 1000
        |    + sum(n_tokens)) // (2 * sum(n_tokens)) AS BIGINT) AS soft_ppm
        |FROM z GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X171
+  /** DEDUP-SCOPE A/B — global or per-source dedup? The operational
+    * decision x169's policy A/B leaves open: a per-source (per-snapshot /
+    * per-dump) dedup job needs no cross-corpus shuffle and parallelizes
+    * embarrassingly, but it cannot see duplicates that SPAN sources — the
+    * FineWeb-class trade every 100 TB curation run prices. Per source,
+    * the token economics of both scopes over x17's near-dup components
+    * (x1's min-id representative convention at each scope): LOCAL keeps
+    * one representative per (component ∩ source), GLOBAL one per
+    * component; missed_dup_tokens = kept_local − kept_global is exactly
+    * the cross-source duplicate mass the cheap job ships to training, and
+    * missed_ppm prices it against the source's corpus share. Composition:
+    * x17's labels through [[PipelineCache]] (the x169 consumer
+    * discipline); cluster math runs on the |clustered-docs|-row frame
+    * only (per-scope representatives are two aggregations of it);
+    * singletons ride the one corpus scan and are kept under both scopes
+    * by construction. Scale shape: one corpus scan + two clustered-frame
+    * aggregations + a small-side left join; |sources|-row output; no new
+    * pair work anywhere. Exact integers end-to-end (half-up ppm). */
+  private[operators] def x171(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = PipelineCache.shared(spark, "x17_labels", dir)(x17(spark, dir))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+    // clustered members with their source — the small frame all scope
+    // math lives on (clusters ⋈ docs on doc_id; right side pruned to 3 cols)
+    val mem = clusters.join(d, "doc_id")
+    val grep = mem.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("g_rep"))
+    val lrep = mem.groupBy(col("cluster_id"), col("source"))
+      .agg(min(col("doc_id")).as("l_rep"))
+    val flags = mem.join(grep, "cluster_id")
+      .join(lrep, Seq("cluster_id", "source"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("l_rep")).as("keep_l"),
+        (col("doc_id") === col("g_rep")).as("keep_g"))
+    d.join(flags, Seq("doc_id"), "left")
+      .withColumn("keep_l", coalesce(col("keep_l"), lit(true)))
+      .withColumn("keep_g", coalesce(col("keep_g"), lit(true)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("keep_l"), 1L).otherwise(0L)).as("docs_local"),
+        sum(when(col("keep_l"), col("n_tokens")).otherwise(0L)).as("tokens_local"),
+        sum(when(col("keep_g"), 1L).otherwise(0L)).as("docs_global"),
+        sum(when(col("keep_g"), col("n_tokens")).otherwise(0L)).as("tokens_global"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("docs_local"), col("tokens_local"),
+        col("docs_global"), col("tokens_global"),
+        (col("tokens_local") - col("tokens_global")).as("missed_dup_tokens"),
+        expr("""(2 * (tokens_local - tokens_global) * 1000000 + tokens_total)
+                div (2 * tokens_total)""").as("missed_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle wraps x17's recursive-closure SQL (the x169 pattern); both
+    * scopes' representatives are windows over the clustered rows. */
+  private[operators] lazy val x171Sql =
+    s"""WITH cl0 AS ($x17Sql),
+       |d AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |j AS (SELECT d.*, cl0.cluster_id AS cl FROM d LEFT JOIN cl0 USING (doc_id)),
+       |z AS (SELECT *,
+       |    cl IS NULL OR doc_id = min(doc_id) OVER (PARTITION BY cl, source) AS keep_l,
+       |    cl IS NULL OR doc_id = min(doc_id) OVER (PARTITION BY cl) AS keep_g
+       |  FROM j)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(count(*) FILTER (WHERE keep_l) AS BIGINT) AS docs_local,
+       |  CAST(coalesce(sum(n_tokens) FILTER (WHERE keep_l), 0) AS BIGINT) AS tokens_local,
+       |  CAST(count(*) FILTER (WHERE keep_g) AS BIGINT) AS docs_global,
+       |  CAST(coalesce(sum(n_tokens) FILTER (WHERE keep_g), 0) AS BIGINT) AS tokens_global,
+       |  CAST(coalesce(sum(n_tokens) FILTER (WHERE keep_l), 0)
+       |    - coalesce(sum(n_tokens) FILTER (WHERE keep_g), 0) AS BIGINT) AS missed_dup_tokens,
+       |  CAST((2 * (coalesce(sum(n_tokens) FILTER (WHERE keep_l), 0)
+       |    - coalesce(sum(n_tokens) FILTER (WHERE keep_g), 0)) * 1000000
+       |    + sum(n_tokens)) // (2 * sum(n_tokens)) AS BIGINT) AS missed_ppm
+       |FROM z GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X173
+  /** 16 pinned LCG permutation constants for x173's oracle-replicable
+    * minhash — md5-derived in pure Scala at plan-build time, spelled
+    * IDENTICALLY into the engine expression and the oracle SQL (the
+    * cross-engine contract: both sides read the same Seq). a, b ∈
+    * [1, 2³¹−2]; modulus 2³¹−1, so a·h + b ≤ ~2⁶² never overflows int64
+    * in either engine. */
+  private[graft] lazy val x173Perms: Seq[(Long, Long)] = (0 until 16).map { i =>
+    def c(tag: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"x173_${tag}_$i".getBytes("UTF-8"))
+      (BigInt(1, md.take(6)).toLong % 2147483646L) + 1L
+    }
+    (c("a"), c("b"))
+  }
+
+  private[graft] lazy val x173Cfg: Seq[(Int, Int)] =
+    Seq((2, 8), (4, 4), (8, 2), (16, 1))
+
+  /** LSH BANDING OPERATING-POINT CURVE — the (bands, rows-per-band)
+    * decision x3 hard-codes (8×4) as a MEASURED curve, the x154/x170
+    * decision-curve discipline applied to the LSH index itself: for four
+    * bandings of ONE 16-component signature — (2,8), (4,4), (8,2),
+    * (16,1), S-curve thresholds s* = (1/b)^(1/r) from ~0.84 down to
+    * ~0.06 — candidate-pair volume (the shuffle cost a banding buys) and
+    * recall/precision against the EXACT Jaccard ≥ 0.5 truth (the shared
+    * x2 pair engine). Bandings are nested slices of the same signature,
+    * so the whole curve costs one signature pass + ONE combined
+    * band-bucket self-join (banding configs ride the explode), never a
+    * per-rung index build. Exactness: the signature here is the
+    * ORACLE-REPLICABLE md5+LCG minhash (one md5 per shingle, then 16
+    * integer permutations — the x126 reference-arithmetic discipline;
+    * production serves from x3's graft_minhash kernel, and this curve
+    * is the instrument that picks its banding). Integer half-up ppm
+    * recall/precision; candidate counts exact. Scale shape: postings
+    * self-join per band bucket (linear in bucket occupancy, the x3
+    * argument), truth side = the cached pair engine; output 4 rows. */
+  private[operators] def x173(spark: SparkSession, dir: String): DataFrame = {
+    val cfgExpr = x173Cfg.map { case (b, r) =>
+      s"named_struct('bands', ${b}L, 'rpb', ${r}L)"
+    }.mkString("array(", ", ", ")")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("sh", expr(
+        """CASE WHEN size(tk) < 3 THEN array()
+          |ELSE array_distinct(transform(sequence(1, size(tk) - 2),
+          |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
+          |              ' ', element_at(tk, i + 2)))) END""".stripMargin))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hm", expr(
+        "transform(sh, s -> CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT) % 2147483647L)"))
+    val sigCols = array(x173Perms.map { case (a, b) =>
+      array_min(expr(s"transform(hm, h -> (${a}L * h + ${b}L) % 2147483647L)"))
+    }: _*)
+    // both sides of the banded self-join read this frame — pin it
+    // (enrolled in CacheInventorySpec); job-boundary release
+    val sig = docs.select(col("doc_id"), sigCols.as("sig")).persist()
+    val keyed = sig.select(col("doc_id"), explode(expr(
+      s"""flatten(transform($cfgExpr, cfg -> transform(sequence(0, cfg.bands - 1),
+         |  i -> named_struct('bands', cfg.bands, 'rpb', cfg.rpb,
+         |    'key', concat(cast(i as string), ':',
+         |      array_join(transform(slice(sig, cast(i * cfg.rpb + 1 as int),
+         |        cast(cfg.rpb as int)), x -> cast(x as string)), '_'))))))""".stripMargin))
+      .as("k"))
+      .select(col("doc_id"), col("k.bands").as("bands"), col("k.rpb").as("rpb"),
+        col("k.key").as("key"))
+    val cand = keyed.as("a").join(keyed.as("b"), Seq("bands", "rpb", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("bands"), col("rpb"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("bands", "rpb", "doc_a", "doc_b")
+    val truth = sharedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    val legs = cand.join(truth, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bands"), col("rpb"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_true_found"))
+    val tot = sharedPairs(spark, dir).agg(count(lit(1)).as("n_truth"))
+    val cfgF = spark.range(1).select(explode(expr(cfgExpr)).as("z"))
+      .select(col("z.bands").as("bands"), col("z.rpb").as("rpb"))
+    cfgF.join(legs, Seq("bands", "rpb"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_true_found"))
+      .crossJoin(tot)
+      .select(col("bands"), col("rpb"), col("n_candidates"), col("n_true_found"),
+        col("n_truth"),
+        expr("""(2 * n_true_found * 1000000 + greatest(n_truth, 1))
+                div (2 * greatest(n_truth, 1))""").as("recall_ppm"),
+        expr("""(2 * n_true_found * 1000000 + greatest(n_candidates, 1))
+                div (2 * greatest(n_candidates, 1))""").as("precision_ppm"))
+      .orderBy(col("bands"))
+  }
+
+  /** Oracle replays the md5+LCG signature component for component (the
+    * constants are interpolated from the SAME Scala Seq the engine
+    * reads) and the banded candidate join; truth = x2's exact pair SQL
+    * as a nested CTE. */
+  private[operators] lazy val x173Sql = {
+    val sigExprs = x173Perms.map { case (a, b) =>
+      s"list_min(list_transform(hm, h -> ($a * h + $b) % 2147483647))"
+    }.mkString("[", ",\n      |      ", "]")
+    val cfgVals = x173Cfg.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(tk) - 1, 1)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh FROM d),
+       |hm AS (SELECT doc_id, list_transform(sh,
+       |    x -> ('0x' || substr(md5(x), 1, 12))::BIGINT % 2147483647) AS hm
+       |  FROM s WHERE len(sh) > 0),
+       |sg AS (SELECT doc_id, $sigExprs AS sig FROM hm),
+       |cfg AS (SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rpb
+       |  FROM (VALUES $cfgVals) v(b, r)),
+       |k AS (SELECT doc_id, bands, rpb,
+       |    i::VARCHAR || ':' || array_to_string(list_transform(
+       |      list_slice(sig, i * rpb + 1, i * rpb + rpb), x -> x::VARCHAR), '_') AS key
+       |  FROM sg, cfg, (SELECT unnest(range(0, 16)) AS i) t WHERE i < bands),
+       |c AS (SELECT DISTINCT a.bands AS bands, a.rpb AS rpb,
+       |    a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM k a JOIN k b ON a.bands = b.bands AND a.rpb = b.rpb
+       |    AND a.key = b.key AND a.doc_id < b.doc_id),
+       |t2 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS sx FROM s WHERE len(sh) > 0),
+       |p AS (SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) AS jac
+       |    FROM t2 a JOIN t2 b ON a.sx = b.sx AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id, a.n, b.n) q
+       |  WHERE jac >= 0.5),
+       |leg AS (SELECT bands, rpb, CAST(count(*) AS BIGINT) AS n_candidates,
+       |    CAST(count(p.doc_a) AS BIGINT) AS n_true_found
+       |  FROM c LEFT JOIN p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM p)
+       |SELECT cfg.bands, cfg.rpb,
+       |  coalesce(n_candidates, 0) AS n_candidates,
+       |  coalesce(n_true_found, 0) AS n_true_found, n_truth,
+       |  (2 * coalesce(n_true_found, 0) * 1000000 + greatest(n_truth, 1))
+       |    // (2 * greatest(n_truth, 1)) AS recall_ppm,
+       |  (2 * coalesce(n_true_found, 0) * 1000000 + greatest(coalesce(n_candidates, 0), 1))
+       |    // (2 * greatest(coalesce(n_candidates, 0), 1)) AS precision_ppm
+       |FROM cfg LEFT JOIN leg USING (bands, rpb), tot
+       |ORDER BY cfg.bands""".stripMargin
+  }
 }

@@ -1019,6 +1019,22 @@ private[operators] trait QueriesText { this: Queries.type =>
     * merge rules (rnd, lhs, rhs, pair_count, corpus_syms-after) and the
     * TRAINED WORD TABLE (w, c, syms) after all 4 merges — still persisted;
     * the caller owns the unpersist. */
+  /** Greedy non-overlapping left-scan application of ONE merge rule
+    * (bl, br) to a symbol array: fold the tail onto [head]; merge iff the
+    * accumulator's LAST symbol is `bl` and the incoming one is `br` — a
+    * just-merged "blbr" can never re-merge as the left half, which is
+    * exactly the non-overlapping greedy rule. Factored (r12b) so x170's
+    * tier-length recompute replays the training evolution through the
+    * SAME expression bpeTrained merges with (one-implementation rule). */
+  private[operators] def bpeGreedyMerge(syms: Column, bl: String, br: String): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      array(element_at(syms, 1)),
+      (acc, cur) =>
+        when(element_at(acc, -1) === lit(bl) && cur === lit(br),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
+          .otherwise(concat(acc, array(cur))))
+
   private[operators] def bpeTrained(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     var words = Tables.documents(spark, dir)
@@ -1058,18 +1074,8 @@ private[operators] trait QueriesText { this: Queries.type =>
       val (bl, br, bpc) = (b.getString(1), b.getString(2), -b.getLong(0))
       if (round > 1) { val m = merges(round - 2); merges(round - 2) = m.copy(_5 = totPc + wTot) }
       if (prev != null) prev.unpersist() // this round's agg just materialized `words`
-      // greedy left-scan merge: fold the tail onto [head]; merge iff the
-      // accumulator's LAST symbol is `bl` and the incoming one is `br` —
-      // a just-merged "blbr" can never re-merge as the left half, which
-      // is exactly the non-overlapping greedy rule
-      val merged = words.withColumn("syms",
-        aggregate(
-          expr("slice(syms, 2, size(syms) - 1)"),
-          array(element_at(col("syms"), 1)),
-          (acc, cur) =>
-            when(element_at(acc, -1) === lit(bl) && cur === lit(br),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(bl + br))))
-              .otherwise(concat(acc, array(cur)))))
+      // greedy left-scan merge — the shared fold (bpeGreedyMerge)
+      val merged = words.withColumn("syms", bpeGreedyMerge(col("syms"), bl, br))
         .persist()
       prev = words
       words = merged
@@ -2967,4 +2973,105 @@ private[operators] trait QueriesText { this: Queries.type =>
       |  (2 * re_tokens * 1000 + greatest(ws_tokens, 1)) // (2 * greatest(ws_tokens, 1))
       |    AS re_per_ws_milli
       |FROM g ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- X170
+  /** Per-word encoded lengths after each merge-rule PREFIX (len0..len4)
+    * — the nested-tier memo behind x170, through [[PipelineCache]]: BPE
+    * merge rules are sequential, so "the tokenizer at vocab budget k" is
+    * the first k rules of ONE training run; training happens once and
+    * every tier's length is a column of the same |vocab|-bounded frame
+    * (the x153/x167 nested-arms trick applied to the tokenizer itself).
+    * Each tier replays [[bpeGreedyMerge]] — the identical expression
+    * training merged with, so len_k is the trained evolution's length by
+    * construction, not a re-implementation. */
+  private[operators] def bpeTierLens(spark: SparkSession, dir: String): DataFrame = {
+    var trained: DataFrame = null
+    val lens = PipelineCache.shared(spark, "x170_bpe_tier_lens", dir) {
+      val (merges, words) = bpeTrained(spark, dir)
+      trained = words
+      var df = words.select(col("w")).withColumn("s0", split(col("w"), ""))
+      for (m <- merges)
+        df = df.withColumn(s"s${m._1}", bpeGreedyMerge(col(s"s${m._1 - 1}"), m._2, m._3))
+      df.select(col("w") +: (0 to 4).map(k =>
+        size(col(s"s$k")).cast(LongType).as(s"len$k")): _*)
+    }
+    if (trained != null) trained.unpersist()
+    lens
+  }
+
+  /** VOCAB-SIZE SELECTION CURVE — the tokenizer-budget decision as a
+    * measured curve (the x154/x161 decision-curve discipline applied to
+    * the tokenizer): per (source, merges_applied k ∈ 0..4), exact BPE
+    * token counts under the first-k-merges tokenizer, fertility vs
+    * whitespace words, and the MARGINAL compression each added merge
+    * buys (half-up ppm tokens saved vs the k−1 tier). The budget call —
+    * "stop growing the vocab when the marginal gain flattens" — reads
+    * straight off saved_vs_prev_ppm, and the per-SOURCE split shows whose
+    * text each merge actually compresses (merges are corpus-global, so a
+    * source whose domain loses the argmax race gains ~nothing per tier —
+    * the x96 fertility-is-source-dependent observation, now per tier).
+    * Scale shape: ONE corpus scan (the (source, w) count aggregation),
+    * training cost through the x90 session memo discipline, then every
+    * tier rides a |sources×vocab|-bounded join (broadcast at test scale,
+    * AQE's call at 100 TB) — adding tiers adds vocab-frame columns, never
+    * corpus passes. Integer-exact throughout (floor-div micros, the x96
+    * convention; half-up ppm marginals). */
+  private[operators] def x170(spark: SparkSession, dir: String): DataFrame = {
+    val lens = bpeTierLens(spark, dir)
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .join(lens, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("ws_words"),
+        (0 to 4).map(k => sum(col("c") * col(s"len$k")).as(s"t$k")): _*)
+    per.select(col("source"), col("ws_words"),
+      explode(array((0 to 4).map { k =>
+        struct(lit(k.toLong).as("merges_applied"),
+          col(s"t$k").as("bpe_tokens"),
+          (if (k == 0) lit(0L) else col(s"t${k - 1}")).as("prev"))
+      }: _*)).as("tier"))
+      .select(col("source"), col("tier.merges_applied").as("merges_applied"),
+        col("ws_words"), col("tier.bpe_tokens").as("bpe_tokens"),
+        expr("(tier.bpe_tokens * 1000000) div ws_words").as("fertility_micro"),
+        when(col("tier.prev") === 0L, lit(0L)).otherwise(
+          expr("(2 * (tier.prev - tier.bpe_tokens) * 1000000 + tier.prev) div (2 * tier.prev)"))
+          .cast(LongType).as("saved_vs_prev_ppm"))
+      .orderBy(col("source"), col("merges_applied"))
+  }
+
+  /** Oracle = the x80 training CTEs' own per-round word tables w0..w4
+    * (each already carries the post-round symbol array), joined to
+    * per-(source, word) counts — the nesting is explicit in the SQL. */
+  private[graft] lazy val x170Sql = {
+    def tierRow(k: Int) =
+      if (k == 0)
+        """SELECT source, CAST(0 AS BIGINT) AS merges_applied, ws_words,
+          |  t0 AS bpe_tokens, (t0 * 1000000) // ws_words AS fertility_micro,
+          |  CAST(0 AS BIGINT) AS saved_vs_prev_ppm FROM p""".stripMargin
+      else
+        s"""SELECT source, CAST($k AS BIGINT), ws_words, t$k,
+           |  (t$k * 1000000) // ws_words,
+           |  (2 * (t${k - 1} - t$k) * 1000000 + t${k - 1}) // (2 * t${k - 1}) FROM p""".stripMargin
+    s"""WITH $bpeCtesRaw,
+       |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |l AS (SELECT w0.w, CAST(len(w0.s) AS BIGINT) AS l0,
+       |    CAST(len(w1.s) AS BIGINT) AS l1, CAST(len(w2.s) AS BIGINT) AS l2,
+       |    CAST(len(w3.s) AS BIGINT) AS l3, CAST(len(w4.s) AS BIGINT) AS l4
+       |  FROM w0 JOIN w1 USING (w) JOIN w2 USING (w) JOIN w3 USING (w)
+       |    JOIN w4 USING (w)),
+       |p AS (SELECT source, CAST(sum(c) AS BIGINT) AS ws_words,
+       |    CAST(sum(c * l0) AS BIGINT) AS t0, CAST(sum(c * l1) AS BIGINT) AS t1,
+       |    CAST(sum(c * l2) AS BIGINT) AS t2, CAST(sum(c * l3) AS BIGINT) AS t3,
+       |    CAST(sum(c * l4) AS BIGINT) AS t4
+       |  FROM sw JOIN l USING (w) GROUP BY 1)
+       |${tierRow(0)}
+       |UNION ALL ${tierRow(1)}
+       |UNION ALL ${tierRow(2)}
+       |UNION ALL ${tierRow(3)}
+       |UNION ALL ${tierRow(4)}
+       |ORDER BY source, merges_applied""".stripMargin
+  }
 }

@@ -1184,6 +1184,49 @@ object StreamQueries {
   /** Same oracle as x165 — the equality IS the contract. */
   private lazy val qs39Sql = graft.operators.Queries.x165Sql
 
+  // ---------------------------------------------------------------- QS40
+  /** STREAMING DEDUP-INDEX COMPACTION AUDIT — x164's online twin,
+    * extending the live compaction column to the SECOND standing index
+    * family exactly as qs37 did for the first: x110/qs7 maintain the
+    * exact-dedup index incrementally and x164 prices its shard rewrites
+    * as a nightly audit; this query maintains that decision's input
+    * continuously, so the rewrite scheduler reads current per-shard live
+    * fractions at a micro-batch bound. Each arriving document computes
+    * its 2-hex sha-256 prefix shard and tombstone flag MAP-SIDE (the
+    * shared [[graft.operators.Queries.dedupShardCounts]] core — the
+    * one-implementation rule), and the ONE streaming aggregation keys by
+    * shard: state is 256 rows × 2 longs — index-geometry-width, never
+    * corpus-width, by construction. On drain the shared
+    * [[graft.operators.Queries.compactionDecision]] finisher (entry size
+    * 48 bytes, x164's postings parameter) emits live_ppm / reclaim_bytes
+    * / the rebuild flag, and a batch recount through the SAME cores is
+    * flagged per shard. Oracle = x164's full-recount SQL, so drain ==
+    * batch == rebuild is hash-gated. Recovery proof #20: the 256-row
+    * state crosses a process death and the recovered decision still
+    * equals the batch audit. */
+  private def qs40(spark: SparkSession, dir: String): DataFrame = {
+    val drained = runToTable(spark,
+      graft.operators.Queries.dedupShardCounts(docsStream(spark, dir)),
+      OutputMode.Complete())
+    val dec = graft.operators.Queries.compactionDecision(drained, entryBytes = 48L)
+    val batch = graft.operators.Queries.compactionDecision(
+        graft.operators.Queries.dedupShardCounts(
+          graft.operators.Tables.documents(spark, dir)), entryBytes = 48L)
+      .select(col("cent_id").as("b_sh"), col("n_codes").as("b_np"),
+        col("n_tombstoned").as("b_nt"), col("rebuild").as("b_rb"))
+    dec.join(batch, dec("cent_id") === col("b_sh"), "left") // two 256-row frames
+      .select(dec("cent_id").as("shard"), col("n_codes").as("n_postings"),
+        col("n_tombstoned"), col("live_ppm"), col("reclaim_bytes"), col("rebuild"),
+        (col("b_sh").isNotNull && col("n_codes") === col("b_np") &&
+          col("n_tombstoned") === col("b_nt") && col("rebuild") === col("b_rb"))
+          .as("matches_batch"))
+      .orderBy(col("shard"))
+  }
+
+  /** Oracle = x164's full-recount audit (the IVM theorem's right side). */
+  private lazy val qs40Sql =
+    s"SELECT *, TRUE AS matches_batch FROM (${graft.operators.Queries.x164Sql}) t"
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -2618,5 +2661,7 @@ object StreamQueries {
     Q("qs38_stream_fertility", qs38, Some(qs38Sql),
       "streaming tokenizer-fertility dashboard: x162's 5 commutative sums as |sources x langs|-row state, drained ratio finisher == batch x162 via the shared cores"),
     Q("qs39_stream_priority_sample", qs39, Some(qs39Sql),
-      "streaming weighted priority sample: PriorityK keeps k=10 integer-keyed entries per source across waves, drain == batch x165 exactly (the oracle IS x165's SQL)"))
+      "streaming weighted priority sample: PriorityK keeps k=10 integer-keyed entries per source across waves, drain == batch x165 exactly (the oracle IS x165's SQL)"),
+    Q("qs40_stream_dedup_compaction", qs40, Some(qs40Sql),
+      "streaming dedup-index compaction audit: map-side sha-prefix shard counts, 256-row (postings, tombstones) state, drained x164 rebuild decision == batch recount via the shared cores"))
 }

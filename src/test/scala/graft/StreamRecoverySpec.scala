@@ -1185,4 +1185,57 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!recovered.exceptAll(fresh).isEmpty,
       "wave-2-only sample equals the full sample - the recovery proved nothing")
   }
+
+  test("qs40's 256-row shard state restarts from checkpoint: recovered dedup-index compaction decision equals the batch audit (recovery proof #20)") {
+    val root = graft.util.TempDirs.create("graft-recovery40")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val q = graft.operators.Queries.dedupShardCounts(
+          StreamQueries.docsStreamFrom(spark, from))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("shc_run1", ckpt)
+    writeWave(2)
+    val wave2Docs = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    assert(runOnce("shc_run2", ckpt) === wave2Docs, "restart re-read old waves")
+
+    // the recovered DECISION must equal the batch recount shard-for-shard
+    // through the shared finisher — only possible if waves 0/1's posting
+    // and tombstone sums crossed the death (a fresh state undercounts
+    // both, which shifts live_ppm and can flip the rebuild flag)
+    val recovered = graft.operators.Queries.compactionDecision(
+      spark.table("shc_run2"), entryBytes = 48L)
+    val batch = graft.operators.Queries.compactionDecision(
+      graft.operators.Queries.dedupShardCounts(docs), entryBytes = 48L)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted dedup-index compaction decision differs from the batch audit")
+    // state is provably index-geometry-bounded: 2-hex-char prefix shards
+    assert(spark.table("shc_run2").count() <= 256, "state rows exceed the shard count")
+    // non-vacuity: tombstones genuinely accumulated somewhere
+    assert(spark.table("shc_run2").agg(sum(col("n_tombstoned"))).head().getLong(0) > 0,
+      "no tombstoned postings - the delete side is vacuous")
+
+    // non-vacuity: a fresh wave-2-only run carries visibly less posting mass
+    runOnce("shc_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass = (t: String) => spark.table(t).agg(sum(col("n_codes"))).head().getLong(0)
+    assert(mass("shc_run2") > mass("shc_fresh"),
+      "recovered posting mass not above the fresh wave-2-only mass")
+  }
 }

@@ -3631,4 +3631,223 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(r => r.getAs[Long]("soft_ppm") !== r.getAs[Long]("hard_ppm")),
       "soft and hard price identically everywhere - the A/B is vacuous")
   }
+
+  test("x170: tier economics replay a pure-Scala BPE training run and reconcile with x80/x96") {
+    val rows = run("x170_vocab_size_curve").collect()
+    assert(rows.length > 5)
+    // pure-Scala trainer: global word counts, 4 rounds of pair argmax by
+    // (count desc, l asc, r asc) + greedy non-overlapping left-scan merge
+    // — the full algorithm, independent of every engine expression
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1))
+    var words: Map[String, Vector[String]] =
+      wc.keys.map(w => w -> w.split("").toVector).toMap
+    val lensAt = scala.collection.mutable.Map.empty[String, Vector[Long]]
+    wc.keys.foreach(w => lensAt(w) = Vector(words(w).length.toLong))
+    for (_ <- 1 to 4) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- words; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + wc(w)
+      val (bl, br) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+      words = words.map { case (w, syms) =>
+        val out = scala.collection.mutable.ArrayBuffer(syms.head)
+        for (cur <- syms.tail)
+          if (out.last == bl && cur == br) out(out.length - 1) = bl + br
+          else out += cur
+        w -> out.toVector
+      }
+      wc.keys.foreach(w => lensAt(w) = lensAt(w) :+ words(w).length.toLong)
+    }
+    def halfUp(p: Long, q: Long) = (2 * p + q) / (2 * q)
+    val bySrc = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val (s, k) = (r.getAs[String]("source"), r.getAs[Long]("merges_applied").toInt)
+      val ws = bySrc(s).map(_._2.length.toLong).sum
+      val tk = bySrc(s).map(_._2.map(w => lensAt(w)(k)).sum).sum
+      val tp = if (k == 0) 0L else bySrc(s).map(_._2.map(w => lensAt(w)(k - 1)).sum).sum
+      assert(r.getAs[Long]("ws_words") === ws && r.getAs[Long]("bpe_tokens") === tk,
+        s"$s tier $k diverges from the replay")
+      assert(r.getAs[Long]("fertility_micro") === tk * 1000000L / ws)
+      assert(r.getAs[Long]("saved_vs_prev_ppm") ===
+        (if (k == 0) 0L else halfUp((tp - tk) * 1000000L, tp)))
+    }
+    // tiers nest: tokens never increase as merges are added, and the
+    // corpus-total decrease per tier is strict (x80's totals shrink)
+    val bySrcRows = rows.groupBy(_.getAs[String]("source"))
+    bySrcRows.values.foreach { rs =>
+      val t = rs.sortBy(_.getAs[Long]("merges_applied")).map(_.getAs[Long]("bpe_tokens"))
+      assert(t.zip(t.tail).forall { case (a, b) => b <= a }, "a tier increased tokens")
+    }
+    for (k <- 1 to 4) {
+      val tot = (j: Int) => rows.filter(_.getAs[Long]("merges_applied") == j.toLong)
+        .map(_.getAs[Long]("bpe_tokens")).sum
+      assert(tot(k) < tot(k - 1), s"corpus total did not strictly shrink at tier $k")
+    }
+    // cross-op reconciliation: tier 4 == x96's per-source encode, and the
+    // corpus total at each tier k >= 1 == x80's corpus_syms after round k
+    val x96m = run("x96_bpe_compression").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("bpe_tokens")).toMap
+    rows.filter(_.getAs[Long]("merges_applied") == 4L).foreach(r =>
+      assert(r.getAs[Long]("bpe_tokens") === x96m(r.getAs[String]("source")),
+        "tier 4 diverges from x96's encode"))
+    val x80m = run("x80_bpe_merges").collect()
+      .map(r => r.getAs[Int]("rnd") -> r.getAs[Long]("corpus_syms")).toMap
+    for (k <- 1 to 4)
+      assert(rows.filter(_.getAs[Long]("merges_applied") == k.toLong)
+        .map(_.getAs[Long]("bpe_tokens")).sum === x80m(k),
+        s"tier $k corpus total diverges from x80's corpus_syms")
+  }
+
+  test("x171: scope economics replay exactly from x17's clusters and cross-source mass is non-vacuous") {
+    val rows = run("x171_dedup_scope_ab").collect()
+    assert(rows.length > 1)
+    val labels = run("x17_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> cluster
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+    val srcOf = docs.map(d => d._2 -> d._1).toMap
+    val gRep = labels.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    val lRep = labels.toSeq.groupBy { case (id, c) => (c, srcOf(id)) }
+      .map { case (k, m) => k -> m.map(_._1).min }
+    def halfUp(p: Long, q: Long) = (2 * p + q) / (2 * q)
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val z = ds.map { case (_, id, t) =>
+        val keepL = labels.get(id).forall(c => lRep((c, src)) == id)
+        val keepG = labels.get(id).forall(c => gRep(c) == id)
+        (t, keepL, keepG)
+      }
+      src -> (ds.length.toLong, z.map(_._1).sum,
+        z.count(_._2).toLong, z.filter(_._2).map(_._1).sum,
+        z.count(_._3).toLong, z.filter(_._3).map(_._1).sum)
+    }
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val (nd, tt, dl, tl, dg, tg) = expect(s)
+      assert(r.getAs[Long]("n_docs") === nd && r.getAs[Long]("tokens_total") === tt &&
+        r.getAs[Long]("docs_local") === dl && r.getAs[Long]("tokens_local") === tl &&
+        r.getAs[Long]("docs_global") === dg && r.getAs[Long]("tokens_global") === tg,
+        s"$s scope economics diverge from the replay")
+      assert(r.getAs[Long]("missed_dup_tokens") === tl - tg)
+      assert(r.getAs[Long]("missed_ppm") === halfUp((tl - tg) * 1000000L, tt))
+      // global can only remove MORE than local (local reps are a superset)
+      assert(tg <= tl && dg <= dl)
+    }
+    // non-vacuity: some component spans sources, so a per-source job
+    // genuinely misses duplicate mass — the trade the A/B prices
+    assert(rows.map(_.getAs[Long]("missed_dup_tokens")).sum > 0,
+      "no cross-source duplicate mass - the scope A/B is vacuous")
+    // conservation: every cluster keeps exactly one doc globally
+    val nClusters = labels.values.toSet.size.toLong
+    val nSingle = docs.length - labels.size.toLong
+    assert(rows.map(_.getAs[Long]("docs_global")).sum === nClusters + nSingle,
+      "global scope does not keep exactly one representative per component")
+  }
+
+  test("x172: drop-vs-excise economics replay from raw text and the trade is genuinely two-sided") {
+    val rows = run("x172_contamination_excision").collect()
+    assert(rows.length > 1)
+    // pure-Scala replay: positional 3-shingles, benchmark set, coverage
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    def shingles(tk: Array[String]): Seq[(Int, String)] =
+      if (tk.length < 3) Seq.empty
+      else (0 to tk.length - 3).map(i => (i, s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}"))
+    val bench = docs.filter(_._1 % 97 == 0).flatMap(d => shingles(d._3).map(_._2)).toSet
+    def halfUp(p: Long, q: Long) = (2 * p + q) / (2 * q)
+    case class D(nt: Long, covered: Long, flagged: Boolean, contaminated: Boolean)
+    val per = docs.filter(_._1 % 97 != 0).map { case (_, src, tk) =>
+      val sh = shingles(tk)
+      val hits = sh.filter(p => bench.contains(p._2))
+      val covered = hits.flatMap(p => Seq(p._1, p._1 + 1, p._1 + 2)).toSet.size.toLong
+      val nShared = hits.map(_._2).toSet.size.toLong
+      val nSh = sh.map(_._2).toSet.size.toLong
+      src -> D(tk.length.toLong, covered, 5 * nShared >= math.max(nSh, 1L), nShared > 0)
+    }
+    val expect = per.groupBy(_._1).map { case (src, ds) =>
+      val z = ds.map(_._2)
+      src -> (z.length.toLong, z.map(_.nt).sum, z.count(_.contaminated).toLong,
+        z.count(_.flagged).toLong, z.map(_.covered).sum,
+        z.filterNot(_.flagged).map(_.nt).sum, z.map(d => d.nt - d.covered).sum)
+    }
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val (nd, tt, cd, fd, cv, td, te) = expect(s)
+      assert(r.getAs[Long]("n_docs") === nd && r.getAs[Long]("tokens_total") === tt &&
+        r.getAs[Long]("contaminated_docs") === cd && r.getAs[Long]("flagged_docs") === fd &&
+        r.getAs[Long]("covered_tokens") === cv && r.getAs[Long]("tokens_drop") === td &&
+        r.getAs[Long]("tokens_excise") === te,
+        s"$s excision economics diverge from the replay")
+      assert(r.getAs[Long]("excise_gain_tokens") === te - td)
+      assert(r.getAs[Long]("excised_share_ppm") === halfUp(cv * 1000000L, tt))
+    }
+    // non-vacuity: contamination exists and the policies genuinely differ
+    assert(rows.exists(_.getAs[Long]("contaminated_docs") > 0),
+      "no contaminated docs - the A/B is vacuous")
+    assert(rows.exists(r => r.getAs[Long]("excise_gain_tokens") !== 0L),
+      "drop and excise price identically everywhere - the A/B is vacuous")
+  }
+
+  test("x173: banding curve replays the md5+LCG signature exactly; nesting makes the rungs monotone") {
+    val rows = run("x173_lsh_band_curve").collect().sortBy(_.getAs[Long]("bands"))
+    assert(rows.length === 4)
+    // pure-Scala replay of the whole instrument: shingles -> one md5 per
+    // shingle -> 16 LCG permutations -> band keys per (b, r) -> candidate
+    // sets -> recall/precision vs an exact Jaccard >= 0.5 truth
+    val M = 2147483647L
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val shSets = docs.map { case (id, tk) =>
+      id -> (if (tk.length < 3) Set.empty[String]
+             else (0 to tk.length - 3).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").toSet)
+    }.filter(_._2.nonEmpty)
+    val sigs = shSets.map { case (id, sh) =>
+      val hm = sh.toSeq.map(s => java.lang.Long.parseLong(md5hex(s).take(12), 16) % M)
+      id -> graft.operators.Queries.x173Perms.map { case (a, b) =>
+        hm.map(h => (a * h + b) % M).min
+      }
+    }.toMap
+    val truth = shSets.flatMap { case (ida, sa) =>
+      shSets.collect { case (idb, sb) if ida < idb =>
+        val inter = (sa & sb).size
+        (ida, idb, inter.toDouble / (sa.size + sb.size - inter))
+      }
+    }.filter(_._3 >= 0.5).map(t => (t._1, t._2)).toSet
+    def halfUp(p: Long, q: Long) = (2 * p + q) / (2 * q)
+    var prevCand = Set.empty[(Long, Long)]
+    rows.foreach { r =>
+      val (b, rpb) = (r.getAs[Long]("bands").toInt, r.getAs[Long]("rpb").toInt)
+      val byKey = sigs.toSeq.flatMap { case (id, sig) =>
+        (0 until b).map(i => (i, sig.slice(i * rpb, i * rpb + rpb).mkString("_")) -> id)
+      }.groupBy(_._1)
+      val cand = byKey.values.flatMap { m =>
+        val ids = m.map(_._2).sorted
+        for (x <- ids; y <- ids if x < y) yield (x, y)
+      }.toSet
+      val found = (cand & truth).size.toLong
+      assert(r.getAs[Long]("n_candidates") === cand.size.toLong &&
+        r.getAs[Long]("n_true_found") === found &&
+        r.getAs[Long]("n_truth") === truth.size.toLong,
+        s"banding ($b, $rpb) diverges from the replay")
+      assert(r.getAs[Long]("recall_ppm") === halfUp(found * 1000000L, math.max(truth.size, 1)))
+      assert(r.getAs[Long]("precision_ppm") === halfUp(found * 1000000L, math.max(cand.size, 1)))
+      // aligned-doubling nesting: every coarser banding's candidates
+      // survive into the next rung, so volume and recall are monotone
+      assert(prevCand.subsetOf(cand), s"banding ($b, $rpb) lost a coarser rung's candidate")
+      prevCand = cand
+    }
+    // cross-op: the truth denominator is exactly x2's pair count
+    assert(rows.head.getAs[Long]("n_truth") === run("x2_ngram_jaccard").count(),
+      "truth side diverges from x2's exact pair engine")
+    // the curve genuinely trades: the loosest rung pays more candidates
+    assert(rows.last.getAs[Long]("n_candidates") > rows.head.getAs[Long]("n_candidates"),
+      "no volume/precision trade across bandings - the curve is vacuous")
+  }
 }
