@@ -102,6 +102,97 @@ object FastOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** ORACLE-REPLICABLE md5+LCG minhash signature in ONE pass (x173's
+    * r12c scan fix): for each positional n-shingle ("t1 t2 t3" — the
+    * shingleHashes string construction), h = first-48-bits(md5) mod
+    * 2147483647 (exactly `('0x' || substr(md5(s), 1, 12))::BIGINT % M`),
+    * then mins(p) = min over shingles of (as(p)·h + bs(p)) mod M — the
+    * SAME integer arithmetic the DuckDB oracle spells per component, so
+    * signatures stay bit-identical while the 1 + |perms| interpreted
+    * lambda transforms the first-cut form paid per row collapse into one
+    * codegen'd pass. Duplicate shingles don't move a min, so no dedup
+    * pass is needed. Returns |perms| mins (Long.MaxValue on a
+    * sub-n-token doc — callers filter those rows first). */
+  def md5MinHash(tokens: ArrayData, n: Int, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val m = 2147483647L
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val cnt = tokens.numElements()
+    if (cnt >= n) {
+      val sb = new java.lang.StringBuilder(64)
+      val md = md5Local.get()
+      var i = 0
+      while (i <= cnt - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens.getUTF8String(i + j).toString)
+          j += 1
+        }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = (java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 16) % m
+        var p = 0
+        while (p < k) {
+          val v = (as(p) * h + bs(p)) % m
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** x172's WHOLE per-doc contamination audit in ONE hash pass: for each
+    * positional n-shingle (the shingleHashes "t1 t2 t3" + farmhash
+    * construction, so a benchmark literal built FROM shingleHashes probes
+    * consistently), binary-search the SORTED benchmark set ONCE and feed
+    * all three measures — distinct shingles, distinct SHARED shingles,
+    * and the positional token coverage of matches ([i, i+n-1] union;
+    * overlaps never double-count). A split kernel pair (distinct-set +
+    * coverage) measured 2× the hash work at 100× — hashing dominates, so
+    * the fold is the scan cost. */
+  def shingleAudit(tokens: ArrayData, n: Int, set: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val cnt = tokens.numElements()
+    if (cnt < n)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0, 0))
+    val seen = new java.util.HashSet[java.lang.Long](cnt * 2)
+    val covered = new Array[Boolean](cnt)
+    var nsh = 0
+    var nShared = 0
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= cnt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val h = Hashing.farmHashFingerprint64()
+        .hashString(sb, java.nio.charset.StandardCharsets.UTF_8).asLong()
+      val hit = java.util.Arrays.binarySearch(set, h) >= 0
+      if (seen.add(h)) {
+        nsh += 1
+        if (hit) nShared += 1
+      }
+      if (hit) {
+        var k = 0
+        while (k < n) { covered(i + k) = true; k += 1 }
+      }
+      i += 1
+    }
+    var c = 0
+    var t = 0
+    while (t < cnt) { if (covered(t)) c += 1; t += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nsh, nShared, c))
+  }
+
   /** x141's DYADIC span-ladder keys in ONE pass: level-8 span hashes are
     * farmhash64 of the joined tokens (the only string work, ~1/15 of the
     * ladder's total span bytes); every higher level L composes from the
@@ -304,6 +395,42 @@ object FastOps {
       i += 1
     }
     c
+  }
+
+  /** first 48 bits of sha256 per array<string> element → NON-NEGATIVE
+    * long token ids (multiplicity kept, order kept). 48 bits = the first
+    * 12 hex chars, so DuckDB replicates each id exactly as
+    * `('0x' || substr(sha256(t), 1, 12))::BIGINT` — the cross-engine
+    * token-id scheme for hash-keyed models (x175/qs41). */
+  def sha48Hashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    val md = sha256Local.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      out(i) = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 16
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ vals(j) over array<long> elements found in the SORTED key array —
+    * countInLongs' lookup-sum sibling (model SERVING as a map-side
+    * kernel: binary search per element, absent keys contribute 0, zero
+    * per-row map construction). Duplicated elements sum per occurrence —
+    * exactly the per-occurrence join+sum the oracle runs. */
+  def sumInLongMap(arr: ArrayData, keys: Array[Long], vals: Array[Long]): Long = {
+    val n = arr.numElements()
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      val j = java.util.Arrays.binarySearch(keys, arr.getLong(i))
+      if (j >= 0) s += vals(j)
+      i += 1
+    }
+    s
   }
 
   /** Σ length(t) over array<string> (char count, matching `length()`). */
@@ -606,6 +733,93 @@ case class CountInLongSet(child: Expression, items: Array[Long]) extends UnaryEx
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** md5+LCG minhash signature of array<string> tokens under CONSTANT
+  * permutation vectors (see FastOps.md5MinHash — bit-identical to the
+  * DuckDB per-component spelling, codegen'd). */
+case class Md5MinHash(child: Expression, n: Int, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression {
+  require(as.length == bs.length, s"graft_md5_minhash: ${as.length} a's vs ${bs.length} b's")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    FastOps.md5MinHash(v.asInstanceOf[ArrayData], n, as, bs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("graftMhA", as, "long[]")
+    val bRef = ctx.addReferenceObj("graftMhB", bs, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FastOps.md5MinHash($c, $n, (long[]) $aRef, (long[]) $bRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** x172's per-doc contamination audit against a CONSTANT sorted
+  * shingle-hash set (see FastOps.shingleAudit): struct<n_shingles:int,
+  * n_shared:int, covered:int> in one hash pass; the set resolves once at
+  * plan time and rides codegen as a reference object. */
+case class ShingleAudit(child: Expression, n: Int, items: Array[Long])
+    extends UnaryExpression {
+  @transient private lazy val sorted: Array[Long] = {
+    val a = items.clone(); java.util.Arrays.sort(a); a
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_shingles", IntegerType, nullable = false),
+    StructField("n_shared", IntegerType, nullable = false),
+    StructField("covered", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    FastOps.shingleAudit(v.asInstanceOf[ArrayData], n, sorted)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftAuditSet", sorted, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.shingleAudit($c, $n, (long[]) $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** 48-bit sha256-prefix token ids of array<string> → array<long>
+  * (non-negative; DuckDB-replicable — see FastOps.sha48Hashes). */
+case class Sha48Hashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = FastOps.sha48Hashes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.sha48Hashes($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Σ of the values mapped to array<long> elements under a CONSTANT
+  * long→long map (the model-serve kernel behind x175/qs41's scorer):
+  * the (key, value) pairs sort ONCE at plan time and ride codegen as two
+  * aligned reference arrays — per-row cost is |arr|·log|map|, absent
+  * keys contribute 0, and a duplicate CONSTANT key is a plan-time error
+  * (a silently-merged model row would desync the engine from the
+  * oracle's per-key join). */
+case class SumInLongMap(child: Expression, keys: Array[Long], vals: Array[Long])
+    extends UnaryExpression {
+  require(keys.length == vals.length,
+    s"graft_sum_longmap: ${keys.length} keys vs ${vals.length} values")
+  @transient private lazy val sorted: (Array[Long], Array[Long]) = {
+    val idx = keys.indices.sortBy(keys(_)).toArray
+    val k = idx.map(keys(_))
+    var i = 1
+    while (i < k.length) {
+      require(k(i) != k(i - 1), s"graft_sum_longmap: duplicate key ${k(i)}")
+      i += 1
+    }
+    (k, idx.map(vals(_)))
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    FastOps.sumInLongMap(v.asInstanceOf[ArrayData], sorted._1, sorted._2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("graftMapKeys", sorted._1, "long[]")
+    val vRef = ctx.addReferenceObj("graftMapVals", sorted._2, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FastOps.sumInLongMap($c, (long[]) $kRef, (long[]) $vRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Σ length per array<string> — the codegen twin of
   * `aggregate(tk, 0, (acc, t) -> acc + length(t))`. */
 case class SumCharLen(child: Expression) extends UnaryExpression {
@@ -696,6 +910,11 @@ object GraftFunctions {
     "graft_md5_planes192" -> (es => Md5PlaneSig192(es.head)),
     "graft_count_in" -> (es => CountInSet(es(0), strArrayArg(es(1)))),
     "graft_count_in_longset" -> (es => CountInLongSet(es(0), longArrayArg(es(1)))),
+    "graft_sha48" -> (es => Sha48Hashes(es.head)),
+    "graft_shingle_audit" -> (es => ShingleAudit(es(0), intArg(es(1)), longArrayArg(es(2)))),
+    "graft_md5_minhash" -> (es =>
+      Md5MinHash(es(0), intArg(es(1)), longArrayArg(es(2)), longArrayArg(es(3)))),
+    "graft_sum_longmap" -> (es => SumInLongMap(es(0), longArrayArg(es(1)), longArrayArg(es(2)))),
     "graft_sum_len" -> (es => SumCharLen(es.head)),
     "graft_cdc_chunks" -> (es => CdcChunks(es.head, if (es.size > 1) intArg(es(1)) else 32)),
     "graft_rolling_fp" -> (es => RollingFp(es.head)),

@@ -3520,6 +3520,110 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
        |FROM a GROUP BY source, n_docs, tokens, quality_ppm, budget
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- X174
+  /** BUDGET-SENSITIVITY CURVE — x168 fixes the token budget at 1.5× the
+    * corpus by fiat; this operator turns the budget itself into the
+    * swept variable (the x154/x161/x173 curve discipline applied to the
+    * allocator): the SAME greedy-prefix spend runs at five budget rungs
+    * (1.0×, 1.25×, 1.5×, 2.0×, 3.0× corpus tokens — exact milli
+    * multipliers, floor division), and each rung reports what the
+    * budget bought (admitted epochs, consumed and effective tokens,
+    * utilization) plus its SHADOW PRICE — the smallest admitted
+    * marginal, i.e. the quality_ppm × decay_milli rate at which the
+    * budget ran out. Reading the curve: eff_tokens_milli flattens as
+    * rungs rise (later epochs decay), so the marginal_floor column is
+    * the "is more budget still buying data worth training on?" number.
+    * Exactness: the x168 algebra unchanged — half-up ppm keep rates,
+    * integer marginals, floor-divided budgets; per-rung windows are the
+    * candidate frame partitioned BY rung. Scale shape: ONE corpus scan
+    * into the |sources|-row frame (shared with x168's shape), then a
+    * |sources|×4×5-row candidate frame — the sweep is metadata-scale,
+    * five budgets cost the same scan as one (the x154 lesson). The
+    * per-rung window is a deliberate |sources|×4-row single-partition
+    * window over an aggregated frame (the x72 discipline), never the
+    * corpus. */
+  private[operators] def x174(spark: SparkSession, dir: String): DataFrame = {
+    val keep = x65(spark, dir).select(col("doc_id"), col("keep"))
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .join(keep, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("quality_ppm",
+        expr("(2 * n_keep * 1000000 + n_docs) div (2 * n_docs)"))
+      .withColumn("total_tokens", expr("sum(tokens) over ()"))
+    val cand = src.select(col("source"), col("tokens"), col("quality_ppm"),
+        col("total_tokens"),
+        explode(expr("""array(
+          named_struct('epoch', 1, 'decay_milli', 1000L),
+          named_struct('epoch', 2, 'decay_milli',  500L),
+          named_struct('epoch', 3, 'decay_milli',  250L),
+          named_struct('epoch', 4, 'decay_milli',  125L))""")).as("e"))
+      .withColumn("budget_milli",
+        explode(typedLit(Seq(1000L, 1250L, 1500L, 2000L, 3000L))))
+      .select(col("source"), col("tokens"), col("quality_ppm"), col("budget_milli"),
+        expr("(budget_milli * total_tokens) div 1000").as("budget_tokens"),
+        col("e.epoch").as("epoch"), col("e.decay_milli").as("decay_milli"))
+      .withColumn("marginal", col("quality_ppm") * col("decay_milli"))
+    val w = Window.partitionBy(col("budget_milli"))
+      .orderBy(col("marginal").desc, col("source").asc, col("epoch").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand.withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("admit", col("cum") <= col("budget_tokens"))
+      .groupBy(col("budget_milli"), col("budget_tokens"))
+      .agg(sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
+        countDistinct(when(col("admit"), col("source"))).as("n_sources_active"),
+        sum(when(col("admit"), col("tokens")).otherwise(0L)).as("tokens_consumed"),
+        sum(when(col("admit"), col("tokens") * col("decay_milli")).otherwise(0L))
+          .as("eff_tokens_milli"),
+        min(when(col("admit"), col("marginal"))).as("marginal_floor"))
+      .select(col("budget_milli"), col("budget_tokens"), col("n_admitted"),
+        col("n_sources_active"), col("tokens_consumed"), col("eff_tokens_milli"),
+        expr("(2 * tokens_consumed * 1000000 + greatest(budget_tokens, 1)) " +
+          "div (2 * greatest(budget_tokens, 1))").as("util_ppm"),
+        col("marginal_floor"))
+      .orderBy(col("budget_milli"))
+  }
+
+  /** Oracle: x168Sql's CTEs with the rung dimension cross-joined in and
+    * the window partitioned per rung. */
+  private[operators] lazy val x174Sql =
+    s"""WITH k AS ($x65Sql),
+       |d AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep
+       |  FROM d JOIN k USING (doc_id) GROUP BY source),
+       |q AS (SELECT *,
+       |    CAST((2 * n_keep * 1000000 + n_docs) // (2 * n_docs) AS BIGINT) AS quality_ppm,
+       |    CAST(sum(tokens) OVER () AS BIGINT) AS total_tokens FROM s),
+       |c AS (SELECT q.source, q.tokens, q.quality_ppm,
+       |    CAST(r.budget_milli AS BIGINT) AS budget_milli,
+       |    CAST((r.budget_milli * q.total_tokens) // 1000 AS BIGINT) AS budget_tokens,
+       |    e.epoch, e.decay_milli, q.quality_ppm * e.decay_milli AS marginal
+       |  FROM q CROSS JOIN (VALUES (1, 1000), (2, 500), (3, 250), (4, 125))
+       |    AS e(epoch, decay_milli)
+       |  CROSS JOIN (VALUES (1000), (1250), (1500), (2000), (3000)) AS r(budget_milli)),
+       |w AS (SELECT *, CAST(sum(tokens) OVER (PARTITION BY budget_milli
+       |      ORDER BY marginal DESC, source, epoch
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c),
+       |a AS (SELECT *, cum <= budget_tokens AS admit FROM w)
+       |SELECT budget_milli, budget_tokens,
+       |  CAST(count(*) FILTER (WHERE admit) AS BIGINT) AS n_admitted,
+       |  CAST(count(DISTINCT source) FILTER (WHERE admit) AS BIGINT) AS n_sources_active,
+       |  CAST(coalesce(sum(tokens) FILTER (WHERE admit), 0) AS BIGINT) AS tokens_consumed,
+       |  CAST(coalesce(sum(tokens * decay_milli) FILTER (WHERE admit), 0) AS BIGINT)
+       |    AS eff_tokens_milli,
+       |  CAST((2 * coalesce(sum(tokens) FILTER (WHERE admit), 0) * 1000000
+       |    + greatest(budget_tokens, 1)) // (2 * greatest(budget_tokens, 1)) AS BIGINT)
+       |    AS util_ppm,
+       |  CAST(min(marginal) FILTER (WHERE admit) AS BIGINT) AS marginal_floor
+       |FROM a GROUP BY budget_milli, budget_tokens
+       |ORDER BY budget_milli""".stripMargin
+
   // ---------------------------------------------------------------- X172
   /** CONTAMINATION-HANDLING A/B: DROP OR EXCISE — what to DO with a
     * contaminated document, the decision x20's gate and x161's n-curve
@@ -3542,36 +3646,33 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     * |sources|-row output. String shingles both sides — no hash step,
     * the oracle replays glyph for glyph. */
   private[operators] def x172(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
-      .withColumn("nt", size(col("tk")).cast(LongType))
-      .withColumn("shp", expr(
-        """CASE WHEN size(tk) < 3 THEN array()
-          |ELSE transform(sequence(1, size(tk) - 2), i -> named_struct('i', i,
-          |  's', concat(element_at(tk, i), ' ', element_at(tk, i + 1),
-          |              ' ', element_at(tk, i + 2)))) END""".stripMargin))
-    val bench = base.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("shp")).as("p")).select(col("p.s").as("s")).distinct()
-    // two consumers (postings explode + doc stats) — pin the positional
-    // frame so the tokenize+shingle expression runs once; job-boundary
-    // release (enrolled in CacheInventorySpec)
-    val train = base.filter(col("doc_id") % 97 =!= 0).persist()
-    val matched = train.select(col("doc_id"), explode(col("shp")).as("p"))
-      .join(bench, col("p.s") === col("s"))
-    val shared = matched.groupBy(col("doc_id"))
-      .agg(countDistinct(col("p.s")).as("n_shared"))
-    val covered = matched
-      .select(col("doc_id"),
-        explode(array(col("p.i"), col("p.i") + 1, col("p.i") + 2)).as("ti"))
+    // benchmark artifact: distinct shingle hashes of the eval slice (the
+    // qs32 boundedness contract — eval sets are corpus-constant in
+    // production), enrolled in CollectInventorySpec. r12c rewrite: the
+    // first-cut positional-struct form persisted the CORPUS-scale
+    // positional frame and shuffled string-keyed postings against the
+    // benchmark — measured 1.6/8.3/166.7 s at 1×/10×/100× (the pin
+    // spilled and the join dominated). This form is ONE map-side scan
+    // through the graft_shingle_audit kernel: distinct shingles, shared
+    // shingles, and positional token coverage all fall out of ONE hash
+    // pass per doc (a split distinct-set + coverage kernel pair still
+    // paid 2× the hashing — 64.9 s at 100×); no persist, no explode, no
+    // join anywhere. The oracle keeps string shingles — count equality
+    // is the same collision-free-in-data contract as x161/qs32.
+    val x172Bench = Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0)
+      .select(explode(expr("graft_shingle_hashes(split(text, ' '), 3)")).as("s"))
       .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
-    train
-      .select(col("doc_id"), col("source"), col("nt"),
-        size(array_distinct(expr("transform(shp, x -> x.s)"))).cast(LongType)
-          .as("n_shingles"))
-      .join(shared, Seq("doc_id"), "left")
-      .join(covered, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_shared", "covered"))
+      .agg(sort_array(collect_list(col("s"))).as("b")).head()
+      .getSeq[Long](0).toArray
+    Tables.documents(spark, dir).filter(col("doc_id") % 97 =!= 0)
+      .select(col("source"),
+        size(toks(col("text"))).cast(LongType).as("nt"),
+        call_function("graft_shingle_audit", toks(col("text")), lit(3),
+          typedLit(x172Bench)).as("a"))
+      .select(col("source"), col("nt"),
+        col("a.n_shingles").cast(LongType).as("n_shingles"),
+        col("a.n_shared").cast(LongType).as("n_shared"),
+        col("a.covered").cast(LongType).as("covered"))
       .withColumn("flagged", col("n_shared") * 5 >= greatest(col("n_shingles"), lit(1L)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

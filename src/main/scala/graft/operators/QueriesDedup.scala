@@ -2151,22 +2151,22 @@ private[operators] trait QueriesDedup { this: Queries.type =>
     val cfgExpr = x173Cfg.map { case (b, r) =>
       s"named_struct('bands', ${b}L, 'rpb', ${r}L)"
     }.mkString("array(", ", ", ")")
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .withColumn("sh", expr(
-        """CASE WHEN size(tk) < 3 THEN array()
-          |ELSE array_distinct(transform(sequence(1, size(tk) - 2),
-          |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
-          |              ' ', element_at(tk, i + 2)))) END""".stripMargin))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hm", expr(
-        "transform(sh, s -> CAST(conv(substr(md5(s), 1, 12), 16, 10) AS BIGINT) % 2147483647L)"))
-    val sigCols = array(x173Perms.map { case (a, b) =>
-      array_min(expr(s"transform(hm, h -> (${a}L * h + ${b}L) % 2147483647L)"))
-    }: _*)
+    // r12c scan fix: the first-cut form paid 1 + 16 interpreted lambda
+    // transforms per row (shingle build, md5 map, then one transform per
+    // LCG component) — measured 6.5 s at 1×, 65 s at 10× (the scan, not
+    // the pair legs, scaled). graft_md5_minhash computes the IDENTICAL
+    // md5+LCG arithmetic (oracle spelling preserved bit-for-bit) in one
+    // codegen'd pass. Sub-3-token docs (no shingles) are filtered first,
+    // exactly the old size(sh) > 0 predicate.
     // both sides of the banded self-join read this frame — pin it
     // (enrolled in CacheInventorySpec); job-boundary release
-    val sig = docs.select(col("doc_id"), sigCols.as("sig")).persist()
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        call_function("graft_md5_minhash", col("tk"), lit(3),
+          typedLit(x173Perms.map(_._1)), typedLit(x173Perms.map(_._2))).as("sig"))
+      .persist()
     val keyed = sig.select(col("doc_id"), explode(expr(
       s"""flatten(transform($cfgExpr, cfg -> transform(sequence(0, cfg.bands - 1),
          |  i -> named_struct('bands', cfg.bands, 'rpb', cfg.rpb,

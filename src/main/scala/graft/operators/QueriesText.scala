@@ -3074,4 +3074,165 @@ private[operators] trait QueriesText { this: Queries.type =>
        |UNION ALL ${tierRow(4)}
        |ORDER BY source, merges_applied""".stripMargin
   }
+
+  // ---------------------------------------------------------------- X175
+  /** CLASSIFIER OPERATING-POINT CURVE — the threshold x108's quality
+    * gate actually RUNS at, chosen off a measured curve on HELD-OUT data
+    * instead of the score>0 default (x128 audits calibration in fixed
+    * bands; this operator prices the SELECTION decision: each candidate
+    * threshold's precision/recall against the pseudo-label AND the
+    * token mass the filter would keep — the number a pretraining budget
+    * cares about). Train/eval hygiene: the x167 content-addressed md5
+    * split (b<80 trains, b>=80 evaluates) — the model never sees its
+    * eval docs, which is exactly what makes the frozen-model streaming
+    * twin (qs41) well-posed. The model is keyed by graft_sha48 token
+    * ids (48-bit sha256 prefix — DuckDB-replicable, collisions merge
+    * identically in both engines by construction), trained with x108's
+    * add-one log-odds recipe (quantized-ln nanos, the single-
+    * transcendental rule), and SERVED as a plan-constant sorted
+    * long→long map probed by the codegen'd graft_sum_longmap kernel —
+    * scoring is pure map-side scan work, no explode, no join, no
+    * shuffle before the 5-row threshold aggregation. The driver-side
+    * model collect is MODEL-sized (train-bucket vocab — bounded by
+    * language, sublinear in corpus; the same artifact a production
+    * deployment ships to its serving tier), enrolled in
+    * CollectInventorySpec. Exactness: ln quantizes to int64 nanos at
+    * the model cells; scores, confusion counts, and half-up ppm ratios
+    * are integers end-to-end (precision at an empty selection reports 0
+    * via the greatest(n,1) guard, spelled identically in the oracle). */
+  private[graft] lazy val x175Thresholds: Seq[Long] =
+    Seq(-2000000000L, -1000000000L, 0L, 1000000000L, 2000000000L)
+
+  /** The frozen scorer: (prior_nanos, sorted sha48 keys, aligned lo_nano
+    * values) of the x108 NB model trained on the b<80 bucket. Shared by
+    * x175 (batch) and qs41 (its live twin — the qs30/qs32 frozen-base
+    * discipline: a stream scores against the model artifact, it never
+    * retrains per micro-batch). */
+  private[graft] def nbModelFrozen(spark: SparkSession, dir: String): (Long, Array[Long], Array[Long]) = {
+    val train = Tables.documents(spark, dir)
+      .filter(pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast(LongType), lit(100L)) < 80)
+      .select((col("n_chars") >= 150).as("lbl"),
+        expr("graft_sha48(split(text, ' '))").as("hs"))
+    val counts = train.select(col("lbl"), explode(col("hs")).as("h"))
+      .groupBy(col("h"))
+      .agg(sum(when(col("lbl"), 1L).otherwise(0L)).as("cg"),
+        sum(when(!col("lbl"), 1L).otherwise(0L)).as("cb"))
+      .persist() // vocab-sized: feeds totals AND the model collect
+    val x175St = counts.agg(sum(col("cg")), sum(col("cb")), count(lit(1))).head()
+    val (g, b, v) = (x175St.getLong(0), x175St.getLong(1), x175St.getLong(2))
+    val x175Dc = train.agg(sum(when(col("lbl"), 1L).otherwise(0L)),
+      sum(when(!col("lbl"), 1L).otherwise(0L))).head()
+    val (gd, bd) = (x175Dc.getLong(0), x175Dc.getLong(1))
+    // model-sized driver collect (see the x175 scaladoc) — sorted by key
+    // so SumInLongMap's plan-time sort is a no-op re-verification
+    val x175Model = counts.withColumn("lo_nano", expr(
+        s"cast(round((ln(cast(cg + 1 as double) / ${g + v}) - " +
+          s"ln(cast(cb + 1 as double) / ${b + v})) * 1e9, 0) as bigint)"))
+      .select(col("h"), col("lo_nano")).orderBy(col("h")).collect()
+    counts.unpersist(blocking = false)
+    // HALF_UP (away from zero), matching SQL round() in BOTH engines —
+    // java's math.round floors negative exact halves the other way
+    val prior = BigDecimal((math.log(gd.toDouble / (gd + bd)) -
+      math.log(bd.toDouble / (gd + bd))) * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    (prior, x175Model.map(_.getLong(0)), x175Model.map(_.getLong(1)))
+  }
+
+  /** The ONE streaming-legal aggregation over a scored eval frame
+    * (columns: label_good, n_tokens, score_nanos): width-5 threshold
+    * melt map-side, then a single groupBy whose state is |thresholds|
+    * rows × 6 longs — shared verbatim by x175 and qs41 so drain == batch
+    * is structural. */
+  private[graft] def operatingPointCore(scored: DataFrame): DataFrame =
+    scored
+      .select(col("label_good"), col("n_tokens"), col("score_nanos"),
+        explode(typedLit(x175Thresholds)).as("thr_nanos"))
+      .groupBy(col("thr_nanos"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_good"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("score_nanos") > col("thr_nanos"), 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("score_nanos") > col("thr_nanos") && col("label_good"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score_nanos") > col("thr_nanos"), col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+
+  /** Stateless ppm finisher over the drained 5-row frame. */
+  private[graft] def operatingPointFinish(agg: DataFrame): DataFrame =
+    agg.select(col("thr_nanos"), col("n_docs"), col("n_pos"), col("n_pred"), col("tp"),
+        expr("(2 * tp * 1000000 + greatest(n_pred, 1)) div (2 * greatest(n_pred, 1))")
+          .as("precision_ppm"),
+        expr("(2 * tp * 1000000 + greatest(n_pos, 1)) div (2 * greatest(n_pos, 1))")
+          .as("recall_ppm"),
+        col("kept_tokens"), col("total_tokens"),
+        expr("(2 * kept_tokens * 1000000 + greatest(total_tokens, 1)) " +
+          "div (2 * greatest(total_tokens, 1))").as("kept_token_ppm"))
+      .orderBy(col("thr_nanos"))
+
+  /** The scored held-out frame (b>=80) under the frozen model — the
+    * batch leg's scan; qs41 builds the same columns on its stream. */
+  private[graft] def x175Scored(spark: SparkSession, dir: String,
+      prior: Long, keys: Array[Long], vals: Array[Long]): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast(LongType), lit(100L)) >= 80)
+      .select((col("n_chars") >= 150).as("label_good"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"),
+        (lit(prior) + call_function("graft_sum_longmap",
+          expr("graft_sha48(split(text, ' '))"),
+          typedLit(keys.toSeq), typedLit(vals.toSeq))).as("score_nanos"))
+
+  private[operators] def x175(spark: SparkSession, dir: String): DataFrame = {
+    val (prior, keys, vals) = nbModelFrozen(spark, dir)
+    operatingPointFinish(operatingPointCore(x175Scored(spark, dir, prior, keys, vals)))
+  }
+
+  /** Oracle: the same model algebra with the kernel lookups as explicit
+    * hash joins — sha48 ids are ('0x' || substr(sha256(t), 1, 12))::BIGINT,
+    * bit-identical to the engine's 48-bit prefix. */
+  private[graft] lazy val x175Sql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk, (n_chars >= 150) AS lbl,
+       |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b FROM documents),
+       |tr AS (SELECT * FROM d WHERE b < 80),
+       |tt AS (SELECT lbl, ('0x' || substr(sha256(t), 1, 12))::BIGINT AS h
+       |       FROM (SELECT lbl, unnest(tk) AS t FROM tr)),
+       |c AS (SELECT h, CAST(count(*) FILTER (WHERE lbl) AS BIGINT) AS cg,
+       |        CAST(count(*) FILTER (WHERE NOT lbl) AS BIGINT) AS cb FROM tt GROUP BY h),
+       |s AS (SELECT CAST(sum(cg) AS BIGINT) AS gt, CAST(sum(cb) AS BIGINT) AS bt,
+       |        CAST(count(*) AS BIGINT) AS v FROM c),
+       |dc AS (SELECT CAST(count(*) FILTER (WHERE lbl) AS BIGINT) AS gd,
+       |         CAST(count(*) FILTER (WHERE NOT lbl) AS BIGINT) AS bd FROM tr),
+       |lo AS (SELECT h, CAST(round((ln((cg + 1)::DOUBLE / (gt + v)) -
+       |         ln((cb + 1)::DOUBLE / (bt + v))) * 1e9) AS BIGINT) AS lo_nano FROM c, s),
+       |pr AS (SELECT CAST(round((ln(gd::DOUBLE / (gd + bd)) -
+       |         ln(bd::DOUBLE / (gd + bd))) * 1e9) AS BIGINT) AS prior_nano FROM dc),
+       |te AS (SELECT doc_id, lbl, CAST(len(tk) AS BIGINT) AS n_tokens FROM d WHERE b >= 80),
+       |th AS (SELECT doc_id, ('0x' || substr(sha256(t), 1, 12))::BIGINT AS h
+       |       FROM (SELECT doc_id, unnest(tk) AS t FROM d WHERE b >= 80)),
+       |sc AS (SELECT th.doc_id, CAST(sum(lo.lo_nano) AS BIGINT) AS tok_nanos
+       |       FROM th JOIN lo USING (h) GROUP BY 1),
+       |sd AS (SELECT te.lbl, te.n_tokens,
+       |         pr.prior_nano + coalesce(sc.tok_nanos, 0) AS score_nanos
+       |       FROM te LEFT JOIN sc USING (doc_id), pr),
+       |x AS (SELECT sd.*, CAST(t.thr AS BIGINT) AS thr_nanos FROM sd CROSS JOIN
+       |    (VALUES (-2000000000), (-1000000000), (0), (1000000000), (2000000000)) AS t(thr))
+       |SELECT thr_nanos, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE lbl) AS BIGINT) AS n_pos,
+       |  CAST(count(*) FILTER (WHERE score_nanos > thr_nanos) AS BIGINT) AS n_pred,
+       |  CAST(count(*) FILTER (WHERE score_nanos > thr_nanos AND lbl) AS BIGINT) AS tp,
+       |  CAST((2 * count(*) FILTER (WHERE score_nanos > thr_nanos AND lbl) * 1000000
+       |    + greatest(count(*) FILTER (WHERE score_nanos > thr_nanos), 1))
+       |    // (2 * greatest(count(*) FILTER (WHERE score_nanos > thr_nanos), 1)) AS BIGINT)
+       |    AS precision_ppm,
+       |  CAST((2 * count(*) FILTER (WHERE score_nanos > thr_nanos AND lbl) * 1000000
+       |    + greatest(count(*) FILTER (WHERE lbl), 1))
+       |    // (2 * greatest(count(*) FILTER (WHERE lbl), 1)) AS BIGINT) AS recall_ppm,
+       |  CAST(coalesce(sum(n_tokens) FILTER (WHERE score_nanos > thr_nanos), 0) AS BIGINT)
+       |    AS kept_tokens,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST((2 * coalesce(sum(n_tokens) FILTER (WHERE score_nanos > thr_nanos), 0) * 1000000
+       |    + greatest(sum(n_tokens), 1)) // (2 * greatest(sum(n_tokens), 1)) AS BIGINT)
+       |    AS kept_token_ppm
+       |FROM x GROUP BY thr_nanos ORDER BY thr_nanos""".stripMargin
 }

@@ -1227,6 +1227,62 @@ object StreamQueries {
   private lazy val qs40Sql =
     s"SELECT *, TRUE AS matches_batch FROM (${graft.operators.Queries.x164Sql}) t"
 
+  // ---------------------------------------------------------------- QS41
+  /** STREAMING OPERATING-POINT DASHBOARD — x175's live twin: the quality
+    * gate's precision/recall/kept-token curve refreshes continuously as
+    * held-out documents arrive, so threshold selection reads a current
+    * dashboard instead of a nightly batch. The qs30/qs32 frozen-base
+    * discipline: the x108 NB model trains ONCE on the batch train bucket
+    * (b<80, the shared [[graft.operators.Queries.nbModelFrozen]] artifact
+    * — a stream scores against the deployed model, it never retrains per
+    * micro-batch), rides the plan as a sorted long→long literal, and
+    * every arriving b>=80 doc is scored MAP-SIDE by the codegen'd
+    * graft_sum_longmap kernel — no explode-join, no per-doc shuffle; the
+    * ONE streaming aggregation is the shared
+    * [[graft.operators.Queries.operatingPointCore]] (threshold melt →
+    * groupBy thr), so state is 5 rows × 6 longs — threshold-count-width,
+    * never corpus-width, by construction. The commutative integer sums
+    * make the drain arrival-order-free; the ppm finisher is stateless
+    * post-drain; a batch pass through the SAME cores is hash-gated per
+    * threshold (matches_batch). Oracle = x175's SQL — drain == batch is
+    * the contract. Recovery proof #21. */
+  /** The map-side scored projection (shared with the recovery proof):
+    * held-out filter + kernel score against the frozen model literal. */
+  private[graft] def opPointScored(docs: DataFrame, prior: Long,
+      keys: Array[Long], vals: Array[Long]): DataFrame =
+    docs
+      .filter(pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast(LongType), lit(100L)) >= 80)
+      .select((col("n_chars") >= 150).as("label_good"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        (lit(prior) + call_function("graft_sum_longmap",
+          expr("graft_sha48(split(text, ' '))"),
+          typedLit(keys.toSeq), typedLit(vals.toSeq))).as("score_nanos"))
+
+  private def qs41(spark: SparkSession, dir: String): DataFrame = {
+    val (prior, keys, vals) = graft.operators.Queries.nbModelFrozen(spark, dir)
+    val scored = opPointScored(docsStream(spark, dir), prior, keys, vals)
+    val drained = graft.operators.Queries.operatingPointFinish(runToTable(spark,
+      graft.operators.Queries.operatingPointCore(scored), OutputMode.Complete()))
+    val batch = graft.operators.Queries.operatingPointFinish(
+        graft.operators.Queries.operatingPointCore(
+          graft.operators.Queries.x175Scored(spark, dir, prior, keys, vals)))
+      .select(col("thr_nanos").as("b_t"), col("n_pred").as("b_np"),
+        col("tp").as("b_tp"), col("kept_tokens").as("b_kt"))
+    drained.join(batch, drained("thr_nanos") === col("b_t"), "left") // two 5-row frames
+      .select(drained("thr_nanos"), col("n_docs"), col("n_pos"), col("n_pred"),
+        col("tp"), col("precision_ppm"), col("recall_ppm"), col("kept_tokens"),
+        col("total_tokens"), col("kept_token_ppm"),
+        (col("b_t").isNotNull && col("n_pred") === col("b_np") &&
+          col("tp") === col("b_tp") && col("kept_tokens") === col("b_kt"))
+          .as("matches_batch"))
+      .orderBy(col("thr_nanos"))
+  }
+
+  /** Oracle = x175's held-out curve (drain == batch is the gate). */
+  private lazy val qs41Sql =
+    s"SELECT *, TRUE AS matches_batch FROM (${graft.operators.Queries.x175Sql}) t"
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -2663,5 +2719,7 @@ object StreamQueries {
     Q("qs39_stream_priority_sample", qs39, Some(qs39Sql),
       "streaming weighted priority sample: PriorityK keeps k=10 integer-keyed entries per source across waves, drain == batch x165 exactly (the oracle IS x165's SQL)"),
     Q("qs40_stream_dedup_compaction", qs40, Some(qs40Sql),
-      "streaming dedup-index compaction audit: map-side sha-prefix shard counts, 256-row (postings, tombstones) state, drained x164 rebuild decision == batch recount via the shared cores"))
+      "streaming dedup-index compaction audit: map-side sha-prefix shard counts, 256-row (postings, tombstones) state, drained x164 rebuild decision == batch recount via the shared cores"),
+    Q("qs41_stream_operating_point", qs41, Some(qs41Sql),
+      "streaming operating-point dashboard: frozen NB model served by the sorted-longmap kernel map-side, 5-row threshold state, drained precision/recall/kept-token curve == batch x175"))
 }

@@ -78,8 +78,6 @@ class CacheInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x93_prefix_join" -> (1, SHINGLE),
     "x103_sketch_scorecard" -> (2, SHINGLE),
     "x127_containment_dedup" -> (1, SHINGLE),
-    "x172_contamination_excision" -> (1,
-      "shared positional-shingle frame: 2 consumers (postings explode + doc stats); job-boundary release"),
     "x173_lsh_band_curve" -> (1,
       "shared signature frame: both sides of the banded self-join; job-boundary release"),
     "x7_ann_lsh" -> (1, EMB),

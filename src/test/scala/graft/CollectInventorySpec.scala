@@ -126,10 +126,14 @@ class CollectInventorySpec extends AnyFunSuite {
     "QueriesText.scala:x167Vocab" -> (1, "x167: 1-row four-tier vocab scalars from one token-keyed agg"),
     "QueriesText.scala:x167Tok" -> (1, "x167: 1-row four-tier train token totals"),
     "QueriesText.scala:x167Fit" -> (1, "x167: 1-row fit inputs (n_bigrams + four xent rationals) for the driver-side BigInt OLS"),
+    "QueriesText.scala:x175St" -> (1, "x175/qs41: 1-row NB class-total scalars"),
+    "QueriesText.scala:x175Dc" -> (1, "x175/qs41: 1-row train doc-count scalars"),
+    "QueriesText.scala:x175Model" -> (1, "x175/qs41: the frozen NB model — train-bucket-VOCAB-sized (language-bounded, sublinear in corpus), the artifact a deployment ships to serving"),
     // RankSum
     "RankSum.scala:gl" -> (1, "1-row global (N, ties) scalars"),
     "RankSum.scala:rows" -> (1, "|sources|-bounded per-source frame for the BigInt finisher"),
     "QueriesText.scala:x161Bench" -> (1, "x161: the benchmark's three distinct n-gram hash sets, bounded by the EVAL SET (constant in corpus scale), not the corpus"),
+    "QueriesCorpus.scala:x172Bench" -> (1, "x172: the benchmark's distinct-shingle hash set, 1 row — bounded by the EVAL SET (constant in corpus scale), not the corpus"),
     // StreamQueries — post-drain audit scalars over bounded state tables
     "StreamQueries.scala:nCal" -> (1, "qs27: 1-row calibration count over the ppm-grid state"),
     "StreamQueries.scala:r" -> (1, "qs27: 1-row threshold scalar"),

@@ -185,6 +185,37 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (r <- cmp) assert(r.getInt(0) === r.getInt(1), s"count_in_longset mismatch: $r")
   }
 
+  test("graft_sha48 equals the first-12-hex-chars sha256 prefix (the DuckDB id) per element") {
+    import spark.implicits._
+    val df = Seq(Seq("alpha", "beta", "", "alpha"), Seq.empty[String]).toDF("ts")
+    val rows = df.select(expr("graft_sha48(ts)").as("hs"), col("ts")).collect()
+    def ref(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    for (r <- rows) {
+      val hs = r.getSeq[Long](0); val ts = r.getSeq[String](1)
+      assert(hs === ts.map(ref), s"sha48 mismatch on $ts")
+      assert(hs.forall(_ >= 0L), "sha48 produced a negative id")
+    }
+  }
+
+  test("graft_sum_longmap: per-occurrence value sums, absent keys 0, pair sort at plan time") {
+    import spark.implicits._
+    val df = Seq(Seq(5L, 3L, 5L, 99L), Seq.empty[Long], Seq(7L), Seq(-4L)).toDF("xs")
+    // keys deliberately UNSORTED: the expression must sort (keys, vals)
+    // as pairs, not independently
+    val got = df.select(
+      expr("graft_sum_longmap(xs, array(99L, -4L, 5L), array(1000L, 20L, 300L))").as("s"))
+      .collect().map(_.getLong(0))
+    assert(got === Array(1000L + 300L * 2, 0L, 0L, 20L),
+      "sum_longmap diverged from the per-occurrence join+sum semantics")
+    // a duplicate constant key is a plan-time error, not a silent merge
+    val err = intercept[Exception] {
+      df.select(expr("graft_sum_longmap(xs, array(5L, 5L), array(1L, 2L))")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("near-dup df-cap path agrees with the exact path when forced on") {
     // force the capped branch by setting the cap just under the hottest
     // shingle's df: the capped plan (bound + selective exact re-verify)

@@ -1238,4 +1238,53 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mass("shc_run2") > mass("shc_fresh"),
       "recovered posting mass not above the fresh wave-2-only mass")
   }
+
+  test("qs41's 5-row threshold state restarts from checkpoint: recovered operating-point curve equals batch x175 (recovery proof #21)") {
+    val root = graft.util.TempDirs.create("graft-recovery41")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    graft.functions.GraftFunctions.register(spark)
+    val (prior, keys, vals) = graft.operators.Queries.nbModelFrozen(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val q = graft.operators.Queries.operatingPointCore(
+          StreamQueries.opPointScored(
+            StreamQueries.docsStreamFrom(spark, from), prior, keys, vals))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("opc_run1", ckpt)
+    writeWave(2)
+    val wave2Docs = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    assert(runOnce("opc_run2", ckpt) === wave2Docs, "restart re-read old waves")
+
+    // the recovered curve must equal batch x175 rung-for-rung through the
+    // shared finisher — only possible if waves 0/1's confusion sums
+    // crossed the death (a fresh state undercounts every rung)
+    val recovered = graft.operators.Queries.operatingPointFinish(spark.table("opc_run2"))
+    val batch = graft.operators.Queries.byName("x175_operating_point").run(spark, sf)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted operating-point curve differs from batch x175")
+    // state is provably threshold-count-bounded
+    assert(spark.table("opc_run2").count() <= 5, "state rows exceed the threshold count")
+    // non-vacuity: a fresh wave-2-only run carries visibly fewer docs
+    runOnce("opc_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass = (t: String) => spark.table(t).agg(sum(col("n_docs"))).head().getLong(0)
+    assert(mass("opc_run2") > mass("opc_fresh"),
+      "recovered doc mass not above the fresh wave-2-only mass")
+  }
 }

@@ -3850,4 +3850,107 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.last.getAs[Long]("n_candidates") > rows.head.getAs[Long]("n_candidates"),
       "no volume/precision trade across bandings - the curve is vacuous")
   }
+
+  test("x174: the 1.5x rung IS x168's allocation; the curve is monotone and the shadow price falls") {
+    val rows = run("x174_budget_sensitivity").collect().sortBy(_.getAs[Long]("budget_milli"))
+    assert(rows.length === 5)
+    // cross-op identity: the 1500-milli rung aggregates exactly x168's
+    // per-source allocation (same keep gate, same marginals, same greedy
+    // prefix) — the sweep adds rungs, it must not change the algebra
+    val x168 = run("x168_epoch_allocation").collect()
+    val r15 = rows.find(_.getAs[Long]("budget_milli") === 1500L).get
+    assert(r15.getAs[Long]("n_admitted") === x168.map(_.getAs[Long]("epochs")).sum)
+    assert(r15.getAs[Long]("tokens_consumed") === x168.map(_.getAs[Long]("tokens_consumed")).sum)
+    assert(r15.getAs[Long]("eff_tokens_milli") === x168.map(_.getAs[Long]("eff_tokens_milli")).sum)
+    assert(r15.getAs[Long]("budget_tokens") === x168.head.getAs[Long]("budget"))
+    // a bigger budget never buys less: admitted candidates, consumed and
+    // effective tokens are non-decreasing; the shadow price (smallest
+    // admitted marginal) is non-increasing; utilization stays <= 1e6
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_admitted") <= b.getAs[Long]("n_admitted"))
+      assert(a.getAs[Long]("tokens_consumed") <= b.getAs[Long]("tokens_consumed"))
+      assert(a.getAs[Long]("eff_tokens_milli") <= b.getAs[Long]("eff_tokens_milli"))
+      assert(a.getAs[Long]("marginal_floor") >= b.getAs[Long]("marginal_floor"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("util_ppm") <= 1000000L)
+      assert(r.getAs[Long]("tokens_consumed") <= r.getAs[Long]("budget_tokens"))
+    }
+    // non-vacuity: the sweep genuinely moves the allocation
+    assert(rows.head.getAs[Long]("n_admitted") < rows.last.getAs[Long]("n_admitted"),
+      "every rung admits the same candidates - the curve is vacuous")
+  }
+
+  test("x175: operating-point curve replays a pure-Scala NB model on the held-out bucket") {
+    val rows = run("x175_operating_point").collect().sortBy(_.getAs[Long]("thr_nanos"))
+    assert(rows.length === 5)
+    // full pure-Scala replay: md5 bucket split, sha48-keyed add-one NB
+    // model on train, per-doc score on test, confusion at each rung
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sha48(s: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map { r =>
+        val text = r.getString(1)
+        val b = java.lang.Long.parseLong(md5hex(text).take(8), 16) % 100
+        (b, r.getLong(2) >= 150, text.split(" ", -1))
+      }
+    val train = docs.filter(_._1 < 80)
+    val counts = scala.collection.mutable.Map[Long, (Long, Long)]()
+    train.foreach { case (_, lbl, tk) =>
+      tk.foreach { t =>
+        val h = sha48(t)
+        val (cg, cb) = counts.getOrElse(h, (0L, 0L))
+        counts(h) = if (lbl) (cg + 1, cb) else (cg, cb + 1)
+      }
+    }
+    val g = counts.values.map(_._1).sum; val b = counts.values.map(_._2).sum
+    val v = counts.size
+    val gd = train.count(_._2).toLong; val bd = train.length - gd
+    def q(x: Double) = BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val lo = counts.map { case (h, (cg, cb)) =>
+      h -> q(math.log((cg + 1).toDouble / (g + v)) - math.log((cb + 1).toDouble / (b + v)))
+    }
+    val prior = q(math.log(gd.toDouble / (gd + bd)) - math.log(bd.toDouble / (gd + bd)))
+    val test = docs.filter(_._1 >= 80).map { case (_, lbl, tk) =>
+      (lbl, tk.length.toLong, prior + tk.map(t => lo.getOrElse(sha48(t), 0L)).sum)
+    }
+    def halfUp(p: Long, qq: Long) = (2 * p + qq) / (2 * qq)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("thr_nanos")
+      val pred = test.filter(_._3 > t)
+      val tp = pred.count(_._1).toLong
+      assert(r.getAs[Long]("n_docs") === test.length.toLong)
+      assert(r.getAs[Long]("n_pos") === test.count(_._1).toLong)
+      assert(r.getAs[Long]("n_pred") === pred.length.toLong, s"n_pred diverges at thr $t")
+      assert(r.getAs[Long]("tp") === tp)
+      assert(r.getAs[Long]("kept_tokens") === pred.map(_._2).sum)
+      assert(r.getAs[Long]("precision_ppm") ===
+        halfUp(tp * 1000000L, math.max(pred.length.toLong, 1)))
+      assert(r.getAs[Long]("recall_ppm") ===
+        halfUp(tp * 1000000L, math.max(test.count(_._1).toLong, 1)))
+    }
+    // curve laws: selection shrinks as the threshold rises
+    rows.sliding(2).foreach { case Array(a, c) =>
+      assert(a.getAs[Long]("n_pred") >= c.getAs[Long]("n_pred"))
+      assert(a.getAs[Long]("recall_ppm") >= c.getAs[Long]("recall_ppm"))
+      assert(a.getAs[Long]("kept_tokens") >= c.getAs[Long]("kept_tokens"))
+    }
+    // non-vacuity: the model genuinely separates — somewhere on the curve
+    // precision exceeds the base rate while keeping a nonempty selection
+    val base = halfUp(test.count(_._1).toLong * 1000000L, math.max(test.length.toLong, 1))
+    assert(rows.exists(r => r.getAs[Long]("n_pred") > 0 &&
+      r.getAs[Long]("precision_ppm") > base),
+      "no threshold beats the base rate - the operating curve selects nothing")
+  }
+
+  test("qs41: the streaming dashboard's drain hash-gates against batch x175 at every rung") {
+    val rows = run("qs41_stream_operating_point").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Boolean]("matches_batch")),
+      "a drained threshold row diverges from the batch curve")
+  }
 }
