@@ -3624,6 +3624,158 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
        |FROM a GROUP BY budget_milli, budget_tokens
        |ORDER BY budget_milli""".stripMargin
 
+  // ---------------------------------------------------------------- X176
+  /** SEQUENCE-LENGTH PACKING CURVE — x163 prices the two packing
+    * strategies at seq_len 256 by fiat; this operator sweeps the
+    * context length itself (128/256/512/1024 — the x174 rung discipline
+    * applied to the packing decision): per (lang, seq_len, strategy),
+    * sequences, pad tokens, half-up utilization ppm, and fragmented
+    * docs. Reading the curve: concat_cut's utilization is ~1 at every
+    * length (its pad is provably < seq_len per stratum — only the final
+    * sequence pads) but it fragments documents, while pad_per_doc never
+    * fragments and pays padding that GROWS with seq_len (each doc wastes
+    * up to L−1 tokens) — the two costs move oppositely in L, and where
+    * the trade balances is the length decision a training config hangs
+    * on (attention-mask support for fragments vs wasted FLOPs). All four
+    * lengths derive from x21's ONE offset frame (start_offset is
+    * length-independent): per-L sufficient statistics ride ONE
+    * aggregation as wide columns (the x167 tier trick), then melt to
+    * |langs|×4×2 rows — four lengths cost the same scan as one.
+    * Exactness: pure integer floor/ceil arithmetic, bit-stable across
+    * engines. */
+  private[operators] def x176(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Seq(128, 256, 512, 1024)
+    val aggCols = lens.flatMap { l => Seq(
+      (max(expr(s"(start_offset + n_tokens - 1) div $l")) + 1L).as(s"seqa_$l"),
+      sum(when(expr(s"(start_offset + n_tokens - 1) div $l") >
+        expr(s"start_offset div $l"), 1L).otherwise(0L)).as(s"fraga_$l"),
+      sum(expr(s"cast((n_tokens + ${l - 1}) div $l as bigint)")).as(s"seqb_$l")) }
+    val agg = x21(spark, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("total_tokens") +: aggCols: _*)
+    val entries = lens.flatMap { l => Seq(
+      struct(lit(l.toLong).as("seq_len"), lit("concat_cut").as("strategy"),
+        col(s"seqa_$l").as("n_sequences"), col(s"fraga_$l").as("frag_docs")),
+      struct(lit(l.toLong).as("seq_len"), lit("pad_per_doc").as("strategy"),
+        col(s"seqb_$l").as("n_sequences"), lit(0L).as("frag_docs"))) }
+    agg.select(col("lang"), col("n_docs"), col("total_tokens"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("lang"), col("e.seq_len").as("seq_len"),
+        col("e.strategy").as("strategy"), col("n_docs"), col("total_tokens"),
+        col("e.n_sequences").as("n_sequences"), col("e.frag_docs").as("frag_docs"))
+      .withColumn("pad_tokens",
+        col("n_sequences") * col("seq_len") - col("total_tokens"))
+      .withColumn("util_ppm", expr(
+        """(2 * total_tokens * 1000000 + n_sequences * seq_len)
+           div (2 * n_sequences * seq_len)"""))
+      .select(col("lang"), col("seq_len"), col("strategy"), col("n_docs"),
+        col("total_tokens"), col("n_sequences"), col("pad_tokens"),
+        col("util_ppm"), col("frag_docs"))
+      .orderBy(col("lang"), col("seq_len"), col("strategy"))
+  }
+
+  /** Oracle: x21's offset CTE with per-length statistics, melted by a
+    * generated UNION ALL (the x163 oracle shape per length). */
+  private[operators] lazy val x176Sql = {
+    val lens = Seq(128, 256, 512, 1024)
+    def legs(l: Int) =
+      s"""SELECT lang, CAST($l AS BIGINT) AS seq_len, 'concat_cut' AS strategy,
+         |  n_docs, total_tokens, seqa_$l AS n_sequences, fraga_$l AS frag_docs FROM g
+         |UNION ALL
+         |SELECT lang, CAST($l AS BIGINT), 'pad_per_doc',
+         |  n_docs, total_tokens, seqb_$l, CAST(0 AS BIGINT) FROM g""".stripMargin
+    val aggExprs = lens.map { l =>
+      s"""    CAST(max((start_offset + n_tokens - 1) // $l) + 1 AS BIGINT) AS seqa_$l,
+         |    CAST(count(*) FILTER (WHERE (start_offset + n_tokens - 1) // $l
+         |      > start_offset // $l) AS BIGINT) AS fraga_$l,
+         |    CAST(sum((n_tokens + ${l - 1}) // $l) AS BIGINT) AS seqb_$l""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |o AS (SELECT doc_id, lang, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM d),
+       |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |$aggExprs
+       |  FROM o GROUP BY lang),
+       |m AS (${lens.map(legs).mkString("\nUNION ALL ")})
+       |SELECT lang, seq_len, strategy, n_docs, total_tokens, n_sequences,
+       |  CAST(n_sequences * seq_len - total_tokens AS BIGINT) AS pad_tokens,
+       |  CAST((2 * total_tokens * 1000000 + n_sequences * seq_len)
+       |    // (2 * n_sequences * seq_len) AS BIGINT) AS util_ppm,
+       |  frag_docs
+       |FROM m ORDER BY lang, seq_len, strategy""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- X177
+  /** CORPUS NOVELTY FORECAST (Good–Turing / Chao, incidence form) — the
+    * crawl-budget decision: is another crawl of this source worth the
+    * compute, or is its content saturated? The species-sampling frame:
+    * DOCUMENTS are the sampling units, distinct 3-shingles the species
+    * (Chao 1987's incidence data — the right unit here, because crawled
+    * corpora repeat PHRASES long before they repeat whole documents).
+    * Per source, the singleton/doubleton incidence counts feed the two
+    * classical estimators: Good's (1953) missing mass f1/N over the N
+    * incidence draws (≈ the fraction of the next crawled doc's shingles
+    * never seen before — half-up ppm) and Chao's lower-bound richness
+    * D + f1²/(2·f2) (how much distinct phrasing the source plausibly
+    * has in total; floor-divided, max(f2, 1) guard, a point estimate
+    * documented as such). novelty_ppm near zero ⇒ saturated: the next
+    * crawl buys repeats. repeat_ppm = 1 − D/N is the observed
+    * saturation. Exactness: counts and floor/half-up divisions only.
+    * Scale shape: one scan (per-doc distinct shingle hashes via the
+    * graft_shingle_hashes kernel) into per-(source, shingle) incidence
+    * counts, then a |sources|-row rollup + a broadcast |sources|-row
+    * doc-count join — all shuffles key-partitioned, no windows. The
+    * oracle replays string shingles — the x161/qs32
+    * collision-free-in-data contract. */
+  private[operators] def x177(spark: SparkSession, dir: String): DataFrame = {
+    val nd = Tables.documents(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(expr("graft_shingle_hashes(split(text, ' '), 3)")).as("h"))
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_incidences"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .join(broadcast(nd), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_incidences"),
+        col("n_distinct"), col("f1"), col("f2"),
+        expr("(2 * f1 * 1000000 + n_incidences) div (2 * n_incidences)")
+          .as("novelty_ppm"),
+        expr("""(2 * (n_incidences - n_distinct) * 1000000 + n_incidences)
+                div (2 * n_incidences)""").as("repeat_ppm"),
+        expr("n_distinct + (f1 * f1) div (2 * greatest(f2, 1))").as("chao_total"))
+      .orderBy(col("source"))
+  }
+
+  private[operators] lazy val x177Sql =
+    """WITH sh AS (SELECT doc_id, source, list_distinct(list_transform(
+      |    range(1, greatest(len(tk) - 1, 1)),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents)),
+      |inc AS (SELECT source, s, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(sh) AS s FROM sh) GROUP BY 1, 2),
+      |r AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_incidences,
+      |    CAST(count(*) AS BIGINT) AS n_distinct,
+      |    CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+      |    CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2
+      |  FROM inc GROUP BY source),
+      |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, n_incidences, n_distinct, f1, f2,
+      |  CAST((2 * f1 * 1000000 + n_incidences) // (2 * n_incidences) AS BIGINT)
+      |    AS novelty_ppm,
+      |  CAST((2 * (n_incidences - n_distinct) * 1000000 + n_incidences)
+      |    // (2 * n_incidences) AS BIGINT) AS repeat_ppm,
+      |  CAST(n_distinct + (f1 * f1) // (2 * greatest(f2, 1)) AS BIGINT) AS chao_total
+      |FROM r JOIN nd USING (source) ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- X172
   /** CONTAMINATION-HANDLING A/B: DROP OR EXCISE — what to DO with a
     * contaminated document, the decision x20's gate and x161's n-curve
@@ -3645,30 +3797,38 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     * scale by the qs32 boundedness contract), two doc-grain reductions,
     * |sources|-row output. String shingles both sides — no hash step,
     * the oracle replays glyph for glyph. */
-  private[operators] def x172(spark: SparkSession, dir: String): DataFrame = {
-    // benchmark artifact: distinct shingle hashes of the eval slice (the
-    // qs32 boundedness contract — eval sets are corpus-constant in
-    // production), enrolled in CollectInventorySpec. r12c rewrite: the
-    // first-cut positional-struct form persisted the CORPUS-scale
-    // positional frame and shuffled string-keyed postings against the
-    // benchmark — measured 1.6/8.3/166.7 s at 1×/10×/100× (the pin
-    // spilled and the join dominated). This form is ONE map-side scan
-    // through the graft_shingle_audit kernel: distinct shingles, shared
-    // shingles, and positional token coverage all fall out of ONE hash
-    // pass per doc (a split distinct-set + coverage kernel pair still
-    // paid 2× the hashing — 64.9 s at 100×); no persist, no explode, no
-    // join anywhere. The oracle keeps string shingles — count equality
-    // is the same collision-free-in-data contract as x161/qs32.
+  /** x172's benchmark artifact: distinct shingle hashes of the eval
+    * slice (the qs32 boundedness contract — eval sets are
+    * corpus-constant in production), enrolled in CollectInventorySpec.
+    * Shared with qs42 (the live twin scores against the same frozen
+    * benchmark literal). */
+  private[graft] def excisionBench(spark: SparkSession, dir: String): Array[Long] = {
     val x172Bench = Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0)
       .select(explode(expr("graft_shingle_hashes(split(text, ' '), 3)")).as("s"))
       .distinct()
       .agg(sort_array(collect_list(col("s"))).as("b")).head()
       .getSeq[Long](0).toArray
-    Tables.documents(spark, dir).filter(col("doc_id") % 97 =!= 0)
+    x172Bench
+  }
+
+  /** x172's streaming-legal core (shared with qs42): ONE map-side scan
+    * through the graft_shingle_audit kernel — distinct shingles, shared
+    * shingles, and positional token coverage fall out of ONE hash pass
+    * per doc — then ONE commutative groupBy(source); state is
+    * |sources|-row × 6-long when streamed. r12c lesson trail: the
+    * first-cut positional-struct form persisted the CORPUS-scale
+    * positional frame and shuffled string-keyed postings against the
+    * benchmark (1.6/8.3/166.7 s at 1×/10×/100× — the pin spilled and the
+    * join dominated); a split distinct-set + coverage kernel pair still
+    * paid 2× the hashing (64.9 s at 100×); the fold is the scan cost.
+    * The oracle keeps string shingles — count equality is the same
+    * collision-free-in-data contract as x161/qs32. */
+  private[graft] def excisionAudit(docs: DataFrame, bench: Array[Long]): DataFrame =
+    docs.filter(col("doc_id") % 97 =!= 0)
       .select(col("source"),
         size(toks(col("text"))).cast(LongType).as("nt"),
         call_function("graft_shingle_audit", toks(col("text")), lit(3),
-          typedLit(x172Bench)).as("a"))
+          typedLit(bench)).as("a"))
       .select(col("source"), col("nt"),
         col("a.n_shingles").cast(LongType).as("n_shingles"),
         col("a.n_shared").cast(LongType).as("n_shared"),
@@ -3682,16 +3842,22 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
         sum(col("covered")).as("covered_tokens"),
         sum(when(col("flagged"), 0L).otherwise(col("nt"))).as("tokens_drop"),
         sum(col("nt") - col("covered")).as("tokens_excise"))
-      .select(col("source"), col("n_docs"), col("tokens_total"),
+
+  /** Stateless per-source policy finisher over the drained audit frame. */
+  private[graft] def excisionFinish(agg: DataFrame): DataFrame =
+    agg.select(col("source"), col("n_docs"), col("tokens_total"),
         col("contaminated_docs"), col("flagged_docs"), col("covered_tokens"),
         col("tokens_drop"), col("tokens_excise"),
         (col("tokens_excise") - col("tokens_drop")).as("excise_gain_tokens"),
         expr("(2 * covered_tokens * 1000000 + tokens_total) div (2 * tokens_total)")
           .as("excised_share_ppm"))
       .orderBy(col("source"))
-  }
 
-  private[operators] lazy val x172Sql =
+  private[operators] def x172(spark: SparkSession, dir: String): DataFrame =
+    excisionFinish(excisionAudit(
+      Tables.documents(spark, dir), excisionBench(spark, dir)))
+
+  private[graft] lazy val x172Sql = // private[graft]: qs42's oracle IS this SQL (drain == batch)
     """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
       |ds AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS nt FROM d),
       |pos AS (SELECT doc_id, i, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s

@@ -1283,6 +1283,48 @@ object StreamQueries {
   private lazy val qs41Sql =
     s"SELECT *, TRUE AS matches_batch FROM (${graft.operators.Queries.x175Sql}) t"
 
+  // ---------------------------------------------------------------- QS42
+  /** STREAMING EXCISION DASHBOARD — x172's live twin: the
+    * drop-vs-excise contamination economics refresh continuously as
+    * documents arrive, so the scrub-policy decision reads current
+    * per-source numbers at a micro-batch bound. The qs32 frozen-
+    * benchmark discipline: the eval slice's distinct-shingle hash set
+    * (the shared [[graft.operators.Queries.excisionBench]] artifact)
+    * rides the plan as a sorted-long[] literal, every arriving doc runs
+    * the ONE-hash-pass graft_shingle_audit kernel MAP-SIDE, and the one
+    * streaming aggregation is the shared
+    * [[graft.operators.Queries.excisionAudit]] groupBy(source) —
+    * |sources|-row × 6-long state, corpus-size-independent by
+    * construction. Commutative integer sums → arrival-order-free drain;
+    * the policy finisher is stateless post-drain; a batch pass through
+    * the SAME cores is hash-gated per source. Oracle = x172's SQL —
+    * drain == batch is the contract. Recovery proof #22. */
+  private def qs42(spark: SparkSession, dir: String): DataFrame = {
+    val bench = graft.operators.Queries.excisionBench(spark, dir)
+    val drained = graft.operators.Queries.excisionFinish(runToTable(spark,
+      graft.operators.Queries.excisionAudit(docsStream(spark, dir), bench),
+      OutputMode.Complete()))
+    val batch = graft.operators.Queries.excisionFinish(
+        graft.operators.Queries.excisionAudit(
+          graft.operators.Tables.documents(spark, dir), bench))
+      .select(col("source").as("b_src"), col("n_docs").as("b_nd"),
+        col("covered_tokens").as("b_cv"), col("tokens_drop").as("b_td"),
+        col("tokens_excise").as("b_te"))
+    drained.join(batch, drained("source") === col("b_src"), "left") // |sources|-row frames
+      .select(drained("source"), col("n_docs"), col("tokens_total"),
+        col("contaminated_docs"), col("flagged_docs"), col("covered_tokens"),
+        col("tokens_drop"), col("tokens_excise"), col("excise_gain_tokens"),
+        col("excised_share_ppm"),
+        (col("b_src").isNotNull && col("n_docs") === col("b_nd") &&
+          col("covered_tokens") === col("b_cv") && col("tokens_drop") === col("b_td") &&
+          col("tokens_excise") === col("b_te")).as("matches_batch"))
+      .orderBy(drained("source"))
+  }
+
+  /** Oracle = x172's batch economics (drain == batch is the gate). */
+  private lazy val qs42Sql =
+    s"SELECT *, TRUE AS matches_batch FROM (${graft.operators.Queries.x172Sql}) t"
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -2721,5 +2763,7 @@ object StreamQueries {
     Q("qs40_stream_dedup_compaction", qs40, Some(qs40Sql),
       "streaming dedup-index compaction audit: map-side sha-prefix shard counts, 256-row (postings, tombstones) state, drained x164 rebuild decision == batch recount via the shared cores"),
     Q("qs41_stream_operating_point", qs41, Some(qs41Sql),
-      "streaming operating-point dashboard: frozen NB model served by the sorted-longmap kernel map-side, 5-row threshold state, drained precision/recall/kept-token curve == batch x175"))
+      "streaming operating-point dashboard: frozen NB model served by the sorted-longmap kernel map-side, 5-row threshold state, drained precision/recall/kept-token curve == batch x175"),
+    Q("qs42_stream_excision", qs42, Some(qs42Sql),
+      "streaming excision dashboard: frozen benchmark literal + one-hash-pass shingle-audit kernel map-side, |sources|-row state, drained drop-vs-excise economics == batch x172"))
 }

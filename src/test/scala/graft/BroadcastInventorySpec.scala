@@ -118,6 +118,8 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x39_zorder_layout" -> (1, "k-row quantile-boundary frame"),
     "x44_textrank" -> (2, "conf-gated: spark.graft.textrank.broadcastVocabCap — vocab-bounded rank + contribution frames (round 1 needs no rank join at all: p0 is uniform, so only round 2's rank site and the shared damp site remain)"),
     "x163_packing_efficiency" -> (1, "x21's |lang x buckets|-row bucket-prefix frame, inherited via the shared offset core"),
+    "x176_seqlen_curve" -> (1, "x21's |lang x buckets|-row bucket-prefix frame, inherited via the shared offset core (the x163 rationale at four lengths)"),
+    "x177_novelty_forecast" -> (1, "|sources|-row doc-count frame joined onto the |sources|-row rollup"),
     "x46_random_projection" -> (1, "d x k projection matrix"),
     "x48_semantic_outliers" -> (1, "k centroid frame"),
     "x49_delta_cluster_assign" -> (1, "k centroid frames"),

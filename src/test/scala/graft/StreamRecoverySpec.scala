@@ -1287,4 +1287,53 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mass("opc_run2") > mass("opc_fresh"),
       "recovered doc mass not above the fresh wave-2-only mass")
   }
+
+  test("qs42's per-source state restarts from checkpoint: recovered excision economics equal batch x172 (recovery proof #22)") {
+    val root = graft.util.TempDirs.create("graft-recovery42")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    graft.functions.GraftFunctions.register(spark)
+    val bench = graft.operators.Queries.excisionBench(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val q = graft.operators.Queries.excisionAudit(
+          StreamQueries.docsStreamFrom(spark, from), bench)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("exc_run1", ckpt)
+    writeWave(2)
+    val wave2Docs = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    assert(runOnce("exc_run2", ckpt) === wave2Docs, "restart re-read old waves")
+
+    // the recovered economics must equal batch x172 source-for-source
+    // through the shared finisher — only possible if waves 0/1's audit
+    // sums crossed the death (a fresh state undercounts every column)
+    val recovered = graft.operators.Queries.excisionFinish(spark.table("exc_run2"))
+    val batch = graft.operators.Queries.byName("x172_contamination_excision").run(spark, sf)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted excision economics differ from batch x172")
+    // state is provably source-count-bounded
+    val nSources = docs.select(col("source")).distinct().count()
+    assert(spark.table("exc_run2").count() <= nSources, "state rows exceed the source count")
+    // non-vacuity: a fresh wave-2-only run carries visibly fewer tokens
+    runOnce("exc_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass2 = (t: String) => spark.table(t).agg(sum(col("tokens_total"))).head().getLong(0)
+    assert(mass2("exc_run2") > mass2("exc_fresh"),
+      "recovered token mass not above the fresh wave-2-only mass")
+  }
 }

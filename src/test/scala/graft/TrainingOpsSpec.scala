@@ -3953,4 +3953,81 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Boolean]("matches_batch")),
       "a drained threshold row diverges from the batch curve")
   }
+
+  test("x176: the 256 rung IS x163; packing laws hold at every length") {
+    val rows = run("x176_seqlen_curve").collect()
+    // cross-op identity: the 256 rung must equal x163 row-for-row (same
+    // offset frame, same strategies — the sweep adds lengths, nothing else)
+    val r256 = rows.filter(_.getAs[Long]("seq_len") === 256L)
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("strategy"),
+        r.getAs[Long]("n_sequences"), r.getAs[Long]("pad_tokens"),
+        r.getAs[Long]("util_ppm"), r.getAs[Long]("frag_docs"))).toSet
+    val x163 = run("x163_packing_efficiency").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("strategy"),
+        r.getAs[Long]("n_sequences"), r.getAs[Long]("pad_tokens"),
+        r.getAs[Long]("util_ppm"), r.getAs[Long]("frag_docs"))).toSet
+    assert(r256 === x163, "the 256 rung diverges from x163")
+    // exact packing laws, every (lang, len):
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("seq_len"))).foreach {
+      case ((lang, len), pair) =>
+        val cc = pair.find(_.getAs[String]("strategy") == "concat_cut").get
+        val pd = pair.find(_.getAs[String]("strategy") == "pad_per_doc").get
+        // concat-cut pads only the stratum's final sequence
+        assert(cc.getAs[Long]("pad_tokens") < len, s"($lang, $len): concat pad >= L")
+        // per-doc ceils can never pack tighter than the concat stream
+        assert(pd.getAs[Long]("n_sequences") >= cc.getAs[Long]("n_sequences"))
+        assert(pd.getAs[Long]("frag_docs") === 0L)
+        assert(cc.getAs[Long]("util_ppm") >= pd.getAs[Long]("util_ppm"))
+    }
+    // the curve genuinely trades: pad-per-doc waste grows with length
+    val pdByLen = rows.filter(_.getAs[String]("strategy") == "pad_per_doc")
+      .groupBy(_.getAs[Long]("seq_len")).view
+      .mapValues(_.map(_.getAs[Long]("pad_tokens")).sum).toMap
+    assert(pdByLen(1024L) > pdByLen(128L),
+      "padding does not grow with seq_len - the curve is vacuous")
+  }
+
+  test("x177: the incidence-form Good-Turing/Chao forecast replays exactly from string shingles") {
+    val rows = run("x177_novelty_forecast").collect()
+    val docs = graft.operators.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def halfUp(p: Long, q: Long) = (2 * p + q) / (2 * q)
+    // incidence replay: per doc the DISTINCT 3-shingle set, species
+    // counted over documents-as-sampling-units
+    val bySrc = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val sets = bySrc(src).map { case (_, text) =>
+        val tk = text.split(" ", -1)
+        if (tk.length < 3) Set.empty[String]
+        else (0 to tk.length - 3).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").toSet
+      }
+      val inc = sets.flatten.groupBy(identity).map(_._2.length.toLong).toSeq
+      val n = inc.sum; val d = inc.length.toLong
+      val f1 = inc.count(_ == 1L).toLong; val f2 = inc.count(_ == 2L).toLong
+      assert(r.getAs[Long]("n_docs") === bySrc(src).length.toLong)
+      assert(r.getAs[Long]("n_incidences") === n, s"$src incidence total diverges")
+      assert(r.getAs[Long]("n_distinct") === d)
+      assert(r.getAs[Long]("f1") === f1 && r.getAs[Long]("f2") === f2)
+      assert(r.getAs[Long]("novelty_ppm") === halfUp(f1 * 1000000L, n))
+      assert(r.getAs[Long]("repeat_ppm") === halfUp((n - d) * 1000000L, n))
+      assert(r.getAs[Long]("chao_total") === d + (f1 * f1) / (2 * math.max(f2, 1L)))
+      // estimator sanity: Chao never estimates below the observed richness
+      assert(r.getAs[Long]("chao_total") >= d)
+    }
+    // non-vacuity: phrases genuinely repeat across documents somewhere,
+    // and not everything repeats (the forecast separates sources)
+    assert(rows.exists(_.getAs[Long]("repeat_ppm") > 0),
+      "no cross-document shingle repetition - the saturation signal is vacuous")
+    assert(rows.exists(r => r.getAs[Long]("novelty_ppm") > 0),
+      "no singleton shingles - the novelty signal is vacuous")
+  }
+
+  test("qs42: the streaming excision dashboard's drain hash-gates against batch x172 per source") {
+    val rows = run("qs42_stream_excision").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("matches_batch")),
+      "a drained source row diverges from the batch economics")
+  }
 }
