@@ -2822,6 +2822,13 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
           |   - (CASE WHEN CAST(m0 AS DECIMAL(38,0)) * m0 > x THEN 1 ELSE 0 END)""".stripMargin))
       .withColumn("cap", expr("(21 * n_tokens) div 10")) // 2.1-epoch repetition cap
       .select(col("source"), col("n_tokens"), col("w"), col("cap"))
+    cappedAllocSolve(m)
+  }
+
+  /** The water-filling solve itself, factored over any (source, n_tokens,
+    * w, cap) frame (r12c: x178 re-runs it per temperature rung — the
+    * solve is scale-invariant in w, only weight RATIOS matter). */
+  private[graft] def cappedAllocSolve(m: DataFrame): DataFrame = {
     // budget and total weight pinned as literals (the x50/x58 pattern;
     // ONE bounded driver action over the |sources|-row frame)
     val g = m.agg(sum(col("n_tokens")), sum(col("w"))).head()
@@ -2889,6 +2896,129 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       |       + n_tokens) // (2 * n_tokens) AS BIGINT) AS epochs_ppm,
       |  capped
       |FROM f ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- X178
+  /** SAMPLING-TEMPERATURE CURVE — x150 fixes the mixture temperature at
+    * τ = 1/2 (sqrt weighting) by fiat; this operator sweeps τ itself
+    * (the x174/x176 rung discipline applied to the mixture): the SAME
+    * capped water-filling solve runs at τ ∈ {1/4, 1/2, 1} and each rung
+    * reports every source's allocation and epoch load — flat-ish
+    * (τ=1/4, small sources upweighted hard) through sqrt (the x150
+    * default) to proportional (τ=1, big sources dominate). The solve is
+    * scale-invariant in w (only weight ratios matter), so each rung
+    * just feeds its own exact integer weight: τ=1 uses n·10⁶; τ=1/2 the
+    * x150 isqrt(n·10¹²) = ⌊√n·10⁶⌋; τ=1/4 the COMPOSED form
+    * isqrt(isqrt(n·10¹²)·10⁶) — defined AS the composition (within 1 of
+    * n^¼·10⁶; both isqrt stages stay ≤ ~10²¹ where the
+    * floor-sqrt-double ± 1 correction is provably exact, unlike a
+    * direct n·10²⁴ whose double cast can be off by 2). Exactness: the
+    * x150 algebra unchanged per rung — isqrt corrections, cross-mult
+    * boundary search, floor allocations; DuckDB re-derives identically
+    * in HUGEINT. Scale shape: ONE corpus scan into the |sources|-row
+    * frame (pinned across the three rungs, released by eagerFinish);
+    * each rung's solve is |sources|²-bounded metadata work — three
+    * temperatures cost the same scan as one. */
+  private[operators] def x178(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Tables.documents(spark, dir)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .persist() // |sources|-row; three rung solves read it; eagerFinish releases
+    val isq12 = // exact ⌊√(n·10¹²)⌋ (the x150 correction)
+      """CAST(floor(sqrt(CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000000000 AS DOUBLE))) AS BIGINT)"""
+    def corrected(v0: String, x: String): String =
+      s"""($v0 + (CASE WHEN CAST($v0 + 1 AS DECIMAL(38,0)) * ($v0 + 1) <= $x THEN 1 ELSE 0 END)
+         |     - (CASE WHEN CAST($v0 AS DECIMAL(38,0)) * $v0 > $x THEN 1 ELSE 0 END))""".stripMargin
+    def rung(tauMilli: Long): DataFrame = {
+      val base = tauMilli match {
+        case 1000L => ns.withColumn("w", expr("n_tokens * 1000000L"))
+        case 500L => ns
+          .withColumn("x", expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000000000"))
+          .withColumn("m0", expr(isq12))
+          .withColumn("w", expr(corrected("m0", "x")))
+        case 250L => ns
+          .withColumn("x", expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000000000"))
+          .withColumn("m0", expr(isq12))
+          .withColumn("v1", expr(corrected("m0", "x")))
+          .withColumn("x2", expr("CAST(v1 AS DECIMAL(38,0)) * 1000000"))
+          .withColumn("r0", expr("CAST(floor(sqrt(CAST(x2 AS DOUBLE))) AS BIGINT)"))
+          .withColumn("w", expr(corrected("r0", "x2")))
+      }
+      cappedAllocSolve(base
+          .withColumn("cap", expr("(21 * n_tokens) div 10"))
+          .select(col("source"), col("n_tokens"), col("w"), col("cap")))
+        .withColumn("tau_milli", lit(tauMilli))
+    }
+    val out = Seq(250L, 500L, 1000L).map(rung).reduce(_.unionByName(_))
+      .select(col("tau_milli"), col("source"), col("n_tokens"), col("weight_micro"),
+        col("cap_tokens"), col("alloc_tokens"), col("epochs_ppm"), col("capped"))
+      .orderBy(col("tau_milli"), col("source"))
+    eagerFinish(out, ns)
+  }
+
+  /** Oracle: the x150 solve spelled per rung with its own weight CTE
+    * chain, UNION ALL'd (CTE names suffixed per rung). */
+  private[operators] lazy val x178Sql = {
+    def corrected(v0: String, x: String): String =
+      s"""$v0 + (CASE WHEN CAST($v0 + 1 AS HUGEINT) * ($v0 + 1) <= $x THEN 1 ELSE 0 END)
+         |     - (CASE WHEN CAST($v0 AS HUGEINT) * $v0 > $x THEN 1 ELSE 0 END)""".stripMargin
+    def leg(t: Int): String = {
+      val wCte = t match {
+        case 1000 =>
+          s"""mw$t AS (SELECT source, n_tokens, CAST(n_tokens * 1000000 AS BIGINT) AS w,
+             |    (21 * n_tokens) // 10 AS cap FROM ns)""".stripMargin
+        case 500 =>
+          s"""m$t AS (SELECT source, n_tokens,
+             |    CAST(n_tokens AS HUGEINT) * 1000000000000 AS x,
+             |    CAST(floor(sqrt(CAST(CAST(n_tokens AS HUGEINT) * 1000000000000 AS DOUBLE))) AS BIGINT) AS m0
+             |  FROM ns),
+             |mw$t AS (SELECT source, n_tokens,
+             |    ${corrected("m0", "x")} AS w,
+             |    (21 * n_tokens) // 10 AS cap FROM m$t)""".stripMargin
+        case 250 =>
+          s"""m$t AS (SELECT source, n_tokens,
+             |    CAST(n_tokens AS HUGEINT) * 1000000000000 AS x,
+             |    CAST(floor(sqrt(CAST(CAST(n_tokens AS HUGEINT) * 1000000000000 AS DOUBLE))) AS BIGINT) AS m0
+             |  FROM ns),
+             |v$t AS (SELECT source, n_tokens,
+             |    CAST(${corrected("m0", "x")} AS HUGEINT) * 1000000 AS x2 FROM m$t),
+             |r$t AS (SELECT *, CAST(floor(sqrt(CAST(x2 AS DOUBLE))) AS BIGINT) AS r0 FROM v$t),
+             |mw$t AS (SELECT source, n_tokens,
+             |    ${corrected("r0", "x2")} AS w,
+             |    (21 * n_tokens) // 10 AS cap FROM r$t)""".stripMargin
+      }
+      s"""$wCte,
+         |g$t AS (SELECT 2 * CAST(sum(n_tokens) AS BIGINT) AS budget,
+         |             CAST(sum(w) AS HUGEINT) AS wtot FROM mw$t),
+         |cand$t AS (SELECT s.source AS cs, s.w AS ws, s.cap AS caps,
+         |    CAST(sum(r.cap) AS BIGINT) AS cumcap, CAST(sum(r.w) AS HUGEINT) AS cumw
+         |  FROM mw$t s JOIN mw$t r ON CAST(r.cap AS HUGEINT) * s.w <= CAST(s.cap AS HUGEINT) * r.w
+         |  GROUP BY 1, 2, 3
+         |  HAVING CAST(s.w AS HUGEINT) * ((SELECT budget FROM g$t) - CAST(sum(r.cap) AS BIGINT))
+         |      >= CAST(s.cap AS HUGEINT) * ((SELECT wtot FROM g$t) - CAST(sum(r.w) AS HUGEINT))),
+         |b$t AS (SELECT cumw AS bcumw, cumcap AS bcumcap, ws AS bws, caps AS bcaps
+         |  FROM cand$t ORDER BY cumw DESC, cumcap DESC, ws DESC, caps DESC LIMIT 1),
+         |f$t AS (SELECT mw.*, b.bcumw, b.bcumcap, b.bws, b.bcaps,
+         |    (b.bws IS NOT NULL AND CAST(mw.cap AS HUGEINT) * b.bws <= CAST(b.bcaps AS HUGEINT) * mw.w) AS capped
+         |  FROM mw$t mw LEFT JOIN b$t b ON TRUE),
+         |o$t AS (SELECT CAST($t AS BIGINT) AS tau_milli, source, n_tokens,
+         |  CAST(w AS BIGINT) AS weight_micro, cap AS cap_tokens,
+         |  CASE WHEN capped THEN cap
+         |       ELSE CAST(CAST(w AS HUGEINT) * ((SELECT budget FROM g$t) - coalesce(bcumcap, 0))
+         |            // ((SELECT wtot FROM g$t) - coalesce(bcumw, 0)) AS BIGINT) END AS alloc_tokens,
+         |  capped
+         |  FROM f$t)""".stripMargin
+    }
+    s"""WITH ns AS (SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |${Seq(250, 500, 1000).map(leg).mkString(",\n")}
+       |SELECT tau_milli, source, n_tokens, weight_micro, cap_tokens, alloc_tokens,
+       |  CAST((2 * CAST(alloc_tokens AS HUGEINT) * 1000000 + n_tokens)
+       |    // (2 * n_tokens) AS BIGINT) AS epochs_ppm,
+       |  capped
+       |FROM (SELECT * FROM o250 UNION ALL SELECT * FROM o500 UNION ALL SELECT * FROM o1000)
+       |ORDER BY tau_milli, source""".stripMargin
+  }
 
   // ---------------------------------------------------------------- X152
   /** TRAINING-ORDER INTERLEAVE AUDIT ("shuffle quality") — per-source
@@ -3754,7 +3884,43 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       .orderBy(col("source"))
   }
 
-  private[operators] lazy val x177Sql =
+  /** x177's streaming-legal incidence core (shared with qs43): per-doc
+    * distinct shingle hashes melt with a SENTINEL species per doc (k=0 —
+    * "the document itself", so the doc count rides the SAME single
+    * aggregation; streaming allows only one), keyed by (source, kind,
+    * hash). When streamed, the state IS the standing shingle-incidence
+    * index — the same corpus-vocabulary-scale standing-state class as
+    * qs7's dedup index and qs29's BM25 stats (the index is the product:
+    * a crawler keeps it anyway to route fetches). */
+  private[graft] def noveltyIncidence(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(expr(
+        """concat(array(named_struct('k', 0, 'h', CAST(0 AS BIGINT))),
+          |  transform(graft_shingle_hashes(split(text, ' '), 3),
+          |    x -> named_struct('k', 1, 'h', x)))""".stripMargin)).as("e"))
+      .groupBy(col("source"), col("e.k").as("k"), col("e.h").as("h"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Stateless estimator finisher over the drained incidence index —
+    * emits exactly x177's frame (shingle-less sources drop, matching
+    * the batch inner join). */
+  private[graft] def noveltyFinish(state: DataFrame): DataFrame =
+    state.groupBy(col("source"))
+      .agg(sum(when(col("k") === 0, col("c")).otherwise(0L)).as("n_docs"),
+        sum(when(col("k") === 1, col("c")).otherwise(0L)).as("n_incidences"),
+        sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_distinct"),
+        sum(when(col("k") === 1 && col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("k") === 1 && col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .filter(col("n_incidences") > 0)
+      .select(col("source"), col("n_docs"), col("n_incidences"),
+        col("n_distinct"), col("f1"), col("f2"),
+        expr("(2 * f1 * 1000000 + n_incidences) div (2 * n_incidences)")
+          .as("novelty_ppm"),
+        expr("""(2 * (n_incidences - n_distinct) * 1000000 + n_incidences)
+                div (2 * n_incidences)""").as("repeat_ppm"),
+        expr("n_distinct + (f1 * f1) div (2 * greatest(f2, 1))").as("chao_total"))
+      .orderBy(col("source"))
+
+  private[graft] lazy val x177Sql = // private[graft]: qs43's oracle IS this SQL (drain == batch)
     """WITH sh AS (SELECT doc_id, source, list_distinct(list_transform(
       |    range(1, greatest(len(tk) - 1, 1)),
       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh

@@ -1325,6 +1325,47 @@ object StreamQueries {
   private lazy val qs42Sql =
     s"SELECT *, TRUE AS matches_batch FROM (${graft.operators.Queries.x172Sql}) t"
 
+  // ---------------------------------------------------------------- QS43
+  /** STREAMING NOVELTY FORECAST — x177's live twin and the next standing-
+    * index IVM member (x110→qs7, x151→qs29, x149→qs30, x164→qs40):
+    * the crawl-budget dashboard maintains as documents arrive, so
+    * "is this source saturated?" reads a current Good–Turing/Chao
+    * estimate instead of a nightly recount. The ONE streaming
+    * aggregation is the shared
+    * [[graft.operators.Queries.noveltyIncidence]] core — per-(source,
+    * kind, shingle-hash) counts with the sentinel doc-species trick (the
+    * doc denominator rides the same aggregation; streaming allows only
+    * one) — so the state IS the standing shingle-incidence index, the
+    * same corpus-vocabulary-scale class qs7/qs29 maintain (the index is
+    * the product: a crawler keeps it to route fetches; the dashboard is
+    * a free |sources|-row drain over it). Commutative counts →
+    * arrival-order-free; the estimator finisher is stateless post-drain
+    * and shared verbatim with nothing — batch x177 computes through its
+    * own join path, so the hash-gate (matches_batch) is a genuinely
+    * independent cross-check, and the DuckDB oracle is x177's SQL.
+    * Recovery proof #23. */
+  private def qs43(spark: SparkSession, dir: String): DataFrame = {
+    val drained = graft.operators.Queries.noveltyFinish(runToTable(spark,
+      graft.operators.Queries.noveltyIncidence(docsStream(spark, dir)),
+      OutputMode.Complete()))
+    val batch = graft.operators.Queries.byName("x177_novelty_forecast").run(spark, dir)
+      .select(col("source").as("b_src"), col("n_docs").as("b_nd"),
+        col("n_incidences").as("b_ni"), col("n_distinct").as("b_dx"),
+        col("f1").as("b_f1"), col("f2").as("b_f2"))
+    drained.join(batch, drained("source") === col("b_src"), "left") // |sources|-row frames
+      .select(drained("source"), col("n_docs"), col("n_incidences"),
+        col("n_distinct"), col("f1"), col("f2"), col("novelty_ppm"),
+        col("repeat_ppm"), col("chao_total"),
+        (col("b_src").isNotNull && col("n_docs") === col("b_nd") &&
+          col("n_incidences") === col("b_ni") && col("n_distinct") === col("b_dx") &&
+          col("f1") === col("b_f1") && col("f2") === col("b_f2")).as("matches_batch"))
+      .orderBy(drained("source"))
+  }
+
+  /** Oracle = x177's full-recount estimators (the IVM theorem's right side). */
+  private lazy val qs43Sql =
+    s"SELECT *, TRUE AS matches_batch FROM (${graft.operators.Queries.x177Sql}) t"
+
   // ---------------------------------------------------------------- QS1
   /** Tumbling 1-hour windows with watermark, complete mode: counts + exact
     * decimal sums per (window, event_type). */
@@ -2765,5 +2806,7 @@ object StreamQueries {
     Q("qs41_stream_operating_point", qs41, Some(qs41Sql),
       "streaming operating-point dashboard: frozen NB model served by the sorted-longmap kernel map-side, 5-row threshold state, drained precision/recall/kept-token curve == batch x175"),
     Q("qs42_stream_excision", qs42, Some(qs42Sql),
-      "streaming excision dashboard: frozen benchmark literal + one-hash-pass shingle-audit kernel map-side, |sources|-row state, drained drop-vs-excise economics == batch x172"))
+      "streaming excision dashboard: frozen benchmark literal + one-hash-pass shingle-audit kernel map-side, |sources|-row state, drained drop-vs-excise economics == batch x172"),
+    Q("qs43_stream_novelty", qs43, Some(qs43Sql),
+      "streaming novelty forecast: the shingle-incidence index as standing state (sentinel doc-species rides the one aggregation), drained Good-Turing/Chao dashboard == batch x177"))
 }

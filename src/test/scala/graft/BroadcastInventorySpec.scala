@@ -120,6 +120,7 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     "x163_packing_efficiency" -> (1, "x21's |lang x buckets|-row bucket-prefix frame, inherited via the shared offset core"),
     "x176_seqlen_curve" -> (1, "x21's |lang x buckets|-row bucket-prefix frame, inherited via the shared offset core (the x163 rationale at four lengths)"),
     "x177_novelty_forecast" -> (1, "|sources|-row doc-count frame joined onto the |sources|-row rollup"),
+    "qs43_stream_novelty" -> (1, "the x177 rationale, inherited via the batch cross-check leg"),
     "x46_random_projection" -> (1, "d x k projection matrix"),
     "x48_semantic_outliers" -> (1, "k centroid frame"),
     "x49_delta_cluster_assign" -> (1, "k centroid frames"),

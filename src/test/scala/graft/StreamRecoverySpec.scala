@@ -1336,4 +1336,56 @@ class StreamRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mass2("exc_run2") > mass2("exc_fresh"),
       "recovered token mass not above the fresh wave-2-only mass")
   }
+
+  test("qs43's incidence-index state restarts from checkpoint: recovered novelty forecast equals batch x177 (recovery proof #23)") {
+    val root = graft.util.TempDirs.create("graft-recovery43")
+    val srcDir = Files.createDirectories(root.resolve("waves"))
+    val ckpt = root.resolve("ckpt").toString
+
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def writeWave(i: Int): Unit = {
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === i)
+        .coalesce(1).write.parquet(srcDir.resolve(s"wave-$i").toString)
+      Thread.sleep(5)
+    }
+
+    def runOnce(name: String, checkpoint: String,
+        from: String = srcDir.toString): Long = {
+      val q = graft.operators.Queries.noveltyIncidence(
+          StreamQueries.docsStreamFrom(spark, from))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+
+    writeWave(0); writeWave(1)
+    runOnce("nov_run1", ckpt)
+    writeWave(2)
+    val wave2Docs = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 2).count()
+    assert(runOnce("nov_run2", ckpt) === wave2Docs, "restart re-read old waves")
+
+    // the recovered estimators must equal batch x177 source-for-source —
+    // only possible if waves 0/1's incidence counts crossed the death
+    // (a fresh index inflates f1: old shingles look like singletons)
+    val recovered = graft.operators.Queries.noveltyFinish(spark.table("nov_run2"))
+    val batch = graft.operators.Queries.byName("x177_novelty_forecast").run(spark, sf)
+    assert(recovered.exceptAll(batch).isEmpty && batch.exceptAll(recovered).isEmpty,
+      "restarted novelty forecast differs from batch x177")
+    // the state IS the incidence index: exactly one row per live
+    // (source, shingle) species + one sentinel per source
+    val expectedRows = docs
+      .select(col("source"), explode(expr("graft_shingle_hashes(split(text, ' '), 3)")).as("h"))
+      .distinct().count() + docs.select(col("source")).distinct().count()
+    assert(spark.table("nov_run2").count() === expectedRows,
+      "state rows diverge from the incidence-index cardinality")
+    // non-vacuity: a fresh wave-2-only run sees fewer incidences
+    runOnce("nov_fresh", root.resolve("ckpt-fresh").toString,
+      srcDir.resolve("wave-2").toString)
+    val mass = (t: String) => spark.table(t).agg(sum(col("c"))).head().getLong(0)
+    assert(mass("nov_run2") > mass("nov_fresh"),
+      "recovered incidence mass not above the fresh wave-2-only mass")
+  }
 }

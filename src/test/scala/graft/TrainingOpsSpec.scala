@@ -4030,4 +4030,49 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Boolean]("matches_batch")),
       "a drained source row diverges from the batch economics")
   }
+
+  test("x178: the tau=1/2 rung IS x150; water-filling laws hold per rung") {
+    val rows = run("x178_temperature_curve").collect()
+    val byTau = rows.groupBy(_.getAs[Long]("tau_milli"))
+    assert(byTau.keySet === Set(250L, 500L, 1000L))
+    // cross-op identity: the sqrt rung must equal x150 row-for-row
+    val r500 = byTau(500L).map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("weight_micro"), r.getAs[Long]("cap_tokens"),
+      r.getAs[Long]("alloc_tokens"), r.getAs[Long]("epochs_ppm"),
+      r.getAs[Boolean]("capped"))).toSet
+    val x150 = run("x150_capped_mixture").collect().map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("weight_micro"), r.getAs[Long]("cap_tokens"),
+      r.getAs[Long]("alloc_tokens"), r.getAs[Long]("epochs_ppm"),
+      r.getAs[Boolean]("capped"))).toSet
+    assert(r500 === x150, "the sqrt rung diverges from x150")
+    byTau.foreach { case (tau, rs) =>
+      val total = rs.map(_.getAs[Long]("n_tokens")).sum
+      val budget = 2L * total
+      val alloc = rs.map(_.getAs[Long]("alloc_tokens")).sum
+      // budget conservation: floors lose < 1 token per source, never overshoot
+      assert(alloc <= budget && alloc >= budget - rs.length,
+        s"tau=$tau: allocation $alloc vs budget $budget")
+      // capped rows sit exactly at their cap; uncapped rows are
+      // w-proportional (cross-mult within the floor slack)
+      rs.filter(_.getAs[Boolean]("capped")).foreach { r =>
+        assert(r.getAs[Long]("alloc_tokens") === r.getAs[Long]("cap_tokens"))
+      }
+      val un = rs.filterNot(_.getAs[Boolean]("capped"))
+        .map(r => (BigInt(r.getAs[Long]("alloc_tokens")), BigInt(r.getAs[Long]("weight_micro"))))
+      for (Seq((ai, wi), (aj, wj)) <- un.toSeq.combinations(2))
+        assert((ai * wj - aj * wi).abs <= wi + wj,
+          s"tau=$tau: uncapped allocations not weight-proportional")
+    }
+    // non-vacuity: the temperature genuinely moves the allocation
+    val v = (t: Long) => byTau(t).map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("alloc_tokens")).toMap
+    assert(v(250L) !== v(1000L), "flat and proportional rungs allocate identically")
+  }
+
+  test("qs43: the streaming novelty forecast's drain hash-gates against batch x177 per source") {
+    val rows = run("qs43_stream_novelty").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("matches_batch")),
+      "a drained source row diverges from the batch estimators")
+  }
 }
