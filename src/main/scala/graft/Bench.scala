@@ -22,6 +22,11 @@ object Bench {
       // full-size files keeps the default.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // shuffle/spill scratch on tmpfs when the host has one (guide §6):
+      // local-mode shuffle files are ephemeral by definition; a cluster
+      // deployment keeps the default (fast local disks sized for spill).
+      // SPARK_GRAFT_LOCAL_DIR overrides; no /dev/shm → Spark's default.
+      .config("spark.local.dir", graft.util.TempDirs.sparkLocalDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer caches, so rep 1 of the

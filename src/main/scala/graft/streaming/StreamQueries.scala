@@ -93,6 +93,12 @@ object StreamQueries {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = df.writeStream.format("memory").queryName(name)
+        // explicit checkpoint under the TempDirs root (tmpfs when the host
+        // has one): without it Spark creates the temp checkpoint in
+        // java.io.tmpdir, and the per-batch offset/commit/state-store file
+        // churn pays disk I/O the harness never needs durable (r12 opt)
+        .option("checkpointLocation",
+          graft.util.TempDirs.create("graft-ckpt").toString)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -24,6 +24,7 @@ object TimeOne {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.local.dir", graft.util.TempDirs.sparkLocalDir)
       .config("spark.ui.enabled", "false")
       .appName("graft-timeone").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
