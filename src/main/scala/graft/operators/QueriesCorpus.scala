@@ -2373,18 +2373,25 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
       .agg(sum(col("wa")).as("w"), sum(col("n") - col("wa")).as("l"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val items2 = base.select(col("s"))
-    // Each MM round exits through a persisted-RDD LEAF (the x17/x77
+    // Each MM round exits through an EAGER localCheckpoint LEAF (the x17/x77
     // iterative discipline): θ appears twice per round (both pair
     // endpoints) and `raw` twice more (normalizer + carry), so without a
     // lineage cut the unrolled logical plan grows ~3^rounds — measured
     // 166 s at sf0.001, and the plan STRING alone OOMs AQE's explain.
     // persist() is not enough (it caches rows, not the analyzed plan);
-    // re-entering SQL via LogicalRDD keeps round N's plan O(1).
+    // re-entering SQL via a checkpointed LogicalRDD keeps round N's plan
+    // O(1). r12 opt: the leaf was a `.rdd → createDataFrame → count()`
+    // round trip, which paid an InternalRow↔Row codec pass plus a persist
+    // and a separate count job per round; localCheckpoint(true) is the
+    // same lineage cut with none of that. The normalizer (Σθ', k) is a
+    // SINGLE-PARTITION WINDOW over the |items|-row raw frame instead of a
+    // separate agg + crossJoin(broadcast) — one job per round, not three.
     // θ is |items| rows (16 B each) and BROADCASTS into both endpoint
     // joins — the items²-bounded sym frame never reshuffles for them.
     // Past broadcast reach (≳10⁸ items) both joins degrade gracefully to
-    // keyed shuffles by dropping the hint; sym stays the only big frame.
-    var prevRdd: org.apache.spark.rdd.RDD[Row] = null
+    // keyed shuffles by dropping the hint; sym stays the only big frame;
+    // the normalizer window then moves to a scalar agg attach (x155's
+    // global-window note: partitionBy() is only safe on bounded frames).
     def mmRound(theta: DataFrame): DataFrame = {
       val denom = sym
         .join(broadcast(theta.select(col("s").as("a"), col("th").as("tha"))), "a")
@@ -2393,23 +2400,17 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
           """CAST((2 * CAST(n AS DECIMAL(38,0)) * 1000000000000 + (tha + thb))
             |  div (2 * (tha + thb)) AS DECIMAL(38,0))""".stripMargin).as("term"))
         .groupBy(col("s")).agg(sum(col("term")).as("denom"))
-      val raw = base.join(denom, "s")
+      val wAll = Window.partitionBy()
+      val outPlan = base.join(denom, "s")
         .withColumn("thp", expr(
           """greatest(CAST((2 * CAST(w AS DECIMAL(38,0)) * 1000000000000 + denom)
             |  div (2 * denom) AS DECIMAL(38,0)), CAST(1 AS DECIMAL(38,0)))""".stripMargin))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val sc = raw.agg(sum(col("thp")).as("ssum"), count(lit(1)).as("kk"))
-      val outPlan = raw.crossJoin(broadcast(sc))
+        .withColumn("ssum", sum(col("thp")).over(wAll))
+        .withColumn("kk", count(lit(1)).over(wAll))
         .select(col("s"), expr(
           """greatest(CAST((2 * thp * kk * 1000000 + ssum)
             |  div (2 * ssum) AS BIGINT), 1L)""".stripMargin).as("th"))
-      val rdd = outPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val out = spark.createDataFrame(rdd, outPlan.schema)
-      out.count() // materialize the leaf; O(items) rows
-      raw.unpersist()
-      if (prevRdd != null) prevRdd.unpersist() // round N-1's leaf is consumed
-      prevRdd = rdd // the LAST round's leaf backs the returned frame — kept
-      out
+      outPlan.localCheckpoint(true) // materialize the leaf; O(items) rows
     }
     val t0 = items2.withColumn("th", lit(1000000L))
     val t1 = mmRound(t0)
