@@ -145,6 +145,45 @@ object FastOps {
     new GenericArrayData(mins)
   }
 
+  /** x126's ORACLE-REPLICABLE seeded md5 minhash over STRING shingles in
+    * one codegen pass: component i ∈ [0, k) is the min over shingles of
+    * the first 48 bits of md5(i + "_" + shingle) — exactly
+    * `CAST(conv(substr(md5(concat(CAST(i AS STRING), '_', s)), 1, 12), 16,
+    * 10) AS BIGINT)`, the per-component spelling the DuckDB oracle replays
+    * md5-for-md5. Replaces the 1 + k·|sh| interpreted nested-lambda
+    * dispatches (plus a per-element string concat allocation) the
+    * first-cut transform(sequence(...)) form paid per row; the k md5s per
+    * shingle are the contract (each component is an independently seeded
+    * hash), so the win is dispatch + allocation, not hash count. Returns
+    * k mins (Long.MaxValue components on an empty set — x126 filters
+    * empty shingle sets out before signing, both engines). */
+  def md5MinHashSeeded(sh: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = sh.numElements()
+    val md = md5Local.get()
+    // seed prefixes "0_".."k-1_" are constant across rows and shingles;
+    // building them per call keeps the kernel stateless and is ~k tiny
+    // allocations against n·k digests
+    val seeds = Array.tabulate(k)(i =>
+      (i.toString + "_").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var j = 0
+    while (j < n) {
+      val sb = sh.getUTF8String(j).getBytes
+      var i = 0
+      while (i < k) {
+        md.reset()
+        md.update(seeds(i))
+        md.update(sb)
+        val d = md.digest()
+        val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong >>> 16
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** x172's WHOLE per-doc contamination audit in ONE hash pass: for each
     * positional n-shingle (the shingleHashes "t1 t2 t3" + farmhash
     * construction, so a benchmark literal built FROM shingleHashes probes
@@ -752,6 +791,19 @@ case class Md5MinHash(child: Expression, n: Int, as: Array[Long], bs: Array[Long
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** seeded md5 minhash signature of array<string> shingles (see
+  * FastOps.md5MinHashSeeded — bit-identical to the DuckDB per-component
+  * spelling, codegen'd; x126's signature engine). */
+case class Md5MinHashSeeded(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    FastOps.md5MinHashSeeded(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastOps.md5MinHashSeeded($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** x172's per-doc contamination audit against a CONSTANT sorted
   * shingle-hash set (see FastOps.shingleAudit): struct<n_shingles:int,
   * n_shared:int, covered:int> in one hash pass; the set resolves once at
@@ -912,6 +964,8 @@ object GraftFunctions {
     "graft_count_in_longset" -> (es => CountInLongSet(es(0), longArrayArg(es(1)))),
     "graft_sha48" -> (es => Sha48Hashes(es.head)),
     "graft_shingle_audit" -> (es => ShingleAudit(es(0), intArg(es(1)), longArrayArg(es(2)))),
+    "graft_md5_minhash_seeded" -> (es =>
+      Md5MinHashSeeded(es(0), if (es.size > 1) intArg(es(1)) else 32)),
     "graft_md5_minhash" -> (es =>
       Md5MinHash(es(0), intArg(es(1)), longArrayArg(es(2)), longArrayArg(es(3)))),
     "graft_sum_longmap" -> (es => SumInLongMap(es(0), longArrayArg(es(1)), longArrayArg(es(2)))),

@@ -22,6 +22,8 @@ private[graft] object PipelineCache {
   private val built =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
+  private lazy val sharedRoot = graft.util.TempDirs.create("graft-shared")
+
   def shared(spark: SparkSession, key: String, dir: String)(
       build: => DataFrame): DataFrame = {
     // applicationId is unique per SparkContext (identityHashCode could
@@ -30,7 +32,11 @@ private[graft] object PipelineCache {
     // accumulating orphaned hex-suffixed dirs
     val k = (spark.sparkContext.applicationId, key, dir)
     val path = built.getOrElseUpdate(k, {
-      val out = Files.createDirectories(Paths.get("target", "graft-shared"))
+      // under TempDirs (tmpfs when the host has one, r12 opt): the shared
+      // frame is within-run scratch — JVM-lifetime keyed, shutdown-deleted —
+      // so disk I/O for it was pure overhead (it also used to orphan dirs
+      // under target/ across runs)
+      val out = sharedRoot
         .resolve(s"$key-${k._1}-${Integer.toHexString(dir.hashCode)}").toString
       build.write.mode("overwrite").parquet(out)
       out

@@ -1600,10 +1600,13 @@ private[operators] trait QueriesDedup { this: Queries.type =>
           |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
           |              ' ', element_at(tk, i + 2)))) END""".stripMargin).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", expr(
-        """transform(sequence(0, 31), i -> array_min(transform(sh,
-          |  s -> CAST(conv(substr(md5(concat(CAST(i AS STRING), '_', s)), 1, 12),
-          |                 16, 10) AS BIGINT))))""".stripMargin))
+      // ONE codegen pass for all 32 components (r12 opt): the interpreted
+      // transform(sequence(0,31), i -> array_min(transform(sh, ...))) form
+      // paid 1 + 32·|sh| lambda dispatches plus a per-shingle concat
+      // allocation per component; the kernel runs the identical md5
+      // arithmetic (same digest count — each component is an independently
+      // seeded hash, the oracle's per-component contract) in a tight loop.
+      .withColumn("sig", expr("graft_md5_minhash_seeded(sh, 32)"))
       .select(col("doc_id"),
         struct(col("sh"), size(col("sh")).as("n"), col("sig")).as("v"))
     pairEnds(pairs, sh3)

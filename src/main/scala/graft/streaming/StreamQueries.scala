@@ -86,11 +86,18 @@ object StreamQueries {
     * durable checkpointLocation. Nothing outside this harness uses it. */
   private def runToTable(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "sink_" + UUID.randomUUID().toString.replace("-", "")
-    // state-store count follows shuffle partitions; 4 is plenty for the
-    // 100k-row local demo and cuts per-batch store maintenance 8x vs the
-    // session default (a real deployment sizes this to the key cardinality)
+    // state-store count follows shuffle partitions. Parameterized (r12 opt):
+    // per-partition-per-batch state-store restore/commit carries a fixed
+    // file-churn cost, so the local harness floor scales with this knob —
+    // the qs_floor probe read ~5 s at 4 partitions vs ~2 s at 2 for the
+    // SAME 3-wave drain (32c, sf0.1). Results are partition-count-free by
+    // construction (keyed state is hash-routed; every qs aggregation is
+    // commutative), so 2 is the measured local sweet spot; a real
+    // deployment sizes this to key cardinality × executor count via the
+    // same conf.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.stream.statePartitions").getOrElse("2"))
     try {
       val q = df.writeStream.format("memory").queryName(name)
         // explicit checkpoint under the TempDirs root (tmpfs when the host
@@ -1742,6 +1749,28 @@ object StreamQueries {
     runToTable(spark, joinViewKeyState(joinCdcStream(spark, dir)),
       OutputMode.Complete()).count()
     ()
+  }
+
+  /** Dev probe (ScaleProbes qs_floor): a minimal 3-wave complete-mode drain
+    * through the EXACT runToTable machinery, returning the sink table plus
+    * the per-batch progress breakdown — the instrument for attributing the
+    * streaming family's per-query floor. */
+  private[graft] def probeMinimalDrain(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val name = "sink_" + UUID.randomUUID().toString.replace("-", "")
+    val df = docsStream(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_QS_PARTS",
+        spark.conf.getOption("spark.graft.stream.statePartitions").getOrElse("2")))
+    val q = try {
+      val q0 = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", graft.util.TempDirs.create("graft-ckpt").toString)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+      q0.awaitTermination()
+      q0
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    (spark.table(name), q.recentProgress.toSeq)
   }
 
   private val docWaveCache = scala.collection.concurrent.TrieMap.empty[String, String]

@@ -235,6 +235,58 @@ object ScaleProbes {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+      case "x2_legs" =>
+        // r12 opt: the pair engine's internal composition — (a) the shingle
+        // kernel scan, (b) the adaptive df-cap probe (dfs agg + max action),
+        // (c) the posting self-join + jac verify given (a)+(b) warm. One
+        // JSON per leg would fight the shared-persist design, so this probe
+        // prints its own three-leg line and exits.
+        val t = (1 to reps).map { _ =>
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          val t0 = System.nanoTime()
+          val docs = Queries.shingleSets(
+            graft.operators.Tables.documents(spark, dir)).persist()
+          docs.write.format("noop").mode("overwrite").save()
+          val t1 = System.nanoTime()
+          val posts = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+          val dfs = posts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          val maxDf = Option(dfs.agg(max(col("df"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+          val t2 = System.nanoTime()
+          Queries.nearDupPairs(docs).write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          (maxDf, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+        }
+        val m = t(t.size / 2)
+        def n4(d: Double) = f"$d%.4f"
+        println("{\"probe\":\"x2_legs\",\"maxDf\":" + m._1 +
+          ",\"shingle_s\":" + n4(m._2) + ",\"dfprobe_s\":" + n4(m._3) +
+          ",\"pairs_s\":" + n4(m._4) + "}")
+        spark.stop()
+        return
+      case "qs_floor" =>
+        // r12 opt: where does a minimal 3-wave complete-mode streaming drain
+        // spend its time? Replicates the runToTable harness on the shared
+        // docs waves with a 1-key count agg and prints each batch's duration
+        // breakdown from StreamingQueryProgress.
+        require(Queries.all.nonEmpty) // registry clinit BEFORE StreamQueries
+        graft.streaming.StreamQueries.prewarmStreaming(spark, dir)
+        (1 to reps).foreach { r =>
+          val t0 = System.nanoTime()
+          val (tbl, prog) = graft.streaming.StreamQueries.probeMinimalDrain(spark, dir)
+          val total = (System.nanoTime() - t0) / 1e9
+          println(f"[qs_floor] rep $r total ${total}%.3f s, ${prog.size} batches")
+          prog.foreach(p => println(s"[qs_floor]   batch ${p.batchId}: " +
+            s"trigger=${p.durationMs.get("triggerExecution")}ms " +
+            s"addBatch=${p.durationMs.get("addBatch")}ms " +
+            s"getBatch=${p.durationMs.get("getBatch")}ms " +
+            s"latestOffset=${p.durationMs.get("latestOffset")}ms " +
+            s"queryPlanning=${p.durationMs.get("queryPlanning")}ms " +
+            s"walCommit=${p.durationMs.get("walCommit")}ms " +
+            s"commitOffsets=${p.durationMs.get("commitOffsets")}ms rows=${p.numInputRows}"))
+        }
+        spark.stop()
+        return
       case "x135_routed" =>
         spark.conf.set("spark.graft.splitleak.broadcastTestCap", "0")
         timed(() => Queries.byName("x135_semantic_split_leak").run(spark, dir))
