@@ -166,7 +166,7 @@ class BroadcastInventorySpec extends AnyFunSuite with BeforeAndAfterAll {
     // returned frames are hint-free LogicalRDD/checkpoint plans
     "x45_cluster_exemplars" -> (1, "k centroid frames (assignment + exemplar rank)"),
     "x112_pq_index_serve" -> (4, "k x d codebook + 5-row query frames across the train->encode->publish->serve lifecycle executions"),
-    "x123_bradley_terry" -> (7, "per-round broadcasts of the |items|^2-bounded pair/strength frames: 7 distinct sites, re-executed across the 4 persisted-leaf MM rounds"),
+    "x123_bradley_terry" -> (6, "per-round broadcasts of the |items|^2-bounded pair/strength frames: 6 distinct sites, re-executed across the 4 checkpoint-leaf MM rounds (r12 opt dropped the normalizer crossJoin-broadcast site — it is a single-partition window now)"),
     "x137_conformal_gate" -> (1, "x108's vocab-capped NB model frame, executed at construction via eagerFinish"),
     "x143_ivf_probe_ladder" -> (4, "k=16 centroid + 5-row query/crank frames, executed at construction via eagerFinish"),
     "x144_rank_sum_drift" -> (1, "RankSum's ppm-grid-bounded pooled midrank table (the r10 ADVICE item)"),
