@@ -154,9 +154,15 @@ object FastOps {
     * dispatches (plus a per-element string concat allocation) the
     * first-cut transform(sequence(...)) form paid per row; the k md5s per
     * shingle are the contract (each component is an independently seeded
-    * hash), so the win is dispatch + allocation, not hash count. Returns
-    * k mins (Long.MaxValue components on an empty set — x126 filters
-    * empty shingle sets out before signing, both engines). */
+    * hash), so the win is dispatch + allocation, not hash count.
+    *
+    * EDGE CONTRACT (r13, ADVICE): null elements are SKIPPED — the SQL
+    * spelling's md5(concat(i, '_', NULL)) is NULL and array_min skips
+    * nulls, so the min over non-null elements is the faithful
+    * translation. An all-null or EMPTY input yields Long.MaxValue
+    * sentinel components (the SQL form would yield nulls there — x126,
+    * the one call site, filters size(sh) > 0 non-null shingles first;
+    * any new caller must do the same or handle the sentinel). */
   def md5MinHashSeeded(sh: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = sh.numElements()
@@ -168,6 +174,8 @@ object FastOps {
       (i.toString + "_").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var j = 0
     while (j < n) {
+      if (sh.isNullAt(j)) { j += 1 }
+      else {
       val sb = sh.getUTF8String(j).getBytes
       var i = 0
       while (i < k) {
@@ -180,6 +188,7 @@ object FastOps {
         i += 1
       }
       j += 1
+      }
     }
     new GenericArrayData(mins)
   }

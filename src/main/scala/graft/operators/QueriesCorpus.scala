@@ -2392,6 +2392,21 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
     // keyed shuffles by dropping the hint; sym stays the only big frame;
     // the normalizer window then moves to a scalar agg attach (x155's
     // global-window note: partitionBy() is only safe on bounded frames).
+    //
+    // FAULT-TOLERANCE GATE (r13, verdict item 6): localCheckpoint blocks
+    // are executor-local and NON-recomputable — on a cluster, losing an
+    // executor mid-solve fails the query instead of recomputing.
+    // spark.graft.reliableLineageCut=true switches every round's leaf to
+    // the persist-based form (cache + full lineage: executor loss
+    // recomputes; same O(1)-plan guarantee, at the cost of the
+    // InternalRow↔Row codec pass and a separate materializing count the
+    // r12 opt removed). Default false: local mode and the bench have no
+    // executor loss. Either way, round N−1's leaf blocks are RELEASED as
+    // soon as round N materializes (r12 ADVICE: the checkpointed rounds
+    // otherwise accumulate for the life of the session).
+    val reliableCut = spark.conf.getOption("spark.graft.reliableLineageCut")
+      .exists(_.toBoolean)
+    var releasePrevRound: () => Unit = () => ()
     def mmRound(theta: DataFrame): DataFrame = {
       val denom = sym
         .join(broadcast(theta.select(col("s").as("a"), col("th").as("tha"))), "a")
@@ -2410,7 +2425,27 @@ private[operators] trait QueriesCorpus { this: Queries.type =>
         .select(col("s"), expr(
           """greatest(CAST((2 * thp * kk * 1000000 + ssum)
             |  div (2 * ssum) AS BIGINT), 1L)""".stripMargin).as("th"))
-      outPlan.localCheckpoint(true) // materialize the leaf; O(items) rows
+      // materialize the leaf (O(items) rows), then free the PREVIOUS
+      // round's leaf — it was only ever read to build this one. The new
+      // leaf's persisted RDD ids are found by set diff (single-threaded
+      // here; localCheckpoint registers its block-backing RDD the same
+      // way an explicit persist does), because a checkpointed Dataset's
+      // unpersist() is a CacheManager no-op.
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out =
+        if (!reliableCut) outPlan.localCheckpoint(true)
+        else {
+          val rdd = outPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+          val df = spark.createDataFrame(rdd, outPlan.schema)
+          df.count() // eager, matching the checkpoint path
+          df
+        }
+      val mine = sc.getPersistentRDDs.keySet -- before
+      releasePrevRound()
+      releasePrevRound =
+        () => mine.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      out
     }
     val t0 = items2.withColumn("th", lit(1000000L))
     val t1 = mmRound(t0)

@@ -332,20 +332,28 @@ private[operators] trait QueriesDedup { this: Queries.type =>
     * truncation the analyzed logical plan grows ~3^rounds — persist()
     * caches data but Spark still renders the FULL plan string per action,
     * which OOMs the driver on multi-round inputs long before the data
-    * does. Rebuilding from the materialized RDD keeps the per-round plan
-    * O(1) (the public-API equivalent of localCheckpoint, with an RDD
-    * handle we can unpersist exactly). Returns (labels, rounds). */
+    * does. The leaf is a LAZY localCheckpoint (r13): the convergence count
+    * is then ONE job that both materializes the round's blocks and reads
+    * the scalar, with no InternalRow↔Row codec pass — the r12 x123 lesson
+    * applied to the CC kernel shared by x17/x130/x77. localCheckpoint
+    * blocks are executor-local and non-recomputable, so
+    * spark.graft.reliableLineageCut=true falls back to the persist-based
+    * `.rdd` leaf (full lineage, recomputable after executor loss) — same
+    * gate and rationale as x123's solver. Returns (labels, rounds). */
   private[graft] def minLabelComponents(edges0: DataFrame): (DataFrame, Int) = {
     val spark = edges0.sparkSession
+    val reliableCut = spark.conf.getOption("spark.graft.reliableLineageCut")
+      .exists(_.toBoolean)
+    val sc = spark.sparkContext
     val edges = edges0.toDF("src", "dst").persist()
     // round 0 fused into initialization: label = min(self, direct neighbors)
-    var labels = edges.groupBy(col("src"))
+    val labels0 = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("lbl")).persist()
-    // handles to the previous round's materialization so each round can
+    var labels = labels0
+    // handle to the previous round's materialization so each round can
     // free EXACTLY its predecessor — otherwise every round's cache leaks
     // for the life of the query
-    var backingDf: DataFrame = labels
-    var backingRdd: org.apache.spark.rdd.RDD[Row] = null
+    var releasePrev: () => Unit = () => { labels0.unpersist(); () }
     var changed = true
     var rounds = 0
     while (changed && rounds < 20) {
@@ -361,15 +369,23 @@ private[operators] trait QueriesDedup { this: Queries.type =>
           coalesce(col("nlbl"), col("lbl")),
           coalesce(col("jlbl"), col("lbl"))).as("lbl2"))
       // lineage cut: persist the round's ROWS, then re-enter SQL through a
-      // leaf LogicalRDD — the next round's plan starts here, not at round 0
-      val rdd = mergedPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val merged = spark.createDataFrame(rdd, mergedPlan.schema)
+      // leaf LogicalRDD — the next round's plan starts here, not at round 0.
+      // The new leaf's persisted RDD ids are found by set diff (single-
+      // threaded here) because a checkpointed Dataset's unpersist() is a
+      // CacheManager no-op.
+      val before = sc.getPersistentRDDs.keySet
+      val merged =
+        if (reliableCut) spark.createDataFrame(
+          mergedPlan.rdd.persist(StorageLevel.MEMORY_AND_DISK), mergedPlan.schema)
+        else mergedPlan.localCheckpoint(false) // lazy: the count below materializes it
+      val mine = sc.getPersistentRDDs.keySet -- before
       // full count, deliberately: it materializes EVERY partition of the
-      // persisted RDD AND is the convergence scalar (labels are monotone
+      // round's leaf AND is the convergence scalar (labels are monotone
       // decreasing, so zero strict drops ⇔ fixpoint — no extra round)
       changed = merged.filter(col("lbl2") < col("lbl")).count() > 0
-      if (backingRdd != null) backingRdd.unpersist() else backingDf.unpersist()
-      backingRdd = rdd
+      releasePrev()
+      releasePrev =
+        () => mine.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       labels = merged.select(col("src"), col("lbl2").as("lbl"))
       rounds += 1
       if (sys.env.contains("GRAFT_TIMING"))

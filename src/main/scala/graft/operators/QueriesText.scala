@@ -2734,13 +2734,23 @@ private[operators] trait QueriesText { this: Queries.type =>
       .groupBy(col("w"))
       .agg(countDistinct(col("source")).as("ns"), min(col("source")).as("one_src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val vFull = tokOwners.count() // bounded driver action: |vocab| is domain-sized
+    // |vocab| and the full-model xent ride the PLAN as broadcast one-row
+    // frames instead of driver scalars (r13, the x123/x153 job-count
+    // lesson): the old tokOwners.count() + fullRow.head() actions each
+    // cost a separate job submission + the head()'s collect; now ONE
+    // action materializes everything. Arithmetic is unchanged: vf is the
+    // same count, and xent_full uses the same decimal(38,0) rational
+    // spelling the LOO branch always used (positive values, so BigInt
+    // floor division ≡ `div` truncation).
+    val vocabN = tokOwners.agg(count(lit(1)).as("vf")) // 1 row: |vocab|
     val excl = tokOwners.filter(col("ns") === 1)
       .groupBy(col("one_src").as("source")).agg(count(lit(1)).as("n_excl"))
     val srcStats = train
       .groupBy(col("source")).agg(sum(size(col("tk")).cast(LongType)).as("train_tokens"))
       .join(excl, Seq("source"), "left").na.fill(0L, Seq("n_excl"))
-      .withColumn("v_loo", lit(vFull) - col("n_excl")) // |sources| rows
+      .crossJoin(broadcast(vocabN))
+      .withColumn("v_loo", col("vf") - col("n_excl")) // |sources| rows
+      .select(col("source"), col("train_tokens"), col("n_excl"), col("v_loo"))
     val testBig = docs.filter(col("b") >= 90)
       .select(posexplode(expr("slice(tk, 1, size(tk) - 1)")).as(Seq("i", "w1")), col("tk"))
       .select(col("w1"), expr("tk[i + 1]").as("w2"))
@@ -2748,14 +2758,16 @@ private[operators] trait QueriesText { this: Queries.type =>
       .join(bigF, Seq("w1", "w2"), "left").na.fill(0L, Seq("c12"))
       .join(uniF, Seq("w1"), "left").na.fill(0L, Seq("c1"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the full-model baseline: one xent over the same scored frame
-    val fullRow = testBig
+    // the full-model baseline: one xent over the same scored frame, as a
+    // broadcast one-row frame (xent_full_nanos: BIGINT)
+    val fullX = testBig
+      .crossJoin(broadcast(vocabN))
       .withColumn("nll", expr(
-        s"cast(round(-ln(cast(c12 + 1 as double) / (c1 + ${vFull}L)) * 1e9, 0) as bigint)"))
-      .agg(sum(col("ct")).as("nb"),
-        sum(expr("cast(ct as decimal(38,0)) * nll")).as("t")).head()
-    val xentFull = ((2 * BigInt(fullRow.getDecimal(1).toBigInteger) + fullRow.getLong(0))
-      / (2 * BigInt(fullRow.getLong(0)))).toLong
+        "cast(round(-ln(cast(c12 + 1 as double) / (c1 + vf)) * 1e9, 0) as bigint)"))
+      .agg(sum(col("ct")).as("nb_full"),
+        sum(expr("cast(ct as decimal(38,0)) * nll")).as("t_full"))
+      .select(expr("cast((2 * t_full + nb_full) div (2 * nb_full) as bigint)")
+        .as("xent_full_nanos"))
     // LOO scoring: |distinct test bigrams| x |sources| rows, counts by
     // subtraction, per-source smoothing constants from the tiny frame
     val out = testBig
@@ -2769,11 +2781,12 @@ private[operators] trait QueriesText { this: Queries.type =>
       .agg(max(col("train_tokens")).as("train_tokens"),
         sum(col("ct")).as("n_bigrams"),
         sum(expr("cast(ct as decimal(38,0)) * nll")).as("t"))
+      .crossJoin(broadcast(fullX))
       .select(col("source"), col("train_tokens"), col("n_bigrams"),
-        lit(xentFull).as("xent_full_nanos"),
+        col("xent_full_nanos"),
         expr("cast((2 * t + n_bigrams) div (2 * n_bigrams) as bigint)")
           .as("xent_loo_nanos"))
-      .withColumn("delta_nanos", col("xent_loo_nanos") - lit(xentFull))
+      .withColumn("delta_nanos", col("xent_loo_nanos") - col("xent_full_nanos"))
       .orderBy(col("source"))
     eagerFinish(out, train, tokOwners, testBig, evalPairs)
   }

@@ -98,17 +98,38 @@ object StreamQueries {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       spark.conf.getOption("spark.graft.stream.statePartitions").getOrElse("2"))
+    // NIO checkpoint manager (r13, guide §1.2): the checkpoint root below is
+    // always a LOCAL TempDirs path, so the per-batch offset/commit/state
+    // file ops skip the Hadoop FS stack (~25-40 ms/op measured → µs). Only
+    // set for the duration of this query and restorable by conf:
+    // spark.graft.stream.nioCheckpointManager=false keeps Spark's default
+    // manager (e.g. to point checkpoints at a non-POSIX root).
+    val fmKey = "spark.sql.streaming.checkpointFileManagerClass"
+    val prevFm = spark.conf.getOption(fmKey)
+    if (spark.conf.getOption("spark.graft.stream.nioCheckpointManager").forall(_.toBoolean))
+      spark.conf.set(fmKey, classOf[NioCheckpointFileManager].getName)
+    // deleted after termination (r13, ADVICE): a drained AvailableNow query
+    // never reuses its checkpoint, and Spark's own implicit temp checkpoints
+    // are deleted on stop — without this a multi-query run accumulates
+    // offset/commit/state files in tmpfs RAM until JVM shutdown
+    val ckpt = graft.util.TempDirs.create("graft-ckpt")
     try {
       val q = df.writeStream.format("memory").queryName(name)
         // explicit checkpoint under the TempDirs root (tmpfs when the host
         // has one): without it Spark creates the temp checkpoint in
         // java.io.tmpdir, and the per-batch offset/commit/state-store file
         // churn pays disk I/O the harness never needs durable (r12 opt)
-        .option("checkpointLocation",
-          graft.util.TempDirs.create("graft-ckpt").toString)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevFm match {
+        case Some(v) => spark.conf.set(fmKey, v)
+        case None => spark.conf.unset(fmKey)
+      }
+      graft.util.TempDirs.deleteTree(ckpt)
+    }
     spark.table(name)
   }
 

@@ -32,17 +32,24 @@ object ScaleProbes {
   def main(args: Array[String]): Unit = {
     val probe = args(0)
     val dir = args(1)
-    val reps = if (args.length > 2) args(2).toInt else 3
+    val reps = if (args.length > 2 && !args(2).contains('=')) args(2).toInt else 3
+    // trailing key=value args become session-build confs (the TimeOne
+    // discipline) — lets a probe A/B hadoop/fs-level settings that must be
+    // present before getOrCreate
+    val extraConfs = args.drop(2).filter(_.contains('=')).map { a =>
+      val Array(k, v) = a.split("=", 2); (k, v)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
-      .getOrCreate()
+    extraConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def timed(build: () => DataFrame): Seq[Double] = (1 to reps).map { _ =>

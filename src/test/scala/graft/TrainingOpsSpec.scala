@@ -2091,6 +2091,18 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("x123: reliableLineageCut leaves (persist-based, recomputable) match the default checkpoint path") {
+    // r13 verdict item 6: the conf swaps every MM round's localCheckpoint
+    // leaf for a persist+lineage leaf (cluster fault-tolerance mode); the
+    // solve must be bit-identical either way.
+    val fast = run("x123_bradley_terry").collect().toSeq
+    spark.conf.set("spark.graft.reliableLineageCut", "true")
+    try {
+      val reliable = run("x123_bradley_terry").collect().toSeq
+      assert(reliable === fast, "reliable-cut path diverged from checkpoint path")
+    } finally spark.conf.unset("spark.graft.reliableLineageCut")
+  }
+
   test("x124: holdout accuracy is the exact ppm of argmax-correct test transitions") {
     val df = run("x124_markov_eval").cache()
     val rows = df.collect().toSeq
